@@ -1,0 +1,565 @@
+"""Relational query surface: scans, filters, joins, aggregations, sorts.
+
+SURVEY.md §2.2 (P6), §2.3 (joins — all EXT), §2.4 (A4), §2.6 (top-k).
+The reference implements none of these (its only relational shape is the
+per-row upsert loop, src/db_operations.py:75-91); they are required by the
+BASELINE.json north star. Each builder is paired with a DuckDB oracle.
+
+Scale notes per query are inline — the recurring themes:
+- fact-to-fact joins (orders⋈lineitem) shuffle on the join key; dimension
+  joins are broadcast (explicitly hinted where Catalyst's size estimate
+  might not see it);
+- aggregates are partial+final automatically (map-side combine);
+- top-k is orderBy+limit → TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.plans.decimals import davg, dec, dsum, sql_davg, sql_dec, sql_dsum
+from data_ingestion_lambda_spark.plans.registry import register
+from data_ingestion_lambda_spark.plans._util import t
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')} * {sql_dec('1 + l_tax')}) AS DOUBLE) AS sum_charge,
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide grouped aggregation over the fact table.
+
+    Scale: single shuffle on a 6-value grouping key; partial aggregation
+    collapses each map partition to ≤6 rows before the exchange, so this is
+    scan-bound at 100 TB. Filter + 7-column projection push into the scan.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    charge = disc_price * dec(F.lit(1) + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → grouped top-k.
+
+    Scale: customer (filtered to one segment) broadcasts into orders; the
+    orders⋈lineitem join shuffles on orderkey (both sides pre-filtered by
+    pushed-down date predicates). Top-k via TakeOrderedAndProject — no
+    global sort materialization.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with a region filter.
+
+    Scale: supplier/nation/region broadcast (bounded dims); the only big
+    shuffles are orders⋈customer (on custkey) and orders⋈lineitem (on
+    orderkey). Region filter prunes through nation→supplier before
+    touching facts.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join kinds (SURVEY §2.3 — every entry in the EXT table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("join",),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained broadcast-hash joins: fact → dim → dim, zero fact shuffles
+    until the final tiny aggregation. The canonical star-schema plan at
+    100 TB: orders never moves, dims ship to every executor."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_big_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS big_total
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) big
+           ON c_custkey = big.o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero matches (COUNT→0)."""
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("big_total"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 urgent order. Semi joins carry no
+    payload columns from the right side → smaller shuffle than inner+distinct."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no 1995 orders (the reference's
+    missing-dates difference, src/s3_processor.py:176, done relationally)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH auto_c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+         heavy  AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+                    GROUP BY o_custkey HAVING COUNT(*) > 12)
+    SELECT COALESCE(a.c_custkey, h.o_custkey) AS custkey,
+           (a.c_custkey IS NOT NULL) AS is_automobile,
+           (h.o_custkey IS NOT NULL) AS is_heavy,
+           COALESCE(h.n_orders, 0) AS n_orders
+    FROM auto_c a FULL OUTER JOIN heavy h ON a.c_custkey = h.o_custkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two derived sets with presence indicators."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    auto_c = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    heavy = (
+        o.groupBy("o_custkey").agg(F.count("*").alias("n_orders")).filter(F.col("n_orders") > 12)
+    )
+    j = auto_c.join(heavy, auto_c.c_custkey == heavy.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("is_automobile"),
+        F.col("o_custkey").isNotNull().alias("is_heavy"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, o_orderstatus, n_status
+    FROM region CROSS JOIN (
+        SELECT o_orderstatus, COUNT(*) AS n_status FROM orders GROUP BY o_orderstatus
+    ) s
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny derived relations (region × order statuses)."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    o = t(spark, sf_dir, "orders")
+    status_counts = o.groupBy(F.col("o_orderstatus")).agg(F.count("*").alias("n_status"))
+    return r.crossJoin(status_counts).select("r_name", "o_orderstatus", "n_status")
+
+
+@register(
+    "join_range_nonequi",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('small', 1, 15), ('medium', 16, 35), ('large', 36, 50)
+    )
+    SELECT band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM part JOIN bands ON p_size BETWEEN lo AND hi
+    GROUP BY band
+    """,
+    tags=("join",),
+)
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a small bands relation.
+
+    Scale: the bands side is tiny → broadcast-nested-loop, which is the
+    right physical plan; the fact side never shuffles."""
+    p = t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("small", 1, 15), ("medium", 16, 35), ("large", 36, 50)],
+        "band string, lo int, hi int",
+    )
+    return (
+        p.join(F.broadcast(bands), (p.p_size >= bands.lo) & (p.p_size <= bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"), dsum("p_retailprice", "total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation kinds (SURVEY §2.4 A4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_groupby_basic",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count/min/max/sum (min/max of doubles are order-independent)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT DISTINCT in one aggregation (Catalyst expands)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims: all 4 grouping-set combinations in one pass."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "join"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region→nation hierarchy over a broadcast-joined dim chain."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, n_name, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (via SQL — the DataFrame API routes through
+    the same Expand operator as cube/rollup)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, n_name, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey").agg(F.count("*").alias("n_orders")).filter(F.col("n_orders") >= 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_topk_global",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+    tags=("topk",),
+)
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: planned as TakeOrderedAndProject — each partition keeps
+    its local top 15, driver merges; no full sort at any scale."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"), "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+@register(
+    "filter_pushdown_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    WHERE l_quantity >= 49 AND l_returnflag = 'A'
+    """,
+    tags=("scan",),
+)
+def filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection+filter that must reach the parquet scan (PushedFilters /
+    3-column ReadSchema) — SURVEY §2.2 P6."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.filter((F.col("l_quantity") >= 49) & (F.col("l_returnflag") == "A")).select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity")
+    )

@@ -1,0 +1,43 @@
+"""Test-data catalog: the TPC-H-ish star schema the driver generates.
+
+At 100 TB these would be partitioned/bucketed external tables; here they are
+single parquet files per table. All reads go through ``spark.read.parquet``
+so Catalyst gets pushdown + pruning; no schema inference happens (parquet
+footers carry the schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region/nation are fixed-size; supplier/part/customer grow with SF but stay
+# orders of magnitude under the fact tables).
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out

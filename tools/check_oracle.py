@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Local pre-flight replica of the driver's correctness gate.
+
+Runs every registered query on Spark and (when an oracle exists) the
+equivalent SQL on DuckDB over the same parquet, then compares:
+  - row count
+  - column-name set
+  - order-insensitive value hash (columns sorted by name, rows sorted,
+    values canonicalized)
+
+Usage:  python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only name[,name]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from data_ingestion_lambda_spark import get_spark  # noqa: E402
+from data_ingestion_lambda_spark.plans import all_specs  # noqa: E402
+from data_ingestion_lambda_spark.sources.catalog import TABLES  # noqa: E402
+
+
+def canon(v) -> str:
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, (datetime, date)):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "l:[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "y:" + v.hex()
+    return f"{type(v).__name__[0]}:{v}"
+
+
+def table_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for r in canon_rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{args.sf}/{name}.parquet'"
+        )
+
+    specs = all_specs()
+    if args.only:
+        wanted = args.only.split(",")
+        specs = {k: v for k, v in specs.items() if k in wanted}
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, spec in sorted(specs.items()):
+        t0 = time.time()
+        try:
+            sdf = spec.builder(spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
+            if sh != oh:
+                problems.append(f"hash spark={sh} oracle={oh}")
+                # print the first differing canonical row for debugging
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                s_set = sorted("|".join(canon(r[i]) for i in so) for r in srows)
+                o_set = sorted("|".join(canon(r[i]) for i in oo) for r in orows)
+                for a, b in zip(s_set, o_set):
+                    if a != b:
+                        problems.append(f"  first diff:\n    spark  {a[:300]}\n    oracle {b[:300]}")
+                        break
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
