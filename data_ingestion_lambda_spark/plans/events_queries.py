@@ -1,1 +1,203 @@
-"""Placeholder — populated in this round."""
+"""Event-time queries over the ``events`` table (SURVEY.md §2.9 EXT rows).
+
+These are the *batch* twins of the streaming semantics implemented in
+``streaming/``: tumbling/sliding windows, sessionization, as-of joins.
+The same expressions run under ``readStream`` with a watermark — the
+batch form is what the DuckDB oracle can check.
+
+Timestamps: parquet stores ns, both engines truncate to µs; all bucket
+arithmetic is integer epoch-µs → deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.plans.decimals import dsum
+from data_ingestion_lambda_spark.plans.registry import register
+from data_ingestion_lambda_spark.plans._util import t
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg", "streaming-twin"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time windows (epoch-aligned, same as the
+    streaming `F.window` + watermark pipeline in streaming/windows.py)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    SELECT window_start, COUNT(*) AS n_events
+    FROM (
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) - (k * INTERVAL 5 MINUTE) AS window_start, ts
+        FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
+    )
+    GROUP BY window_start
+    """,
+    tags=("events", "window-agg", "streaming-twin"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute length, 5-minute slide (each event lands
+    in exactly 2 windows; the oracle enumerates both membership offsets)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM seq
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM tagged GROUP BY user_id, session_seq
+    """,
+    tags=("events", "sessionization", "streaming-twin"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
+    session ids — the batch twin of `session_window(ts, '30 minutes')`.
+
+    Scale: one shuffle on user_id; integer epoch-µs arithmetic only."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    tagged = e.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+           ) AS last_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("events", "asof-join"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 — the one join needing a composed recipe):
+    for each purchase, the most recent click by the same user at-or-before.
+
+    Recipe: union both sides, sort within user by (ts, side-order), carry
+    the last click timestamp forward with last(ignorenulls) — ONE shuffle
+    on user_id, no range explosion; scales linearly in events per user.
+    At equal ts the click sorts first (side=0), matching `<=` semantics.
+    """
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"), F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select("event_id", "user_id", "ts", "last_click_ts")
+
+
+@register(
+    "events_json_topk",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_k DESC, user_id
+    LIMIT 10
+    """,
+    tags=("events", "json", "topk"),
+)
+def events_json_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-payload aggregation + top-k (integer sums — exact)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k_val", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("user_id")
+        .agg(F.sum("k_val").alias("total_k"), F.count("*").alias("n_events"))
+        .orderBy(F.desc("total_k"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "events_pivot_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'error')    AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """,
+    tags=("events", "pivot"),
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts by type (explicit value list → stable
+    schema, single-pass conditional aggregation)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.to_date(F.date_trunc("day", "ts")))
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

@@ -56,6 +56,9 @@ def get_spark(
         # Files: pack small files, split big ones; 128 MiB is the sweet spot
         # for parquet row-group granularity at scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable natively; read
+        # as epoch-nanos long, converted to µs timestamp in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -9,6 +9,8 @@ footers carry the schema).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -30,7 +32,16 @@ ALWAYS_BROADCAST = ("region", "nation")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
+        # as epoch-nanos. Truncate to µs (same as engines that read ns
+        # natively) with integer division — ns values exceed 2^53, so double
+        # arithmetic would corrupt them.
+        field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
+        if isinstance(field, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:
