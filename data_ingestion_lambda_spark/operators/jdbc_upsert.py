@@ -1,0 +1,117 @@
+"""JDBC upsert sink: staging table + set-based MERGE (S7's RDBMS form).
+
+Reference: one ``INSERT … ON CONFLICT`` round-trip per row
+(src/db_operations.py:75-91). At any scale that is the bottleneck; the
+set-based shape is:
+
+  1. ``df.write.jdbc(mode=overwrite, table=staging, batchsize=...)``
+     — parallel, batched inserts from every executor;
+  2. ONE statement on the target database:
+     ``MERGE INTO target USING staging ON (keys) …`` (ANSI) or
+     ``INSERT … SELECT … ON CONFLICT DO UPDATE`` (PostgreSQL),
+     executed once over a single driver-side connection.
+
+The MERGE is idempotent on (date, client_id), so a retried micro-batch
+converges — same exactly-once argument as the parquet path.
+
+No database/driver ships in this container, so ``upsert_via_jdbc`` gates
+on the JDBC driver's presence; the SQL builders are pure and unit-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from data_ingestion_lambda_spark.schemas import UPSERT_KEYS
+
+
+def build_merge_sql(
+    target: str,
+    staging: str,
+    keys: list[str],
+    update_cols: list[str],
+    insert_cols: list[str],
+) -> str:
+    """ANSI MERGE statement (SQL:2003; Postgres 15+, most warehouses)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = ", ".join(f"{c} = s.{c}" for c in update_cols)
+    cols = ", ".join(insert_cols)
+    vals = ", ".join(f"s.{c}" for c in insert_cols)
+    return (
+        f"MERGE INTO {target} t USING {staging} s ON ({on}) "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def build_pg_on_conflict_sql(
+    target: str,
+    staging: str,
+    keys: list[str],
+    update_cols: list[str],
+    insert_cols: list[str],
+) -> str:
+    """PostgreSQL ON CONFLICT form — the set-based twin of the reference's
+    per-row statement (src/db_operations.py:77-84)."""
+    cols = ", ".join(insert_cols)
+    conflict = ", ".join(keys)
+    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+    return (
+        f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {staging} "
+        f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
+    )
+
+
+CONSUMPTION_UPDATE_COLS = ["client_name", "service_name", "total_consumed_tokens", "updated_at"]
+CONSUMPTION_INSERT_COLS = [
+    "date",
+    "client_id",
+    "client_name",
+    "service_name",
+    "total_consumed_tokens",
+    "created_at",
+    "updated_at",
+    "is_active",
+]
+
+
+def upsert_via_jdbc(
+    batch: DataFrame,
+    jdbc_url: str,
+    target_table: str,
+    staging_table: str = "consumptions_staging",
+    keys: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """foreachBatch body for a JDBC target. Requires a JDBC driver jar on
+    the Spark classpath; raises RuntimeError with guidance if absent."""
+    keys = keys or UPSERT_KEYS
+    props = dict(properties or {})
+    props.setdefault("batchsize", str(batchsize))
+
+    spark = batch.sparkSession
+    # 1. parallel batched write to staging
+    batch.write.mode("overwrite").options(**props).jdbc(jdbc_url, staging_table)
+
+    # 2. one set-based MERGE over a single driver-side connection
+    merge = build_merge_sql(
+        target_table,
+        staging_table,
+        keys,
+        CONSUMPTION_UPDATE_COLS,
+        CONSUMPTION_INSERT_COLS,
+    )
+    jvm = spark._jvm  # driver-side JDBC, same connection pattern as the reference's single conn
+    try:
+        conn = jvm.java.sql.DriverManager.getConnection(jdbc_url, props.get("user", ""), props.get("password", ""))
+    except Exception as e:  # pragma: no cover - no DB in test env
+        raise RuntimeError(
+            f"JDBC connection unavailable ({e}); provide a driver jar via spark.jars"
+        ) from e
+    try:
+        stmt = conn.createStatement()
+        stmt.execute(merge)
+        stmt.close()
+    finally:
+        conn.close()

@@ -1,0 +1,116 @@
+"""Keyed idempotent upsert — the reference's core sink (S7), Spark-first.
+
+Reference: per-row ``INSERT … ON CONFLICT (date, client_id) DO UPDATE``
+over a single psycopg2 connection (src/db_operations.py:56-106) — one SQL
+round-trip per row, sequential.
+
+Here: a partition-pruned last-writer-wins MERGE over a parquet table
+partitioned by the key's date component.
+
+Scale design (the part that must survive 100 TB):
+- The target is date-partitioned. A batch only ever touches the partitions
+  for dates it contains, so the merge reads+rewrites ONLY those partitions
+  (dynamic partition overwrite), never the whole table. Daily ingest over
+  years of history rewrites one day, not 100 TB.
+- Within affected partitions the winner per key is picked with one window
+  (`row_number` over key, newest first) — a single shuffle on the upsert
+  key, map-side combinable nowhere but linear in partition size.
+- `created_at` semantics (set once on first insert, src/db_operations.py:79)
+  are preserved by carrying the existing row's created_at through the merge.
+- Idempotence: re-running the same batch yields the same table state (the
+  reference gets this accidentally from ON CONFLICT; here it is explicit),
+  which is what makes foreachBatch retries exactly-once end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.schemas import UPSERT_KEYS
+
+PARTITION_COL = "date"
+
+
+def merge_last_writer_wins(
+    existing: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str] = UPSERT_KEYS,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pure merge: rows of ``batch`` win over ``existing`` on key collision;
+    within ``batch`` the highest ``order_cols`` wins (ingest sequence).
+
+    Expects ``batch`` with columns: key cols + payload + updated_at;
+    ``existing`` additionally has created_at.
+    """
+    order_cols = order_cols or ["_ingest_seq"]
+    b = batch
+    if "_ingest_seq" not in b.columns:
+        b = b.withColumn("_ingest_seq", F.monotonically_increasing_id())
+    b = b.withColumn("_is_new", F.lit(1))
+    if "created_at" not in b.columns:
+        b = b.withColumn("created_at", F.col("updated_at"))
+
+    if existing is None:
+        merged = b
+    else:
+        e = existing.withColumn("_is_new", F.lit(0)).withColumn(
+            "_ingest_seq", F.lit(-1).cast("long")
+        )
+        merged = b.unionByName(e.select(*b.columns))
+
+    # Newest wins: batch rows (_is_new=1) beat existing; later batch rows
+    # beat earlier ones. One shuffle on the upsert key.
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("_is_new"), *[F.desc(c) for c in order_cols]
+    )
+    first_created = F.min("created_at").over(Window.partitionBy(*keys))
+    return (
+        merged.withColumn("created_at", first_created)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_new", "_ingest_seq")
+    )
+
+
+def upsert_into_parquet(
+    spark: SparkSession,
+    target_dir: str,
+    batch: DataFrame,
+    keys: list[str] = UPSERT_KEYS,
+) -> None:
+    """MERGE ``batch`` into the date-partitioned parquet table at
+    ``target_dir``, touching only the partitions present in the batch."""
+    batch = batch.cache()
+    try:
+        batch_dates = [r[0] for r in batch.select(PARTITION_COL).distinct().collect()]
+        if not batch_dates:
+            return
+
+        existing = None
+        if os.path.exists(target_dir):
+            # Partition pruning: read only the dates this batch touches.
+            existing = spark.read.parquet(target_dir).filter(
+                F.col(PARTITION_COL).isin(batch_dates)
+            )
+
+        merged = merge_last_writer_wins(existing, batch, keys=keys)
+
+        # Dynamic partition overwrite: replace exactly the touched dates.
+        # (No extra repartition: the merge window already shuffled by key,
+        # and AQE coalesces output partitions.)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COL)
+            .parquet(target_dir)
+        )
+    finally:
+        batch.unpersist()
+
+
+def read_consumptions(spark: SparkSession, target_dir: str) -> DataFrame:
+    return spark.read.parquet(target_dir)

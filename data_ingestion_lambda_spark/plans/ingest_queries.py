@@ -1,1 +1,111 @@
-"""Placeholder — populated in this round."""
+"""Oracle-checkable twins of the ingestion engine's merge semantics
+(SURVEY §2.1 S7) on the driver testdata.
+
+The real upsert path (operators/upsert.py, streaming/ingest.py) is covered
+by pytest; these queries prove the *semantics* — last-writer-wins keyed
+dedup — against the DuckDB oracle. lineitem conveniently contains genuine
+duplicate (l_orderkey, l_linenumber) keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.plans.decimals import dsum
+from data_ingestion_lambda_spark.plans.registry import register
+from data_ingestion_lambda_spark.plans._util import t
+
+# Deterministic "recency" for the demo: higher quantity wins, then price,
+# then the remaining columns as tie-breakers (a real ingest uses _ingest_seq).
+_ORDER_SQL = "l_quantity DESC, l_extendedprice DESC, l_partkey, l_suppkey, l_discount, l_tax"
+
+
+@register(
+    "upsert_last_writer_wins",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey, l_linenumber
+                   ORDER BY {_ORDER_SQL}) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    GROUP BY l_returnflag
+    """,
+    tags=("ingest", "upsert"),
+)
+def upsert_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed last-writer-wins MERGE (the upsert sink's core window) applied
+    to lineitem's duplicate (orderkey, linenumber) keys.
+
+    Scale: identical shape to operators/upsert.py — one shuffle on the key,
+    row_number, filter. No driver-side state."""
+    l = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.desc("l_quantity"),
+        F.desc("l_extendedprice"),
+        "l_partkey",
+        "l_suppkey",
+        "l_discount",
+        "l_tax",
+    )
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "dedup_exact_keys",
+    oracle="""
+    SELECT n_dups AS dup_count, COUNT(*) AS n_keys
+    FROM (
+        SELECT l_orderkey, l_linenumber, COUNT(*) AS n_dups
+        FROM lineitem GROUP BY l_orderkey, l_linenumber
+    )
+    GROUP BY n_dups
+    """,
+    tags=("ingest", "dedup"),
+)
+def dedup_exact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key profile: how many keys occur once/twice/… — the
+    pre-flight diagnostic for any keyed upsert."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n_dups"))
+        .groupBy(F.col("n_dups").alias("dup_count"))
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
+@register(
+    "audit_projection",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           COALESCE(CAST(NULL AS BIGINT), 0) AS tokens_coerced,
+           TRUE AS is_active,
+           CAST(o_orderdate AS DATE) AS partition_date
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+    tags=("ingest",),
+)
+def audit_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's insert projection (P2, src/db_operations.py:78,85-91):
+    select + derived audit columns (timestamps excluded — not comparable
+    across engines; covered by pytest instead)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce(F.lit(None).cast("bigint"), F.lit(0)).alias("tokens_coerced"),
+        F.lit(True).alias("is_active"),
+        F.to_date("o_orderdate").alias("partition_date"),
+    )

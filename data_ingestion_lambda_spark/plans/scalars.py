@@ -92,8 +92,8 @@ def scalar_date_parse_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "datestr",
         F.coalesce(
-            F.expr("try_to_date(datestr, 'dd-MMM-yyyy')"),
-            F.expr("try_to_date(datestr, 'yyyy-MM-dd')"),
+            F.try_to_date("datestr", "dd-MMM-yyyy"),
+            F.try_to_date("datestr", "yyyy-MM-dd"),
         ).alias("parsed_date"),
     )
 

@@ -1,0 +1,102 @@
+"""Incremental ingestion: Structured Streaming file source + foreachBatch
+MERGE — the Spark-native replacement for the reference's entire control
+plane (SURVEY §2.1 S1/S3-S6/S8).
+
+What each reference mechanism becomes:
+- checkpoint date file (src/s3_processor.py:113-158,192-210)
+    → the stream's ``checkpointLocation`` offset/commit log (atomic,
+      transactional — fixes the lost-file bug of SURVEY §1.4.2)
+- missing-dates backfill ledger (src/s3_processor.py:162-189)
+    → the file source re-lists the glob every trigger and picks up
+      late-landing files regardless of their date directory; no ledger
+- per-file loop + per-file commit (src/db_operations.py:8-54)
+    → micro-batches with idempotent MERGE ⇒ end-to-end exactly-once
+- scheduled Lambda invocation (src/lambda_handler.py:38)
+    → ``trigger(availableNow=True)``: one invocation drains everything
+      new then stops — same operational shape, real checkpointing
+- JSON audit twin (src/s3_processor.py:147-154)
+    → an append-only parquet ingestion log written per batch
+
+Scale notes: ``maxFilesPerTrigger`` bounds batch size (the pacing the
+reference accidentally got from MaxKeys=10, SURVEY §1.4.5, minus the data
+loss); the upsert itself is partition-pruned (operators/upsert.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.functions.normalize import normalize_consumption
+from data_ingestion_lambda_spark.operators.upsert import upsert_into_parquet
+from data_ingestion_lambda_spark.schemas import CONSUMPTION_RAW_SCHEMA, CORRUPT_COL
+
+
+@dataclass
+class IngestPaths:
+    source_dir: str  # root of date-partitioned CSV drops
+    target_dir: str  # parquet consumptions table (partitioned by date)
+    checkpoint_dir: str  # streaming offset/commit log
+    quarantine_dir: str | None = None  # bad rows, append-only
+    log_dir: str | None = None  # ingestion log (audit twin)
+
+
+def _process_batch(spark: SparkSession, paths: IngestPaths, batch: DataFrame, batch_id: int) -> None:
+    # _ingest_seq records within-batch order so last-writer-wins matches the
+    # reference's sequential ON CONFLICT semantics (later row wins).
+    batch = batch.withColumn("_ingest_seq", F.monotonically_increasing_id())
+    good, quarantined = normalize_consumption(batch)
+    upsert_into_parquet(spark, paths.target_dir, good.drop("_source_file"))
+
+    if paths.quarantine_dir is not None:
+        (
+            quarantined.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(paths.quarantine_dir)
+        )
+    if paths.log_dir is not None:
+        # The audit twin (src/s3_processor.py:147-154) as an append-only table.
+        log = good.agg(
+            F.lit(batch_id).alias("batch_id"),
+            F.count("*").alias("rows_upserted"),
+            F.max("date").alias("max_date"),
+            F.current_timestamp().alias("logged_at"),
+        )
+        log.write.mode("append").parquet(paths.log_dir)
+
+
+def run_ingest_available_now(
+    spark: SparkSession,
+    paths: IngestPaths,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "*.csv",
+) -> None:
+    """One scheduled 'invocation': drain all new files, then stop.
+
+    Re-running later picks up files that landed since — including files for
+    OLD dates (late backfill) — because discovery is by file, not by a
+    monotonic date checkpoint. This is the semantic fix for SURVEY §1.4.2/6.
+    """
+    reader = (
+        spark.readStream.schema(CONSUMPTION_RAW_SCHEMA)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("recursiveFileLookup", True)
+        .option("pathGlobFilter", path_glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.csv(paths.source_dir).withColumn("_source_file", F.input_file_name())
+
+    query = (
+        raw.writeStream.foreachBatch(
+            lambda batch, batch_id: _process_batch(spark, paths, batch, batch_id)
+        )
+        .option("checkpointLocation", paths.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
