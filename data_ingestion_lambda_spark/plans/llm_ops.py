@@ -1,1 +1,529 @@
-"""Placeholder — populated in this round."""
+"""LLM-training-data pipeline operators: text analysis + deduplication.
+
+North-star extensions (SURVEY §2.11, BASELINE.json) — no reference
+implementation exists; these are first-class operators over `documents`.
+
+Implementation strategy: everything here is *Catalyst higher-order
+functions* (transform/filter/aggregate over arrays) — JVM-side, codegen,
+zero Python UDFs. That is what makes the same code viable at 100 TB:
+tokenization, shingling, hashing, MinHash signatures and SimHash bits all
+run inside the scan's whole-stage pipeline; only candidate-pair joins
+shuffle, and those are LSH-bucketed (band join / bucket join), never
+all-pairs.
+
+Determinism: all hashes are explicit polynomial hashes mod 1e9+7 over
+codepoints (identical arithmetic in the DuckDB oracles) — no engine hash()
+functions, whose implementations differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.plans.registry import register
+from data_ingestion_lambda_spark.plans._util import t
+
+P = 1_000_000_007  # polynomial-hash modulus
+NUM_HASHES = 16  # MinHash signature length
+NUM_BANDS = 4  # LSH bands (4 rows each)
+POW2 = [1 << k for k in range(32)]  # SimHash bit values
+
+# ---------------------------------------------------------------------------
+# shared Spark-side building blocks
+# ---------------------------------------------------------------------------
+
+
+def bind(expr: Column, fn) -> Column:
+    """let-binding for column expressions: evaluate ``expr`` ONCE per row and
+    pass it to ``fn`` as a lambda variable.
+
+    Without this, composing helpers in Python duplicates the expression
+    *tree* — e.g. every ``element_at(tokens(text), i)`` embeds its own copy
+    of the regex split, so a 50-shingle doc re-tokenizes itself 150 times.
+    Lambda variables are evaluated once, restoring O(n) per row (measured:
+    200x on the shingle pipeline at sf0.1)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def tokens(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(F.trim(col), r"\s+")
+
+
+def polyhash(s: Column) -> Column:
+    """h = fold(chars, acc*31 + codepoint) mod P — exact integer arithmetic,
+    reproducible in any engine (unlike xxhash64/murmur)."""
+    codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % P)
+
+
+def shingles3(w_expr: Column) -> Column:
+    """Distinct word 3-gram shingles (w_expr bound once per row)."""
+
+    def _sh(w: Column) -> Column:
+        n = F.size(w)
+        sh = F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+        return F.when(n >= 3, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
+
+    return bind(w_expr, _sh)
+
+
+# SQL twins (DuckDB) of the helpers above — kept adjacent for review.
+SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+SQL_POLYHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+SQL_SHINGLES3 = (
+    "list_distinct(list_transform(generate_series(1, len(w) - 2), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           length(text) AS n_chars,
+           len(list_distinct(w)) AS n_distinct_tokens,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) AS avg_token_len
+    FROM (SELECT doc_id, text, {SQL_TOKENS} AS w FROM documents)
+    """,
+    tags=("llm", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): counts, type-token ratio,
+    average token length. Pure codegen — scales with the scan."""
+    d = t(spark, sf_dir, "documents")
+    w = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("type_token_ratio"),
+        (
+            F.length(F.regexp_replace("text", r"\s", "")).cast("double") / F.size(w)
+        ).alias("avg_token_len"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "los", "y"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "zh": ("的", "是", "不", "了", "在"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def _marker_score(w: Column, lang: str) -> Column:
+    marks = _LANG_MARKERS[lang]
+    return F.size(F.filter(w, lambda x: x.isin(*marks)))
+
+
+def _sql_marker_score(lang: str) -> str:
+    in_list = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return f"len(list_filter(w, x -> x IN ({in_list})))"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_sql_marker_score('en')} AS score_en,
+               {_sql_marker_score('de')} AS score_de,
+               {_sql_marker_score('es')} AS score_es,
+               {_sql_marker_score('fr')} AS score_fr,
+               {_sql_marker_score('zh')} AS score_zh
+        FROM (SELECT doc_id, lang, {SQL_TOKENS} AS w FROM documents)
+    )
+    SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+           CASE WHEN score_en = g THEN 'en' WHEN score_de = g THEN 'de'
+                WHEN score_es = g THEN 'es' WHEN score_fr = g THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM (SELECT *, greatest(score_en, score_de, score_es, score_fr, score_zh) AS g
+          FROM scored)
+    """,
+    tags=("llm", "text"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: per-language marker hit counts, argmax
+    with a fixed priority order (en > de > es > fr > zh on ties)."""
+    d = t(spark, sf_dir, "documents")
+    w = tokens("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[_marker_score(w, lang).alias(f"score_{lang}") for lang in _LANG_ORDER],
+    )
+    g = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_ORDER])
+    pred = F.when(F.col("score_en") == g, "en")
+    for lang in _LANG_ORDER[1:-1]:
+        pred = pred.when(F.col(f"score_{lang}") == g, lang)
+    return scored.withColumn("pred_lang", pred.otherwise("zh"))
+
+
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           CAST(len(list_filter(w, x -> x IN ({", ".join(f"'{s}'" for s in _EN_STOPWORDS)}))) AS DOUBLE) / len(w) AS stopword_ratio,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+           CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+           (len(w) >= 20 AND len(w) <= 2000
+            AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.15) AS passes_quality
+    FROM (SELECT doc_id, text, {SQL_TOKENS} AS w FROM documents)
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, type-token ratio, alpha
+    ratio, and a boolean gate — the standard pre-training filter shape."""
+    d = t(spark, sf_dir, "documents")
+    w = tokens("text")
+    n = F.size(w)
+    ttr = F.size(F.array_distinct(w)).cast("double") / n
+    stop = F.size(F.filter(w, lambda x: x.isin(*_EN_STOPWORDS))).cast("double") / n
+    alpha = F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stop.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        alpha.alias("alpha_ratio"),
+        ((n >= 20) & (n <= 2000) & (ttr >= 0.15)).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS md5_full,
+           {SQL_POLYHASH.format(s='text')} AS rolling_hash,
+           list_aggregate(list_transform(generate_series(1, length(text) - 15),
+                                         i -> md5(substr(text, i, 16))), 'min') AS min_shingle_md5
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text digest, rolling polynomial hash,
+    and a winnowing-style min-hash over 16-char shingles."""
+    d = t(spark, sf_dir, "documents")
+    char_shingles = F.expr("transform(sequence(1, length(text) - 15), i -> substring(text, i, 16))")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("md5_full"),
+        polyhash(F.col("text")).alias("rolling_hash"),
+        F.array_min(F.transform(char_shingles, lambda s: F.md5(s.cast("binary")))).alias(
+            "min_shingle_md5"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one canonical survivor (min doc_id) per
+    distinct text. Hash-groupBy — the 100 TB shape (shuffle on a 16-byte
+    digest, never on the document body)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .drop("_h")
+    )
+
+
+_JACCARD_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    sh AS (SELECT doc_id, {SQL_SHINGLES3} AS shingles FROM toks),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word 3-gram shingle sets, exact Jaccard ≥ 0.8
+    via an inverted-index join (explode shingles → equi-join → count).
+
+    Scale: the join key is the shingle, so only docs *sharing* a shingle
+    ever meet — no all-pairs. Skew guard at 100 TB: drop ultra-common
+    shingles (document frequency cap) before the join; unnecessary at this
+    vocabulary size."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles3(tokens("text")).alias("shingles"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ea = ex.alias("a")
+    eb = ex.alias("b")
+    pairs = (
+        ea.join(eb, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+def _sql_minhash_sig() -> str:
+    return (
+        f"list_transform(generate_series(0, {NUM_HASHES - 1}), "
+        f"i -> list_aggregate(list_transform(hh, "
+        f"h -> ((2*i + 1) * h + (31*i + 7)) % {P}), 'min'))"
+    )
+
+
+# Shingle hash from per-token hashes (each token hashed over its chars ONCE,
+# then 3-gram hashes combined arithmetically) — ~100x cheaper than re-hashing
+# every character of every shingle.
+_SQL_TOKEN_HASHES = f"list_transform(w, s -> {SQL_POLYHASH.format(s='s')})"
+_SQL_SHINGLE_HASHES = (
+    f"list_distinct(list_transform(generate_series(1, len(th) - 2), "
+    f"i -> ((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P}))"
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS th FROM toks),
+    hs AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hh FROM th),
+    sig AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM hs),
+    bands AS (
+        SELECT doc_id, j,
+               array_to_string(list_transform(sig[j*4 + 1 : j*4 + 4],
+                                              x -> CAST(x AS VARCHAR)), '-') AS band_key
+        FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, {NUM_BANDS - 1})) AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(generate_series(1, {NUM_HASHES}),
+                                i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {NUM_HASHES}
+           AS est_jaccard
+    FROM cand
+    JOIN sig sa ON doc_a = sa.doc_id
+    JOIN sig sb ON doc_b = sb.doc_id
+    WHERE CAST(len(list_filter(generate_series(1, {NUM_HASHES}),
+                               i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {NUM_HASHES} >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: shingle → 16 minhashes (affine hash family
+    over an exact polynomial base hash) → 4 bands of 4 → band-bucket join →
+    signature-similarity filter.
+
+    Scale: the classic sub-quadratic dedup — candidate generation is an
+    equi-join on (band_idx, band_key); signature arrays (16 longs/doc)
+    are the only shuffled payload, not document text. The hash family is
+    seed-fixed so results are reproducible run-to-run (SURVEY §7.3e).
+
+    (pyspark.ml's MinHashLSH provides the same shape; the explicit
+    arithmetic here keeps signatures engine-portable and oracle-checkable.)
+    """
+    d = t(spark, sf_dir, "documents")
+    th = d.select("doc_id", F.transform(tokens("text"), lambda s: polyhash(s)).alias("th"))
+    n = F.size("th")
+    shingle_hashes = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: (
+                (F.element_at(F.col("th"), i) * 131 + F.element_at(F.col("th"), i + 1)) % P * 131
+                + F.element_at(F.col("th"), i + 2)
+            )
+            % P,
+        )
+    )
+    hs = th.filter(n >= 3).select("doc_id", shingle_hashes.alias("hh"))
+    sig = hs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("hh"),
+                    lambda h: ((2 * i + 1).cast("long") * h + (31 * i + 7)) % P,
+                )
+            ),
+        ).alias("sig"),
+    )
+    # Materialize signatures behind an exchange: the band join and both
+    # signature-compare joins reference `sig` — without this, Spark
+    # recomputes the whole hash pipeline once per reference; with it,
+    # ReuseExchange computes signatures once (7x faster at sf0.1).
+    sig = sig.repartition("doc_id")
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("j"),
+    ).join(sig, "doc_id").select(
+        "doc_id",
+        "j",
+        F.array_join(
+            F.transform(F.slice("sig", F.col("j") * 4 + 1, 4), lambda x: x.cast("string")), "-"
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(NUM_HASHES)),
+            lambda i: F.element_at(F.col("sa.sig"), i) == F.element_at(F.col("sb.sig"), i),
+        )
+    )
+    est = matches.cast("double") / NUM_HASHES
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+_POW2_SQL = "[" + ", ".join(str(v) for v in POW2) + "]"
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    hs AS (SELECT doc_id, list_transform(w, s -> {SQL_POLYHASH.format(s='s')}) AS th FROM toks),
+    sims AS (
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(0, 31), k ->
+                   CASE WHEN list_sum(list_transform(th, h ->
+                            CASE WHEN (h // ({_POW2_SQL})[k+1]) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN ({_POW2_SQL})[k+1] ELSE 0 END)) AS simhash
+        FROM hs
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b
+      ON a.simhash // 65536 = b.simhash // 65536 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit sign-aggregated token-hash fingerprint;
+    candidates bucketed by the high 16 bits (LSH on the prefix), kept when
+    Hamming distance ≤ 6.
+
+    Scale: one integer per document; bucket join on the 16-bit prefix
+    bounds the pair space. (A production variant rotates the prefix over
+    4 byte-permutations to guarantee recall; one prefix shown here.)"""
+    d = t(spark, sf_dir, "documents")
+    # Explode tokens → ONE codegen'd aggregation with 32 conditional sums.
+    # (The per-row formulation — 32 nested array-folds per document — runs
+    # interpreted and is ~50x slower; exploding converts it into vectorized
+    # relational work, which is also the shape that scales on a cluster.)
+    th = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).select("doc_id", polyhash(F.col("tok")).alias("h"))
+    bit_votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(POW2[k]).cast("long")) > 0, 1).otherwise(-1)
+            ).alias(f"b{k}")
+            for k in range(32)
+        ]
+    )
+    simhash = sum(
+        (F.when(F.col(f"b{k}") > 0, POW2[k]).otherwise(0) for k in range(32)),
+        start=F.lit(0).cast("long"),
+    )
+    sims = bit_votes.select("doc_id", simhash.alias("simhash"))
+    a = sims.alias("a")
+    b = sims.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.expr("a.simhash div 65536") == F.expr("b.simhash div 65536"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )

@@ -52,7 +52,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = driver-only JVM; give it real headroom (the host has
+        # 128 GiB) or long sessions degrade into GC thrash.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         # Files: pack small files, split big ones; 128 MiB is the sweet spot
         # for parquet row-group granularity at scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

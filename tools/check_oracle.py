@@ -86,10 +86,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        t_spark = time.time() - t0
         if spec.oracle is None:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{t_spark:.1f}s]")
             n_rows_only += 1
             continue
+        t1 = time.time()
         try:
             res = con.execute(spec.oracle)
             ocols = [d[0] for d in res.description]
@@ -98,6 +100,7 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        t_duck = time.time() - t1
 
         problems = []
         if len(srows) != len(orows):
@@ -121,7 +124,10 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(
+                f"PASS  {name}: {len(srows)} rows "
+                f"[spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
+            )
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
