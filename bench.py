@@ -42,6 +42,10 @@ HEADLINE = [
     "text_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_block_matrix_topk",
+    "dedup_embedding_cosine",
+    "media_byte_features",
+    "media_frame_sample",
 ]
 
 

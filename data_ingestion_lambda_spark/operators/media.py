@@ -1,0 +1,193 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (SURVEY §2.11).
+
+The reference has no media handling; the north star requires image/audio/
+video as first-class columns of a 100 TB training-data pipeline. The Spark
+shape is:
+
+- payload: ``BinaryType`` — opaque bytes, never interpreted by Catalyst;
+- metadata: a typed ``StructType`` column (kind + per-kind fields) so
+  filters/pruning/partitioning run on metadata WITHOUT touching payloads
+  (predicate pushdown on `meta.kind` skips whole row groups; the binary
+  column is only decoded inside the UDF stage);
+- decode / feature-extract / frame-sample: Arrow-batched ``mapInPandas``
+  — payload bytes reach Python as zero-copy Arrow buffers, one batch at a
+  time, so executor memory is bounded by batch size, not file size.
+
+The actual codec work (PIL/librosa/cv2) is STUBBED — those libraries are
+not in this container. The stubs fail loudly (NotImplementedError) while
+``byte_features`` / ``sample_frames`` exercise the real plumbing (schema,
+batching, variable-row-count output) with deterministic integer
+arithmetic that an external oracle can replay.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+P = 1_000_000_007  # shared polynomial-hash modulus (plans/llm_ops.py)
+
+KINDS = ("image", "audio", "video")
+
+# One struct, per-kind nullable fields — the lake-friendly layout: a single
+# table holds all modalities; readers filter on meta.kind and Catalyst
+# prunes the untouched fields.
+MEDIA_META = (
+    "struct(kind, width, height, channels, sample_rate, duration_ms, fps, n_frames)"
+)
+
+
+def attach_media_columns(documents: DataFrame) -> DataFrame:
+    """Derive a multimodal table from `documents`: payload = UTF-8 bytes of
+    the text (a deterministic stand-in for real media bytes), kind cycled
+    by doc_id, and per-kind metadata derived arithmetically.
+
+    In production this frame comes from ``spark.read.format('binaryFile')``
+    or a parquet lake with the same (payload, meta) layout; everything
+    downstream is identical.
+    """
+    kind = F.element_at(F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    n_bytes = F.length("text")  # ASCII corpus: bytes == chars
+    is_k = {k: kind == k for k in KINDS}
+    d = documents.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        kind.alias("kind"),
+        F.when(is_k["image"], 64 + F.col("n_chars") % 192).alias("width"),
+        F.when(is_k["image"], 64 + F.col("doc_id") % 128).alias("height"),
+        F.when(is_k["image"], F.lit(3)).alias("channels"),
+        F.when(is_k["audio"], F.lit(16000)).alias("sample_rate"),
+        F.when(is_k["audio"], F.col("n_chars") * 10).alias("duration_ms"),
+        F.when(is_k["video"], F.lit(24)).alias("fps"),
+        F.when(is_k["video"], F.floor(n_bytes / 64)).alias("n_frames"),
+    )
+    return d.select("doc_id", "payload", F.expr(MEDIA_META).alias("meta"))
+
+
+# ---------------------------------------------------------------------------
+# decode stubs — real codecs are not available in this environment
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """STUB: decode an image payload to an HxWxC uint8 array."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires Pillow; not installed in this environment. "
+            "The Spark-side plumbing (binary column → mapInPandas batch) is "
+            "exercised by byte_features()."
+        ) from e
+    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
+
+
+def decode_audio(payload: bytes) -> "np.ndarray":
+    """STUB: decode an audio payload to a float32 waveform."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa; not installed here."
+        ) from e
+    raise NotImplementedError("wire soundfile.read(io.BytesIO(payload)) here")
+
+
+def decode_video_frames(payload: bytes, stride: int) -> "Iterator[np.ndarray]":
+    """STUB: decode every ``stride``-th video frame."""
+    try:
+        import cv2  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "video decode requires opencv; not installed here. Frame "
+            "*sampling* plumbing is exercised by sample_frames()."
+        ) from e
+    raise NotImplementedError("wire cv2.VideoCapture here")
+
+
+# ---------------------------------------------------------------------------
+# real plumbing, deterministic arithmetic
+# ---------------------------------------------------------------------------
+
+BYTE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", LongType()),
+        StructField("last_byte", LongType()),
+        StructField("byte_sum_mod", LongType()),
+        StructField("n_distinct_bytes", LongType()),
+    ]
+)
+
+
+def byte_features(media: DataFrame) -> DataFrame:
+    """Feature-extract over the opaque payload: the decode-stage shape
+    (binary in, fixed-width feature vector out) with a deterministic
+    'decoder' — per-payload byte statistics via numpy over Arrow buffers."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        len(b),
+                        int(b[0]),
+                        int(b[-1]),
+                        int(b.sum() % P),
+                        int(len(np.unique(b))),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=BYTE_FEATURES_SCHEMA.fieldNames())
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, schema=BYTE_FEATURES_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("offset", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+FRAME_BYTES = 64
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame-sample the video payloads: one output row per FRAME_BYTES
+    slice — the variable-fan-out decode shape (one input row → n_frames
+    rows). Checksum = polynomial hash of the slice (exact integers,
+    engine-portable)."""
+    video = media.filter(F.col("meta.kind") == "video")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_full = len(payload) // FRAME_BYTES
+                for i in range(n_full):
+                    chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    h = 0
+                    for byte in chunk:
+                        h = (h * 31 + byte) % P
+                    rows.append((doc_id, i, i * FRAME_BYTES, h))
+            yield pd.DataFrame(rows, columns=FRAME_SCHEMA.fieldNames())
+
+    return video.select("doc_id", "payload").mapInPandas(frames, schema=FRAME_SCHEMA)

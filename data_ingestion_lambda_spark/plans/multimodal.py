@@ -1,0 +1,107 @@
+"""Multimodal-column queries (SURVEY §2.11) — oracle-checked plumbing.
+
+The media table is derived deterministically from `documents`
+(operators/media.py: payload = UTF-8 bytes, kind cycled by doc_id, typed
+metadata struct), so every query here has an exact DuckDB twin that
+replays the same integer arithmetic over the text column (the corpus is
+pure ASCII: byte values == codepoints, verified in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.media import (
+    FRAME_BYTES,
+    attach_media_columns,
+    byte_features,
+    sample_frames,
+)
+from data_ingestion_lambda_spark.plans._util import t
+from data_ingestion_lambda_spark.plans.registry import register
+
+# DuckDB twin of attach_media_columns' kind/meta derivation.
+_SQL_KIND = "(['image', 'audio', 'video'])[doc_id % 3 + 1]"
+
+
+@register(
+    "media_metadata_stats",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id, {_SQL_KIND} AS kind, length(text) AS n_bytes, n_chars
+        FROM documents
+    )
+    SELECT kind,
+           COUNT(*) AS n_assets,
+           SUM(n_bytes) AS total_bytes,
+           SUM(CASE WHEN kind = 'image' THEN 64 + n_chars % 192 END) AS sum_width,
+           SUM(CASE WHEN kind = 'audio' THEN n_chars * 10 END) AS total_duration_ms,
+           SUM(CASE WHEN kind = 'video' THEN n_bytes // 64 END) AS total_frames
+    FROM media GROUP BY kind
+    """,
+    tags=("llm", "multimodal"),
+)
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollup per modality — runs entirely on the typed
+    struct column; the binary payload is pruned out of the scan (check
+    ReadSchema: payload never read). The shape that makes 100 TB media
+    lakes queryable: stats/filters on metadata, decode only on demand."""
+    media = attach_media_columns(t(spark, sf_dir, "documents"))
+    return media.groupBy(F.col("meta.kind").alias("kind")).agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.sum("meta.width").alias("sum_width"),
+        F.sum("meta.duration_ms").alias("total_duration_ms"),
+        F.sum("meta.n_frames").alias("total_frames"),
+    )
+
+
+@register(
+    "media_byte_features",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           ascii(substr(text, length(text), 1)) AS last_byte,
+           list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)))
+               % 1000000007 AS byte_sum_mod,
+           len(list_distinct(list_transform(string_split(text, ''), c -> ascii(c))))
+               AS n_distinct_bytes
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over opaque payload bytes via Arrow-batched
+    mapInPandas (operators/media.py) — the decode-stage plumbing with a
+    deterministic byte-statistics 'decoder'."""
+    media = attach_media_columns(t(spark, sf_dir, "documents"))
+    return byte_features(media)
+
+
+@register(
+    "media_frame_sample",
+    oracle=f"""
+    WITH video AS (
+        SELECT doc_id, text, length(text) // {FRAME_BYTES} AS n_full
+        FROM documents WHERE {_SQL_KIND} = 'video'
+    )
+    SELECT doc_id,
+           i AS frame_no,
+           i * {FRAME_BYTES} AS "offset",
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}), ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS frame_checksum
+    FROM video, UNNEST(generate_series(0, n_full - 1)) AS u(i)
+    WHERE n_full > 0
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads: variable fan-out mapInPandas
+    (one row per {FRAME_BYTES}-byte frame) + per-frame checksum."""
+    media = attach_media_columns(t(spark, sf_dir, "documents"))
+    return sample_frames(media)

@@ -563,3 +563,68 @@ def filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.filter((F.col("l_quantity") >= 49) & (F.col("l_returnflag") == "A")).select(
         "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity")
     )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) validated against the exact
+    count: emits the exact distinct count plus a boolean asserting the
+    sketch landed within 5% (rsd=0.02 → far tighter in practice).
+
+    The sketch itself is the 100 TB shape — mergeable fixed-size state,
+    one pass, no distinct-shuffle of the raw keys; the exact count here
+    exists to make the sketch oracle-checkable."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_exact",
+        (
+            (F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")) <= 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2) AS p50_exact,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 2) AS p95_exact,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch) validated against exact
+    interpolated percentiles (Spark `percentile` == DuckDB quantile_cont,
+    rounded to cents to absorb last-ulp interpolation differences).
+
+    Same pattern as the HLL query: the sketch is the scalable one-pass
+    answer; the exact percentile makes it oracle-checkable."""
+    l = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    agg = l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)"), 2).alias("p50_exact"),
+        F.round(F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)"), 2).alias("p95_exact"),
+        F.percentile_approx(price, 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx(price, 0.95, 10000).alias("p95_approx"),
+    )
+    ok = (
+        (F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact") <= 0.01)
+        & (F.abs(F.col("p95_approx") - F.col("p95_exact")) / F.col("p95_exact") <= 0.01)
+    )
+    return agg.select("l_returnflag", "p50_exact", "p95_exact", ok.alias("approx_within_1pct"))

@@ -176,3 +176,107 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot(ve, ve)).alias("l2_norm"),
         F.size(F.filter(ve, lambda x: x > 0)).alias("n_positive"),
     )
+
+
+_NEARDUP_THRESHOLD = 0.35  # synthetic embeddings are random; max pairwise ~0.51
+
+
+def _bucket_expr() -> Column:
+    """Sign-of-coordinate LSH bucket (same fixed hyperplanes as
+    ann_lsh_bucketed) — data-independent, reproducible."""
+    return sum(
+        (
+            F.when(F.element_at("embedding", i + 1) > 0, 1 << i).otherwise(0)
+            for i in range(_N_PLANES)
+        ),
+        start=F.lit(0),
+    )
+
+
+_SQL_BUCKET = (
+    "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + "
+    "(CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) + "
+    "(CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + "
+    "(CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+                      {_SQL_BUCKET} AS bucket
+               FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_sql_cos('a.ve', 'b.ve')} AS cosine
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs
+    WHERE cosine >= {_NEARDUP_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "ann"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs from a sign-hyperplane
+    LSH bucket join, kept when cosine >= threshold.
+
+    Scale: the bucket id is the join key, so Catalyst plans a shuffled
+    hash join over 2^planes buckets — pair count drops ~2^planes-fold vs
+    all-pairs, and only (vec_id, vector) tuples shuffle. More planes (or
+    banded multi-probe) tighten the candidate set at higher scale; the
+    verification cost per pair is a 64-dim dot inside codegen."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("ve"), _bucket_expr().alias("bucket")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.ve"), F.col("b.ve")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
+    )
+
+
+@register(
+    "ann_block_matrix_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT query_id, v.vec_id AS neighbor_id,
+               round({_sql_cos('qv', 've')}, 6) AS cosine
+        FROM q JOIN v ON v.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("llm", "ann", "pandas-udf"),
+)
+def ann_block_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-matrix Pandas-UDF ANN (operators/ann.py): Arrow batches ×
+    broadcast query matrix via one BLAS matmul per batch, per-batch top-k
+    prune, tiny global window. The scale path once the query set outgrows
+    per-row expression evaluation; scores rounded to 6 dp for engine
+    portability (see operators/ann.py determinism contract)."""
+    from data_ingestion_lambda_spark.operators.ann import block_cosine_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return block_cosine_topk(e, queries, TOP_K)
