@@ -1,0 +1,176 @@
+"""Event-time streaming operators over the `events` stream (SURVEY §2.9 EXT).
+
+The reference's only 'streaming' is scheduled file ingestion (covered by
+streaming/ingest.py). The north star needs real event-time semantics:
+watermarked window aggregation, streaming dedup, session windows, and a
+custom stateful operator. Each builder takes an unbounded DataFrame (from
+``readStream``) and returns the transformed unbounded DataFrame — callers
+attach sinks/triggers, so the same code serves availableNow micro-batch
+runs and continuous jobs.
+
+The batch twins in plans/events_queries.py share these window/session
+semantics and are what the DuckDB oracle checks; here the same logic runs
+with state + watermark eviction, which tests/test_streaming_events.py
+exercises through multi-batch file feeds.
+
+Scale notes:
+- watermarks bound ALL state below; without one, windowed state grows
+  monotonically — every function here requires a watermark argument
+  rather than defaulting to unbounded.
+- state lives in the state store, partitioned by grouping key: sizing is
+  keys × window-lifetime, independent of total stream length.
+- applyInPandasWithState state is per-key opaque bytes; keep it O(1) per
+  key (running aggregates), never a buffer of events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stream_tumbling_counts(
+    events: DataFrame, window_size: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the canonical
+    late-data-tolerant aggregation. Events later than the watermark are
+    dropped; windows finalize (append mode) once the watermark passes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins; dedup
+    state for a key is evicted once the watermark passes its event time
+    (`dropDuplicatesWithinWatermark`), so state is bounded by the
+    watermark horizon — the streaming half of SURVEY §2.11 exact dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def stream_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: events within `gap` of each other merge
+    into one session (dynamic, data-driven window end). State per live
+    session; closed by watermark passage."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# -- custom stateful operator: per-user running profile -----------------------
+
+RUNNING_PROFILE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+        StructField("last_event_type", StringType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+# state tuple: (n_events, total_value, max_value, last_event_type, last_ts_us)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("mx", DoubleType()),
+        StructField("last_type", StringType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def _update_profile(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this trigger's events for one user into O(1) running state and
+    emit the updated profile. Event order within the batch: by ts then
+    event_id (deterministic across retries)."""
+    (user_id,) = key
+    n, total, mx, last_type, last_ts_us = (
+        state.get if state.exists else (0, 0.0, float("-inf"), None, None)
+    )
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        mx = max(mx, float(pdf["value"].max()))
+        last_type = str(pdf["event_type"].iloc[-1])
+        last_ts_us = int(pdf["ts"].iloc[-1].value // 1_000)
+    state.update((n, total, mx, last_type, last_ts_us))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_events": n,
+                "total_value": total,
+                "max_value": mx,
+                "last_event_type": last_type,
+                "last_ts": pd.Timestamp(last_ts_us * 1_000),
+            }
+        ]
+    )
+
+
+def stream_user_profile(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running profile (count / total / max / last event), updated every
+    trigger — the arbitrary-state shape Spark's built-in aggregations
+    can't express (e.g. 'last event type' with per-batch ordering)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile,
+            outputStructType=RUNNING_PROFILE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,210 @@
+"""Event-time streaming semantics: watermark drop of late data, streaming
+dedup, session windows, and the applyInPandasWithState custom operator.
+
+Each test feeds the stream in two *runs* (availableNow + shared
+checkpoint): files added between runs arrive as later triggers, so
+watermark state, dedup state, and user state genuinely persist and evict
+across micro-batches — the restart-resume path, not a single-batch
+simulation."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from data_ingestion_lambda_spark.streaming.events import (
+    stream_dedup_within_watermark,
+    stream_sessionize,
+    stream_tumbling_counts,
+    stream_user_profile,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _ts(h: int, m: int = 0) -> datetime:
+    return datetime(2025, 6, 1, h, m)
+
+
+def _write_batch(spark, src_dir: str, name: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src_dir}/{name}")
+
+
+def _run(spark, transform, src_dir: str, ckpt: str, out: str, mode: str) -> None:
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src_dir)
+    writer = transform(stream).writeStream.outputMode(mode)
+    if mode == "update":
+        # parquet sink is append-only; land update-mode output via foreachBatch
+        writer = writer.foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(out)
+        )
+    else:
+        writer = writer.format("parquet").option("path", out)
+    q = (
+        writer.option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _paths(tmp_path):
+    return (
+        str(tmp_path / "src"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+
+
+def test_tumbling_watermark_drops_late(spark, tmp_path):
+    src, ckpt, out = _paths(tmp_path)
+    # run 1: two events in [10:00,11:00) + one at 13:00 that advances the
+    # watermark to 12:00, finalizing the 10 o'clock window (append mode)
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, _ts(10, 5), 1, "A", 1.0, "{}"),
+            (2, _ts(10, 20), 1, "A", 2.0, "{}"),
+            (3, _ts(13, 0), 2, "C", 5.0, "{}"),
+        ],
+    )
+    run = lambda: _run(
+        spark,
+        lambda s: stream_tumbling_counts(s, "1 hour", "1 hour"),
+        src,
+        ckpt,
+        out,
+        "append",
+    )
+    run()
+    # run 2: a LATE event for the already-finalized window (must be
+    # dropped) + one at 15:30 whose no-data batch pushes the watermark to
+    # 14:30, finalizing [13,14)
+    _write_batch(
+        spark,
+        src,
+        "b2",
+        [
+            (4, _ts(10, 40), 1, "A", 100.0, "{}"),
+            (5, _ts(15, 30), 2, "C", 7.0, "{}"),
+        ],
+    )
+    run()
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(10, "A")] == (2, 3.0)  # late event NOT added
+    assert got[(13, "C")] == (1, 5.0)
+    assert (15, "C") not in got  # watermark (14:30) hasn't closed it
+
+
+def test_dedup_within_watermark_across_batches(spark, tmp_path):
+    src, ckpt, out = _paths(tmp_path)
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, _ts(10, 0), 1, "A", 1.0, "{}"),
+            (1, _ts(10, 1), 1, "A", 1.0, "{}"),  # dup within batch
+            (2, _ts(10, 5), 1, "B", 2.0, "{}"),
+        ],
+    )
+    run = lambda: _run(
+        spark,
+        lambda s: stream_dedup_within_watermark(s, ["event_id"], "2 hours"),
+        src,
+        ckpt,
+        out,
+        "append",
+    )
+    run()
+    # dup arriving in a LATER trigger, still inside the watermark horizon
+    _write_batch(spark, src, "b2", [(2, _ts(10, 30), 1, "B", 2.0, "{}"),
+                                    (6, _ts(11, 0), 2, "C", 3.0, "{}")])
+    run()
+    ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 6]
+
+
+def test_sessionize_merges_and_splits(spark, tmp_path):
+    src, ckpt, out = _paths(tmp_path)
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, _ts(10, 0), 1, "A", 1.0, "{}"),
+            (2, _ts(10, 10), 1, "A", 1.0, "{}"),
+            (3, _ts(10, 20), 1, "A", 1.0, "{}"),
+            (4, _ts(12, 0), 1, "A", 9.0, "{}"),  # > 30 min gap → new session
+            (5, _ts(23, 0), 2, "Z", 0.0, "{}"),  # advances watermark far ahead
+        ],
+    )
+    _run(
+        spark,
+        lambda s: stream_sessionize(s, "30 minutes", "1 hour"),
+        src,
+        ckpt,
+        out,
+        "append",
+    )
+    rows = sorted(
+        (r["user_id"], r["session_start"].hour, r["n_events"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] == 1
+    )
+    # one merged 3-event session at 10:00 (end 10:50), one singleton at 12:00
+    assert rows == [(1, 10, 3), (1, 12, 1)]
+
+
+def test_user_profile_state_accumulates(spark, tmp_path):
+    src, ckpt, out = _paths(tmp_path)
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, _ts(10, 0), 1, "A", 1.0, "{}"),
+            (2, _ts(10, 30), 1, "B", 5.0, "{}"),
+        ],
+    )
+    run = lambda: _run(
+        spark, stream_user_profile, src, ckpt, out, "update"
+    )
+    run()
+    _write_batch(spark, src, "b2", [(3, _ts(11, 0), 1, "C", 3.0, "{}")])
+    run()
+    rows = spark.read.parquet(out).filter(F.col("user_id") == 1).collect()
+    latest = max(rows, key=lambda r: r["n_events"])
+    assert latest["n_events"] == 3
+    assert latest["total_value"] == pytest.approx(9.0)
+    assert latest["max_value"] == pytest.approx(5.0)
+    assert latest["last_event_type"] == "C"
+    assert latest["last_ts"] == _ts(11, 0)
