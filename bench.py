@@ -73,6 +73,7 @@ def main() -> None:
             t0 = time.time()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
+            print(f"  pass{_pass} {name}: {dt}s", file=sys.stderr, flush=True)
             if name not in times or dt < times[name]:
                 times[name] = dt
 
