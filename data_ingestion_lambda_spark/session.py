@@ -55,6 +55,15 @@ def get_spark(
         # local mode = driver-only JVM; give it real headroom (the host has
         # 128 GiB) or long sessions degrade into GC thrash.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Long sessions compile thousands of whole-stage-codegen classes;
+        # the JVM's default 240 MiB code cache fills, the JIT shuts off, and
+        # every later query runs interpreted (observed 20-30x slowdowns
+        # after ~40 queries in one session). 2 GiB + flushing keeps the JIT
+        # alive for the life of the session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=2048m -XX:+UseCodeCacheFlushing",
+        )
         # Files: pack small files, split big ones; 128 MiB is the sweet spot
         # for parquet row-group granularity at scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
