@@ -122,6 +122,49 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape: letter runs | digit runs | single
+# non-space symbol. Java regex (Spark) and RE2 (DuckDB) agree on this
+# pattern including the \p{L}/\p{N} unicode classes (probed on
+# mixed-script samples).
+_BPE_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(w) AS n_bpe_tokens,
+           len(list_distinct(w)) AS n_distinct_bpe,
+           len(list_filter(w, x -> regexp_full_match(x, '\\p{{L}}+'))) AS n_word_tokens,
+           len(list_filter(w, x -> regexp_full_match(x, '\\p{{N}}+'))) AS n_number_tokens,
+           len(w) - len(list_filter(w, x -> regexp_full_match(x, '\\p{{L}}+')))
+                  - len(list_filter(w, x -> regexp_full_match(x, '\\p{{N}}+'))) AS n_symbol_tokens
+    FROM (SELECT doc_id, regexp_extract_all(text, '{_BPE_PATTERN}') AS w FROM documents)
+    """,
+    tags=("llm", "text"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs /
+    digit runs / single symbols — the GPT-2 pre-split shape), alongside
+    the whitespace counts in text_token_stats. Pure codegen regex."""
+    d = t(spark, sf_dir, "documents")
+
+    def counts(w: Column) -> list[Column]:
+        n = F.size(w)
+        n_word = F.size(F.filter(w, lambda x: x.rlike(r"^\p{L}+$")))
+        n_num = F.size(F.filter(w, lambda x: x.rlike(r"^\p{N}+$")))
+        return [
+            n.alias("n_bpe_tokens"),
+            F.size(F.array_distinct(w)).alias("n_distinct_bpe"),
+            n_word.alias("n_word_tokens"),
+            n_num.alias("n_number_tokens"),
+            (n - n_word - n_num).alias("n_symbol_tokens"),
+        ]
+
+    w = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    return d.select("doc_id", *counts(w))
+
+
 _LANG_MARKERS = {
     "en": ("the", "a", "of", "and", "to"),
     "de": ("der", "die", "das", "und", "ist"),

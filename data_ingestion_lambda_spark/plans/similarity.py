@@ -282,6 +282,118 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CENTROIDS = 16  # IVF coarse quantizer size
+_N_PROBE = 4  # cells probed per query
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
+    cent AS (SELECT vec_id AS cent_id, ve AS cv, nrm AS cnrm FROM v
+             WHERE vec_id < {_N_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ({_sql_dot('ve', 'cv')}) / (nrm * cnrm) DESC, cent_id) AS rn
+            FROM v CROSS JOIN cent)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qnrm FROM v
+          WHERE vec_id < {N_QUERIES}),
+    probe AS (
+        SELECT query_id, cell FROM (
+            SELECT query_id, cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ({_sql_dot('qv', 'cv')}) / (qnrm * cnrm) DESC, cent_id) AS rn
+            FROM q CROSS JOIN cent)
+        WHERE rn <= {_N_PROBE}),
+    cand AS (
+        SELECT query_id, vec_id AS neighbor_id, cell
+        FROM probe JOIN assign USING (cell)
+        WHERE vec_id <> query_id),
+    nv AS (SELECT vec_id AS neighbor_id, ve AS nve, nrm AS nnrm FROM v),
+    scored AS (
+        SELECT query_id, neighbor_id, cell,
+               ({_sql_dot('qv', 'nve')}) / (qnrm * nnrm) AS cosine
+        FROM cand JOIN q USING (query_id) JOIN nv USING (neighbor_id))
+    SELECT query_id, neighbor_id, cell, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("llm", "ann"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    its nearest of {_N_CENTROIDS} centroid cells; each query probes its
+    {_N_PROBE} closest cells and scores only vectors in those cells.
+
+    The centroids here are the first {_N_CENTROIDS} vectors (a
+    deterministic stand-in for an offline k-means — at production scale
+    the quantizer is trained once and broadcast; the *engine* shape is
+    identical). Scale: assignment is a broadcast cross-join against
+    {_N_CENTROIDS} rows inside the scan stage + a per-vector argmax;
+    the probe-join fans each query to {_N_PROBE} cells, so scored
+    candidates shrink ~{_N_CENTROIDS}/{_N_PROBE}-fold vs brute force,
+    and the cell id is an equi-join key (the inverted file)."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    )
+    v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm"))
+    cent = v.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("ve").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ccos = (dot("ve", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.col("cent_id").alias("cell"), ccos)
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ve").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qcos = (dot("qv", "cv") / (F.col("qnrm") * F.col("cnrm"))).alias("qcos")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", F.col("cent_id").alias("cell"), qcos)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _N_PROBE)
+        .select("query_id", "cell")
+    )
+    cand = probe.join(assign, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cell")
+    nv = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("ve").alias("nve"),
+        F.col("nrm").alias("nnrm"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(F.broadcast(nv), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            (dot("qv", "nve") / (F.col("qnrm") * F.col("nnrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
 @register(
     "ann_block_matrix_topk",
     oracle=f"""
