@@ -40,8 +40,10 @@ HEADLINE = [
     "dedup_simhash",
     "text_quality_score",
     "text_fingerprint",
+    "text_bpe_token_count",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "ann_block_matrix_topk",
     "dedup_embedding_cosine",
     "media_byte_features",
