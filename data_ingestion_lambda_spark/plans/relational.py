@@ -628,3 +628,62 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("p95_approx") - F.col("p95_exact")) / F.col("p95_exact") <= 0.01)
     )
     return agg.select("l_returnflag", "p50_exact", "p95_exact", ok.alias("approx_within_1pct"))
+
+
+@register(
+    "subq_exists_correlated",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_suppkey = s.s_suppkey AND l2.l_returnflag = 'R'
+                        AND l2.l_quantity > 49)
+    ORDER BY s_suppkey
+    """,
+    tags=("subquery", "join"),
+)
+def subq_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries, expressed as SQL and
+    decorrelated by Catalyst into left-semi / left-anti hash joins — the
+    same physical shape as join_semi/join_anti but arriving through the
+    subquery rewriting path (RewritePredicateSubquery)."""
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("sq_supplier")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+    return spark.sql("""
+        SELECT s_suppkey, s_name
+        FROM sq_supplier s
+        WHERE EXISTS (SELECT 1 FROM sq_lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+          AND NOT EXISTS (SELECT 1 FROM sq_lineitem l2
+                          WHERE l2.l_suppkey = s.s_suppkey AND l2.l_returnflag = 'R'
+                            AND l2.l_quantity > 49)
+        ORDER BY s_suppkey
+    """)
+
+
+@register(
+    "subq_scalar_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 20
+    ORDER BY c_custkey
+    """,
+    tags=("subquery", "agg"),
+)
+def subq_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-customer order count), decorrelated
+    by Catalyst into an aggregate + outer join with the COUNT-bug null->0
+    handling. Count-based predicate keeps the comparison exact (no
+    floating-point reassociation between engines)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM sq_customer c
+        WHERE (SELECT count(*) FROM sq_orders o
+               WHERE o.o_custkey = c.c_custkey) >= 20
+        ORDER BY c_custkey
+    """)
