@@ -32,6 +32,16 @@ ALWAYS_BROADCAST = ("region", "nation")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), unreadable by a vanilla
+        # session (PARQUET_TYPE_ILLEGAL). Our own factory (session.py) sets
+        # nanosAsLong at build time, but callers may hand us a foreign
+        # session (e.g. the correctness driver), so set the runtime SQL conf
+        # defensively here — the read below plans against the current value.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # read-only conf in some deployments; the read may still work
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
