@@ -9,8 +9,11 @@ duplicate (l_orderkey, l_linenumber) keys.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from data_ingestion_lambda_spark.plans.decimals import dsum
 from data_ingestion_lambda_spark.plans.registry import register
@@ -82,6 +85,31 @@ def dedup_exact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_dups").alias("dup_count"))
         .agg(F.count("*").alias("n_keys"))
     )
+
+
+@register(
+    "source_json_lines",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source", "json"),
+)
+def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON *file* source (SURVEY §2.1 S9 — the reference reads/writes JSON
+    checkpoint state, src/lambda_handler.py:33,98): round-trips the nation
+    table through newline-delimited JSON and reads it back with
+    ``spark.read.json`` under an explicit schema. No schema inference — at
+    100 TB inference is a full extra pass over the data; production JSON
+    reads always carry a declared schema."""
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = tempfile.mkdtemp(prefix="dils_json_src_") + "/nation_json"
+    n.write.mode("overwrite").json(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path).select("n_nationkey", "n_name", "n_regionkey")
 
 
 @register(

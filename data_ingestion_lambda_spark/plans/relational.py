@@ -271,6 +271,38 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_urgent,
+           CAST(COALESCE(MAX(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS max_urgent_price
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') urgent
+    RIGHT JOIN customer ON urgent.o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (how='right'): urgent orders on the LEFT, customer
+    preserved on the RIGHT — every customer appears even with zero urgent
+    orders. Physically Spark plans right-outer as the mirrored left-outer,
+    so shuffle cost matches join_left_outer; the point is API coverage
+    (SURVEY §2.3 row J3)."""
+    c = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        urgent.join(c, urgent.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_urgent"),
+            F.coalesce(F.max(dec("o_totalprice")), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("max_urgent_price"),
+        )
+    )
+
+
+@register(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name

@@ -230,6 +230,37 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_to_json",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(orderkey := o_orderkey, status := o_orderstatus)) AS payload,
+           CAST(json_extract_string(
+               to_json(struct_pack(orderkey := o_orderkey, status := o_orderstatus)),
+               '$.orderkey') AS BIGINT) AS roundtrip_key
+    FROM orders
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON *serialize* direction (reference F10 serialize side — the
+    checkpoint audit twin json.dumps, src/lambda_handler.py:98) plus a
+    round-trip extract proving serialize∘deserialize = identity.
+
+    Both engines emit compact `{"k":v}` JSON with declaration-order keys;
+    null-field handling differs (Spark omits, DuckDB keeps) so only
+    never-null columns go in the struct."""
+    o = t(spark, sf_dir, "orders")
+    payload = F.to_json(
+        F.struct(F.col("o_orderkey").alias("orderkey"), F.col("o_orderstatus").alias("status"))
+    )
+    return o.select(
+        "o_orderkey",
+        payload.alias("payload"),
+        F.get_json_object(payload, "$.orderkey").cast("bigint").alias("roundtrip_key"),
+    )
+
+
+@register(
     "scalar_regexp",
     oracle="""
     SELECT p_partkey,
