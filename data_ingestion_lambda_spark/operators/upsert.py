@@ -24,14 +24,21 @@ Scale design (the part that must survive 100 TB):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.schemas import UPSERT_KEYS
 
 PARTITION_COL = "date"
+
+
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    """FS-agnostic existence check via the JVM Hadoop FileSystem for
+    ``path``'s own scheme (s3a/hdfs/file/...)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
 
 
 def merge_last_writer_wins(
@@ -90,8 +97,11 @@ def upsert_into_parquet(
         if not batch_dates:
             return
 
+        # Existence check through the Hadoop FS API so the same code works
+        # on s3a://, hdfs://, abfss:// and file:// targets (os.path.exists
+        # only understands the local filesystem).
         existing = None
-        if os.path.exists(target_dir):
+        if _target_exists(spark, target_dir):
             # Partition pruning: read only the dates this batch touches.
             existing = spark.read.parquet(target_dir).filter(
                 F.col(PARTITION_COL).isin(batch_dates)

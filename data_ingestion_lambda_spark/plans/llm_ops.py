@@ -317,6 +317,12 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_THRESHOLD = 0.8
+# Skew guard: a shingle appearing in more documents than this is boilerplate
+# (license headers, templates) and is dropped before the pair join. The
+# inverted-index join is O(df²) per shingle — one shingle shared by 1M docs
+# is a 10¹² pair blowup at 100 TB. Jaccard is then computed over the capped
+# (informative) shingle vocabulary in BOTH engines.
+_MAX_SHINGLE_DF = 100
 
 
 @register(
@@ -325,10 +331,12 @@ _JACCARD_THRESHOLD = 0.8
     WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
     sh AS (SELECT doc_id, {SQL_SHINGLES3} AS shingles FROM toks),
     ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > {_MAX_SHINGLE_DF}),
+    exf AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -345,18 +353,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     via an inverted-index join (explode shingles → equi-join → count).
 
     Scale: the join key is the shingle, so only docs *sharing* a shingle
-    ever meet — no all-pairs. Skew guard at 100 TB: drop ultra-common
-    shingles (document frequency cap) before the join; unnecessary at this
-    vocabulary size."""
+    ever meet — no all-pairs. Skew guard: shingles with document frequency
+    > _MAX_SHINGLE_DF are dropped before the pair join (the join is O(df²)
+    per shingle). The hot-shingle set is tiny by construction, so it ships
+    as a broadcast anti-join — the big exploded relation never reshuffles
+    for the filter. Jaccard is over the capped vocabulary (sizes counted
+    post-filter), identically in the DuckDB oracle."""
     d = t(spark, sf_dir, "documents")
     # Persisted: referenced 4x downstream (sizes a/b + inverted-index a/b);
     # without it each reference re-runs tokenize+shingle from the scan.
     # At 100 TB this is a written-once shingle table joined many times.
     sh = d.select("doc_id", shingles3(tokens("text")).alias("shingles")).persist()
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    ea = ex.alias("a")
-    eb = ex.alias("b")
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _MAX_SHINGLE_DF)
+        .select("s")
+    )
+    exf = ex.join(F.broadcast(hot), "s", "left_anti").persist()
+    sizes = exf.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ea = exf.alias("a")
+    eb = exf.alias("b")
     pairs = (
         ea.join(eb, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -531,73 +549,140 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _POW2_SQL = "[" + ", ".join(str(v) for v in POW2) + "]"
 
+# Second, independent polynomial hash (multiplier 131) — gives the upper 32
+# bits of the 64-bit SimHash fingerprint.
+SQL_POLYHASH131 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 131 + b) % 1000000007)"
+)
+
+_SIMHASH_HAMMING_MAX = 3
+_BLOCK_DIVS = [1, 65536, 65536**2, 65536**3]  # 16-bit block extractors
+_BLOCK_DIVS_SQL = "[" + ", ".join(str(v) for v in _BLOCK_DIVS) + "]"
+
+_SQL_SIGN_AGG = (  # 32-bit sign-aggregate of a token-hash list {th}
+    "list_sum(list_transform(generate_series(0, 31), k -> "
+    "CASE WHEN list_sum(list_transform({th}, h -> "
+    f"CASE WHEN (h // ({_POW2_SQL})[k+1]) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+    f"THEN ({_POW2_SQL})[k+1] ELSE 0 END))"
+)
+
+
+def polyhash131(s: Column) -> Column:
+    codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % P)
+
 
 @register(
     "dedup_simhash",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
-    hs AS (SELECT doc_id, list_transform(w, s -> {SQL_POLYHASH.format(s='s')}) AS th FROM toks),
+    hs AS (SELECT doc_id,
+                  list_transform(w, s -> {SQL_POLYHASH.format(s='s')}) AS th1,
+                  list_transform(w, s -> {SQL_POLYHASH131.format(s='s')}) AS th2
+           FROM toks),
     sims AS (
         SELECT doc_id,
-               list_sum(list_transform(generate_series(0, 31), k ->
-                   CASE WHEN list_sum(list_transform(th, h ->
-                            CASE WHEN (h // ({_POW2_SQL})[k+1]) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-                        THEN ({_POW2_SQL})[k+1] ELSE 0 END)) AS simhash
+               {_SQL_SIGN_AGG.format(th='th1')}
+                 + {_SQL_SIGN_AGG.format(th='th2')} * 4294967296 AS simhash
         FROM hs
+    ),
+    blocks AS (
+        SELECT doc_id, simhash, j,
+               (simhash // ({_BLOCK_DIVS_SQL})[j+1]) % 65536 AS bv
+        FROM sims CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM blocks a JOIN blocks b
+          ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sims a JOIN sims b
-      ON a.simhash // 65536 = b.simhash // 65536 AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    SELECT doc_a, doc_b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM cand
+    JOIN sims sa ON doc_a = sa.doc_id
+    JOIN sims sb ON doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_HAMMING_MAX}
     """,
     tags=("llm", "dedup"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit sign-aggregated token-hash fingerprint;
-    candidates bucketed by the high 16 bits (LSH on the prefix), kept when
-    Hamming distance ≤ 6.
+    """SimHash near-dup: 64-bit sign-aggregated token-hash fingerprint
+    (two independent 32-bit polynomial hashes), candidates generated by
+    FOUR 16-bit block tables, kept when Hamming ≤ 3.
 
-    Scale: one integer per document; bucket join on the 16-bit prefix
-    bounds the pair space. (A production variant rotates the prefix over
-    4 byte-permutations to guarantee recall; one prefix shown here.)"""
+    Recall guarantee (Charikar/Manku block scheme): ≤ 3 differing bits can
+    touch at most 3 of the 4 disjoint 16-bit blocks, so every qualifying
+    pair collides in at least one block table — unlike a single-prefix
+    bucket, which both misses prefix-differing near-dups and caps the
+    bucket space at 65,536 for the whole corpus.
+
+    Scale: one long per document; the block join is an equi-join on
+    (block_index, block_value) — 4×65,536 buckets, pair work bounded per
+    bucket, no all-pairs anywhere."""
     d = t(spark, sf_dir, "documents")
-    # Explode tokens → ONE codegen'd aggregation with 32 conditional sums.
-    # (The per-row formulation — 32 nested array-folds per document — runs
+    # Explode tokens → ONE codegen'd aggregation with 64 conditional sums.
+    # (The per-row formulation — 64 nested array-folds per document — runs
     # interpreted and is ~50x slower; exploding converts it into vectorized
     # relational work, which is also the shape that scales on a cluster.)
-    th = d.select(
-        "doc_id", F.explode(tokens("text")).alias("tok")
-    ).select("doc_id", polyhash(F.col("tok")).alias("h"))
+    th = d.select("doc_id", F.explode(tokens("text")).alias("tok")).select(
+        "doc_id",
+        polyhash(F.col("tok")).alias("h1"),
+        polyhash131(F.col("tok")).alias("h2"),
+    )
+    # Bits 30/31 of each 32-bit half are provably zero (polyhash < 2^30, so
+    # every token votes -1 there — in the oracle too); skipping them avoids
+    # materializing the 2^63 literal (signed-long overflow) and 4 dead sums.
     bit_votes = th.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(POW2[k]).cast("long")) > 0, 1).otherwise(-1)
-            ).alias(f"b{k}")
-            for k in range(32)
+                F.when(F.col(h).bitwiseAND(F.lit(POW2[k]).cast("long")) > 0, 1).otherwise(-1)
+            ).alias(f"{h}b{k}")
+            for h in ("h1", "h2")
+            for k in range(30)
         ]
     )
     simhash = sum(
-        (F.when(F.col(f"b{k}") > 0, POW2[k]).otherwise(0) for k in range(32)),
+        (
+            F.when(F.col(f"h1b{k}") > 0, POW2[k]).otherwise(0).cast("long")
+            + F.when(F.col(f"h2b{k}") > 0, POW2[k] * 4294967296).otherwise(0).cast("long")
+            for k in range(30)
+        ),
         start=F.lit(0).cast("long"),
     )
-    # Persisted: the pair join references sims twice (a/b); one integer per
-    # doc, so the cache is negligible and the tokenize+hash+vote pipeline
-    # runs once.
+    # Persisted: the block join and both fingerprint lookups reference sims;
+    # one long per doc, so the cache is negligible and the
+    # tokenize+hash+vote pipeline runs once.
     sims = bit_votes.select("doc_id", simhash.alias("simhash")).persist()
-    a = sims.alias("a")
-    b = sims.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    blocks = sims.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+        "simhash",
+    ).select(
+        "doc_id",
+        "j",
+        F.expr("simhash div element_at(array(1, 65536, 4294967296, 281474976710656), j + 1)")
+        .bitwiseAND(F.lit(65535).cast("long"))
+        .alias("bv"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
         a.join(
             b,
-            (F.expr("a.simhash div 65536") == F.expr("b.simhash div 65536"))
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sims.alias("sa")
+    sb = sims.alias("sb")
+    hamming = F.bit_count(F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash")))
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
     )

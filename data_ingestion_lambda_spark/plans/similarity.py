@@ -266,7 +266,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .repartition(16)
+        # Cluster-proportional fan-out for the CPU-bound scoring stage.
+        # A fixed literal would serialize on a big cluster; a bare
+        # repartition(cols) is byte-based-coalesced by AQE down to one
+        # partition (candidate rows are tiny but scoring is 64-term math).
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     va = v.select(F.col("vec_id").alias("vec_a"), F.col("ve").alias("va"), F.col("nrm").alias("na"))
     vb = v.select(F.col("vec_id").alias("vec_b"), F.col("ve").alias("vb"), F.col("nrm").alias("nb"))
