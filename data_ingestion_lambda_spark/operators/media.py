@@ -141,6 +141,12 @@ def byte_features(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                if len(b) == 0:
+                    # Mirror the oracle's ascii(substr(...)) on '': NULL
+                    # first/last byte, zero sums — one empty payload must
+                    # not fail the whole query.
+                    rows.append((doc_id, 0, None, None, 0, 0))
+                    continue
                 rows.append(
                     (
                         doc_id,

@@ -24,6 +24,8 @@ Scale design (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -32,13 +34,19 @@ from data_ingestion_lambda_spark.schemas import UPSERT_KEYS
 PARTITION_COL = "date"
 
 
-def _target_exists(spark: SparkSession, path: str) -> bool:
-    """FS-agnostic existence check via the JVM Hadoop FileSystem for
-    ``path``'s own scheme (s3a/hdfs/file/...)."""
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class) for ``path``'s own scheme
+    (s3a/hdfs/file/...) via the JVM Hadoop FS API — the FS-agnostic
+    replacement for os.path operations."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(hconf).exists(p)
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    return path_cls(path).getFileSystem(hconf), path_cls
+
+
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    fs, path_cls = _hadoop_fs(spark, path)
+    return fs.exists(path_cls(path))
 
 
 def merge_last_writer_wins(
@@ -55,7 +63,7 @@ def merge_last_writer_wins(
     """
     order_cols = order_cols or ["_ingest_seq"]
     b = batch
-    if "_ingest_seq" not in b.columns:
+    if "_ingest_seq" in order_cols and "_ingest_seq" not in b.columns:
         b = b.withColumn("_ingest_seq", F.monotonically_increasing_id())
     b = b.withColumn("_is_new", F.lit(1))
     if "created_at" not in b.columns:
@@ -64,9 +72,12 @@ def merge_last_writer_wins(
     if existing is None:
         merged = b
     else:
-        e = existing.withColumn("_is_new", F.lit(0)).withColumn(
-            "_ingest_seq", F.lit(-1).cast("long")
-        )
+        e = existing.withColumn("_is_new", F.lit(0))
+        # Existing rows never carry ingest-provenance columns; NULL loses
+        # every comparison but _is_new=0 already ranks them last.
+        for c in order_cols:
+            if c not in e.columns:
+                e = e.withColumn(c, F.lit(None))
         merged = b.unionByName(e.select(*b.columns))
 
     # Newest wins: batch rows (_is_new=1) beat existing; later batch rows
@@ -79,7 +90,7 @@ def merge_last_writer_wins(
         merged.withColumn("created_at", first_created)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_is_new", "_ingest_seq")
+        .drop("_rn", "_is_new", "_ingest_seq", *order_cols)
     )
 
 
@@ -88,9 +99,20 @@ def upsert_into_parquet(
     target_dir: str,
     batch: DataFrame,
     keys: list[str] = UPSERT_KEYS,
+    order_cols: list[str] | None = None,
 ) -> None:
     """MERGE ``batch`` into the date-partitioned parquet table at
-    ``target_dir``, touching only the partitions present in the batch."""
+    ``target_dir``, touching only the partitions present in the batch.
+
+    Commit protocol: the merged result is fully materialized into a hidden
+    staging directory first (dot-prefixed → invisible to readers), then
+    each touched date partition is swapped in with a delete+rename. The
+    full-job failure mode (crash during the merge write) therefore leaves
+    the target untouched; the remaining non-atomic window is the instant
+    between one partition's delete and its rename — a crash exactly there
+    requires re-running the batch for that date (the merge is idempotent,
+    so the re-run converges). Per-file, the reference has the same shape
+    via DB transactions (src/db_operations.py:29)."""
     batch = batch.cache()
     try:
         batch_dates = [r[0] for r in batch.select(PARTITION_COL).distinct().collect()]
@@ -107,17 +129,31 @@ def upsert_into_parquet(
                 F.col(PARTITION_COL).isin(batch_dates)
             )
 
-        merged = merge_last_writer_wins(existing, batch, keys=keys)
+        merged = merge_last_writer_wins(existing, batch, keys=keys, order_cols=order_cols)
 
-        # Dynamic partition overwrite: replace exactly the touched dates.
+        # Stage 1: materialize the merge OUTSIDE the live partitions. The
+        # snapshot read above is fully consumed by this write, so the
+        # swap below never deletes data the job still needs.
         # (No extra repartition: the merge window already shuffled by key,
         # and AQE coalesces output partitions.)
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(PARTITION_COL)
-            .parquet(target_dir)
-        )
+        staging_dir = f"{target_dir}/.staging-{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(staging_dir)
+
+        # Stage 2: per-partition swap (delete + rename — rename is atomic
+        # on HDFS-like stores; on S3 it narrows the window to one partition).
+        fs, path_cls = _hadoop_fs(spark, target_dir)
+        fs.mkdirs(path_cls(target_dir))
+        try:
+            for d in batch_dates:
+                part = f"{PARTITION_COL}={d}"
+                src = path_cls(f"{staging_dir}/{part}")
+                dst = path_cls(f"{target_dir}/{part}")
+                if fs.exists(src):
+                    if fs.exists(dst):
+                        fs.delete(dst, True)
+                    fs.rename(src, dst)
+        finally:
+            fs.delete(path_cls(staging_dir), True)
     finally:
         batch.unpersist()
 

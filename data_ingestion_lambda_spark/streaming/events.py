@@ -136,13 +136,25 @@ def _update_profile(
     n, total, mx, last_type, last_ts_us = (
         state.get if state.exists else (0, 0.0, float("-inf"), None, None)
     )
+    # Track the (ts, event_id)-max candidate ACROSS chunks, then overwrite
+    # the stored last_* only when the candidate is at least as new as what
+    # state already holds — a group split over several chunks, or a
+    # late-but-within-watermark event in a later micro-batch, must never
+    # move the profile's last-event fields backwards in event time.
+    best = None  # (ts_us, event_id, event_type)
     for pdf in pdfs:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values(["ts", "event_id"])
         n += len(pdf)
         total += float(pdf["value"].sum())
         mx = max(mx, float(pdf["value"].max()))
-        last_type = str(pdf["event_type"].iloc[-1])
-        last_ts_us = int(pdf["ts"].iloc[-1].value // 1_000)
+        tail = pdf.iloc[-1]
+        cand = (int(tail["ts"].value // 1_000), tail["event_id"], str(tail["event_type"]))
+        if best is None or cand[:2] > best[:2]:
+            best = cand
+    if best is not None and (last_ts_us is None or best[0] >= last_ts_us):
+        last_ts_us, last_type = best[0], best[2]
     state.update((n, total, mx, last_type, last_ts_us))
     yield pd.DataFrame(
         [

@@ -44,11 +44,20 @@ class IngestPaths:
 
 
 def _process_batch(spark: SparkSession, paths: IngestPaths, batch: DataFrame, batch_id: int) -> None:
-    # _ingest_seq records within-batch order so last-writer-wins matches the
-    # reference's sequential ON CONFLICT semantics (later row wins).
+    # Last-writer-wins order = (_source_file, _ingest_seq): the reference
+    # processes files sequentially in date order (src/s3_processor.py:78),
+    # and date-partitioned drop paths sort lexicographically by date, so
+    # ranking by path reproduces "later file wins" even though Spark packs
+    # file splits largest-first within a micro-batch; _ingest_seq breaks
+    # ties within one file (monotonic per split).
     batch = batch.withColumn("_ingest_seq", F.monotonically_increasing_id())
     good, quarantined = normalize_consumption(batch)
-    upsert_into_parquet(spark, paths.target_dir, good.drop("_source_file"))
+    upsert_into_parquet(
+        spark,
+        paths.target_dir,
+        good.withColumnRenamed("_source_file", "_file_seq"),
+        order_cols=["_file_seq", "_ingest_seq"],
+    )
 
     if paths.quarantine_dir is not None:
         (
