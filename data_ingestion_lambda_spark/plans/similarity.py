@@ -288,6 +288,81 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_CENTROIDS = 16  # IVF coarse quantizer size
 _N_PROBE = 4  # cells probed per query
+_KMEANS_ITERS = 2  # Lloyd iterations (fixed → deterministic, oracle-replicable)
+
+# Per-dimension centroid mean with EXACT summation: each component is cast
+# to decimal (identical rounding of identical doubles in both engines),
+# summed exactly (no float reassociation across partitions), then divided
+# as doubles. This is what makes trained centroids bit-identical between
+# Spark and the DuckDB oracle regardless of partitioning/aggregation order.
+_SQL_CENTROID_MEAN = ", ".join(
+    f"CAST(SUM(CAST(ve[{i}] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)" for i in range(1, DIM + 1)
+)
+
+
+def _sql_kmeans_iter(cent_in: str, k: int) -> str:
+    """One Lloyd iteration as CTE text: assign every vector to its nearest
+    centroid (cosine argmax), then recompute centroids as exact means."""
+    return f"""
+    assign{k} AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ({_sql_dot('ve', 'cv')}) / (nrm * cnrm) DESC, cent_id) AS rn
+            FROM v CROSS JOIN {cent_in})
+        WHERE rn = 1),
+    centup{k} AS (
+        SELECT cell AS cent_id, [{_SQL_CENTROID_MEAN}] AS cv
+        FROM assign{k} JOIN v USING (vec_id) GROUP BY cell),
+    cent{k} AS (
+        SELECT cent_id, cv, sqrt({_sql_dot('cv', 'cv')}) AS cnrm FROM centup{k})"""
+
+
+def _train_ivf_centroids(spark: SparkSession, v: DataFrame) -> DataFrame:
+    """Spherical k-means coarse quantizer: seeded by the first
+    _N_CENTROIDS vectors, refined with _KMEANS_ITERS Lloyd iterations
+    (cosine argmax assignment → exact-decimal per-dimension means).
+
+    Fixed seed + fixed iteration count ⇒ fully deterministic, so the
+    DuckDB oracle reproduces the same centroids bit-for-bit. Each
+    iteration's 16 centroids are collected to the driver (bounded —
+    _N_CENTROIDS × DIM doubles) and re-broadcast: the 'train offline
+    once, ship the quantizer' shape. At 100 TB training would run on a
+    sample; the per-iteration cost here is one broadcast cross-join
+    (assignment) plus one groupBy (means) — both linear, no all-pairs."""
+    cent = v.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("ve").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    mean_cols = [
+        (
+            F.sum(F.element_at("ve", i).cast("decimal(27,12)")).cast("double") / F.count("*")
+        ).alias(f"c{i}")
+        for i in range(1, DIM + 1)
+    ]
+    for _ in range(_KMEANS_ITERS):
+        ccos = (dot("ve", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
+        wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+        # Slim argmax (no vector payload through the window shuffle), then
+        # join the vectors back by id for the mean.
+        assign = (
+            v.crossJoin(F.broadcast(cent))
+            .select("vec_id", F.col("cent_id").alias("cell"), ccos)
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell")
+        )
+        rows = sorted(
+            assign.join(v, "vec_id").groupBy("cell").agg(*mean_cols).collect(),
+            key=lambda r: r["cell"],
+        )
+        cent = spark.createDataFrame(
+            [(int(r["cell"]), [r[f"c{i}"] for i in range(1, DIM + 1)]) for r in rows],
+            "cent_id bigint, cv array<double>",
+        ).select("cent_id", "cv", F.sqrt(dot("cv", "cv")).alias("cnrm"))
+    return cent
+
 
 
 @register(
@@ -296,8 +371,10 @@ _N_PROBE = 4  # cells probed per query
     WITH v AS (
         SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm
         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
-    cent AS (SELECT vec_id AS cent_id, ve AS cv, nrm AS cnrm FROM v
-             WHERE vec_id < {_N_CENTROIDS}),
+    cent0 AS (SELECT vec_id AS cent_id, ve AS cv, nrm AS cnrm FROM v
+              WHERE vec_id < {_N_CENTROIDS}),
+    {",".join(_sql_kmeans_iter(f"cent{k}", k + 1) for k in range(_KMEANS_ITERS))},
+    cent AS (SELECT * FROM cent{_KMEANS_ITERS}),
     assign AS (
         SELECT vec_id, cell FROM (
             SELECT v.vec_id, cent_id AS cell,
@@ -332,27 +409,26 @@ _N_PROBE = 4  # cells probed per query
     tags=("llm", "ann"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
-    its nearest of {_N_CENTROIDS} centroid cells; each query probes its
-    {_N_PROBE} closest cells and scores only vectors in those cells.
+    """IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    vector to its nearest of {_N_CENTROIDS} centroid cells; each query
+    probes its {_N_PROBE} closest cells and scores only vectors in those
+    cells.
 
-    The centroids here are the first {_N_CENTROIDS} vectors (a
-    deterministic stand-in for an offline k-means — at production scale
-    the quantizer is trained once and broadcast; the *engine* shape is
-    identical). Scale: assignment is a broadcast cross-join against
-    {_N_CENTROIDS} rows inside the scan stage + a per-vector argmax;
-    the probe-join fans each query to {_N_PROBE} cells, so scored
-    candidates shrink ~{_N_CENTROIDS}/{_N_PROBE}-fold vs brute force,
-    and the cell id is an equi-join key (the inverted file)."""
+    The quantizer is trained (seeded by the first {_N_CENTROIDS} vectors,
+    {_KMEANS_ITERS} deterministic Lloyd iterations — see
+    _train_ivf_centroids) then broadcast. Scale: assignment is a broadcast
+    cross-join against {_N_CENTROIDS} rows inside the scan stage + a
+    per-vector argmax; the probe-join fans each query to {_N_PROBE} cells,
+    so scored candidates shrink ~{_N_CENTROIDS}/{_N_PROBE}-fold vs brute
+    force, and the cell id is an equi-join key (the inverted file)."""
     base = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("ve")
     )
-    v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm"))
-    cent = v.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("ve").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
+    # Persisted: the training iterations, the assignment pass and the
+    # scoring pass all re-read (vec_id, ve, nrm); at production scale this
+    # is the materialized vector table the quantizer is trained against.
+    v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm")).persist()
+    cent = _train_ivf_centroids(spark, v)
     ccos = (dot("ve", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
     wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
     assign = (
