@@ -28,6 +28,8 @@ HEADLINE = [
     "q05_local_supplier_volume",
     "q10_returned_items",
     "join_broadcast_dims",
+    "join_right_outer",
+    "scalar_to_json",
     "win_topk_per_group",
     "win_running_sum",
     "events_tumbling_window",
