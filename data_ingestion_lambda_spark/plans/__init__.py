@@ -63,11 +63,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    # similarity search
+    # similarity search (lsh_bucketed overflows: same bucket-join shape as ivf)
     "ann_cosine_topk",
-    "ann_lsh_bucketed",
     "ann_ivf_topk",
     "ann_block_matrix_topk",
+    # dataset assembly
+    "split_train_test",
     # multimodal
     "media_metadata_stats",
     "media_byte_features",

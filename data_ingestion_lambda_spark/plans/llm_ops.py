@@ -18,7 +18,7 @@ functions, whose implementations differ.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.plans.registry import register
@@ -685,4 +685,99 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly: deterministic splits and samples
+# ---------------------------------------------------------------------------
+
+# Train/valid/test boundaries in hash-percent space.
+_SPLIT_TRAIN_PCT = 80
+_SPLIT_VALID_PCT = 90
+
+_SQL_DOC_HASH = SQL_POLYHASH.format(s="CAST(doc_id AS VARCHAR)")
+
+
+def _doc_hash() -> Column:
+    return bind(F.col("doc_id").cast("string"), polyhash)
+
+
+@register(
+    "split_train_test",
+    oracle=f"""
+    SELECT split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM (
+        SELECT n_chars,
+               CASE WHEN {_SQL_DOC_HASH} % 100 < {_SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {_SQL_DOC_HASH} % 100 < {_SPLIT_VALID_PCT} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents)
+    GROUP BY split
+    """,
+    tags=("llm", "split"),
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split by content-independent key
+    hash — the assignment every training-data pipeline needs to be stable
+    across reruns and engines (no rand(): adding documents never moves an
+    existing document between splits).
+
+    Scale: the split label is a pure per-row expression inside the scan —
+    NO shuffle to split 100 TB; only the per-split summary aggregates
+    (map-side combined). Sums are over exact integers, so the per-split
+    stats hash-match any engine."""
+    d = t(spark, sf_dir, "documents")
+    h = _doc_hash() % 100
+    split = (
+        F.when(h < _SPLIT_TRAIN_PCT, "train")
+        .when(h < _SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    return (
+        d.select(F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+    )
+
+
+_STRATUM_SAMPLE_K = 16  # docs kept per language
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars, sample_rank FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY {_SQL_DOC_HASH} % 1000000, doc_id)
+                   AS sample_rank
+        FROM documents)
+    WHERE sample_rank <= {_STRATUM_SAMPLE_K}
+    """,
+    tags=("llm", "split"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: K documents per language, chosen
+    by key-hash order — reproducible across reruns/engines (a seeded
+    `TABLESAMPLE` cannot be replayed cross-engine) and balanced across
+    strata regardless of how skewed the language mix is.
+
+    Scale: one shuffle on the stratum key + per-group top-K window. For
+    strata too hot for one task at 100 TB, pre-filter with an approximate
+    per-stratum hash threshold (keep h < K/stratum_count quantile) before
+    the exact window — same result, bounded group size."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy((_doc_hash() % 1_000_000).asc(), F.asc("doc_id"))
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _STRATUM_SAMPLE_K)
     )

@@ -343,18 +343,21 @@ def _train_ivf_centroids(spark: SparkSession, v: DataFrame) -> DataFrame:
     ]
     for _ in range(_KMEANS_ITERS):
         ccos = (dot("ve", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
-        wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
-        # Slim argmax (no vector payload through the window shuffle), then
-        # join the vectors back by id for the mean.
+        # Argmax as max_by over the same (ccos DESC, cell ASC) total order
+        # the oracle's ROW_NUMBER uses; F.first(ve) is well-defined (all 16
+        # cross-join rows of a vector carry the same ve). Both aggregate
+        # map-side, so each k-means pass shuffles one row per vector.
         assign = (
             v.crossJoin(F.broadcast(cent))
-            .select("vec_id", F.col("cent_id").alias("cell"), ccos)
-            .withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cell")
+            .select("vec_id", "ve", F.col("cent_id").alias("cell"), ccos)
+            .groupBy("vec_id")
+            .agg(
+                F.expr("max_by(cell, struct(ccos, -cell))").alias("cell"),
+                F.first("ve").alias("ve"),
+            )
         )
         rows = sorted(
-            assign.join(v, "vec_id").groupBy("cell").agg(*mean_cols).collect(),
+            assign.groupBy("cell").agg(*mean_cols).collect(),
             key=lambda r: r["cell"],
         )
         cent = spark.createDataFrame(
@@ -430,13 +433,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm")).persist()
     cent = _train_ivf_centroids(spark, v)
     ccos = (dot("ve", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    # Argmax as max_by (same (ccos DESC, cell ASC) total order as the
+    # oracle's ROW_NUMBER): partially aggregates MAP-SIDE inside the
+    # cross-join stage, so the shuffle carries one (vec_id, cell) row per
+    # vector instead of sorting 16 rows per vector through a window.
     assign = (
         v.crossJoin(F.broadcast(cent))
         .select("vec_id", F.col("cent_id").alias("cell"), ccos)
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cell, struct(ccos, -cell))").alias("cell"))
     )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -31,6 +31,7 @@ CATEGORY_PREFIXES = (
     "events_",
     "upsert_",
     "source_",
+    "split_",
 )
 
 
