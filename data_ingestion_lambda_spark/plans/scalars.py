@@ -230,6 +230,42 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           (json_extract(props, '$.k') IS NOT NULL) AS parsed_ok,
+           CASE WHEN json_valid('not json')
+                THEN CAST(json_extract('not json', '$.k') AS BIGINT)
+                ELSE NULL END AS malformed_k
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parse — ``from_json`` with an explicit
+    StructType (reference F10 deserialize side, the typed counterpart of
+    scalar_json's path extraction; src/lambda_handler.py:33). Includes the
+    malformed-input contract: an unparseable document yields NULL fields
+    (PERMISSIVE), never a failed job — the same quarantine-not-crash rule
+    the CSV source follows.
+
+    Scale: from_json with a declared schema parses each document ONCE into
+    a struct (single codegen'd Jackson pass); per-path get_json_object
+    re-parses per path — with K extracted fields the struct form scans the
+    payload K× less."""
+    e = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    bad = F.from_json(F.lit("not json"), "k BIGINT")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        parsed["k"].isNotNull().alias("parsed_ok"),
+        bad["k"].alias("malformed_k"),
+    )
+
+
+@register(
     "scalar_to_json",
     oracle="""
     SELECT o_orderkey,
