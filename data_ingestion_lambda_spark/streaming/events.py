@@ -101,6 +101,40 @@ def stream_sessionize(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: right events matching a
+    left event's user within ``[left.ts, left.ts + within]`` (the
+    impression→conversion attribution shape).
+
+    State bounds (the part that matters at scale): BOTH sides are
+    watermarked and the join condition is an event-time range, so each
+    side's buffered rows are evicted once the other side's watermark
+    passes ``ts + within`` — state is keys × (watermark + within), never
+    the whole stream. An un-watermarked or unconstrained stream-stream
+    join would buffer forever; this function makes both bounds
+    mandatory."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL {within}"
+        ),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("r.ts").alias("right_ts"),
+        F.col("r.value").alias("right_value"),
+    )
+
+
 # -- custom stateful operator: per-user running profile -----------------------
 
 RUNNING_PROFILE_SCHEMA = StructType(

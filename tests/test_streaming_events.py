@@ -25,6 +25,7 @@ from pyspark.sql.types import (
 from data_ingestion_lambda_spark.streaming.events import (
     stream_dedup_within_watermark,
     stream_sessionize,
+    stream_stream_interval_join,
     stream_tumbling_counts,
     stream_user_profile,
 )
@@ -182,6 +183,39 @@ def test_sessionize_merges_and_splits(spark, tmp_path):
     )
     # one merged 3-event session at 10:00 (end 10:50), one singleton at 12:00
     assert rows == [(1, 10, 3), (1, 12, 1)]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    src, ckpt, out = _paths(tmp_path)
+    # impressions (type A) joined to conversions (type B) within 1 hour
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, _ts(10, 0), 1, "A", 0.0, "{}"),  # impression
+            (2, _ts(10, 30), 1, "B", 9.9, "{}"),  # converts (within 1h) ✓
+            (3, _ts(12, 0), 1, "B", 5.0, "{}"),  # too late after event 1 ✗
+            (4, _ts(10, 15), 2, "B", 1.0, "{}"),  # no impression for user 2 ✗
+        ],
+    )
+    _run(
+        spark,
+        lambda s: stream_stream_interval_join(
+            s.filter(F.col("event_type") == "A"),
+            s.filter(F.col("event_type") == "B"),
+            within="1 hour",
+            watermark="2 hours",
+        ),
+        src,
+        ckpt,
+        out,
+        "append",
+    )
+    rows = spark.read.parquet(out).collect()
+    assert [(r["left_event_id"], r["right_event_id"], r["right_value"]) for r in rows] == [
+        (1, 2, 9.9)
+    ]
 
 
 def test_user_profile_state_accumulates(spark, tmp_path):
