@@ -201,3 +201,43 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@register(
+    "events_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           a.user_id,
+           CAST(b.value AS DOUBLE) AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+    tags=("events", "join", "streaming-twin"),
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/events.py::stream_stream_interval_join —
+    click→purchase attribution within 10 minutes, per user.
+
+    Scale: equi-key on user_id carries the join (shuffle-hash/sort-merge
+    on the key), with the time range as a residual condition — NOT a
+    broadcast-nested-loop; state/skew behavior is the per-user fan-out.
+    The streaming form is identical plus watermarks bounding buffered
+    state on both sides."""
+    e = t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").alias("a")
+    b = e.filter(F.col("event_type") == "purchase").alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTE")),
+    ).select(
+        F.col("a.event_id").alias("click_id"),
+        F.col("b.event_id").alias("purchase_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("b.value").alias("purchase_value"),
+    )
