@@ -515,3 +515,62 @@ def ann_block_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return block_cosine_topk(e, queries, TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# ANN quality self-measurement
+# ---------------------------------------------------------------------------
+
+# Compose the recall oracle from the two registered pipelines' own SQL so
+# the measured definitions can never drift from the measured queries.
+from data_ingestion_lambda_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_EXACT_SQL = _REG["ann_cosine_topk"].oracle
+_LSH_SQL = _REG["ann_lsh_bucketed"].oracle
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_EXACT_SQL}) t1),
+         lsh AS (SELECT query_id, neighbor_id FROM ({_LSH_SQL}) t2),
+         hits AS (
+             SELECT query_id, COUNT(*) AS n_hits
+             FROM exact JOIN lsh USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           COALESCE(MAX(n_hits), 0) AS n_hits,
+           CAST(COALESCE(MAX(n_hits), 0) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact e LEFT JOIN hits USING (query_id)
+    GROUP BY e.query_id
+    """,
+    tags=("llm", "ann", "quality"),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact brute-force
+    baseline, per query — the quality gauge every approximate index needs
+    shipped next to it (a recall regression is invisible to row counts).
+
+    Scale: reuses the two production pipelines unchanged and joins their
+    (query, neighbor) outputs — k×Q rows each, negligible — so measuring
+    recall on a sample of queries costs two index probes, not an extra
+    all-pairs pass."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = ann_lsh_bucketed(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.join(hits, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.max("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.max("n_hits"), F.lit(0)).cast("double") / F.count("*")
+            ).alias("recall_at_k"),
+        )
+    )
