@@ -86,11 +86,15 @@ def merge_last_writer_wins(
         F.desc("_is_new"), *[F.desc(c) for c in order_cols]
     )
     first_created = F.min("created_at").over(Window.partitionBy(*keys))
+    # Drop bookkeeping columns; an order col that is real payload (e.g.
+    # ordering by updated_at) stays — only underscore-prefixed plumbing
+    # columns are internal by convention.
+    internal = [c for c in order_cols if c.startswith("_")]
     return (
         merged.withColumn("created_at", first_created)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_is_new", "_ingest_seq", *order_cols)
+        .drop("_rn", "_is_new", "_ingest_seq", *internal)
     )
 
 
