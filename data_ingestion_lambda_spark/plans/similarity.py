@@ -290,13 +290,19 @@ _N_CENTROIDS = 16  # IVF coarse quantizer size
 _N_PROBE = 4  # cells probed per query
 _KMEANS_ITERS = 2  # Lloyd iterations (fixed → deterministic, oracle-replicable)
 
-# Per-dimension centroid mean with EXACT summation: each component is cast
-# to decimal (identical rounding of identical doubles in both engines),
-# summed exactly (no float reassociation across partitions), then divided
-# as doubles. This is what makes trained centroids bit-identical between
-# Spark and the DuckDB oracle regardless of partitioning/aggregation order.
+# Per-dimension centroid mean with EXACT summation: each component is
+# scaled to an integer (floor(x·1e9) — the multiply and floor are IEEE
+# operations that round identically in both engines), summed as BIGINT (no
+# float reassociation across partitions), then divided back as doubles.
+# This keeps trained centroids bit-identical between Spark and the DuckDB
+# oracle regardless of partitioning/aggregation order, at ~100x the speed
+# of decimal aggregation. Overflow bound: |sum| ≤ rows_per_cell · ~4e9,
+# safe to ~10^9 rows per cell (training runs on a sample at 100 TB anyway).
+_MEAN_SCALE = 1_000_000_000
 _SQL_CENTROID_MEAN = ", ".join(
-    f"CAST(SUM(CAST(ve[{i}] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)" for i in range(1, DIM + 1)
+    f"CAST(SUM(CAST(FLOOR(ve[{i}] * {_MEAN_SCALE}.0) AS BIGINT)) AS DOUBLE)"
+    f" / {_MEAN_SCALE}.0 / COUNT(*)"
+    for i in range(1, DIM + 1)
 )
 
 
@@ -337,7 +343,9 @@ def _train_ivf_centroids(spark: SparkSession, v: DataFrame) -> DataFrame:
     )
     mean_cols = [
         (
-            F.sum(F.element_at("ve", i).cast("decimal(27,12)")).cast("double") / F.count("*")
+            F.sum(F.floor(F.element_at("ve", i) * _MEAN_SCALE).cast("long")).cast("double")
+            / float(_MEAN_SCALE)
+            / F.count("*")
         ).alias(f"c{i}")
         for i in range(1, DIM + 1)
     ]
