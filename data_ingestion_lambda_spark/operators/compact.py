@@ -1,0 +1,77 @@
+"""Partition compaction — the small-files maintenance operator.
+
+Incremental ingestion (streaming/ingest.py) appends a few files per
+micro-batch; after thousands of batches a date partition holds thousands
+of tiny parquet files, and every downstream scan pays per-file open cost
+(the classic small-files problem — at 100 TB it is the difference between
+a scan bounded by IO and one bounded by NameNode/S3 LIST round-trips).
+
+``compact_partitions`` rewrites chosen date partitions into
+~``target_file_bytes`` files each, committing through the same staged
+per-partition swap as the upsert sink (operators/upsert.py), so readers
+never observe a half-written partition and a crash mid-compact leaves at
+most one partition to re-compact. Contents are byte-identical rows — the
+operator never interprets payload columns, so it is safe to run
+concurrently with reads (snapshot isolation via the staging write).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+from data_ingestion_lambda_spark.operators.upsert import (
+    PARTITION_COL,
+    _hadoop_fs,
+    replace_partitions,
+)
+
+DEFAULT_TARGET_FILE_BYTES = 128 << 20  # parquet row-group sweet spot
+
+
+def list_partition_dates(spark: SparkSession, target_dir: str) -> list[str]:
+    """Date values present in ``target_dir`` (from partition directory
+    names — one LIST, no file reads)."""
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    root = path_cls(target_dir)
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(f"{PARTITION_COL}="):
+            out.append(name.split("=", 1)[1])
+    return sorted(out)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    target_dir: str,
+    dates: list[str] | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict[str, int]:
+    """Rewrite each date partition into ``ceil(bytes/target_file_bytes)``
+    files. Returns {date: n_output_files}. Partitions already at or below
+    one target-file of data still compact to exactly one file."""
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    if dates is None:
+        dates = list_partition_dates(spark, target_dir)
+
+    result: dict[str, int] = {}
+    for d in dates:
+        part_path = f"{target_dir}/{PARTITION_COL}={d}"
+        if not fs.exists(path_cls(part_path)):
+            continue
+        size = fs.getContentSummary(path_cls(part_path)).getLength()
+        n_files = max(1, math.ceil(size / target_file_bytes))
+        # basePath keeps the partition column in the frame so the staged
+        # swap's partitionBy round-trips it.
+        df = (
+            spark.read.option("basePath", target_dir)
+            .parquet(part_path)
+            .coalesce(n_files)
+        )
+        replace_partitions(spark, target_dir, df, [d])
+        result[d] = n_files
+    return result

@@ -134,32 +134,37 @@ def upsert_into_parquet(
             )
 
         merged = merge_last_writer_wins(existing, batch, keys=keys, order_cols=order_cols)
-
-        # Stage 1: materialize the merge OUTSIDE the live partitions. The
-        # snapshot read above is fully consumed by this write, so the
-        # swap below never deletes data the job still needs.
         # (No extra repartition: the merge window already shuffled by key,
         # and AQE coalesces output partitions.)
-        staging_dir = f"{target_dir}/.staging-{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(staging_dir)
-
-        # Stage 2: per-partition swap (delete + rename — rename is atomic
-        # on HDFS-like stores; on S3 it narrows the window to one partition).
-        fs, path_cls = _hadoop_fs(spark, target_dir)
-        fs.mkdirs(path_cls(target_dir))
-        try:
-            for d in batch_dates:
-                part = f"{PARTITION_COL}={d}"
-                src = path_cls(f"{staging_dir}/{part}")
-                dst = path_cls(f"{target_dir}/{part}")
-                if fs.exists(src):
-                    if fs.exists(dst):
-                        fs.delete(dst, True)
-                    fs.rename(src, dst)
-        finally:
-            fs.delete(path_cls(staging_dir), True)
+        replace_partitions(spark, target_dir, merged, batch_dates)
     finally:
         batch.unpersist()
+
+
+def replace_partitions(spark: SparkSession, target_dir: str, df: DataFrame, dates) -> None:
+    """Staged per-partition commit: materialize ``df`` into a hidden
+    staging directory (dot-prefixed → invisible to readers), then swap
+    each listed date partition in with delete+rename.
+
+    Stage 1 fully consumes any snapshot reads of the live partitions
+    before stage 2 touches them; rename is atomic on HDFS-like stores, so
+    the non-atomic window is one partition's delete→rename instant."""
+    staging_dir = f"{target_dir}/.staging-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(staging_dir)
+
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    fs.mkdirs(path_cls(target_dir))
+    try:
+        for d in dates:
+            part = f"{PARTITION_COL}={d}"
+            src = path_cls(f"{staging_dir}/{part}")
+            dst = path_cls(f"{target_dir}/{part}")
+            if fs.exists(src):
+                if fs.exists(dst):
+                    fs.delete(dst, True)
+                fs.rename(src, dst)
+    finally:
+        fs.delete(path_cls(staging_dir), True)
 
 
 def read_consumptions(spark: SparkSession, target_dir: str) -> DataFrame:
