@@ -22,7 +22,10 @@ import argparse
 import json
 import sys
 
-from data_ingestion_lambda_spark.operators.compact import compact_partitions
+from data_ingestion_lambda_spark.operators.compact import (
+    compact_partitions,
+    expire_partitions,
+)
 from data_ingestion_lambda_spark.session import get_spark
 from data_ingestion_lambda_spark.streaming.ingest import (
     IngestPaths,
@@ -47,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     cmp_.add_argument("--target", required=True)
     cmp_.add_argument("--dates", default=None, help="comma-separated; default all")
     cmp_.add_argument("--target-file-mb", type=int, default=128)
+
+    exp = sub.add_parser("expire", help="drop date partitions older than --keep-from")
+    exp.add_argument("--target", required=True)
+    exp.add_argument("--keep-from", required=True, help="ISO date; partitions < this are deleted")
     return p
 
 
@@ -87,11 +94,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
-    dates = args.dates.split(",") if args.dates else None
-    result = compact_partitions(
-        spark, args.target, dates=dates, target_file_bytes=args.target_file_mb << 20
-    )
-    print(json.dumps({"statusCode": 200, "compacted": result}))
+    if args.cmd == "compact":
+        dates = args.dates.split(",") if args.dates else None
+        result = compact_partitions(
+            spark, args.target, dates=dates, target_file_bytes=args.target_file_mb << 20
+        )
+        print(json.dumps({"statusCode": 200, "compacted": result}))
+        return 0
+
+    expired = expire_partitions(spark, args.target, keep_from=args.keep_from)
+    print(json.dumps({"statusCode": 200, "expired": expired}))
     return 0
 
 

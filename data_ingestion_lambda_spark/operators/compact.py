@@ -45,6 +45,24 @@ def list_partition_dates(spark: SparkSession, target_dir: str) -> list[str]:
     return sorted(out)
 
 
+def expire_partitions(
+    spark: SparkSession,
+    target_dir: str,
+    keep_from: str,
+) -> list[str]:
+    """Retention: drop whole date partitions older than ``keep_from``
+    (ISO date string) — the operational form of the reference's 30-day
+    cutoff (F7, src/s3_processor.py:27). Partition-level deletes touch no
+    data files inside surviving dates and cost one LIST + one delete per
+    expired partition; ISO date strings compare lexicographically, so no
+    parsing. Returns the expired dates."""
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    expired = [d for d in list_partition_dates(spark, target_dir) if d < keep_from]
+    for d in expired:
+        fs.delete(path_cls(f"{target_dir}/{PARTITION_COL}={d}"), True)
+    return expired
+
+
 def compact_partitions(
     spark: SparkSession,
     target_dir: str,

@@ -74,6 +74,18 @@ def test_compact_collapses_small_files(spark, tmp_path):
     assert after == before
 
 
+def test_expire_partitions_retention(spark, tmp_path):
+    from data_ingestion_lambda_spark.operators.compact import expire_partitions
+
+    target = _run_ingest(tmp_path, spark)
+    assert list_partition_dates(spark, target) == ["2025-05-01", "2025-05-02"]
+    expired = expire_partitions(spark, target, keep_from="2025-05-02")
+    assert expired == ["2025-05-01"]
+    assert list_partition_dates(spark, target) == ["2025-05-02"]
+    rows = spark.read.parquet(target).collect()
+    assert [str(r["date"]) for r in rows] == ["2025-05-02"]
+
+
 def test_cli_compact_subcommand(spark, tmp_path, capsys):
     target = _run_ingest(tmp_path, spark)
     capsys.readouterr()
