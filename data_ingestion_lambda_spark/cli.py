@@ -69,26 +69,20 @@ def main(argv: list[str] | None = None) -> int:
             quarantine_dir=args.quarantine,
             log_dir=args.log,
         )
-        run_ingest_available_now(
+        processed = run_ingest_available_now(
             spark,
             paths,
             max_files_per_trigger=args.max_files_per_trigger,
             path_glob=args.glob,
         )
-        # Response contract of the reference handler (lambda_handler.py:96-102).
-        try:
-            dates = [
-                str(r["date"])
-                for r in spark.read.parquet(args.target).select("date").distinct().collect()
-            ]
-        except Exception:
-            dates = []  # nothing ingested yet → no target table
+        # Response contract of the reference handler (lambda_handler.py:96-102):
+        # the dates THIS invocation wrote; a no-op run reports [].
         print(
             json.dumps(
                 {
                     "statusCode": 200,
                     "message": "ingestion complete",
-                    "processed_dates": sorted(dates),
+                    "processed_dates": processed,
                 }
             )
         )

@@ -18,31 +18,18 @@ concurrently with reads (snapshot isolation via the staging write).
 from __future__ import annotations
 
 import math
+from datetime import date
 
 from pyspark.sql import SparkSession
 
 from data_ingestion_lambda_spark.operators.upsert import (
     PARTITION_COL,
     _hadoop_fs,
+    list_partition_dates,
     replace_partitions,
 )
 
 DEFAULT_TARGET_FILE_BYTES = 128 << 20  # parquet row-group sweet spot
-
-
-def list_partition_dates(spark: SparkSession, target_dir: str) -> list[str]:
-    """Date values present in ``target_dir`` (from partition directory
-    names — one LIST, no file reads)."""
-    fs, path_cls = _hadoop_fs(spark, target_dir)
-    root = path_cls(target_dir)
-    if not fs.exists(root):
-        return []
-    out = []
-    for status in fs.listStatus(root):
-        name = status.getPath().getName()
-        if status.isDirectory() and name.startswith(f"{PARTITION_COL}="):
-            out.append(name.split("=", 1)[1])
-    return sorted(out)
 
 
 def expire_partitions(
@@ -54,8 +41,14 @@ def expire_partitions(
     (ISO date string) — the operational form of the reference's 30-day
     cutoff (F7, src/s3_processor.py:27). Partition-level deletes touch no
     data files inside surviving dates and cost one LIST + one delete per
-    expired partition; ISO date strings compare lexicographically, so no
-    parsing. Returns the expired dates."""
+    expired partition. Returns the expired dates.
+
+    ``keep_from`` is validated and normalized to zero-padded ISO form
+    before the lexicographic compare — this is a destructive path, and an
+    unpadded human-typed cutoff ('2025-5-2') would otherwise compare
+    wrongly against zero-padded partition names and mass-delete months it
+    should keep."""
+    keep_from = date.fromisoformat(keep_from).isoformat()
     fs, path_cls = _hadoop_fs(spark, target_dir)
     expired = [d for d in list_partition_dates(spark, target_dir) if d < keep_from]
     for d in expired:
@@ -70,8 +63,8 @@ def compact_partitions(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
 ) -> dict[str, int]:
     """Rewrite each date partition into ``ceil(bytes/target_file_bytes)``
-    files. Returns {date: n_output_files}. Partitions already at or below
-    one target-file of data still compact to exactly one file."""
+    files. Returns {date: actual_output_file_count}. Partitions already at
+    or below one target-file of data compact to exactly one file."""
     fs, path_cls = _hadoop_fs(spark, target_dir)
     if dates is None:
         dates = list_partition_dates(spark, target_dir)
@@ -84,12 +77,19 @@ def compact_partitions(
         size = fs.getContentSummary(path_cls(part_path)).getLength()
         n_files = max(1, math.ceil(size / target_file_bytes))
         # basePath keeps the partition column in the frame so the staged
-        # swap's partitionBy round-trips it.
+        # swap's partitionBy round-trips it. repartition, not coalesce:
+        # coalesce can only REDUCE partition count, so a target below the
+        # scan's split size could never split a partition into more files.
         df = (
             spark.read.option("basePath", target_dir)
             .parquet(part_path)
-            .coalesce(n_files)
+            .repartition(n_files)
         )
         replace_partitions(spark, target_dir, df, [d])
-        result[d] = n_files
+        # Report the real file count post-swap, not the requested one.
+        result[d] = sum(
+            1
+            for s in fs.listStatus(path_cls(part_path))
+            if s.getPath().getName().endswith(".parquet")
+        )
     return result

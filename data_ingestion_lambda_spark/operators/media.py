@@ -142,10 +142,11 @@ def byte_features(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 if len(b) == 0:
-                    # Mirror the oracle's ascii(substr(...)) on '': NULL
-                    # first/last byte, zero sums — one empty payload must
-                    # not fail the whole query.
-                    rows.append((doc_id, 0, None, None, 0, 0))
+                    # One empty payload must not fail the whole query.
+                    # Mirror the oracle exactly (verified in DuckDB):
+                    # ascii(substr('',1,1)) = 0, string_split('','') = ['']
+                    # → distinct count 1, sums 0.
+                    rows.append((doc_id, 0, 0, 0, 0, 1))
                     continue
                 rows.append(
                     (

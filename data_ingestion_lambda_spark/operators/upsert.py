@@ -98,15 +98,31 @@ def merge_last_writer_wins(
     )
 
 
+def list_partition_dates(spark: SparkSession, target_dir: str) -> list[str]:
+    """Date values present in ``target_dir`` (from partition directory
+    names — one LIST, no file reads)."""
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    root = path_cls(target_dir)
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(f"{PARTITION_COL}="):
+            out.append(name.split("=", 1)[1])
+    return sorted(out)
+
+
 def upsert_into_parquet(
     spark: SparkSession,
     target_dir: str,
     batch: DataFrame,
     keys: list[str] = UPSERT_KEYS,
     order_cols: list[str] | None = None,
-) -> None:
+) -> list:
     """MERGE ``batch`` into the date-partitioned parquet table at
     ``target_dir``, touching only the partitions present in the batch.
+    Returns the list of date values written (empty for an empty batch).
 
     Commit protocol: the merged result is fully materialized into a hidden
     staging directory first (dot-prefixed → invisible to readers), then
@@ -121,13 +137,16 @@ def upsert_into_parquet(
     try:
         batch_dates = [r[0] for r in batch.select(PARTITION_COL).distinct().collect()]
         if not batch_dates:
-            return
+            return []
 
-        # Existence check through the Hadoop FS API so the same code works
-        # on s3a://, hdfs://, abfss:// and file:// targets (os.path.exists
-        # only understands the local filesystem).
+        # Partition listing through the Hadoop FS API so the same code
+        # works on s3a://, hdfs://, abfss:// and file:// targets. Gating
+        # the read on actual date=* partitions (not bare dir existence)
+        # also survives a target emptied by retention or a crashed swap —
+        # a bare spark.read.parquet on an empty dir throws and would wedge
+        # every subsequent ingest run.
         existing = None
-        if _target_exists(spark, target_dir):
+        if list_partition_dates(spark, target_dir):
             # Partition pruning: read only the dates this batch touches.
             existing = spark.read.parquet(target_dir).filter(
                 F.col(PARTITION_COL).isin(batch_dates)
@@ -137,6 +156,7 @@ def upsert_into_parquet(
         # (No extra repartition: the merge window already shuffled by key,
         # and AQE coalesces output partitions.)
         replace_partitions(spark, target_dir, merged, batch_dates)
+        return batch_dates
     finally:
         batch.unpersist()
 
@@ -148,23 +168,33 @@ def replace_partitions(spark: SparkSession, target_dir: str, df: DataFrame, date
 
     Stage 1 fully consumes any snapshot reads of the live partitions
     before stage 2 touches them; rename is atomic on HDFS-like stores, so
-    the non-atomic window is one partition's delete→rename instant."""
+    the non-atomic window is one partition's delete→rename instant.
+    Failure safety: Hadoop rename reports most failures by RETURNING
+    FALSE, not raising — a failed or crashed swap raises and PRESERVES the
+    staging directory (it holds the only copy of that partition's merged
+    data, including pre-existing rows); the error names the path for
+    manual recovery or a re-run."""
     staging_dir = f"{target_dir}/.staging-{uuid.uuid4().hex}"
     df.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(staging_dir)
 
     fs, path_cls = _hadoop_fs(spark, target_dir)
     fs.mkdirs(path_cls(target_dir))
-    try:
-        for d in dates:
-            part = f"{PARTITION_COL}={d}"
-            src = path_cls(f"{staging_dir}/{part}")
-            dst = path_cls(f"{target_dir}/{part}")
-            if fs.exists(src):
-                if fs.exists(dst):
-                    fs.delete(dst, True)
-                fs.rename(src, dst)
-    finally:
-        fs.delete(path_cls(staging_dir), True)
+    for d in dates:
+        part = f"{PARTITION_COL}={d}"
+        src = path_cls(f"{staging_dir}/{part}")
+        dst = path_cls(f"{target_dir}/{part}")
+        if fs.exists(src):
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if not fs.rename(src, dst):
+                raise IOError(
+                    f"partition swap failed: rename {src} -> {dst} returned false; "
+                    f"staged data preserved under {staging_dir}"
+                )
+    # All swaps succeeded — only now discard staging. (On failure the
+    # staging dir is deliberately left in place; it is dot-prefixed, so
+    # readers never see it.)
+    fs.delete(path_cls(staging_dir), True)
 
 
 def read_consumptions(spark: SparkSession, target_dir: str) -> DataFrame:

@@ -23,6 +23,9 @@ from data_ingestion_lambda_spark.plans._util import t
 # then the remaining columns as tie-breakers (a real ingest uses _ingest_seq).
 _ORDER_SQL = "l_quantity DESC, l_extendedprice DESC, l_partkey, l_suppkey, l_discount, l_tax"
 
+# sf_dir -> temp JSON path already derived in this process (source_json_lines).
+_JSON_SRC_CACHE: dict[str, str] = {}
+
 
 @register(
     "upsert_last_writer_wins",
@@ -99,9 +102,15 @@ def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.read.json`` under an explicit schema. No schema inference — at
     100 TB inference is a full extra pass over the data; production JSON
     reads always carry a declared schema."""
-    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    path = tempfile.mkdtemp(prefix="dils_json_src_") + "/nation_json"
-    n.write.mode("overwrite").json(path)
+    # Derive the JSON input once per process per sf_dir (cached): repeated
+    # builder calls (bench min-of-2 passes, oracle pre-flight + driver)
+    # must not each run a write job or leak a fresh temp dir.
+    path = _JSON_SRC_CACHE.get(sf_dir)
+    if path is None:
+        n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        path = tempfile.mkdtemp(prefix="dils_json_src_") + "/nation_json"
+        n.write.mode("overwrite").json(path)
+        _JSON_SRC_CACHE[sf_dir] = path
     schema = StructType(
         [
             StructField("n_nationkey", IntegerType()),

@@ -233,10 +233,10 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_from_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
-           (json_extract(props, '$.k') IS NOT NULL) AS parsed_ok,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           (TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL) AS parsed_ok,
            CASE WHEN json_valid('not json')
-                THEN CAST(json_extract('not json', '$.k') AS BIGINT)
+                THEN TRY_CAST(json_extract_string('not json', '$.k') AS BIGINT)
                 ELSE NULL END AS malformed_k
     FROM events
     """,

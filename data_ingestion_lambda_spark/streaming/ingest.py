@@ -43,7 +43,13 @@ class IngestPaths:
     log_dir: str | None = None  # ingestion log (audit twin)
 
 
-def _process_batch(spark: SparkSession, paths: IngestPaths, batch: DataFrame, batch_id: int) -> None:
+def _process_batch(
+    spark: SparkSession,
+    paths: IngestPaths,
+    batch: DataFrame,
+    batch_id: int,
+    processed_dates: set | None = None,
+) -> None:
     # Last-writer-wins order = (_source_file, _ingest_seq): the reference
     # processes files sequentially in date order (src/s3_processor.py:78),
     # and date-partitioned drop paths sort lexicographically by date, so
@@ -52,12 +58,14 @@ def _process_batch(spark: SparkSession, paths: IngestPaths, batch: DataFrame, ba
     # ties within one file (monotonic per split).
     batch = batch.withColumn("_ingest_seq", F.monotonically_increasing_id())
     good, quarantined = normalize_consumption(batch)
-    upsert_into_parquet(
+    written = upsert_into_parquet(
         spark,
         paths.target_dir,
         good.withColumnRenamed("_source_file", "_file_seq"),
         order_cols=["_file_seq", "_ingest_seq"],
     )
+    if processed_dates is not None:
+        processed_dates.update(written)
 
     if paths.quarantine_dir is not None:
         (
@@ -81,8 +89,11 @@ def run_ingest_available_now(
     paths: IngestPaths,
     max_files_per_trigger: int | None = None,
     path_glob: str = "*.csv",
-) -> None:
+) -> list[str]:
     """One scheduled 'invocation': drain all new files, then stop.
+    Returns the sorted date values THIS invocation wrote (the reference
+    handler's ``processed_dates`` response field, lambda_handler.py:96-102
+    — a no-op run returns []).
 
     Re-running later picks up files that landed since — including files for
     OLD dates (late backfill) — because discovery is by file, not by a
@@ -100,12 +111,16 @@ def run_ingest_available_now(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.csv(paths.source_dir).withColumn("_source_file", F.input_file_name())
 
+    processed_dates: set = set()
     query = (
         raw.writeStream.foreachBatch(
-            lambda batch, batch_id: _process_batch(spark, paths, batch, batch_id)
+            lambda batch, batch_id: _process_batch(
+                spark, paths, batch, batch_id, processed_dates
+            )
         )
         .option("checkpointLocation", paths.checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
+    return sorted(str(d) for d in processed_dates)

@@ -46,6 +46,18 @@ def test_cli_ingest_reports_dates(spark, tmp_path, capsys):
     assert out["processed_dates"] == ["2025-05-01", "2025-05-02"]
     assert spark.read.parquet(target).count() == 2
 
+    # a no-op re-invocation (checkpoint drains nothing) reports NO dates —
+    # the per-invocation contract of the reference handler
+    rc = cli.main([
+        "ingest",
+        "--source", str(tmp_path / "drops"),
+        "--target", target,
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["processed_dates"] == []
+
 
 def test_compact_collapses_small_files(spark, tmp_path):
     target = str(tmp_path / "consumptions")
