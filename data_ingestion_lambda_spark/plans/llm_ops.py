@@ -781,3 +781,58 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= _STRATUM_SAMPLE_K)
     )
+
+
+@register(
+    "dedup_cross_split_contamination",
+    oracle=f"""
+    WITH s AS (
+        SELECT md5(text) AS content_hash,
+               CASE WHEN {_SQL_DOC_HASH} % 100 < {_SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {_SQL_DOC_HASH} % 100 < {_SPLIT_VALID_PCT} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents),
+    groups AS (
+        SELECT content_hash,
+               COUNT(*) AS n_docs,
+               len(list_distinct(list(split))) AS n_splits,
+               array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+        FROM s GROUP BY content_hash)
+    SELECT splits, n_splits, COUNT(*) AS n_groups, SUM(n_docs) AS n_docs,
+           (n_splits >= 2) AS is_contaminated
+    FROM groups GROUP BY splits, n_splits
+    """,
+    tags=("llm", "dedup", "split"),
+)
+def dedup_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: per split-profile counts of exact-
+    content groups; profiles with ``n_splits >= 2`` are texts whose
+    duplicates leak ACROSS splits — the decontamination gate every eval
+    pipeline needs (a test document whose duplicate sits in train silently
+    inflates benchmark scores). The full profile (not just the offenders)
+    keeps the audit non-vacuous on a clean corpus.
+
+    Composes split_train_test's assignment with dedup_exact_text's
+    content hashing. Scale: one shuffle on the 16-byte content hash
+    (never the text) + one tiny profile rollup."""
+    d = t(spark, sf_dir, "documents")
+    h = _doc_hash() % 100
+    split = (
+        F.when(h < _SPLIT_TRAIN_PCT, "train")
+        .when(h < _SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    groups = (
+        d.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), split.alias("split"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.size(F.collect_set("split")).alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+        )
+    )
+    return (
+        groups.groupBy("splits", "n_splits")
+        .agg(F.count("*").alias("n_groups"), F.sum("n_docs").alias("n_docs"))
+        .withColumn("is_contaminated", F.col("n_splits") >= 2)
+    )
