@@ -100,7 +100,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
 
-_N_PLANES = 4  # axis-aligned sign hyperplanes → 16 buckets
+# Axis-aligned sign hyperplanes → 2^_N_PLANES buckets. The plane count is
+# the scale knob: size it so a bucket holds a joinable number of vectors
+# (planes ≈ log2(corpus / target_bucket_size)); the bucket expression and
+# its SQL twin below are both generated from this one constant, so both
+# engines move together. 4 planes = 16 buckets fits the demo corpus;
+# 10^10 vectors would use ~24 planes (or multiple rotated tables for
+# recall, as dedup_simhash does with its 4 block tables).
+_N_PLANES = 4
+
+
+def _sql_bucket(n_planes: int = _N_PLANES) -> str:
+    return " + ".join(
+        f"(CASE WHEN ve[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_planes)
+    )
 
 
 @register(
@@ -108,10 +121,7 @@ _N_PLANES = 4  # axis-aligned sign hyperplanes → 16 buckets
     oracle=f"""
     WITH v AS (
         SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm,
-               (CASE WHEN ve[1] > 0 THEN 1 ELSE 0 END) +
-               (CASE WHEN ve[2] > 0 THEN 2 ELSE 0 END) +
-               (CASE WHEN ve[3] > 0 THEN 4 ELSE 0 END) +
-               (CASE WHEN ve[4] > 0 THEN 8 ELSE 0 END) AS bucket
+               {_sql_bucket()} AS bucket
         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
     q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qnrm, bucket
           FROM v WHERE vec_id < {N_QUERIES}),
@@ -201,12 +211,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEARDUP_THRESHOLD = 0.35  # synthetic embeddings are random; max pairwise ~0.51
 
 
-_SQL_BUCKET = (
-    "(CASE WHEN ve[1] > 0 THEN 1 ELSE 0 END) + "
-    "(CASE WHEN ve[2] > 0 THEN 2 ELSE 0 END) + "
-    "(CASE WHEN ve[3] > 0 THEN 4 ELSE 0 END) + "
-    "(CASE WHEN ve[4] > 0 THEN 8 ELSE 0 END)"
-)
+_SQL_BUCKET = _sql_bucket()
 
 
 @register(

@@ -130,6 +130,22 @@ class TestUpsert:
         got = {str(r["date"]): r["total_consumed_tokens"] for r in spark.read.parquet(target).collect()}
         assert got == {"2025-05-01": 1, "2025-05-02": 20}
 
+    def test_stale_staging_dir_is_invisible_and_harmless(self, spark, tmp_path):
+        """A crash can leave a .staging-* dir behind; dot-prefixed dirs are
+        ignored by Spark's file listing, so reads and later upserts must be
+        unaffected."""
+        target = str(tmp_path / "consumptions")
+        self._ingest(spark, target, [("2025-05-01", "CLI001", "A", "S", "1")])
+        stale = os.path.join(target, ".staging-deadbeef", "date=2025-05-09")
+        os.makedirs(stale)
+        with open(os.path.join(stale, "part-00000.parquet"), "wb") as f:
+            f.write(b"not really parquet")
+
+        assert spark.read.parquet(target).count() == 1  # stale dir invisible
+        self._ingest(spark, target, [("2025-05-02", "CLI002", "B", "S", "2")])
+        got = {str(r["date"]) for r in spark.read.parquet(target).collect()}
+        assert got == {"2025-05-01", "2025-05-02"}
+
     def test_idempotent_rerun(self, spark, tmp_path):
         target = str(tmp_path / "consumptions")
         batch = [("2025-05-01", "CLI001", "A", "S", "1"), ("2025-05-01", "CLI002", "B", "S", "2")]
