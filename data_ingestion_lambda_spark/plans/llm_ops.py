@@ -836,3 +836,92 @@ def dedup_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("*").alias("n_groups"), F.sum("n_docs").alias("n_docs"))
         .withColumn("is_contaminated", F.col("n_splits") >= 2)
     )
+
+
+@register(
+    "text_top_terms",
+    oracle=f"""
+    SELECT tok, n_occurrences, n_docs, rank FROM (
+        SELECT tok, n_occurrences, n_docs,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, tok) AS rank
+        FROM (
+            SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+            FROM (SELECT doc_id, UNNEST({SQL_TOKENS}) AS tok FROM documents)
+            GROUP BY tok))
+    WHERE rank <= 25
+    """,
+    tags=("llm", "text"),
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-25 tokens by total occurrences
+    with document frequency — the exact counterpart of a count-min/TopK
+    sketch, and the table a stopword list or a hot-shingle cap is derived
+    from.
+
+    Scale: explode → two-level agg. The per-token count partial-aggregates
+    map-side; COUNT(DISTINCT doc_id) Spark plans via Expand (skew-safe
+    two-phase, no giant per-token sets); final top-25 is a single tiny
+    TakeOrdered."""
+    d = t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    counts = ex.groupBy("tok").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    # orderBy+limit plans TakeOrderedAndProject (per-partition top-25 then
+    # a 25-row merge) — never a global single-partition sort of the whole
+    # vocabulary; the rank window then runs over just 25 rows.
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("tok")).limit(25)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("tok"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "tok", "n_occurrences", "n_docs", "rank"
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, UNNEST({SQL_TOKENS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tok,
+               CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n)
+    SELECT doc_id, tok, tfidf, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, tok) AS rank
+        FROM scored)
+    WHERE rank <= 3
+    """,
+    tags=("llm", "text"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms by TF-IDF with a RATIONAL idf
+    (``tf · N / df`` — exact integer numerator, one double division) —
+    deliberately not ``ln(N/df)``: libm vs JVM transcendentals differ in
+    the last ulp, rational idf is bit-identical across engines and ranks
+    terms the same way (log is monotone in N/df; only the per-doc ranking
+    matters here).
+
+    Scale: tf is a (doc, token) agg off the exploded scan; df is the
+    inverted-index document frequency (Expand-based distinct, skew-safe);
+    N broadcasts as a literal join. All shuffles key on token or doc —
+    never all-pairs."""
+    d = t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokens("text")).alias("tok")).persist()
+    tf = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = ex.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: one number to the driver, re-broadcast as literal
+    scored = tf.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tfidf", "rank")
+    )
