@@ -23,8 +23,26 @@ from data_ingestion_lambda_spark.plans._util import t
 # then the remaining columns as tie-breakers (a real ingest uses _ingest_seq).
 _ORDER_SQL = "l_quantity DESC, l_extendedprice DESC, l_partkey, l_suppkey, l_discount, l_tax"
 
-# sf_dir -> temp JSON path already derived in this process (source_json_lines).
-_JSON_SRC_CACHE: dict[str, str] = {}
+# (sf_dir, format) -> temp path already derived in this process.
+_ROUNDTRIP_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _roundtrip_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write nation once per process per (sf_dir, format) into a temp dir
+    and return the path — repeated builder calls (bench min-of-2 passes,
+    oracle pre-flight + driver) must not each run a write job or leak a
+    fresh temp dir."""
+    key = (sf_dir, fmt)
+    path = _ROUNDTRIP_CACHE.get(key)
+    if path is None:
+        n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        path = tempfile.mkdtemp(prefix=f"dils_{fmt}_src_") + f"/nation_{fmt}"
+        writer = n.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        writer.format(fmt).save(path)
+        _ROUNDTRIP_CACHE[key] = path
+    return path
 
 
 @register(
@@ -102,15 +120,7 @@ def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.read.json`` under an explicit schema. No schema inference — at
     100 TB inference is a full extra pass over the data; production JSON
     reads always carry a declared schema."""
-    # Derive the JSON input once per process per sf_dir (cached): repeated
-    # builder calls (bench min-of-2 passes, oracle pre-flight + driver)
-    # must not each run a write job or leak a fresh temp dir.
-    path = _JSON_SRC_CACHE.get(sf_dir)
-    if path is None:
-        n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-        path = tempfile.mkdtemp(prefix="dils_json_src_") + "/nation_json"
-        n.write.mode("overwrite").json(path)
-        _JSON_SRC_CACHE[sf_dir] = path
+    path = _roundtrip_path(spark, sf_dir, "json")
     schema = StructType(
         [
             StructField("n_nationkey", IntegerType()),
@@ -119,6 +129,47 @@ def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source", "csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source under a declared schema (SURVEY §2.1 S2 — the
+    reference's whole input surface is headered CSV,
+    src/s3_processor.py:87-94): round-trips nation through headered CSV
+    files and reads it back with the same explicit-schema, no-inference
+    discipline as the ingestion source (sources/csv_source.py)."""
+    path = _roundtrip_path(spark, sf_dir, "csv")
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink (SURVEY §2.1 S9 family — the other columnar format
+    Spark ships natively): nation through ORC and back. Like parquet, ORC
+    carries its schema in the footer and supports predicate pushdown, so
+    the read plans identically to the parquet catalog path."""
+    path = _roundtrip_path(spark, sf_dir, "orc")
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
 
 
 @register(
