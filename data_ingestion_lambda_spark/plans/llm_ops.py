@@ -625,10 +625,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (The per-row formulation — 64 nested array-folds per document — runs
     # interpreted and is ~50x slower; exploding converts it into vectorized
     # relational work, which is also the shape that scales on a cluster.)
-    th = d.select("doc_id", F.explode(tokens("text")).alias("tok")).select(
-        "doc_id",
-        polyhash(F.col("tok")).alias("h1"),
-        polyhash131(F.col("tok")).alias("h2"),
+    # Both hashes come from ONE char scan: a struct accumulator folds
+    # (h1, h2) together, halving the per-token split+fold work vs calling
+    # polyhash and polyhash131 separately (HOF folds run interpreted, so
+    # the pass count matters).
+    codes = F.transform(F.split(F.col("tok"), ""), lambda ch: F.ascii(ch).cast("long"))
+    pair = F.aggregate(
+        codes,
+        F.struct(
+            F.lit(0).cast("long").alias("h1"), F.lit(0).cast("long").alias("h2")
+        ),
+        lambda acc, x: F.struct(
+            ((acc["h1"] * 31 + x) % P).alias("h1"), ((acc["h2"] * 131 + x) % P).alias("h2")
+        ),
+    )
+    th = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", pair.alias("hp"))
+        .select("doc_id", F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
     )
     # Bits 30/31 of each 32-bit half are provably zero (polyhash < 2^30, so
     # every token votes -1 there — in the oracle too); skipping them avoids
