@@ -7,6 +7,7 @@ from data_ingestion_lambda_spark.plans import setops  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import scalars  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import llm_ops  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import similarity  # noqa: E402,F401
+from data_ingestion_lambda_spark.plans import graph_ops  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import multimodal  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import ingest_queries  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import events_queries  # noqa: E402,F401
@@ -56,9 +57,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # text analysis
     "text_token_stats",
     "text_fingerprint",
-    # deduplication suite
+    # deduplication suite (exact_keys shares exact_text's hash-groupBy
+    # shape and overflows; the iterative CC cluster assignment is a new
+    # physical shape and takes the slot)
     "dedup_exact_text",
-    "dedup_exact_keys",
+    "dedup_cluster_assign",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -409,9 +409,11 @@ _SQL_SHINGLE_HASHES = (
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# Full SQL twin of the MinHash-LSH near-dup pipeline. Module-level so
+# downstream operators (duplicate-cluster connected components in
+# graph_ops.py) can embed the same pair generation as a CTE and stay
+# bit-identical with the Spark side.
+MINHASH_PAIRS_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
     th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS th FROM toks),
     hs AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hh FROM th),
@@ -436,7 +438,12 @@ _SQL_SHINGLE_HASHES = (
     JOIN sig sb ON doc_b = sb.doc_id
     WHERE CAST(len(list_filter(generate_series(1, {NUM_HASHES}),
                                i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {NUM_HASHES} >= 0.5
-    """,
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=MINHASH_PAIRS_ORACLE,
     tags=("llm", "dedup"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
