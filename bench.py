@@ -39,7 +39,9 @@ HEADLINE = [
     "dedup_exact_text",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_cluster_assign",
     "dedup_simhash",
+    "text_repetition_signals",
     "text_quality_score",
     "text_fingerprint",
     "text_bpe_token_count",

@@ -17,9 +17,9 @@ in boilerplate-heavy crawls) would take 1M shuffles; star contraction takes
 Scale notes (100 TB):
 - State per round is the edge list only (two longs per edge); document
   text/signatures never enter the iteration.
-- Each round persists its (small) edge list and unpersists the previous
-  one, so lineage stays O(1) and a round's shuffle reads the materialized
-  previous round, not the whole upstream LSH pipeline.
+- Each round eagerly localCheckpoints its (small) edge list, so both
+  lineage and the logical plan stay O(1) and a round's shuffle reads the
+  materialized previous round, not the whole upstream LSH pipeline.
 - Convergence is detected with a count()+exceptAll emptiness check — a
   driver-side *aggregate* (one long per round), never a data collect.
 - Rounds are capped; the cap is a correctness guard (raise, don't return
@@ -36,9 +36,22 @@ from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.plans._util import t
 from data_ingestion_lambda_spark.plans.llm_ops import MINHASH_PAIRS_ORACLE, dedup_minhash_lsh
-from data_ingestion_lambda_spark.plans.registry import register
+from data_ingestion_lambda_spark.plans.registry import REGISTRY, register
 
 _MAX_ROUNDS = 40  # >> log^2(n) for any realistic corpus
+
+# Edge rows per partition for the iteration state (two longs + overhead
+# ≈ 16 B/row → ~64 MB partitions). The LSH pair graph is orders of
+# magnitude smaller than the corpus, so without this the per-round stages
+# inherit the corpus-sized shuffle partition count and scheduling overhead
+# dominates (localCheckpoint materializes the pre-AQE plan, so AQE's
+# coalescing never sees the iteration's tiny stages).
+_EDGES_PER_PARTITION = 4_000_000
+
+
+def _edge_parts(spark: SparkSession, n_edges: int) -> int:
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cap, (n_edges + _EDGES_PER_PARTITION - 1) // _EDGES_PER_PARTITION))
 
 
 def _neighbors(edges: DataFrame) -> DataFrame:
@@ -88,10 +101,18 @@ def connected_components(edges: DataFrame) -> DataFrame:
     # 53 s for round 2 at sf0.01 vs 0.3 s checkpointed. Checkpointing cuts
     # the plan to a leaf; the dropped round-(n-1) blocks are GC'd by the
     # ContextCleaner once unreferenced.
+    spark = edges.sparkSession
     cur = edges.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
     n_cur = cur.count()
+    # coalesce (narrow, no shuffle) the checkpointed state to a size-derived
+    # partition count so each round's ~6 stages schedule O(state) tasks,
+    # not O(corpus-shuffle-partitions) tasks; n from the previous round is
+    # the estimate (edge count is non-increasing under star contraction).
+    cur = cur.coalesce(_edge_parts(spark, n_cur))
     for _ in range(_MAX_ROUNDS):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nxt = _small_star(_large_star(cur)).localCheckpoint().coalesce(
+            _edge_parts(spark, n_cur)
+        )
         n_next = nxt.count()
         stable = n_next == n_cur and _canonical(nxt).exceptAll(_canonical(cur)).isEmpty()
         cur, n_cur = nxt, n_next
@@ -180,3 +201,87 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cluster_size"))
         .where(F.col("cluster_size") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation decision (dedup x quality x repetition)
+# ---------------------------------------------------------------------------
+
+# Thresholds chosen against the corpus distribution (sf0.01: dup_2gram
+# median 0.028 / max 0.133; top_1gram median 0.093 / max 0.30) so the
+# filter genuinely splits the data. Fractions are exact-integer divisions,
+# so threshold comparisons are bit-identical across engines.
+_MAX_DUP_2GRAM = 0.05
+_MAX_TOP_1GRAM = 0.2
+
+_REP_ORACLE = REGISTRY["text_repetition_signals"].oracle
+_QUAL_ORACLE = REGISTRY["text_quality_score"].oracle
+
+
+@register(
+    "corpus_keep_decision",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    assign AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    rep AS ({_REP_ORACLE}),
+    qual AS ({_QUAL_ORACLE}),
+    flags AS (
+        SELECT d.doc_id,
+               COALESCE(a.cluster_id, d.doc_id) <> d.doc_id AS is_duplicate,
+               q.passes_quality,
+               (r.dup_2gram_frac > {_MAX_DUP_2GRAM}
+                OR r.top_1gram_frac > {_MAX_TOP_1GRAM}) AS is_repetitive
+        FROM documents d
+        LEFT JOIN assign a ON d.doc_id = a.id
+        JOIN rep r ON d.doc_id = r.doc_id
+        JOIN qual q ON d.doc_id = q.doc_id
+    )
+    SELECT doc_id,
+           (NOT is_duplicate AND passes_quality AND NOT is_repetitive) AS keep,
+           CASE WHEN is_duplicate THEN 'duplicate'
+                WHEN NOT passes_quality THEN 'quality'
+                WHEN is_repetitive THEN 'repetition' END AS drop_reason
+    FROM flags
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's terminal operator: one keep/drop verdict per
+    document composed from near-dup clustering (transitive, canonical-min
+    survives), the heuristic quality gate, and Gopher-style repetition
+    thresholds — precedence duplicate > quality > repetition.
+
+    Scale: three doc-keyed aggregates joined on doc_id (each upstream is
+    shuffle-bounded as documented in its own operator); the join is
+    co-partitioned on the same key, no payload text moves.
+    """
+    from data_ingestion_lambda_spark.plans.llm_ops import (
+        text_quality_score,
+        text_repetition_signals,
+    )
+
+    rep = text_repetition_signals(spark, sf_dir).select(
+        "doc_id", "dup_2gram_frac", "top_1gram_frac"
+    )
+    qual = text_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
+    clus = dedup_cluster_assign(spark, sf_dir).select("doc_id", "is_duplicate")
+    j = clus.join(rep, "doc_id").join(qual, "doc_id")
+    is_rep = (F.col("dup_2gram_frac") > _MAX_DUP_2GRAM) | (
+        F.col("top_1gram_frac") > _MAX_TOP_1GRAM
+    )
+    keep = ~F.col("is_duplicate") & F.col("passes_quality") & ~is_rep
+    reason = (
+        F.when(F.col("is_duplicate"), "duplicate")
+        .when(~F.col("passes_quality"), "quality")
+        .when(is_rep, "repetition")
+    )
+    return j.select("doc_id", keep.alias("keep"), reason.alias("drop_reason"))

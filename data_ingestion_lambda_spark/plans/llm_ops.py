@@ -946,3 +946,105 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "tok", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+_REP_NS = (1, 2, 3)
+
+
+def _sql_grams(n: int) -> str:
+    if n == 1:
+        return "UNNEST(w)"
+    join = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
+    return f"UNNEST(list_transform(generate_series(1, len(w) - {n - 1}), i -> {join}))"
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    grams AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {n} AS n, {_sql_grams(n)} AS g FROM toks" for n in _REP_NS)}
+    ),
+    counts AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g),
+    agg AS (
+        SELECT doc_id,
+               {", ".join(f"SUM(CASE WHEN n = {n} THEN c END) AS t{n}, "
+                          f"COUNT(CASE WHEN n = {n} THEN 1 END) AS d{n}, "
+                          f"MAX(CASE WHEN n = {n} THEN c END) AS m{n}" for n in _REP_NS)}
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {", ".join(f"COALESCE(CAST(t{n} - d{n} AS DOUBLE) / t{n}, 0.0) AS dup_{n}gram_frac, "
+                      f"COALESCE(CAST(m{n} AS DOUBLE) / t{n}, 0.0) AS top_{n}gram_frac"
+                      for n in _REP_NS)}
+    FROM agg
+    """,
+    tags=("llm", "text"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: for n in {1,2,3}, the
+    fraction of n-gram occurrences that are repeats (1 - distinct/total)
+    and the share taken by the single most frequent n-gram. These are the
+    standard "drop boilerplate/spam" quality-filter inputs (Rae et al.,
+    Gopher, arXiv:2112.11446 §A1.1 — adapted to token n-grams; the corpus
+    has no line structure).
+
+    Scale: ONE explode of a per-row (n, gram) struct array feeds ONE
+    (doc_id, n, gram) count agg and ONE conditional-sum rollup per doc —
+    two map-side-combining shuffles keyed by doc, no joins, no windows;
+    text itself never shuffles (grams do).
+    """
+    d = t(spark, sf_dir, "documents")
+
+    def _gram_structs() -> Column:
+        def gram_lambda(w: Column, n: int):
+            # closure factory — a `lambda i, _n=n:` default arg would make
+            # F.transform see TWO parameters and pass (element, index)
+            def mk(i: Column) -> Column:
+                return F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]).alias("g"),
+                )
+
+            return mk
+
+        def build(w: Column) -> Column:
+            parts = []
+            for n in _REP_NS:
+                if n == 1:
+                    g = F.transform(w, lambda x: F.struct(F.lit(1).alias("n"), x.alias("g")))
+                else:
+                    g = F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+                        gram_lambda(w, n),
+                    )
+                parts.append(g)
+            return F.concat(*parts)
+
+        return bind(tokens("text"), build)
+
+    ex = d.select("doc_id", F.explode(_gram_structs()).alias("s")).select(
+        "doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g")
+    )
+    counts = ex.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+    aggs = []
+    for n in _REP_NS:
+        is_n = F.col("n") == n
+        aggs += [
+            F.sum(F.when(is_n, F.col("c"))).alias(f"t{n}"),
+            F.count(F.when(is_n, F.lit(1))).alias(f"d{n}"),
+            F.max(F.when(is_n, F.col("c"))).alias(f"m{n}"),
+        ]
+    rolled = counts.groupBy("doc_id").agg(*aggs)
+    out_cols = [F.col("doc_id")]
+    for n in _REP_NS:
+        t_, d_, m_ = F.col(f"t{n}"), F.col(f"d{n}"), F.col(f"m{n}")
+        out_cols += [
+            F.coalesce((t_ - d_).cast("double") / t_, F.lit(0.0)).alias(f"dup_{n}gram_frac"),
+            F.coalesce(m_.cast("double") / t_, F.lit(0.0)).alias(f"top_{n}gram_frac"),
+        ]
+    return rolled.select(*out_cols)

@@ -719,3 +719,47 @@ def subq_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE o.o_custkey = c.c_custkey) >= 20
         ORDER BY c_custkey
     """)
+
+
+# ---------------------------------------------------------------------------
+# Skew handling: salted two-phase aggregation
+# ---------------------------------------------------------------------------
+
+_N_SALT = 32  # salt fan-out; sized to the executor count at deploy time
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a pathologically low-cardinality
+    key (l_returnflag: 3 values). A plain groupBy routes EVERY row of a
+    hot key through one reducer — the classic skew bottleneck at 100 TB.
+    Salting splits phase 1 into (key, salt) groups (bounded fan-in per
+    reducer: ~rows/(keys*_N_SALT)), then phase 2 merges _N_SALT partial
+    rows per key — decomposable aggregates (sum/count/max) make the
+    rewrite semantics-preserving, which the plain-GROUP-BY oracle proves.
+
+    The salt is derived from a uniformly-distributed existing column
+    (l_orderkey) rather than rand() so the query stays deterministic and
+    retry-safe (a re-executed task re-salts identically).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(_N_SALT)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(dec("l_quantity")).alias("pq"),
+        F.max("l_extendedprice").alias("pm"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+        F.max("pm").cast("double").alias("max_price"),
+    )
