@@ -29,6 +29,7 @@ HEADLINE = [
     "q10_returned_items",
     "join_broadcast_dims",
     "join_right_outer",
+    "agg_salted_skew",
     "scalar_to_json",
     "win_topk_per_group",
     "win_running_sum",

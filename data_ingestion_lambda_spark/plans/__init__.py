@@ -45,18 +45,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "win_topk_per_group",
     "win_lag_lead",
     "win_running_sum",
-    # set operations (ALL variants are the stricter shapes)
+    # set operations (ALL variants are the stricter shapes; intersect_all
+    # overflows — except_all covers the same Expand+agg physical family)
     "setop_union_all",
-    "setop_intersect_all",
     "setop_except_all",
+    # skew-rewrite aggregation (two-phase salted)
+    "agg_salted_skew",
     # scalar function families
     "scalar_date_parse_chain",
     "scalar_json",
     "scalar_to_json",
-    "scalar_null_handling",
-    # text analysis
+    # end-to-end curation verdict (transitively exercises dup clustering,
+    # the quality gate, and repetition thresholds in one driver row)
+    "corpus_keep_decision",
+    # text analysis (fingerprint overflows: same per-row codegen family as
+    # token_stats; repetition signals add the explode+rollup shape)
     "text_token_stats",
-    "text_fingerprint",
+    "text_repetition_signals",
     # deduplication suite (exact_keys shares exact_text's hash-groupBy
     # shape and overflows; the iterative CC cluster assignment is a new
     # physical shape and takes the slot)
