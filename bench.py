@@ -27,6 +27,8 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q10_returned_items",
+    "q09_product_profit",
+    "q18_large_volume_customer",
     "join_broadcast_dims",
     "join_right_outer",
     "agg_salted_skew",

@@ -2,6 +2,7 @@ from data_ingestion_lambda_spark.plans.registry import REGISTRY, QuerySpec, all_
 
 # Importing these modules populates REGISTRY via @register decorators.
 from data_ingestion_lambda_spark.plans import relational  # noqa: E402,F401
+from data_ingestion_lambda_spark.plans import tpch  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import windows  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import setops  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import scalars  # noqa: E402,F401
@@ -38,8 +39,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # sort / scan
     "sort_topk_global",
     "filter_pushdown_scan",
-    # correlated subqueries
-    "subq_exists_correlated",
+    # correlated subqueries (q21 subsumes subq_exists_correlated's shape:
+    # EXISTS + correlated NOT EXISTS + interval predicate on two tables)
+    "q21_suppliers_kept_waiting",
     "subq_scalar_correlated",
     # window families (ranking / analytic / frame)
     "win_topk_per_group",
