@@ -241,3 +241,35 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.user_id").alias("user_id"),
         F.col("b.value").alias("purchase_value"),
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_unpivot_daily",
+    oracle=f"""
+    WITH days AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+    types AS (
+        SELECT UNNEST([{", ".join(f"'{t_}'" for t_ in _EVENT_TYPES)}]) AS event_type),
+    counts AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+    FROM days d
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+    """,
+    tags=("events", "agg"),
+)
+def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the daily pivot table back to long form — one
+    (day, event_type, n) row per cell INCLUDING the explicit zeros the
+    pivot's fill created, which is what distinguishes unpivot semantics
+    from a plain re-aggregation (the oracle rebuilds the dense grid with
+    a days x types cross join). Wide->long is a per-row Expand, no
+    shuffle beyond the upstream pivot's."""
+    wide = events_pivot_daily(spark, sf_dir)
+    return wide.unpivot("day", list(_EVENT_TYPES), "event_type", "n")

@@ -36,6 +36,11 @@ def _roundtrip_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     path = _ROUNDTRIP_CACHE.get(key)
     if path is None:
         n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        if fmt == "text":
+            # text sink takes exactly one string column
+            n = n.select(
+                F.concat_ws("\t", "n_nationkey", "n_name", "n_regionkey").alias("value")
+            )
         path = tempfile.mkdtemp(prefix=f"dils_{fmt}_src_") + f"/nation_{fmt}"
         writer = n.write.mode("overwrite")
         if fmt == "csv":
@@ -196,4 +201,25 @@ def audit_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lit(None).cast("bigint"), F.lit(0)).alias("tokens_coerced"),
         F.lit(True).alias("is_active"),
         F.to_date("o_orderdate").alias("partition_date"),
+    )
+
+
+@register(
+    "source_text_lines",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source", "text"),
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line source (``spark.read.text`` — the last built-in file
+    format not otherwise exercised): round-trips nation through
+    tab-delimited lines and re-parses the columns with one codegen
+    ``split``. The raw-lines → parse-in-engine split is the production
+    shape for log-style inputs: the scan stays a dumb splittable read and
+    all structure recovery is Catalyst expressions."""
+    path = _roundtrip_path(spark, sf_dir, "text")
+    parts = F.split(F.col("value"), "\t")
+    return spark.read.text(path).select(
+        F.element_at(parts, 1).cast("int").alias("n_nationkey"),
+        F.element_at(parts, 2).alias("n_name"),
+        F.element_at(parts, 3).cast("int").alias("n_regionkey"),
     )
