@@ -763,3 +763,30 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pq").cast("double").alias("sum_qty"),
         F.max("pm").cast("double").alias("max_price"),
     )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey DESC)[:5], ',')
+               AS top5_keys,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect_list -> top-5 slice, surfaced as a joined string so
+    the cross-engine value hash is canonical. collect_list has no intra-
+    group order guarantee in a distributed agg, so the sort happens AFTER
+    collection (sort_array desc + slice) — the only portable semantics."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("o_orderkey"), asc=False), 1, 5), ","
+        ).alias("top5_keys"),
+        F.count("*").alias("n"),
+    )

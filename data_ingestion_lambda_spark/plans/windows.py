@@ -216,3 +216,41 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").cast("double").alias("s_acctbal"),
         F.count("*").over(w).alias("n_within_500"),
     )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+    SELECT n_name, s_suppkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(nth_value(s_acctbal, 3) OVER (
+               PARTITION BY n_name ORDER BY s_acctbal, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS DOUBLE) AS third_lowest
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal, s_suppkey)
+    """,
+    tags=("window",),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: percent_rank / cume_dist / nth_value
+    per nation (the remaining SQL-window functions not covered by the
+    ranking/analytic/frame queries). Suppkey tie-break keeps both
+    engines' orderings identical; nth_value needs the full-partition
+    frame (default frame stops at CURRENT ROW in both engines)."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "s_suppkey",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.nth_value("s_acctbal", 3).over(wfull).cast("double").alias("third_lowest"),
+        )
+    )
