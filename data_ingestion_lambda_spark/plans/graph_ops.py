@@ -31,7 +31,7 @@ Reference has no analog (459-line ingest pipeline); this extends SURVEY
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.plans._util import t
@@ -59,25 +59,35 @@ def _neighbors(edges: DataFrame) -> DataFrame:
     return edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
+# Both stars compute per-node neighborhood minima with a WINDOW min over
+# the neighbor view rather than groupBy+join: the join would co-locate all
+# of a node's neighbor rows in one partition anyway (identical skew
+# profile), but the window does it in ONE shuffle where groupBy+re-join
+# takes two — at 100 TB each star round saves a full pass over the edge
+# list. Deduplication happens once per round (in small_star), not per star.
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every neighbor v > u to min(N(u) ∪ {u})."""
-    nb = _neighbors(edges)
-    mins = nb.groupBy("u").agg(F.min("v").alias("mn")).select("u", F.least("mn", "u").alias("m"))
+    w = Window.partitionBy("u")
+    nb = _neighbors(edges).withColumn("m", F.least(F.min("v").over(w), F.col("u")))
     return (
-        nb.join(mins, "u")
-        .where(F.col("v") > F.col("u"))
+        nb.where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Connect every neighbor v <= u (and u itself) to min(N≤(u) ∪ {u})."""
-    nb = _neighbors(edges).where(F.col("v") <= F.col("u"))
-    mins = nb.groupBy("u").agg(F.min("v").alias("mn")).select("u", F.least("mn", "u").alias("m"))
-    linked = nb.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
-    self_link = mins.select(F.col("u"), F.col("m").alias("v"))
+    w = Window.partitionBy("u")
+    nb = (
+        _neighbors(edges)
+        .where(F.col("v") <= F.col("u"))
+        .withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    )
+    linked = nb.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_link = nb.select(F.col("u"), F.col("m").alias("v"))
     return linked.union(self_link).where(F.col("u") != F.col("v")).distinct()
 
 
