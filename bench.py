@@ -54,6 +54,7 @@ HEADLINE = [
     "ann_block_matrix_topk",
     "dedup_embedding_cosine",
     "media_byte_features",
+    "media_decode_resize",
     "media_frame_sample",
 ]
 

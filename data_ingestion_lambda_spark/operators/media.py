@@ -198,3 +198,71 @@ def sample_frames(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=FRAME_SCHEMA.fieldNames())
 
     return video.select("doc_id", "payload").mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+THUMB = 32  # thumbnail side for the deterministic resize
+
+DECODE_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("thumb_w", LongType()),
+        StructField("thumb_h", LongType()),
+        StructField("thumb_checksum", LongType()),
+        StructField("sum_c0", LongType()),
+        StructField("sum_c1", LongType()),
+        StructField("sum_c2", LongType()),
+    ]
+)
+
+
+def decode_resize_thumbnail(media: DataFrame) -> DataFrame:
+    """Deterministic fake image codec + nearest-neighbor resize — the REAL
+    decode-stage pipeline (payload bytes → pixel array → resample →
+    features) with an arithmetic codec instead of PIL, so the whole path
+    is exercisable and oracle-checkable in this container.
+
+    Codec: pixel (r, q, ch) of the meta.width × meta.height × channels
+    image is payload byte ((r*width + q)*channels + ch) mod n_bytes (the
+    payload tiles the image plane). Resize: nearest-neighbor to a
+    THUMB×THUMB thumbnail — source row floor(r*height/THUMB), source col
+    floor(q*width/THUMB), the classic integer NN grid. Features: rolling
+    polynomial checksum over the thumbnail in row-major (r, q, ch) order
+    plus exact per-channel byte sums (means = sum/1024 are derived
+    downstream; keeping integer sums keeps the cross-engine hash exact).
+
+    Scale: identical plumbing to a real decoder — Arrow batches in,
+    numpy gather per row, fixed-width feature rows out; swapping in PIL
+    changes only the body of the per-row function.
+    """
+    imgs = media.filter(F.col("meta.kind") == "image").select(
+        "doc_id", "payload", "meta.width", "meta.height", "meta.channels"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, width, height, channels in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"], pdf["channels"]
+            ):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                if n == 0:
+                    rows.append((doc_id, THUMB, THUMB, 0, 0, 0, 0))
+                    continue
+                w, h, c = int(width), int(height), int(channels)
+                rr = (np.arange(THUMB) * h) // THUMB  # source rows
+                qq = (np.arange(THUMB) * w) // THUMB  # source cols
+                base = rr[:, None] * w + qq[None, :]  # THUMB x THUMB
+                idx = (base[:, :, None] * c + np.arange(c)[None, None, :]) % n
+                sample = b[idx]  # THUMB x THUMB x c
+                flat = sample.reshape(-1)
+                hsh = 0
+                for v in flat.tolist():
+                    hsh = (hsh * 31 + v) % P
+                sums = sample.reshape(-1, c).sum(axis=0)
+                rows.append(
+                    (doc_id, THUMB, THUMB, hsh, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(rows, columns=DECODE_RESIZE_SCHEMA.fieldNames())
+
+    return imgs.mapInPandas(decode, schema=DECODE_RESIZE_SCHEMA)

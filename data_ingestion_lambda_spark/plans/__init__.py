@@ -79,9 +79,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_block_matrix_topk",
     # dataset assembly
     "split_train_test",
-    # multimodal
+    # multimodal (byte_features overflows: decode_resize exercises the
+    # same payload->mapInPandas path plus the pixel-gather/resize codec)
     "media_metadata_stats",
-    "media_byte_features",
+    "media_decode_resize",
     "media_frame_sample",
     # ingest semantics + sources
     "upsert_last_writer_wins",

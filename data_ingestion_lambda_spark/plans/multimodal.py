@@ -16,6 +16,7 @@ from data_ingestion_lambda_spark.operators.media import (
     FRAME_BYTES,
     attach_media_columns,
     byte_features,
+    decode_resize_thumbnail,
     sample_frames,
 )
 from data_ingestion_lambda_spark.plans._util import t
@@ -105,3 +106,49 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one row per {FRAME_BYTES}-byte frame) + per-frame checksum."""
     media = attach_media_columns(t(spark, sf_dir, "documents"))
     return sample_frames(media)
+
+
+@register(
+    "media_decode_resize",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id,
+               64 + n_chars % 192 AS w,
+               64 + doc_id % 128 AS h,
+               length(text) AS n,
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT)) AS codes
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    thumb AS (
+        SELECT doc_id,
+               flatten(list_transform(generate_series(0, 31), r ->
+                   flatten(list_transform(generate_series(0, 31), q ->
+                       list_transform(generate_series(0, 2), ch ->
+                           codes[((((r*h)//32)*w + ((q*w)//32))*3 + ch) % n + 1])))))
+                   AS sample
+        FROM img
+    )
+    SELECT doc_id,
+           32 AS thumb_w,
+           32 AS thumb_h,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), sample),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS thumb_checksum,
+           list_sum(list_transform(generate_series(1, 3072),
+                    i -> CASE WHEN (i-1) % 3 = 0 THEN sample[i] ELSE 0 END)) AS sum_c0,
+           list_sum(list_transform(generate_series(1, 3072),
+                    i -> CASE WHEN (i-1) % 3 = 1 THEN sample[i] ELSE 0 END)) AS sum_c1,
+           list_sum(list_transform(generate_series(1, 3072),
+                    i -> CASE WHEN (i-1) % 3 = 2 THEN sample[i] ELSE 0 END)) AS sum_c2
+    FROM thumb
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def media_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize of the image payloads to a 32x32
+    thumbnail via the deterministic fake codec
+    (operators/media.py::decode_resize_thumbnail) — the full binary →
+    pixel-grid → resample → feature pipeline as Arrow-batched mapInPandas,
+    with the DuckDB oracle replaying the identical index arithmetic."""
+    media = attach_media_columns(t(spark, sf_dir, "documents"))
+    return decode_resize_thumbnail(media)

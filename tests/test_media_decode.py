@@ -1,0 +1,64 @@
+"""Pure-reference check of the fake image codec + NN resize, independent
+of the DuckDB oracle: a hand-computed gather over a tiny crafted payload
+must match decode_resize_thumbnail's numpy path exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.media import (
+    P,
+    THUMB,
+    attach_media_columns,
+    decode_resize_thumbnail,
+)
+
+
+def _reference(payload: bytes, w: int, h: int, c: int):
+    n = len(payload)
+    sample = []
+    for r in range(THUMB):
+        for q in range(THUMB):
+            for ch in range(c):
+                idx = (((r * h) // THUMB) * w + ((q * w) // THUMB)) * c + ch
+                sample.append(payload[idx % n])
+    hsh = 0
+    for v in sample:
+        hsh = (hsh * 31 + v) % P
+    sums = [sum(sample[k::c][i] for i in range(len(sample) // c)) for k in range(c)]
+    return hsh, sums
+
+
+def test_decode_resize_matches_reference(spark):
+    # doc_id 0 -> kind 'image'; text of 100 chars -> w = 64 + 100 % 192,
+    # h = 64 + 0 % 128 (attach_media_columns' derivation).
+    text = ("abcdefghij" * 10)[:100]
+    df = spark.createDataFrame([(0, text, 100)], "doc_id long, text string, n_chars long")
+    media = attach_media_columns(df)
+    row = decode_resize_thumbnail(media).collect()[0]
+    w, h, c = 64 + 100 % 192, 64 + 0 % 128, 3
+    hsh, sums = _reference(text.encode(), w, h, c)
+    assert (row.thumb_w, row.thumb_h) == (THUMB, THUMB)
+    assert row.thumb_checksum == hsh
+    assert [row.sum_c0, row.sum_c1, row.sum_c2] == sums
+
+
+def test_non_image_rows_excluded_and_empty_payload_safe(spark):
+    # doc_ids 1, 2 -> audio, video: no thumbnail rows; empty image payload
+    # yields the documented zero row rather than an IndexError.
+    df = spark.createDataFrame(
+        [(1, "aaa", 3), (2, "bbb", 3), (3, "", 0)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = decode_resize_thumbnail(attach_media_columns(df)).collect()
+    assert [(r.doc_id, r.thumb_checksum) for r in rows] == [(3, 0)]
+
+
+def test_payload_pruned_when_unused(spark):
+    # A metadata-only query over the media table must not materialize the
+    # payload column at all (column pruning through the struct) — the
+    # property that makes 100 TB media lakes queryable by metadata.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = attach_media_columns(docs).groupBy(F.col("meta.kind")).count()
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan and "as binary" not in plan
