@@ -1048,3 +1048,52 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(m_.cast("double") / t_, F.lit(0.0)).alias(f"top_{n}gram_frac"),
         ]
     return rolled.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Dedup quality self-measurement
+# ---------------------------------------------------------------------------
+
+# Compose from the two registered pipelines' own SQL (same discipline as
+# ann_lsh_recall) so the measured definitions cannot drift.
+from data_ingestion_lambda_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH exact AS (SELECT doc_a, doc_b FROM ({_REG["dedup_ngram_jaccard"].oracle}) t1),
+         lsh AS (SELECT doc_a, doc_b FROM ({MINHASH_PAIRS_ORACLE}) t2),
+         hits AS (SELECT COUNT(*) AS n_hits FROM exact JOIN lsh USING (doc_a, doc_b))
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM lsh) AS n_lsh,
+           n_hits,
+           CAST(n_hits AS DOUBLE) / (SELECT COUNT(*) FROM exact) AS recall
+    FROM hits
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash-LSH candidate pairs against the exact shingle-
+    Jaccard ground truth (>= 0.8): the dedup twin of ann_lsh_recall. One
+    audit row — n_exact / n_lsh / n_hits / recall — the number a pipeline
+    owner watches when tuning bands x rows.
+
+    Scale: both member pipelines are LSH/inverted-index bounded; the
+    comparison joins two small pair lists on (doc_a, doc_b)."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hits = exact.join(lsh, ["doc_a", "doc_b"])
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
