@@ -220,3 +220,49 @@ def stream_user_profile(events: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_rollup_to_table(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Continuous aggregate: the watermarked tumbling rollup MERGEd into a
+    queryable date-partitioned parquet table as windows update — the
+    hypertable/materialized-rollup pattern (readers always see the current
+    per-window truth, not an append log of revisions).
+
+    Update-mode emissions re-state a window's full aggregate, so the sink
+    is the keyed LWW upsert on (window_start, event_type) ordered by
+    n_events — counts for a window are non-decreasing across emissions,
+    making the merge idempotent under micro-batch replay (exactly-once
+    table state from at-least-once emissions).
+
+    Scale: state is bounded by the watermark (stream side) and the merge
+    rewrites only the date partitions present in the batch (sink side) —
+    both independent of total stream length. Returns the DataStreamWriter
+    (caller starts it)."""
+    from data_ingestion_lambda_spark.operators.upsert import upsert_into_parquet
+
+    agg = stream_tumbling_counts(events, window_size, watermark)
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        b = batch_df.withColumn("date", F.to_date("window_start")).withColumn(
+            "updated_at", F.col("window_end")
+        )
+        upsert_into_parquet(
+            batch_df.sparkSession,
+            target_dir,
+            b,
+            keys=["window_start", "event_type"],
+            order_cols=["n_events"],
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -242,3 +242,62 @@ def test_user_profile_state_accumulates(spark, tmp_path):
     assert latest["max_value"] == pytest.approx(5.0)
     assert latest["last_event_type"] == "C"
     assert latest["last_ts"] == _ts(11, 0)
+
+
+def test_rollup_to_table_updates_in_place(spark, tmp_path):
+    from data_ingestion_lambda_spark.streaming.events import stream_rollup_to_table
+
+    src, ckpt, out = _paths(tmp_path)
+
+    def run():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = stream_rollup_to_table(stream, out, ckpt, "1 hour", "1 hour").start()
+        q.awaitTermination(120)
+
+    # run 1: two A-events in [10,11) and the 13:00 event that advances the
+    # watermark; update mode emits both windows into the rollup table.
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, _ts(10, 5), 1, "A", 1.0, "{}"),
+            (2, _ts(10, 20), 1, "A", 2.0, "{}"),
+            (3, _ts(13, 0), 2, "C", 5.0, "{}"),
+        ],
+    )
+    run()
+    got1 = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {(10, "A"): 2, (13, "C"): 1}
+
+    # run 2: another C in [13,14) — the table row must be UPDATED in
+    # place (no duplicate key); a late 10:40 event is beyond the watermark
+    # and must not change the finalized window; 15:30 opens a new window.
+    _write_batch(
+        spark,
+        src,
+        "b2",
+        [
+            (4, _ts(10, 40), 1, "A", 100.0, "{}"),
+            (5, _ts(13, 10), 2, "C", 6.0, "{}"),
+            (6, _ts(15, 30), 2, "C", 7.0, "{}"),
+        ],
+    )
+    run()
+    rows = spark.read.parquet(out).collect()
+    got2 = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in rows}
+    assert got2 == {(10, "A"): 2, (13, "C"): 2, (15, "C"): 1}
+    assert len(rows) == 3, "rollup must merge, not append revisions"
+
+    # run 3: no new files — replay must leave the table bit-identical.
+    run()
+    again = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got2
