@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.functions.normalize import normalize_consumption
@@ -58,6 +58,18 @@ def _process_batch(
     # ties within one file (monotonic per split).
     batch = batch.withColumn("_ingest_seq", F.monotonically_increasing_id())
     good, quarantined = normalize_consumption(batch)
+    # Audit counts ride the upsert's own jobs via the Observation API —
+    # metrics accumulate while the MERGE materializes `good`, so the log
+    # costs zero extra passes (the previous good.agg() re-ran the whole
+    # normalize pipeline per batch: its plan differed from the upsert's
+    # cached one, so the cache never hit).
+    obs = Observation(f"ingest_batch_{batch_id}")
+    if paths.log_dir is not None:
+        good = good.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_upserted"),
+            F.max("date").alias("max_date"),
+        )
     written = upsert_into_parquet(
         spark,
         paths.target_dir,
@@ -74,11 +86,16 @@ def _process_batch(
             .parquet(paths.quarantine_dir)
         )
     if paths.log_dir is not None:
-        # The audit twin (src/s3_processor.py:147-154) as an append-only table.
-        log = good.agg(
+        # The audit twin (src/s3_processor.py:147-154) as an append-only
+        # table, from the observed metrics. An empty batch short-circuits
+        # the upsert before any job touches the observed plan (metrics
+        # never materialize — obs.get would raise), and `written` is empty
+        # exactly in that case: log the explicit zero row instead.
+        m = obs.get if written else {"rows_upserted": 0, "max_date": None}
+        log = spark.range(1).select(
             F.lit(batch_id).alias("batch_id"),
-            F.count("*").alias("rows_upserted"),
-            F.max("date").alias("max_date"),
+            F.lit(m["rows_upserted"]).cast("long").alias("rows_upserted"),
+            F.lit(m["max_date"]).cast("date").alias("max_date"),
             F.current_timestamp().alias("logged_at"),
         )
         log.write.mode("append").parquet(paths.log_dir)
