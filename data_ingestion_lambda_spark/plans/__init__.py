@@ -10,6 +10,7 @@ from data_ingestion_lambda_spark.plans import llm_ops  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import similarity  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import graph_ops  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import multimodal  # noqa: E402,F401
+from data_ingestion_lambda_spark.plans import pandas_udfs  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import ingest_queries  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import events_queries  # noqa: E402,F401
 
@@ -73,10 +74,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    # similarity search (lsh_bucketed overflows: same bucket-join shape as ivf)
-    "ann_cosine_topk",
+    # similarity search (cosine_topk + lsh_bucketed overflow: brute-force
+    # scoring is subsumed by block_matrix, bucket-join shape by ivf)
     "ann_ivf_topk",
     "ann_block_matrix_topk",
+    # vectorized-UDF surface: grouped-map applyInPandas lane
+    "udf_grouped_map_center",
     # dataset assembly
     "split_train_test",
     # multimodal (byte_features overflows: decode_resize exercises the
