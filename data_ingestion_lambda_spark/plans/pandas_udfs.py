@@ -120,3 +120,31 @@ def udf_grouped_map_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey").applyInPandas(
         center, schema="c_custkey long, c_nationkey int, bal_centered double"
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id, length(text) AS n_chars_arrow
+    FROM documents
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the lowest-overhead vectorized lane — RecordBatches
+    reach Python with no pandas conversion at all; compute runs in Arrow
+    kernels (C++). The right lane when the Python side is itself
+    Arrow-native (tokenizers, Arrow-backed feature stores)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def arrow_len(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.utf8_length(batch.column("text"))],
+                names=["doc_id", "n_chars_arrow"],
+            )
+
+    return d.mapInArrow(arrow_len, schema="doc_id long, n_chars_arrow int")
