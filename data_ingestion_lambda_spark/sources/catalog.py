@@ -32,6 +32,15 @@ ALWAYS_BROADCAST = ("region", "nation")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamp-derived columns (to_date / date_trunc / window) follow the
+    # session timezone, and the DuckDB oracles compute them TZ-naively
+    # (== UTC). Our factory pins UTC at build; pin it at runtime too so a
+    # foreign session (the correctness driver) on a non-UTC host cannot
+    # shift day/window boundaries.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), unreadable by a vanilla
         # session (PARQUET_TYPE_ILLEGAL). Our own factory (session.py) sets
