@@ -729,7 +729,7 @@ def _doc_hash() -> Column:
     oracle=f"""
     SELECT split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM (
         SELECT n_chars,
@@ -819,7 +819,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_distinct(list(split))) AS n_splits,
                array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
         FROM s GROUP BY content_hash)
-    SELECT splits, n_splits, COUNT(*) AS n_groups, SUM(n_docs) AS n_docs,
+    SELECT splits, n_splits, COUNT(*) AS n_groups, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
            (n_splits >= 2) AS is_contaminated
     FROM groups GROUP BY splits, n_splits
     """,
@@ -848,7 +848,7 @@ def dedup_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("content_hash")
         .agg(
             F.count("*").alias("n_docs"),
-            F.size(F.collect_set("split")).alias("n_splits"),
+            F.size(F.collect_set("split")).cast("long").alias("n_splits"),
             F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
         )
     )

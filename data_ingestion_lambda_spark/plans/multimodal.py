@@ -35,10 +35,10 @@ _SQL_KIND = "(['image', 'audio', 'video'])[doc_id % 3 + 1]"
     )
     SELECT kind,
            COUNT(*) AS n_assets,
-           SUM(n_bytes) AS total_bytes,
-           SUM(CASE WHEN kind = 'image' THEN 64 + n_chars % 192 END) AS sum_width,
-           SUM(CASE WHEN kind = 'audio' THEN n_chars * 10 END) AS total_duration_ms,
-           SUM(CASE WHEN kind = 'video' THEN n_bytes // 64 END) AS total_frames
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN kind = 'image' THEN 64 + n_chars % 192 END) AS BIGINT) AS sum_width,
+           CAST(SUM(CASE WHEN kind = 'audio' THEN n_chars * 10 END) AS BIGINT) AS total_duration_ms,
+           CAST(SUM(CASE WHEN kind = 'video' THEN n_bytes // 64 END) AS BIGINT) AS total_frames
     FROM media GROUP BY kind
     """,
     tags=("llm", "multimodal"),
@@ -130,16 +130,16 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM img
     )
     SELECT doc_id,
-           32 AS thumb_w,
-           32 AS thumb_h,
+           CAST(32 AS BIGINT) AS thumb_w,
+           CAST(32 AS BIGINT) AS thumb_h,
            list_reduce(list_prepend(CAST(0 AS BIGINT), sample),
                        (a, b) -> (a * 31 + b) % 1000000007) AS thumb_checksum,
-           list_sum(list_transform(generate_series(1, 3072),
-                    i -> CASE WHEN (i-1) % 3 = 0 THEN sample[i] ELSE 0 END)) AS sum_c0,
-           list_sum(list_transform(generate_series(1, 3072),
-                    i -> CASE WHEN (i-1) % 3 = 1 THEN sample[i] ELSE 0 END)) AS sum_c1,
-           list_sum(list_transform(generate_series(1, 3072),
-                    i -> CASE WHEN (i-1) % 3 = 2 THEN sample[i] ELSE 0 END)) AS sum_c2
+           CAST(list_sum(list_transform(generate_series(1, 3072),
+                    i -> CASE WHEN (i-1) % 3 = 0 THEN sample[i] ELSE 0 END)) AS BIGINT) AS sum_c0,
+           CAST(list_sum(list_transform(generate_series(1, 3072),
+                    i -> CASE WHEN (i-1) % 3 = 1 THEN sample[i] ELSE 0 END)) AS BIGINT) AS sum_c1,
+           CAST(list_sum(list_transform(generate_series(1, 3072),
+                    i -> CASE WHEN (i-1) % 3 = 2 THEN sample[i] ELSE 0 END)) AS BIGINT) AS sum_c2
     FROM thumb
     """,
     tags=("llm", "multimodal", "pandas-udf"),

@@ -126,7 +126,16 @@ def run_ingest_available_now(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.csv(paths.source_dir).withColumn("_source_file", F.input_file_name())
+    raw = (
+        reader.csv(paths.source_dir)
+        .withColumn("_source_file", F.input_file_name())
+        # Split offset within the file: Spark packs file splits
+        # largest-first, so monotonically_increasing_id alone does NOT
+        # follow file offset when one file spans several splits. The
+        # hidden file-source metadata column carries each split's byte
+        # offset; ordering by it restores true within-file row order.
+        .withColumn("_block_start", F.col("_metadata.file_block_start"))
+    )
 
     processed_dates: set = set()
     query = (

@@ -5,10 +5,15 @@ Runs every registered query on Spark and (when an oracle exists) the
 equivalent SQL on DuckDB over the same parquet, then compares:
   - row count
   - column-name set
+  - per-column canonical Arrow dtype (int width, float width, decimal
+    precision/scale, timestamp unit — the driver's hasher is
+    dtype-sensitive, so an equal-valued int32/int64 or HUGEINT/BIGINT
+    pair still fails there; tz-awareness is normalized away)
   - order-insensitive value hash (columns sorted by name, rows sorted,
     values canonicalized)
 
 Usage:  python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only name[,name]]
+        python tools/check_oracle.py --schema-only    # fast dtype sweep (LIMIT 0)
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ import time
 from datetime import date, datetime
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, ".")
 
@@ -47,6 +53,42 @@ def canon(v) -> str:
     return f"{type(v).__name__[0]}:{v}"
 
 
+def canon_type(t: pa.DataType) -> str:
+    """Canonical dtype label: keeps the distinctions a dtype-sensitive
+    hasher sees (int width, decimal precision, timestamp unit) and drops
+    the ones it shouldn't (tz annotation — Spark exports UTC-tagged
+    timestamps, DuckDB naive ones, same µs values; large_* offsets)."""
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_dictionary(t):
+        return canon_type(t.value_type)
+    return str(t)
+
+
+def arrow_schema_types(schema: pa.Schema) -> dict[str, str]:
+    return {f.name: canon_type(f.type) for f in schema}
+
+
+def dtype_problems(s_schema: pa.Schema, o_schema: pa.Schema) -> list[str]:
+    st, ot = arrow_schema_types(s_schema), arrow_schema_types(o_schema)
+    out = []
+    for col in sorted(set(st) & set(ot)):
+        if st[col] != ot[col]:
+            out.append(f"dtype {col}: spark={st[col]} oracle={ot[col]}")
+    return out
+
+
 def table_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon_rows = sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -61,6 +103,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--schema-only",
+        action="store_true",
+        help="compare dtypes only, via LIMIT-0 plans (fast hazard sweep)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("oracle-check")
@@ -81,21 +128,37 @@ def main() -> int:
         try:
             sdf = spec.builder(spark, args.sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if args.schema_only:
+                srows = []
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
+            # Arrow schema via LIMIT 0 — Catalyst collapses the plan, so
+            # this costs ~nothing and carries the exact result dtypes.
+            s_schema = sdf.limit(0).toArrow().schema
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
         t_spark = time.time() - t0
         if spec.oracle is None:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{t_spark:.1f}s]")
+            if args.schema_only:
+                print(f"skip  {name}: no oracle")
+            else:
+                print(f"rows  {name}: {len(srows)} rows (no oracle) [{t_spark:.1f}s]")
             n_rows_only += 1
             continue
         t1 = time.time()
         try:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            o_schema = con.execute(
+                f"SELECT * FROM ({spec.oracle}) __o LIMIT 0"
+            ).arrow().schema
+            if args.schema_only:
+                ocols = list(o_schema.names)
+                orows = []
+            else:
+                res = con.execute(spec.oracle)
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -103,11 +166,15 @@ def main() -> int:
         t_duck = time.time() - t1
 
         problems = []
-        if len(srows) != len(orows):
+        if not args.schema_only and len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if not problems:
+        if sorted(scols) != sorted(o_schema.names):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(o_schema.names)}")
+        else:
+            problems.extend(dtype_problems(s_schema, o_schema))
+        if args.schema_only:
+            pass
+        elif not problems:
             sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
             if sh != oh:
                 problems.append(f"hash spark={sh} oracle={oh}")
