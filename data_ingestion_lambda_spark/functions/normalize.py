@@ -64,7 +64,11 @@ def normalize_consumption(
             ts.alias("updated_at"),
             F.lit(True).alias("is_active"),
             # passthrough plumbing columns (e.g. batch ingest order)
-            *[F.col(c) for c in ("_ingest_seq", "_source_file") if c in raw.columns],
+            *[
+                F.col(c)
+                for c in ("_ingest_seq", "_source_file", "_block_start")
+                if c in raw.columns
+            ],
         )
     )
     return good, quarantined

@@ -96,9 +96,9 @@ SQL_SHINGLES3 = (
     "text_token_stats",
     oracle=f"""
     SELECT doc_id,
-           len(w) AS n_tokens,
-           length(text) AS n_chars,
-           len(list_distinct(w)) AS n_distinct_tokens,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_tokens,
            CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
            CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) AS avg_token_len
     FROM (SELECT doc_id, text, {SQL_TOKENS} AS w FROM documents)
@@ -133,12 +133,12 @@ _BPE_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
     "text_bpe_token_count",
     oracle=f"""
     SELECT doc_id,
-           len(w) AS n_bpe_tokens,
-           len(list_distinct(w)) AS n_distinct_bpe,
-           len(list_filter(w, x -> regexp_full_match(x, '\\p{{L}}+'))) AS n_word_tokens,
-           len(list_filter(w, x -> regexp_full_match(x, '\\p{{N}}+'))) AS n_number_tokens,
-           len(w) - len(list_filter(w, x -> regexp_full_match(x, '\\p{{L}}+')))
-                  - len(list_filter(w, x -> regexp_full_match(x, '\\p{{N}}+'))) AS n_symbol_tokens
+           CAST(len(w) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_bpe,
+           CAST(len(list_filter(w, x -> regexp_full_match(x, '\\p{{L}}+'))) AS INTEGER) AS n_word_tokens,
+           CAST(len(list_filter(w, x -> regexp_full_match(x, '\\p{{N}}+'))) AS INTEGER) AS n_number_tokens,
+           CAST(len(w) - len(list_filter(w, x -> regexp_full_match(x, '\\p{{L}}+')))
+                  - len(list_filter(w, x -> regexp_full_match(x, '\\p{{N}}+'))) AS INTEGER) AS n_symbol_tokens
     FROM (SELECT doc_id, regexp_extract_all(text, '{_BPE_PATTERN}') AS w FROM documents)
     """,
     tags=("llm", "text"),
@@ -182,7 +182,8 @@ def _marker_score(w: Column, lang: str) -> Column:
 
 def _sql_marker_score(lang: str) -> str:
     in_list = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
-    return f"len(list_filter(w, x -> x IN ({in_list})))"
+    # INTEGER matches Spark's F.size output (int32) for the dtype gate.
+    return f"CAST(len(list_filter(w, x -> x IN ({in_list}))) AS INTEGER)"
 
 
 @register(
@@ -230,7 +231,7 @@ _EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
     "text_quality_score",
     oracle=f"""
     SELECT doc_id,
-           len(w) AS n_tokens,
+           CAST(len(w) AS INTEGER) AS n_tokens,
            CAST(len(list_filter(w, x -> x IN ({", ".join(f"'{s}'" for s in _EN_STOPWORDS)}))) AS DOUBLE) / len(w) AS stopword_ratio,
            CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
            CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
@@ -605,7 +606,7 @@ def polyhash131(s: Column) -> Column:
         FROM blocks a JOIN blocks b
           ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
     FROM cand
     JOIN sims sa ON doc_a = sa.doc_id
     JOIN sims sb ON doc_b = sb.doc_id
@@ -775,7 +776,7 @@ _STRATUM_SAMPLE_K = 16  # docs kept per language
 @register(
     "sample_stratified",
     oracle=f"""
-    SELECT lang, doc_id, n_chars, sample_rank FROM (
+    SELECT lang, doc_id, n_chars, CAST(sample_rank AS INTEGER) AS sample_rank FROM (
         SELECT lang, doc_id, n_chars,
                ROW_NUMBER() OVER (PARTITION BY lang
                                   ORDER BY {_SQL_DOC_HASH} % 1000000, doc_id)
@@ -862,7 +863,7 @@ def dedup_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "text_top_terms",
     oracle=f"""
-    SELECT tok, n_occurrences, n_docs, rank FROM (
+    SELECT tok, n_occurrences, n_docs, CAST(rank AS INTEGER) AS rank FROM (
         SELECT tok, n_occurrences, n_docs,
                ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, tok) AS rank
         FROM (
@@ -910,7 +911,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, tok,
                CAST(tf * n_docs AS DOUBLE) / df AS tfidf
         FROM tf JOIN df USING (tok) CROSS JOIN n)
-    SELECT doc_id, tok, tfidf, rank FROM (
+    SELECT doc_id, tok, tfidf, CAST(rank AS INTEGER) AS rank FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                      ORDER BY tfidf DESC, tok) AS rank
         FROM scored)

@@ -63,10 +63,10 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            length(text) AS n_bytes,
-           ascii(substr(text, 1, 1)) AS first_byte,
-           ascii(substr(text, length(text), 1)) AS last_byte,
-           list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)))
-               % 1000000007 AS byte_sum_mod,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)))
+               % 1000000007 AS BIGINT) AS byte_sum_mod,
            len(list_distinct(list_transform(string_split(text, ''), c -> ascii(c))))
                AS n_distinct_bytes
     FROM documents

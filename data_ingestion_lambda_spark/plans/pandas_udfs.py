@@ -66,7 +66,7 @@ def _count_rows(bal: pd.Series) -> int:
     "udf_grouped_agg",
     oracle="""
     SELECT c_mktsegment,
-           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS balance_cents,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS balance_cents,
            COUNT(*) AS n
     FROM customer GROUP BY c_mktsegment
     """,
@@ -125,7 +125,7 @@ def udf_grouped_map_center(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udf_map_in_arrow",
     oracle="""
-    SELECT doc_id, length(text) AS n_chars_arrow
+    SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_arrow
     FROM documents
     """,
     tags=("udf", "arrow"),

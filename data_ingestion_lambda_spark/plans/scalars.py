@@ -25,16 +25,16 @@ from data_ingestion_lambda_spark.plans._util import t
     "scalar_dates_extract",
     oracle="""
     SELECT o_orderkey,
-           year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
-           month(o_orderdate) AS mth, day(o_orderdate) AS dom,
-           dayofweek(o_orderdate) + 1 AS dow,
-           week(o_orderdate) AS iso_week,
+           CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(month(o_orderdate) AS INTEGER) AS mth, CAST(day(o_orderdate) AS INTEGER) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(week(o_orderdate) AS INTEGER) AS iso_week,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            last_day(CAST(o_orderdate AS DATE)) AS month_end,
            CAST(o_orderdate AS DATE) + 30 AS plus_30d,
            CAST(o_orderdate AS DATE) - 30 AS minus_30d,
            CAST((CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH) AS DATE) AS plus_1m,
-           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch_start,
            strftime(o_orderdate, '%Y_%m_%d') AS ymd_underscore
     FROM orders
     """,
@@ -126,13 +126,13 @@ def scalar_date_range_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
-           length(c_name) AS name_len,
+           CAST(length(c_name) AS INTEGER) AS name_len,
            substr(c_name, 10, 9) AS cust_num_str,
            replace(c_name, 'Customer#', 'C-') AS short_name,
            lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
            rpad(c_mktsegment, 12, '.') AS padded_seg,
            concat(c_mktsegment, ':', c_name) AS seg_name,
-           strpos(c_name, '#') AS hash_pos,
+           CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
            string_split(c_name, '#')[2] AS after_hash,
            trim('  ' || c_mktsegment || '  ') AS trimmed,
            reverse(c_mktsegment) AS rseg,

@@ -71,7 +71,7 @@ def _sql_dot(a: str, b: str, dim: int = DIM) -> str:
                ({_sql_dot('qv', 've')}) / (qnrm * nrm) AS cosine
         FROM q JOIN v ON v.vec_id <> query_id
     )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored
@@ -130,7 +130,7 @@ def _sql_bucket(n_planes: int = _N_PLANES) -> str:
                ({_sql_dot('qv', 've')}) / (qnrm * nrm) AS cosine
         FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> query_id
     )
-    SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+    SELECT query_id, neighbor_id, bucket, cosine, CAST(rank AS INTEGER) AS rank FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored
@@ -189,7 +189,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT vec_id, label,
            sqrt({_sql_dot('ve', 've')}) AS l2_norm,
-           len(list_filter(ve, x -> x > 0)) AS n_positive
+           CAST(len(list_filter(ve, x -> x > 0)) AS INTEGER) AS n_positive
     FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
     """,
     tags=("llm", "ann"),
@@ -435,7 +435,7 @@ def _train_ivf_centroids(
         SELECT query_id, neighbor_id, cell,
                ({_sql_dot('qv', 'nve')}) / (qnrm * nnrm) AS cosine
         FROM cand JOIN q USING (query_id) JOIN nv USING (neighbor_id))
-    SELECT query_id, neighbor_id, cell, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INTEGER) AS rank FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored
@@ -523,7 +523,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cosine
         FROM q JOIN v ON v.vec_id <> query_id
     )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored

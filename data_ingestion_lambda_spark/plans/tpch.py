@@ -109,7 +109,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(volume) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               year(l_shipdate) AS l_year, {_REV_SQL} AS volume
+               CAST(year(l_shipdate) AS INTEGER) AS l_year, {_REV_SQL} AS volume
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders ON o_orderkey = l_orderkey
@@ -168,7 +168,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
            / CAST(SUM(volume) AS DOUBLE) AS mkt_share
     FROM (
-        SELECT year(o_orderdate) AS o_year, {_REV_SQL} AS volume,
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, {_REV_SQL} AS volume,
                n2.n_name AS nation
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
@@ -227,7 +227,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
     FROM (
-        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
                {_REV_SQL} - {sql_dec('p_retailprice')} * {sql_dec('l_quantity')} AS amount
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
@@ -268,10 +268,10 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_lines_priority",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

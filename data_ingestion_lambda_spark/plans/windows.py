@@ -23,7 +23,8 @@ from data_ingestion_lambda_spark.plans._util import t
 @register(
     "win_topk_per_group",
     oracle="""
-    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(rn AS INTEGER) AS rn
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -51,7 +52,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey, o_orderdate,
            LAG(o_orderdate)  OVER w AS prev_orderdate,
            LEAD(o_orderdate) OVER w AS next_orderdate,
-           date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS days_since_prev
+           CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS INTEGER) AS days_since_prev
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -79,8 +80,8 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
-           ROW_NUMBER() OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
     FROM orders
     """,
     tags=("window",),
@@ -105,9 +106,9 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rank_dense_ntile",
     oracle="""
     SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
-           RANK()       OVER w AS bal_rank,
-           DENSE_RANK() OVER w AS bal_dense_rank,
-           NTILE(4)     OVER w AS bal_quartile,
+           CAST(RANK()       OVER w AS INTEGER) AS bal_rank,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS bal_dense_rank,
+           CAST(NTILE(4)     OVER w AS INTEGER) AS bal_quartile,
            CAST(PERCENT_RANK() OVER w AS DOUBLE) AS bal_pct_rank
     FROM supplier
     WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)

@@ -50,13 +50,20 @@ def _process_batch(
     batch_id: int,
     processed_dates: set | None = None,
 ) -> None:
-    # Last-writer-wins order = (_source_file, _ingest_seq): the reference
-    # processes files sequentially in date order (src/s3_processor.py:78),
-    # and date-partitioned drop paths sort lexicographically by date, so
-    # ranking by path reproduces "later file wins" even though Spark packs
-    # file splits largest-first within a micro-batch; _ingest_seq breaks
-    # ties within one file (monotonic per split).
+    # Last-writer-wins order = (_source_file, _block_start, _ingest_seq):
+    # the reference processes files sequentially in date order
+    # (src/s3_processor.py:78), and date-partitioned drop paths sort
+    # lexicographically by date, so ranking by path reproduces "later file
+    # wins". Within one file, Spark packs splits largest-first, so
+    # monotonically_increasing_id alone does NOT follow file offset when a
+    # file spans several splits — the split's byte offset
+    # (_metadata.file_block_start) restores cross-split order, and
+    # _ingest_seq (monotonic within a split) breaks ties inside one split.
     batch = batch.withColumn("_ingest_seq", F.monotonically_increasing_id())
+    if "_block_start" not in batch.columns:
+        # Batch handed in without file-source metadata (tests, ad-hoc
+        # frames): single-split semantics, offset 0.
+        batch = batch.withColumn("_block_start", F.lit(0).cast("long"))
     good, quarantined = normalize_consumption(batch)
     # Audit counts ride the upsert's own jobs via the Observation API —
     # metrics accumulate while the MERGE materializes `good`, so the log
@@ -74,7 +81,7 @@ def _process_batch(
         spark,
         paths.target_dir,
         good.withColumnRenamed("_source_file", "_file_seq"),
-        order_cols=["_file_seq", "_ingest_seq"],
+        order_cols=["_file_seq", "_block_start", "_ingest_seq"],
     )
     if processed_dates is not None:
         processed_dates.update(written)
