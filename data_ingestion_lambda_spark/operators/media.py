@@ -234,9 +234,18 @@ def decode_resize_thumbnail(media: DataFrame) -> DataFrame:
     numpy gather per row, fixed-width feature rows out; swapping in PIL
     changes only the body of the per-row function.
     """
-    imgs = media.filter(F.col("meta.kind") == "image").select(
-        "doc_id", "payload", "meta.width", "meta.height", "meta.channels"
-    )
+    # Undecodable rows are filtered Spark-side (predicate reaches the
+    # scan): a media table straight from binaryFile ingestion carries
+    # NULL dimensions until a decode stage fills them (sources/
+    # binary_source.py::media_table_from_binary) — one such row must not
+    # fail the job.
+    imgs = media.filter(
+        (F.col("meta.kind") == "image")
+        & F.col("meta.width").isNotNull()
+        & F.col("meta.height").isNotNull()
+        & F.col("meta.channels").isNotNull()
+        & (F.col("meta.channels") > 0)
+    ).select("doc_id", "payload", "meta.width", "meta.height", "meta.channels")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -259,10 +268,12 @@ def decode_resize_thumbnail(media: DataFrame) -> DataFrame:
                 hsh = 0
                 for v in flat.tolist():
                     hsh = (hsh * 31 + v) % P
+                # Pad/truncate to the 3-channel output shape: grayscale
+                # fills sum_c1/sum_c2 with 0, >3-channel (e.g. RGBA) drops
+                # the extras — no per-row crash on unusual channel counts.
                 sums = sample.reshape(-1, c).sum(axis=0)
-                rows.append(
-                    (doc_id, THUMB, THUMB, hsh, int(sums[0]), int(sums[1]), int(sums[2]))
-                )
+                s3 = [int(sums[k]) if k < c else 0 for k in range(3)]
+                rows.append((doc_id, THUMB, THUMB, hsh, s3[0], s3[1], s3[2]))
             yield pd.DataFrame(rows, columns=DECODE_RESIZE_SCHEMA.fieldNames())
 
     return imgs.mapInPandas(decode, schema=DECODE_RESIZE_SCHEMA)

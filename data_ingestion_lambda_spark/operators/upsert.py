@@ -55,8 +55,21 @@ def merge_last_writer_wins(
     keys: list[str] = UPSERT_KEYS,
     order_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Pure merge: rows of ``batch`` win over ``existing`` on key collision;
-    within ``batch`` the highest ``order_cols`` wins (ingest sequence).
+    """Pure merge: the winner per key is picked by ``order_cols``.
+
+    Two ordering regimes, split by column-name convention:
+
+    - **Provenance order cols** (underscore-prefixed, e.g. the default
+      ``_ingest_seq``): only batch rows carry them, so ``_is_new`` ranks
+      first — batch beats stored, later batch row beats earlier (classic
+      last-writer-wins ingest).
+    - **Payload order cols** (e.g. the rollup's ``n_events``): BOTH sides
+      carry real values, so they rank *before* ``_is_new`` — a stored row
+      with a larger value survives a stale batch. This is what makes a
+      monotone continuous-aggregate MERGE idempotent under replay from an
+      older/rebuilt checkpoint: a re-emitted smaller count can never
+      regress the stored window. ``_is_new`` stays as the tie-break so an
+      equal-valued re-merge refreshes the batch copy (same table state).
 
     Expects ``batch`` with columns: key cols + payload + updated_at;
     ``existing`` additionally has created_at.
@@ -80,10 +93,15 @@ def merge_last_writer_wins(
                 e = e.withColumn(c, F.lit(None))
         merged = b.unionByName(e.select(*b.columns))
 
-    # Newest wins: batch rows (_is_new=1) beat existing; later batch rows
-    # beat earlier ones. One shuffle on the upsert key.
+    # One shuffle on the upsert key. Payload order cols outrank _is_new
+    # (both sides have real values; NULLs sort last under desc so a NULL
+    # payload value never beats a real one); provenance cols rank after it.
+    payload_order = [c for c in order_cols if not c.startswith("_")]
+    provenance_order = [c for c in order_cols if c.startswith("_")]
     w = Window.partitionBy(*keys).orderBy(
-        F.desc("_is_new"), *[F.desc(c) for c in order_cols]
+        *[F.desc(c) for c in payload_order],
+        F.desc("_is_new"),
+        *[F.desc(c) for c in provenance_order],
     )
     first_created = F.min("created_at").over(Window.partitionBy(*keys))
     # Drop bookkeeping columns; an order col that is real payload (e.g.
