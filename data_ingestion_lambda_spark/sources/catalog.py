@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -53,13 +53,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass  # read-only conf in some deployments; the read may still work
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
-        # as epoch-nanos. Truncate to µs (same as engines that read ns
-        # natively) with integer division — ns values exceed 2^53, so double
-        # arithmetic would corrupt them.
+        # Normalize events.ts to a regular (UTC) TIMESTAMP whatever the
+        # generator wrote:
+        # - parquet TIMESTAMP(NANOS) + nanosAsLong arrives as epoch-nanos;
+        #   truncate to µs with integer division (ns values exceed 2^53,
+        #   so double arithmetic would corrupt them);
+        # - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as
+        #   TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ; cast to LTZ —
+        #   an identity relabel under the UTC session pin above, and what
+        #   time functions like unix_micros() require.
         field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
         if isinstance(field, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

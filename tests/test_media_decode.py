@@ -54,6 +54,46 @@ def test_non_image_rows_excluded_and_empty_payload_safe(spark):
     assert [(r.doc_id, r.thumb_checksum) for r in rows] == [(3, 0)]
 
 
+def test_undecoded_and_odd_channel_rows_do_not_crash(spark):
+    # A media table straight from binaryFile ingestion carries NULL
+    # dimensions (sources/binary_source.py::media_table_from_binary) until
+    # a decode stage fills them; grayscale (c=1) and RGBA (c=4) rows also
+    # occur in real lakes. None of these may fail the job: NULL-metadata
+    # rows are filtered Spark-side, odd channel counts pad/truncate to the
+    # 3-channel output shape.
+    meta = (
+        "named_struct('kind', 'image', 'width', CAST({w} AS INT), "
+        "'height', CAST({h} AS INT), 'channels', CAST({c} AS INT), "
+        "'sample_rate', CAST(NULL AS INT), 'duration_ms', CAST(NULL AS BIGINT), "
+        "'fps', CAST(NULL AS INT), 'n_frames', CAST(NULL AS BIGINT))"
+    )
+    base = spark.createDataFrame(
+        [(1, b"abcdefgh"), (2, b"abcdefgh"), (3, b"abcdefgh")],
+        "doc_id long, payload binary",
+    )
+    media = (
+        base.filter("doc_id = 1").selectExpr(
+            "doc_id", "payload", meta.format(w="NULL", h="NULL", c="NULL") + " AS meta"
+        )
+        .unionByName(
+            base.filter("doc_id = 2").selectExpr(
+                "doc_id", "payload", meta.format(w=4, h=4, c=1) + " AS meta"
+            )
+        )
+        .unionByName(
+            base.filter("doc_id = 3").selectExpr(
+                "doc_id", "payload", meta.format(w=4, h=4, c=4) + " AS meta"
+            )
+        )
+    )
+    rows = {r.doc_id: r for r in decode_resize_thumbnail(media).collect()}
+    assert set(rows) == {2, 3}, "NULL-metadata row skipped, odd-channel rows kept"
+    # grayscale: channel 0 real, channels 1-2 zero-filled
+    assert rows[2].sum_c1 == 0 and rows[2].sum_c2 == 0 and rows[2].sum_c0 > 0
+    # RGBA: first three channel sums real (alpha dropped)
+    assert rows[3].sum_c0 > 0 and rows[3].sum_c1 > 0 and rows[3].sum_c2 > 0
+
+
 def test_payload_pruned_when_unused(spark):
     # A metadata-only query over the media table must not materialize the
     # payload column at all (column pruning through the struct) — the

@@ -301,3 +301,36 @@ def test_rollup_to_table_updates_in_place(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == got2
+
+
+def test_rollup_merge_survives_stale_replay(spark, tmp_path):
+    """A replay from an older/rebuilt checkpoint re-emits a window with a
+    SMALLER n_events than the table already holds. Payload order cols
+    (n_events) outrank batch-ness in the LWW merge, so the stored maximum
+    must survive — the property that makes the continuous-aggregate MERGE
+    idempotent under at-least-once emissions (operators/upsert.py)."""
+    from data_ingestion_lambda_spark.operators.upsert import upsert_into_parquet
+
+    out = str(tmp_path / "rollup")
+    cols = "window_start timestamp, event_type string, n_events long, sum_value double"
+
+    def batch(n_events: int, sum_value: float):
+        return (
+            spark.createDataFrame([(_ts(10), "A", n_events, sum_value)], cols)
+            .withColumn("date", F.to_date("window_start"))
+            .withColumn("updated_at", F.col("window_start"))
+        )
+
+    merge = lambda b: upsert_into_parquet(
+        spark, out, b, keys=["window_start", "event_type"], order_cols=["n_events"]
+    )
+    merge(batch(5, 50.0))            # current truth: 5 events
+    merge(batch(3, 30.0))            # stale replayed emission: 3 events
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 5, "stale replay must not regress the stored count"
+    assert rows[0]["sum_value"] == pytest.approx(50.0)
+
+    merge(batch(7, 70.0))            # newer emission still advances the window
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 7
