@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from data_ingestion_lambda_spark import get_spark
 from data_ingestion_lambda_spark.plans import all_specs
 
@@ -73,11 +75,23 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Two passes, keep the min — the host runs other tenants (driver
-    # harness) and single-shot timings are noisy; min-of-2 measures the
+    # Host-speed calibration: a fixed, data-independent CPU-bound job
+    # (hash-aggregate over an in-memory range). Round-over-round totals on
+    # a multi-tenant host drift with neighbors/CPU frequency; calib_sec
+    # moves identically, so total/calib_sec is the comparable number.
+    t0 = time.time()
+    spark.range(0, 400_000_000, 1, 32).select(F.sum(F.xxhash64("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    calib = round(time.time() - t0, 3)
+
+    # Five passes, keep the min — the host runs other tenants (driver
+    # harness) and single-shot timings carry ±0.3 s jitter that min-of-2
+    # let masquerade as per-query regressions; min-of-5 measures the
     # engine, not the neighbors.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     times: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(n_passes):
         for name in HEADLINE:
             spec = specs[name]
             t0 = time.time()
@@ -95,6 +109,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "passes": n_passes,
+                "estimator": "min",
+                "calib_sec": calib,
                 "sf": sf,
             }
         )

@@ -627,7 +627,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one long per document; the block join is an equi-join on
     (block_index, block_value) — 4×65,536 buckets, pair work bounded per
-    bucket, no all-pairs anywhere."""
+    bucket, no all-pairs anywhere.
+
+    Bucket-occupancy math (when the 16-bit scheme stops scaling): under
+    uniform hashing a block table with B = 2^16 buckets over N docs
+    generates ≈ N²/(2B) candidate pairs. At N = 10⁶ that is ~8×10⁶ pairs
+    per table (trivial); at N = 10⁷, ~8×10⁸ (heavy but feasible); at
+    N = 10⁸, ~8×10¹⁰ — the join, not the fingerprinting, becomes the job.
+    Rule of thumb: 16-bit blocks are fine while N ≲ 10⁷–10⁸; beyond that,
+    widen the blocks (e.g. a 120-bit fingerprint from four independent
+    30-bit sign-aggregates, each full hash serving as its own block →
+    B = 2³⁰, ~5×10⁶ pairs per table even at N = 10⁸) — same pigeonhole
+    recall guarantee, same equi-join shape, only the block width changes."""
     d = t(spark, sf_dir, "documents")
     # Explode tokens → ONE codegen'd aggregation with 64 conditional sums.
     # (The per-row formulation — 64 nested array-folds per document — runs
@@ -705,6 +716,137 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+    )
+
+
+_WIDE_MULTIPLIERS = (31, 131, 137, 139)  # independent polynomial hashes
+_SQL_SIGN_AGG30 = (  # 30-bit sign-aggregate of a token-hash list {th}
+    "list_sum(list_transform(generate_series(0, 29), k -> "
+    "CASE WHEN list_sum(list_transform({th}, h -> "
+    f"CASE WHEN (h // ({_POW2_SQL})[k+1]) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+    f"THEN ({_POW2_SQL})[k+1] ELSE 0 END))"
+)
+
+
+def _sql_wide_hash(mult: int) -> str:
+    return (
+        "list_transform(w, s -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {mult} + b) % 1000000007))"
+    )
+
+
+@register(
+    "dedup_simhash_wide",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    hs AS (SELECT doc_id,
+                  {', '.join(f'{_sql_wide_hash(m)} AS th{i}' for i, m in enumerate(_WIDE_MULTIPLIERS))}
+           FROM toks),
+    parts AS (
+        SELECT doc_id,
+               {', '.join(_SQL_SIGN_AGG30.format(th=f'th{i}') + f' AS p{i}' for i in range(4))}
+        FROM hs
+    ),
+    blocks AS (
+        SELECT doc_id, j, [p0, p1, p2, p3][j + 1] AS bv
+        FROM parts CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM blocks a JOIN blocks b
+          ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pa.p0, pb.p0)) + bit_count(xor(pa.p1, pb.p1))
+              + bit_count(xor(pa.p2, pb.p2)) + bit_count(xor(pa.p3, pb.p3)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN parts pa ON doc_a = pa.doc_id
+    JOIN parts pb ON doc_b = pb.doc_id
+    WHERE bit_count(xor(pa.p0, pb.p0)) + bit_count(xor(pa.p1, pb.p1))
+        + bit_count(xor(pa.p2, pb.p2)) + bit_count(xor(pa.p3, pb.p3)) <= {_SIMHASH_HAMMING_MAX}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide SimHash for ≫10⁸-doc corpora: a 120-bit fingerprint built from
+    FOUR independent 30-bit sign-aggregated polynomial hashes; each 30-bit
+    part is its own candidate block, so the bucket space is B = 2³⁰ per
+    table instead of dedup_simhash's 2¹⁶ — per the occupancy math in that
+    docstring, candidate pairs per table drop from ~N²/2¹⁷ to ~N²/2³¹
+    (~5×10⁶ at N = 10⁸ instead of ~8×10¹⁰).
+
+    Same pigeonhole recall guarantee: ≤ 3 differing bits touch at most 3 of
+    the 4 disjoint parts, so every Hamming ≤ 3 pair collides in at least
+    one block table. Same equi-join candidate shape; only the block width
+    changed. The four parts stay four longs (no 120-bit value is ever
+    materialized), so the shuffle payload is 32 bytes/doc either way."""
+    d = t(spark, sf_dir, "documents")
+    # One char scan folds all four accumulators (HOF folds run
+    # interpreted; pass count matters — see dedup_simhash).
+    codes = F.transform(F.split(F.col("tok"), ""), lambda ch: F.ascii(ch).cast("long"))
+    quad = F.aggregate(
+        codes,
+        F.struct(*[F.lit(0).cast("long").alias(f"h{i}") for i in range(4)]),
+        lambda acc, x: F.struct(
+            *[
+                ((acc[f"h{i}"] * m + x) % P).alias(f"h{i}")
+                for i, m in enumerate(_WIDE_MULTIPLIERS)
+            ]
+        ),
+    )
+    th = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", quad.alias("hq"))
+        .select("doc_id", *[F.col(f"hq.h{i}").alias(f"h{i}") for i in range(4)])
+    )
+    # 4 hashes x 30 bits: one codegen'd aggregation, map-side partial.
+    bit_votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col(f"h{i}").bitwiseAND(F.lit(POW2[k]).cast("long")) > 0, 1).otherwise(-1)
+            ).alias(f"h{i}b{k}")
+            for i in range(4)
+            for k in range(30)
+        ]
+    )
+    part = lambda i: sum(
+        (F.when(F.col(f"h{i}b{k}") > 0, POW2[k]).otherwise(0).cast("long") for k in range(30)),
+        start=F.lit(0).cast("long"),
+    )
+    parts = bit_votes.select(
+        "doc_id", *[part(i).alias(f"p{i}") for i in range(4)]
+    ).persist()
+    blocks = parts.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"p{i}") for i in range(4)])).alias("j", "bv"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa = parts.alias("pa")
+    pb = parts.alias("pb")
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"pa.p{i}").bitwiseXOR(F.col(f"pb.p{i}")))
+            for i in range(4)
+        ),
+        start=F.lit(0),
+    ).cast("int")
+    return (
+        cand.join(pa, F.col("doc_a") == F.col("pa.doc_id"))
+        .join(pb, F.col("doc_b") == F.col("pb.doc_id"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
     )

@@ -36,9 +36,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session timezone, and the DuckDB oracles compute them TZ-naively
     # (== UTC). Our factory pins UTC at build; pin it at runtime too so a
     # foreign session (the correctness driver) on a non-UTC host cannot
-    # shift day/window boundaries.
+    # shift day/window boundaries. The pin must OUTLIVE this call — the
+    # returned frame is lazy, and its TZ-sensitive expressions resolve
+    # against the session conf at execution time — so a save/restore
+    # here would silently undo the fix; instead the override is applied
+    # only when needed and logged so a foreign session that also runs
+    # local-time workloads can see its boundaries moved.
     try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+        if prev_tz not in (None, "UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            import warnings
+
+            warnings.warn(
+                f"load_table: overriding session timeZone {prev_tz!r} -> 'UTC' "
+                "for the lifetime of this session (catalog frames are lazy; "
+                "TZ-sensitive results require UTC at execution time)",
+                stacklevel=2,
+            )
+        if prev_tz != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     if name == "events":

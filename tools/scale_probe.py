@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Scale-evidence probe: do the dedup/ANN headliners scale ~linearly?
+
+Replicates sf0.1's documents/embeddings MULT× with perturbed ids (and a
+per-copy text suffix so the corpus genuinely grows instead of becoming
+10-way exact-dup groups), runs the headline dedup/ANN queries at 1× and
+MULT×, and reports wall-time ratios. A query whose ratio is far above
+MULT is superlinear and needs a plan fix or a documented cap.
+
+The replicated data lands under /tmp (never in the read-only testdata
+tree) and is rebuilt on every run — this is a probe, not a dataset.
+
+Usage:  python tools/scale_probe.py [--mult 10] [--base /root/testdata/sf0.1]
+Output: one JSON line per query + a summary JSON line (stdout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark import get_spark
+from data_ingestion_lambda_spark.plans import all_specs
+from data_ingestion_lambda_spark.sources.catalog import load_table
+
+QUERIES = [
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+]
+
+ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
+
+
+def build_replicated(spark, base: str, out: str, mult: int) -> None:
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+
+    docs = load_table(spark, base, "documents")
+    copies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_STRIDE)).withColumn(
+            "text",
+            F.col("text") if i == 0 else F.concat(F.col("text"), F.lit(f" rep{i}")),
+        )
+        for i in range(mult)
+    ]
+    rep = copies[0]
+    for c in copies[1:]:
+        rep = rep.unionByName(c)
+    rep.withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+
+    emb = load_table(spark, base, "embeddings")
+    ecopies = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_STRIDE)).withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: (x + F.lit(i * 1e-4)).cast("float")),
+        )
+        for i in range(mult)
+    ]
+    erep = ecopies[0]
+    for c in ecopies[1:]:
+        erep = erep.unionByName(c)
+    erep.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
+def run_once(spark, specs, sf_dir: str, name: str) -> float:
+    t0 = time.time()
+    specs[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/scale_probe_data")
+    ap.add_argument("--passes", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = get_spark("scale_probe")
+    specs = all_specs()
+
+    print(f"building {args.mult}x replication under {args.out} ...", file=sys.stderr)
+    t0 = time.time()
+    build_replicated(spark, args.base, args.out, args.mult)
+    print(f"  built in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    results = {}
+    for name in QUERIES:
+        t1 = min(run_once(spark, specs, args.base, name) for _ in range(args.passes))
+        tN = min(run_once(spark, specs, args.out, name) for _ in range(args.passes))
+        ratio = round(tN / t1, 2) if t1 > 0 else float("inf")
+        results[name] = {"t_1x": t1, f"t_{args.mult}x": tN, "ratio": ratio}
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+
+    verdicts = {
+        n: ("linear-or-better" if r["ratio"] <= args.mult * 1.3 else "SUPERLINEAR")
+        for n, r in results.items()
+    }
+    print(json.dumps({"mult": args.mult, "queries": results, "verdicts": verdicts}))
+
+
+if __name__ == "__main__":
+    main()
