@@ -97,6 +97,10 @@ def main() -> None:
             t0 = time.time()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
+            # Several queries persist() intermediates; in a 33-query shared
+            # session the leaked cache pollutes later timings. Clean slate
+            # per timing.
+            spark.catalog.clearCache()
             print(f"  pass{_pass} {name}: {dt}s", file=sys.stderr, flush=True)
             if name not in times or dt < times[name]:
                 times[name] = dt

@@ -9,6 +9,8 @@ pure ASCII: byte values == codepoints, verified in tests).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,6 +81,77 @@ def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic byte-statistics 'decoder'."""
     media = attach_media_columns(t(spark, sf_dir, "documents"))
     return byte_features(media)
+
+
+_ROUNDTRIP_N = 50  # bounded: files written driver-side, one per doc
+
+
+@register(
+    "media_binary_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)))
+               % 1000000007 AS BIGINT) AS byte_sum_mod,
+           len(list_distinct(list_transform(string_split(text, ''), c -> ascii(c))))
+               AS n_distinct_bytes
+    FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_ROUNDTRIP_N})
+    """,
+    tags=("llm", "multimodal", "source"),
+)
+def media_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end binaryFile lane: REAL files on disk → binaryFile source →
+    media table → Arrow-batched feature extraction — the exact pipeline a
+    media lake runs, not the parquet-derived stand-in.
+
+    The first _ROUNDTRIP_N documents are materialized as one .txt file each
+    (bounded driver-side write, like the probe-vector collects elsewhere),
+    read back through sources/binary_source.py, adapted with
+    media_table_from_binary (path-hash doc_id, NULL metadata — the honest
+    post-ingest state), and feature-extracted with byte_features. The
+    path-hash id is joined back to the real doc_id via a broadcast mapping
+    parsed from the filename, so the oracle compares on document ids."""
+    from data_ingestion_lambda_spark.sources.binary_source import (
+        media_table_from_binary,
+        read_binary_files,
+    )
+
+    out_dir = os.path.join(
+        "/tmp", "spark_graft_binfiles", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(_ROUNDTRIP_N)
+        .collect()  # bounded to _ROUNDTRIP_N rows by construction
+    )
+    for r in docs:
+        with open(os.path.join(out_dir, f"{r['doc_id']}.txt"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+
+    files = read_binary_files(spark, out_dir, glob="*.txt")
+    media = media_table_from_binary(files, "image")
+    mapping = files.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.regexp_extract("path", r"(\d+)\.txt$", 1).cast("long").alias("real_doc_id"),
+    )
+    return (
+        byte_features(media)
+        .join(F.broadcast(mapping), "doc_id")
+        .select(
+            F.col("real_doc_id").alias("doc_id"),
+            "n_bytes",
+            "first_byte",
+            "last_byte",
+            "byte_sum_mod",
+            "n_distinct_bytes",
+        )
+    )
 
 
 @register(

@@ -244,7 +244,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate the 64-term dot per *probed* pair (2x the matched count), all
     in the single input partition (measured 2x faster split at sf0.1). At
     100 TB the same shape holds: light pair generation per bucket,
-    payload re-attached by broadcast/bucketed join for scoring."""
+    payload re-attached by broadcast/bucketed join for scoring.
+
+    DOCUMENTED CAP (measured, tools/scale_probe.py): with _N_PLANES = 4
+    the bucket space is 2⁴ = 16, so candidate volume is ~N²/32 — right at
+    the bench corpus size (~125k pairs at 2k vectors, 2.5 s) and
+    quadratic beyond it (12.5M pairs / ~44 s at 20k). There is no exact
+    prescreen that preserves this output: a loose threshold (cos ≥ 0.35,
+    θ ≈ 70°) flips ~25 of 64 signs between qualifying pairs, so no sign
+    blocking discriminates, and scoring is already codegen arithmetic —
+    the candidate count IS the cost. At larger N either raise _N_PLANES
+    (the oracle twin moves in lockstep; output is defined by the bucket
+    scheme) or — the production route — use ann_ivf_topk for similarity
+    search and dedup_cluster_assign over high-threshold pairs for dedup;
+    an all-pairs listing at θ ≈ 70° is inherently quadratic in output."""
     base = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("ve")
     )

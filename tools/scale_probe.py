@@ -1,11 +1,21 @@
 #!/usr/bin/env python
 """Scale-evidence probe: do the dedup/ANN headliners scale ~linearly?
 
-Replicates sf0.1's documents/embeddings MULT× with perturbed ids (and a
-per-copy text suffix so the corpus genuinely grows instead of becoming
-10-way exact-dup groups), runs the headline dedup/ANN queries at 1× and
+Replicates sf0.1's documents/embeddings MULT× as ISOMORPHIC BUT MUTUALLY
+DISSIMILAR universes, runs the headline dedup/ANN queries at 1× and
 MULT×, and reports wall-time ratios. A query whose ratio is far above
 MULT is superlinear and needs a plan fix or a documented cap.
+
+Replication design (matters!): a naive copy with a per-copy text suffix
+keeps copies NEAR-IDENTICAL, so every doc gains ~C(MULT,2) true near-dup
+partners and the query OUTPUT grows quadratically — the probe then
+measures dup-structure growth, not engine scaling (observed: 16-33×
+wall-time at 10× data). Instead each copy i rewrites every token with an
+'r{i}_' prefix (documents) / circular-shifts the vector by i (embeddings
+— an orthogonal transform): similarity WITHIN a copy is preserved
+exactly (token overlap ratios and pairwise cosines are invariant), while
+ACROSS copies nothing collides, so true output scales exactly ×MULT and
+the wall-time ratio isolates the engine.
 
 The replicated data lands under /tmp (never in the read-only testdata
 tree) and is rebuilt on every run — this is a probe, not a dataset.
@@ -33,6 +43,7 @@ from data_ingestion_lambda_spark.sources.catalog import load_table
 
 QUERIES = [
     "dedup_simhash",
+    "dedup_simhash_wide",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_cluster_assign",
@@ -52,7 +63,9 @@ def build_replicated(spark, base: str, out: str, mult: int) -> None:
     copies = [
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_STRIDE)).withColumn(
             "text",
-            F.col("text") if i == 0 else F.concat(F.col("text"), F.lit(f" rep{i}")),
+            F.col("text")
+            if i == 0
+            else F.regexp_replace("text", r"(\S+)", f"r{i}_$1"),
         )
         for i in range(mult)
     ]
@@ -64,10 +77,15 @@ def build_replicated(spark, base: str, out: str, mult: int) -> None:
     )
 
     emb = load_table(spark, base, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
     ecopies = [
         emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_STRIDE)).withColumn(
             "embedding",
-            F.transform("embedding", lambda x: (x + F.lit(i * 1e-4)).cast("float")),
+            F.col("embedding")
+            if i == 0
+            else F.expr(
+                f"concat(slice(embedding, {i + 1}, {dim - i}), slice(embedding, 1, {i}))"
+            ),
         )
         for i in range(mult)
     ]
@@ -80,7 +98,13 @@ def build_replicated(spark, base: str, out: str, mult: int) -> None:
 def run_once(spark, specs, sf_dir: str, name: str) -> float:
     t0 = time.time()
     specs[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return round(time.time() - t0, 3)
+    dt = round(time.time() - t0, 3)
+    # Queries persist() intermediates (signatures, fingerprints) and a
+    # shared probe session accumulates them; leaked cache + codegen state
+    # from earlier queries measurably pollutes later timings (observed 8x
+    # on dedup_minhash_lsh). Each timing starts from a clean cache.
+    spark.catalog.clearCache()
+    return dt
 
 
 def main() -> None:
@@ -98,6 +122,10 @@ def main() -> None:
     t0 = time.time()
     build_replicated(spark, args.base, args.out, args.mult)
     print(f"  built in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # Session/JIT warmup so the first timed query doesn't absorb startup
+    # (observed +9 s on the first query without this).
+    run_once(spark, specs, args.base, QUERIES[0])
 
     results = {}
     for name in QUERIES:
