@@ -304,6 +304,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# int8 symmetric quantization: per-vector scale = 127/max|x|, component
+# q_i = floor(x_i * scale + 0.5). floor(x + 0.5) is the same IEEE sequence
+# in Spark and DuckDB (round() is not: HALF_UP vs banker's), so the
+# quantized integers — and every downstream integer dot — are bit-identical
+# across engines.
+_Q_SCALE = 127
+
+
+def _sql_quantize() -> str:
+    return (
+        f"list_transform(ve, x -> CAST(floor(x * ({_Q_SCALE}.0 / amax) + 0.5) AS BIGINT))"
+    )
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=f"""
+    WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    v1 AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS amax FROM v0),
+    qz AS (SELECT vec_id, {_sql_quantize()} AS qv FROM v1 WHERE amax > 0),
+    n AS (SELECT vec_id, qv, sqrt({_sql_dot('qv', 'qv')}) AS qnrm FROM qz),
+    q AS (SELECT vec_id AS query_id, qv AS qa, qnrm AS na FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT query_id, n.vec_id AS neighbor_id,
+               CAST({_sql_dot('qa', 'qv')} AS DOUBLE) / (na * qnrm) AS approx_cosine
+        FROM q JOIN n ON n.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, approx_cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY approx_cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("llm", "ann"),
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized brute-force top-k: int8 symmetric per-vector quantization
+    (scale = 127/max|x|), scoring via exact INTEGER dot products on the
+    quantized codes, cosine approximated against quantized norms.
+
+    Why this exists at 100 TB: the quantized corpus is 1/8th the bytes of
+    float64 (1/4 of float32) — the scan, the shuffle, and the broadcast
+    all shrink by that factor, and integer multiply-adds vectorize wider
+    than doubles. The ranking differs from exact cosine only within
+    quantization error (~1/254 per component), the standard
+    recall/throughput trade every production vector store ships.
+    Determinism: floor(x*scale + 0.5) and integer dots are bit-identical
+    across engines — the oracle replays the exact pipeline, no tolerance
+    needed."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    )
+    # Materialize amax, then the quantized code array, in separate
+    # projections so each is computed once per row (see dot()'s
+    # materialized-column rule).
+    v1 = base.select(
+        "vec_id", "ve", F.expr("array_max(transform(ve, x -> abs(x)))").alias("amax")
+    ).filter(F.col("amax") > 0)
+    qz = v1.select(
+        "vec_id",
+        F.expr(
+            f"transform(ve, x -> CAST(floor(x * ({_Q_SCALE}.0D / amax) + 0.5D) AS BIGINT))"
+        ).alias("qv"),
+    )
+    n = qz.select("vec_id", "qv", F.sqrt(dot("qv", "qv")).alias("qnrm"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("qnrm").alias("na"),
+    )
+    scored = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot("qa", "qv").cast("double") / (F.col("na") * F.col("qnrm"))).alias(
+            "approx_cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
 _N_CENTROIDS = 16  # IVF coarse quantizer size
 _N_PROBE = 4  # cells probed per query
 _KMEANS_ITERS = 2  # Lloyd iterations (fixed → deterministic, oracle-replicable)

@@ -135,6 +135,25 @@ def stream_stream_interval_join(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] = "event_type",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: each micro-batch joins against a (small)
+    static dimension, broadcast to every executor — the lookup-table
+    pattern (event_type → category, user → account tier, ...).
+
+    Scale properties: stateless (no watermark, no join state — the static
+    side is not a stream, so nothing buffers) and shuffle-free on the
+    stream side (broadcast hash join; the stream partitioning is
+    untouched). Spark re-resolves the static side's files each
+    micro-batch, so a dimension table updated in place is picked up on
+    the next trigger without restarting the query."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 # -- custom stateful operator: per-user running profile -----------------------
 
 RUNNING_PROFILE_SCHEMA = StructType(

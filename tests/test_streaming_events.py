@@ -303,6 +303,37 @@ def test_rollup_to_table_updates_in_place(spark, tmp_path):
     assert again == got2
 
 
+def test_stream_static_enrich_broadcasts_dim(spark, tmp_path):
+    from data_ingestion_lambda_spark.streaming.events import stream_static_enrich
+
+    src, ckpt, out = _paths(tmp_path)
+    dim = spark.createDataFrame(
+        [("A", "alpha"), ("B", "beta")], "event_type string, category string"
+    )
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, _ts(10, 0), 1, "A", 1.0, "{}"),
+            (2, _ts(10, 5), 2, "B", 2.0, "{}"),
+            (3, _ts(10, 9), 3, "C", 3.0, "{}"),  # no dim row -> left join NULL
+        ],
+    )
+    _run(spark, lambda s: stream_static_enrich(s, dim), src, ckpt, out, "append")
+    rows = {r["event_id"]: r["category"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "alpha", 2: "beta", 3: None}
+
+    # Batch twin of the same function must plan as a broadcast hash join
+    # (stream side unshuffled) — the property that makes it stateless and
+    # scan-parallel on a cluster.
+    batch = spark.createDataFrame(
+        [(1, "A")], "event_id long, event_type string"
+    )
+    plan = stream_static_enrich(batch, dim)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_rollup_merge_survives_stale_replay(spark, tmp_path):
     """A replay from an older/rebuilt checkpoint re-emits a window with a
     SMALLER n_events than the table already holds. Payload order cols
