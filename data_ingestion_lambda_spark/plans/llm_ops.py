@@ -648,15 +648,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (h1, h2) together, halving the per-token split+fold work vs calling
     # polyhash and polyhash131 separately (HOF folds run interpreted, so
     # the pass count matters).
-    codes = F.transform(F.split(F.col("tok"), ""), lambda ch: F.ascii(ch).cast("long"))
-    pair = F.aggregate(
-        codes,
-        F.struct(
-            F.lit(0).cast("long").alias("h1"), F.lit(0).cast("long").alias("h2")
-        ),
-        lambda acc, x: F.struct(
-            ((acc["h1"] * 31 + x) % P).alias("h1"), ((acc["h2"] * 131 + x) % P).alias("h2")
-        ),
+    # ONE F.expr string: building this fold with Python Column operators
+    # costs hundreds of py4j round-trips per builder call (README perf
+    # note 6); the SQL text is a single JVM parse with identical semantics.
+    pair = F.expr(
+        "aggregate(transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        "named_struct('h1', CAST(0 AS BIGINT), 'h2', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct('h1', (acc.h1 * 31 + x) % {P}, "
+        f"'h2', (acc.h2 * 131 + x) % {P}))"
     )
     th = (
         d.select("doc_id", F.explode(tokens("text")).alias("tok"))
@@ -668,20 +667,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializing the 2^63 literal (signed-long overflow) and 4 dead sums.
     bit_votes = th.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.col(h).bitwiseAND(F.lit(POW2[k]).cast("long")) > 0, 1).otherwise(-1)
+            F.expr(
+                f"SUM(CASE WHEN ({h} & CAST({POW2[k]} AS BIGINT)) > 0 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"{h}b{k}")
             for h in ("h1", "h2")
             for k in range(30)
         ]
     )
-    simhash = sum(
-        (
-            F.when(F.col(f"h1b{k}") > 0, POW2[k]).otherwise(0).cast("long")
-            + F.when(F.col(f"h2b{k}") > 0, POW2[k] * 4294967296).otherwise(0).cast("long")
+    simhash = F.expr(
+        " + ".join(
+            f"CAST(CASE WHEN h1b{k} > 0 THEN {POW2[k]} ELSE 0 END AS BIGINT)"
+            f" + CAST(CASE WHEN h2b{k} > 0 THEN {POW2[k] * 4294967296} ELSE 0 END AS BIGINT)"
             for k in range(30)
-        ),
-        start=F.lit(0).cast("long"),
+        )
     )
     # Persisted: the block join and both fingerprint lookups reference sims;
     # one long per doc, so the cache is negligible and the
@@ -786,16 +785,14 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     # One char scan folds all four accumulators (HOF folds run
     # interpreted; pass count matters — see dedup_simhash).
-    codes = F.transform(F.split(F.col("tok"), ""), lambda ch: F.ascii(ch).cast("long"))
-    quad = F.aggregate(
-        codes,
-        F.struct(*[F.lit(0).cast("long").alias(f"h{i}") for i in range(4)]),
-        lambda acc, x: F.struct(
-            *[
-                ((acc[f"h{i}"] * m + x) % P).alias(f"h{i}")
-                for i, m in enumerate(_WIDE_MULTIPLIERS)
-            ]
-        ),
+    # ONE F.expr string (same py4j-cost rule as dedup_simhash's fold).
+    init = ", ".join(f"'h{i}', CAST(0 AS BIGINT)" for i in range(4))
+    step = ", ".join(
+        f"'h{i}', (acc.h{i} * {m} + x) % {P}" for i, m in enumerate(_WIDE_MULTIPLIERS)
+    )
+    quad = F.expr(
+        "aggregate(transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        f"named_struct({init}), (acc, x) -> named_struct({step}))"
     )
     th = (
         d.select("doc_id", F.explode(tokens("text")).alias("tok"))
@@ -805,16 +802,19 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 hashes x 30 bits: one codegen'd aggregation, map-side partial.
     bit_votes = th.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.col(f"h{i}").bitwiseAND(F.lit(POW2[k]).cast("long")) > 0, 1).otherwise(-1)
+            F.expr(
+                f"SUM(CASE WHEN (h{i} & CAST({POW2[k]} AS BIGINT)) > 0 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"h{i}b{k}")
             for i in range(4)
             for k in range(30)
         ]
     )
-    part = lambda i: sum(
-        (F.when(F.col(f"h{i}b{k}") > 0, POW2[k]).otherwise(0).cast("long") for k in range(30)),
-        start=F.lit(0).cast("long"),
+    part = lambda i: F.expr(
+        " + ".join(
+            f"CAST(CASE WHEN h{i}b{k} > 0 THEN {POW2[k]} ELSE 0 END AS BIGINT)"
+            for k in range(30)
+        )
     )
     parts = bit_votes.select(
         "doc_id", *[part(i).alias(f"p{i}") for i in range(4)]

@@ -122,7 +122,13 @@ def media_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(
         "/tmp", "spark_graft_binfiles", sf_dir.strip("/").replace("/", "_")
     )
-    os.makedirs(out_dir, exist_ok=True)
+    # Recreate from scratch: stale files from a prior run against different
+    # table contents (the driver regenerates testdata between rounds) would
+    # satisfy the glob and poison the comparison.
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
     docs = (
         t(spark, sf_dir, "documents")
         .select("doc_id", "text")

@@ -113,7 +113,13 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--out", default="/tmp/scale_probe_data")
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--queries",
+        default=",".join(QUERIES),
+        help="comma-separated subset (default: all headliners)",
+    )
     args = ap.parse_args()
+    query_list = [q for q in args.queries.split(",") if q]
 
     spark = get_spark("scale_probe")
     specs = all_specs()
@@ -125,10 +131,10 @@ def main() -> None:
 
     # Session/JIT warmup so the first timed query doesn't absorb startup
     # (observed +9 s on the first query without this).
-    run_once(spark, specs, args.base, QUERIES[0])
+    run_once(spark, specs, args.base, query_list[0])
 
     results = {}
-    for name in QUERIES:
+    for name in query_list:
         t1 = min(run_once(spark, specs, args.base, name) for _ in range(args.passes))
         tN = min(run_once(spark, specs, args.out, name) for _ in range(args.passes))
         ratio = round(tN / t1, 2) if t1 > 0 else float("inf")
