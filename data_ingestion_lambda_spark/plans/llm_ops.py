@@ -721,6 +721,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WIDE_MULTIPLIERS = (31, 131, 137, 139)  # independent polynomial hashes
+_WIDE_RECALL_SAMPLE = 500  # bound on the recall gauge's exact all-pairs slice
 _SQL_SIGN_AGG30 = (  # 30-bit sign-aggregate of a token-hash list {th}
     "list_sum(list_transform(generate_series(0, 29), k -> "
     "CASE WHEN list_sum(list_transform({th}, h -> "
@@ -737,10 +738,46 @@ def _sql_wide_hash(mult: int) -> str:
     )
 
 
-@register(
-    "dedup_simhash_wide",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+def _wide_parts(d: DataFrame) -> DataFrame:
+    """documents -> (doc_id, p0..p3): four 30-bit sign-aggregate
+    fingerprint parts (Spark twin of _WIDE_PARTS_CTES below)."""
+    # ONE F.expr string (same py4j-cost rule as dedup_simhash's fold).
+    init = ", ".join(f"'h{i}', CAST(0 AS BIGINT)" for i in range(4))
+    step = ", ".join(
+        f"'h{i}', (acc.h{i} * {m} + x) % {P}" for i, m in enumerate(_WIDE_MULTIPLIERS)
+    )
+    quad = F.expr(
+        "aggregate(transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        f"named_struct({init}), (acc, x) -> named_struct({step}))"
+    )
+    th = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", quad.alias("hq"))
+        .select("doc_id", *[F.col(f"hq.h{i}").alias(f"h{i}") for i in range(4)])
+    )
+    # 4 hashes x 30 bits: one codegen'd aggregation, map-side partial.
+    bit_votes = th.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"SUM(CASE WHEN (h{i} & CAST({POW2[k]} AS BIGINT)) > 0 "
+                "THEN 1 ELSE -1 END)"
+            ).alias(f"h{i}b{k}")
+            for i in range(4)
+            for k in range(30)
+        ]
+    )
+    part = lambda i: F.expr(
+        " + ".join(
+            f"CAST(CASE WHEN h{i}b{k} > 0 THEN {POW2[k]} ELSE 0 END AS BIGINT)"
+            for k in range(30)
+        )
+    )
+    return bit_votes.select("doc_id", *[part(i).alias(f"p{i}") for i in range(4)])
+
+
+# Shared CTE text: doc_id -> four 30-bit fingerprint parts. Used by the
+# dedup_simhash_wide oracle and the recall gauge's exact ground truth.
+_WIDE_PARTS_CTES = f"""toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
     hs AS (SELECT doc_id,
                   {', '.join(f'{_sql_wide_hash(m)} AS th{i}' for i, m in enumerate(_WIDE_MULTIPLIERS))}
            FROM toks),
@@ -748,7 +785,18 @@ def _sql_wide_hash(mult: int) -> str:
         SELECT doc_id,
                {', '.join(_SQL_SIGN_AGG30.format(th=f'th{i}') + f' AS p{i}' for i in range(4))}
         FROM hs
-    ),
+    )"""
+
+_SQL_WIDE_HAMMING = (
+    "bit_count(xor({a}.p0, {b}.p0)) + bit_count(xor({a}.p1, {b}.p1))"
+    " + bit_count(xor({a}.p2, {b}.p2)) + bit_count(xor({a}.p3, {b}.p3))"
+)
+
+
+@register(
+    "dedup_simhash_wide",
+    oracle=f"""
+    WITH {_WIDE_PARTS_CTES},
     blocks AS (
         SELECT doc_id, j, [p0, p1, p2, p3][j + 1] AS bv
         FROM parts CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS j)
@@ -782,43 +830,7 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     one block table. Same equi-join candidate shape; only the block width
     changed. The four parts stay four longs (no 120-bit value is ever
     materialized), so the shuffle payload is 32 bytes/doc either way."""
-    d = t(spark, sf_dir, "documents")
-    # One char scan folds all four accumulators (HOF folds run
-    # interpreted; pass count matters — see dedup_simhash).
-    # ONE F.expr string (same py4j-cost rule as dedup_simhash's fold).
-    init = ", ".join(f"'h{i}', CAST(0 AS BIGINT)" for i in range(4))
-    step = ", ".join(
-        f"'h{i}', (acc.h{i} * {m} + x) % {P}" for i, m in enumerate(_WIDE_MULTIPLIERS)
-    )
-    quad = F.expr(
-        "aggregate(transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), "
-        f"named_struct({init}), (acc, x) -> named_struct({step}))"
-    )
-    th = (
-        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .select("doc_id", quad.alias("hq"))
-        .select("doc_id", *[F.col(f"hq.h{i}").alias(f"h{i}") for i in range(4)])
-    )
-    # 4 hashes x 30 bits: one codegen'd aggregation, map-side partial.
-    bit_votes = th.groupBy("doc_id").agg(
-        *[
-            F.expr(
-                f"SUM(CASE WHEN (h{i} & CAST({POW2[k]} AS BIGINT)) > 0 "
-                "THEN 1 ELSE -1 END)"
-            ).alias(f"h{i}b{k}")
-            for i in range(4)
-            for k in range(30)
-        ]
-    )
-    part = lambda i: F.expr(
-        " + ".join(
-            f"CAST(CASE WHEN h{i}b{k} > 0 THEN {POW2[k]} ELSE 0 END AS BIGINT)"
-            for k in range(30)
-        )
-    )
-    parts = bit_votes.select(
-        "doc_id", *[part(i).alias(f"p{i}") for i in range(4)]
-    ).persist()
+    parts = _wide_parts(t(spark, sf_dir, "documents")).persist()
     blocks = parts.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"p{i}") for i in range(4)])).alias("j", "bv"),
@@ -1240,3 +1252,72 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "dedup_simhash_wide_recall",
+    oracle=f"""
+    WITH wide AS (SELECT doc_a, doc_b FROM ({_REG["dedup_simhash_wide"].oracle}) t0
+                  WHERE doc_a < {_WIDE_RECALL_SAMPLE} AND doc_b < {_WIDE_RECALL_SAMPLE}),
+    {_WIDE_PARTS_CTES},
+    sample AS (SELECT * FROM parts WHERE doc_id < {_WIDE_RECALL_SAMPLE}),
+    exact AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+        WHERE {_SQL_WIDE_HAMMING.format(a='a', b='b')} <= {_SIMHASH_HAMMING_MAX}
+    ),
+    hits AS (SELECT COUNT(*) AS n_hits FROM exact JOIN wide USING (doc_a, doc_b))
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM wide) AS BIGINT) AS n_wide,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / nullif((SELECT COUNT(*) FROM exact), 0) AS recall
+    FROM hits
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def dedup_simhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured proof of the wide-SimHash pigeonhole guarantee: recall of
+    the block-join candidates against EXACT all-pairs Hamming <= 3 ground
+    truth on a bounded doc_id < _WIDE_RECALL_SAMPLE slice. By construction
+    recall must be exactly 1.0 (<= 3 flipped bits cannot touch all 4
+    disjoint blocks) and n_wide == n_exact on the slice — this gauge turns
+    the proof into a regression-checked measurement, the dedup twin of
+    dedup_lsh_recall.
+
+    Scale: the exact side is the ONLY deliberate all-pairs join in the
+    repo and is hard-bounded to C(_WIDE_RECALL_SAMPLE, 2) comparisons over 32-byte
+    fingerprint rows (a broadcast nested-loop on a few hundred rows) —
+    ground-truth evaluation on a slice, the same audit shape a 100 TB
+    pipeline uses."""
+    parts = _wide_parts(t(spark, sf_dir, "documents")).persist()
+    sample = parts.filter(F.col("doc_id") < _WIDE_RECALL_SAMPLE)
+    a = sample.alias("a")
+    b = sample.alias("b")
+    ham = sum(
+        (F.bit_count(F.col(f"a.p{i}").bitwiseXOR(F.col(f"b.p{i}"))) for i in range(4)),
+        start=F.lit(0),
+    )
+    exact = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= _SIMHASH_HAMMING_MAX)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    wide = (
+        dedup_simhash_wide(spark, sf_dir)
+        .filter(
+            (F.col("doc_a") < _WIDE_RECALL_SAMPLE) & (F.col("doc_b") < _WIDE_RECALL_SAMPLE)
+        )
+        .select("doc_a", "doc_b")
+    )
+    hits = exact.join(wide, ["doc_a", "doc_b"])
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(wide.agg(F.count("*").alias("n_wide")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_exact",
+            "n_wide",
+            "n_hits",
+            F.expr("CAST(n_hits AS DOUBLE) / nullif(n_exact, 0)").alias("recall"),
+        )
+    )
