@@ -94,6 +94,27 @@ def test_undecoded_and_odd_channel_rows_do_not_crash(spark):
     assert rows[3].sum_c0 > 0 and rows[3].sum_c1 > 0 and rows[3].sum_c2 > 0
 
 
+def test_quantized_ann_skips_zero_vectors(spark):
+    # A zero vector has no quantization scale (127/max|x| divides by 0);
+    # the amax > 0 guard must drop it from both the corpus and query sides
+    # rather than raise, mirroring the oracle's WHERE amax > 0.
+    from data_ingestion_lambda_spark.plans.similarity import DIM
+
+    rows = [(0, [0.0] * DIM), (1, [float(i % 7) - 3.0 for i in range(DIM)]),
+            (2, [float(i % 5) - 2.0 for i in range(DIM)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.createOrReplaceTempView("_quant_test")
+
+    import data_ingestion_lambda_spark.plans.similarity as sim
+    from unittest import mock
+
+    with mock.patch.object(sim, "t", lambda _s, _d, _n: df):
+        out = sim.ann_quantized_topk(spark, "unused").collect()
+    ids = {(r.query_id, r.neighbor_id) for r in out}
+    assert all(0 not in pair for pair in ids), "zero vector must be excluded"
+    assert ids, "non-zero vectors still rank"
+
+
 def test_payload_pruned_when_unused(spark):
     # A metadata-only query over the media table must not materialize the
     # payload column at all (column pruning through the struct) — the
