@@ -79,12 +79,17 @@ def main() -> None:
     # (hash-aggregate over an in-memory range). Round-over-round totals on
     # a multi-tenant host drift with neighbors/CPU frequency; calib_sec
     # moves identically, so total/calib_sec is the comparable number.
-    t0 = time.time()
-    # (mod keeps the running sum within BIGINT under ANSI arithmetic)
-    spark.range(0, 400_000_000, 1, 32).select(
-        F.sum(F.xxhash64("id") % 1_000_000)
-    ).write.format("noop").mode("overwrite").save()
-    calib = round(time.time() - t0, 3)
+    # (mod keeps the running sum within BIGINT under ANSI arithmetic;
+    # min-of-3 because a single calib sample carries the same host noise
+    # it exists to measure — observed 0.45 vs 0.75 s back-to-back runs)
+    calib = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 400_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id") % 1_000_000)
+        ).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        calib = dt if calib is None else min(calib, dt)
 
     # Five passes, keep the min — the host runs other tenants (driver
     # harness) and single-shot timings carry ±0.3 s jitter that min-of-2
