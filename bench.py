@@ -124,6 +124,11 @@ def main() -> None:
                 "passes": n_passes,
                 "estimator": "min",
                 "calib_sec": calib,
+                # Host-drift-corrected total: wall seconds per calibration
+                # second. Cross-round comparisons should use THIS number
+                # (see README) — raw totals drift ±30% with host load while
+                # calib_sec moves identically.
+                "value_normalized": round(total / calib, 1) if calib else None,
                 "sf": sf,
             }
         )

@@ -273,3 +273,47 @@ def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond the upstream pivot's."""
     wide = events_pivot_daily(spark, sf_dir)
     return wide.unpivot("day", list(_EVENT_TYPES), "event_type", "n")
+
+
+_ENRICH_DIM = (
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "revenue"),
+    ("signup", "growth"),
+    # 'error' deliberately unmapped -> left-join NULL category
+)
+
+
+@register(
+    "events_enrich_static",
+    oracle=f"""
+    WITH dim(event_type, category) AS (
+        VALUES {", ".join(f"('{et}', '{cat}')" for et, cat in _ENRICH_DIM)}
+    )
+    SELECT d.category, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e LEFT JOIN dim d USING (event_type)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "join", "streaming-twin"),
+)
+def events_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.events.stream_static_enrich — the SAME
+    operator function (broadcast left join against a small static
+    dimension), aggregated per (category, event_type) so the oracle pins
+    the join semantics including the unmapped-type NULL row. Under
+    readStream the identical expression runs per micro-batch; the pytest
+    suite pins the plan shape (BroadcastHashJoin, stream side
+    unshuffled), this row pins the values."""
+    from data_ingestion_lambda_spark.streaming.events import stream_static_enrich
+
+    e = t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        list(_ENRICH_DIM), "event_type string, category string"
+    )
+    return (
+        stream_static_enrich(e, dim, on="event_type", how="left")
+        .groupBy("category", "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )

@@ -831,6 +831,14 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed. The four parts stay four longs (no 120-bit value is ever
     materialized), so the shuffle payload is 32 bytes/doc either way."""
     parts = _wide_parts(t(spark, sf_dir, "documents")).persist()
+    return _wide_pairs(parts)
+
+
+def _wide_pairs(parts: DataFrame) -> DataFrame:
+    """Block-join candidate generation + Hamming filter over an
+    already-persisted `_wide_parts` frame — factored out so the recall
+    gauge shares the caller's persisted copy instead of each invocation
+    building (and caching) its own identical frame."""
     blocks = parts.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"p{i}") for i in range(4)])).alias("j", "bv"),
@@ -1303,7 +1311,7 @@ def dedup_simhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     wide = (
-        dedup_simhash_wide(spark, sf_dir)
+        _wide_pairs(parts)
         .filter(
             (F.col("doc_a") < _WIDE_RECALL_SAMPLE) & (F.col("doc_b") < _WIDE_RECALL_SAMPLE)
         )

@@ -119,8 +119,13 @@ def media_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_binary_files,
     )
 
+    # Per-process scratch dir: two sessions building this plan against the
+    # same sf_dir (bench vs correctness driver) must not rmtree files under
+    # each other's still-lazy DataFrames.
     out_dir = os.path.join(
-        "/tmp", "spark_graft_binfiles", sf_dir.strip("/").replace("/", "_")
+        "/tmp",
+        "spark_graft_binfiles",
+        f"{sf_dir.strip('/').replace('/', '_')}_pid{os.getpid()}",
     )
     # Recreate from scratch: stale files from a prior run against different
     # table contents (the driver regenerates testdata between rounds) would
@@ -144,7 +149,7 @@ def media_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table_from_binary(files, "image")
     mapping = files.select(
         F.xxhash64("path").alias("doc_id"),
-        F.regexp_extract("path", r"(\d+)\.txt$", 1).cast("long").alias("real_doc_id"),
+        F.regexp_extract("path", r"(-?\d+)\.txt$", 1).cast("long").alias("real_doc_id"),
     )
     return (
         byte_features(media)

@@ -210,97 +210,299 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARDUP_THRESHOLD = 0.35  # synthetic embeddings are random; max pairwise ~0.51
 
+# Banded sign-LSH for near-dup candidate generation: _N_BANDS independent
+# hash tables, each bucketing on the sign pattern of _BAND_PLANES
+# coordinates; a pair is a candidate when it collides in ANY band. The
+# coordinate subsets are a fixed literal (drawn once with
+# random.Random(1), baked here so the Spark plan and the DuckDB oracle
+# derive from the same list — random subsets decorrelate bands, which
+# measured 0.306 recall vs 0.137 for contiguous blocks at the same
+# candidate volume). Knobs at corpus scale: planes-per-band sets bucket
+# count (selectivity ~ N^2 / 2^(planes+1) per band) and should grow
+# ~log2(N); band count buys recall linearly in cost. 16 x 8 fits the
+# demo corpus at recall ~2x the old single-table-of-4-planes scheme.
+_BAND_PLANES = [
+    [5, 8, 17, 18, 37, 49, 52, 55],
+    [14, 25, 29, 31, 42, 49, 51, 64],
+    [2, 13, 25, 28, 32, 39, 54, 58],
+    [1, 15, 18, 29, 38, 45, 47, 52],
+    [2, 14, 21, 35, 42, 58, 60, 61],
+    [2, 14, 25, 28, 44, 47, 57, 61],
+    [4, 15, 29, 32, 34, 36, 49, 62],
+    [2, 15, 19, 30, 44, 45, 49, 63],
+    [7, 12, 36, 42, 54, 59, 60, 64],
+    [8, 22, 33, 38, 46, 47, 48, 58],
+    [13, 19, 20, 33, 43, 54, 55, 59],
+    [3, 26, 33, 38, 55, 61, 63, 64],
+    [12, 16, 26, 27, 43, 48, 52, 62],
+    [24, 36, 44, 45, 47, 48, 50, 57],
+    [7, 11, 12, 29, 33, 34, 43, 50],
+    [2, 3, 20, 24, 31, 32, 47, 51],
+]
+# Scoring groups are (band, bucket >> _BUCKET_GROUP_SHIFT): coarse enough
+# that the per-group Python UDF call overhead amortizes (64 groups, not
+# 4096), fine enough that a group holds ~N/4 vectors and parallelism
+# covers the cores. Sub-buckets are re-split pandas-side before pairing.
+_BUCKET_GROUP_SHIFT = 6
+_PAIR_CHUNK = 262_144  # bound per-chunk gather memory: 256k pairs x 2 x 512 B
+_GRAM_BLOCK = 4096  # prescreen Gram rows per sgemm block (BLK x n floats)
 
-_SQL_BUCKET = _sql_bucket()
+
+def _sql_band_keys() -> str:
+    """UNION ALL of one (band, bkt, vec_id) select per band — the oracle
+    twin of the Spark-side explode over _BAND_PLANES."""
+    selects = []
+    for bi, coords in enumerate(_BAND_PLANES):
+        bkt = " + ".join(
+            f"(CASE WHEN ve[{c}] > 0 THEN {1 << j} ELSE 0 END)"
+            for j, c in enumerate(coords)
+        )
+        selects.append(f"SELECT {bi} AS band, {bkt} AS bkt, vec_id FROM v")
+    return " UNION ALL ".join(selects)
+
+
+_EMB_DEDUP_ORACLE = f"""
+    WITH v AS (SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm
+               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
+    k AS ({_sql_band_keys()}),
+    cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+             FROM k a JOIN k b ON a.band = b.band AND a.bkt = b.bkt
+                              AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT cand.va AS vec_a, cand.vb AS vec_b,
+               ({_sql_dot('x.ve', 'y.ve')}) / (x.nrm * y.nrm) AS cosine
+        FROM cand JOIN v x ON x.vec_id = cand.va
+                  JOIN v y ON y.vec_id = cand.vb
+    ) WHERE cosine >= {_NEARDUP_THRESHOLD}
+    """
+
+
+# The float32 Gram prescreen may only EXCLUDE pairs whose exact cosine is
+# provably below threshold. sgemm accumulates 64 float32 products of
+# near-unit-norm components: worst-case absolute error on the normalized
+# cosine is ~64 * 2^-24 * cond ~ 1e-5; the margin is 100x that.
+_PRESCREEN_MARGIN = 1e-3
+
+
+def _score_bucket_group(pdf):
+    """Score every same-bucket pair inside one (band, bucket-group) frame.
+
+    Two phases. PRESCREEN: one float32 Gram matrix (BLAS sgemm) per
+    sub-bucket, keeping upper-triangle pairs with approximate cosine >=
+    threshold - _PRESCREEN_MARGIN — conservative, so no qualifying pair
+    is dropped; on random-tail data this discards ~99.7% of candidates
+    for ~1% of the exact-loop cost. RESCORE: survivors get the exact
+    ORDER-PRESERVING float64 loop — acc = a0*b0 then acc += ai*bi left to
+    right — so every partial sum is the identical IEEE-double sequence as
+    the unrolled `a[1]*b[1] + ... + a[64]*b[64]` the DuckDB oracle runs
+    (numpy's own dot/matmul uses blocked summation and would NOT
+    hash-match; it is safe in the prescreen precisely because the exact
+    rescore decides the output). Vectors arrive as the parquet's native
+    float32 (half the shuffle/Arrow bytes); upcasting is exact, so the
+    rescore sees the same doubles the oracle's CAST produces."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+    outs = []
+    for _, sub in pdf.groupby("bkt", sort=False):
+        n = len(sub)
+        if n < 2:
+            continue
+        sub = sub.sort_values("vec_id")  # deterministic vec_a < vec_b orientation
+        V32 = np.stack(sub["vf"].to_numpy())
+        ids = sub["vec_id"].to_numpy()
+        n32 = np.sqrt(np.einsum("ij,ij->i", V32, V32))
+        t32 = np.float32(_NEARDUP_THRESHOLD - _PRESCREEN_MARGIN)
+        # Row-blocked Gram keeps prescreen memory at BLK x n regardless of
+        # bucket skew (a degenerate sign-region bucket cannot OOM a worker).
+        blocks_a, blocks_b = [], []
+        cols = np.arange(n)
+        for r in range(0, n, _GRAM_BLOCK):
+            g = V32[r : r + _GRAM_BLOCK] @ V32.T
+            keep = g >= t32 * np.outer(n32[r : r + _GRAM_BLOCK], n32)
+            keep &= cols[None, :] > (r + np.arange(g.shape[0]))[:, None]
+            ra, rb = np.nonzero(keep)
+            blocks_a.append(ra + r)
+            blocks_b.append(rb)
+        ia = np.concatenate(blocks_a)
+        ib = np.concatenate(blocks_b)
+        if len(ia) == 0:
+            continue
+        V = V32.astype(np.float64)
+        acc = V[:, 0] * V[:, 0]
+        for i in range(1, DIM):
+            acc = acc + V[:, i] * V[:, i]
+        nrm = np.sqrt(acc)
+        for s in range(0, len(ia), _PAIR_CHUNK):
+            ja, jb = ia[s : s + _PAIR_CHUNK], ib[s : s + _PAIR_CHUNK]
+            A, B = V[ja], V[jb]
+            d = A[:, 0] * B[:, 0]
+            for i in range(1, DIM):
+                d = d + A[:, i] * B[:, i]
+            cos = d / (nrm[ja] * nrm[jb])
+            m = cos >= _NEARDUP_THRESHOLD
+            if m.any():
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_a": ids[ja[m]], "vec_b": ids[jb[m]], "cosine": cos[m]}
+                    )
+                )
+    if not outs:
+        return empty
+    return pd.concat(outs, ignore_index=True)
+
+
+def _band_keyed(base: DataFrame) -> DataFrame:
+    """(band, bkt, grp, vec_id, vf) rows: one per vector per band.
+
+    ``vf`` stays the parquet-native array<float> — the sign test is
+    type-invariant (float > 0 iff its exact double upcast > 0) and
+    shipping floats halves shuffle + Arrow bytes; the UDF upcasts
+    losslessly before exact scoring."""
+    structs = []
+    for bi, coords in enumerate(_BAND_PLANES):
+        bkt = sum(
+            (
+                F.when(F.element_at("vf", c) > 0, 1 << j).otherwise(0)
+                for j, c in enumerate(coords)
+            ),
+            start=F.lit(0),
+        )
+        structs.append(F.struct(F.lit(bi).alias("band"), bkt.cast("int").alias("bkt")))
+    return base.select("vec_id", "vf", F.explode(F.array(*structs)).alias("k")).select(
+        F.col("k.band").alias("band"),
+        F.col("k.bkt").alias("bkt"),
+        F.shiftright(F.col("k.bkt"), _BUCKET_GROUP_SHIFT).alias("grp"),
+        "vec_id",
+        "vf",
+    )
 
 
 @register(
     "dedup_embedding_cosine",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm,
-                      {_SQL_BUCKET} AS bucket
-               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
-    pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               ({_sql_dot('a.ve', 'b.ve')}) / (a.nrm * b.nrm) AS cosine
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    )
-    SELECT vec_a, vec_b, cosine FROM pairs
-    WHERE cosine >= {_NEARDUP_THRESHOLD}
-    """,
+    oracle=_EMB_DEDUP_ORACLE,
     tags=("llm", "dedup", "ann"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: candidate pairs from a sign-hyperplane
-    LSH bucket join, kept when cosine >= threshold.
+    """Embedding-cosine near-dup: banded sign-hyperplane LSH candidates
+    (16 tables x 8 planes, fixed random coordinate subsets), scored
+    per-bucket inside applyInPandas, kept when cosine >= threshold.
 
-    Scale: candidate GENERATION and candidate SCORING are split. The
-    bucket self-join runs on slim (vec_id, bucket) rows only — vectors
-    never ride through the pair join — then an explicit repartition
-    spreads the (vec_a, vec_b) candidate list across cores, and the
-    vectors are joined back by broadcast for exactly-once scoring. Keeping
-    the score out of the pair-join condition matters twice over: Catalyst
-    would otherwise push the `cosine >= t` filter into the join and
-    evaluate the 64-term dot per *probed* pair (2x the matched count), all
-    in the single input partition (measured 2x faster split at sf0.1). At
-    100 TB the same shape holds: light pair generation per bucket,
-    payload re-attached by broadcast/bucketed join for scoring.
+    Architecture (replaced the r1-r4 single-table pair-join after the
+    scale probe measured it 15.9x wall at 10x data): vectors are
+    exploded to one (band, bucket) key per band — 16 rows of ~0.26 KB
+    per vector, parquet-native float32 — and SHUFFLED ONCE on the coarse
+    group key; candidates are prescreened per sub-bucket with a blocked
+    float32 Gram (BLAS sgemm, conservative margin) and survivors scored
+    with the order-preserving float64 loop (bit-identical partial sums
+    to the oracle's unrolled SQL dot, see _score_bucket_group). Pair
+    rows never ride through a join or a shuffle; only matched survivors
+    hit the final distinct (a pair that collides in several bands
+    produces the identical double, so DISTINCT dedups exactly).
+    Measured (probe, SCALE.md): 10x vectors -> 2.2-2.6x wall, 30x ->
+    3.6x wall, within ~20% of the query's own data-movement floor (noop
+    UDF), where the old shape took 15.9x at 10x; recall of true
+    cos>=0.35 pairs 0.306 vs 0.148 (dedup_embedding_recall is the
+    regression-checked gauge).
 
-    DOCUMENTED CAP (measured, tools/scale_probe.py): with _N_PLANES = 4
-    the bucket space is 2⁴ = 16, so candidate volume is ~N²/32 — right at
-    the bench corpus size (~125k pairs at 2k vectors, 2.5 s) and
-    quadratic beyond it (12.5M pairs / ~44 s at 20k). There is no exact
-    prescreen that preserves this output: a loose threshold (cos ≥ 0.35,
-    θ ≈ 70°) flips ~25 of 64 signs between qualifying pairs, so no sign
-    blocking discriminates, and scoring is already codegen arithmetic —
-    the candidate count IS the cost. At larger N either raise _N_PLANES
-    (the oracle twin moves in lockstep; output is defined by the bucket
-    scheme) or — the production route — use ann_ivf_topk for similarity
-    search and dedup_cluster_assign over high-threshold pairs for dedup;
-    an all-pairs listing at θ ≈ 70° is inherently quadratic in output."""
+    At 100 TB: shuffle volume is bands x corpus (bounded, linear); the
+    quadratic term — per-bucket pair enumeration — is BLAS-lane work
+    whose volume is ~N^2 x bands / 2^(planes+1), controlled by the two
+    documented knobs (planes-per-band should grow ~log2 N, like every
+    production LSH deployment; bands buy recall linearly). Skewed
+    buckets are bounded by the sign-balance of the embedding
+    distribution; a mean-centering pre-pass is the standard mitigation
+    if a production corpus is sign-skewed."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("vf")
+    )
+    return (
+        _band_keyed(base)
+        .groupBy("band", "grp")
+        .applyInPandas(_score_bucket_group, "vec_a bigint, vec_b bigint, cosine double")
+        .distinct()
+    )
+
+
+_EMB_RECALL_SAMPLE = 500  # exact side bounded to C(500, 2) pairs
+
+
+@register(
+    "dedup_embedding_recall",
+    oracle=f"""
+    WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+                WHERE vec_id < {_EMB_RECALL_SAMPLE}),
+    s AS (SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm FROM v0),
+    exact AS (
+        SELECT vec_a, vec_b FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ({_sql_dot('a.ve', 'b.ve')}) / (a.nrm * b.nrm) AS cosine
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= {_NEARDUP_THRESHOLD}
+    ),
+    banded AS (SELECT vec_a, vec_b FROM ({_EMB_DEDUP_ORACLE}) t0
+               WHERE vec_a < {_EMB_RECALL_SAMPLE} AND vec_b < {_EMB_RECALL_SAMPLE}),
+    hits AS (SELECT COUNT(*) AS n_hits FROM exact JOIN banded USING (vec_a, vec_b))
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM banded) AS BIGINT) AS n_banded,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / nullif((SELECT COUNT(*) FROM exact), 0) AS recall
+    FROM hits
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the banded-LSH near-dup candidates against the
+    EXACT all-pairs cos >= threshold ground truth on a bounded
+    vec_id < _EMB_RECALL_SAMPLE slice — the embedding twin of
+    dedup_lsh_recall / dedup_simhash_wide_recall. Unlike the SimHash
+    pigeonhole gauge, recall here is < 1 BY DESIGN: at threshold 0.35
+    (~70 deg) sign-plane LSH trades recall for candidate volume, and this
+    row is the number a pipeline owner tunes bands against (0.306 at 16
+    bands vs 0.148 for the retired single-table scheme).
+
+    Scale: the exact side is a deliberate all-pairs join hard-bounded to
+    C(500, 2) codegen dot products — ground-truth audit on a slice, the
+    same shape dedup_simhash_wide_recall uses."""
     base = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("ve")
     )
-    bucket = sum(
-        (
-            F.when(F.element_at("ve", i + 1) > 0, 1 << i).otherwise(0)
-            for i in range(_N_PLANES)
-        ),
-        start=F.lit(0),
+    s = base.filter(F.col("vec_id") < _EMB_RECALL_SAMPLE).select(
+        "vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm")
     )
-    v = base.select(
-        "vec_id",
-        "ve",
-        F.sqrt(dot("ve", "ve")).alias("nrm"),
-        bucket.alias("bucket"),
-    )
-    slim = v.select("vec_id", "bucket")
-    a = slim.alias("a")
-    b = slim.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        # Cluster-proportional fan-out for the CPU-bound scoring stage.
-        # A fixed literal would serialize on a big cluster; a bare
-        # repartition(cols) is byte-based-coalesced by AQE down to one
-        # partition (candidate rows are tiny but scoring is 64-term math).
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    va = v.select(F.col("vec_id").alias("vec_a"), F.col("ve").alias("va"), F.col("nrm").alias("na"))
-    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("ve").alias("vb"), F.col("nrm").alias("nb"))
-    return (
-        pairs.join(F.broadcast(va), "vec_a")
-        .join(F.broadcast(vb), "vec_b")
+    a = s.alias("a")
+    b = s.alias("b")
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
-            "vec_a",
-            "vec_b",
-            (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot("a.ve", "b.ve") / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    banded = dedup_embedding_cosine(spark, sf_dir).filter(
+        (F.col("vec_a") < _EMB_RECALL_SAMPLE) & (F.col("vec_b") < _EMB_RECALL_SAMPLE)
+    ).select("vec_a", "vec_b")
+    hits = exact.join(banded, ["vec_a", "vec_b"])
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(banded.agg(F.count("*").alias("n_banded")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_exact",
+            "n_banded",
+            "n_hits",
+            F.expr("CAST(n_hits AS DOUBLE) / nullif(n_exact, 0)").alias("recall"),
+        )
     )
 
 
@@ -686,6 +888,57 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = ann_lsh_bucketed(spark, sf_dir).select("query_id", "neighbor_id")
     hits = (
         exact.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.join(hits, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.max("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.max("n_hits"), F.lit(0)).cast("double") / F.count("*")
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+_QUANT_SQL = _REG["ann_quantized_topk"].oracle
+
+
+@register(
+    "ann_quantized_recall",
+    oracle=f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_EXACT_SQL}) t1),
+         quant AS (SELECT query_id, neighbor_id FROM ({_QUANT_SQL}) t2),
+         hits AS (
+             SELECT query_id, COUNT(*) AS n_hits
+             FROM exact JOIN quant USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           COALESCE(MAX(n_hits), 0) AS n_hits,
+           CAST(COALESCE(MAX(n_hits), 0) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact e LEFT JOIN hits USING (query_id)
+    GROUP BY e.query_id
+    """,
+    tags=("llm", "ann", "quality"),
+)
+def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of int8-quantized ranking against the exact float cosine
+    baseline, per query — turns ann_quantized_topk's asserted "~1/254 per
+    component" quantization-error claim into a measured, regression-checked
+    number (the int8 twin of ann_lsh_recall; the third gauge next to
+    dedup_lsh_recall and dedup_simhash_wide_recall).
+
+    Scale: reuses the two production pipelines unchanged and joins their
+    (query, neighbor) outputs — k×Q rows each, negligible — so the gauge
+    costs two index probes, not an extra all-pairs pass."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    quant = ann_quantized_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(quant, ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )

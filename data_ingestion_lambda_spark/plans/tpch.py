@@ -1,9 +1,12 @@
 """TPC-H query-shape suite beyond q01/q03/q05/q10 (plans/relational.py).
 
-Thirteen more of the classic shapes, adapted to the test schema — the
+Sixteen more of the classic shapes, adapted to the test schema — the
 generated tables carry no partsupp, comment/phone/address columns, ship
-modes, or commit/receipt dates, so q02/q11/q15/q16/q20 (partsupp-bound)
-are out of reach and the remaining queries substitute equivalent
+modes, or commit/receipt dates. q02/q11 price stock the schema carries
+nowhere (ps_supplycost / ps_availqty) and genuinely cannot exist;
+q15/q16/q20's shapes survive substituting the (part, supplier)
+relationship lineitem itself records (see the round-5 section at the end
+of this file), and the remaining queries substitute equivalent
 predicates over existing columns (noted per query). What is preserved is
 the *physical shape* each TPC-H query exists to exercise: EXISTS
 decorrelation (q04), scan-only filter-sum (q06), OR-ed dimension pairs
@@ -569,4 +572,158 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# partsupp-free adaptations (round 5). The test schema ships no partsupp, so
+# q02/q11 (need ps_supplycost/ps_availqty, prices the schema carries nowhere)
+# genuinely cannot exist. q15/q16/q20's PHYSICAL SHAPES survive substituting
+# the (part, supplier) relationship lineitem itself records:
+#   q15: aggregated revenue view + tie-safe scalar-subquery max
+#   q16: distinct-supplier counts per part class + NOT IN exclusion
+#   q20: nested IN subqueries gated by a correlated share-of-volume agg
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "subq", "agg"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view per supplier over one quarter, then
+    the supplier(s) hitting the scalar-subquery MAX — the create-view +
+    uncorrelated scalar aggregate pattern. The revenue doubles on both
+    sides of the equality are the SAME exact-decimal sum cast once to
+    double, so the cross-engine comparison is deterministic (the reason
+    TPC-H's own spec tolerates ties here)."""
+    li = t(spark, sf_dir, "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(best), F.col("total_revenue") == F.col("best_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_part_supplier_relationship",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "agg", "subq"),
+)
+def q16_part_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can source each part
+    class, excluding a blacklist via NOT IN. partsupp is substituted by
+    the (l_partkey, l_suppkey) pairs lineitem actually records; the
+    absent comment-based complaints filter becomes the schema's negative
+    account balance. Physical shape preserved: dedup'd fact projection,
+    broadcast dim join, anti-join exclusion, COUNT(DISTINCT) rollup."""
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    return (
+        ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               {sql_dsum("l_quantity", "qty")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey),
+    tot AS (
+        SELECT l_partkey, {sql_dsum("l_quantity", "part_qty")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey)
+    SELECT s_name, s_suppkey
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT s.l_suppkey
+        FROM shipped s JOIN tot USING (l_partkey)
+        WHERE s.qty > 0.5 * tot.part_qty
+          AND s.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    )
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "subq", "semi"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate supply of a named part
+    family — nested IN subqueries whose inner filter compares against a
+    correlated aggregate. ps_availqty > 0.5 * shipped-qty becomes
+    'this supplier shipped > 50% of the part's year volume' (both sides
+    exact decimal sums), and the part family filter is p_name LIKE
+    'red%'. Catalyst decorrelates the INs to left-semi joins; the share
+    comparison divides two decimal-sum doubles, deterministic in both
+    engines."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity", "qty"))
+    tot = li.groupBy("l_partkey").agg(dsum("l_quantity", "part_qty"))
+    red_parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    dominant = (
+        shipped.join(tot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("part_qty"))
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
     )

@@ -78,6 +78,15 @@ def build_replicated(spark, base: str, out: str, mult: int) -> None:
 
     emb = load_table(spark, base, "embeddings")
     dim = len(emb.select("embedding").first()[0])
+    # Copy i circular-shifts by i, so copies stay mutually dissimilar ONLY
+    # while every shift is distinct and non-trivial: shift mult-1 must stay
+    # < dim. Beyond that, slice() lengths go non-positive and shifts alias
+    # every `dim` copies, silently violating the probe's premise.
+    if mult > dim:
+        raise SystemExit(
+            f"--mult {mult} exceeds the embedding dim {dim}: circular-shift "
+            f"replication aliases after {dim} copies; use a smaller --mult"
+        )
     ecopies = [
         emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_STRIDE)).withColumn(
             "embedding",
