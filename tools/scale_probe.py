@@ -49,9 +49,30 @@ QUERIES = [
     "dedup_cluster_assign",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    # relational / events headliners (round 5): facts replicate with
+    # shifted keys — 10x orders from 10x customers, 10x order-lines, 10x
+    # events from 10x users — against the SAME dimension catalog, the
+    # realistic way a fact table grows 10x.
+    "q01_pricing_summary",
+    "q09_product_profit",
+    "win_topk_per_group",
+    "events_sessionize",
+    "upsert_last_writer_wins",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
+
+# Fact-table replication: per copy i, shift every identity/grouping key by
+# i*ID_STRIDE so rows stay attached to their copy's entities (order lines
+# to their order, events to their user's sessions) and copies never
+# interact through a window or join key. Dimension tables pass through
+# unchanged — more facts over the same catalog.
+_FACT_SHIFTS = {
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "events": ("event_id", "user_id"),
+}
+_PASSTHROUGH = ("region", "nation", "customer", "supplier", "part")
 
 
 def build_replicated(spark, base: str, out: str, mult: int) -> None:
@@ -102,6 +123,24 @@ def build_replicated(spark, base: str, out: str, mult: int) -> None:
     for c in ecopies[1:]:
         erep = erep.unionByName(c)
     erep.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    for table, keys in _FACT_SHIFTS.items():
+        fact = load_table(spark, base, table)
+        copies = []
+        for i in range(mult):
+            c = fact
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * ID_STRIDE))
+            copies.append(c)
+        rep = copies[0]
+        for c in copies[1:]:
+            rep = rep.unionByName(c)
+        rep.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+
+    for table in _PASSTHROUGH:
+        load_table(spark, base, table).write.mode("overwrite").parquet(
+            f"{out}/{table}.parquet"
+        )
 
 
 def run_once(spark, specs, sf_dir: str, name: str) -> float:
