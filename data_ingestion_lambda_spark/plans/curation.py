@@ -1,0 +1,213 @@
+"""Corpus-curation operators: PII scrubbing, domain capping, sequence packing.
+
+North-star extensions (SURVEY §2.11) — the three remaining operations a
+production LLM-training-data pipeline runs between dedup and tokenization:
+
+- **PII redaction** (`text_pii_scrub`): regex scrub of emails / IPv4s /
+  phone numbers. The synthetic corpus carries no PII (verified: zero
+  digits in any sf0.01 text), so the query DETERMINISTICALLY INJECTS
+  markers keyed on doc_id before scrubbing — identically in Spark and the
+  DuckDB oracle — making the redaction path a real, non-vacuous test
+  (counts are provably nonzero and the residual check provably zero).
+- **Per-source capping** (`corpus_source_cap`): keep at most K docs per
+  source (domain balancing à la Common Crawl curation) and report the
+  retention per source.
+- **Sequence packing** (`pack_sequences`): next-fit packing of docs into
+  token-budget bins per source shard — the pre-tokenization batching step
+  of a training pipeline.
+
+100 TB design: everything is whole-stage codegen (regex + arithmetic in
+the scan pipeline); the only shuffles are windows PARTITIONED BY source
+(never a global window) and one groupBy per summary — both scale with the
+number of sources, not rows-per-source beyond a single pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.plans.registry import register
+from data_ingestion_lambda_spark.plans._util import t
+
+# Patterns chosen for identical semantics under Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround, unambiguous greedy runs.
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_PHONE = r"\+1-555-\d{4}"
+
+_SQL_INJECT = """
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' contact user' || doc_id || '@example.com now'
+         ELSE text END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' node 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || ' up'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call +1-555-' || (1000 + doc_id % 9000) || ' today'
+            ELSE '' END
+"""
+
+
+def _inject() -> Column:
+    """Deterministic PII markers keyed on doc_id (twin of _SQL_INJECT)."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" node 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            (did % 100).cast("string"),
+            F.lit(" up"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" call +1-555-"), (1000 + did % 9000).cast("string"), F.lit(" today")),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, ip, phone)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{_RE_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{_RE_IPV4}')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(aug, '{_RE_PHONE}')) AS INTEGER) AS n_phones,
+           CAST(length(redacted) AS INTEGER) AS n_chars_redacted,
+           CAST(len(regexp_extract_all(redacted, '{_RE_EMAIL}'))
+              + len(regexp_extract_all(redacted, '{_RE_IPV4}'))
+              + len(regexp_extract_all(redacted, '{_RE_PHONE}')) AS INTEGER) AS n_residual
+    FROM (
+        SELECT doc_id, aug,
+               regexp_replace(regexp_replace(regexp_replace(aug,
+                   '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                   '{_RE_IPV4}', '<IP>', 'g'),
+                   '{_RE_PHONE}', '<PHONE>', 'g') AS redacted
+        FROM (SELECT doc_id, {_SQL_INJECT} AS aug FROM documents)
+    )
+    """,
+    tags=("llm", "text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and scrub emails / IPv4 addresses / phone
+    numbers with engine-portable regexes, verifying zero residual matches
+    after replacement. Input PII is deterministically injected (see module
+    docstring) because the synthetic corpus carries none. Pure codegen —
+    regex runs inside the scan's whole-stage pipeline, no shuffle at all."""
+    d = t(spark, sf_dir, "documents").select("doc_id", _inject().alias("aug"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), F.lit(_RE_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_RE_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(_RE_PHONE),
+        F.lit("<PHONE>"),
+    )
+    d = d.withColumn("redacted", redacted)
+    return d.select(
+        "doc_id",
+        F.regexp_count("aug", F.lit(_RE_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("aug", F.lit(_RE_IPV4)).cast("int").alias("n_ips"),
+        F.regexp_count("aug", F.lit(_RE_PHONE)).cast("int").alias("n_phones"),
+        F.length("redacted").cast("int").alias("n_chars_redacted"),
+        (
+            F.regexp_count("redacted", F.lit(_RE_EMAIL))
+            + F.regexp_count("redacted", F.lit(_RE_IPV4))
+            + F.regexp_count("redacted", F.lit(_RE_PHONE))
+        )
+        .cast("int")
+        .alias("n_residual"),
+    )
+
+
+_CAP_K = 50
+
+
+@register(
+    "corpus_source_cap",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE rn <= {_CAP_K}) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) FILTER (WHERE rn <= {_CAP_K}) AS BIGINT) AS chars_kept
+    FROM (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    GROUP BY source
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (domain balancing): keep the K longest docs
+    per source (ties broken by doc_id — deterministic), report per-source
+    retention. One shuffle on source for the window, reused by the
+    aggregation (same key, no second exchange). At 100 TB the cap bounds
+    any head domain's contribution without a global sort."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    keep = F.col("rn") <= _CAP_K
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars"))).alias("chars_kept"),
+        )
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM (
+        SELECT source, n_tokens,
+               CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS bin_id
+        FROM (
+            SELECT source, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (SELECT source, doc_id,
+                         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                  FROM documents)
+        )
+    )
+    GROUP BY source, bin_id
+    """,
+    tags=("llm", "curation"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in doc_id order, per source shard) to
+    consecutive token-budget bins via a running token sum — the
+    pre-tokenization batching step of a training pipeline. bin_id =
+    floor((cumsum-1)/budget), i.e. next-fit with boundary docs carried into
+    the bin where they end. Windows are PARTITIONED BY source — packing is
+    per-shard by design, so the plan has no global sort and scales with
+    shard count."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.select("source", "doc_id", n_tok.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("bin_id", F.floor((F.col("cum") - F.lit(1)) / F.lit(_PACK_BUDGET)).cast("bigint"))
+        .groupBy("source", "bin_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+    )
