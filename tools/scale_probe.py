@@ -58,6 +58,12 @@ QUERIES = [
     "win_topk_per_group",
     "events_sessionize",
     "upsert_last_writer_wins",
+    # curation suite (round 5): documents replicate with per-copy token
+    # prefixes, so token counts per doc — and therefore packing bins and
+    # per-source caps — replicate exactly; scrub regexes are scan-bound.
+    "text_pii_scrub",
+    "corpus_source_cap",
+    "pack_sequences",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
