@@ -317,3 +317,96 @@ def events_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("category", "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                            AS n_users,
+           CAST(count(*) FILTER (t1 IS NOT NULL) AS BIGINT)    AS n_viewed,
+           CAST(count(*) FILTER (t2 IS NOT NULL) AS BIGINT)    AS n_clicked_after_view,
+           CAST(count(*) FILTER (t3 IS NOT NULL) AS BIGINT)    AS n_purchased_after_click
+    FROM (
+        SELECT user_id, max(t1) AS t1, max(t2) AS t2,
+               min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END) AS t3
+        FROM (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM (
+                SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                              OVER (PARTITION BY user_id) AS t1
+                FROM events
+            )
+        )
+        GROUP BY user_id
+    )
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per user, the first
+    view, the first click strictly after it, the first purchase strictly
+    after that; global stage counts. Both window mins and the per-user
+    aggregate share ONE user_id-keyed exchange (same partitioning), then
+    a singleton agg — at 100 TB the funnel costs one shuffle of
+    (user_id, ts, type), independent of funnel depth."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    s2 = s1.withColumn("t2", t2)
+    per_user = s2.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).alias("t3"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    SELECT cohort_day, offset_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM (
+        SELECT user_id,
+               CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS cohort_day,
+               CAST(datediff('day', CAST(min(ts) OVER (PARTITION BY user_id) AS DATE),
+                             CAST(ts AS DATE)) AS INTEGER) AS offset_days
+        FROM events
+    )
+    GROUP BY cohort_day, offset_days
+    """,
+    tags=("events", "retention"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by the date of their first
+    event, counted distinct on each day-offset they return. One
+    user_id-keyed exchange for the first-seen window, one agg shuffle on
+    the (cohort, offset) grid — the output is bounded by days², never by
+    row count."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohort = F.to_date(F.min("ts").over(w))
+    return (
+        e.select(
+            "user_id",
+            cohort.alias("cohort_day"),
+            F.datediff(F.to_date("ts"), cohort).cast("int").alias("offset_days"),
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
