@@ -64,6 +64,10 @@ QUERIES = [
     "text_pii_scrub",
     "corpus_source_cap",
     "pack_sequences",
+    # event analytics (round 5): funnels and cohorts replicate with the
+    # shifted user keys — 10x users, same per-user history shape.
+    "events_funnel",
+    "events_retention_cohorts",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
