@@ -54,11 +54,45 @@ def build_parser() -> argparse.ArgumentParser:
     exp = sub.add_parser("expire", help="drop date partitions older than --keep-from")
     exp.add_argument("--target", required=True)
     exp.add_argument("--keep-from", required=True, help="ISO date; partitions < this are deleted")
+
+    qry = sub.add_parser("query", help="run a registered analytics query by name")
+    qry.add_argument("name", nargs="?", help="query name (see --list)")
+    qry.add_argument("--data", help="directory holding the parquet tables")
+    qry.add_argument("--out", default=None, help="write full result parquet here")
+    qry.add_argument("--limit", type=int, default=20, help="rows printed when no --out")
+    qry.add_argument("--list", action="store_true", help="list registered queries")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "query":
+        # registry import is deliberately local: ingest/compact invocations
+        # shouldn't pay for building 128 query specs
+        from data_ingestion_lambda_spark.plans import all_specs
+
+        specs = all_specs()
+        if args.list or not args.name:
+            for name, spec in specs.items():
+                print(json.dumps({"name": name, "description": spec.description}))
+            return 0
+        if args.name not in specs:
+            print(f"unknown query: {args.name!r} (try --list)", file=sys.stderr)
+            return 2
+        if not args.data:
+            print("--data DIR is required to run a query", file=sys.stderr)
+            return 2
+        spark = get_spark("data-ingestion-cli")
+        df = specs[args.name].builder(spark, args.data)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"statusCode": 200, "query": args.name, "out": args.out}))
+        else:
+            for row in df.limit(args.limit).collect():
+                print(json.dumps(row.asDict(recursive=True), default=str))
+        return 0
+
     spark = get_spark("data-ingestion-cli")
 
     if args.cmd == "ingest":
