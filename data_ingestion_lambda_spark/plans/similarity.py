@@ -953,3 +953,55 @@ def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+_IVF_SQL = _REG["ann_ivf_topk"].oracle
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_EXACT_SQL}) t1),
+         ivf AS (SELECT query_id, neighbor_id FROM ({_IVF_SQL}) t2),
+         hits AS (
+             SELECT query_id, COUNT(*) AS n_hits
+             FROM exact JOIN ivf USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           COALESCE(MAX(n_hits), 0) AS n_hits,
+           CAST(COALESCE(MAX(n_hits), 0) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact e LEFT JOIN hits USING (query_id)
+    GROUP BY e.query_id
+    """,
+    tags=("llm", "ann", "quality"),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index (nprobe-cell search) against the exact
+    brute-force baseline, per query — the fourth gauge, closing the last
+    ANN lane without one (LSH, int8 and the embedding near-dup are already
+    gauged). Unlike the int8 lane, IVF loses recall STRUCTURALLY (a true
+    neighbor living outside the probed cells), so this number is the one
+    that moves when _N_PROBE or _N_CENTROIDS is retuned.
+
+    Scale: reuses the two production pipelines unchanged and joins their
+    (query, neighbor) outputs — k×Q rows each, negligible — so the gauge
+    costs two index probes, not an extra all-pairs pass."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.join(hits, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.max("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.max("n_hits"), F.lit(0)).cast("double") / F.count("*")
+            ).alias("recall_at_k"),
+        )
+    )
