@@ -211,3 +211,82 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bin_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
     )
+
+
+@register(
+    "corpus_final_selection",
+    # oracle assembled at import time from the registered corpus_keep_decision
+    # oracle — see _final_selection_oracle() below (registration happens at
+    # the bottom of the module so the composed SQL can never drift from the
+    # pipeline it composes).
+    oracle=None,
+    tags=("llm", "curation", "pipeline"),
+)
+def corpus_final_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus selection: the keep/drop verdict (near-dup
+    clustering x quality x repetition, `corpus_keep_decision`) followed by
+    the per-source cap — one query that runs the whole curation pipeline
+    and labels every document `dropped_curation` / `dropped_cap` /
+    `selected`.
+
+    Scale: the verdict is three doc-keyed aggregates (bounded as
+    documented on corpus_keep_decision); the cap adds one source-keyed
+    window over only the KEPT docs' (doc_id, source, n_chars) triples —
+    payload text never moves."""
+    from data_ingestion_lambda_spark.plans.graph_ops import corpus_keep_decision
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kd = corpus_keep_decision(spark, sf_dir).select("doc_id", "keep")
+    j = docs.join(kd, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = (
+        j.filter(F.col("keep"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "rn")
+    )
+    stage = (
+        F.when(~F.col("keep"), F.lit("dropped_curation"))
+        .when(F.col("rn") <= _CAP_K, F.lit("selected"))
+        .otherwise(F.lit("dropped_cap"))
+    )
+    return (
+        j.join(ranked, "doc_id", "left")
+        .select("doc_id", "source", stage.alias("stage"))
+    )
+
+
+def _final_selection_oracle() -> str:
+    """Compose the DuckDB twin from corpus_keep_decision's registered
+    oracle (the WITH RECURSIVE pipeline runs inside a FROM subquery)."""
+    from data_ingestion_lambda_spark.plans.registry import REGISTRY
+
+    kd_sql = REGISTRY["corpus_keep_decision"].oracle
+    return f"""
+    WITH kd AS (SELECT doc_id, keep FROM ({kd_sql}) t),
+         j AS (SELECT d.doc_id, d.source, d.n_chars, kd.keep
+               FROM documents d JOIN kd USING (doc_id)),
+         ranked AS (
+             SELECT doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id) AS rn
+             FROM j WHERE keep)
+    SELECT j.doc_id, j.source,
+           CASE WHEN NOT j.keep THEN 'dropped_curation'
+                WHEN r.rn <= {_CAP_K} THEN 'selected'
+                ELSE 'dropped_cap' END AS stage
+    FROM j LEFT JOIN ranked r USING (doc_id)
+    """
+
+
+# Late-bind the composed oracle (QuerySpec is frozen; re-register with the
+# same builder and the assembled SQL).
+def _attach_final_selection_oracle() -> None:
+    from dataclasses import replace
+
+    from data_ingestion_lambda_spark.plans.registry import REGISTRY
+
+    spec = REGISTRY["corpus_final_selection"]
+    REGISTRY["corpus_final_selection"] = replace(spec, oracle=_final_selection_oracle())
+
+
+_attach_final_selection_oracle()
