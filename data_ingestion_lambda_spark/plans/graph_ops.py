@@ -295,3 +295,102 @@ def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(is_rep, "repetition")
     )
     return j.select("doc_id", keep.alias("keep"), reason.alias("drop_reason"))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # rank mass as integer units of 1e-12
+_PR_ITERS = 3
+
+
+def _pr_oracle() -> str:
+    """Unrolled fixed-point PageRank twin. All arithmetic is BIGINT
+    (``//`` floor division, exact associative sums), so both engines
+    produce bit-identical ranks — no float reassociation anywhere."""
+    cte = [
+        f"pairs AS ({MINHASH_PAIRS_ORACLE})",
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        " UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs)",
+        "deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree"
+        " FROM edges GROUP BY u)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)",
+        f"r0 AS (SELECT node, {_PR_SCALE} // n AS rank FROM deg, nn)",
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        cte.append(
+            f"s{k} AS (SELECT e.u AS node, CAST(SUM(r.rank // d.degree) AS BIGINT) AS s"
+            f" FROM edges e JOIN r{k - 1} r ON e.v = r.node"
+            f" JOIN deg d ON e.v = d.node GROUP BY e.u)"
+        )
+        cte.append(
+            f"r{k} AS (SELECT s{k}.node,"
+            f" (15 * {_PR_SCALE}) // (100 * nn.n) + (85 * s{k}.s) // 100 AS rank"
+            f" FROM s{k}, nn)"
+        )
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+    SELECT d.node AS doc_id, d.degree,
+           CAST(r{_PR_ITERS}.rank AS DOUBLE) / {_PR_SCALE} AS pagerank
+    FROM deg d JOIN r{_PR_ITERS} ON d.node = r{_PR_ITERS}.node
+    """
+    )
+
+
+@register(
+    "dedup_graph_pagerank",
+    oracle=_pr_oracle(),
+    tags=("llm", "graph"),
+)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup candidate graph (damping 0.85, 3 unrolled
+    iterations, restricted to nodes with at least one edge so there is no
+    dangling mass): ranks the 'hub' documents that sit inside large
+    duplicate neighborhoods — the curation signal for which template a
+    boilerplate family radiates from, complementing the cluster sizes from
+    dedup_cluster_sizes.
+
+    Determinism: ranks live as BIGINT units of 1e-12 and every step is
+    integer floor-division and exact integer sums — iterating in doubles
+    would make the per-node neighbor sum order-dependent and break the
+    oracle hash.
+
+    Scale: state per iteration is one (node, rank) row per graph node;
+    each iteration is one equi-join of the edge list against ranks plus a
+    node-keyed aggregate. Edges and degrees are persisted once (the graph
+    is orders of magnitude smaller than the corpus — signatures, never
+    text). 3 iterations = 3 bounded shuffles, unrolled into one plan."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))).persist()
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    ).persist()
+    nn = deg.agg(F.count("*").alias("n"))
+    rank = (
+        deg.crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"{_PR_SCALE} div n").alias("rank"))
+    )
+    for _ in range(_PR_ITERS):
+        share = rank.join(deg, "node").select(
+            "node", F.expr("rank div degree").alias("share")
+        )
+        incoming = (
+            edges.join(share, edges["v"] == share["node"])
+            .groupBy(edges["u"].alias("node"))
+            .agg(F.sum("share").alias("s"))
+        )
+        rank = incoming.crossJoin(F.broadcast(nn)).select(
+            "node",
+            (
+                F.expr(f"(15 * {_PR_SCALE}) div (100 * n)")
+                + F.expr("(85 * s) div 100")
+            ).alias("rank"),
+        )
+    return deg.join(rank, "node").select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        (F.col("rank").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
+    )
