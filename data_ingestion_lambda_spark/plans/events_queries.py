@@ -410,3 +410,67 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "offset_days")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "events_funnel_users",
+    oracle="""
+    SELECT user_id,
+           t1 AS first_view, t2 AS first_click, t3 AS first_purchase,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS stage
+    FROM (
+        SELECT user_id, max(t1) AS t1, max(t2) AS t2,
+               min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END) AS t3
+        FROM (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM (
+                SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                              OVER (PARTITION BY user_id) AS t1
+                FROM events
+            )
+        )
+        GROUP BY user_id
+    )
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel detail (the row-level twin of events_funnel's global
+    counts): each user's first view, first click strictly after it, first
+    purchase strictly after that, and the reached stage 0-3. Same
+    single-user-exchange plan as events_funnel; also the batch reference
+    for the streaming stateful funnel (stream_funnel_progress) — a
+    single-trigger stream over the same events must reproduce these rows
+    exactly (pinned in tests/test_streaming_events.py)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    s2 = s1.withColumn("t2", t2)
+    per_user = s2.groupBy("user_id").agg(
+        F.max("t1").alias("first_view"),
+        F.max("t2").alias("first_click"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).alias("first_purchase"),
+    )
+    stage = (
+        F.when(F.col("first_purchase").isNotNull(), 3)
+        .when(F.col("first_click").isNotNull(), 2)
+        .when(F.col("first_view").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return per_user.select(
+        "user_id", "first_view", "first_click", "first_purchase", stage.alias("stage")
+    )

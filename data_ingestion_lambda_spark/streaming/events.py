@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -284,4 +285,90 @@ def stream_rollup_to_table(
         .foreachBatch(_merge)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
+    )
+
+
+# -- custom stateful operator: incremental funnel progression -----------------
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_view", TimestampType()),
+        StructField("first_click", TimestampType()),
+        StructField("first_purchase", TimestampType()),
+        StructField("stage", IntegerType()),
+    ]
+)
+
+# state tuple: stage timestamps as epoch-µs (None while stage unreached)
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t1_us", LongType()),
+        StructField("t2_us", LongType()),
+        StructField("t3_us", LongType()),
+    ]
+)
+
+
+def _fold_funnel(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's events (in ts, event_id order) into the strictly-
+    after funnel state: first view, first click with ts > first_view,
+    first purchase with ts > first_click. Within one trigger this is
+    EXACTLY events_funnel_users' batch semantics (processing in ts order
+    means every candidate sees the final min of the prior stage among
+    earlier events — pinned by a stream-vs-batch test). Across triggers it
+    is the standard monotone refinement: a stage timestamp only ever
+    moves earlier, and a late-but-within-watermark event can refine its
+    own stage without invalidating later ones (later stages satisfy
+    'strictly after' a fortiori when an earlier stage moves earlier)."""
+    (user_id,) = key
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts_val, etype in zip(pdf["ts"], pdf["event_type"]):
+            us = int(ts_val.value // 1_000)
+            if etype == "view":
+                if t1 is None or us < t1:
+                    t1 = us
+            elif etype == "click":
+                if t1 is not None and us > t1 and (t2 is None or us < t2):
+                    t2 = us
+            elif etype == "purchase":
+                if t2 is not None and us > t2 and (t3 is None or us < t3):
+                    t3 = us
+    state.update((t1, t2, t3))
+    ts_of = lambda us: pd.Timestamp(us * 1_000) if us is not None else pd.NaT
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "first_view": ts_of(t1),
+                "first_click": ts_of(t2),
+                "first_purchase": ts_of(t3),
+                "stage": 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0,
+            }
+        ]
+    )
+
+
+def stream_funnel_progress(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming funnel (view -> click -> purchase) via
+    ``applyInPandasWithState``: per-user stage timestamps updated every
+    trigger — the incremental twin of the batch events_funnel_users query.
+    State is three longs per user (O(1), never an event buffer); sizing is
+    active users × state-store overhead, independent of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_funnel,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

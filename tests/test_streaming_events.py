@@ -365,3 +365,77 @@ def test_rollup_merge_survives_stale_replay(spark, tmp_path):
     merge(batch(7, 70.0))            # newer emission still advances the window
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0]["n_events"] == 7
+
+
+def test_funnel_state_progresses_across_triggers(spark, tmp_path):
+    from data_ingestion_lambda_spark.streaming.events import stream_funnel_progress
+
+    src, ckpt, out = _paths(tmp_path)
+    # trigger 1: user 1 views then clicks; user 2 purchases with no view
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, _ts(10, 0), 1, "view", 1.0, "{}"),
+            (2, _ts(10, 30), 1, "click", 1.0, "{}"),
+            (3, _ts(10, 5), 2, "purchase", 9.0, "{}"),
+        ],
+    )
+    run = lambda: _run(spark, stream_funnel_progress, src, ckpt, out, "update")
+    run()
+    # trigger 2: user 1 completes; a pre-view click for user 2 stays invalid
+    _write_batch(
+        spark,
+        src,
+        "b2",
+        [
+            (4, _ts(11, 0), 1, "purchase", 5.0, "{}"),
+            (5, _ts(10, 10), 2, "click", 1.0, "{}"),
+        ],
+    )
+    run()
+    rows = spark.read.parquet(out).collect()
+    u1 = max((r for r in rows if r.user_id == 1), key=lambda r: r.stage)
+    assert u1.stage == 3
+    assert (u1.first_view, u1.first_click, u1.first_purchase) == (
+        _ts(10, 0),
+        _ts(10, 30),
+        _ts(11, 0),
+    )
+    u2 = max((r for r in rows if r.user_id == 2), key=lambda r: r.stage)
+    assert u2.stage == 0 and u2.first_view is None
+
+
+def test_funnel_single_trigger_matches_batch_twin(spark, tmp_path):
+    """One availableNow trigger over the real sf0.001 events must reproduce
+    the batch events_funnel_users rows exactly (ts-ordered fold == the
+    batch window semantics)."""
+    from data_ingestion_lambda_spark.plans import all_specs
+    from data_ingestion_lambda_spark.streaming.events import stream_funnel_progress
+
+    sf = "/root/testdata/sf0.001"
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    # stage the single-file table into a directory: the file-stream source
+    # lists directories, not bare files
+    spark.read.parquet(f"{sf}/events.parquet").write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        stream_funnel_progress(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.first_view, r.first_click, r.first_purchase, r.stage)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.user_id: (r.first_view, r.first_click, r.first_purchase, r.stage)
+        for r in all_specs()["events_funnel_users"].builder(spark, sf).collect()
+    }
+    assert got == want
