@@ -474,3 +474,58 @@ def events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(
         "user_id", "first_view", "first_click", "first_purchase", stage.alias("stage")
     )
+
+
+_MAD_K = 1.5
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    j AS (
+        SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM j GROUP BY event_type
+    )
+    SELECT j.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (j.dev > {_MAD_K} * mad.mad) AS BIGINT) AS n_anomalies,
+           max(j.med) AS med,
+           max(mad.mad) AS mad
+    FROM j JOIN mad USING (event_type)
+    GROUP BY j.event_type
+    """,
+    tags=("events", "anomaly"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: flag events whose value
+    deviates from the type median by more than K x MAD (median absolute
+    deviation — outlier-resistant where stddev is not). Exact interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`, the parity
+    agg_approx_percentile established); no double SUM anywhere, so the
+    whole query is engine-deterministic. Three aggregations over the
+    5-value type key with broadcast joins back to the stream — at 100 TB
+    the only full-data passes are scan-parallel."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    j = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("dev"), "med"
+    )
+    mad = j.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    return (
+        j.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("dev") > _MAD_K * F.col("mad"), 1)).alias("n_anomalies"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+        )
+    )
