@@ -1329,3 +1329,57 @@ def dedup_simhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_hits AS DOUBLE) / nullif(n_exact, 0)").alias("recall"),
         )
     )
+
+
+# quality-weighted deterministic sampling ------------------------------------
+
+_WS_SCALE = 1_000_000  # hash-space resolution for keep thresholds
+_WS_CHARS_FULL = 1500  # docs at/above this length are always kept
+
+_SQL_WS_HASH = SQL_POLYHASH.format(s="'w|' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (h < thresh) AS BIGINT) AS n_sampled,
+           CAST(SUM(thresh) AS DOUBLE) / ({_WS_SCALE}.0 * COUNT(*)) AS target_rate,
+           CAST(COUNT(*) FILTER (h < thresh) AS DOUBLE) / COUNT(*) AS actual_rate
+    FROM (
+        SELECT source,
+               LEAST({_WS_SCALE}, (n_chars * {_WS_SCALE}) // {_WS_CHARS_FULL}) AS thresh,
+               {_SQL_WS_HASH} % {_WS_SCALE} AS h
+        FROM documents)
+    GROUP BY source
+    """,
+    tags=("llm", "split"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted sampling: keep each doc with
+    probability proportional to its length (capped at 1 for docs >=
+    {_WS_CHARS_FULL} chars) — the importance-sampling step of mixture
+    construction, stable across reruns and engines because the coin is a
+    content-independent key hash against an ALL-INTEGER threshold (no
+    rand(), no float compare; adding documents never flips an existing
+    decision, exactly like split_train_test).
+
+    Scale: threshold and hash are pure per-row expressions in the scan;
+    the only shuffle is the per-source summary."""
+    d = t(spark, sf_dir, "documents")
+    thresh = F.least(
+        F.lit(_WS_SCALE).cast("long"),
+        F.expr(f"(n_chars * {_WS_SCALE}) div {_WS_CHARS_FULL}"),
+    )
+    h = bind(F.concat(F.lit("w|"), F.col("doc_id").cast("string")), polyhash) % _WS_SCALE
+    w = d.select("source", thresh.alias("thresh"), h.alias("h"))
+    kept = F.col("h") < F.col("thresh")
+    return w.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(kept, 1)).alias("n_sampled"),
+        (F.sum("thresh").cast("double") / (float(_WS_SCALE) * F.count("*"))).alias(
+            "target_rate"
+        ),
+        (F.count(F.when(kept, 1)).cast("double") / F.count("*")).alias("actual_rate"),
+    )
