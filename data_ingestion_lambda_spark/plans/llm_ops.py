@@ -1383,3 +1383,36 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.count(F.when(kept, 1)).cast("double") / F.count("*")).alias("actual_rate"),
     )
+
+
+@register(
+    "text_token_spectrum",
+    oracle=f"""
+    SELECT n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) * n_occurrences AS BIGINT) AS n_tokens
+    FROM (
+        SELECT tok, COUNT(*) AS n_occurrences
+        FROM (SELECT UNNEST({SQL_TOKENS}) AS tok FROM documents)
+        GROUP BY tok)
+    GROUP BY n_occurrences
+    """,
+    tags=("llm", "text"),
+)
+def text_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies spectrum (the Zipf/Good-Turing
+    diagnostic): how many vocabulary types occur exactly k times, and the
+    token mass each frequency class carries — the table smoothing
+    estimators and tokenizer-vocabulary decisions read.
+
+    Scale: explode → per-token count (map-side partial agg) → regroup on
+    the count value; the second key space is tiny (distinct frequencies),
+    so the second shuffle is negligible and the first is the same
+    token-keyed agg every vocabulary pass already pays."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    per_tok = toks.groupBy("tok").agg(F.count("*").alias("n_occurrences"))
+    return per_tok.groupBy("n_occurrences").agg(
+        F.count("*").alias("n_types"),
+        (F.count("*") * F.col("n_occurrences")).alias("n_tokens"),
+    )
