@@ -277,3 +277,67 @@ def decode_resize_thumbnail(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=DECODE_RESIZE_SCHEMA.fieldNames())
 
     return imgs.mapInPandas(decode, schema=DECODE_RESIZE_SCHEMA)
+
+
+PHASH_SIDE = 8  # average-hash grid
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_set_bits", LongType()),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+        StructField("b2", LongType()),
+        StructField("b3", LongType()),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash of the image payloads: 8x8 nearest-neighbor
+    downsample of channel 0, one bit per cell set iff the cell exceeds the
+    grid mean, emitted as four 16-bit blocks (b0..b3) — the image twin of
+    the SimHash text fingerprint, and directly banding-ready: Hamming <= 3
+    between two hashes guarantees an exact match on at least one block
+    (pigeonhole), so image near-dup candidates come from four equi-joins,
+    never an all-pairs pass.
+
+    All-integer mean test (pixel * 64 > sum) — no division, so the bits
+    are bit-identical in any engine replaying the same index arithmetic."""
+    imgs = media.filter(
+        (F.col("meta.kind") == "image")
+        & F.col("meta.width").isNotNull()
+        & F.col("meta.height").isNotNull()
+        & F.col("meta.channels").isNotNull()
+        & (F.col("meta.channels") > 0)
+    ).select("doc_id", "payload", "meta.width", "meta.height", "meta.channels")
+
+    side = PHASH_SIDE
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, width, height, channels in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"], pdf["channels"]
+            ):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                if n == 0:
+                    rows.append((doc_id, 0, 0, 0, 0, 0))
+                    continue
+                w, h, c = int(width), int(height), int(channels)
+                rr = (np.arange(side) * h) // side
+                qq = (np.arange(side) * w) // side
+                base = rr[:, None] * w + qq[None, :]
+                pix = b[(base * c) % n]  # channel 0, 8x8
+                flat = pix.reshape(-1)
+                total = int(flat.sum())
+                bits = (flat * (side * side) > total).astype(np.int64)
+                blocks = [
+                    int(sum(int(bits[16 * k + j]) << j for j in range(16)))
+                    for k in range(4)
+                ]
+                rows.append((doc_id, int(bits.sum()), *blocks))
+            yield pd.DataFrame(rows, columns=PHASH_SCHEMA.fieldNames())
+
+    return imgs.mapInPandas(phash, schema=PHASH_SCHEMA)

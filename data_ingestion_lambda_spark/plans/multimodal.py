@@ -236,3 +236,58 @@ def media_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the DuckDB oracle replaying the identical index arithmetic."""
     media = attach_media_columns(t(spark, sf_dir, "documents"))
     return decode_resize_thumbnail(media)
+
+
+@register(
+    "media_phash",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               64 + n_chars % 192 AS w,
+               64 + doc_id % 128 AS h,
+               length(text) AS n,
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT)) AS codes
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    grid AS (
+        SELECT doc_id,
+               flatten(list_transform(generate_series(0, 7), r ->
+                   list_transform(generate_series(0, 7), q ->
+                       codes[((((r*h)//8)*w + ((q*w)//8))*3) % n + 1]))) AS pix
+        FROM img
+    ),
+    feat AS (SELECT doc_id, pix, list_sum(pix) AS total FROM grid),
+    bits AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, 64),
+                   i -> CASE WHEN pix[i] * 64 > total THEN 1 ELSE 0 END) AS bit
+        FROM feat
+    )
+    SELECT doc_id,
+           CAST(list_sum(bit) AS BIGINT) AS n_set_bits,
+           CAST(list_sum(list_transform(generate_series(1, 16),
+                j -> bit[j] * (1 << (j - 1)))) AS BIGINT) AS b0,
+           CAST(list_sum(list_transform(generate_series(1, 16),
+                j -> bit[16 + j] * (1 << (j - 1)))) AS BIGINT) AS b1,
+           CAST(list_sum(list_transform(generate_series(1, 16),
+                j -> bit[32 + j] * (1 << (j - 1)))) AS BIGINT) AS b2,
+           CAST(list_sum(list_transform(generate_series(1, 16),
+                j -> bit[48 + j] * (1 << (j - 1)))) AS BIGINT) AS b3
+    FROM bits
+    """,
+    tags=("llm", "multimodal", "dedup", "pandas-udf"),
+)
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image (operators/media.py::
+    perceptual_hash): 8x8 NN-downsample of channel 0, bit set iff the cell
+    exceeds the grid mean (all-integer pixel*64 > sum test), packed as
+    four 16-bit blocks — the image-modality twin of the SimHash text
+    fingerprint. The blocks are banding-ready: Hamming <= 3 between two
+    hashes guarantees an exact match on >= 1 block, so image near-dup at
+    corpus scale is four equi-joins on (block_idx, block_value), the exact
+    dedup_simhash shape — never an all-pairs pass."""
+    from data_ingestion_lambda_spark.operators.media import perceptual_hash
+
+    media = attach_media_columns(t(spark, sf_dir, "documents"))
+    return perceptual_hash(media)
