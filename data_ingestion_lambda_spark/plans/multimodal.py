@@ -291,3 +291,109 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_media_columns(t(spark, sf_dir, "documents"))
     return perceptual_hash(media)
+
+
+@register(
+    "media_phash_candidates",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, b0, b1, b2, b3 FROM (
+            WITH img AS (
+                SELECT doc_id,
+                       64 + n_chars % 192 AS w,
+                       64 + doc_id % 128 AS h,
+                       length(text) AS n,
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT)) AS codes
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            grid AS (
+                SELECT doc_id,
+                       flatten(list_transform(generate_series(0, 7), r ->
+                           list_transform(generate_series(0, 7), q ->
+                               codes[((((r*h)//8)*w + ((q*w)//8))*3) % n + 1]))) AS pix
+                FROM img
+            ),
+            feat AS (SELECT doc_id, pix, list_sum(pix) AS total FROM grid),
+            bits AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, 64),
+                           i -> CASE WHEN pix[i] * 64 > total THEN 1 ELSE 0 END) AS bit
+                FROM feat
+            )
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(1, 16),
+                        j -> bit[j] * (1 << (j - 1)))) AS BIGINT) AS b0,
+                   CAST(list_sum(list_transform(generate_series(1, 16),
+                        j -> bit[16 + j] * (1 << (j - 1)))) AS BIGINT) AS b1,
+                   CAST(list_sum(list_transform(generate_series(1, 16),
+                        j -> bit[32 + j] * (1 << (j - 1)))) AS BIGINT) AS b2,
+                   CAST(list_sum(list_transform(generate_series(1, 16),
+                        j -> bit[48 + j] * (1 << (j - 1)))) AS BIGINT) AS b3
+            FROM bits
+        )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS INTEGER) AS hamming
+    FROM p a JOIN p b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def media_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidate generation over the perceptual hashes: two
+    images are candidates iff they agree exactly on >= 1 of the four
+    16-bit blocks (the pigeonhole guarantee: every pair within Hamming 3
+    collides somewhere), scored with the exact 64-bit Hamming distance.
+
+    Scale: the Spark side builds candidates from four block equi-joins
+    (explode to (block_idx, value) → self-join → distinct), NOT the
+    quadratic OR-join the compact oracle uses — the oracle states the
+    semantics, the plan states the 100 TB shape; the driver's hash compare
+    proves they agree."""
+    from data_ingestion_lambda_spark.operators.media import perceptual_hash
+
+    p = perceptual_hash(attach_media_columns(t(spark, sf_dir, "documents"))).select(
+        "doc_id", "b0", "b1", "b2", "b3"
+    ).persist()
+    blocks = p.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("val"))
+                    for k in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "blk.k", "blk.val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa = p.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    pb = p.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))) for k in range(4)
+    )
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
