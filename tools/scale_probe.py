@@ -68,6 +68,15 @@ QUERIES = [
     # shifted user keys — 10x users, same per-user history shape.
     "events_funnel",
     "events_retention_cohorts",
+    # late round-5 additions: pipeline composition, graph iteration,
+    # robust stats, image-modality dedup
+    "corpus_final_selection",
+    "dedup_graph_pagerank",
+    "events_funnel_users",
+    "events_anomaly_mad",
+    "sample_weighted",
+    "text_token_spectrum",
+    "media_phash_candidates",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
