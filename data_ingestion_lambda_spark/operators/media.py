@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -341,3 +342,61 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=PHASH_SCHEMA.fieldNames())
 
     return imgs.mapInPandas(phash, schema=PHASH_SCHEMA)
+
+
+AUDIO_FRAME_SAMPLES = 160  # 10 ms at the 16 kHz metadata rate, 1 byte/sample
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("total_energy", LongType()),
+        StructField("peak_energy", LongType()),
+        StructField("rms_overall", DoubleType()),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame) -> DataFrame:
+    """Per-frame energy analysis of the audio payloads: 10 ms frames
+    (AUDIO_FRAME_SAMPLES bytes at the metadata sample rate), energy =
+    integer sum of squared samples — the silence/VAD gating signal an
+    audio curation pipeline thresholds on. Integer energies keep the
+    cross-engine hash exact; the single float (overall RMS) is ONE
+    division + ONE sqrt on exact integers per doc — a per-frame RMS sum
+    would reassociate float additions and break the oracle hash.
+
+    Same Arrow-batched mapInPandas plumbing as the image/video lanes —
+    this closes per-modality coverage (image: phash/thumbnail, video:
+    frame sampling, audio: frame energy)."""
+    audio = media.filter(F.col("meta.kind") == "audio")
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_full = len(b) // AUDIO_FRAME_SAMPLES
+                if n_full == 0:
+                    # sub-frame payload: no full frame to analyze — same
+                    # drop convention as video sample_frames
+                    continue
+                frames = b[: n_full * AUDIO_FRAME_SAMPLES].reshape(
+                    n_full, AUDIO_FRAME_SAMPLES
+                )
+                e = (frames * frames).sum(axis=1)
+                total = int(e.sum())
+                rows.append(
+                    (
+                        doc_id,
+                        int(n_full),
+                        total,
+                        int(e.max()),
+                        float(np.sqrt(total / (n_full * AUDIO_FRAME_SAMPLES))),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=AUDIO_ENERGY_SCHEMA.fieldNames())
+
+    return audio.select("doc_id", "payload").mapInPandas(
+        energy, schema=AUDIO_ENERGY_SCHEMA
+    )

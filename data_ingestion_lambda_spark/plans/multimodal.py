@@ -397,3 +397,40 @@ def media_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pb, "doc_b")
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
+
+
+@register(
+    "media_audio_energy",
+    oracle=f"""
+    WITH audio AS (
+        SELECT doc_id, text, length(text) // 160 AS n_full,
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT)) AS codes
+        FROM documents WHERE {_SQL_KIND} = 'audio'
+    ),
+    frames AS (
+        SELECT doc_id, n_full,
+               list_transform(generate_series(0, n_full - 1), k ->
+                   list_sum(list_transform(generate_series(1, 160),
+                       j -> codes[k * 160 + j] * codes[k * 160 + j]))) AS e
+        FROM audio WHERE n_full > 0
+    )
+    SELECT doc_id,
+           CAST(n_full AS BIGINT) AS n_frames,
+           CAST(list_sum(e) AS BIGINT) AS total_energy,
+           CAST(list_max(e) AS BIGINT) AS peak_energy,
+           sqrt(CAST(list_sum(e) AS DOUBLE) / (n_full * 160)) AS rms_overall
+    FROM frames
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-energy analysis of audio payloads (operators/media.py::
+    audio_frame_energy): 10 ms frames, integer sum-of-squares energy per
+    frame, peak + total + one deterministic overall RMS — the
+    silence/VAD gating signal, closing per-modality coverage (image:
+    phash/thumbnail, video: frame sampling, audio: frame energy)."""
+    from data_ingestion_lambda_spark.operators.media import audio_frame_energy
+
+    media = attach_media_columns(t(spark, sf_dir, "documents"))
+    return audio_frame_energy(media)
