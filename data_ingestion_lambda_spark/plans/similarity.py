@@ -1005,3 +1005,67 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+_LBL_MEAN_SQL = ", ".join(
+    f"CAST(SUM(CAST(FLOOR(ve[{i}] * {_MEAN_SCALE}.0) AS BIGINT)) AS DOUBLE)"
+    f" / {_MEAN_SCALE}.0 / COUNT(*)"
+    for i in range(1, DIM + 1)
+)
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=f"""
+    SELECT label, n_vectors, centroid,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(centroid, x -> x * x)), (a, b) -> a + b))
+               AS centroid_norm
+    FROM (
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               [{_LBL_MEAN_SQL}] AS centroid
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+        GROUP BY label
+    )
+    """,
+    tags=("llm", "ann", "stats"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids over the embedding table — the
+    cluster-quality / classifier-probe table (is the labeled space
+    separable, how tight is each class). Means use the IVF lane's
+    integer-exact idiom (floor(v*1e9) → exact BIGINT sum → one division),
+    so the 64 centroid components hash-match any engine; the norm is a
+    left-fold over the centroid in array order, identical in both engines.
+
+    Scale: one groupBy on the label key with 64 map-side-combined integer
+    sums — the cheapest possible pass over a vector table (no join, no
+    per-vector float accumulation)."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("ve")
+    )
+    sums = [
+        F.sum(
+            F.floor(F.element_at("ve", i) * F.lit(float(_MEAN_SCALE))).cast("long")
+        ).alias(f"s{i}")
+        for i in range(1, DIM + 1)
+    ]
+    agg = base.groupBy("label").agg(F.count("*").alias("n_vectors"), *sums)
+    centroid = F.array(
+        *[
+            (F.col(f"s{i}").cast("double") / F.lit(float(_MEAN_SCALE)) / F.col("n_vectors"))
+            for i in range(1, DIM + 1)
+        ]
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("centroid"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    return (
+        agg.withColumn("centroid", centroid)
+        .select("label", "n_vectors", "centroid", norm.alias("centroid_norm"))
+    )
