@@ -790,3 +790,90 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top5_keys"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
+                    (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS INTEGER)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+        SELECT quantile_cont(recency_days, 0.25) AS r1, quantile_cont(recency_days, 0.5) AS r2,
+               quantile_cont(recency_days, 0.75) AS r3,
+               quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
+               quantile_cont(frequency, 0.75) AS f3,
+               quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
+               quantile_cont(monetary, 0.75) AS m3
+        FROM cust
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(1 + CAST(recency_days < r3 AS INTEGER) + CAST(recency_days < r2 AS INTEGER)
+                  + CAST(recency_days < r1 AS INTEGER) AS INTEGER) AS r_score,
+           CAST(1 + CAST(frequency > f1 AS INTEGER) + CAST(frequency > f2 AS INTEGER)
+                  + CAST(frequency > f3 AS INTEGER) AS INTEGER) AS f_score,
+           CAST(1 + CAST(monetary > m1 AS INTEGER) + CAST(monetary > m2 AS INTEGER)
+                  + CAST(monetary > m3 AS INTEGER) AS INTEGER) AS m_score
+    FROM cust, q
+    """,
+    tags=("agg", "analytics"),
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer recency (days since last
+    order, against the corpus max date), frequency (order count), monetary
+    (exact decimal revenue), each scored 1-4 against the interpolated
+    quartile boundaries of the customer population.
+
+    Deliberately NOT ntile(): a global ntile is a single-partition window
+    — a driver-sized bottleneck at 100 TB. Comparing against three
+    broadcast quartile values is the same segmentation as one bounded
+    aggregate + a scan-local map, and stays deterministic (exact decimal
+    monetary, interpolated percentiles, strict inequalities)."""
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_dt"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    cust = cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff("maxd", "last_dt").cast("int").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    q = cust.agg(
+        *[
+            F.percentile(c, p).alias(f"{c[0]}{i + 1}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, p in enumerate((0.25, 0.5, 0.75))
+        ]
+    )
+    j = cust.crossJoin(F.broadcast(q))
+    score = lambda better_low, c, q1, q2, q3: (
+        F.lit(1)
+        + (
+            (F.col(c) < F.col(q3)).cast("int")
+            + (F.col(c) < F.col(q2)).cast("int")
+            + (F.col(c) < F.col(q1)).cast("int")
+            if better_low
+            else (F.col(c) > F.col(q1)).cast("int")
+            + (F.col(c) > F.col(q2)).cast("int")
+            + (F.col(c) > F.col(q3)).cast("int")
+        )
+    ).cast("int")
+    return j.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score(True, "recency_days", "r1", "r2", "r3").alias("r_score"),
+        score(False, "frequency", "f1", "f2", "f3").alias("f_score"),
+        score(False, "monetary", "m1", "m2", "m3").alias("m_score"),
+    )
