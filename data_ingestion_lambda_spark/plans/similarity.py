@@ -1069,3 +1069,55 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("centroid", centroid)
         .select("label", "n_vectors", "centroid", norm.alias("centroid_norm"))
     )
+
+
+_LBL_CENT_SQL = _REG["embedding_label_centroids"].oracle
+
+
+@register(
+    "embedding_label_separation",
+    oracle=f"""
+    WITH c AS ({_LBL_CENT_SQL})
+    SELECT a.label AS label_a, b.label AS label_b,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, {DIM}),
+                   i -> a.centroid[i] * b.centroid[i])), (p, q) -> p + q)
+             / (a.centroid_norm * b.centroid_norm) AS centroid_cosine
+    FROM c a JOIN c b ON a.label < b.label
+    """,
+    tags=("llm", "ann", "stats"),
+)
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability matrix: cosine between every pair of label
+    centroids — low off-diagonal cosines mean the labeled space is
+    separable; a pair near 1 flags label confusion. Composed from
+    embedding_label_centroids (SQL twin assembled from its registered
+    oracle, so definitions cannot drift); the dot is a left fold in array
+    order, identical in both engines.
+
+    Scale: the join is centroids x centroids — #labels², independent of
+    corpus size; the only full-data pass is the centroid aggregation."""
+    c = embedding_label_centroids(spark, sf_dir)
+    a = c.select(
+        F.col("label").alias("label_a"),
+        F.col("centroid").alias("ca"),
+        F.col("centroid_norm").alias("na"),
+    )
+    b = c.select(
+        F.col("label").alias("label_b"),
+        F.col("centroid").alias("cb"),
+        F.col("centroid_norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            (dot / (F.col("na") * F.col("nb"))).alias("centroid_cosine"),
+        )
+    )
