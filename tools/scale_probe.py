@@ -77,6 +77,9 @@ QUERIES = [
     "sample_weighted",
     "text_token_spectrum",
     "media_phash_candidates",
+    "agg_rfm_segmentation",
+    "embedding_label_centroids",
+    "embedding_label_separation",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
