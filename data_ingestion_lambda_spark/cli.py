@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--target", required=True)
     exp.add_argument("--keep-from", required=True, help="ISO date; partitions < this are deleted")
 
+    snp = sub.add_parser("snapshot", help="freeze/list/expire table versions")
+    snp.add_argument("--target", required=True)
+    snp.add_argument("--list", action="store_true", help="list versions instead of creating")
+    snp.add_argument("--expire-keep", type=int, default=None, help="drop all but N newest")
+    snp.add_argument("--note", default="", help="annotation stored in the manifest")
+
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
     qry.add_argument("--data", help="directory holding the parquet tables")
@@ -66,6 +72,24 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "snapshot":
+        # pure-filesystem operation: no SparkSession needed
+        from data_ingestion_lambda_spark.operators.snapshot import (
+            expire_snapshots,
+            list_snapshots,
+            snapshot_table,
+        )
+
+        if args.list:
+            print(json.dumps({"statusCode": 200, "snapshots": list_snapshots(args.target)}))
+        elif args.expire_keep is not None:
+            dropped = expire_snapshots(args.target, keep_last=args.expire_keep)
+            print(json.dumps({"statusCode": 200, "expired_versions": dropped}))
+        else:
+            v = snapshot_table(args.target, note=args.note)
+            print(json.dumps({"statusCode": 200, "version": v}))
+        return 0
 
     if args.cmd == "query":
         # registry import is deliberately local: ingest/compact invocations

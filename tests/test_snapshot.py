@@ -1,0 +1,103 @@
+"""Table snapshots: version isolation under in-place MERGE rewrites."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.snapshot import (
+    expire_snapshots,
+    list_snapshots,
+    read_snapshot,
+    snapshot_table,
+)
+from data_ingestion_lambda_spark.operators.upsert import upsert_into_parquet
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(*r, "2025-05-01 12:00:00") for r in rows],
+        "date string, client_code string, total_consumed_tokens long, updated_at string",
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+
+
+def test_snapshot_isolates_versions_across_upserts(spark, tmp_path):
+    target = str(tmp_path / "consumptions")
+    upsert_into_parquet(
+        spark,
+        target,
+        _batch(spark, [("2025-05-01", "A", 100), ("2025-05-01", "B", 10)]),
+        keys=["date", "client_code"],
+        order_cols=["total_consumed_tokens"],
+    )
+    v1 = snapshot_table(target, note="after first load")
+    # MERGE rewrites the partition in place: A updated, C added
+    upsert_into_parquet(
+        spark,
+        target,
+        _batch(spark, [("2025-05-01", "A", 999), ("2025-05-01", "C", 5)]),
+        keys=["date", "client_code"],
+        order_cols=["total_consumed_tokens"],
+    )
+    v2 = snapshot_table(target)
+    assert (v1, v2) == (1, 2)
+
+    as_of_1 = {
+        r.client_code: r.total_consumed_tokens
+        for r in read_snapshot(spark, target, 1).collect()
+    }
+    assert as_of_1 == {"A": 100, "B": 10}, "v1 must show pre-merge state"
+    as_of_2 = {
+        r.client_code: r.total_consumed_tokens
+        for r in read_snapshot(spark, target, 2).collect()
+    }
+    assert as_of_2 == {"A": 999, "B": 10, "C": 5}
+    # live table == latest snapshot, and the snapshot root is invisible
+    live = spark.read.parquet(target)
+    assert {(r.client_code, r.total_consumed_tokens) for r in live.collect()} == {
+        ("A", 999),
+        ("B", 10),
+        ("C", 5),
+    }
+    # snapshots carry honest manifests
+    metas = list_snapshots(target)
+    assert [m["version"] for m in metas] == [1, 2]
+    assert all(m["n_files"] > 0 and m["total_bytes"] > 0 for m in metas)
+    assert metas[0]["note"] == "after first load"
+
+
+def test_expire_keeps_newest(spark, tmp_path):
+    target = str(tmp_path / "t")
+    upsert_into_parquet(
+        spark,
+        target,
+        _batch(spark, [("2025-05-01", "A", 1)]),
+        keys=["date", "client_code"],
+        order_cols=["total_consumed_tokens"],
+    )
+    for _ in range(3):
+        snapshot_table(target)
+    assert expire_snapshots(target, keep_last=1) == [1, 2]
+    assert [m["version"] for m in list_snapshots(target)] == [3]
+    assert read_snapshot(spark, target, 3).count() == 1
+
+
+def test_cli_snapshot_roundtrip(spark, tmp_path, capsys):
+    import json
+
+    from data_ingestion_lambda_spark import cli
+
+    target = str(tmp_path / "t2")
+    upsert_into_parquet(
+        spark,
+        target,
+        _batch(spark, [("2025-05-02", "X", 7)]),
+        keys=["date", "client_code"],
+        order_cols=["total_consumed_tokens"],
+    )
+    assert cli.main(["snapshot", "--target", target, "--note", "cli"]) == 0
+    assert json.loads(capsys.readouterr().out)["version"] == 1
+    assert cli.main(["snapshot", "--target", target, "--list"]) == 0
+    snaps = json.loads(capsys.readouterr().out)["snapshots"]
+    assert len(snaps) == 1 and snaps[0]["note"] == "cli"
