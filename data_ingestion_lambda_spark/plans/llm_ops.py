@@ -1416,3 +1416,159 @@ def text_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_types"),
         (F.count("*") * F.col("n_occurrences")).alias("n_tokens"),
     )
+
+
+# exact substring-span dedup ------------------------------------------------
+
+_SPAN_K = 4  # positional shingle width (tokens)
+_MIN_SPAN = 10  # report pairs sharing an exact run of >= this many tokens
+_SPAN_MAX_DF = 100  # boilerplate guard: shingles in more docs than this are dropped
+
+
+def substring_spans(
+    docs: DataFrame,
+    k: int = _SPAN_K,
+    min_span: int = _MIN_SPAN,
+    max_df: int = _SPAN_MAX_DF,
+) -> DataFrame:
+    """Exact repeated-substring detection across documents (the ExactSubstr
+    dedup of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — there built on a suffix array; here re-expressed as
+    the shuffle-native equivalent a Spark cluster can run).
+
+    A pair of documents shares an exact run of ``k + m - 1`` tokens iff
+    they share ``m`` consecutive positional k-token shingles. So:
+
+    1. hash every k-shingle WITH its position (per-token polyhash computed
+       once, k hashes combined arithmetically — 8-byte keys, never text);
+    2. drop shingles whose document frequency exceeds ``max_df``
+       (boilerplate headers/licenses are the classic skew-killer: one
+       shingle shared by 1M docs is 10^12 join rows);
+    3. self equi-join on the hash (only docs *sharing* a shingle ever
+       meet — no all-pairs anywhere);
+    4. merge matched positions into maximal runs with gaps-and-islands:
+       matches on one alignment diagonal (pos_a - pos_b) with consecutive
+       pos_a belong to one island; ``span = run + k - 1``.
+
+    Returns one row per qualifying pair: ``doc_a, doc_b, max_span_tokens,
+    n_spans, dup_tokens`` (n_spans counts ALL shared runs >= k tokens;
+    dup_tokens sums their span lengths — overlapping diagonals may double
+    count, it is a triage metric, documented).
+
+    Scale: the join key is an 8-byte hash; the windows partition on
+    (pair, diagonal) — bounded by matched shingles, not corpus size; the
+    hot-shingle set ships as a broadcast anti-join. At 100 TB this is the
+    standard inverted-index shape: linear explode, equi-join, per-pair
+    aggregation."""
+    def _positional_hashes() -> Column:
+        def from_th(th: Column) -> Column:
+            n = F.size(th)
+
+            def sh_hash(i: Column) -> Column:
+                h = F.element_at(th, i)
+                for j in range(1, k):
+                    h = (h * 131 + F.element_at(th, i + j)) % P
+                return h
+
+            sh = F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.struct(i.alias("pos"), sh_hash(i).alias("h")),
+            )
+            return F.when(n >= k, sh).otherwise(
+                F.array().cast("array<struct<pos:int,h:bigint>>")
+            )
+
+        return bind(
+            tokens("text"), lambda w: bind(F.transform(w, lambda s: polyhash(s)), from_th)
+        )
+
+    ex = docs.select("doc_id", F.explode(_positional_hashes()).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
+    )
+    hot = (
+        ex.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    # Persisted: both sides of the self-join read it; at 100 TB this is the
+    # written-once positional-shingle table (the suffix array's stand-in).
+    exf = ex.join(F.broadcast(hot), "h", "left_anti").persist()
+    a = exf.alias("a")
+    b = exf.alias("b")
+    pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = pairs.withColumn("diag", F.col("pa") - F.col("pb")).withColumn(
+        "island", F.col("pa") - F.row_number().over(w)
+    )
+    islands = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        (F.count("*") + F.lit(k - 1)).alias("span")
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span").cast("int").alias("max_span_tokens"),
+            F.count("*").cast("int").alias("n_spans"),
+            F.sum("span").cast("bigint").alias("dup_tokens"),
+        )
+        .filter(F.col("max_span_tokens") >= min_span)
+    )
+
+
+def _sql_span_hash() -> str:
+    h = "th[i]"
+    for j in range(1, _SPAN_K):
+        h = f"({h} * 131 + th[i+{j}]) % {P}"
+    return h
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS th FROM toks),
+    ex AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos, {_sql_span_hash()} AS h
+        FROM th, UNNEST(generate_series(1, len(th) - {_SPAN_K - 1})) AS u(i)
+    ),
+    hot AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY h)
+            WHERE df > {_SPAN_MAX_DF}),
+    exf AS (SELECT * FROM ex WHERE h NOT IN (SELECT h FROM hot)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        FROM exf a JOIN exf b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, pa - pb AS diag, pa,
+               pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                       ORDER BY pa) AS island
+        FROM pairs
+    ),
+    islands AS (
+        SELECT doc_a, doc_b, COUNT(*) + {_SPAN_K - 1} AS span
+        FROM runs GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(span) AS INTEGER) AS max_span_tokens,
+           CAST(COUNT(*) AS INTEGER) AS n_spans,
+           CAST(SUM(span) AS BIGINT) AS dup_tokens
+    FROM islands
+    GROUP BY doc_a, doc_b
+    HAVING MAX(span) >= {_MIN_SPAN}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of ``substring_spans`` over the documents table —
+    exact repeated k-token span detection (see that docstring for the
+    architecture and the 100 TB analysis)."""
+    return substring_spans(t(spark, sf_dir, "documents"))
