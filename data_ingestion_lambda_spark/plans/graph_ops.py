@@ -394,3 +394,92 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         (F.col("rank").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / local clustering over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""
+    WITH pairs AS ({MINHASH_PAIRS_ORACLE}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+        SELECT x.a, x.b, y.b AS c
+        FROM e x JOIN e y ON y.a = x.b
+                 JOIN e z ON z.a = x.a AND z.b = y.b
+    ),
+    tcnt AS (
+        SELECT v AS doc_id, COUNT(*) AS n_triangles
+        FROM (SELECT UNNEST([a, b, c]) AS v FROM tri) GROUP BY v
+    ),
+    deg AS (
+        SELECT v AS doc_id, COUNT(*) AS degree
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v
+    )
+    SELECT doc_id,
+           CAST(degree AS INTEGER) AS degree,
+           CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN degree >= 2
+                THEN 2.0 * COALESCE(n_triangles, 0) / (degree * (degree - 1))
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN tcnt USING (doc_id)
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per document over the
+    MinHash-LSH near-dup graph — the graph-shape audit next to connected
+    components: a high-clustering neighborhood is a true duplicate clique
+    (template spam), while a low-clustering hub is a chain of borderline
+    matches that transitive closure is about to over-merge. Pipeline owners
+    read this table before trusting cluster collapse.
+
+    Algorithm: edges are canonically oriented (doc_a < doc_b), so each
+    triangle a<b<c is enumerated EXACTLY once by the two-join pattern
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c); per-doc counts come from exploding the
+    triangle's three corners.
+
+    Scale: joins are edge-keyed equi-joins — never touches documents; at
+    web scale the standard mitigation for hub skew is orienting edges by
+    (degree, id) instead of raw id, which bounds every join fan-out by the
+    graph's degeneracy; the id orientation here matches the oracle and the
+    LSH graph's bounded candidate volume."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    # Persisted: three self-join references + the degree pass; edges are
+    # two longs per row (graph-sized, not corpus-sized).
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist()
+    x = e.alias("x")
+    y = e.alias("y")
+    z = e.alias("z")
+    tri = (
+        x.join(y, F.col("y.a") == F.col("x.b"))
+        .join(z, (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")))
+        .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c"))
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("doc_id"))
+        .union(e.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("degree"))
+    )
+    return deg.join(tcnt, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.lit(2.0)
+            * F.coalesce("n_triangles", F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
