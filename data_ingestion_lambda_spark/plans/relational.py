@@ -877,3 +877,47 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         score(False, "frequency", "f1", "f2", "f3").alias("f_score"),
         score(False, "monetary", "m1", "m2", "m3").alias("m_score"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT s_nationkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-join — the join twin of agg_salted_skew. When the
+    probe side's join key is skewed AND the build side is too big to
+    broadcast, a plain shuffle join routes every row of a hot key through
+    one reducer. The salted rewrite: the fact side gains a deterministic
+    salt (pmod of a uniformly-distributed existing column — retry-safe,
+    unlike rand()); the dim side is replicated once per salt value; the
+    join runs on (key, salt), fanning each hot key across _N_SALT
+    reducers. Semantics-preserving by construction — the plain-join oracle
+    proves it.
+
+    The shuffle_hash hint pins the shuffled-join physical shape the
+    pattern exists for (Catalyst would otherwise broadcast this
+    demo-sized dim and the salt would be decoration; AQE's skew-join
+    split is the runtime alternative when statistics surface the skew —
+    this rewrite is the declarative form that also works map-side of any
+    stats)."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    salted = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(_N_SALT)))
+    rep = sup.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1))))
+    j = salted.hint("shuffle_hash").join(
+        rep,
+        (salted["l_suppkey"] == rep["s_suppkey"]) & (salted["_salt"] == rep["_salt"]),
+    )
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return j.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )

@@ -47,3 +47,18 @@ def test_salted_matches_unsalted(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_salted_join_fans_key_across_salts(spark):
+    """The salted replicate-join's exchange partitions on (key, _salt) and
+    no broadcast join sneaks in (the hint pins the shuffled shape the
+    pattern exists to fix)."""
+    from data_ingestion_lambda_spark.plans.relational import join_salted_skew
+
+    df = join_salted_skew(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("_salt" in p and "suppkey" in p for p in parts), (
+        f"no (suppkey, _salt) exchange in plan:\n{plan}"
+    )
