@@ -1121,3 +1121,275 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot / (F.col("na") * F.col("nb"))).alias("centroid_cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = DIM // _PQ_M  # dims per subspace (16)
+_PQ_KS = 8  # centroids per subspace codebook
+_PQ_ITERS = 1  # Lloyd iterations per codebook (fixed -> deterministic)
+
+
+def _sub_terms(spark_side: bool, a: str, b: str, off_a: int, off_b: int, n: int) -> str:
+    """One parenthesized left-associated n-term dot product with offsets —
+    the SAME text structure on both sides so partial sums associate
+    identically (Spark: element_at, DuckDB: [])."""
+    if spark_side:
+        terms = [
+            f"element_at({a}, {off_a + i}) * element_at({b}, {off_b + i})"
+            for i in range(1, n + 1)
+        ]
+    else:
+        terms = [f"{a}[{off_a + i}] * {b}[{off_b + i}]" for i in range(1, n + 1)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _l2_terms(spark_side: bool, a: str, b: str, n: int) -> str:
+    """Squared L2 distance between two materialized n-dim subvectors."""
+    if spark_side:
+        terms = [
+            f"(element_at({a}, {i}) - element_at({b}, {i}))"
+            f" * (element_at({a}, {i}) - element_at({b}, {i}))"
+            for i in range(1, n + 1)
+        ]
+    else:
+        terms = [f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, n + 1)]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SQL_SUB_MEAN = ", ".join(
+    f"CAST(SUM(CAST(FLOOR(sv[{i}] * {_MEAN_SCALE}.0) AS BIGINT)) AS DOUBLE)"
+    f" / {_MEAN_SCALE}.0 / COUNT(*)"
+    for i in range(1, _PQ_SUB + 1)
+)
+
+
+def _sql_pq_codebook(m: int) -> str:
+    """CTE chain for subspace m: slice -> seed -> assign -> exact-mean
+    codebook -> encode. Mirrors the Spark training loop term for term."""
+    off = m * _PQ_SUB
+    l2 = _l2_terms(False, "s.sv", "cv", _PQ_SUB)
+    return f"""
+    s{m} AS (SELECT vec_id, ve[{off + 1}:{off + _PQ_SUB}] AS sv FROM v),
+    c{m}0 AS (SELECT vec_id AS cent_id, sv AS cv FROM s{m} WHERE vec_id < {_PQ_KS}),
+    a{m} AS (
+        SELECT vec_id, cell, sv FROM (
+            SELECT s.vec_id, cent_id AS cell, s.sv,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {l2}, cent_id) AS rn
+            FROM s{m} s CROSS JOIN c{m}0)
+        WHERE rn = 1),
+    c{m} AS (SELECT cell AS cent_id, [{_SQL_SUB_MEAN}] AS cv
+             FROM a{m} GROUP BY cell),
+    e{m} AS (
+        SELECT vec_id, cell AS code FROM (
+            SELECT s.vec_id, cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {l2}, cent_id) AS rn
+            FROM s{m} s CROSS JOIN c{m})
+        WHERE rn = 1)"""
+
+
+# Trained-codebook memo (sf_dir, m) — deterministic, same shape as the IVF
+# quantizer cache: train offline once, ship with the job.
+_PQ_CACHE: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
+
+
+def _train_pq_codebook(
+    spark: SparkSession, sub: DataFrame, cache_key: tuple[str, int] | None = None
+) -> DataFrame:
+    """One subspace codebook: seeded by the first _PQ_KS subvectors, refined
+    with _PQ_ITERS Lloyd iterations (L2 argmin assignment -> integer-exact
+    per-dimension means, the same determinism idiom as the IVF trainer)."""
+    def _from_rows(pairs: list[tuple[int, list[float]]]) -> DataFrame:
+        return spark.createDataFrame(pairs, "cent_id bigint, cv array<double>")
+
+    if cache_key is not None and cache_key in _PQ_CACHE:
+        return _from_rows(_PQ_CACHE[cache_key])
+
+    cent = sub.filter(F.col("vec_id") < _PQ_KS).select(
+        F.col("vec_id").alias("cent_id"), F.col("sv").alias("cv")
+    )
+    mean_cols = [
+        (
+            F.sum(F.floor(F.element_at("sv", i) * _MEAN_SCALE).cast("long")).cast("double")
+            / float(_MEAN_SCALE)
+            / F.count("*")
+        ).alias(f"c{i}")
+        for i in range(1, _PQ_SUB + 1)
+    ]
+    l2 = F.expr(_l2_terms(True, "sv", "cv", _PQ_SUB))
+    for _ in range(_PQ_ITERS):
+        assign = (
+            sub.crossJoin(F.broadcast(cent))
+            .select("vec_id", "sv", F.col("cent_id").alias("cell"), l2.alias("dist"))
+            .groupBy("vec_id")
+            .agg(
+                F.expr("min_by(cell, struct(dist, cell))").alias("cell"),
+                F.first("sv").alias("sv"),
+            )
+        )
+        rows = sorted(
+            assign.groupBy("cell").agg(*mean_cols).collect(), key=lambda r: r["cell"]
+        )
+        pairs = [
+            (int(r["cell"]), [r[f"c{i}"] for i in range(1, _PQ_SUB + 1)]) for r in rows
+        ]
+        cent = _from_rows(pairs)
+    if cache_key is not None:
+        _PQ_CACHE[cache_key] = pairs
+    return cent
+
+
+def _pq_encode(sub: DataFrame, cent: DataFrame, code_col: str) -> DataFrame:
+    """(vec_id, code): nearest-codeword id per vector for one subspace."""
+    l2 = F.expr(_l2_terms(True, "sv", "cv", _PQ_SUB))
+    return (
+        sub.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.col("cent_id").alias("cell"), l2.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.expr("min_by(cell, struct(dist, cell))").alias(code_col))
+    )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    {",".join(_sql_pq_codebook(m) for m in range(_PQ_M))},
+    att AS (
+        SELECT e0.vec_id,
+               {", ".join(f"c{m}.cv AS cv{m}" for m in range(_PQ_M))}
+        FROM e0 {" ".join(f"JOIN e{m} USING (vec_id)" for m in range(1, _PQ_M))}
+        {" ".join(f"JOIN c{m} ON e{m}.code = c{m}.cent_id" for m in range(_PQ_M))}),
+    q AS (SELECT vec_id AS query_id, ve AS qv, sqrt({_sql_dot('ve', 've')}) AS qnrm
+          FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT query_id, a.vec_id AS neighbor_id,
+               ({" + ".join(_sub_terms(False, "qv", f"cv{m}", m * _PQ_SUB, 0, _PQ_SUB) for m in range(_PQ_M))})
+               / (qnrm * sqrt({" + ".join(_sub_terms(False, f"cv{m}", f"cv{m}", 0, 0, _PQ_SUB) for m in range(_PQ_M))}))
+                   AS approx_cosine
+        FROM att a CROSS JOIN q WHERE a.vec_id <> query_id)
+    SELECT query_id, neighbor_id, approx_cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY approx_cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("llm", "ann"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): the vector splits into
+    {_PQ_M} subspaces of {_PQ_SUB} dims; each subspace gets its own
+    {_PQ_KS}-codeword codebook (deterministic Lloyd training, integer-exact
+    means — the IVF trainer's idiom per subspace); a vector is stored as
+    {_PQ_M} one-byte codes. Queries score with their EXACT vector against
+    the reconstructed codewords (asymmetric distance computation), cosine
+    approximated against the reconstruction's norm.
+
+    Why this exists at 100 TB: the PQ corpus is {_PQ_M} bytes per vector
+    ({DIM * 4 // _PQ_M}x smaller than float32) — the entire index fits in
+    memory at billions of vectors, and scoring is {_PQ_M} table lookups +
+    adds per candidate instead of {DIM} multiply-adds. The int8 lane
+    (ann_quantized_topk) shrinks bytes 4x with near-exact ranking; PQ
+    shrinks 64x and pays recall, measured by ann_pq_recall.
+
+    Determinism: codebooks derive from integer-exact means; every dot is
+    the same parenthesized left-associated term sequence in both engines
+    (see _sub_terms), so approx_cosine hash-matches DuckDB replaying the
+    identical pipeline."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    )
+    v = base.persist()
+    enc = None
+    cents: list[DataFrame] = []
+    for m in range(_PQ_M):
+        sub = v.select("vec_id", F.slice("ve", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"))
+        cent = _train_pq_codebook(spark, sub, cache_key=(sf_dir, m))
+        cents.append(cent)
+        codes = _pq_encode(sub, cent, f"code{m}")
+        enc = codes if enc is None else enc.join(codes, "vec_id")
+    att = enc
+    for m in range(_PQ_M):
+        att = att.join(
+            F.broadcast(
+                cents[m].select(
+                    F.col("cent_id").alias(f"code{m}"), F.col("cv").alias(f"cv{m}")
+                )
+            ),
+            f"code{m}",
+        )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ve").alias("qv"),
+        F.sqrt(dot("ve", "ve")).alias("qnrm"),
+    )
+    approx_dot = F.expr(
+        " + ".join(
+            _sub_terms(True, "qv", f"cv{m}", m * _PQ_SUB, 0, _PQ_SUB)
+            for m in range(_PQ_M)
+        )
+    )
+    recon_sq = F.expr(
+        " + ".join(
+            _sub_terms(True, f"cv{m}", f"cv{m}", 0, 0, _PQ_SUB) for m in range(_PQ_M)
+        )
+    )
+    scored = att.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (approx_dot / (F.col("qnrm") * F.sqrt(recon_sq))).alias("approx_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+_PQ_SQL = _REG["ann_pq_topk"].oracle
+
+
+@register(
+    "ann_pq_recall",
+    oracle=f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_EXACT_SQL}) t1),
+         pq AS (SELECT query_id, neighbor_id FROM ({_PQ_SQL}) t2),
+         hits AS (
+             SELECT query_id, COUNT(*) AS n_hits
+             FROM exact JOIN pq USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           COALESCE(MAX(n_hits), 0) AS n_hits,
+           CAST(COALESCE(MAX(n_hits), 0) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact e LEFT JOIN hits USING (query_id)
+    GROUP BY e.query_id
+    """,
+    tags=("llm", "ann", "quality"),
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ-reconstructed ranking against the exact cosine
+    baseline, per query — PQ trades the most bytes for the most recall of
+    any lane here, and this gauge is where that trade is read (the fifth
+    gauge: LSH, int8, IVF, embedding near-dup, now PQ)."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(pq, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.join(hits, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.max("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.max("n_hits"), F.lit(0)).cast("double") / F.count("*")
+            ).alias("recall_at_k"),
+        )
+    )
