@@ -80,6 +80,13 @@ QUERIES = [
     "agg_rfm_segmentation",
     "embedding_label_centroids",
     "embedding_label_separation",
+    # final round-5 additions: exact-span dedup (positional shingle join),
+    # graph triangles, one-pass profiling, salted skew join, PQ ANN
+    "dedup_substring_spans",
+    "dedup_graph_triangles",
+    "profile_table",
+    "join_salted_skew",
+    "ann_pq_topk",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
