@@ -1572,3 +1572,69 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact repeated k-token span detection (see that docstring for the
     architecture and the 100 TB analysis)."""
     return substring_spans(t(spark, sf_dir, "documents"))
+
+
+# --- context-length chunking -------------------------------------------------
+
+_CHUNK_TOKENS = 64  # tokens per chunk (stand-in for a model's context budget)
+_CHUNK_STRIDE = 48  # window advance; CHUNK - STRIDE = 16 tokens of overlap
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+         st AS (SELECT doc_id, w, len(w) AS n FROM toks),
+         ch AS (SELECT doc_id, w, n,
+                       UNNEST(range(0, n, {_CHUNK_STRIDE})) AS start
+                FROM st WHERE n > 0)
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(least({_CHUNK_TOKENS}, n - start) AS BIGINT) AS chunk_tokens,
+           array_to_string(
+               list_slice(w, start + 1, start + {_CHUNK_TOKENS}), ' ') AS chunk_text
+    FROM ch
+    """,
+    tags=("llm", "text"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: split every document into fixed
+    {_CHUNK_TOKENS}-token windows advancing by {_CHUNK_STRIDE} tokens
+    (HF-tokenizer overflow semantics: a window starts at every stride
+    multiple strictly below the doc's token count, so consecutive chunks
+    share CHUNK - STRIDE tokens of overlap and the last chunk may be
+    short). This is the sequence-preparation step BEFORE ``pack_sequences``
+    bins chunks into training batches: packing needs units no longer than
+    the context budget, and chunking is what enforces that bound.
+
+    Scale: one scan, ZERO shuffles — tokenize, explode the per-doc start
+    sequence (a narrow generate), slice and re-join tokens per chunk, all
+    whole-stage-codegen HOFs. Output is ~(1 + overlap/stride)x the corpus
+    text, written distributed; nothing aggregates, so the plan is
+    embarrassingly parallel at any corpus size. chunk_id arrives via
+    integer `div` on the exploded start (exact in both engines — no float
+    division anywhere)."""
+    d = t(spark, sf_dir, "documents")
+    sel = (
+        d.select("doc_id", tokens("text").alias("w"))
+        .withColumn("n", F.size("w"))
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))
+            ),
+        )
+    )
+    return sel.select(
+        "doc_id",
+        F.expr(f"start div {_CHUNK_STRIDE}").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_token"),
+        F.least(F.lit(_CHUNK_TOKENS), F.col("n") - F.col("start"))
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("start") + 1, F.lit(_CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+    )
