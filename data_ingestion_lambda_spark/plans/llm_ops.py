@@ -1638,3 +1638,99 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("w"), F.col("start") + 1, F.lit(_CHUNK_TOKENS)), " "
         ).alias("chunk_text"),
     )
+
+
+# --- eval-set decontamination ------------------------------------------------
+
+_DECON_K = 8  # n-gram width for train-vs-eval overlap (GPT-3 used 13; the
+#               testdata's short synthetic docs make 8 the detectable width)
+
+
+def _sql_decon_hash() -> str:
+    h = "th[i]"
+    for _ in range(1, _DECON_K):
+        h = f"({h} * 131 + th[i+{_}]) % {P}"
+    return h
+
+
+@register(
+    "decontaminate_against_eval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS th,
+                  {_SQL_DOC_HASH} % 100 AS bucket
+           FROM toks),
+    grams AS (
+        SELECT DISTINCT doc_id, bucket, {_sql_decon_hash()} AS h
+        FROM th, UNNEST(generate_series(1, len(th) - {_DECON_K - 1})) AS u(i)
+    ),
+    eval_grams AS (SELECT DISTINCT h FROM grams WHERE bucket >= {_SPLIT_VALID_PCT}),
+    shared AS (
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM grams WHERE bucket < {_SPLIT_TRAIN_PCT}
+                     AND h IN (SELECT h FROM eval_grams)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared_eval_grams,
+           COALESCE(s.n_shared, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM th WHERE bucket < {_SPLIT_TRAIN_PCT}) t
+    LEFT JOIN shared s ON t.doc_id = s.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Pile procedure):
+    flag every TRAIN-split document that shares any {_DECON_K}-token
+    window with any TEST-split document — the n-gram generalization of
+    ``dedup_cross_split_contamination``'s exact-content audit, catching
+    partial quote-level leakage that whole-document hashing misses. The
+    output is a per-train-doc decision table (count of shared eval
+    n-grams + boolean verdict), deliberately including the zero rows so a
+    clean corpus still yields a non-vacuous, hash-checkable result.
+
+    Scale: windows hash to 8-byte keys per position, distinct per doc;
+    the overlap test is one equi-join of train gram hashes against the
+    distinct eval gram set. In production the eval side is a benchmark
+    suite — megabytes, broadcast-able — so the join degenerates to a
+    map-side bloom-style probe; here the eval split is 10% of the corpus
+    and shuffles normally. Nothing is ever all-pairs; text never leaves
+    the scan."""
+    d = t(spark, sf_dir, "documents")
+
+    def _gram_hashes() -> Column:
+        def from_th(th: Column) -> Column:
+            n = F.size(th)
+
+            def gh(i: Column) -> Column:
+                h = F.element_at(th, i)
+                for j in range(1, _DECON_K):
+                    h = (h * 131 + F.element_at(th, i + j)) % P
+                return h
+
+            sh = F.transform(F.sequence(F.lit(1), n - (_DECON_K - 1)), gh)
+            return F.when(n >= _DECON_K, F.array_distinct(sh)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+
+        return bind(
+            tokens("text"), lambda w: bind(F.transform(w, lambda s: polyhash(s)), from_th)
+        )
+
+    base = d.select(
+        "doc_id", (_doc_hash() % 100).alias("bucket"), _gram_hashes().alias("ghs")
+    )
+    grams = base.select("doc_id", "bucket", F.explode("ghs").alias("h"))
+    eval_grams = grams.filter(F.col("bucket") >= _SPLIT_VALID_PCT).select("h").distinct()
+    shared = (
+        grams.filter(F.col("bucket") < _SPLIT_TRAIN_PCT)
+        .join(eval_grams, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    train_docs = base.filter(F.col("bucket") < _SPLIT_TRAIN_PCT).select("doc_id")
+    return train_docs.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared_eval_grams"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+    )
