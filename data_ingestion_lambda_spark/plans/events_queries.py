@@ -529,3 +529,39 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mad").alias("mad"),
         )
     )
+
+
+@register(
+    "events_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("events",),
+)
+def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime stats — the batch reference for the Spark 4
+    ``transformWithStateInPandas`` streaming operator (stream_user_stats):
+    a single-trigger stream over the same events must reproduce these rows
+    exactly, which works because monetary values aggregate as integer
+    cents via floor(x*100 + 0.5) (associative exact arithmetic — a double
+    SUM would make stream-batch equality ulp-fragile). One user-keyed
+    exchange; counts and the max combine map-side."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+        F.max("ts").alias("last_ts"),
+    )
