@@ -23,6 +23,7 @@ import json
 import sys
 
 from data_ingestion_lambda_spark.operators.compact import (
+    cluster_partitions,
     compact_partitions,
     expire_partitions,
 )
@@ -50,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     cmp_.add_argument("--target", required=True)
     cmp_.add_argument("--dates", default=None, help="comma-separated; default all")
     cmp_.add_argument("--target-file-mb", type=int, default=128)
+    cmp_.add_argument(
+        "--sort-by",
+        default=None,
+        help="comma-separated columns: cluster (range-partition + sort) instead of plain compact",
+    )
 
     exp = sub.add_parser("expire", help="drop date partitions older than --keep-from")
     exp.add_argument("--target", required=True)
@@ -148,6 +154,16 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "compact":
         dates = args.dates.split(",") if args.dates else None
+        if args.sort_by:
+            result = cluster_partitions(
+                spark,
+                args.target,
+                sort_cols=args.sort_by.split(","),
+                dates=dates,
+                target_file_bytes=args.target_file_mb << 20,
+            )
+            print(json.dumps({"statusCode": 200, "clustered": result}))
+            return 0
         result = compact_partitions(
             spark, args.target, dates=dates, target_file_bytes=args.target_file_mb << 20
         )

@@ -93,3 +93,56 @@ def compact_partitions(
             if s.getPath().getName().endswith(".parquet")
         )
     return result
+
+
+def cluster_partitions(
+    spark: SparkSession,
+    target_dir: str,
+    sort_cols: list[str],
+    dates: list[str] | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict[str, int]:
+    """Compaction + layout clustering: rewrite each date partition
+    range-partitioned AND sorted on ``sort_cols``, so every output file
+    (and every parquet row group inside it) covers a tight, near-disjoint
+    value range of the cluster keys. Parquet stores per-row-group min/max
+    statistics; a range or point predicate on a clustered column then
+    skips whole files/row groups at planning and read time instead of
+    scanning them — at 100 TB, clustering by the dominant filter column
+    is the difference between touching ~1/N of the data and all of it
+    (the same layout idea as Delta OPTIMIZE ZORDER or Hive sort-bucketing
+    one level down from the date partitioning; single-column clustering
+    covers the common case without interleaving curves).
+
+    ``repartitionByRange`` samples the keys to build balanced range
+    bounds (skew-tolerant: a hot key spills into adjacent ranges rather
+    than one oversized file); ``sortWithinPartitions`` then orders rows
+    inside each file so row groups inherit tight bounds too. Rows are
+    preserved exactly — this reorders, never rewrites values — and the
+    commit goes through the same staged per-partition swap as compaction,
+    so readers never see a half-clustered partition. Returns
+    {date: output_file_count}."""
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    if dates is None:
+        dates = list_partition_dates(spark, target_dir)
+
+    result: dict[str, int] = {}
+    for d in dates:
+        part_path = f"{target_dir}/{PARTITION_COL}={d}"
+        if not fs.exists(path_cls(part_path)):
+            continue
+        size = fs.getContentSummary(path_cls(part_path)).getLength()
+        n_files = max(1, math.ceil(size / target_file_bytes))
+        df = (
+            spark.read.option("basePath", target_dir)
+            .parquet(part_path)
+            .repartitionByRange(n_files, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+        )
+        replace_partitions(spark, target_dir, df, [d])
+        result[d] = sum(
+            1
+            for s in fs.listStatus(path_cls(part_path))
+            if s.getPath().getName().endswith(".parquet")
+        )
+    return result
