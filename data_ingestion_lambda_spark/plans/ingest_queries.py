@@ -223,3 +223,44 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(parts, 2).alias("n_name"),
         F.element_at(parts, 3).cast("int").alias("n_regionkey"),
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    SELECT day,
+           COUNT(*) AS n_events,
+           CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (
+        SELECT CAST(d AS INTEGER) AS day,
+               d * 500 + i AS event_id,
+               ((d * 500 + i) * 7919) % 97 AS user_id,
+               ((d * 500 + i) * 31) % 10000 AS value_cents
+        FROM (SELECT UNNEST(generate_series(0, 3)) AS d),
+             (SELECT UNNEST(generate_series(0, 499)) AS i)
+    )
+    GROUP BY day
+    """,
+    tags=("sources",),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource API lane (SPARK-44076), oracle-checked:
+    read the deterministic ``synthetic_events`` custom source (one
+    InputPartition per day, filter pushdown pruning partitions —
+    ``sources/python_datasource.py``) and aggregate it per day. The DuckDB
+    twin replays the source's exact integer row formula with
+    generate_series, proving the custom reader's content — not just its
+    shape — matches an independent engine. Ignores sf_dir by design: the
+    source generates its data, which is the point of the lane."""
+    from data_ingestion_lambda_spark.sources.python_datasource import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    d = spark.read.format("synthetic_events").load()
+    return d.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").cast("long").alias("total_cents"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )

@@ -1,0 +1,126 @@
+"""Custom source on the Spark 4 Python DataSource API (SURVEY §2.1 EXT).
+
+The reference hard-codes its one source (boto3 S3 listing + pandas CSV,
+`/root/reference/src/s3_processor.py:10-110`). Spark's extension point for
+"a source the built-in formats don't cover" is the Python DataSource API
+(SPARK-44076): schema + partition planning + per-partition readers, with
+filter pushdown (SPARK-48788) so predicates prune work before it is
+scheduled. This module implements it end-to-end with a deterministic
+synthetic events source — the shape any custom REST/queue/tenant-API
+connector takes:
+
+- ``partitions()`` returns one ``InputPartition`` per logical day, so a
+  1000-executor cluster reads 1000 days concurrently — planning, not
+  data, flows through the driver.
+- ``pushFilters()`` receives Catalyst's conjunctive predicates; bounds on
+  the partition column ``day`` prune whole partitions (observable from
+  the outside: the filtered scan plans fewer RDD partitions). Pushed
+  filters are also RETURNED as unhandled, so Spark re-evaluates them —
+  advisory pushdown, the same contract as parquet's PushedFilters, which
+  keeps the source trivially correct.
+- ``read()`` yields plain tuples; content is a pure function of
+  (day, i) in exact integer arithmetic, so the same rows are
+  reproducible in any engine — the registered query's DuckDB oracle
+  replays the formula with generate_series and hash-matches.
+
+At 100 TB the equivalent source points each partition at one object/
+shard/day and the pushed bounds prune the listing itself; nothing here
+buffers more than one row at a time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.session import SparkSession
+
+_SCHEMA = "day int, event_id bigint, user_id bigint, event_type string, value_cents bigint"
+_EVENT_TYPES = ("view", "click", "purchase")
+
+
+def _rows_for_day(day: int, rows_per_day: int) -> Iterator[tuple]:
+    for i in range(rows_per_day):
+        event_id = day * rows_per_day + i
+        yield (
+            day,
+            event_id,
+            (event_id * 7919) % 97,
+            _EVENT_TYPES[event_id % 3],
+            (event_id * 31) % 10_000,
+        )
+
+
+class _DayPartition(InputPartition):
+    def __init__(self, day: int):
+        self.day = day
+
+
+class _SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self._days = int(options.get("days", 4))
+        self._rows_per_day = int(options.get("rows_per_day", 500))
+        self._lo = 0  # inclusive bound on day, tightened by pushed filters
+        self._hi = self._days - 1
+
+    def pushFilters(self, filters: Sequence[Filter]):
+        for f in filters:
+            if getattr(f, "attribute", None) == ("day",):
+                if isinstance(f, EqualTo):
+                    self._lo = max(self._lo, f.value)
+                    self._hi = min(self._hi, f.value)
+                elif isinstance(f, GreaterThan):
+                    self._lo = max(self._lo, f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self._lo = max(self._lo, f.value)
+                elif isinstance(f, LessThan):
+                    self._hi = min(self._hi, f.value - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    self._hi = min(self._hi, f.value)
+            # every filter is returned unhandled: the bounds above only
+            # PRUNE partitions; Spark still applies the predicate row-wise
+            yield f
+
+    def partitions(self):
+        return [_DayPartition(d) for d in range(self._lo, self._hi + 1)]
+
+    def read(self, partition: _DayPartition | None) -> Iterator[tuple]:
+        # contradictory pushed bounds make partitions() empty; Spark then
+        # schedules one task with partition=None — emit nothing
+        if partition is None:
+            return iter(())
+        return _rows_for_day(partition.day, self._rows_per_day)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events")`` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> _SyntheticEventsReader:
+        return _SyntheticEventsReader(self.options)
+
+
+def register_python_sources(spark: SparkSession) -> None:
+    """Idempotent registration (re-registering the same name is allowed).
+    Python-source filter pushdown ships disabled by default in 4.1
+    (SPARK-48788 rollout flag) and a reader that implements
+    ``pushFilters`` fails fast when it is off, so enable it alongside —
+    a runtime SQL conf, session-scoped."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)
