@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.session import SparkSession
 
@@ -124,3 +125,72 @@ def register_python_sources(spark: SparkSession) -> None:
     a runtime SQL conf, session-scoped."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticTicksDataSource)
+
+
+# --- streaming side: SimpleDataSourceStreamReader ----------------------------
+
+_TICK_SCHEMA = "batch int, tick_id bigint, sensor_id bigint, reading_milli bigint"
+
+
+def _ticks_for_batch(batch: int, rows_per_batch: int) -> Iterator[tuple]:
+    for i in range(rows_per_batch):
+        tick_id = batch * rows_per_batch + i
+        yield (batch, tick_id, (tick_id * 101) % 13, (tick_id * 37) % 5_000)
+
+
+class _TickStreamReader(SimpleDataSourceStreamReader):
+    """Offset-checkpointed incremental reader — the modern-API form of the
+    reference's hand-rolled checkpoint + backfill loop
+    (/root/reference/src/s3_processor.py:113-210): the engine persists the
+    offset dict in the streaming checkpoint (replacing the S3 text-file
+    checkpoint), ``read`` advances it one batch per trigger, and
+    ``readBetweenOffsets`` replays any committed range EXACTLY — which is
+    what upgrades the reference's at-least-once accounting to exactly-once
+    on recovery. A production connector swaps the arithmetic for a queue/
+    API cursor; the offset contract is identical."""
+
+    def __init__(self, options):
+        self._batches = int(options.get("batches", 3))
+        self._rows = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def read(self, start: dict):
+        # contract: return ALL data available after `start` plus the end
+        # offset (one trigger drains everything outstanding — availableNow
+        # then terminates after a single microbatch). A LIST iterator, not
+        # a generator: the engine prefetch-caches the iterator, next()s it
+        # and copy.copy()s it when planning partitions — list iterators
+        # support copy/pickle, generators do not.
+        b = start["batch"]
+        if b >= self._batches:
+            return iter(()), start
+        rows = [r for k in range(b, self._batches) for r in _ticks_for_batch(k, self._rows)]
+        return iter(rows), {"batch": self._batches}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for b in range(start["batch"], end["batch"]):
+            yield from _ticks_for_batch(b, self._rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up: replay derives from arithmetic
+
+
+class SyntheticTicksDataSource(DataSource):
+    """``spark.readStream.format("synthetic_ticks")`` after registration.
+    ``batches`` bounds currently-available data: a restarted query with a
+    LARGER ``batches`` drains only the delta from its checkpointed offset
+    — the incremental-pickup semantics of the reference's missing-dates
+    backfill, minus the hand-rolled bookkeeping."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ticks"
+
+    def schema(self) -> str:
+        return _TICK_SCHEMA
+
+    def simpleStreamReader(self, schema) -> _TickStreamReader:
+        return _TickStreamReader(self.options)
