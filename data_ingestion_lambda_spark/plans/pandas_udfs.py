@@ -148,3 +148,77 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInArrow(arrow_len, schema="doc_id long, n_chars_arrow int")
+
+
+def _ngram_spans_udtf():
+    """Build the UDTF lazily (class decoration touches the JVM-facing
+    registry machinery; keep module import side-effect free)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class NgramSpans:
+        """Positional word n-grams — a ROW-EXPANDING table function, the
+        one UDF shape (§2.10) the scalar/agg/map lanes can't express.
+        Tokenization mirrors the engine-wide idiom exactly:
+        split(trim(text), r'\\s+')."""
+
+        def eval(self, text, n: int):
+            if text is None:
+                return
+            toks = re.split(r"\s+", text.strip())
+            for i in range(len(toks) - n + 1):
+                yield i + 1, " ".join(toks[i : i + n])
+
+    return NgramSpans
+
+
+@register(
+    "udtf_ngram_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS ngram
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+    )
+    SELECT ngram,
+           COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g
+    GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT 20
+    """,
+    tags=("udf", "text"),
+)
+def udtf_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF lane (Spark 3.5+ user-defined TABLE function, §2.10):
+    ``LATERAL ngram_spans(text, 3)`` expands every document into its
+    positional word trigrams, then plain aggregation takes the global
+    top 20 (count-desc, ngram tie-break — a deterministic set, so the
+    order-insensitive oracle hash matches). Arrow-optimized UDTF
+    evaluation is enabled session-wide; the same trigram extraction used
+    by the HOT dedup paths stays in codegen HOFs (plans/llm_ops.py
+    shingles3) — this lane exists because row-expansion with imperative
+    logic is the one UDF shape scalar/agg/map lanes cannot express, and
+    a complete engine ships the escape hatch with its discipline
+    documented: static declared schema, pure per-row logic, exact
+    integer/string outputs only."""
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("ngram_spans", _ngram_spans_udtf())
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT s.ngram,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT d.doc_id) AS n_docs
+        FROM _udtf_docs d, LATERAL ngram_spans(d.text, 3) s
+        GROUP BY s.ngram
+        ORDER BY n_occurrences DESC, s.ngram
+        LIMIT 20
+        """
+    )
