@@ -40,9 +40,11 @@ from pyspark.sql.datasource import (
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
+    DataSourceWriter,
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.session import SparkSession
 
@@ -126,6 +128,7 @@ def register_python_sources(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(SyntheticTicksDataSource)
+    spark.dataSource.register(ManifestJsonDataSource)
 
 
 # --- streaming side: SimpleDataSourceStreamReader ----------------------------
@@ -194,3 +197,111 @@ class SyntheticTicksDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> _TickStreamReader:
         return _TickStreamReader(self.options)
+
+
+# --- write side: DataSourceWriter (two-phase commit) -------------------------
+
+
+class _ManifestCommitMessage(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class _ManifestJsonWriter(DataSourceWriter):
+    """Two-phase-commit JSONL sink with manifest-last visibility — the
+    engine-native form of the reference's checkpoint audit twin
+    (`*_detailed.json`, /root/reference/src/s3_processor.py:147-154), with
+    the transactionality the reference lacks (§1.4.2: it advances
+    tracking state before writes land). Protocol:
+
+    1. every task writes its rows to a part file and returns a commit
+       message (filename + row count) — executor-side, parallel;
+    2. the DRIVER, only after ALL tasks succeed, writes one
+       ``_MANIFEST-<uuid>.json`` listing the committed files;
+    3. on any task failure ``abort`` deletes the staged part files.
+
+    Readers trust only manifested files, so a crashed write is invisible
+    no matter how many part files it strands — the same manifest-last
+    rule as operators/snapshot.py, here expressed through the DataSource
+    API's commit/abort hooks."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("manifest_json requires a save path")
+
+    def write(self, iterator) -> _ManifestCommitMessage:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self._path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(_os.path.join(self._path, name), "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ManifestCommitMessage(name, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        manifest = {
+            "files": [
+                {"filename": m.filename, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ],
+        }
+        manifest["total_rows"] = sum(f["n_rows"] for f in manifest["files"])
+        final = _os.path.join(self._path, f"_MANIFEST-{_uuid.uuid4().hex}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        _os.rename(tmp, final)  # visibility flips atomically, manifest-last
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(_os.path.join(self._path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
+class ManifestJsonDataSource(DataSource):
+    """``df.write.format("manifest_json").save(path)`` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_json"
+
+    def writer(self, schema, overwrite: bool) -> _ManifestJsonWriter:
+        if overwrite:
+            raise NotImplementedError(
+                "manifest_json is append-only: visibility is governed by "
+                "manifests, not file replacement"
+            )
+        return _ManifestJsonWriter(self.options)
+
+
+def read_manifested(spark: SparkSession, path: str):
+    """Read back ONLY manifested part files (the reader half of the
+    manifest-last contract)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    files: list[str] = []
+    for mf in sorted(_glob.glob(_os.path.join(path, "_MANIFEST-*.json"))):
+        with open(mf) as f:
+            files += [_os.path.join(path, e["filename"]) for e in _json.load(f)["files"]]
+    if not files:
+        return spark.createDataFrame([], "x string").limit(0)
+    return spark.read.json(files)

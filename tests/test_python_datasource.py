@@ -119,3 +119,70 @@ def test_stream_source_replay_between_offsets_is_exact():
     ]
     # replaying the full committed range equals the original read
     assert list(r.readBetweenOffsets({"batch": 0}, end)) == list(first)
+
+
+# --- write side (manifest_json, DataSourceWriter two-phase commit) -----------
+
+
+def test_manifest_writer_commit_and_readback(spark, tmp_path):
+    import glob
+    import json
+
+    from data_ingestion_lambda_spark.sources.python_datasource import read_manifested
+
+    register_python_sources(spark)
+    path = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr("id", "id % 7 AS grp").repartition(4)
+    df.write.format("manifest_json").mode("append").save(path)
+
+    manifests = glob.glob(f"{path}/_MANIFEST-*.json")
+    assert len(manifests) == 1
+    m = json.load(open(manifests[0]))
+    assert m["total_rows"] == 100
+    # the manifest lists exactly the part files on disk, with counts
+    on_disk = {p.split("/")[-1] for p in glob.glob(f"{path}/part-*.jsonl")}
+    assert {e["filename"] for e in m["files"]} == on_disk
+    assert sum(e["n_rows"] for e in m["files"]) == 100
+
+    back = read_manifested(spark, path)
+    assert back.count() == 100
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+
+    # append again: a second manifest, readers see the union
+    spark.range(100, 150).selectExpr("id", "id % 7 AS grp").write.format(
+        "manifest_json"
+    ).mode("append").save(path)
+    assert len(glob.glob(f"{path}/_MANIFEST-*.json")) == 2
+    assert read_manifested(spark, path).count() == 150
+
+
+def test_manifest_writer_failed_job_stays_invisible(spark, tmp_path):
+    """A task failure mid-write must leave NO manifest: staged part files
+    from successful sibling tasks are aborted away and readers (who trust
+    only manifests) see nothing — the transactionality the reference's
+    find-then-track loop lacks (SURVEY §1.4.2)."""
+    import glob
+
+    import pytest as _pytest
+
+    from data_ingestion_lambda_spark.sources.python_datasource import read_manifested
+
+    register_python_sources(spark)
+    path = str(tmp_path / "sink")
+    poisoned = spark.range(100).selectExpr(
+        "id", "CAST(assert_true(id != 77, 'boom') AS string) AS chk"
+    ).repartition(4)
+    with _pytest.raises(Exception):
+        poisoned.write.format("manifest_json").mode("append").save(path)
+    assert glob.glob(f"{path}/_MANIFEST-*.json") == [], "failed write must not commit"
+    assert read_manifested(spark, path).count() == 0
+
+
+def test_manifest_writer_rejects_overwrite(spark, tmp_path):
+    import pytest as _pytest
+
+    register_python_sources(spark)
+    with _pytest.raises(Exception, match="append-only"):
+        spark.range(5).write.format("manifest_json").mode("overwrite").save(
+            str(tmp_path / "sink")
+        )
