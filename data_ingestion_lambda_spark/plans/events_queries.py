@@ -565,3 +565,89 @@ def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_cents"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "events_resample_hourly_ff",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    hourly AS (
+        SELECT event_type, h, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS c
+        FROM e GROUP BY event_type, h
+    ),
+    b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM e),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM e) t,
+             b,
+             UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+    )
+    SELECT grid.event_type,
+           grid.h AS hour_ts,
+           CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(hourly.c, 0) AS BIGINT) AS cents_in_hour,
+           last_value(hourly.c IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ff_cents
+    FROM grid LEFT JOIN hourly
+      ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+    """,
+    tags=("events", "timeseries"),
+)
+def events_resample_hourly_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap-fill: project the event stream onto
+    a dense hourly grid per event type and forward-fill the last observed
+    hourly total across empty hours (``last(..., ignorenulls=True)`` over
+    an ordered frame — the carry-forward every monitoring/feature pipeline
+    needs, since a missing hour means "nothing arrived", not "zero
+    signal"). Empty hours keep n_events = 0 and a NULL forward-fill before
+    the first observation — both semantics pinned by the oracle.
+
+    Scale: one (type, hour) shuffle for the hourly rollup; the grid is a
+    broadcast 1-row bounds aggregate crossed with the distinct types, so
+    its size is types x span-hours — bounded by the CLOCK, not the event
+    volume; the forward-fill window partitions by type and orders over
+    grid rows only. Resampling per-entity instead (user, sensor) keeps
+    the identical plan with the window partitioned by entity — each
+    partition is that entity's own span, never the corpus. Monetary sums
+    are integer cents (floor(x*100 + 0.5)), engine-deterministic."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    hourly = e.groupBy("event_type", "h").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    )
+    bounds = e.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_ts"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("cents_in_hour"),
+            F.last("c", ignorenulls=True).over(w).alias("ff_cents"),
+        )
+    )

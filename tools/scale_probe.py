@@ -87,6 +87,11 @@ QUERIES = [
     "profile_table",
     "join_salted_skew",
     "ann_pq_topk",
+    # post-brief round-5 additions
+    "text_chunk_documents",
+    "decontaminate_against_eval",
+    "events_user_stats",
+    "events_resample_hourly_ff",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
