@@ -1,0 +1,124 @@
+"""SCD Type 2 sink: incremental versioned-history maintenance.
+
+The reference's upsert is Type 1 — new values overwrite old ones
+(`/root/reference/src/db_operations.py:77-84` refreshes name/service/
+tokens in place), so history is lost. Type 2 is the warehouse-standard
+alternative: every attribute change CLOSES the current version row
+(sets ``valid_to``) and opens a new one, so point-in-time joins ("what
+segment was this user in when the order shipped?") stay answerable.
+
+Design (DataFrame-native, no driver state):
+
+- the stored table holds version rows ``(key, attr, valid_from,
+  valid_to, is_current)`` — exactly the output of the batch derivation
+  ``plans/events_queries.py::scd2_user_segments``, which is this
+  operator's semantic spec;
+- ``apply_scd2`` folds one chronological batch of change events in by
+  recomputing ONLY the affected keys: stored version rows reduce back to
+  change points, union with the batch's events, exact-duplicate dedup
+  (replay safety), consecutive-repeat collapse, and the lead() window
+  rebuilds ``valid_to``/``is_current``. Unaffected keys are carried over
+  untouched via an anti-join — never rewritten, never re-windowed.
+- equivalence: applying N chronological batches == running the batch
+  derivation over the concatenated events (pinned in tests/test_scd2.py),
+  and replaying a batch is a no-op.
+
+Scale: the per-batch work is (stored ⋉ batch-keys) ∪ batch — both sides
+keyed by the dimension key, one exchange; the anti-join carry-over is
+the same key partitioning. At 100 TB store the table bucketed by key so
+affected-key extraction and the final union are partition-local, and
+partition the rewrite like operators/upsert.py does by date. Late
+(out-of-order ACROSS batches) events are rejected loudly rather than
+silently mis-versioned: SCD2 validity intervals are only well-defined
+when batches arrive in event-time order — buffer with a watermark
+upstream if the feed can reorder.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SCD2_COLUMNS = ("user_id", "segment", "valid_from", "valid_to", "is_current")
+
+
+def _recompute(points: DataFrame) -> DataFrame:
+    """change points (user_id, valid_from, event_id, segment) -> version rows."""
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    changes = (
+        points.dropDuplicates(["user_id", "valid_from", "event_id", "segment"])
+        .withColumn("prev_segment", F.lag("segment").over(w))
+        .filter(
+            F.col("prev_segment").isNull()
+            | (F.col("prev_segment") != F.col("segment"))
+        )
+    )
+    return changes.select(
+        "user_id",
+        "segment",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
+        "event_id",
+    )
+
+
+def apply_scd2(spark: SparkSession, target_dir: str, batch: DataFrame) -> None:
+    """Fold one chronological batch of events (user_id, ts, event_id,
+    event_type) into the stored SCD2 table at ``target_dir``."""
+    points = batch.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.col("event_type").alias("segment"),
+    )
+    if os.path.exists(target_dir):
+        stored = spark.read.parquet(target_dir)
+        max_from = stored.agg(F.max("valid_from")).first()[0]
+        min_new = points.agg(F.min("valid_from")).first()[0]
+        affected_keys = points.select("user_id").distinct()
+        if max_from is not None and min_new is not None and min_new < max_from:
+            # only reject true cross-key reordering: a batch may overlap
+            # its OWN keys' open rows (that is the normal update path)
+            overlap = (
+                stored.join(affected_keys, "user_id", "left_anti")
+                .filter(F.col("valid_from") > F.lit(min_new))
+                .limit(1)
+                .count()
+            )
+            if overlap:
+                raise ValueError(
+                    "apply_scd2 requires event-time-ordered batches: batch "
+                    f"starts at {min_new} but the stored table already has "
+                    "later versions for other keys; buffer/sort upstream"
+                )
+        touched = stored.join(affected_keys, "user_id", "left_semi").select(
+            "user_id",
+            F.col("valid_from"),
+            "event_id",
+            F.col("segment"),
+        )
+        untouched = stored.join(affected_keys, "user_id", "left_anti")
+        recomputed = _recompute(touched.unionByName(points))
+        out = untouched.unionByName(recomputed)
+    else:
+        out = _recompute(points)
+    # staged write + swap: readers never see a half-written table
+    staging = target_dir.rstrip("/") + ".staging"
+    out.write.mode("overwrite").parquet(staging)
+    final_tmp = target_dir.rstrip("/") + ".old"
+    if os.path.exists(target_dir):
+        os.rename(target_dir, final_tmp)
+    os.rename(staging, target_dir)
+    if os.path.exists(final_tmp):
+        import shutil
+
+        shutil.rmtree(final_tmp)
+
+
+def read_scd2(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Version rows in the spec's column order (event_id is internal
+    bookkeeping for the deterministic tiebreak; hidden from readers)."""
+    return spark.read.parquet(target_dir).select(*SCD2_COLUMNS)

@@ -651,3 +651,63 @@ def events_resample_hourly_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("c", ignorenulls=True).over(w).alias("ff_cents"),
         )
     )
+
+
+@register(
+    "scd2_user_segments",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type AS segment,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_segment
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, ts AS valid_from, segment
+        FROM ordered
+        WHERE prev_segment IS NULL OR prev_segment <> segment
+    )
+    SELECT user_id, segment, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               IS NULL AS is_current
+    FROM changes
+    """,
+    tags=("events", "scd"),
+)
+def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 derived from a change stream: each
+    user's event_type is treated as a tracked attribute; consecutive
+    repeats collapse (lag over (ts, event_id) — the unique tiebreak), and
+    every surviving change opens a version row with ``valid_from`` /
+    ``valid_to`` = next change (NULL + ``is_current`` on the open row).
+    This batch derivation is ALSO the semantic spec for the incremental
+    ``operators/scd2.py::apply_scd2`` sink: applying the same events in
+    chronological batches must produce exactly these rows (pinned in
+    tests/test_scd2.py) — the same stream-batch equivalence discipline as
+    the funnel and user-stats lanes.
+
+    Scale: two windows over one user-keyed exchange (lag and lead share
+    the partitioning); no joins, no driver state."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("segment")
+        )
+        .withColumn("prev_segment", F.lag("segment").over(w))
+        .filter(
+            F.col("prev_segment").isNull()
+            | (F.col("prev_segment") != F.col("segment"))
+        )
+        .select("user_id", F.col("ts").alias("valid_from"), "segment")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "segment",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

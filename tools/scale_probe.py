@@ -92,6 +92,7 @@ QUERIES = [
     "decontaminate_against_eval",
     "events_user_stats",
     "events_resample_hourly_ff",
+    "scd2_user_segments",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
