@@ -1734,3 +1734,66 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared_eval_grams"),
         (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# --- mixture construction ----------------------------------------------------
+
+
+@register(
+    "corpus_mixture_rates",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(total_tokens // n_sources AS BIGINT) AS target_tokens,
+           CASE WHEN n_tokens <= total_tokens // n_sources THEN 1.0
+                ELSE CAST(total_tokens // n_sources AS DOUBLE) / n_tokens
+           END AS sample_rate
+    FROM per_source, tot
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction: per-source sampling rates that flatten the
+    corpus to a uniform token budget per source (the planning step before
+    `sample_weighted` / `corpus_source_cap` execute a mixture — Pile/
+    Llama-style recipes are exactly a table like this with hand-tuned
+    targets; uniform is the deterministic, oracle-checkable default).
+    Over-represented sources get rate = target/actual < 1; sources under
+    budget keep rate 1 (never up-sampled here — repetition policy is a
+    separate, explicit decision). The single division per source is
+    IEEE-identical across engines; everything else is exact integers.
+
+    Scale: one source-keyed aggregation over token counts (map-side
+    combined longs) + a broadcast 1-row total — no data pass beyond the
+    tokenize scan; the output is #sources rows, the driver-sized artifact
+    a mixture scheduler consumes."""
+    d = t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    target = F.expr("total_tokens div n_sources")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        target.cast("long").alias("target_tokens"),
+        F.when(F.col("n_tokens") <= target, F.lit(1.0))
+        .otherwise(target.cast("double") / F.col("n_tokens"))
+        .alias("sample_rate"),
+    )

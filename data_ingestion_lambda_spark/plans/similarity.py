@@ -1393,3 +1393,103 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "embedding_drift_splits",
+    oracle=f"""
+    WITH h AS (
+        SELECT label, CAST(vec_id % 2 AS INTEGER) AS half,
+               CAST(embedding AS DOUBLE[]) AS ve
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, half, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               [{_LBL_MEAN_SQL}] AS centroid
+        FROM h GROUP BY label, half
+    ),
+    n AS (
+        SELECT label, half, n_vectors, centroid,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(centroid, x -> x * x)), (a, b) -> a + b))
+                   AS nrm
+        FROM c
+    )
+    SELECT a.label, a.n_vectors AS n_ref, b.n_vectors AS n_new,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, {DIM}),
+                   i -> a.centroid[i] * b.centroid[i])), (p, q) -> p + q)
+             / (a.nrm * b.nrm) AS drift_cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.half = 0 AND b.half = 1
+    """,
+    tags=("llm", "ann", "stats"),
+)
+def embedding_drift_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the table into two
+    deterministic halves (vec_id parity — in production, yesterday's
+    reference batch vs today's candidate batch), compute per-label
+    centroids for each half with the integer-exact mean idiom, and report
+    the per-label cosine between the halves. Cosine near 1 = the class's
+    embedding distribution is stable; a drop flags upstream drift (new
+    encoder version, corrupted shard, topic shift) BEFORE it poisons
+    dedup thresholds and ANN recall — this is the monitoring table a
+    production embedding pipeline checks on every ingest.
+
+    Scale: one groupBy on (label, half) with 64 map-side-combined integer
+    sums; the comparison join is #labels rows. Identical fold order on
+    both engines (zip_with/aggregate vs generate_series/list_reduce), so
+    the cosines hash-match."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.pmod(F.col("vec_id"), F.lit(2)).cast("int").alias("half"),
+        as_double(F.col("embedding")).alias("ve"),
+    )
+    sums = [
+        F.sum(
+            F.floor(F.element_at("ve", i) * F.lit(float(_MEAN_SCALE))).cast("long")
+        ).alias(f"s{i}")
+        for i in range(1, DIM + 1)
+    ]
+    agg = base.groupBy("label", "half").agg(F.count("*").alias("n_vectors"), *sums)
+    centroid = F.array(
+        *[
+            (
+                F.col(f"s{i}").cast("double")
+                / F.lit(float(_MEAN_SCALE))
+                / F.col("n_vectors")
+            )
+            for i in range(1, DIM + 1)
+        ]
+    )
+    withc = agg.select("label", "half", "n_vectors", centroid.alias("centroid"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("centroid"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    n = withc.select("label", "half", "n_vectors", "centroid", nrm.alias("nrm"))
+    a = n.filter(F.col("half") == 0).select(
+        "label",
+        F.col("n_vectors").alias("n_ref"),
+        F.col("centroid").alias("ca"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.filter(F.col("half") == 1).select(
+        "label",
+        F.col("n_vectors").alias("n_new"),
+        F.col("centroid").alias("cb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return a.join(b, "label").select(
+        "label",
+        "n_ref",
+        "n_new",
+        (dot / (F.col("na") * F.col("nb"))).alias("drift_cosine"),
+    )

@@ -93,6 +93,8 @@ QUERIES = [
     "events_user_stats",
     "events_resample_hourly_ff",
     "scd2_user_segments",
+    "embedding_drift_splits",
+    "corpus_mixture_rates",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
