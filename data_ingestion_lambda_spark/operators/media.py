@@ -400,3 +400,57 @@ def audio_frame_energy(media: DataFrame) -> DataFrame:
     return audio.select("doc_id", "payload").mapInPandas(
         energy, schema=AUDIO_ENERGY_SCHEMA
     )
+
+
+SHOT_SIGNAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_boundaries", LongType()),
+        StructField("total_diff", LongType()),
+        StructField("max_diff", LongType()),
+        StructField("min_diff", LongType()),
+    ]
+)
+
+
+def frame_diff_stats(media: DataFrame) -> DataFrame:
+    """Shot-boundary signal over video payloads: per consecutive frame
+    pair, the L1 difference energy (sum over bytes of |a - b| — exact
+    integers), rolled up to per-video stats. A real shot detector
+    thresholds exactly this series; the threshold is downstream policy,
+    so the operator ships the signal, not a verdict. numpy-vectorized
+    inside Arrow batches: the per-video work is one reshape + one
+    abs-diff over a frames x FRAME_BYTES int matrix, no per-byte Python."""
+    video = media.filter(F.col("meta.kind") == "video")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_full = len(payload) // FRAME_BYTES
+                if n_full == 0:
+                    continue
+                arr = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8)[
+                        : n_full * FRAME_BYTES
+                    ]
+                    .reshape(n_full, FRAME_BYTES)
+                    .astype(np.int64)
+                )
+                diffs = np.abs(arr[1:] - arr[:-1]).sum(axis=1)
+                rows.append(
+                    (
+                        doc_id,
+                        n_full,
+                        len(diffs),
+                        int(diffs.sum()) if len(diffs) else 0,
+                        int(diffs.max()) if len(diffs) else 0,
+                        int(diffs.min()) if len(diffs) else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=SHOT_SIGNAL_SCHEMA.fieldNames())
+
+    return video.select("doc_id", "payload").mapInPandas(
+        stats, schema=SHOT_SIGNAL_SCHEMA
+    )

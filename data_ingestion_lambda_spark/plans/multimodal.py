@@ -19,6 +19,7 @@ from data_ingestion_lambda_spark.operators.media import (
     attach_media_columns,
     byte_features,
     decode_resize_thumbnail,
+    frame_diff_stats,
     sample_frames,
 )
 from data_ingestion_lambda_spark.plans._util import t
@@ -434,3 +435,50 @@ def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_media_columns(t(spark, sf_dir, "documents"))
     return audio_frame_energy(media)
+
+
+@register(
+    "media_shot_signal",
+    oracle=f"""
+    WITH video AS (
+        SELECT doc_id, text, length(text) // {FRAME_BYTES} AS n_full
+        FROM documents WHERE {_SQL_KIND} = 'video'
+    ),
+    fr AS (
+        SELECT doc_id, i,
+               list_transform(
+                   string_split(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}), ''),
+                   c -> CAST(ascii(c) AS BIGINT)) AS codes
+        FROM video, UNNEST(generate_series(0, n_full - 1)) AS u(i)
+        WHERE n_full > 0
+    ),
+    d AS (
+        SELECT a.doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, {FRAME_BYTES}),
+                       j -> abs(a.codes[j] - b.codes[j]))),
+                   (p, q) -> p + q) AS diff
+        FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    )
+    SELECT v.doc_id,
+           CAST(v.n_full AS BIGINT) AS n_frames,
+           CAST(COUNT(d.diff) AS BIGINT) AS n_boundaries,
+           CAST(COALESCE(SUM(d.diff), 0) AS BIGINT) AS total_diff,
+           CAST(COALESCE(MAX(d.diff), 0) AS BIGINT) AS max_diff,
+           CAST(COALESCE(MIN(d.diff), 0) AS BIGINT) AS min_diff
+    FROM video v LEFT JOIN d ON v.doc_id = d.doc_id
+    WHERE v.n_full > 0
+    GROUP BY v.doc_id, v.n_full
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def media_shot_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary signal per video: L1 frame-difference energy stats
+    over consecutive frame pairs (operators/media.py::frame_diff_stats —
+    numpy inside Arrow batches, exact integers). The DuckDB twin replays
+    the byte arithmetic from the text payload, pinning the whole
+    decode→diff→rollup pipeline cross-engine. Completes the video lane:
+    frame sampling gives the frames, this gives the cut structure a
+    video-curation pipeline segments on."""
+    media = attach_media_columns(t(spark, sf_dir, "documents"))
+    return frame_diff_stats(media)

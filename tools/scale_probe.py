@@ -95,6 +95,7 @@ QUERIES = [
     "scd2_user_segments",
     "embedding_drift_splits",
     "corpus_mixture_rates",
+    "media_shot_signal",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
