@@ -290,3 +290,100 @@ def _attach_final_selection_oracle() -> None:
 
 
 _attach_final_selection_oracle()
+
+
+@register(
+    "pack_chunked_sequences",
+    oracle=r"""
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens
+    FROM (
+        SELECT source, doc_id, chunk_id, chunk_tokens,
+               CAST((cum - 1) // 2048 AS BIGINT) AS bin_id
+        FROM (
+            SELECT source, doc_id, chunk_id, chunk_tokens,
+                   SUM(chunk_tokens) OVER (PARTITION BY source
+                                           ORDER BY doc_id, chunk_id
+                                           ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (
+                SELECT source, doc_id,
+                       CAST(start // 48 AS BIGINT) AS chunk_id,
+                       CAST(least(64, n - start) AS BIGINT) AS chunk_tokens
+                FROM (
+                    SELECT source, doc_id,
+                           len(string_split_regex(trim(text), '\s+')) AS n,
+                           UNNEST(range(0, len(string_split_regex(trim(text), '\s+')), 48))
+                               AS start
+                    FROM documents
+                )
+                WHERE n > 0
+            )
+        )
+    )
+    GROUP BY source, bin_id
+    """,
+    tags=("llm", "curation", "pipeline"),
+)
+def pack_chunked_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-then-pack — the composed sequence-assembly pipeline: every
+    document's context-length chunks (text_chunk_documents' exact
+    arithmetic: 64-token windows at 48-token strides; constants imported,
+    so the two queries cannot drift) packed into 2048-token training bins
+    per source shard via the pack_sequences running-sum idiom. Packing
+    CHUNKS instead of whole docs is what a real pipeline ships: every
+    unit is <= the context budget by construction, so no bin overflows
+    from one oversized doc.
+
+    Scale: the chunk derivation here carries only (source, doc_id,
+    chunk_id, chunk_tokens) — chunk TEXT is never materialized (token
+    counts are pure arithmetic on the token count), so the window input
+    is four integers per chunk; one source-keyed exchange, reused by the
+    final aggregation."""
+    from data_ingestion_lambda_spark.plans.llm_ops import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "source",
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))
+            ),
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.expr(f"start div {_CHUNK_STRIDE}").cast("bigint").alias("chunk_id"),
+            F.least(F.lit(_CHUNK_TOKENS), F.col("n") - F.col("start"))
+            .cast("bigint")
+            .alias("chunk_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("cum", F.sum("chunk_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.lit(1)) / F.lit(_PACK_BUDGET)).cast("bigint"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("chunk_tokens").cast("long").alias("bin_tokens"),
+        )
+    )

@@ -96,6 +96,7 @@ QUERIES = [
     "embedding_drift_splits",
     "corpus_mixture_rates",
     "media_shot_signal",
+    "pack_chunked_sequences",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
