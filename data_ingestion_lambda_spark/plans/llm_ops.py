@@ -1797,3 +1797,70 @@ def corpus_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(target.cast("double") / F.col("n_tokens"))
         .alias("sample_rate"),
     )
+
+
+# --- language-ID quality gauge ----------------------------------------------
+
+
+@register(
+    "text_lang_confusion",
+    # composed at import time from text_language_id's registered oracle so
+    # the gauge can never drift from the classifier it measures (same
+    # idiom as corpus_final_selection) — see _attach_lang_confusion_oracle.
+    oracle=None,
+    tags=("llm", "text", "gauge"),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang x predicted lang doc
+    counts plus the per-cell share of the labeled language's documents —
+    the gauge that says WHERE the stopword-marker classifier errs, not
+    just how often (every approximate lane in this repo ships its gauge:
+    LSH, SimHash, int8, IVF, PQ recall — this is the text classifier's).
+    Composed from text_language_id's builder, so the matrix measures
+    exactly the shipped classifier.
+
+    Measured on the synthetic corpus it does its job immediately: every
+    labeled language predicts 'en' (the testdata's text is English-ish
+    tokens for all lang labels — the label is metadata, not signal), so
+    the matrix is the evidence that marker-based ID needs real
+    multilingual text to discriminate; on a real corpus the off-diagonal
+    cells are the mis-ID report.
+
+    Scale: one (lang, pred_lang) groupBy over the classifier output plus
+    a broadcast per-label total — #langs² output rows."""
+    scored = text_language_id(spark, sf_dir).select("lang", "pred_lang")
+    cells = scored.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_lang")).alias("share_of_lang"),
+    )
+
+
+def _attach_lang_confusion_oracle() -> None:
+    from dataclasses import replace
+
+    from data_ingestion_lambda_spark.plans.registry import REGISTRY
+
+    lid_sql = REGISTRY["text_language_id"].oracle
+    sql = f"""
+    WITH scored AS (SELECT lang, pred_lang FROM ({lid_sql}) t),
+         cells AS (
+             SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM scored GROUP BY lang, pred_lang
+         ),
+         totals AS (
+             SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+             FROM cells GROUP BY lang
+         )
+    SELECT cells.lang, pred_lang, n_docs,
+           CAST(n_docs AS DOUBLE) / n_lang AS share_of_lang
+    FROM cells JOIN totals ON cells.lang = totals.lang
+    """
+    spec = REGISTRY["text_lang_confusion"]
+    REGISTRY["text_lang_confusion"] = replace(spec, oracle=sql)
+
+
+_attach_lang_confusion_oracle()
