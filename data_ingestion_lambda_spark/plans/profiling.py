@@ -29,7 +29,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.plans._util import t
@@ -108,3 +108,86 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities, value ranges (see module docstring for the one-pass
     plan and the 100 TB approx-distinct swap)."""
     return profile_columns(t(spark, sf_dir, _PROFILE_TABLE), _PROFILE_COLS)
+
+
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+_SKEW_TOPK = 5
+
+
+@register(
+    "profile_key_skew",
+    oracle=f"""
+    WITH freq AS (
+        {" UNION ALL ".join(
+            f'''SELECT '{k}' AS key_col, CAST({k} AS BIGINT) AS key_value,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM {_PROFILE_TABLE} GROUP BY {k}'''
+            for k in _SKEW_KEYS
+        )}
+    ),
+    stats AS (
+        SELECT key_col,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+               CAST(SUM(n_rows) AS BIGINT) AS total_rows
+        FROM freq GROUP BY key_col
+    ),
+    ranked AS (
+        SELECT key_col, key_value, n_rows,
+               ROW_NUMBER() OVER (PARTITION BY key_col
+                                  ORDER BY n_rows DESC, key_value) AS rk
+        FROM freq
+    )
+    SELECT r.key_col, r.rk AS rank, r.key_value, r.n_rows,
+           s.n_keys, s.max_rows,
+           CAST(s.max_rows AS DOUBLE) * s.n_keys / s.total_rows
+               AS skew_factor
+    FROM ranked r JOIN stats s ON r.key_col = s.key_col
+    WHERE r.rk <= {_SKEW_TOPK}
+    """,
+    tags=("quality", "profiling"),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: per candidate key, the top
+    {_SKEW_TOPK} heaviest values and a skew factor (max key frequency
+    over the uniform expectation, = max_rows x n_keys / total_rows; 1.0
+    means perfectly uniform, >> 1 means one reducer eats a hot key). This
+    is the table a pipeline owner reads BEFORE choosing between a plain
+    shuffle join, AQE skew splitting, and the salted rewrite
+    (`join_salted_skew`) — the repo ships the remedies; this ships the
+    measurement that picks one.
+
+    Scale: one per-key groupBy each (map-side combined counts — the
+    frequency table is keys-sized, not rows-sized), then a keys-sized
+    window for the top-k and a 3-row stats join. Nothing touches payload
+    columns."""
+    li = t(spark, sf_dir, _PROFILE_TABLE)
+    freqs = None
+    for k in _SKEW_KEYS:
+        f = li.groupBy(F.col(k).cast("long").alias("key_value")).agg(
+            F.count("*").alias("n_rows")
+        )
+        f = f.select(F.lit(k).alias("key_col"), "key_value", "n_rows")
+        freqs = f if freqs is None else freqs.unionByName(f)
+    stats = freqs.groupBy("key_col").agg(
+        F.count("*").alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+        F.sum("n_rows").alias("total_rows"),
+    )
+    w = Window.partitionBy("key_col").orderBy(F.desc("n_rows"), F.asc("key_value"))
+    ranked = freqs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _SKEW_TOPK
+    )
+    return ranked.join(F.broadcast(stats), "key_col").select(
+        "key_col",
+        F.col("rank").cast("long").alias("rank"),
+        "key_value",
+        "n_rows",
+        "n_keys",
+        "max_rows",
+        (
+            F.col("max_rows").cast("double")
+            * F.col("n_keys")
+            / F.col("total_rows")
+        ).alias("skew_factor"),
+    )

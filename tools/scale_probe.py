@@ -97,6 +97,8 @@ QUERIES = [
     "corpus_mixture_rates",
     "media_shot_signal",
     "pack_chunked_sequences",
+    "profile_key_skew",
+    "text_lang_confusion",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
