@@ -191,3 +191,111 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_rows")
         ).alias("skew_factor"),
     )
+
+
+_HIST_COL = "l_extendedprice"
+_HIST_BUCKETS = 16
+
+
+@register(
+    "profile_numeric_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN({_HIST_COL}) AS lo, MAX({_HIST_COL}) AS hi
+        FROM {_PROFILE_TABLE}
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS bucket_min,
+           MAX(v) AS bucket_max
+    FROM (
+        SELECT least(CAST(FLOOR(({_HIST_COL} - lo) * {_HIST_BUCKETS} / (hi - lo))
+                          AS BIGINT), {_HIST_BUCKETS - 1}) AS bucket,
+               {_HIST_COL} AS v
+        FROM {_PROFILE_TABLE}, b
+    )
+    GROUP BY bucket
+    """,
+    tags=("quality", "profiling"),
+)
+def profile_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a numeric column — the distribution view a
+    profile's min/max can't give (is the column uniform, clustered, or
+    dominated by a spike the optimizer's stats should know about).
+    Bounds come from a broadcast 1-row aggregate (the resample idiom);
+    the bucket id is pure arithmetic on the row, so the histogram is one
+    scan + one bucket-keyed aggregation with map-side combine. The top
+    edge folds into the last bucket (least(..., buckets-1)), matching
+    both engines exactly — bucket arithmetic is floor() on the same
+    double expression, IEEE-identical.
+
+    At 100 TB this shape is exactly how column statistics get built:
+    bounded output (#buckets rows), no sort, one pass."""
+    li = t(spark, sf_dir, _PROFILE_TABLE)
+    b = li.agg(
+        F.min(_HIST_COL).alias("lo"), F.max(_HIST_COL).alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col(_HIST_COL) - F.col("lo"))
+            * F.lit(_HIST_BUCKETS)
+            / (F.col("hi") - F.col("lo"))
+        ).cast("long"),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    return (
+        li.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), F.col(_HIST_COL).alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("v").alias("bucket_min"),
+            F.max("v").alias("bucket_max"),
+        )
+    )
+
+
+@register(
+    "profile_table_approx",
+    # Deliberately NO oracle: the approx profile uses HyperLogLog distinct
+    # counts (approx_count_distinct), and sketches do not hash-match across
+    # engines — the driver records the weaker rows-only check, which is the
+    # honest contract for a sketch. The exact twin (profile_table, directly
+    # above in the registry) carries the full value-hash evidence for the
+    # shared plan skeleton.
+    oracle=None,
+    tags=("quality", "profiling", "approx"),
+)
+def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of profile_table, shipped rather than only
+    documented: HyperLogLog distinct counts (one pass, NO Catalyst Expand
+    — at a few dozen columns the exact plan's n_aggs-fold row replication
+    is the scan's dominant cost; the sketch removes it entirely) combined
+    with the same null/min/max profile. Same output schema as
+    profile_table, so the two are drop-in swaps; rsd 5% default."""
+    li = t(spark, sf_dir, _PROFILE_TABLE)
+    cols = _PROFILE_COLS
+    basic = []
+    for c in cols:
+        basic += [
+            F.count(c).alias(f"{c}__nn"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nl"),
+            F.approx_count_distinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    one = li.agg(*basic)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nn").alias("n_nonnull"),
+                F.col(f"{c}__nl").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct_approx"),
+                F.col(f"{c}__mn").alias("min_value"),
+                F.col(f"{c}__mx").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

@@ -99,6 +99,7 @@ QUERIES = [
     "pack_chunked_sequences",
     "profile_key_skew",
     "text_lang_confusion",
+    "profile_numeric_histogram",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
