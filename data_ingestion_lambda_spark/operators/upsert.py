@@ -131,6 +131,38 @@ def list_partition_dates(spark: SparkSession, target_dir: str) -> list[str]:
     return sorted(out)
 
 
+def _align_schemas(existing: DataFrame, batch: DataFrame):
+    """Additive schema evolution for the upsert target: a NEW batch column
+    widens the stored table (old rows read as NULL); a column the batch
+    stopped sending stays, NULL on the batch side, so history is never
+    dropped by a producer change. A TYPE change on a shared column is
+    rejected loudly — silent cross-type coercion is how a long-lived
+    table corrupts (the reference has no schema contract at all beyond
+    name presence, SURVEY §1.3; this is the managed version)."""
+    e_types = dict(existing.dtypes)
+    b_types = dict(batch.dtypes)
+    conflicts = {
+        c: (e_types[c], b_types[c])
+        for c in e_types.keys() & b_types.keys()
+        # PARTITION_COL is excluded: partition-directory inference types it
+        # (date vs the batch's string) and the merge has always normalized
+        # it — not a producer schema change.
+        if e_types[c] != b_types[c] and not c.startswith("_") and c != PARTITION_COL
+    }
+    if conflicts:
+        raise ValueError(
+            f"incompatible schema evolution — column type changes: {conflicts}; "
+            "cast the batch explicitly or migrate the table"
+        )
+    for c, dt in b_types.items():
+        if c not in e_types:
+            existing = existing.withColumn(c, F.lit(None).cast(dt))
+    for c, dt in e_types.items():
+        if c not in b_types and not c.startswith("_"):
+            batch = batch.withColumn(c, F.lit(None).cast(dt))
+    return existing, batch
+
+
 def upsert_into_parquet(
     spark: SparkSession,
     target_dir: str,
@@ -166,9 +198,15 @@ def upsert_into_parquet(
         existing = None
         if list_partition_dates(spark, target_dir):
             # Partition pruning: read only the dates this batch touches.
-            existing = spark.read.parquet(target_dir).filter(
-                F.col(PARTITION_COL).isin(batch_dates)
+            # mergeSchema: partitions written before an additive schema
+            # evolution carry the narrower schema; the union read widens
+            # them with NULLs.
+            existing = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(target_dir)
+                .filter(F.col(PARTITION_COL).isin(batch_dates))
             )
+            existing, batch = _align_schemas(existing, batch)
 
         merged = merge_last_writer_wins(existing, batch, keys=keys, order_cols=order_cols)
         # (No extra repartition: the merge window already shuffled by key,
