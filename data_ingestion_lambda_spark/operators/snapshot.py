@@ -29,6 +29,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SNAP_ROOT = ".snapshots"
 _MANIFEST = "manifest.json"
@@ -118,3 +119,45 @@ def expire_snapshots(target_dir: str, keep_last: int) -> list[int]:
         shutil.rmtree(os.path.join(_snap_root(target_dir), f"v{s['version']}"))
         dropped.append(s["version"])
     return dropped
+
+
+def diff_snapshots(
+    spark: SparkSession,
+    target_dir: str,
+    version_a: int,
+    version_b: int,
+    keys: list[str],
+) -> DataFrame:
+    """Keyed diff between two table versions: one row per key present in
+    either snapshot, labeled ``added`` (only in b), ``removed`` (only in
+    a), ``changed`` (both, any non-key column differs) or ``unchanged``.
+    The audit answer to "what did the last N ingests do to the table" —
+    the consumer of the snapshot lane's time travel, and the check a
+    pipeline owner runs before expiring old versions.
+
+    Non-key comparison hashes the full remaining row (text-cast,
+    null-sentineled) on EACH side before the join, so the join carries
+    keys + one 16-byte digest per side — never the payload; change
+    detection is digest inequality. Plan: two snapshot scans, one
+    full-outer equi-join on the keys."""
+    a = read_snapshot(spark, target_dir, version_a)
+    b = read_snapshot(spark, target_dir, version_b)
+    val_cols = [c for c in a.columns if c not in keys]
+
+    def digested(df: DataFrame, side: str) -> DataFrame:
+        cols = [c for c in df.columns if c not in keys]
+        digest = F.md5(
+            F.concat_ws(
+                "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(cols)]
+            )
+        )
+        return df.select(*keys, digest.alias(f"_digest_{side}"))
+
+    j = digested(a, "a").join(digested(b, "b"), keys, "full_outer")
+    status = (
+        F.when(F.col("_digest_a").isNull(), "added")
+        .when(F.col("_digest_b").isNull(), "removed")
+        .when(F.col("_digest_a") != F.col("_digest_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(*keys, status.alias("status"))

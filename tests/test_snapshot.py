@@ -101,3 +101,45 @@ def test_cli_snapshot_roundtrip(spark, tmp_path, capsys):
     assert cli.main(["snapshot", "--target", target, "--list"]) == 0
     snaps = json.loads(capsys.readouterr().out)["snapshots"]
     assert len(snaps) == 1 and snaps[0]["note"] == "cli"
+
+
+def test_diff_snapshots_classifies_added_removed_changed(spark, tmp_path):
+    from data_ingestion_lambda_spark.operators.snapshot import diff_snapshots
+
+    target = str(tmp_path / "consumptions")
+    keys = ["date", "client_code"]
+    upsert_into_parquet(
+        spark,
+        target,
+        _batch(
+            spark,
+            [("2025-05-01", "A", 100), ("2025-05-01", "B", 10), ("2025-05-01", "D", 7)],
+        ),
+        keys=keys,
+        order_cols=["total_consumed_tokens"],
+    )
+    v1 = snapshot_table(target, note="v1")
+    # A changes, C appears; B and D keep their stored values (LWW by the
+    # payload order col keeps the larger stored B=10 over a replayed 10)
+    upsert_into_parquet(
+        spark,
+        target,
+        _batch(spark, [("2025-05-01", "A", 999), ("2025-05-01", "C", 5)]),
+        keys=keys,
+        order_cols=["total_consumed_tokens"],
+    )
+    v2 = snapshot_table(target, note="v2")
+
+    got = {
+        r.client_code: r.status
+        for r in diff_snapshots(spark, target, v1, v2, keys=keys).collect()
+    }
+    assert got["A"] == "changed"
+    assert got["C"] == "added"
+    assert got["B"] == "unchanged" and got["D"] == "unchanged"
+    # direction matters: the reverse diff flips added to removed
+    rev = {
+        r.client_code: r.status
+        for r in diff_snapshots(spark, target, v2, v1, keys=keys).collect()
+    }
+    assert rev["C"] == "removed"
