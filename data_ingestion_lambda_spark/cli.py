@@ -66,6 +66,17 @@ def build_parser() -> argparse.ArgumentParser:
     snp.add_argument("--list", action="store_true", help="list versions instead of creating")
     snp.add_argument("--expire-keep", type=int, default=None, help="drop all but N newest")
     snp.add_argument("--note", default="", help="annotation stored in the manifest")
+    snp.add_argument(
+        "--diff",
+        default=None,
+        metavar="A,B",
+        help="diff two versions: per-key added/removed/changed counts",
+    )
+    snp.add_argument(
+        "--keys",
+        default="date,client_code",
+        help="comma-separated key columns for --diff",
+    )
 
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
@@ -80,13 +91,27 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.cmd == "snapshot":
-        # pure-filesystem operation: no SparkSession needed
+        # pure-filesystem operation (except --diff): no SparkSession needed
         from data_ingestion_lambda_spark.operators.snapshot import (
+            diff_snapshots,
             expire_snapshots,
             list_snapshots,
             snapshot_table,
         )
 
+        if args.diff:
+            from pyspark.sql import functions as F
+
+            spark = get_spark("data-ingestion-cli")
+            va, vb = (int(x) for x in args.diff.split(","))
+            d = diff_snapshots(
+                spark, args.target, va, vb, keys=args.keys.split(",")
+            )
+            counts = {r["status"]: r["n"] for r in
+                      d.groupBy("status").agg(F.count("*").alias("n")).collect()}
+            print(json.dumps({"statusCode": 200, "diff": counts,
+                              "versions": [va, vb]}))
+            return 0
         if args.list:
             print(json.dumps({"statusCode": 200, "snapshots": list_snapshots(args.target)}))
         elif args.expire_keep is not None:

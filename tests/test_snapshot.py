@@ -143,3 +143,25 @@ def test_diff_snapshots_classifies_added_removed_changed(spark, tmp_path):
         for r in diff_snapshots(spark, target, v2, v1, keys=keys).collect()
     }
     assert rev["C"] == "removed"
+
+
+def test_cli_snapshot_diff(spark, tmp_path, capsys):
+    import json
+
+    from data_ingestion_lambda_spark import cli
+
+    target = str(tmp_path / "consumptions")
+    keys = ["date", "client_code"]
+    upsert_into_parquet(
+        spark, target, _batch(spark, [("2025-05-01", "A", 1)]), keys=keys
+    )
+    snapshot_table(target)
+    upsert_into_parquet(
+        spark, target, _batch(spark, [("2025-05-01", "A", 9), ("2025-05-01", "B", 2)]),
+        keys=keys,
+    )
+    snapshot_table(target)
+    rc = cli.main(["snapshot", "--target", target, "--diff", "1,2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["diff"] == {"changed": 1, "added": 1}
