@@ -346,3 +346,39 @@ def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lit(None).cast("bigint"), F.lit(0)).alias("tokens_coerced"),
         F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal_nonneg"),
     )
+
+
+@register(
+    "scalar_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "variant"),
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics on Spark 4's VARIANT type: ``parse_json``
+    once into the binary variant encoding, then ``variant_get`` typed
+    extraction — the open-format answer to schema-on-read JSON columns
+    (parse cost paid once per row, extractions are binary field lookups,
+    and at 100 TB the variant column shreds into parquet instead of
+    re-parsing text per query). The schema'd `from_json` lane
+    (scalar_json) is the closed-schema alternative; variant is for
+    payloads whose shape drifts. DuckDB replays the extraction through
+    its JSON lanes — values, not encodings, are what hash-matches."""
+    e = t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.count_distinct("k").cast("long").alias("n_distinct_k"),
+    )

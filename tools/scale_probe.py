@@ -100,6 +100,7 @@ QUERIES = [
     "profile_key_skew",
     "text_lang_confusion",
     "profile_numeric_histogram",
+    "scalar_variant",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
