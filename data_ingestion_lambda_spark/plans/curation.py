@@ -387,3 +387,74 @@ def pack_chunked_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_tokens").cast("long").alias("bin_tokens"),
         )
     )
+
+
+_EOD = "<|eod|>"
+
+
+@register(
+    "materialize_packed_sequences",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT source, doc_id, text,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    binned AS (
+        SELECT source, doc_id, text, n_tokens,
+               CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - 1)
+                    // {_PACK_BUDGET} AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           string_agg(text, '{_EOD}' ORDER BY doc_id) AS sequence_text
+    FROM binned
+    GROUP BY source, bin_id
+    """,
+    tags=("llm", "curation", "pipeline"),
+)
+def materialize_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization of pack_sequences' plan: per training bin, the
+    actual sequence text — documents concatenated in doc_id order with an
+    end-of-document separator — plus the bin's doc and token counts. This
+    is the row a tokenizer consumes; pack_sequences answers "how do the
+    bins lay out", this one writes them.
+
+    Determinism discipline: ``collect_list`` is order-nondeterministic
+    under retries/partitioning, so the concatenation sorts the collected
+    (doc_id, text) structs BEFORE joining — array_sort on the struct
+    gives doc_id order, matching the oracle's ``string_agg(... ORDER
+    BY)`` exactly. Scale: one source-keyed exchange shared by the
+    running-sum window and the bin aggregation; each bin's payload is
+    bounded by the token budget, so collect_list state is O(budget), not
+    O(corpus)."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = (
+        d.select("source", "doc_id", "text", n_tok.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.lit(1)) / F.lit(_PACK_BUDGET)).cast("bigint"),
+        )
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda x: x["text"],
+        ),
+        _EOD,
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        seq.alias("sequence_text"),
+    )

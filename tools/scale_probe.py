@@ -101,6 +101,7 @@ QUERIES = [
     "text_lang_confusion",
     "profile_numeric_histogram",
     "scalar_variant",
+    "materialize_packed_sequences",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
