@@ -124,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "query":
         # registry import is deliberately local: ingest/compact invocations
-        # shouldn't pay for building 128 query specs
+        # shouldn't pay for building the full query-spec registry
         from data_ingestion_lambda_spark.plans import all_specs
 
         specs = all_specs()
