@@ -299,3 +299,75 @@ def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+_RI_EDGES = (
+    # (fact table, fk col, dim table, pk col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+@register(
+    "profile_referential_integrity",
+    oracle=f"""
+    {" UNION ALL ".join(
+        f'''SELECT '{ft}.{fk} -> {dt}.{pk}' AS edge,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) FILTER (WHERE {fk} IS NULL) AS BIGINT)
+                       AS n_null_fk,
+                   CAST(COUNT(*) FILTER (
+                        WHERE {fk} IS NOT NULL
+                          AND {fk} NOT IN (SELECT {pk} FROM {dt})) AS BIGINT)
+                       AS n_orphans
+            FROM {ft}'''
+        for ft, fk, dt, pk in _RI_EDGES
+    )}
+    """,
+    tags=("quality", "profiling"),
+)
+def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: per FK edge,
+    row count, NULL-FK count, and ORPHAN count (non-null FK with no
+    matching dimension key) — the join-safety check run on a new drop
+    before any star query is trusted (an orphaned FK silently drops rows
+    from every inner join downstream; this table says where and how
+    many). The reference validates column *presence* only
+    (/root/reference/src/db_operations.py:65-72); this is the
+    row-level contract.
+
+    Scale: each edge is one left-anti join of the fact's distinct-ish FK
+    column against the dimension key — dimension sides broadcast when
+    bounded (Catalyst decides), fact side streams; counts combine
+    map-side. Five edges = five independent scans that AQE schedules
+    concurrently; nothing touches payload columns."""
+    parts = []
+    for ft, fk, dt, pk in _RI_EDGES:
+        fact = t(spark, sf_dir, ft).select(F.col(fk).alias("fkv"))
+        dim = t(spark, sf_dir, dt).select(F.col(pk).alias("pkv"))
+        orphans = (
+            fact.filter(F.col("fkv").isNotNull())
+            .join(dim, F.col("fkv") == F.col("pkv"), "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        base = fact.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("fkv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+        )
+        parts.append(
+            base.crossJoin(orphans).select(
+                F.lit(f"{ft}.{fk} -> {dt}.{pk}").alias("edge"),
+                F.col("n_rows").cast("long"),
+                "n_null_fk",
+                F.col("n_orphans").cast("long"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

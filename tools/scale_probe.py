@@ -102,6 +102,7 @@ QUERIES = [
     "profile_numeric_histogram",
     "scalar_variant",
     "materialize_packed_sequences",
+    "profile_referential_integrity",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
