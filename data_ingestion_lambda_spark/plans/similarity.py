@@ -1493,3 +1493,113 @@ def embedding_drift_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         (dot / (F.col("na") * F.col("nb"))).alias("drift_cosine"),
     )
+
+
+_COH_SCALE = 1_000_000_000  # cohesion sums as exact integers (no float SUM)
+
+
+@register(
+    "embedding_kmeans_clusters",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, ve, sqrt({_sql_dot('ve', 've')}) AS nrm
+        FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+              FROM embeddings)),
+    cent0 AS (SELECT vec_id AS cent_id, ve AS cv, nrm AS cnrm FROM v
+              WHERE vec_id < {_N_CENTROIDS}),
+    {",".join(_sql_kmeans_iter(f"cent{k}", k + 1) for k in range(_KMEANS_ITERS))},
+    cent AS (SELECT * FROM cent{_KMEANS_ITERS}),
+    assign AS (
+        SELECT vec_id, cell, ccos FROM (
+            SELECT v.vec_id, cent_id AS cell,
+                   ({_sql_dot('ve', 'cv')}) / (nrm * cnrm) AS ccos,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ({_sql_dot('ve', 'cv')}) / (nrm * cnrm) DESC,
+                                cent_id) AS rn
+            FROM v CROSS JOIN cent)
+        WHERE rn = 1),
+    lab AS (
+        SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM assign JOIN v USING (vec_id) GROUP BY cell, label),
+    maj AS (
+        SELECT cell, label AS majority_label, n AS n_majority FROM (
+            SELECT cell, label, n,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY n DESC, label) AS rk
+            FROM lab) WHERE rk = 1)
+    SELECT a.cell AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(FLOOR(a.ccos * {_COH_SCALE}.0) AS BIGINT)) AS BIGINT)
+               AS cohesion_e9_sum,
+           MAX(maj.majority_label) AS majority_label,
+           CAST(MAX(maj.n_majority) AS BIGINT) AS n_majority
+    FROM assign a JOIN maj ON a.cell = maj.cell
+    GROUP BY a.cell
+    """,
+    tags=("llm", "ann", "stats"),
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering as a first-class curation table: the IVF lane's
+    trained spherical k-means quantizer (same deterministic Lloyd
+    training, shared via the centroid memo) applied as CLUSTERING — per
+    cluster, the cardinality, an integer-exact cohesion sum (floor of
+    each member's cosine-to-centroid × 1e9 — a float SUM would be
+    order-nondeterministic; divide by n_vectors × 1e9 downstream for the
+    mean), and the majority label with its count. This is the table a
+    cluster-balanced sampler or a topic-coverage audit consumes — the
+    curation face of the same machinery ANN probes.
+
+    Scale: the only full-data passes are the broadcast-quantizer
+    assignment (map-side argmax, one (vec_id, cell) row shuffled per
+    vector) and one cell-keyed aggregation; everything else is
+    cells-sized."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("ve")
+    )
+    v = base.select(
+        "vec_id", "label", "ve", F.sqrt(dot("ve", "ve")).alias("nrm")
+    ).persist()
+    cent = _train_ivf_centroids(
+        spark, v.select("vec_id", "ve", "nrm"), cache_key=sf_dir
+    )
+    ccos = (dot("ve", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", F.col("cent_id").alias("cell"), ccos)
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cell, struct(ccos, -cell))").alias("cell"),
+            F.max("ccos").alias("ccos"),
+            F.first("label").alias("label"),
+        )
+    )
+    lab = assign.groupBy("cell", "label").agg(F.count("*").alias("n"))
+    wmaj = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("label"))
+    maj = (
+        lab.withColumn("rk", F.row_number().over(wmaj))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    return (
+        assign.join(maj, "cell")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.floor(F.col("ccos") * _COH_SCALE).cast("long"))
+            .cast("long")
+            .alias("cohesion_e9_sum"),
+            F.max("majority_label").alias("majority_label"),
+            F.max("n_majority").cast("long").alias("n_majority"),
+        )
+        .select(
+            F.col("cell").alias("cluster_id"),
+            "n_vectors",
+            "cohesion_e9_sum",
+            "majority_label",
+            "n_majority",
+        )
+    )

@@ -103,6 +103,7 @@ QUERIES = [
     "scalar_variant",
     "materialize_packed_sequences",
     "profile_referential_integrity",
+    "embedding_kmeans_clusters",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
