@@ -1603,3 +1603,74 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_majority",
         )
     )
+
+
+_BAL_K = 100  # representatives kept per cluster
+
+
+@register(
+    "sample_cluster_balanced",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
+    cent0 AS (SELECT vec_id AS cent_id, ve AS cv, nrm AS cnrm FROM v
+              WHERE vec_id < {_N_CENTROIDS}),
+    {",".join(_sql_kmeans_iter(f"cent{k}", k + 1) for k in range(_KMEANS_ITERS))},
+    cent AS (SELECT * FROM cent{_KMEANS_ITERS}),
+    assign AS (
+        SELECT vec_id, cell, ccos FROM (
+            SELECT v.vec_id, cent_id AS cell,
+                   ({_sql_dot('ve', 'cv')}) / (nrm * cnrm) AS ccos,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ({_sql_dot('ve', 'cv')}) / (nrm * cnrm) DESC,
+                                cent_id) AS rn
+            FROM v CROSS JOIN cent)
+        WHERE rn = 1)
+    SELECT vec_id,
+           cell AS cluster_id,
+           CAST(rk AS BIGINT) AS rank_in_cluster,
+           rk <= {_BAL_K} AS keep
+    FROM (
+        SELECT vec_id, cell, ccos,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                                  ORDER BY ccos DESC, vec_id) AS rk
+        FROM assign)
+    """,
+    tags=("llm", "ann", "curation"),
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: keep the {_BAL_K} highest-cohesion
+    representatives per semantic k-means cell — the topic-balancing twin
+    of `corpus_source_cap` (that one bounds head DOMAINS, this one bounds
+    head TOPICS: an over-represented cluster contributes its {_BAL_K}
+    most-central members, a small cluster survives whole). Cohesion
+    ranking with the (ccos DESC, vec_id) tiebreak is fully deterministic;
+    the per-vector decision table is what a mixture builder joins
+    against.
+
+    Scale: assignment is the shared broadcast-quantizer argmax; the cap
+    is one cell-keyed window — same two-exchange shape as the source
+    cap, independent of corpus size beyond the scan."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    )
+    v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm")).persist()
+    cent = _train_ivf_centroids(spark, v, cache_key=sf_dir)
+    ccos = (dot("ve", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.col("cent_id").alias("cell"), ccos)
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cell, struct(ccos, -cell))").alias("cell"),
+            F.max("ccos").alias("ccos"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("ccos"), F.asc("vec_id"))
+    return assign.withColumn("rk", F.row_number().over(w)).select(
+        "vec_id",
+        F.col("cell").alias("cluster_id"),
+        F.col("rk").cast("long").alias("rank_in_cluster"),
+        (F.col("rk") <= _BAL_K).alias("keep"),
+    )

@@ -104,6 +104,7 @@ QUERIES = [
     "materialize_packed_sequences",
     "profile_referential_integrity",
     "embedding_kmeans_clusters",
+    "sample_cluster_balanced",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
