@@ -711,3 +711,44 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    GROUP BY dayofweek(ts), hour(ts)
+    """,
+    tags=("events", "timeseries"),
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal load profile: the day-of-week × hour-of-day grid of event
+    volume, active users, and integer-cent value — the seasonality
+    fingerprint capacity planning and anomaly baselines read (the MAD
+    detector flags outliers; this is the shape normal load follows).
+    Output is a fixed 7×24-bounded grid regardless of stream size; one
+    grid-keyed aggregation with map-side combine (the distinct-user count
+    is the only term that shuffles raw keys). Convention note: Spark's
+    dayofweek is Sunday=1, DuckDB's is Sunday=0 — the Spark side
+    subtracts 1 so both emit 0-6; alignment is pinned by the hash
+    check."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - F.lit(1)).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )

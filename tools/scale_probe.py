@@ -105,6 +105,7 @@ QUERIES = [
     "profile_referential_integrity",
     "embedding_kmeans_clusters",
     "sample_cluster_balanced",
+    "events_seasonality_profile",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
