@@ -106,6 +106,7 @@ QUERIES = [
     "embedding_kmeans_clusters",
     "sample_cluster_balanced",
     "events_seasonality_profile",
+    "events_interarrival_stats",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
