@@ -36,10 +36,10 @@ upstream if the feed can reorder.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
 
 SCD2_COLUMNS = ("user_id", "segment", "valid_from", "valid_to", "is_current")
 
@@ -67,14 +67,40 @@ def _recompute(points: DataFrame) -> DataFrame:
 
 def apply_scd2(spark: SparkSession, target_dir: str, batch: DataFrame) -> None:
     """Fold one chronological batch of events (user_id, ts, event_id,
-    event_type) into the stored SCD2 table at ``target_dir``."""
+    event_type) into the stored SCD2 table at ``target_dir``.
+
+    Swap protocol (FS-agnostic via the Hadoop FS API, same as
+    operators/upsert.py — works on file://, hdfs://, s3a://):
+
+    1. entry guard — a stranded ``.old`` or ``.staging`` sibling means a
+       previous swap crashed mid-flight; REFUSE to run (the stranded dir
+       may hold the only full copy of the history) and name the recovery;
+    2. write the merged table to ``.staging``;
+    3. rename live → ``.old``, rename ``.staging`` → live (each rename
+       failure raises with every directory preserved);
+    4. only after the live table is complete, drop ``.old``.
+
+    A crash between the two renames leaves the history intact in ``.old``
+    and the next run fails loudly at step 1 instead of silently
+    rebuilding from one batch."""
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    base = target_dir.rstrip("/")
+    live, old, staging = (path_cls(p) for p in (base, base + ".old", base + ".staging"))
+    for stranded, hint in ((old, "rename it back to the live path"),
+                           (staging, "inspect and remove it")):
+        if fs.exists(stranded):
+            raise RuntimeError(
+                f"apply_scd2: stranded directory {stranded} from a crashed "
+                f"swap — {hint} before re-running; refusing to proceed so "
+                "the existing history is never silently discarded"
+            )
     points = batch.select(
         "user_id",
         F.col("ts").alias("valid_from"),
         "event_id",
         F.col("event_type").alias("segment"),
     )
-    if os.path.exists(target_dir):
+    if fs.exists(live):
         stored = spark.read.parquet(target_dir)
         max_from = stored.agg(F.max("valid_from")).first()[0]
         min_new = points.agg(F.min("valid_from")).first()[0]
@@ -105,17 +131,25 @@ def apply_scd2(spark: SparkSession, target_dir: str, batch: DataFrame) -> None:
         out = untouched.unionByName(recomputed)
     else:
         out = _recompute(points)
-    # staged write + swap: readers never see a half-written table
-    staging = target_dir.rstrip("/") + ".staging"
-    out.write.mode("overwrite").parquet(staging)
-    final_tmp = target_dir.rstrip("/") + ".old"
-    if os.path.exists(target_dir):
-        os.rename(target_dir, final_tmp)
-    os.rename(staging, target_dir)
-    if os.path.exists(final_tmp):
-        import shutil
-
-        shutil.rmtree(final_tmp)
+    # staged write + swap: readers never see a half-written table.
+    # Hadoop rename reports most failures by RETURNING FALSE, not raising
+    # (same contract replace_partitions handles) — every failure path
+    # raises with all directories preserved.
+    out.write.mode("overwrite").parquet(base + ".staging")
+    had_live = fs.exists(live)
+    if had_live and not fs.rename(live, old):
+        raise IOError(
+            f"apply_scd2: rename {live} -> {old} returned false; staged "
+            f"merge preserved at {staging}, live table untouched"
+        )
+    if not fs.rename(staging, live):
+        raise IOError(
+            f"apply_scd2: rename {staging} -> {live} returned false; "
+            + (f"full history preserved at {old}; " if had_live else "")
+            + "recover by renaming it back, then re-run"
+        )
+    if had_live:
+        fs.delete(old, True)
 
 
 def read_scd2(spark: SparkSession, target_dir: str) -> DataFrame:

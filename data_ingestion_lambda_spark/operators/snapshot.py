@@ -135,22 +135,25 @@ def diff_snapshots(
     the consumer of the snapshot lane's time travel, and the check a
     pipeline owner runs before expiring old versions.
 
-    Non-key comparison hashes the full remaining row (text-cast,
-    null-sentineled) on EACH side before the join, so the join carries
-    keys + one 16-byte digest per side — never the payload; change
-    detection is digest inequality. Plan: two snapshot scans, one
-    full-outer equi-join on the keys."""
+    Non-key comparison hashes the full remaining row on EACH side before
+    the join, so the join carries keys + one digest per side — never the
+    payload; change detection is digest inequality. Each column is
+    md5-hashed INDEPENDENTLY (NULL → a fixed-width non-hex sentinel that
+    no md5 can produce) and the fixed-width digests concatenated, so a
+    NULL is never confused with any literal value and no separator
+    character in the data can shift field boundaries. Plan: two snapshot
+    scans, one full-outer equi-join on the keys."""
     a = read_snapshot(spark, target_dir, version_a)
     b = read_snapshot(spark, target_dir, version_b)
-    val_cols = [c for c in a.columns if c not in keys]
+    _NULL_DIGEST = "-" * 32  # fixed-width, not hex: unreachable by md5
 
     def digested(df: DataFrame, side: str) -> DataFrame:
         cols = [c for c in df.columns if c not in keys]
-        digest = F.md5(
-            F.concat_ws(
-                "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(cols)]
-            )
-        )
+        per_col = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit(_NULL_DIGEST))
+            for c in sorted(cols)
+        ]
+        digest = F.md5(F.concat(*per_col)) if per_col else F.lit(_NULL_DIGEST)
         return df.select(*keys, digest.alias(f"_digest_{side}"))
 
     j = digested(a, "a").join(digested(b, "b"), keys, "full_outer")

@@ -292,16 +292,21 @@ def _attach_final_selection_oracle() -> None:
 _attach_final_selection_oracle()
 
 
-@register(
-    "pack_chunked_sequences",
-    oracle=r"""
+def _pack_chunked_oracle() -> str:
+    """Oracle assembled from the SAME constants the Spark builder imports
+    (_CHUNK_STRIDE/_CHUNK_TOKENS from llm_ops, _PACK_BUDGET here) — the
+    interpolation the sibling oracles use, so changing a constant can
+    never desync builder from oracle."""
+    from data_ingestion_lambda_spark.plans.llm_ops import _CHUNK_STRIDE, _CHUNK_TOKENS
+
+    return rf"""
     SELECT source, bin_id,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens
     FROM (
         SELECT source, doc_id, chunk_id, chunk_tokens,
-               CAST((cum - 1) // 2048 AS BIGINT) AS bin_id
+               CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS bin_id
         FROM (
             SELECT source, doc_id, chunk_id, chunk_tokens,
                    SUM(chunk_tokens) OVER (PARTITION BY source
@@ -309,12 +314,12 @@ _attach_final_selection_oracle()
                                            ROWS UNBOUNDED PRECEDING) AS cum
             FROM (
                 SELECT source, doc_id,
-                       CAST(start // 48 AS BIGINT) AS chunk_id,
-                       CAST(least(64, n - start) AS BIGINT) AS chunk_tokens
+                       CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+                       CAST(least({_CHUNK_TOKENS}, n - start) AS BIGINT) AS chunk_tokens
                 FROM (
                     SELECT source, doc_id,
                            len(string_split_regex(trim(text), '\s+')) AS n,
-                           UNNEST(range(0, len(string_split_regex(trim(text), '\s+')), 48))
+                           UNNEST(range(0, len(string_split_regex(trim(text), '\s+')), {_CHUNK_STRIDE}))
                                AS start
                     FROM documents
                 )
@@ -323,7 +328,12 @@ _attach_final_selection_oracle()
         )
     )
     GROUP BY source, bin_id
-    """,
+    """
+
+
+@register(
+    "pack_chunked_sequences",
+    oracle=_pack_chunked_oracle(),
     tags=("llm", "curation", "pipeline"),
 )
 def pack_chunked_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -291,9 +291,15 @@ class ManifestJsonDataSource(DataSource):
         return _ManifestJsonWriter(self.options)
 
 
-def read_manifested(spark: SparkSession, path: str):
+def read_manifested(spark: SparkSession, path: str, schema=None):
     """Read back ONLY manifested part files (the reader half of the
-    manifest-last contract)."""
+    manifest-last contract).
+
+    ``schema`` (DDL string or StructType) pins the result schema; without
+    it an empty sink has no rows to infer from, so the empty read returns
+    a zero-COLUMN DataFrame rather than inventing a bogus one — callers
+    that need stable downstream column references on the empty case must
+    pass the sink's schema."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -303,5 +309,8 @@ def read_manifested(spark: SparkSession, path: str):
         with open(mf) as f:
             files += [_os.path.join(path, e["filename"]) for e in _json.load(f)["files"]]
     if not files:
-        return spark.createDataFrame([], "x string").limit(0)
-    return spark.read.json(files)
+        return spark.createDataFrame([], schema=schema if schema is not None else "struct<>")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(files)
