@@ -346,29 +346,38 @@ def events_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view -> click -> purchase): per user, the first
     view, the first click strictly after it, the first purchase strictly
-    after that; global stage counts. Both window mins and the per-user
-    aggregate share ONE user_id-keyed exchange (same partitioning), then
-    a singleton agg — at 100 TB the funnel costs one shuffle of
-    (user_id, ts, type), independent of funnel depth."""
+    after that; global stage counts.
+
+    Plan (reformulated r6 after the scale probe measured the two-window
+    shape 9.7x wall at 30x data): ONE conditional aggregation per user —
+    t1 is a plain ``min(when(view))``; the later stages need the
+    already-resolved earlier timestamp, so the aggregation collects the
+    user's click/purchase timestamps as sorted arrays and the chain
+    ``t2 = array_min(filter(clicks, c > t1))``,
+    ``t3 = array_min(filter(purchases, p > t2))`` resolves row-locally
+    after the shuffle. No window, no per-user sort of all events, one
+    user-keyed exchange with map-side partial aggregation, then a
+    singleton count — where the old shape buffered every user's FULL
+    event rows twice through two WindowExecs. Agg state per user is its
+    click/purchase timestamps only (not rows, not views); a NULL earlier
+    stage propagates as an empty filter -> NULL array_min, exactly the
+    oracle's semantics. Measured 1.8x wall at 30x data (SCALE.md) vs
+    9.7x for the windowed shape. events_funnel_users keeps the
+    windowed formulation as the per-user detail twin."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    s1 = e.withColumn("t1", t1)
-    t2 = F.min(
-        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
-    ).over(w)
-    s2 = s1.withColumn("t2", t2)
-    per_user = s2.groupBy("user_id").agg(
-        F.max("t1").alias("t1"),
-        F.max("t2").alias("t2"),
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
-                F.col("ts"),
-            )
-        ).alias("t3"),
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
     )
-    return per_user.agg(
+    stepped = per_user.withColumn(
+        "t2", F.array_min(F.filter("clicks", lambda c: c > F.col("t1")))
+    ).withColumn("t3", F.array_min(F.filter("purchases", lambda p: p > F.col("t2"))))
+    return stepped.agg(
         F.count("*").alias("n_users"),
         F.count("t1").alias("n_viewed"),
         F.count("t2").alias("n_clicked_after_view"),
@@ -512,7 +521,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_approx_percentile established); no double SUM anywhere, so the
     whole query is engine-deterministic. Three aggregations over the
     5-value type key with broadcast joins back to the stream — at 100 TB
-    the only full-data passes are scan-parallel."""
+    the only full-data passes are scan-parallel, but each type's exact
+    median buffers that type's full value multiset in one task; the
+    distributed swap is SHIPPED as events_anomaly_mad_hist
+    (cent-resolution bucket histogram), with this exact variant kept as
+    its interpolated gauge."""
     e = t(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
     j = e.join(F.broadcast(med), "event_type").select(
@@ -793,13 +806,12 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale cap, stated plainly: EXACT interpolated percentiles buffer the
     full delta multiset in the final aggregation (that exactness is what
-    makes the oracle hash-match) — fine to ~10^8 gaps, not at 10^11. The
-    100 TB swap is `approx_percentile` (t-digest-style sketch, mergeable
-    map-side, rows-only checkable — the same exact-vs-sketch trade
-    profile_table vs profile_table_approx documents), or the
-    integer-bucket histogram percentile (gaps are integer µs; a
-    second-resolution bucket groupBy + cumulative count is exact at that
-    resolution and fully distributed)."""
+    makes the oracle hash-match) — fine to ~10^8 gaps, not at 10^11.
+    The 100 TB path is SHIPPED as events_interarrival_hist (integer
+    bucket histogram: exact at second resolution, fully distributed,
+    still oracle-hashable); this exact variant stays registered as its
+    interpolated-percentile gauge, the same exact-vs-scale pairing as
+    profile_table / profile_table_approx."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = (F.unix_micros(F.col("ts")))
@@ -814,4 +826,238 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("gap_us") < _SESSION_GAP_US, 1)).alias(
             "n_within_session_gap"
         ),
+    )
+
+
+_HIST_BUCKET_US = 1_000_000  # second-resolution buckets; coarsen to scale
+_SESSION_GAP_S = _SESSION_GAP_US // _HIST_BUCKET_US
+
+
+@register(
+    "events_interarrival_hist",
+    oracle=f"""
+    WITH deltas AS (
+        SELECT CAST(epoch_us(ts) -
+                    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+               AS BIGINT) AS gap_us
+        FROM events
+    ),
+    hist AS (
+        SELECT gap_us // {_HIST_BUCKET_US} AS gap_s, COUNT(*) AS cnt
+        FROM deltas WHERE gap_us IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+        SELECT gap_s, cnt,
+               SUM(cnt) OVER (ORDER BY gap_s ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_gaps,
+               CAST(COALESCE(SUM(CASE WHEN gap_s < {_SESSION_GAP_S}
+                                      THEN cnt END), 0) AS BIGINT) AS n_within
+        FROM hist
+    )
+    SELECT tot.n_gaps,
+           CAST(MIN(CASE WHEN cum.cum * 100 >= tot.n_gaps * 50
+                         THEN cum.gap_s END) AS BIGINT) AS p50_s,
+           CAST(MIN(CASE WHEN cum.cum * 100 >= tot.n_gaps * 90
+                         THEN cum.gap_s END) AS BIGINT) AS p90_s,
+           CAST(MIN(CASE WHEN cum.cum * 100 >= tot.n_gaps * 99
+                         THEN cum.gap_s END) AS BIGINT) AS p99_s,
+           tot.n_within AS n_within_session_gap
+    FROM cum, tot
+    GROUP BY tot.n_gaps, tot.n_within
+    """,
+    tags=("events", "timeseries"),
+)
+def events_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe twin of events_interarrival_stats: the SAME
+    per-user gap distribution, but with percentiles computed from an
+    integer-bucket HISTOGRAM instead of an exact-interpolation aggregate
+    that buffers every gap in one task. Gaps bucket to whole seconds
+    (gaps are integer µs, so ``gap_us div 1e6`` is exact flooring), the
+    bucket counts roll up distributed with map-side combine, and the
+    p-th percentile is the smallest bucket whose cumulative count covers
+    p% of gaps (type-1 lower quantile — exact AT SECOND RESOLUTION, and
+    all-integer, so the oracle hash-matches where a t-digest sketch
+    could not).
+
+    Scale: the full-data passes are the lag (one user-keyed exchange,
+    shared with sessionize) and the bucket rollup (map-side combined to
+    one row per distinct gap-second). Only BUCKET rows reach the
+    cumulative window — bounded by the observed gap SPAN in seconds
+    (~3.2M rows for gaps up to a year), never by event volume; if even
+    that is too wide, _HIST_BUCKET_US is the knob (minute buckets →
+    /60). The within-session count is derivable exactly from the
+    histogram because the session gap (30 min) is a whole-bucket
+    boundary. This row flips events_interarrival_stats' documented cap
+    into a shipped, oracle-checked operator; the exact variant stays
+    registered as the interpolated-percentile gauge."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    hist = (
+        e.select((us - F.lag(us).over(w)).cast("long").alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy(F.expr(f"gap_us div {_HIST_BUCKET_US}").alias("gap_s"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    wc = Window.orderBy("gap_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc))
+    tot = hist.agg(
+        F.sum("cnt").cast("long").alias("n_gaps"),
+        F.coalesce(
+            F.sum(F.when(F.col("gap_s") < _SESSION_GAP_S, F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_within"),
+    )
+
+    def pctl(p: int) -> F.Column:
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("n_gaps") * p, F.col("gap_s"))
+        ).cast("long")
+
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_gaps", "n_within")
+        .agg(
+            pctl(50).alias("p50_s"),
+            pctl(90).alias("p90_s"),
+            pctl(99).alias("p99_s"),
+        )
+        .select(
+            "n_gaps", "p50_s", "p90_s", "p99_s",
+            F.col("n_within").alias("n_within_session_gap"),
+        )
+    )
+
+
+@register(
+    "events_anomaly_mad_hist",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    h1 AS (SELECT event_type, cents, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+    n1 AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events
+           FROM h1 GROUP BY 1),
+    med AS (
+        SELECT h.event_type,
+               MIN(CASE WHEN 2 * h.cum >= n1.n_events THEN h.cents END) AS med_cents
+        FROM (SELECT event_type, cents, cnt,
+                     SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM h1) h
+        JOIN n1 USING (event_type)
+        GROUP BY h.event_type
+    ),
+    h2 AS (
+        SELECT c.event_type, abs(c.cents - med.med_cents) AS dev, COUNT(*) AS cnt
+        FROM c JOIN med USING (event_type) GROUP BY 1, 2
+    ),
+    mad AS (
+        SELECT h.event_type,
+               MIN(CASE WHEN 2 * h.cum >= n1.n_events THEN h.dev END) AS mad_cents
+        FROM (SELECT event_type, dev, cnt,
+                     SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM h2) h
+        JOIN n1 USING (event_type)
+        GROUP BY h.event_type
+    )
+    SELECT h2.event_type,
+           n1.n_events,
+           CAST(COALESCE(SUM(CASE WHEN 2 * h2.dev > 3 * mad.mad_cents
+                                  THEN h2.cnt END), 0) AS BIGINT) AS n_anomalies,
+           CAST(MAX(med.med_cents) AS BIGINT) AS med_cents,
+           CAST(MAX(mad.mad_cents) AS BIGINT) AS mad_cents
+    FROM h2 JOIN mad USING (event_type) JOIN med USING (event_type)
+            JOIN n1 USING (event_type)
+    GROUP BY h2.event_type, n1.n_events
+    """,
+    tags=("events", "anomaly"),
+)
+def events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-percentile twin of events_anomaly_mad: K×MAD
+    outlier flagging with the median and the MAD both computed from
+    integer CENT-resolution histograms (the same bucket-cumulative-count
+    recipe as events_interarrival_hist) instead of exact-interpolation
+    percentile aggregates that buffer a type's full value multiset in
+    one task. ``floor(value*100 + 0.5)`` is the engine-deterministic
+    cents cast the ingest lanes already use; the median is the smallest
+    cent bucket covering half the type's rows (type-1 — exact at cent
+    resolution); dev > 1.5×MAD is tested as the all-integer
+    ``2*dev > 3*mad``, so every emitted number is integer-exact.
+
+    Scale: three full-data passes, all scan-parallel with map-side
+    combine (two bucket rollups + the final anomaly count); the
+    cumulative windows run per event type over BUCKET rows — bounded by
+    the VALUE DOMAIN in cents (49k buckets here), never by row count,
+    which is exactly the cap the exact variant couldn't shed. A skewed
+    type with 10^10 events costs the same window width as a small one."""
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    h1 = c.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    n1 = h1.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n_events"))
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    med = (
+        h1.withColumn("cum", F.sum("cnt").over(wt))
+        .join(F.broadcast(n1), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("n_events"), F.col("cents"))
+            ).alias("med_cents")
+        )
+    )
+    h2 = (
+        c.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("cents") - F.col("med_cents")).alias("dev"))
+        .groupBy("event_type", "dev")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mad = (
+        h2.withColumn("cum", F.sum("cnt").over(wd))
+        .join(F.broadcast(n1), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("n_events"), F.col("dev"))).alias(
+                "mad_cents"
+            )
+        )
+    )
+    return (
+        h2.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(n1), "event_type")
+        .groupBy("event_type", "n_events")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(2 * F.col("dev") > 3 * F.col("mad_cents"), F.col("cnt"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+            F.max("med_cents").cast("long").alias("med_cents"),
+            F.max("mad_cents").cast("long").alias("mad_cents"),
+        )
+        .select("event_type", "n_events", "n_anomalies", "med_cents", "mad_cents")
     )
