@@ -506,6 +506,172 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Recall-vs-threshold curve on PLANTED pairs.
+#
+# The data-driven gauge above can only measure recall at thresholds the
+# synthetic corpus populates (max pairwise cosine ~0.51 — no real pair sits
+# at production near-dup similarity). This gauge CONSTRUCTS ground truth:
+# for each base vector v it plants a twin at an exact target cosine via
+# Gram-Schmidt — w = u - (u.v/v.v) v is orthogonal to v (u is another
+# corpus vector), rescaled to |v|, and twin = cos(theta) * v +
+# sin(theta) * w_hat has cosine(v, twin) = cos(theta) by construction.
+# Both engines evaluate the IDENTICAL elementwise formula text (fixed op
+# order, correctly-rounded sqrt/div, decimal literals emitted once from
+# Python), so the planted coordinates — and therefore every sign test —
+# are bit-identical, and the collision counts hash-match.
+_PLANT_N = 200
+_CURVE_THRESHOLDS = (0.35, 0.70, 0.90)
+
+
+def _vec_el(arr: str, i: int, duck: bool) -> str:
+    return f"{arr}[{i}]" if duck else f"element_at({arr}, {i})"
+
+
+def _sql_dot_spark(a: str, b: str, dim: int = DIM) -> str:
+    """The dot() helper's expression as SQL TEXT (Spark dialect) — for
+    embedding inside generated lambda bodies."""
+    return " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+    )
+
+
+def _w_array_sql(duck: bool) -> str:
+    els = ", ".join(
+        f"({_vec_el('ue', i, duck)} - (t_coef * {_vec_el('ve', i, duck)}))"
+        for i in range(1, DIM + 1)
+    )
+    return f"array({els})" if not duck else f"[{els}]"
+
+
+def _twin_el_sql(c: int, a_lit: str, b_lit: str, duck: bool) -> str:
+    """One planted-twin coordinate: cos_lit * ve[c] + (sin_lit * scl) * w[c]
+    — identical formula text in both dialects."""
+    return (
+        f"(({a_lit} * {_vec_el('ve', c, duck)}) + "
+        f"(({b_lit} * scl) * {_vec_el('w', c, duck)}))"
+    )
+
+
+def _collide_sql(a_lit: str, b_lit: str, duck: bool) -> str:
+    """ANY band where ALL 8 sign bits of the planted twin agree with ve's."""
+    bands = []
+    for coords in _BAND_PLANES:
+        bands.append(
+            "("
+            + " AND ".join(
+                f"(({_vec_el('ve', c, duck)} > 0) = ({_twin_el_sql(c, a_lit, b_lit, duck)} > 0))"
+                for c in coords
+            )
+            + ")"
+        )
+    return "(" + " OR ".join(bands) + ")"
+
+
+def _curve_literals() -> list[tuple[str, str, str]]:
+    import math
+
+    out = []
+    for th in _CURVE_THRESHOLDS:
+        key = f"{int(th * 100):03d}"
+        out.append((key, repr(th), repr(math.sqrt(1.0 - th * th))))
+    return out
+
+
+def _recall_curve_oracle() -> str:
+    collide_cols = ", ".join(
+        f"{_collide_sql(a, b, True)} AS c_{k}" for k, a, b in _curve_literals()
+    )
+    out_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN c_{k} THEN 1 ELSE 0 END) AS BIGINT) AS n_collide_{k}, "
+        f"CAST(SUM(CASE WHEN c_{k} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall_{k}"
+        for k, _, _ in _curve_literals()
+    )
+    return f"""
+    WITH b0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    av AS (SELECT vec_id AS pid, e AS ve FROM b0 WHERE vec_id < {_PLANT_N}),
+    bu AS (SELECT vec_id - {_PLANT_N} AS pid, e AS ue FROM b0
+           WHERE vec_id >= {_PLANT_N} AND vec_id < {2 * _PLANT_N}),
+    p1 AS MATERIALIZED (SELECT pid, ve, ue, ({_sql_dot('ve', 've')}) AS nv2,
+                  ({_sql_dot('ue', 've')}) AS uv
+           FROM av JOIN bu USING (pid)),
+    p2 AS MATERIALIZED (SELECT pid, ve, ue, nv2, (uv / nv2) AS t_coef FROM p1 WHERE nv2 > 0),
+    p3 AS MATERIALIZED (SELECT pid, ve, nv2, {_w_array_sql(True)} AS w FROM p2),
+    p4 AS MATERIALIZED (SELECT pid, ve, nv2, w, ({_sql_dot('w', 'w')}) AS wn2 FROM p3),
+    p5 AS MATERIALIZED (SELECT pid, ve, w, (sqrt(nv2) / sqrt(wn2)) AS scl FROM p4 WHERE wn2 > 0),
+    cl AS (SELECT pid, {collide_cols} FROM p5)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, {out_cols} FROM cl
+    """
+
+
+@register(
+    "dedup_embedding_recall_curve",
+    oracle=_recall_curve_oracle(),
+    tags=("llm", "dedup", "quality"),
+)
+def dedup_embedding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of the 16x8 banded sign-LSH at three KNOWN
+    cosines — the production context for dedup_embedding_recall's 0.306:
+    that gauge measures at the corpus's loose cos >= 0.35 tail (nearly
+    orthogonal 64-dim vectors, where sign-LSH is structurally weak); a
+    DEDUP user cares about cos >= 0.9 twins. No real pair in the
+    synthetic corpus sits there (max pairwise ~0.51), so this gauge
+    plants one twin per base vector at each exact target cosine
+    (Gram-Schmidt construction, see module comment) and reports the
+    fraction whose twin lands in the same bucket in >= 1 of the 16
+    bands — the definition of "the pair becomes a candidate".
+
+    Expected shape (and the point of the row): recall rises steeply with
+    the threshold — ~0.3 at 0.35, ~0.8 at 0.7, ~1.0 at 0.9 — matching
+    the (1 - theta/pi)^8-per-band collision model, so the 16x8
+    configuration is the right one for near-dup work without any
+    retuning of the driver row.
+
+    Scale: a gauge, not a pipeline operator — everything is bounded by
+    _PLANT_N pairs; one equi-join, zero shuffles of the corpus.
+
+    Implementation note: the whole per-pair computation is ONE
+    let-bound expression (the SQL-text form of llm_ops.bind: nested
+    ``transform(array(x), v -> ...)`` lambdas for t_coef, w, scl) —
+    layered .select() projections here would be collapsed by Catalyst,
+    inlining the 64-term dots into every one of the ~400 references and
+    exploding the expression tree; lambda variables are bound once."""
+    dot_ve = _sql_dot_spark("ve", "ve")
+    dot_uv = _sql_dot_spark("ue", "ve")
+    dot_ww = _sql_dot_spark("w", "w")
+    struct_fields = ", ".join(
+        [f"'ok', ((({dot_ve}) > 0) AND (({dot_ww}) > 0))"]
+        + [f"'c_{k}', {_collide_sql(a, b, False)}" for k, a, b in _curve_literals()]
+    )
+    mega = f"""
+    element_at(transform(array(({dot_uv}) / ({dot_ve})), t_coef ->
+      element_at(transform(array({_w_array_sql(False)}), w ->
+        element_at(transform(array(sqrt({dot_ve}) / sqrt({dot_ww})), scl ->
+          named_struct({struct_fields})
+        ), 1)
+      ), 1)
+    ), 1)
+    """
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    av = base.filter(F.col("vec_id") < _PLANT_N).select(
+        F.col("vec_id").alias("pid"), F.col("e").alias("ve")
+    )
+    bu = base.filter(
+        (F.col("vec_id") >= _PLANT_N) & (F.col("vec_id") < 2 * _PLANT_N)
+    ).select((F.col("vec_id") - _PLANT_N).alias("pid"), F.col("e").alias("ue"))
+    cl = av.join(bu, "pid").select("pid", F.expr(mega).alias("cs")).filter("cs.ok")
+    aggs = [F.count("*").alias("n_pairs")]
+    order = ["n_pairs"]
+    for k, _, _ in _curve_literals():
+        hit = F.sum(F.when(F.col(f"cs.c_{k}"), 1).otherwise(0))
+        aggs.append(hit.cast("long").alias(f"n_collide_{k}"))
+        aggs.append((hit.cast("double") / F.count("*")).alias(f"recall_{k}"))
+        order += [f"n_collide_{k}", f"recall_{k}"]
+    return cl.agg(*aggs).select(*order)
+
+
 # int8 symmetric quantization: per-vector scale = 127/max|x|, component
 # q_i = floor(x_i * scale + 0.5). floor(x + 0.5) is the same IEEE sequence
 # in Spark and DuckDB (round() is not: HALF_UP vs banker's), so the
