@@ -186,3 +186,71 @@ def test_manifest_writer_rejects_overwrite(spark, tmp_path):
         spark.range(5).write.format("manifest_json").mode("overwrite").save(
             str(tmp_path / "sink")
         )
+
+
+# --- end-to-end: synthetic_ticks stream -> LWW MERGE target ------------------
+
+
+def test_ticks_stream_to_lww_merge_restart_resume(spark, tmp_path):
+    """The reference lambda's FULL loop on the modern API, composed
+    end-to-end: incremental source (offset-checkpointed Python stream
+    reader) -> foreachBatch -> keyed idempotent MERGE (staged-swap LWW) —
+    and the restart contract across the WHOLE pipeline, not just the
+    source: a restart with no new data leaves the table byte-identical,
+    a restart after more data merges exactly the delta, and the final
+    state equals the one-shot batch derivation (per sensor, the reading
+    of its highest tick — order_cols=['tick_id'] is a payload order, so
+    replayed older ticks can never regress a stored row)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_lambda_spark.operators.upsert import upsert_into_parquet
+    from data_ingestion_lambda_spark.sources.python_datasource import (
+        _ticks_for_batch,
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    target, ckpt = str(tmp_path / "target"), str(tmp_path / "ckpt")
+
+    def merge_batch(df, _batch_id):
+        batch = df.withColumn("date", F.lit("2025-06-01")).withColumn(
+            "updated_at", F.to_timestamp(F.lit("2025-06-01 00:00:00"))
+        )
+        upsert_into_parquet(
+            spark, target, batch, keys=["date", "sensor_id"], order_cols=["tick_id"]
+        )
+
+    def run(batches):
+        q = (
+            spark.readStream.format("synthetic_ticks")
+            .option("batches", str(batches))
+            .option("rows_per_batch", "10")
+            .load()
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def state():
+        return sorted(
+            (r.sensor_id, r.tick_id, r.reading_milli)
+            for r in spark.read.parquet(target).collect()
+        )
+
+    def expected(n_batches):
+        last = {}
+        for b in range(n_batches):
+            for _, tick_id, sensor_id, reading in _ticks_for_batch(b, 10):
+                last[sensor_id] = (sensor_id, tick_id, reading)
+        return sorted(last.values())
+
+    run(3)
+    assert state() == expected(3)
+
+    run(3)  # restart, no new data: checkpoint resume must merge nothing
+    assert state() == expected(3)
+
+    run(5)  # restart after growth: exactly the two new batches merge in
+    assert state() == expected(5)
