@@ -52,12 +52,16 @@ def build_pg_on_conflict_sql(
     insert_cols: list[str],
 ) -> str:
     """PostgreSQL ON CONFLICT form — the set-based twin of the reference's
-    per-row statement (src/db_operations.py:77-84)."""
+    per-row statement (src/db_operations.py:77-84). The ``WHERE true`` on
+    the SELECT is deliberate: INSERT..SELECT..ON CONFLICT is ambiguous to
+    parsers that allow ON as a join clause (SQLite documents exactly this
+    and requires a WHERE to disambiguate); PostgreSQL accepts it
+    unchanged, so one statement runs on both."""
     cols = ", ".join(insert_cols)
     conflict = ", ".join(keys)
     sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
     return (
-        f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {staging} "
+        f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {staging} WHERE true "
         f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
     )
 

@@ -107,6 +107,10 @@ QUERIES = [
     "sample_cluster_balanced",
     "events_seasonality_profile",
     "events_interarrival_stats",
+    # round-6 additions: the distributed percentile lane (histogram
+    # twins of the exact-buffer aggregates)
+    "events_interarrival_hist",
+    "events_anomaly_mad_hist",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
@@ -151,27 +155,23 @@ def build_replicated(spark, base: str, out: str, mult: int) -> None:
     # Copy i circular-shifts by i, so copies stay mutually dissimilar ONLY
     # while every shift is distinct and non-trivial: shift mult-1 must stay
     # < dim. Beyond that, slice() lengths go non-positive and shifts alias
-    # every `dim` copies, silently violating the probe's premise.
+    # every `dim` copies, silently violating the probe's premise — so past
+    # dim the embeddings table is SKIPPED (documents/facts still replicate;
+    # main() rejects embedding-dependent queries in that regime).
     if mult > dim:
-        raise SystemExit(
-            f"--mult {mult} exceeds the embedding dim {dim}: circular-shift "
-            f"replication aliases after {dim} copies; use a smaller --mult"
+        print(
+            f"  mult {mult} > embedding dim {dim}: skipping embeddings "
+            "replication (document/fact queries only)",
+            file=sys.stderr,
         )
-    ecopies = [
-        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_STRIDE)).withColumn(
-            "embedding",
-            F.col("embedding")
-            if i == 0
-            else F.expr(
-                f"concat(slice(embedding, {i + 1}, {dim - i}), slice(embedding, 1, {i}))"
-            ),
-        )
-        for i in range(mult)
-    ]
-    erep = ecopies[0]
-    for c in ecopies[1:]:
-        erep = erep.unionByName(c)
-    erep.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+        ecopies = []
+    else:
+        ecopies = _embedding_copies(emb, dim, mult)
+    if ecopies:
+        erep = ecopies[0]
+        for c in ecopies[1:]:
+            erep = erep.unionByName(c)
+        erep.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
     for table, keys in _FACT_SHIFTS.items():
         fact = load_table(spark, base, table)
@@ -190,6 +190,20 @@ def build_replicated(spark, base: str, out: str, mult: int) -> None:
         load_table(spark, base, table).write.mode("overwrite").parquet(
             f"{out}/{table}.parquet"
         )
+
+
+def _embedding_copies(emb, dim: int, mult: int) -> list:
+    return [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_STRIDE)).withColumn(
+            "embedding",
+            F.col("embedding")
+            if i == 0
+            else F.expr(
+                f"concat(slice(embedding, {i + 1}, {dim - i}), slice(embedding, 1, {i}))"
+            ),
+        )
+        for i in range(mult)
+    ]
 
 
 def run_once(spark, specs, sf_dir: str, name: str) -> float:
