@@ -361,9 +361,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     event rows twice through two WindowExecs. Agg state per user is its
     click/purchase timestamps only (not rows, not views); a NULL earlier
     stage propagates as an empty filter -> NULL array_min, exactly the
-    oracle's semantics. Measured 1.8x wall at 30x data (SCALE.md) vs
-    9.7x for the windowed shape. events_funnel_users keeps the
-    windowed formulation as the per-user detail twin."""
+    oracle's semantics. Measured 1.37x wall at 10x and 1.95x at 30x
+    (SCALE.md) vs 9.7x at 30x for the windowed shape.
+    events_funnel_users keeps the windowed formulation as the per-user
+    detail twin."""
     e = t(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
