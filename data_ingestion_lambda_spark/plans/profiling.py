@@ -371,3 +371,85 @@ def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_QUANT_COL = "l_extendedprice"
+_QUANT_GROUP = "l_returnflag"
+_QUANT_PS = (25, 50, 75, 95, 99)
+
+
+@register(
+    "profile_numeric_quantiles",
+    oracle=f"""
+    WITH c AS (
+        SELECT {_QUANT_GROUP} AS grp,
+               CAST(FLOOR({_QUANT_COL} * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM {_PROFILE_TABLE}
+    ),
+    hist AS (SELECT grp, cents, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+    n AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM hist GROUP BY 1),
+    cum AS (
+        SELECT grp, cents, cnt,
+               SUM(cnt) OVER (PARTITION BY grp ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    )
+    SELECT cum.grp AS {_QUANT_GROUP}, n.n_rows,
+           {", ".join(
+               f"CAST(MIN(CASE WHEN cum.cum * 100 >= n.n_rows * {p} "
+               f"THEN cum.cents END) AS BIGINT) AS p{p}_cents"
+               for p in _QUANT_PS
+           )}
+    FROM cum JOIN n USING (grp)
+    GROUP BY cum.grp, n.n_rows
+    """,
+    tags=("quality", "profiling"),
+)
+def profile_numeric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile profile (p25/p50/p75/p95/p99 of line price per
+    return flag) using the distributed integer-bucket histogram recipe
+    the round-6 percentile lane established (events_interarrival_hist /
+    events_anomaly_mad_hist), applied to the PROFILING suite: this is
+    how column statistics with quantiles get built at 100 TB — exact at
+    cent resolution, all-integer (hash-stable), and with NO task ever
+    holding more than one group's bucket counts.
+
+    Scale: one (group, cents) rollup with map-side combine; the
+    cumulative window partitions by group over BUCKET rows, whose count
+    is bounded by the VALUE DOMAIN in cents — independent of row count
+    (a price column spanning $0-$100k has <= 10^7 buckets no matter how
+    many trillion rows carry it). Type-1 lower quantiles: the smallest
+    bucket whose cumulative count covers p% of the group's rows."""
+    c = t(spark, sf_dir, _PROFILE_TABLE).select(
+        F.col(_QUANT_GROUP).alias("grp"),
+        F.floor(F.col(_QUANT_COL) * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    hist = c.groupBy("grp", "cents").agg(F.count("*").alias("cnt"))
+    n = hist.groupBy("grp").agg(F.sum("cnt").cast("long").alias("n_rows"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    return (
+        cum.join(F.broadcast(n), "grp")
+        .groupBy("grp", "n_rows")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * 100 >= F.col("n_rows") * p, F.col("cents")
+                    )
+                )
+                .cast("long")
+                .alias(f"p{p}_cents")
+                for p in _QUANT_PS
+            ]
+        )
+        .select(
+            F.col("grp").alias(_QUANT_GROUP),
+            "n_rows",
+            *[f"p{p}_cents" for p in _QUANT_PS],
+        )
+    )

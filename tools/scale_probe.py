@@ -111,6 +111,7 @@ QUERIES = [
     # twins of the exact-buffer aggregates)
     "events_interarrival_hist",
     "events_anomaly_mad_hist",
+    "profile_numeric_quantiles",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
