@@ -375,6 +375,71 @@ def stream_funnel_progress(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+GAP_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("gap_us", LongType()),
+    ]
+)
+
+# state: the user's last-seen event timestamp (epoch-µs) — one long
+_GAP_STATE_SCHEMA = StructType([StructField("last_us", LongType())])
+
+
+def _fold_gaps(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit one inter-arrival gap per event after a user's first: events
+    fold in (ts, event_id) order against the stored last-timestamp, so a
+    single-trigger run reproduces the batch lag derivation exactly
+    (pinned vs events_interarrival_stats' deltas) and a multi-trigger
+    run continues seamlessly across the boundary. In-order feed across
+    triggers assumed, same as sessionize — buffer upstream if the
+    transport can reorder beyond the watermark."""
+    (user_id,) = key
+    (last,) = state.get if state.exists else (None,)
+    gaps: list[int] = []
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts_val in pdf["ts"]:
+            us = int(ts_val.value // 1_000)
+            if last is not None:
+                gaps.append(us - last)
+            last = us
+    state.update((last,))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * len(gaps), dtype="int64"),
+            "gap_us": pd.Series(gaps, dtype="int64"),
+        }
+    )
+
+
+def stream_interarrival_gaps(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the interarrival lane's gap derivation
+    (events_interarrival_stats / events_interarrival_hist compute the
+    same deltas with a batch lag window): per-user gap extraction via
+    ``applyInPandasWithState`` with ONE long of state per user — never
+    an event buffer. Each gap is emitted exactly once (append mode:
+    gaps are immutable facts once both endpoints are seen), so the
+    second-resolution histogram rollup composes downstream — per
+    micro-batch through the foreachBatch MERGE idiom
+    (stream_rollup_to_table), with bucket counts merging monotonically."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_gaps,
+            outputStructType=GAP_SCHEMA,
+            stateStructType=_GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # --- transformWithState (the Spark 4 arbitrary-state API) --------------------
 
 USER_STATS_SCHEMA = StructType(

@@ -579,3 +579,67 @@ def test_user_stats_gate_raises_without_protobuf(spark):
     with pytest.raises(NotImplementedError, match="protobuf"):
         # the gate fires before any plan is built, so any frame works
         stream_user_stats(spark.range(1))
+
+
+def test_interarrival_gaps_single_trigger_matches_batch_lag(spark, tmp_path):
+    """One availableNow trigger over the real sf0.001 events must emit
+    exactly the batch lag-window deltas (the gap multiset the
+    interarrival percentile lane consumes)."""
+    from pyspark.sql import Window
+    from data_ingestion_lambda_spark.streaming.events import stream_interarrival_gaps
+
+    sf = "/root/testdata/sf0.001"
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf}/events.parquet").write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        stream_interarrival_gaps(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.gap_us) for r in spark.read.parquet(out).collect()
+    )
+    from data_ingestion_lambda_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    want = sorted(
+        (r.user_id, r.gap_us)
+        for r in e.select(
+            "user_id", (us - F.lag(us).over(w)).cast("long").alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .collect()
+    )
+    assert got == want
+
+
+def test_interarrival_gaps_continue_across_triggers(spark, tmp_path):
+    """The stored last-timestamp bridges triggers: the first event of
+    trigger 2 yields a gap against trigger 1's last event, and no gap is
+    ever re-emitted (append semantics)."""
+    from data_ingestion_lambda_spark.streaming.events import stream_interarrival_gaps
+
+    src, ckpt, out = _paths(tmp_path)
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, _ts(10, 0), 1, "view", 1.0, "{}"),
+            (2, _ts(10, 30), 1, "click", 1.0, "{}"),
+        ],
+    )
+    run = lambda: _run(spark, stream_interarrival_gaps, src, ckpt, out, "append")
+    run()
+    _write_batch(spark, src, "b2", [(3, _ts(11, 15), 1, "purchase", 5.0, "{}")])
+    run()
+    got = sorted(r.gap_us for r in spark.read.parquet(out).collect())
+    assert got == [30 * 60 * 1_000_000, 45 * 60 * 1_000_000]
