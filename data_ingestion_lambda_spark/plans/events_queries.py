@@ -832,6 +832,7 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HIST_BUCKET_US = 1_000_000  # second-resolution buckets; coarsen to scale
 _SESSION_GAP_S = _SESSION_GAP_US // _HIST_BUCKET_US
+_CUM_COARSE = 86_400  # buckets per local-cumsum partition (one day of seconds)
 
 
 @register(
@@ -886,15 +887,19 @@ def events_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the full-data passes are the lag (one user-keyed exchange,
     shared with sessionize) and the bucket rollup (map-side combined to
-    one row per distinct gap-second). Only BUCKET rows reach the
-    cumulative window — bounded by the observed gap SPAN in seconds
-    (~3.2M rows for gaps up to a year), never by event volume; if even
-    that is too wide, _HIST_BUCKET_US is the knob (minute buckets →
-    /60). The within-session count is derivable exactly from the
-    histogram because the session gap (30 min) is a whole-bucket
-    boundary. This row flips events_interarrival_stats' documented cap
-    into a shipped, oracle-checked operator; the exact variant stays
-    registered as the interpolated-percentile gauge."""
+    one row per distinct gap-second). Only BUCKET rows survive that —
+    bounded by the observed gap SPAN in seconds, never by event volume —
+    and the cumulative count over them is a TWO-PHASE distributed prefix
+    sum: partition-local cumsum within day-sized coarse ranges
+    (_CUM_COARSE buckets per window partition), plus a prefix over the
+    days-sized per-range totals; no task ever windows more than one
+    day's worth of second buckets, so even a decade-long gap span never
+    concentrates in one task. _HIST_BUCKET_US stays the resolution knob.
+    The within-session count is derivable exactly from the histogram
+    because the session gap (30 min) is a whole-bucket boundary. This
+    row flips events_interarrival_stats' documented cap into a shipped,
+    oracle-checked operator; the exact variant stays registered as the
+    interpolated-percentile gauge."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
@@ -903,9 +908,26 @@ def events_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap_us").isNotNull())
         .groupBy(F.expr(f"gap_us div {_HIST_BUCKET_US}").alias("gap_s"))
         .agg(F.count("*").alias("cnt"))
+        .withColumn("coarse", F.expr(f"gap_s div {_CUM_COARSE}"))
     )
-    wc = Window.orderBy("gap_s").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("cnt").over(wc))
+    wl = (
+        Window.partitionBy("coarse")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # offsets: cumulative count of all STRICTLY EARLIER coarse ranges —
+    # a tiny (days-sized) table, windowed whole and broadcast back
+    wo = Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        hist.groupBy("coarse")
+        .agg(F.sum("cnt").alias("ccnt"))
+        .select("coarse", F.coalesce(F.sum("ccnt").over(wo), F.lit(0)).alias("off"))
+    )
+    cum = (
+        hist.withColumn("lcum", F.sum("cnt").over(wl))
+        .join(F.broadcast(offsets), "coarse")
+        .withColumn("cum", F.col("lcum") + F.col("off"))
+    )
     tot = hist.agg(
         F.sum("cnt").cast("long").alias("n_gaps"),
         F.coalesce(

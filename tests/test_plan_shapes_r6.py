@@ -31,9 +31,16 @@ def test_funnel_has_no_window_and_one_user_exchange(spark):
 def test_interarrival_hist_buckets_combine_map_side(spark):
     """events_interarrival_hist: the bucket rollup (the only full-data
     aggregation) must run partial_count before its exchange, so at
-    100 TB each task emits at most one row per distinct gap-second."""
+    100 TB each task emits at most one row per distinct gap-second; and
+    the bucket-level cumulative sum must be the two-phase form — a local
+    window PARTITIONED by the coarse range (never a global window over
+    all second buckets) plus a broadcast offsets join."""
     plan = _plan(spark, "events_interarrival_hist")
     assert "partial_count" in plan, f"bucket rollup must combine map-side:\n{plan}"
+    assert re.search(r"Window \[[^\]]*lcum[^\]]*\], \[coarse", plan), (
+        f"local cumsum must partition by coarse:\n{plan}"
+    )
+    assert "BroadcastHashJoin" in plan, f"offsets must broadcast:\n{plan}"
 
 
 def test_mad_hist_windows_are_type_partitioned(spark):
