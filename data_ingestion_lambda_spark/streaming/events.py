@@ -440,6 +440,61 @@ def stream_interarrival_gaps(events: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+def stream_gap_histogram_to_table(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+):
+    """The full streaming-percentile story, composed end to end: per-user
+    gap extraction (stream_interarrival_gaps, one long of state per
+    user) rolled up per micro-batch into second-resolution bucket counts
+    and landed as an ADDITIVE LEDGER partitioned by micro-batch id.
+
+    Exactly-once arithmetic from at-least-once foreachBatch: a batch's
+    bucket counts are a DELTA (not a restatement), so the LWW merge
+    idiom doesn't apply — instead each batch overwrites ITS OWN
+    ``ingest_batch=<id>`` partition, making a replayed batch idempotent
+    by construction (the standard batch-id-keyed sink from the
+    Structured Streaming guide). ``read_gap_histogram`` sums the ledger
+    into the same (gap_s, cnt) table the batch percentile query
+    (events_interarrival_hist) builds from a lag window — pinned equal
+    by test. At scale the ledger compacts like any date-partitioned
+    table (operators/compact.py); counts are associative, so compaction
+    is a plain re-aggregation. Returns the DataStreamWriter."""
+    from data_ingestion_lambda_spark.plans.events_queries import _HIST_BUCKET_US
+
+    gaps = stream_interarrival_gaps(events, watermark)
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.expr(f"gap_us div {_HIST_BUCKET_US}").alias("gap_s")
+            )
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(f"{target_dir}/ingest_batch={batch_id}")
+        )
+
+    return (
+        gaps.writeStream.outputMode("append")
+        .foreachBatch(_land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_gap_histogram(spark, target_dir: str) -> DataFrame:
+    """Sum the batch-id ledger into the current (gap_s, cnt) histogram —
+    the input shape of the distributed percentile computation."""
+    return (
+        spark.read.option("basePath", target_dir)
+        .parquet(f"{target_dir}/ingest_batch=*")
+        .groupBy("gap_s")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
 # --- transformWithState (the Spark 4 arbitrary-state API) --------------------
 
 USER_STATS_SCHEMA = StructType(

@@ -643,3 +643,65 @@ def test_interarrival_gaps_continue_across_triggers(spark, tmp_path):
     run()
     got = sorted(r.gap_us for r in spark.read.parquet(out).collect())
     assert got == [30 * 60 * 1_000_000, 45 * 60 * 1_000_000]
+
+
+def test_gap_histogram_ledger_matches_batch_histogram(spark, tmp_path):
+    """End-to-end streaming percentile input: gaps extracted statefully,
+    bucket counts landed per micro-batch, ledger summed — must equal the
+    batch lag-window histogram over the same events; and a second
+    trigger adds ONLY the new gaps (the boundary gap lands exactly
+    once)."""
+    from data_ingestion_lambda_spark.sources.catalog import load_table
+    from data_ingestion_lambda_spark.streaming.events import (
+        read_gap_histogram,
+        stream_gap_histogram_to_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    target = str(tmp_path / "hist_table")
+    spark.read.parquet(f"{sf}/events.parquet").write.parquet(f"{src}/b1")
+
+    def run():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = stream_gap_histogram_to_table(stream, target, ckpt).start()
+        q.awaitTermination(120)
+
+    run()
+
+    def batch_hist(e):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts"))
+        return sorted(
+            (r.gap_s, r.cnt)
+            for r in e.select((us - F.lag(us).over(w)).cast("long").alias("gap_us"))
+            .filter(F.col("gap_us").isNotNull())
+            .groupBy(F.expr("gap_us div 1000000").alias("gap_s"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .collect()
+        )
+
+    got = sorted((r.gap_s, r.cnt) for r in read_gap_histogram(spark, target).collect())
+    assert got == batch_hist(load_table(spark, sf, "events"))
+
+    # trigger 2: one user's whole history again, shifted a YEAR later
+    # (strictly after everything in trigger 1 — the in-order-across-
+    # triggers contract) via new event ids — only the NEW gaps
+    # (including the cross-trigger boundary gap) may enter the ledger
+    e1 = load_table(spark, sf, "events")
+    shifted = (
+        e1.filter(F.col("user_id") == e1.select("user_id").first()[0])
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS"))
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    )
+    shifted.write.parquet(f"{src}/b2")
+    run()
+    union = e1.unionByName(
+        spark.read.parquet(f"{src}/b2").select(*e1.columns)
+    )
+    got2 = sorted((r.gap_s, r.cnt) for r in read_gap_histogram(spark, target).collect())
+    assert got2 == batch_hist(union)
