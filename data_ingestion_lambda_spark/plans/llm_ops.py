@@ -1260,6 +1260,183 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MinHash banding recall CURVE on planted pairs (round 6) — the Jaccard twin
+# of similarity.dedup_embedding_recall_curve: the data-driven dedup_lsh_recall
+# gauge can only measure at similarities the corpus populates; this one
+# CONSTRUCTS pairs at three similarity tiers (twin = the doc's token-hash
+# prefix + unique synthetic junk hashes, so exact shingle Jaccard ~
+# alpha/(2-alpha) for keep-fraction alpha in {19/20, 16/20, 11/20}), then
+# reports band-collision recall per exact-Jaccard decile bin. Everything is
+# integer arithmetic (shingle hashes, minhash signatures, intersection
+# counts), so both engines agree bit for bit.
+_CURVE_PLANT = 150
+_CURVE_NUMER = "CASE WHEN doc_id % 3 = 0 THEN 19 WHEN doc_id % 3 = 1 THEN 16 ELSE 11 END"
+
+
+def _sql_shingles_of(c: str) -> str:
+    """_SQL_SHINGLE_HASHES parameterized on the token-hash column (DuckDB)."""
+    return (
+        f"list_distinct(list_transform(generate_series(1, len({c}) - 2), "
+        f"i -> (({c}[i] * 131 + {c}[i+1]) % {P} * 131 + {c}[i+2]) % {P}))"
+    )
+
+
+def _sql_minhash_sig_of(c: str) -> str:
+    return (
+        f"list_transform(generate_series(0, {NUM_HASHES - 1}), "
+        f"i -> list_aggregate(list_transform({c}, "
+        f"h -> ((2*i + 1) * h + (31*i + 7)) % {P}), 'min'))"
+    )
+
+
+def _sql_band_collide(a: str, b: str) -> str:
+    bands = []
+    for j in range(NUM_BANDS):
+        bands.append(
+            "("
+            + " AND ".join(f"{a}[{j * 4 + r}] = {b}[{j * 4 + r}]" for r in range(1, 5))
+            + ")"
+        )
+    return "(" + " OR ".join(bands) + ")"
+
+
+def _spark_shingles_of(c: str) -> str:
+    """The shingle formula as Spark SQL text (element_at indexing), with the
+    n>=3 guard sequence() needs (sequence(1, n-2) DESCENDS for n<3)."""
+    return (
+        f"CASE WHEN size({c}) >= 3 THEN array_distinct(transform(sequence(1, size({c}) - 2), "
+        f"i -> ((element_at({c}, i) * 131 + element_at({c}, i+1)) % {P} * 131 "
+        f"+ element_at({c}, i+2)) % {P})) ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
+def _spark_sig_of(c: str) -> str:
+    return (
+        f"transform(sequence(0, {NUM_HASHES - 1}), "
+        f"i -> array_min(transform({c}, h -> ((2*i + 1) * h + (31*i + 7)) % {P})))"
+    )
+
+
+def _spark_band_collide(a: str, b: str) -> str:
+    bands = []
+    for j in range(NUM_BANDS):
+        bands.append(
+            "("
+            + " AND ".join(
+                f"element_at({a}, {j * 4 + r}) = element_at({b}, {j * 4 + r})"
+                for r in range(1, 5)
+            )
+            + ")"
+        )
+    return "(" + " OR ".join(bands) + ")"
+
+
+def _minhash_curve_oracle() -> str:
+    junk = (
+        "list_transform(range(1, len(th) - keep_n + 1), "
+        f"i -> (doc_id * 1000003 + i * 7919) % {P})"
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, {SQL_TOKENS} AS w FROM documents WHERE doc_id < {_CURVE_PLANT}),
+    th0 AS MATERIALIZED (SELECT doc_id, {_SQL_TOKEN_HASHES} AS th FROM toks),
+    pl AS MATERIALIZED (
+        SELECT doc_id, th,
+               list_concat(th[1 : keep_n], {junk}) AS th2
+        FROM (SELECT doc_id, th,
+                     greatest(3, (len(th) * ({_CURVE_NUMER})) // 20) AS keep_n
+              FROM th0)),
+    hs AS MATERIALIZED (
+        SELECT doc_id, {_sql_shingles_of('th')} AS hh, {_sql_shingles_of('th2')} AS hh2
+        FROM pl),
+    sg AS MATERIALIZED (
+        SELECT doc_id, hh, hh2,
+               {_sql_minhash_sig_of('hh')} AS sa, {_sql_minhash_sig_of('hh2')} AS sb
+        FROM hs WHERE len(hh) > 0 AND len(hh2) > 0),
+    cmp AS MATERIALIZED (
+        SELECT CAST((len(list_intersect(hh, hh2)) * 10)
+                    // (len(hh) + len(hh2) - len(list_intersect(hh, hh2)))
+               AS BIGINT) AS jaccard_bin,
+               {_sql_band_collide('sa', 'sb')} AS collide
+        FROM sg)
+    SELECT jaccard_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN collide THEN 1 ELSE 0 END) AS BIGINT) AS n_collide,
+           CAST(SUM(CASE WHEN collide THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS recall
+    FROM cmp GROUP BY jaccard_bin
+    """
+
+
+@register(
+    "dedup_minhash_recall_curve",
+    oracle=_minhash_curve_oracle(),
+    tags=("llm", "dedup", "quality"),
+)
+def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-collision recall of the 4x4 MinHash-LSH configuration at KNOWN
+    similarity tiers, reported per exact-Jaccard decile bin: each base doc
+    (doc_id < _CURVE_PLANT) gets a planted twin sharing a token-hash
+    prefix (keep fraction 19/20 | 16/20 | 11/20 by doc_id tier — exact
+    shingle Jaccard lands around 0.9 / 0.67 / 0.38), and the row for bin
+    b reports how many such pairs collide in >= 1 of the 4 signature
+    bands — the candidate-generation event dedup_minhash_lsh keys on.
+    Expected S-curve per the 1-(1-s^4)^4 model: ~0.99 above 0.9, ~0.6
+    near 0.7, <0.1 at the 0.3-0.4 tail — the table a pipeline owner
+    reads before retuning bands x rows, complementing the data-driven
+    dedup_lsh_recall (0.96 at the corpus's >= 0.8 ground truth).
+
+    Scale: a gauge — bounded to _CURVE_PLANT synthetic pairs, zero joins,
+    zero shuffles beyond the final 11-row-max aggregation. Like the
+    embedding curve, the per-pair computation is ONE let-bound expression
+    (nested transform(array(x), v -> ...) lambdas) because layered
+    projections would re-inline the token-hash pipeline into every
+    shingle/signature reference."""
+    numer = _CURVE_NUMER
+    poly = (
+        "aggregate(transform(split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {P})"
+    )
+    junk = (
+        "CASE WHEN size(th) > keep_n THEN transform(sequence(1, size(th) - keep_n), "
+        f"i -> (doc_id * 1000003 + CAST(i AS BIGINT) * 7919) % {P}) "
+        "ELSE CAST(array() AS array<bigint>) END"
+    )
+    mega = f"""
+    element_at(transform(array(transform(split(trim(text), '\\\\s+'), s -> {poly})), th ->
+      element_at(transform(array(greatest(3, (size(th) * ({numer})) div 20)), keep_n ->
+        element_at(transform(array(concat(slice(th, 1, keep_n), {junk})), th2 ->
+          element_at(transform(array({_spark_shingles_of('th')}), hh ->
+            element_at(transform(array({_spark_shingles_of('th2')}), hh2 ->
+              element_at(transform(array({_spark_sig_of('hh')}), sa ->
+                element_at(transform(array({_spark_sig_of('hh2')}), sb ->
+                  named_struct(
+                    'ok', size(hh) > 0 AND size(hh2) > 0,
+                    'jaccard_bin', CAST((size(array_intersect(hh, hh2)) * 10)
+                        div (size(hh) + size(hh2) - size(array_intersect(hh, hh2)))
+                        AS BIGINT),
+                    'collide', {_spark_band_collide('sa', 'sb')}
+                  )
+                ), 1)
+              ), 1)
+            ), 1)
+          ), 1)
+        ), 1)
+      ), 1)
+    ), 1)
+    """
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _CURVE_PLANT)
+    cmp = d.select("doc_id", F.expr(mega).alias("cs")).filter("cs.ok")
+    hit = F.sum(F.when(F.col("cs.collide"), 1).otherwise(0))
+    return (
+        cmp.groupBy(F.col("cs.jaccard_bin").alias("jaccard_bin"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            hit.cast("long").alias("n_collide"),
+            (hit.cast("double") / F.count("*")).alias("recall"),
+        )
+    )
 
 
 @register(
