@@ -495,6 +495,47 @@ def read_gap_histogram(spark, target_dir: str) -> DataFrame:
     )
 
 
+def compact_gap_ledger(spark, target_dir: str) -> int:
+    """Fold all committed batch partitions into the single base partition
+    ``ingest_batch=-1`` (counts are associative, so compaction is a plain
+    re-aggregation); returns the number of partitions folded. Safe ONLY
+    for batch ids the streaming checkpoint has committed — the engine
+    never replays those, so their idempotence keys are spent; -1 is
+    reserved (never a real batch id), so future batches stay idempotent.
+    Read equality before/after is pinned by test. An OFFLINE maintenance
+    op (run it between triggers, like operators/compact.py): the full sum
+    lands in a dot-prefixed staging dir FIRST, so every moment has a
+    complete copy on disk; a crash between the part-drop and the final
+    rename leaves staging as that copy, and the next entry REFUSES loudly
+    with the recovery path instead of recompacting a partial table (the
+    scd2/replace_partitions stranded-dir discipline)."""
+    import os
+    import shutil
+
+    staging = os.path.join(target_dir, ".compact-staging")
+    if os.path.exists(staging):
+        raise RuntimeError(
+            f"compact_gap_ledger: stranded {staging} from a crashed "
+            "compaction — it holds the full pre-crash histogram; remove "
+            "any leftover ingest_batch=* dirs and rename it to "
+            "ingest_batch=-1 before re-running"
+        )
+    parts = [
+        p
+        for p in os.listdir(target_dir)
+        if p.startswith("ingest_batch=") and p != "ingest_batch=-1"
+    ]
+    if not parts:
+        return 0
+    read_gap_histogram(spark, target_dir).write.mode("overwrite").parquet(staging)
+    for p in parts + ["ingest_batch=-1"]:
+        full = os.path.join(target_dir, p)
+        if os.path.exists(full):
+            shutil.rmtree(full)
+    os.rename(staging, os.path.join(target_dir, "ingest_batch=-1"))
+    return len(parts)
+
+
 # --- transformWithState (the Spark 4 arbitrary-state API) --------------------
 
 USER_STATS_SCHEMA = StructType(

@@ -705,3 +705,62 @@ def test_gap_histogram_ledger_matches_batch_histogram(spark, tmp_path):
     )
     got2 = sorted((r.gap_s, r.cnt) for r in read_gap_histogram(spark, target).collect())
     assert got2 == batch_hist(union)
+
+
+def test_gap_ledger_compaction_preserves_reads_and_idempotence(spark, tmp_path):
+    """compact_gap_ledger folds committed batch partitions into the base:
+    reads are identical before/after, a second compaction is a no-op,
+    and a post-compaction trigger lands NEW batches alongside the base."""
+    import os
+
+    from data_ingestion_lambda_spark.streaming.events import (
+        compact_gap_ledger,
+        read_gap_histogram,
+        stream_gap_histogram_to_table,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    target = str(tmp_path / "hist_table")
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, _ts(10, 0), 1, "view", 1.0, "{}"),
+            (2, _ts(10, 30), 1, "click", 1.0, "{}"),
+            (3, _ts(11, 0), 1, "view", 1.0, "{}"),
+        ],
+    )
+
+    def run():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = stream_gap_histogram_to_table(stream, target, ckpt).start()
+        q.awaitTermination(120)
+
+    run()
+    before = sorted(
+        (r.gap_s, r.cnt) for r in read_gap_histogram(spark, target).collect()
+    )
+    assert before == [(1800, 2)]
+
+    assert compact_gap_ledger(spark, target) >= 1
+    after = sorted(
+        (r.gap_s, r.cnt) for r in read_gap_histogram(spark, target).collect()
+    )
+    assert after == before
+    assert compact_gap_ledger(spark, target) == 0  # idempotent no-op
+
+    # a new trigger after compaction adds only its delta
+    _write_batch(spark, src, "b2", [(4, _ts(12, 0), 1, "view", 1.0, "{}")])
+    run()
+    got = sorted((r.gap_s, r.cnt) for r in read_gap_histogram(spark, target).collect())
+    assert got == [(1800, 2), (3600, 1)]
+
+    # stranded staging refuses loudly
+    os.makedirs(f"{target}/.compact-staging")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="stranded"):
+        compact_gap_ledger(spark, target)
