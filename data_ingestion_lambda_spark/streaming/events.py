@@ -508,7 +508,11 @@ def compact_gap_ledger(spark, target_dir: str) -> int:
     complete copy on disk; a crash between the part-drop and the final
     rename leaves staging as that copy, and the next entry REFUSES loudly
     with the recovery path instead of recompacting a partial table (the
-    scd2/replace_partitions stranded-dir discipline)."""
+    scd2/replace_partitions stranded-dir discipline). LOCAL-FS-ONLY in
+    this form (os.listdir/rename); an object-store deployment swaps the
+    directory ops for the Hadoop FS API exactly as operators/upsert.py's
+    _hadoop_fs does — stated here so the constraint is explicit rather
+    than discovered."""
     import os
     import shutil
 
