@@ -153,6 +153,53 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_join_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MIN(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts >= p.ts
+           ) AS next_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("events", "asof-join"),
+)
+def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the mirror of events_asof_join: for each
+    purchase, the EARLIEST click by the same user at-or-after it (the
+    direction a "what did the user do next" attribution needs; pandas
+    calls this merge_asof(direction='forward')).
+
+    Recipe mirrors the backward one with the frame reversed: union both
+    sides, one user-keyed sort, and carry the next click timestamp with
+    ``first(click_ts, ignorenulls=True)`` over (currentRow,
+    unboundedFollowing). At equal ts the click sorts first (side=0)
+    INSIDE the forward frame, matching ``>=``. Still ONE shuffle on
+    user_id, no range join, linear in events per user."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "next_click_ts", F.first("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "next_click_ts"
+    )
+
+
+@register(
     "events_json_topk",
     oracle="""
     SELECT user_id,
