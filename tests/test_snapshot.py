@@ -165,3 +165,39 @@ def test_cli_snapshot_diff(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["diff"] == {"changed": 1, "added": 1}
+
+
+def test_diff_digest_distinguishes_null_from_sentinel_lookalikes(spark, tmp_path):
+    """The per-column digest must not confuse (a) a NULL with any literal
+    string and (b) rows whose values shift across column boundaries —
+    the two ambiguities of the retired concat_ws('\\x01') digest."""
+    import pyspark.sql.functions as F
+
+    from data_ingestion_lambda_spark.operators.snapshot import (
+        diff_snapshots,
+        snapshot_table,
+    )
+
+    target = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "date string, k string, c1 string, c2 string"
+    )
+    # v1: (NULL, 'x') and ('a\x01b', 'c')
+    mk([("2025-05-01", "K1", None, "x"), ("2025-05-01", "K2", "a\x01b", "c")]).write.mode(
+        "overwrite"
+    ).partitionBy("date").parquet(target)
+    snapshot_table(target)
+    # v2: K1's NULL becomes the literal old sentinel '\x00'; K2's separator
+    # position shifts ('a', '\x01b…' concatenation-equal under the old
+    # scheme). Overwrite only the partition dir — a root-level overwrite
+    # would delete .snapshots/ along with the data.
+    mk([("2025-05-01", "K1", "\x00", "x"), ("2025-05-01", "K2", "a", "\x01b\x01c")]).drop(
+        "date"
+    ).write.mode("overwrite").parquet(f"{target}/date=2025-05-01")
+    snapshot_table(target)
+
+    got = {
+        r.k: r.status
+        for r in diff_snapshots(spark, target, 1, 2, keys=["date", "k"]).collect()
+    }
+    assert got == {"K1": "changed", "K2": "changed"}
