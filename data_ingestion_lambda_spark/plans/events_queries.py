@@ -153,6 +153,35 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_join_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+           ) AS last_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("events", "asof-join"),
+)
+def events_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=...)``):
+    the most recent same-user click at-or-before each purchase, but only
+    if it falls within the last hour — older matches become NULL (stale
+    attribution is worse than none). Same one-shuffle union recipe as
+    events_asof_join; the tolerance is a row-local post-filter on the
+    carried timestamp, so the plan — and its scaling — is identical to
+    the unbounded variant's single user-keyed sort."""
+    matched = events_asof_join(spark, sf_dir)
+    within = F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return matched.select(
+        "event_id", "user_id", "ts",
+        F.when(within, F.col("last_click_ts")).alias("last_click_ts"),
+    )
+
+
+@register(
     "events_asof_join_forward",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts,
