@@ -51,3 +51,20 @@ def test_mad_hist_windows_are_type_partitioned(spark):
     plan = _plan(spark, "events_anomaly_mad_hist")
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "event_type" in spec, f"window not partitioned by type:\n{plan}"
+
+
+def test_asof_family_is_one_user_exchange_no_range_join(spark):
+    """All three as-of variants (backward / forward / tolerance) must keep
+    the union-window recipe: a single user_id exchange, no
+    BroadcastNestedLoopJoin or CartesianProduct (the naive range-join
+    formulations Catalyst would pick for the correlated-subquery shape)."""
+    for name in (
+        "events_asof_join",
+        "events_asof_join_forward",
+        "events_asof_join_tolerance",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+        assert len(exchanges) == 1, f"{name}: expected ONE user_id exchange:\n{plan}"
