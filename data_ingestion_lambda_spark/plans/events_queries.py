@@ -499,6 +499,35 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_retention_cohorts_approx",
+    oracle=None,  # HLL sketches don't hash-match across engines (the
+    # profile_table_approx precedent); rows-only checked, exact twin above
+    tags=("events", "retention", "approx"),
+)
+def events_retention_cohorts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of events_retention_cohorts: identical cohort grid
+    with ``approx_count_distinct`` (HyperLogLog++, 1% rsd) replacing the
+    exact distinct — the exact variant shuffles every (grid-cell,
+    user_id) pair to deduplicate (its measured growth term: 7.4× wall at
+    100× events), while HLL sketches merge map-side so the shuffle
+    carries one ~kB sketch per grid cell regardless of user count. Same
+    exact-is-the-gauge / sketch-is-the-scale-path pairing as
+    profile_table vs profile_table_approx."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohort = F.to_date(F.min("ts").over(w))
+    return (
+        e.select(
+            "user_id",
+            cohort.alias("cohort_day"),
+            F.datediff(F.to_date("ts"), cohort).cast("int").alias("offset_days"),
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_active_approx"))
+    )
+
+
+@register(
     "events_funnel_users",
     oracle="""
     SELECT user_id,
