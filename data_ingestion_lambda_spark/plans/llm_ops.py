@@ -442,36 +442,37 @@ MINHASH_PAIRS_ORACLE = f"""
     """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=MINHASH_PAIRS_ORACLE,
-    tags=("llm", "dedup"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: shingle → 16 minhashes (affine hash family
-    over an exact polynomial base hash) → 4 bands of 4 → band-bucket join →
-    signature-similarity filter.
+def minhash_sig_table(d: DataFrame) -> DataFrame:
+    """(doc_id, sig) MinHash signature table for a documents frame — the
+    shared index both the full-corpus dedup and the incremental
+    batch-vs-corpus dedup join against.
 
-    Scale: the classic sub-quadratic dedup — candidate generation is an
-    equi-join on (band_idx, band_key); signature arrays (16 longs/doc)
-    are the only shuffled payload, not document text. The hash family is
-    seed-fixed so results are reproducible run-to-run (SURVEY §7.3e).
+    The WHOLE text→token-hash→shingle-hash pipeline is ONE let-bound
+    expression (see bind()). This matters more than usual here: explode
+    triggers InferFiltersFromGenerate + projection collapse, which
+    substitute the generator's child expression into the inferred
+    `size(...) > 0` filter AND into every element_at() of the shingle
+    lambda. With separate projections that substitution re-evaluates the
+    token-hash pipeline once per element_at per shingle (~150x per row;
+    measured 397 s vs 1.2 s at sf0.1). Let-bound lambda variables are
+    immune — the pipeline runs once per row no matter where the
+    optimizer copies the tree.
 
-    (pyspark.ml's MinHashLSH provides the same shape; the explicit
-    arithmetic here keeps signatures engine-portable and oracle-checkable.)
-    """
-    d = t(spark, sf_dir, "documents")
+    Signature via explode + 16 codegen'd min-aggregates, NOT 16 nested
+    array-folds per row: higher-order-function lambdas run interpreted
+    (one closure call per element), while grouped min() is whole-stage
+    codegen with map-side partial aggregation — the same min over the
+    same shingle-hash set, an order of magnitude faster and the shape
+    that scales out (partial aggs combine before the shuffle).
 
-    # The WHOLE text→token-hash→shingle-hash pipeline is ONE let-bound
-    # expression (see bind()). This matters more than usual here: explode
-    # triggers InferFiltersFromGenerate + projection collapse, which
-    # substitute the generator's child expression into the inferred
-    # `size(...) > 0` filter AND into every element_at() of the shingle
-    # lambda. With separate projections that substitution re-evaluates the
-    # token-hash pipeline once per element_at per shingle (~150x per row;
-    # measured 397 s vs 1.2 s at sf0.1). Let-bound lambda variables are
-    # immune — the pipeline runs once per row no matter where the
-    # optimizer copies the tree.
+    Returned PERSISTED (NUM_HASHES longs per doc — tiny): the band join
+    and both signature-compare joins reference `sig`; without this Spark
+    recomputes the whole tokenize→hash→aggregate pipeline once per
+    reference (measured 6-7x slower at sf0.1). Persisting intermediate
+    signatures is also the production shape — at 100 TB they'd be
+    written to a table once and joined many times (which is exactly what
+    dedup_incremental_minhash models)."""
+
     def _shingle_hashes() -> Column:
         def from_th(th: Column) -> Column:
             n = F.size(th)
@@ -491,14 +492,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             tokens("text"), lambda w: bind(F.transform(w, lambda s: polyhash(s)), from_th)
         )
 
-    # Signature via explode + 16 codegen'd min-aggregates, NOT 16 nested
-    # array-folds per row: higher-order-function lambdas run interpreted
-    # (one closure call per element), while grouped min() is whole-stage
-    # codegen with map-side partial aggregation — the same min over the
-    # same shingle-hash set, an order of magnitude faster and the shape
-    # that scales out (partial aggs combine before the shuffle).
     ex = d.select("doc_id", F.explode(_shingle_hashes()).alias("h"))
-    sig = (
+    return (
         ex.groupBy("doc_id")
         .agg(
             *[
@@ -507,15 +502,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         .select("doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
+        .persist()
     )
-    # Persist the signatures (NUM_HASHES longs per doc — tiny): the band
-    # join and both signature-compare joins reference `sig`; without this
-    # Spark recomputes the whole tokenize→hash→aggregate pipeline once per
-    # reference (measured 6-7x slower at sf0.1). Persisting intermediate
-    # signatures is also the production shape — at 100 TB they'd be written
-    # to a table once and joined many times.
-    sig = sig.persist()
-    bands = sig.select(
+
+
+def minhash_band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, j, band_key) rows — NUM_BANDS LSH bucket keys per doc."""
+    return sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("j"),
         "sig",
@@ -526,6 +519,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.slice("sig", F.col("j") * 4 + 1, 4), lambda x: x.cast("string")), "-"
         ).alias("band_key"),
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=MINHASH_PAIRS_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: shingle → 16 minhashes (affine hash family
+    over an exact polynomial base hash) → 4 bands of 4 → band-bucket join →
+    signature-similarity filter.
+
+    Scale: the classic sub-quadratic dedup — candidate generation is an
+    equi-join on (band_idx, band_key); signature arrays (16 longs/doc)
+    are the only shuffled payload, not document text. The hash family is
+    seed-fixed so results are reproducible run-to-run (SURVEY §7.3e).
+
+    (pyspark.ml's MinHashLSH provides the same shape; the explicit
+    arithmetic here keeps signatures engine-portable and oracle-checkable.)
+    """
+    d = t(spark, sf_dir, "documents")
+    sig = minhash_sig_table(d)
+    bands = minhash_band_keys(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -551,6 +567,84 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS th FROM toks),
+    hs AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hh FROM th),
+    sig AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM hs),
+    bands AS (
+        SELECT doc_id, j,
+               array_to_string(list_transform(sig[j*4 + 1 : j*4 + 4],
+                                              x -> CAST(x AS VARCHAR)), '-') AS band_key
+        FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, {NUM_BANDS - 1})) AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS dup_of
+        FROM bands n JOIN bands o
+          ON n.j = o.j AND n.band_key = o.band_key
+        WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+    )
+    SELECT new_doc, dup_of,
+           CAST(len(list_filter(generate_series(1, {NUM_HASHES}),
+                                i -> sn.sig[i] = so.sig[i])) AS DOUBLE) / {NUM_HASHES}
+           AS est_jaccard
+    FROM cand
+    JOIN sig sn ON new_doc = sn.doc_id
+    JOIN sig so ON dup_of = so.doc_id
+    WHERE CAST(len(list_filter(generate_series(1, {NUM_HASHES}),
+                               i -> sn.sig[i] = so.sig[i])) AS DOUBLE) / {NUM_HASHES} >= 0.5
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup — the shape a DAILY ingest
+    actually runs: the incoming batch (modeled as doc_id % 10 = 0, ~10%
+    of the corpus) is checked against the historical index ONLY; no
+    old-old pair is ever enumerated or re-scored. This is the payoff of
+    minhash_sig_table being a persisted table: at 100 TB the historical
+    signatures+bands are written once and every daily batch joins its
+    own (tiny) band keys against them — the per-day cost is
+    batch-bands × matching buckets, independent of how many corpus
+    pairs exist.
+
+    Plan: one signature build over the corpus (shared codegen pipeline),
+    band equi-join with the new-side filter pushed below the join (the
+    old side is the big one and streams), signature rescore on the
+    matched pairs only. Emits (new_doc, dup_of, est_jaccard >= 0.5) —
+    the rows an ingest gate consumes to drop incoming near-dups."""
+    d = t(spark, sf_dir, "documents")
+    sig = minhash_sig_table(d)
+    bands = minhash_band_keys(sig)
+    new_b = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
+    old_b = bands.filter(F.col("doc_id") % 10 != 0).alias("o")
+    cand = (
+        new_b.join(
+            old_b,
+            (F.col("n.j") == F.col("o.j"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(F.col("n.doc_id").alias("new_doc"), F.col("o.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    sn = sig.alias("sn")
+    so = sig.alias("so")
+    matches = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(NUM_HASHES)),
+            lambda i: F.element_at(F.col("sn.sig"), i) == F.element_at(F.col("so.sig"), i),
+        )
+    )
+    est = matches.cast("double") / NUM_HASHES
+    return (
+        cand.join(sn, F.col("new_doc") == F.col("sn.doc_id"))
+        .join(so, F.col("dup_of") == F.col("so.doc_id"))
+        .select("new_doc", "dup_of", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
     )
 

@@ -112,6 +112,7 @@ QUERIES = [
     "events_interarrival_hist",
     "events_anomaly_mad_hist",
     "profile_numeric_quantiles",
+    "dedup_incremental_minhash",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
