@@ -61,7 +61,9 @@ def test_every_query_has_oracle_or_is_known_rows_only():
     # its registration; anything else landing here is a missing oracle.
     known_rows_only = [
         # HLL sketch distincts cannot hash-match another engine; the exact
-        # twin profile_table carries the value-hash evidence.
+        # twins (events_retention_cohorts / profile_table) carry the
+        # value-hash evidence for these sketch variants.
+        "events_retention_cohorts_approx",
         "profile_table_approx",
     ]
     assert no_oracle == known_rows_only
