@@ -113,6 +113,7 @@ QUERIES = [
     "events_anomaly_mad_hist",
     "profile_numeric_quantiles",
     "dedup_incremental_minhash",
+    "dedup_incremental_embedding",
 ]
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
