@@ -317,6 +317,55 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH hist AS (SELECT doc_id, md5(text) AS _h FROM documents),
+    batch AS (SELECT doc_id + 1000000 AS doc_id, md5(text) AS _h
+              FROM documents WHERE doc_id % 17 = 0)
+    SELECT n.doc_id AS new_doc,
+           CAST(MIN(o.doc_id) AS BIGINT) AS dup_of,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM batch n JOIN hist o ON n._h = o._h
+    GROUP BY n.doc_id
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash incremental dedup — the FIRST gate a daily ingest runs
+    (before any near-dup lane): incoming docs whose content digest
+    already exists in the historical corpus get flagged with the
+    earliest holder and the match count. The synthetic corpus carries
+    zero exact duplicates (verified — dedup_exact_text's n_copies are
+    all 1), so like text_pii_scrub's injected markers the batch is
+    MODELED non-vacuously as a RE-CRAWL: every 17th doc arrives again
+    under a new id (+1,000,000) with byte-identical content — the
+    textbook case this gate exists for — and each must resolve to
+    exactly its original (pinned by the hash check over ~1/17th of the
+    corpus). One digest equi-join: the batch ships 16-byte hashes
+    against the persisted digest index; text never shuffles. Completes
+    the incremental trio with dedup_incremental_minhash /
+    dedup_incremental_embedding."""
+    d = t(spark, sf_dir, "documents")
+    hist = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("_h"))
+    batch = (
+        d.filter(F.col("doc_id") % 17 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.md5(F.col("text").cast("binary")).alias("_h"),
+        )
+        .alias("n")
+    )
+    return (
+        batch.join(hist.alias("o"), F.col("n._h") == F.col("o._h"))
+        .groupBy(F.col("n.doc_id").alias("new_doc"))
+        .agg(
+            F.min(F.col("o.doc_id")).cast("long").alias("dup_of"),
+            F.count("*").alias("n_matches"),
+        )
+    )
+
+
 _JACCARD_THRESHOLD = 0.8
 # Skew guard: a shingle appearing in more documents than this is boilerplate
 # (license headers, templates) and is dropped before the pair join. The
