@@ -148,8 +148,17 @@ def apply_scd2(spark: SparkSession, target_dir: str, batch: DataFrame) -> None:
             + (f"full history preserved at {old}; " if had_live else "")
             + "recover by renaming it back, then re-run"
         )
-    if had_live:
-        fs.delete(old, True)
+    if had_live and not fs.delete(old, True):
+        # Same returns-false contract as rename: a silent false would
+        # strand .old past a SUCCESSFUL swap, and the next run's entry
+        # guard would then suggest renaming stale history over the newer
+        # live table. Distinct message so operators delete, not restore.
+        raise IOError(
+            f"apply_scd2: cleanup delete of {old} returned false AFTER a "
+            f"successful swap — {live} is complete and current; {old} is "
+            "obsolete history and safe to remove manually (do NOT rename "
+            "it back over the live path)"
+        )
 
 
 def read_scd2(spark: SparkSession, target_dir: str) -> DataFrame:

@@ -399,9 +399,16 @@ def _fold_gaps(
     (user_id,) = key
     (last,) = state.get if state.exists else (None,)
     gaps: list[int] = []
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
+    # Materialize the whole group before sorting: applyInPandasWithState
+    # gives NO ordering guarantee across the Arrow chunks of one group
+    # within a micro-batch, so a per-chunk sort would mis-order (and emit
+    # wrong, possibly negative, gaps for) any user whose batch rows span
+    # multiple chunks (> arrow.maxRecordsPerBatch). State stays O(1) —
+    # only the transient per-batch group is buffered, same as the window
+    # the batch twin shuffles.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["ts", "event_id"])
         for ts_val in pdf["ts"]:
             us = int(ts_val.value // 1_000)

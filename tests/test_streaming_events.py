@@ -764,3 +764,55 @@ def test_gap_ledger_compaction_preserves_reads_and_idempotence(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="stranded"):
         compact_gap_ledger(spark, target)
+
+
+def test_fold_gaps_sorts_across_arrow_chunks():
+    """Chunk-order independence: applyInPandasWithState gives no ordering
+    guarantee across the Arrow chunks of one group within a micro-batch,
+    so the fold must materialize + sort the whole group — a per-chunk
+    sort would emit wrong (negative) gaps whenever a user's batch rows
+    span multiple chunks. Feed the SAME rows as one chunk and as two
+    chunks delivered newest-first; both must yield the ordered gaps."""
+    from data_ingestion_lambda_spark.streaming.events import _fold_gaps
+
+    class _GapState:
+        """GroupState lookalike: exists/get are PROPERTIES there."""
+
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    rows = pd.DataFrame(
+        {
+            "ts": [
+                pd.Timestamp("2025-01-01 10:00"),
+                pd.Timestamp("2025-01-01 10:30"),
+                pd.Timestamp("2025-01-01 11:30"),
+                pd.Timestamp("2025-01-01 11:45"),
+            ],
+            "event_id": [1, 2, 3, 4],
+        }
+    )
+
+    def run(chunks):
+        st = _GapState()
+        (out,) = list(_fold_gaps((7,), iter(chunks), st))
+        return list(out["gap_us"]), st.get
+
+    one_chunk, st1 = run([rows])
+    # later half first — the adversarial chunk order
+    two_chunks, st2 = run([rows.iloc[2:], rows.iloc[:2]])
+    assert one_chunk == [30 * 60 * 1_000_000, 60 * 60 * 1_000_000, 15 * 60 * 1_000_000]
+    assert two_chunks == one_chunk
+    assert st1 == st2
+    assert all(g > 0 for g in two_chunks)

@@ -116,6 +116,20 @@ QUERIES = [
     "dedup_incremental_embedding",
 ]
 
+# Queries that read the embeddings table — skipped (default list) or
+# rejected (explicit --queries) when mult > dim leaves it unreplicated.
+_EMBEDDING_QUERIES = {
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "dedup_embedding_cosine",
+    "dedup_incremental_embedding",
+    "embedding_label_centroids",
+    "embedding_label_separation",
+    "embedding_drift_splits",
+    "embedding_kmeans_clusters",
+    "sample_cluster_balanced",
+}
+
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
 
 # Fact-table replication: per copy i, shift every identity/grouping key by
@@ -131,7 +145,11 @@ _FACT_SHIFTS = {
 _PASSTHROUGH = ("region", "nation", "customer", "supplier", "part")
 
 
-def build_replicated(spark, base: str, out: str, mult: int) -> None:
+def build_replicated(spark, base: str, out: str, mult: int) -> bool:
+    """Build the mult× replica under `out` (wiping any previous build, so
+    a stale lower-mult embeddings.parquet can never leak into this run).
+    Returns True iff the embeddings table was replicated — False in the
+    mult > dim regime, where embedding-dependent queries must be skipped."""
     if os.path.exists(out):
         shutil.rmtree(out)
     os.makedirs(out)
@@ -161,16 +179,16 @@ def build_replicated(spark, base: str, out: str, mult: int) -> None:
     # every `dim` copies, silently violating the probe's premise — so past
     # dim the embeddings table is SKIPPED (documents/facts still replicate;
     # main() rejects embedding-dependent queries in that regime).
+    embeddings_written = True
     if mult > dim:
         print(
             f"  mult {mult} > embedding dim {dim}: skipping embeddings "
             "replication (document/fact queries only)",
             file=sys.stderr,
         )
-        ecopies = []
+        embeddings_written = False
     else:
         ecopies = _embedding_copies(emb, dim, mult)
-    if ecopies:
         erep = ecopies[0]
         for c in ecopies[1:]:
             erep = erep.unionByName(c)
@@ -193,6 +211,7 @@ def build_replicated(spark, base: str, out: str, mult: int) -> None:
         load_table(spark, base, table).write.mode("overwrite").parquet(
             f"{out}/{table}.parquet"
         )
+    return embeddings_written
 
 
 def _embedding_copies(emb, dim: int, mult: int) -> list:
@@ -234,14 +253,27 @@ def main() -> None:
     )
     args = ap.parse_args()
     query_list = [q for q in args.queries.split(",") if q]
+    explicit_queries = args.queries != ",".join(QUERIES)
 
     spark = get_spark("scale_probe")
     specs = all_specs()
 
     print(f"building {args.mult}x replication under {args.out} ...", file=sys.stderr)
     t0 = time.time()
-    build_replicated(spark, args.base, args.out, args.mult)
+    embeddings_written = build_replicated(spark, args.base, args.out, args.mult)
     print(f"  built in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    if not embeddings_written:
+        named = [q for q in query_list if q in _EMBEDDING_QUERIES]
+        if named and explicit_queries:
+            sys.exit(
+                f"--queries names embedding-dependent {named} but mult "
+                f"{args.mult} exceeds the embedding dim, so no replicated "
+                "embeddings table exists; drop them or lower --mult"
+            )
+        if named:
+            print(f"  skipping embedding-dependent queries: {named}", file=sys.stderr)
+            query_list = [q for q in query_list if q not in _EMBEDDING_QUERIES]
 
     # Session/JIT warmup so the first timed query doesn't absorb startup
     # (observed +9 s on the first query without this).
