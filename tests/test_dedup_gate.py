@@ -1,0 +1,204 @@
+"""Pins for the maintained incremental dedup gate (operators/dedup_gate.py):
+
+- **N-day == one-shot** (the apply_scd2 equivalence pattern): cutting the
+  corpus into daily batches and gating them sequentially emits, across
+  the runs, exactly the pair set the full-corpus ``dedup_minhash_lsh``
+  computes — each pair once, on the day its later member arrives — and
+  the index after day N row-equals ``minhash_sig_table`` of the corpus.
+- **Idempotent replay**: re-applying the last batch (the at-least-once
+  failure mode) changes neither the index nor the persisted flag table.
+- **CLI**: the ``dedup-gate`` subcommand runs the same pipeline and
+  reports the reference-handler-shaped JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.dedup_gate import (
+    apply_batch,
+    probe_batch,
+    read_index,
+)
+from data_ingestion_lambda_spark.plans.llm_ops import (
+    dedup_minhash_lsh,
+    minhash_sig_table,
+)
+from tests.conftest import SF_SMOKE
+
+_N_DAYS = 3
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+
+
+def _day_of(doc_id_col):
+    return doc_id_col % _N_DAYS
+
+
+def _apply_days(spark, docs, index_dir, matches_dir):
+    reports = []
+    for day in range(_N_DAYS):
+        batch = docs.filter(_day_of(F.col("doc_id")) == day)
+        reports.append(
+            apply_batch(
+                spark,
+                str(index_dir),
+                batch,
+                f"2025-07-0{day + 1}",
+                matches_dir=str(matches_dir),
+            )
+        )
+    return reports
+
+
+def _canonical_pairs(rows):
+    return sorted(
+        (min(r["a"], r["b"]), max(r["a"], r["b"]), round(r["j"], 9)) for r in rows
+    )
+
+
+def test_incremental_gate_equals_full_corpus(spark, tmp_path):
+    docs = _docs(spark)
+    index_dir = tmp_path / "index"
+    matches_dir = tmp_path / "matches"
+    reports = _apply_days(spark, docs, index_dir, matches_dir)
+    assert [r["date"] for r in reports] == ["2025-07-01", "2025-07-02", "2025-07-03"]
+    # day 1 probes an empty index: only within-batch pairs possible
+    first_day = spark.read.parquet(str(matches_dir)).filter(
+        F.col("date") == "2025-07-01"
+    )
+    assert first_day.filter(F.col("match_kind") == "index").count() == 0
+
+    # union of the daily flag tables == the one-shot full-corpus pair set
+    got = _canonical_pairs(
+        spark.read.parquet(str(matches_dir))
+        .select(
+            F.col("new_doc").alias("a"),
+            F.col("dup_of").alias("b"),
+            F.col("est_jaccard").alias("j"),
+        )
+        .collect()
+    )
+    want = _canonical_pairs(
+        dedup_minhash_lsh(spark, SF_SMOKE)
+        .select(
+            F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("b"),
+            F.col("est_jaccard").alias("j"),
+        )
+        .collect()
+    )
+    assert got == want and len(want) > 0
+
+    # every pair surfaced exactly once across the N runs
+    assert len(got) == len({(a, b) for a, b, _ in got})
+
+    # cross-batch pairs are oriented later-day -> earlier-day; within-batch
+    # pairs share a day (the orientation that makes "once" well-defined)
+    for r in spark.read.parquet(str(matches_dir)).collect():
+        da, db = r["new_doc"] % _N_DAYS, r["dup_of"] % _N_DAYS
+        if r["match_kind"] == "batch":
+            assert da == db and r["new_doc"] > r["dup_of"]
+        else:
+            assert da > db
+
+    # index after day N row-equals the full-corpus signature table
+    got_idx = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in read_index(spark, str(index_dir)).collect()
+    )
+    want_idx = sorted(
+        (r["doc_id"], tuple(r["sig"])) for r in minhash_sig_table(docs).collect()
+    )
+    assert got_idx == want_idx
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    docs = _docs(spark)
+    index_dir = tmp_path / "index"
+    matches_dir = tmp_path / "matches"
+    _apply_days(spark, docs, index_dir, matches_dir)
+
+    def state():
+        idx = sorted(
+            (r["doc_id"], r["date"], tuple(r["sig"]))
+            for r in spark.read.parquet(str(index_dir)).collect()
+        )
+        m = sorted(
+            tuple(r) for r in spark.read.parquet(str(matches_dir)).collect()
+        )
+        return idx, m
+
+    before = state()
+    # replay the LAST day (at-least-once delivery): same batch, same date
+    last = docs.filter(_day_of(F.col("doc_id")) == _N_DAYS - 1)
+    report = apply_batch(
+        spark, str(index_dir), last, f"2025-07-0{_N_DAYS}", matches_dir=str(matches_dir)
+    )
+    assert state() == before
+    assert report["batch_docs"] == last.count()
+
+
+def test_probe_is_read_only(spark, tmp_path):
+    docs = _docs(spark)
+    index_dir = tmp_path / "index"
+    day0 = docs.filter(_day_of(F.col("doc_id")) == 0)
+    apply_batch(spark, str(index_dir), day0, "2025-07-01")
+    before = read_index(spark, str(index_dir)).count()
+    probe_batch(spark, str(index_dir), docs).count()
+    assert read_index(spark, str(index_dir)).count() == before
+
+
+def test_cli_dedup_gate_roundtrip(spark, tmp_path, capsys):
+    from data_ingestion_lambda_spark.cli import main
+
+    docs = _docs(spark)
+    batch_dir = tmp_path / "batch0"
+    docs.filter(_day_of(F.col("doc_id")) == 0).write.parquet(str(batch_dir))
+    index_dir = tmp_path / "index"
+
+    rc = main(
+        [
+            "dedup-gate",
+            "--batch",
+            str(batch_dir),
+            "--index",
+            str(index_dir),
+            "--date",
+            "2025-07-01",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["statusCode"] == 200 and report["date"] == "2025-07-01"
+    assert read_index(spark, str(index_dir)).count() > 0
+
+    # probe-only reports without appending
+    rc = main(
+        [
+            "dedup-gate",
+            "--batch",
+            str(batch_dir),
+            "--index",
+            str(index_dir),
+            "--date",
+            "2025-07-02",
+            "--probe-only",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["probe_only"] is True
+    # a batch re-probed against an index containing itself: every doc in
+    # the index matches itself with est_jaccard 1.0
+    assert report["dup_pairs"] >= report["batch_docs"] - 1
+    dates = {
+        str(r["date"])
+        for r in spark.read.parquet(str(index_dir)).select("date").collect()
+    }
+    assert dates == {"2025-07-01"}

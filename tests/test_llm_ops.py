@@ -122,3 +122,34 @@ def test_block_ann_matches_bruteforce(spark):
         order = np.lexsort((ids, -col))[:4]
         want = [(rank + 1, int(ids[i])) for rank, i in enumerate(order)]
         assert sorted(by_q[qid]) == want
+
+
+def test_shingle_df_cap_scale_aware():
+    """The n-gram dedup DF cap is a coded knob, not prose: clamped at the
+    legacy 100 for every gate-SF corpus (results unchanged at small N),
+    decaying as sqrt(1/N) past the 5000-doc reference so inverted-index
+    candidate volume grows as sqrt(N) instead of linearly, floored at 20
+    (true near-dup shingles are rarer than any plausible floor). The
+    DuckDB oracle derives the identical threshold from the same COUNT(*)."""
+    import duckdb
+
+    from data_ingestion_lambda_spark.plans.llm_ops import (
+        _SQL_SHINGLE_DF_CAP,
+        shingle_df_cap,
+    )
+
+    # gate SFs (500 / 5000 docs) keep the legacy constant
+    assert shingle_df_cap(500) == 100
+    assert shingle_df_cap(5000) == 100
+    # decay decade: 10x -> 32, 30x -> 20 (floored), 100x -> 20
+    assert shingle_df_cap(50_000) == 32
+    assert shingle_df_cap(150_000) == 20
+    assert shingle_df_cap(500_000) == 20
+    # monotone non-increasing in N
+    caps = [shingle_df_cap(n) for n in range(1000, 200_001, 1000)]
+    assert all(a >= b for a, b in zip(caps, caps[1:]))
+    # the oracle's inline-SQL formula agrees exactly with the Python one
+    sql = _SQL_SHINGLE_DF_CAP.replace("COUNT(*)", "n").replace("FROM documents", "")
+    for n in (500, 5000, 6000, 12_345, 50_000, 124_999, 125_000, 500_000):
+        got = duckdb.sql(sql.replace(" n)", f" {n})")).fetchone()[0]
+        assert got == shingle_df_cap(n), n
