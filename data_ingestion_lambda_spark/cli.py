@@ -61,7 +61,19 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--target", required=True)
     exp.add_argument("--keep-from", required=True, help="ISO date; partitions < this are deleted")
 
-    snp = sub.add_parser("snapshot", help="freeze/list/expire table versions")
+    snp = sub.add_parser(
+        "snapshot",
+        help="freeze/list/expire table versions",
+        description=(
+            "Freeze the target table under <target>/.snapshots/v<N>. "
+            "LOCAL-FILESYSTEM materialization: files are hardlinked "
+            "(byte-free) or copied — the target must be a local path, not "
+            "an object-store URI. On an object store, immutable objects "
+            "make the JSON manifest alone the snapshot; this command's "
+            "manifest format is exactly that list (see operators/"
+            "snapshot.py), but the hardlink step does not apply there."
+        ),
+    )
     snp.add_argument("--target", required=True)
     snp.add_argument("--list", action="store_true", help="list versions instead of creating")
     snp.add_argument("--expire-keep", type=int, default=None, help="drop all but N newest")

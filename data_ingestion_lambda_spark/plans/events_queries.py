@@ -1013,8 +1013,18 @@ def events_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap_us").isNotNull())
         .groupBy(F.expr(f"gap_us div {_HIST_BUCKET_US}").alias("gap_s"))
         .agg(F.count("*").alias("cnt"))
-        .withColumn("coarse", F.expr(f"gap_s div {_CUM_COARSE}"))
     )
+    return gap_hist_quantiles(hist)
+
+
+def gap_hist_quantiles(hist: DataFrame) -> DataFrame:
+    """The percentile stage of events_interarrival_hist, factored over any
+    (gap_s, cnt) second-bucket histogram — the batch derivation above and
+    the streaming gap LEDGER (streaming/events.py::gap_quantiles_from_ledger)
+    both feed it, so the stream→ledger→compact path provably yields the
+    registered operator's numbers (pinned in tests/test_streaming_events.py).
+    Two-phase distributed prefix sum as documented on the caller."""
+    hist = hist.withColumn("coarse", F.expr(f"gap_s div {_CUM_COARSE}"))
     wl = (
         Window.partitionBy("coarse")
         .orderBy("gap_s")

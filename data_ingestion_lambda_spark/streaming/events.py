@@ -502,6 +502,19 @@ def read_gap_histogram(spark, target_dir: str) -> DataFrame:
     )
 
 
+def gap_quantiles_from_ledger(spark, target_dir: str) -> DataFrame:
+    """Percentiles read straight from the gap ledger: the summed ledger
+    histogram through the SAME factored quantile stage the registered
+    ``events_interarrival_hist`` row uses (plans/events_queries.py::
+    gap_hist_quantiles) — so the full stream → ledger → compact →
+    quantile path yields the batch operator's exact rows (pinned in
+    tests/test_streaming_events.py). Works identically before and after
+    compaction (the sum over batch partitions is associative)."""
+    from data_ingestion_lambda_spark.plans.events_queries import gap_hist_quantiles
+
+    return gap_hist_quantiles(read_gap_histogram(spark, target_dir))
+
+
 def compact_gap_ledger(spark, target_dir: str) -> int:
     """Fold all committed batch partitions into the single base partition
     ``ingest_batch=-1`` (counts are associative, so compaction is a plain
@@ -515,16 +528,16 @@ def compact_gap_ledger(spark, target_dir: str) -> int:
     complete copy on disk; a crash between the part-drop and the final
     rename leaves staging as that copy, and the next entry REFUSES loudly
     with the recovery path instead of recompacting a partial table (the
-    scd2/replace_partitions stranded-dir discipline). LOCAL-FS-ONLY in
-    this form (os.listdir/rename); an object-store deployment swaps the
-    directory ops for the Hadoop FS API exactly as operators/upsert.py's
-    _hadoop_fs does — stated here so the constraint is explicit rather
-    than discovered."""
-    import os
-    import shutil
+    scd2/replace_partitions stranded-dir discipline). FS-AGNOSTIC: all
+    directory ops go through the Hadoop FS API (operators/upsert.py's
+    _hadoop_fs), so the same code runs on file://, hdfs://, s3a://,
+    abfss:// targets; Hadoop's returns-false failure contract raises on
+    every path with the data-preserving directory named."""
+    from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
 
-    staging = os.path.join(target_dir, ".compact-staging")
-    if os.path.exists(staging):
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    staging = f"{target_dir}/.compact-staging"
+    if fs.exists(path_cls(staging)):
         raise RuntimeError(
             f"compact_gap_ledger: stranded {staging} from a crashed "
             "compaction — it holds the full pre-crash histogram; remove "
@@ -532,18 +545,30 @@ def compact_gap_ledger(spark, target_dir: str) -> int:
             "ingest_batch=-1 before re-running"
         )
     parts = [
-        p
-        for p in os.listdir(target_dir)
-        if p.startswith("ingest_batch=") and p != "ingest_batch=-1"
+        st.getPath().getName()
+        for st in fs.listStatus(path_cls(target_dir))
+        if st.isDirectory()
+        and st.getPath().getName().startswith("ingest_batch=")
+        and st.getPath().getName() != "ingest_batch=-1"
     ]
     if not parts:
         return 0
     read_gap_histogram(spark, target_dir).write.mode("overwrite").parquet(staging)
     for p in parts + ["ingest_batch=-1"]:
-        full = os.path.join(target_dir, p)
-        if os.path.exists(full):
-            shutil.rmtree(full)
-    os.rename(staging, os.path.join(target_dir, "ingest_batch=-1"))
+        full = path_cls(f"{target_dir}/{p}")
+        if fs.exists(full) and not fs.delete(full, True):
+            raise IOError(
+                f"compact_gap_ledger: delete of {full} returned false; "
+                f"full compacted histogram preserved at {staging} — "
+                "finish by removing remaining ingest_batch=* dirs and "
+                "renaming it to ingest_batch=-1"
+            )
+    if not fs.rename(path_cls(staging), path_cls(f"{target_dir}/ingest_batch=-1")):
+        raise IOError(
+            f"compact_gap_ledger: rename {staging} -> ingest_batch=-1 "
+            f"returned false; the full histogram is intact at {staging} — "
+            "rename it manually to complete the compaction"
+        )
     return len(parts)
 
 

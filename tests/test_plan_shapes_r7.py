@@ -1,0 +1,55 @@
+"""Plan-shape pins for the round-7 operators: the prefix-filtered
+similarity join must never regress to the naive full-inverted-index pair
+join, and the RFM histogram twin's windows must stay coarse-range
+bounded (never a global single-task window).
+"""
+
+from __future__ import annotations
+
+import re
+
+from data_ingestion_lambda_spark.plans import all_specs
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = all_specs()[name].builder(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ngram_jaccard_is_prefix_filtered(spark):
+    """dedup_ngram_jaccard's r7 rewrite: the candidate self-join meets on
+    the PREFIX explode (the `slice` of the rarity-sorted shingle array),
+    verification is the per-pair array_intersect (no per-shingle pair
+    rows ever aggregate), and no nested-loop/cartesian join appears.
+    Regressing any of these re-opens the 112M-candidate shape the
+    prefix filter removed (measured 26x candidate reduction at 100x)."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "slice(" in plan, f"prefix slice missing from plan:\n{plan}"
+    assert "array_intersect" in plan, f"verification must intersect sets:\n{plan}"
+    # the old shape's signature: counting shared-shingle rows per pair
+    assert not re.search(r"partial_count.*doc_a.*doc_b", plan), (
+        f"per-pair shingle-row aggregation has returned:\n{plan}"
+    )
+
+
+def test_rfm_hist_windows_are_coarse_bounded(spark):
+    """agg_rfm_segmentation_hist: every window must partition by at least
+    (metric) and the bucket-level cumulative sum by (metric, coarse) —
+    an unpartitioned window here is the |customers|-sized single-task
+    buffer this twin exists to retire. The quartile broadcast must reach
+    the scoring join as a BroadcastNestedLoopJoin-free cross of ONE row
+    (BroadcastExchange present)."""
+    plan = _plan(spark, "agg_rfm_segmentation_hist")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert specs, f"expected windows in plan:\n{plan}"
+    for spec in specs:
+        assert "metric" in spec, f"window not partitioned by metric:\n{plan}"
+    assert re.search(r"Window \[[^\]]*lcum[^\]]*\], \[metric[^\]]*coarse", plan), (
+        f"local cumsum must partition by (metric, coarse):\n{plan}"
+    )
+    assert "BroadcastExchange" in plan, f"quartiles must broadcast:\n{plan}"
+    # exact-percentile aggregate must NOT appear anywhere
+    assert "percentile(" not in plan, f"exact percentile buffer returned:\n{plan}"

@@ -816,3 +816,48 @@ def test_fold_gaps_sorts_across_arrow_chunks():
     assert two_chunks == one_chunk
     assert st1 == st2
     assert all(g > 0 for g in two_chunks)
+
+
+def test_ledger_quantiles_equal_registered_hist_operator(spark, tmp_path):
+    """The last composition in the streaming-percentile story: percentiles
+    READ from the (compacted) gap ledger — through the same factored
+    quantile stage — must row-equal the registered
+    ``events_interarrival_hist`` operator over the same events. This
+    proves the stream → ledger → compact → quantile path yields the
+    batch operator's numbers, not merely an equal histogram."""
+    from data_ingestion_lambda_spark.plans.events_queries import (
+        events_interarrival_hist,
+    )
+    from data_ingestion_lambda_spark.streaming.events import (
+        compact_gap_ledger,
+        gap_quantiles_from_ledger,
+        stream_gap_histogram_to_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    target = str(tmp_path / "hist_table")
+    spark.read.parquet(f"{sf}/events.parquet").write.parquet(f"{src}/b1")
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src)
+    q = stream_gap_histogram_to_table(stream, target, ckpt).start()
+    q.awaitTermination(120)
+
+    want = [tuple(r) for r in events_interarrival_hist(spark, sf).collect()]
+
+    # pre-compaction: summed batch partitions feed the quantile stage
+    got_raw = [tuple(r) for r in gap_quantiles_from_ledger(spark, target).collect()]
+    assert got_raw == want
+
+    # post-compaction: identical rows from the folded base partition
+    assert compact_gap_ledger(spark, target) >= 1
+    got_compacted = [
+        tuple(r) for r in gap_quantiles_from_ledger(spark, target).collect()
+    ]
+    assert got_compacted == want
+    # and the operator's schema comes through the ledger path verbatim
+    assert gap_quantiles_from_ledger(spark, target).columns == [
+        "n_gaps", "p50_s", "p90_s", "p99_s", "n_within_session_gap",
+    ]
