@@ -114,6 +114,8 @@ QUERIES = [
     "profile_numeric_quantiles",
     "dedup_incremental_minhash",
     "dedup_incremental_embedding",
+    # round-7 addition: the RFM histogram twin (two-phase prefix sum)
+    "agg_rfm_segmentation_hist",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
@@ -251,6 +253,12 @@ def main() -> None:
         default=",".join(QUERIES),
         help="comma-separated subset (default: all headliners)",
     )
+    ap.add_argument(
+        "--skip-build",
+        action="store_true",
+        help="reuse an existing --out replication (chunked sweeps); the "
+        "caller must have built it with the SAME --mult",
+    )
     args = ap.parse_args()
     query_list = [q for q in args.queries.split(",") if q]
     explicit_queries = args.queries != ",".join(QUERIES)
@@ -258,10 +266,18 @@ def main() -> None:
     spark = get_spark("scale_probe")
     specs = all_specs()
 
-    print(f"building {args.mult}x replication under {args.out} ...", file=sys.stderr)
-    t0 = time.time()
-    embeddings_written = build_replicated(spark, args.base, args.out, args.mult)
-    print(f"  built in {time.time() - t0:.1f}s", file=sys.stderr)
+    if args.skip_build:
+        if not os.path.exists(f"{args.out}/documents.parquet"):
+            sys.exit(f"--skip-build: no replication found under {args.out}")
+        embeddings_written = os.path.exists(f"{args.out}/embeddings.parquet")
+        print(f"reusing replication under {args.out}", file=sys.stderr)
+    else:
+        print(
+            f"building {args.mult}x replication under {args.out} ...", file=sys.stderr
+        )
+        t0 = time.time()
+        embeddings_written = build_replicated(spark, args.base, args.out, args.mult)
+        print(f"  built in {time.time() - t0:.1f}s", file=sys.stderr)
 
     if not embeddings_written:
         named = [q for q in query_list if q in _EMBEDDING_QUERIES]
