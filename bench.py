@@ -81,6 +81,7 @@ HEADLINE_V2 = [
     "events_retention_cohorts",
     "events_retention_cohorts_approx",
     "agg_rfm_segmentation_hist",
+    "dedup_edit_distance",
 ]
 
 

@@ -605,6 +605,159 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Character-level near-duplicates: edit-distance similarity join
+# ---------------------------------------------------------------------------
+
+_EDIT_MAX = 8  # pairs kept when levenshtein(a, b) <= 8
+_EDIT_Q = 3  # character q-gram length
+_EDIT_PREFIX = _EDIT_Q * _EDIT_MAX + 1  # 25: prefix-index items per doc
+_EDIT_CODE_BASE = 1 << 21  # codepoint radix: 3 codepoints pack into < 2^63
+# Docs with <= q*d + q - 1 chars have <= q*d q-grams, where the overlap
+# bound max_grams - q*d is <= 0 and the prefix filter guarantees nothing;
+# they go through a broadcast all-pairs guard instead, against partners
+# within the +d length window.
+_EDIT_SHORT_DOC = _EDIT_Q * _EDIT_MAX + _EDIT_Q - 1  # 26 chars
+_EDIT_SHORT_PARTNER = _EDIT_SHORT_DOC + _EDIT_MAX  # 34 chars
+
+
+def char_grams_packed(text_col: Column) -> Column:
+    """Character 3-grams as EXACT 63-bit integers, with multiplicity: each
+    codepoint is a base-2^21 digit (every Unicode codepoint < 2^21, and
+    (2^21-1)·2^42 + (2^21-1)·2^21 + 2^21-1 = 2^63-1), so the packing is a
+    collision-free bijection — gram identity downstream is exact, not a
+    hash. One HOF pipeline per row (let-bound char-code array), codegen."""
+
+    def from_codes(cs: Column) -> Column:
+        n = F.size(cs)
+        g = F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: (
+                F.element_at(cs, i) * _EDIT_CODE_BASE + F.element_at(cs, i + 1)
+            )
+            * _EDIT_CODE_BASE
+            + F.element_at(cs, i + 2),
+        )
+        return F.when(n >= 3, g).otherwise(F.array().cast("array<bigint>"))
+
+    codes = F.transform(F.split(text_col, ""), lambda ch: F.ascii(ch).cast("long"))
+    return bind(codes, from_codes)
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    SELECT doc_a, doc_b, edit_distance FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
+        FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id
+         AND abs(length(a.text) - length(b.text)) <= {_EDIT_MAX}
+    ) WHERE edit_distance <= {_EDIT_MAX}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: exact Levenshtein distance ≤ 8 via a
+    prefix-filtered q-gram similarity join (the Ed-Join / q-gram count
+    filter family: Gravano et al. VLDB'01, Xiao et al. VLDB'08) — the
+    character-edit sibling of dedup_ngram_jaccard's token-set join,
+    catching the near-dup class token sets miss (typo/OCR-level mutations
+    that break token identity but move few characters).
+
+    The oracle is deliberately NAIVE (length-filtered all-pairs +
+    levenshtein): it encodes only the operator's CONTRACT, so the
+    hash-match proves the prefix-filtered plan loses no pair.
+
+    Exactness argument: each edit operation changes at most q = 3 gram
+    OCCURRENCES (grams are position-free, so an indel's shift leaves all
+    non-overlapping gram contents intact), hence ed(a,b) ≤ d implies
+    multiset gram overlap ≥ max(g_a, g_b) − q·d. Encoding the multiset as
+    items (gram, k), k = 1..count, overlap is plain set intersection, and
+    the standard prefix-filter theorem (any fixed global item order) says
+    the first g_x − t + 1 ≤ q·d + 1 = 25 items of EACH side must share an
+    item. So indexing each doc's 25 globally-rarest gram-occurrences
+    (df ASC, gram ASC, k ASC) surfaces every qualifying pair; candidates
+    then pass the |Δlen| ≤ d filter inside the join and are verified with
+    the banded built-in levenshtein(a, b, 8) — O(d·n) per pair, JVM-side.
+    Docs too short for the bound (≤ 26 chars) take a broadcast all-pairs
+    guard lane against partners ≤ 34 chars — a degenerate, skew-bounded
+    slice at corpus scale (empty on this corpus; the lane exists for
+    correctness, costs one broadcast of a near-empty frame).
+
+    Scale shape: the only wide state is (doc_id, gram, k) longs — 25
+    indexed items per doc regardless of doc length; candidate generation
+    is an equi-join on (gram, k) meeting on the rare tail of the gram
+    vocabulary (boilerplate grams have high df and fall PAST the prefix,
+    so skew self-resolves — no DF cap needed for correctness); text rides
+    only the final per-candidate verify join."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    occ = (
+        d.select("doc_id", "n", F.explode(char_grams_packed(F.col("text"))).alias("g"))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dfreq = occ.groupBy("g").agg(F.count("*").alias("df"))
+    # multiset items (g, k) with the global rarity key df attached
+    items = occ.join(dfreq, "g").select(
+        "doc_id", "n", "g", "df", F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("k")
+    )
+    # per-doc 25-item prefix in global (df, g, k) order — sort_array on
+    # structs is lexicographic, so one collect+slice, no window. Persisted:
+    # both sides of the candidate self-join read it (without this the whole
+    # tokenize→gram→df subtree runs twice). At 100 TB it is a written-once
+    # index table, exactly like the jaccard lane's prefix relation.
+    prefix = (
+        items.groupBy("doc_id", "n")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("df", "g", "k"))), 1, _EDIT_PREFIX
+            ).alias("pref")
+        )
+        .select("doc_id", "n", F.explode("pref").alias("it"))
+        .select("doc_id", "n", F.col("it.g").alias("g"), F.col("it.k").alias("k"))
+        .persist()
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n") - F.col("b.n")) <= _EDIT_MAX),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    shorts = d.filter(F.col("n") <= _EDIT_SHORT_DOC).select(
+        F.col("doc_id").alias("sid"), F.col("n").alias("sn")
+    )
+    partners = d.filter(F.col("n") <= _EDIT_SHORT_PARTNER).select(
+        F.col("doc_id").alias("pid"), F.col("n").alias("pn")
+    )
+    guard = (
+        partners.join(
+            F.broadcast(shorts),
+            (F.col("sid") != F.col("pid"))
+            & (F.abs(F.col("sn") - F.col("pn")) <= _EDIT_MAX),
+        )
+        .select(
+            F.least("sid", "pid").alias("doc_a"), F.greatest("sid", "pid").alias("doc_b")
+        )
+    )
+    cand_all = cand.unionByName(guard).distinct()
+    da, db = d.alias("da"), d.alias("db")
+    ed = F.levenshtein(F.col("da.text"), F.col("db.text"), _EDIT_MAX)
+    return (
+        cand_all.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
+        .select("doc_a", "doc_b", ed.cast("int").alias("edit_distance"))
+        .filter(F.col("edit_distance") >= 0)
+    )
+
+
 def _sql_minhash_sig() -> str:
     return (
         f"list_transform(generate_series(0, {NUM_HASHES - 1}), "

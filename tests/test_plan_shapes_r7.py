@@ -53,3 +53,27 @@ def test_rfm_hist_windows_are_coarse_bounded(spark):
     assert "BroadcastExchange" in plan, f"quartiles must broadcast:\n{plan}"
     # exact-percentile aggregate must NOT appear anywhere
     assert "percentile(" not in plan, f"exact percentile buffer returned:\n{plan}"
+
+
+def test_edit_distance_is_prefix_filtered(spark):
+    """dedup_edit_distance: candidates must meet on the 25-item rarity
+    prefix (slice of the sorted (df, g, k) item array), verification must
+    be the banded built-in levenshtein (never a Python UDF), the ONLY
+    nested-loop join is the broadcast short-doc guard lane (empty on this
+    corpus, degenerate-slice-bounded by construction), and the prefix
+    relation is persisted so the tokenize->gram->df subtree is built once
+    and read by BOTH sides of the candidate self-join."""
+    df = all_specs()["dedup_edit_distance"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "CartesianProduct" not in plan, f"cartesian join appeared:\n{plan}"
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, (
+        f"only the short-doc guard may nested-loop:\n{plan}"
+    )
+    assert "levenshtein" in plan, f"banded levenshtein verify missing:\n{plan}"
+    # the slice lives inside the persisted prefix relation, so pin it on
+    # the logical plan (the physical string hides cached subtrees)
+    assert "slice(" in logical, f"prefix slice missing:\n{logical}"
+    assert plan.count("InMemoryTableScan") >= 2, (
+        f"prefix relation must be persisted and reused by both join sides:\n{plan}"
+    )

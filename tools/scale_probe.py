@@ -147,7 +147,33 @@ _FACT_SHIFTS = {
 _PASSTHROUGH = ("region", "nation", "customer", "supplier", "part")
 
 
-def build_replicated(spark, base: str, out: str, mult: int) -> bool:
+# Per-copy alphabet rotation for CHARACTER-level lanes (--char-rotate):
+# the token-prefix scheme above keeps token sets disjoint across copies,
+# but interior character q-grams still collide ("r3_hello" and "r5_hello"
+# share "hel"/"ell"/"llo"), so a char-q-gram candidate index would meet
+# across copies and the probe would measure cross-copy candidate growth,
+# not engine scaling. Rotating letters by i mod 26 and digits by i mod 10
+# (lcm 130 > any probed mult, so no two copies alias) is an EDIT-DISTANCE
+# ISOMETRY within each copy — a bijection on the alphabet preserves every
+# levenshtein distance exactly — while across copies no letter-bearing
+# gram survives. Rotation changes literal token text, so SEMANTIC
+# heuristics (stopword/language scoring) see different inputs: probe
+# char-level queries in their own run, not mixed with the curation suite.
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+_DIGIT = "0123456789"
+
+
+def _rotate_alphabet(i: int) -> tuple[str, str]:
+    r, d = i % 26, i % 10
+    src = _LOWER + _UPPER + _DIGIT
+    dst = _LOWER[r:] + _LOWER[:r] + _UPPER[r:] + _UPPER[:r] + _DIGIT[d:] + _DIGIT[:d]
+    return src, dst
+
+
+def build_replicated(
+    spark, base: str, out: str, mult: int, char_rotate: bool = False
+) -> bool:
     """Build the mult× replica under `out` (wiping any previous build, so
     a stale lower-mult embeddings.parquet can never leak into this run).
     Returns True iff the embeddings table was replicated — False in the
@@ -157,12 +183,20 @@ def build_replicated(spark, base: str, out: str, mult: int) -> bool:
     os.makedirs(out)
 
     docs = load_table(spark, base, "documents")
-    copies = [
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_STRIDE)).withColumn(
-            "text",
+
+    def copy_text(i: int):
+        txt = (
             F.col("text")
             if i == 0
-            else F.regexp_replace("text", r"(\S+)", f"r{i}_$1"),
+            else F.regexp_replace("text", r"(\S+)", f"r{i}_$1")
+        )
+        if char_rotate and i > 0:
+            txt = F.translate(txt, *_rotate_alphabet(i))
+        return txt
+
+    copies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_STRIDE)).withColumn(
+            "text", copy_text(i)
         )
         for i in range(mult)
     ]
@@ -259,9 +293,25 @@ def main() -> None:
         help="reuse an existing --out replication (chunked sweeps); the "
         "caller must have built it with the SAME --mult",
     )
+    ap.add_argument(
+        "--char-rotate",
+        action="store_true",
+        help="rotate letters/digits per copy (edit-distance isometry; use "
+        "for character-level lanes like dedup_edit_distance — see the "
+        "_rotate_alphabet block comment; do not mix with semantic-heuristic "
+        "queries in one run)",
+    )
     args = ap.parse_args()
     query_list = [q for q in args.queries.split(",") if q]
     explicit_queries = args.queries != ",".join(QUERIES)
+
+    # Char-level lanes are only meaningful under the rotation isometry:
+    # without it, interior q-grams collide across copies and the candidate
+    # join measures cross-copy dup-structure growth, not engine scaling.
+    if "dedup_edit_distance" in query_list and not (
+        args.char_rotate or args.skip_build
+    ):
+        sys.exit("dedup_edit_distance requires --char-rotate (see its help text)")
 
     spark = get_spark("scale_probe")
     specs = all_specs()
@@ -276,7 +326,9 @@ def main() -> None:
             f"building {args.mult}x replication under {args.out} ...", file=sys.stderr
         )
         t0 = time.time()
-        embeddings_written = build_replicated(spark, args.base, args.out, args.mult)
+        embeddings_written = build_replicated(
+            spark, args.base, args.out, args.mult, char_rotate=args.char_rotate
+        )
         print(f"  built in {time.time() - t0:.1f}s", file=sys.stderr)
 
     if not embeddings_written:
