@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="comma-separated columns: cluster (range-partition + sort) instead of plain compact",
     )
+    cmp_.add_argument(
+        "--zorder",
+        action="store_true",
+        help="with --sort-by COL1,COL2[,...]: cluster along the Morton "
+        "curve of the columns instead of lexicographically, so parquet "
+        "min/max stats prune on EVERY listed column",
+    )
 
     exp = sub.add_parser("expire", help="drop date partitions older than --keep-from")
     exp.add_argument("--target", required=True)
@@ -234,6 +241,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "compact":
         dates = args.dates.split(",") if args.dates else None
+        if args.zorder and not args.sort_by:
+            print(json.dumps({"statusCode": 400, "message": "--zorder needs --sort-by"}))
+            return 1
         if args.sort_by:
             result = cluster_partitions(
                 spark,
@@ -241,6 +251,7 @@ def main(argv: list[str] | None = None) -> int:
                 sort_cols=args.sort_by.split(","),
                 dates=dates,
                 target_file_bytes=args.target_file_mb << 20,
+                zorder=args.zorder,
             )
             print(json.dumps({"statusCode": 200, "clustered": result}))
             return 0

@@ -106,3 +106,88 @@ def test_cli_compact_sort_by_routes_to_clustering(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["statusCode"] == 200 and DATE in out["clustered"]
+
+
+def _make_messy_2d_partition(spark, target: str, n_rows: int = 20_000, n_files: int = 8):
+    """Two DECORRELATED dimensions (different prime strides), shuffled
+    across files: no layout exists yet, and sorting on either column
+    alone cannot tighten the other."""
+    df = (
+        spark.range(n_rows)
+        .selectExpr(
+            "CAST(date'2025-05-01' AS date) AS date",
+            "pmod(id * 7919, 20000) AS xdim",
+            "pmod(id * 104729, 20000) AS ydim",
+            "CAST(id AS string) AS payload",
+        )
+        .repartition(n_files)
+    )
+    df.write.partitionBy("date").mode("overwrite").parquet(target)
+
+
+def test_zorder_bounds_every_clustered_column(spark, tmp_path):
+    """Z-ordering must bound per-file ranges on BOTH columns, where
+    lexicographic clustering on (xdim, ydim) bounds only xdim — the
+    exact property the Morton interleave exists to buy. Rows preserved
+    exactly (reorder, never rewrite)."""
+    lex_target = str(tmp_path / "lex")
+    z_target = str(tmp_path / "zorder")
+    _make_messy_2d_partition(spark, lex_target)
+    _make_messy_2d_partition(spark, z_target)
+    before = sorted(
+        (r.xdim, r.ydim, r.payload)
+        for r in spark.read.parquet(z_target).select("xdim", "ydim", "payload").collect()
+    )
+
+    cluster_partitions(
+        spark, lex_target, sort_cols=["xdim", "ydim"], target_file_bytes=32 << 10
+    )
+    result = cluster_partitions(
+        spark,
+        z_target,
+        sort_cols=["xdim", "ydim"],
+        target_file_bytes=32 << 10,
+        zorder=True,
+    )
+    assert result[DATE] >= 4
+
+    # lexicographic: leading column tight, second column unbounded
+    lex_x = _overlap_fraction(_file_ranges(lex_target, "xdim"))
+    lex_y = _overlap_fraction(_file_ranges(lex_target, "ydim"))
+    assert lex_x < 0.35
+    assert lex_y > 0.8, "precondition: lex sort must NOT bound the second column"
+
+    # z-order: BOTH columns bounded well below the full domain
+    z_x = _overlap_fraction(_file_ranges(z_target, "xdim"))
+    z_y = _overlap_fraction(_file_ranges(z_target, "ydim"))
+    assert z_x < 0.7 and z_y < 0.7, (
+        f"z-ordered files must bound both dims: x={z_x:.0%} y={z_y:.0%}"
+    )
+    # and the layout must actually beat lex on the neglected dimension
+    assert z_y < lex_y / 2
+
+    after = sorted(
+        (r.xdim, r.ydim, r.payload)
+        for r in spark.read.parquet(z_target).select("xdim", "ydim", "payload").collect()
+    )
+    assert after == before
+
+
+def test_cli_compact_zorder_routes_to_morton_clustering(spark, tmp_path, capsys):
+    target = str(tmp_path / "tbl")
+    _make_messy_2d_partition(spark, target, n_rows=2_000, n_files=4)
+    rc = cli.main(
+        [
+            "compact",
+            "--target",
+            target,
+            "--sort-by",
+            "xdim,ydim",
+            "--zorder",
+            "--target-file-mb",
+            "1",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["statusCode"] == 200 and DATE in out["clustered"]
