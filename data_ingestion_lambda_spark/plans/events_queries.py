@@ -773,6 +773,130 @@ def events_resample_hourly_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_resample_hourly_interp",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    hourly AS (
+        SELECT event_type, h, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS c
+        FROM e GROUP BY event_type, h
+    ),
+    b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM e),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM e) t,
+             b,
+             UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    j AS (
+        SELECT grid.event_type, grid.h, hourly.n, hourly.c,
+               row_number() OVER (
+                   PARTITION BY grid.event_type ORDER BY grid.h) AS rn
+        FROM grid LEFT JOIN hourly
+          ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+    ),
+    w AS (
+        SELECT *,
+            last_value(c IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
+            last_value(CASE WHEN c IS NOT NULL THEN rn END IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn0,
+            first_value(c IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS c1,
+            first_value(CASE WHEN c IS NOT NULL THEN rn END IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rn1
+        FROM j
+    )
+    SELECT event_type, h AS hour_ts,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                WHEN c0 IS NOT NULL AND c1 IS NOT NULL
+                THEN c0 + CAST((c1 - c0) * (rn - rn0) AS DOUBLE) / (rn1 - rn0)
+           END AS interp_cents
+    FROM w
+    """,
+    tags=("events", "timeseries"),
+)
+def events_resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation twin of events_resample_hourly_ff: empty grid
+    hours get the straight line between the PREVIOUS and NEXT observed
+    hourly totals instead of a carry-forward — the gap-fill a trend
+    feature wants where forward-fill builds staircases. Hours outside the
+    observed span (before the first / after the last observation) stay
+    NULL, and observed hours pass through exactly — both pinned by the
+    oracle.
+
+    Determinism of the double result: the interpolation distance is the
+    ROW offset on the dense grid (integer row_number deltas — no
+    timestamp arithmetic), the numerator (c1-c0)*(rn-rn0) is exact
+    BIGINT, and the expression performs exactly ONE rounding step (the
+    cast-then-divide) in both engines, so the IEEE result hash-matches.
+
+    Scale: identical shape to the ff variant — one (type, hour) rollup
+    exchange; grid bounded by the clock; all four ignorenulls window
+    passes share one (event_type, h) sort, partitions are each type's own
+    span, never event volume."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    hourly = e.groupBy("event_type", "h").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    )
+    bounds = e.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    wn = Window.partitionBy("event_type").orderBy("h")
+    wp = wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = wn.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", "n", "c", F.row_number().over(wn).alias("rn")
+    )
+    obs_rn = F.when(F.col("c").isNotNull(), F.col("rn"))
+    w = j.select(
+        "event_type",
+        "h",
+        "n",
+        "c",
+        "rn",
+        F.last("c", ignorenulls=True).over(wp).alias("c0"),
+        F.last(obs_rn, ignorenulls=True).over(wp).alias("rn0"),
+        F.first("c", ignorenulls=True).over(wf).alias("c1"),
+        F.first(obs_rn, ignorenulls=True).over(wf).alias("rn1"),
+    )
+    num = (F.col("c1") - F.col("c0")) * (F.col("rn") - F.col("rn0"))
+    interp = F.when(F.col("c").isNotNull(), F.col("c").cast("double")).otherwise(
+        F.when(
+            F.col("c0").isNotNull() & F.col("c1").isNotNull(),
+            F.col("c0") + num.cast("double") / (F.col("rn1") - F.col("rn0")),
+        )
+    )
+    return w.select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        interp.alias("interp_cents"),
+    )
+
+
+@register(
     "scd2_user_segments",
     oracle="""
     WITH ordered AS (
