@@ -99,7 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     gate = sub.add_parser(
         "dedup-gate",
-        help="probe a document batch against the persisted MinHash index, then append it",
+        help="probe a document batch against the persisted signature index "
+        "(minhash near-dup or exact digest), then append it",
     )
     gate.add_argument("--batch", required=True, help="parquet of (doc_id, text) documents")
     gate.add_argument("--index", required=True, help="signature index table directory")
@@ -113,6 +114,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--probe-only",
         action="store_true",
         help="report near-dup pairs without appending the batch to the index",
+    )
+    gate.add_argument(
+        "--mode",
+        choices=("minhash", "exact"),
+        default="minhash",
+        help="index lane: MinHash near-dup bands (default) or exact md5 "
+        "content digests; an index directory belongs to ONE mode",
     )
 
     qry = sub.add_parser("query", help="run a registered analytics query by name")
@@ -195,7 +203,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("data-ingestion-cli")
         batch = spark.read.parquet(args.batch).select("doc_id", "text")
         if args.probe_only:
-            m = probe_batch(spark, args.index, batch)
+            m = probe_batch(spark, args.index, batch, mode=args.mode)
             report = {
                 "date": args.date,
                 "batch_docs": batch.count(),
@@ -205,7 +213,12 @@ def main(argv: list[str] | None = None) -> int:
             }
         else:
             report = apply_batch(
-                spark, args.index, batch, args.date, matches_dir=args.matches_out
+                spark,
+                args.index,
+                batch,
+                args.date,
+                matches_dir=args.matches_out,
+                mode=args.mode,
             )
         print(json.dumps({"statusCode": 200, **report}))
         return 0

@@ -13,7 +13,11 @@ batch-bands x matching-buckets, never a corpus rebuild.
 
 Index layout: a ``date=<batch>``-partitioned parquet table of
 ``(doc_id, sig array<bigint>)`` — one NUM_HASHES-long signature per doc,
-the exact rows ``minhash_sig_table`` computes. Band keys are DERIVED at
+the exact rows ``minhash_sig_table`` computes. A second lane
+(``mode='exact'``) persists the 16-byte md5 content digest instead and
+probes by digest equality — the exact-dup gate most deployments run IN
+FRONT of the near-dup one; same partition layout, same commit protocol,
+same equivalence contract against ``dedup_exact_text``. Band keys are DERIVED at
 probe time (a narrow codegen projection, 16 short rows per doc); storing
 them would triple the index for a projection's worth of savings. At
 100 TB the variant worth the storage is a band table BUCKETED by
@@ -58,8 +62,34 @@ from data_ingestion_lambda_spark.plans.llm_ops import (
 EST_JACCARD_MIN = 0.5
 
 
+# Index lanes. 'minhash' (default) persists NUM_HASHES-long signatures
+# and probes via band keys + agreement rescore; 'exact' persists the
+# 16-byte md5 content digest and probes via plain digest equality (the
+# dedup_exact_text / dedup_incremental_exact lane — est_jaccard is 1.0
+# by definition for a content-identical match). An index directory is
+# MODE-SPECIFIC: the sig column types differ (array<bigint> vs string),
+# so reading an index with the wrong mode fails loudly on the join.
+_MODE_SCHEMAS = {
+    "minhash": "doc_id long, sig array<bigint>",
+    "exact": "doc_id long, sig string",
+}
+
+
+def _sig_table(batch_docs: DataFrame, mode: str) -> DataFrame:
+    if mode == "minhash":
+        return minhash_sig_table(batch_docs)
+    if mode == "exact":
+        return batch_docs.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("sig")
+        )
+    raise ValueError(f"unknown dedup-gate mode {mode!r}")
+
+
 def read_index(
-    spark: SparkSession, index_dir: str, exclude_date: str | None = None
+    spark: SparkSession,
+    index_dir: str,
+    exclude_date: str | None = None,
+    mode: str = "minhash",
 ) -> DataFrame:
     """(doc_id, sig) for every previously gated batch; empty frame with
     the right schema when no batch has been applied yet. ``exclude_date``
@@ -70,7 +100,7 @@ def read_index(
         if exclude_date is not None:
             idx = idx.filter(F.col(PARTITION_COL) != exclude_date)
         return idx.select("doc_id", "sig")
-    return spark.createDataFrame([], schema="doc_id long, sig array<bigint>")
+    return spark.createDataFrame([], schema=_MODE_SCHEMAS[mode])
 
 
 def _rescore(cand: DataFrame, new_sig: DataFrame, old_sig: DataFrame) -> DataFrame:
@@ -94,11 +124,43 @@ def _rescore(cand: DataFrame, new_sig: DataFrame, old_sig: DataFrame) -> DataFra
     )
 
 
+def _exact_pairs(new_sig: DataFrame, old_sig: DataFrame) -> DataFrame:
+    """Digest-equality probe for mode='exact': cross pairs against the
+    index plus oriented within-batch pairs; est_jaccard is 1.0 by
+    definition (content-identical). The join ships 16-byte digests only —
+    the dedup_exact_text shuffle shape."""
+    n = new_sig.alias("n")
+    cross = (
+        n.join(old_sig.alias("o"), F.col("n.sig") == F.col("o.sig"))
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("o.doc_id").alias("dup_of"),
+            F.lit(1.0).alias("est_jaccard"),
+            F.lit("index").alias("match_kind"),
+        )
+    )
+    within = (
+        n.join(
+            new_sig.alias("m"),
+            (F.col("n.sig") == F.col("m.sig"))
+            & (F.col("n.doc_id") > F.col("m.doc_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("m.doc_id").alias("dup_of"),
+            F.lit(1.0).alias("est_jaccard"),
+            F.lit("batch").alias("match_kind"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def probe_batch(
     spark: SparkSession,
     index_dir: str,
     batch_docs: DataFrame,
     exclude_date: str | None = None,
+    mode: str = "minhash",
 ) -> DataFrame:
     """Near-dup flags for an incoming batch: (new_doc, dup_of, est_jaccard,
     match_kind) where ``match_kind`` is 'index' (duplicate of a previously
@@ -110,10 +172,11 @@ def probe_batch(
     ``sig`` rows and their derived band keys, so document text never
     reshuffles. The band join is the only corpus-sized exchange, keyed on
     (j, band_key) exactly like the one-shot LSH."""
-    new_sig = minhash_sig_table(batch_docs)
+    new_sig = _sig_table(batch_docs, mode)
+    old_sig = read_index(spark, index_dir, exclude_date=exclude_date, mode=mode)
+    if mode == "exact":
+        return _exact_pairs(new_sig, old_sig)
     new_bands = minhash_band_keys(new_sig)
-
-    old_sig = read_index(spark, index_dir, exclude_date=exclude_date)
     old_bands = minhash_band_keys(old_sig)
 
     nb = new_bands.alias("n")
@@ -149,6 +212,7 @@ def apply_batch(
     batch_docs: DataFrame,
     batch_date: str,
     matches_dir: str | None = None,
+    mode: str = "minhash",
 ) -> dict:
     """Gate one batch: probe, optionally persist the flag table, then
     append the batch's signatures to the index under ``date=batch_date``.
@@ -166,7 +230,7 @@ def apply_batch(
     # partition this batch owns), so it recomputes identical matches
     # instead of matching its own earlier write.
     matches = probe_batch(
-        spark, index_dir, batch_docs, exclude_date=batch_date
+        spark, index_dir, batch_docs, exclude_date=batch_date, mode=mode
     ).persist()
     try:
         n_pairs = matches.count()
@@ -178,7 +242,7 @@ def apply_batch(
                 matches.withColumn(PARTITION_COL, F.lit(batch_date)),
                 [batch_date],
             )
-        sig = minhash_sig_table(batch_docs).withColumn(
+        sig = _sig_table(batch_docs, mode).withColumn(
             PARTITION_COL, F.lit(batch_date)
         )
         replace_partitions(spark, index_dir, sig, [batch_date])

@@ -202,3 +202,92 @@ def test_cli_dedup_gate_roundtrip(spark, tmp_path, capsys):
         for r in spark.read.parquet(str(index_dir)).select("date").collect()
     }
     assert dates == {"2025-07-01"}
+
+
+def test_exact_mode_gate_equals_full_corpus(spark, tmp_path):
+    """mode='exact': the digest lane under the same commit protocol. The
+    corpus gets planted exact dups (a %7 re-crawl under shifted ids,
+    the dedup_incremental_exact model — the base corpus has none), and
+    N-day application must emit exactly the unordered same-md5 pair set,
+    each pair once, with est_jaccard 1.0 by definition; the index after
+    day N row-equals the corpus digest table."""
+    base = _docs(spark)
+    recrawl = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(recrawl)
+    index_dir = tmp_path / "index"
+    matches_dir = tmp_path / "matches"
+    for day in range(_N_DAYS):
+        batch = docs.filter(_day_of(F.col("doc_id")) == day)
+        apply_batch(
+            spark,
+            str(index_dir),
+            batch,
+            f"2025-07-0{day + 1}",
+            matches_dir=str(matches_dir),
+            mode="exact",
+        )
+
+    flagged = spark.read.parquet(str(matches_dir)).collect()
+    got = sorted(
+        (min(r["new_doc"], r["dup_of"]), max(r["new_doc"], r["dup_of"]))
+        for r in flagged
+    )
+    h = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    want = sorted(
+        (r["a"], r["b"])
+        for r in h.alias("x")
+        .join(
+            h.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .collect()
+    )
+    assert got == want and len(want) > 0
+    assert len(got) == len(set(got)), "every pair must surface exactly once"
+    assert {r["est_jaccard"] for r in flagged} == {1.0}
+
+    got_idx = sorted(
+        (r["doc_id"], r["sig"])
+        for r in read_index(spark, str(index_dir), mode="exact").collect()
+    )
+    want_idx = sorted((r["doc_id"], r["h"]) for r in h.collect())
+    assert got_idx == want_idx
+
+
+def test_exact_mode_replay_is_idempotent(spark, tmp_path):
+    # Plant re-crawl dups (the base corpus has no exact dups) so the
+    # flag table is non-empty and the replay must reproduce it exactly.
+    base0 = _docs(spark)
+    base = base0.unionByName(
+        base0.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    index_dir = tmp_path / "index"
+    matches_dir = tmp_path / "matches"
+    for day in range(_N_DAYS):
+        batch = base.filter(_day_of(F.col("doc_id")) == day)
+        apply_batch(
+            spark, str(index_dir), batch, f"2025-07-0{day + 1}",
+            matches_dir=str(matches_dir), mode="exact",
+        )
+
+    def state():
+        idx = sorted(
+            (r["doc_id"], r["date"], r["sig"])
+            for r in spark.read.parquet(str(index_dir)).collect()
+        )
+        m = sorted(tuple(r) for r in spark.read.parquet(str(matches_dir)).collect())
+        return idx, m
+
+    before = state()
+    last = base.filter(_day_of(F.col("doc_id")) == _N_DAYS - 1)
+    apply_batch(
+        spark, str(index_dir), last, f"2025-07-0{_N_DAYS}",
+        matches_dir=str(matches_dir), mode="exact",
+    )
+    assert state() == before
