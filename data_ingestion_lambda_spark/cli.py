@@ -100,9 +100,14 @@ def build_parser() -> argparse.ArgumentParser:
     gate = sub.add_parser(
         "dedup-gate",
         help="probe a document batch against the persisted signature index "
-        "(minhash near-dup or exact digest), then append it",
+        "(minhash near-dup, exact digest, or embedding cosine), then append it",
     )
-    gate.add_argument("--batch", required=True, help="parquet of (doc_id, text) documents")
+    gate.add_argument(
+        "--batch",
+        required=True,
+        help="parquet of (doc_id, text) documents — or (doc_id|vec_id, "
+        "embedding) vectors for --mode embedding",
+    )
     gate.add_argument("--index", required=True, help="signature index table directory")
     gate.add_argument("--date", required=True, help="batch date (the index partition key)")
     gate.add_argument(
@@ -117,10 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     gate.add_argument(
         "--mode",
-        choices=("minhash", "exact"),
+        choices=("minhash", "exact", "embedding"),
         default="minhash",
-        help="index lane: MinHash near-dup bands (default) or exact md5 "
-        "content digests; an index directory belongs to ONE mode",
+        help="index lane: MinHash near-dup bands (default), exact md5 "
+        "content digests, or embedding sign-LSH + cosine rescore; an "
+        "index directory belongs to ONE mode",
     )
 
     qry = sub.add_parser("query", help="run a registered analytics query by name")
@@ -196,12 +202,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "dedup-gate":
         # registry-free import path, same rationale as `query`
         from data_ingestion_lambda_spark.operators.dedup_gate import (
+            MODE_INPUT_COL,
             apply_batch,
             probe_batch,
         )
+        from pyspark.sql import functions as F
 
         spark = get_spark("data-ingestion-cli")
-        batch = spark.read.parquet(args.batch).select("doc_id", "text")
+        raw = spark.read.parquet(args.batch)
+        # Embedding batches are typically vec_id-keyed (the embeddings
+        # table's own key); accept either key name.
+        key = "doc_id" if "doc_id" in raw.columns else "vec_id"
+        batch = raw.select(
+            F.col(key).alias("doc_id"), MODE_INPUT_COL[args.mode]
+        )
         if args.probe_only:
             m = probe_batch(spark, args.index, batch, mode=args.mode)
             report = {

@@ -16,8 +16,11 @@ Index layout: a ``date=<batch>``-partitioned parquet table of
 the exact rows ``minhash_sig_table`` computes. A second lane
 (``mode='exact'``) persists the 16-byte md5 content digest instead and
 probes by digest equality — the exact-dup gate most deployments run IN
-FRONT of the near-dup one; same partition layout, same commit protocol,
-same equivalence contract against ``dedup_exact_text``. Band keys are DERIVED at
+FRONT of the near-dup one; a third (``mode='embedding'``) persists the
+vector itself and probes via the banded sign-LSH + side-aware rectangle
+sgemm of ``dedup_incremental_embedding`` — together the three lanes are
+the maintained form of the full incremental trio, under one partition
+layout, one commit protocol, one equivalence discipline. Band keys are DERIVED at
 probe time (a narrow codegen projection, 16 short rows per doc); storing
 them would triple the index for a projection's worth of savings. At
 100 TB the variant worth the storage is a band table BUCKETED by
@@ -56,6 +59,11 @@ from data_ingestion_lambda_spark.plans.llm_ops import (
     minhash_band_keys,
     minhash_sig_table,
 )
+from data_ingestion_lambda_spark.plans.similarity import (
+    _band_keyed,
+    _score_bucket_group,
+    _score_bucket_group_flagged,
+)
 
 # Same acceptance threshold as the one-shot LSH rows — estimated Jaccard
 # from signature agreement; pairs below it are band-collision noise.
@@ -66,12 +74,25 @@ EST_JACCARD_MIN = 0.5
 # and probes via band keys + agreement rescore; 'exact' persists the
 # 16-byte md5 content digest and probes via plain digest equality (the
 # dedup_exact_text / dedup_incremental_exact lane — est_jaccard is 1.0
-# by definition for a content-identical match). An index directory is
-# MODE-SPECIFIC: the sig column types differ (array<bigint> vs string),
-# so reading an index with the wrong mode fails loudly on the join.
+# by definition for a content-identical match); 'embedding' persists the
+# vector itself (the sign-LSH probe needs it for the exact rescore —
+# there is no smaller sketch that preserves the cosine) and probes via
+# the banded sign-hyperplane LSH + side-aware rectangle sgemm of
+# dedup_incremental_embedding. An index directory is MODE-SPECIFIC: the
+# sig column types differ (array<bigint> vs string vs array<float>), so
+# reading an index with the wrong mode fails loudly on the join.
 _MODE_SCHEMAS = {
     "minhash": "doc_id long, sig array<bigint>",
     "exact": "doc_id long, sig string",
+    "embedding": "doc_id long, sig array<float>",
+}
+
+# Batch input column per mode: text modes sketch (doc_id, text) document
+# batches; the embedding mode gates (vec_id-keyed) embedding batches.
+MODE_INPUT_COL = {
+    "minhash": "text",
+    "exact": "text",
+    "embedding": "embedding",
 }
 
 
@@ -81,6 +102,10 @@ def _sig_table(batch_docs: DataFrame, mode: str) -> DataFrame:
     if mode == "exact":
         return batch_docs.select(
             "doc_id", F.md5(F.col("text").cast("binary")).alias("sig")
+        )
+    if mode == "embedding":
+        return batch_docs.select(
+            "doc_id", F.col("embedding").cast("array<float>").alias("sig")
         )
     raise ValueError(f"unknown dedup-gate mode {mode!r}")
 
@@ -155,6 +180,59 @@ def _exact_pairs(new_sig: DataFrame, old_sig: DataFrame) -> DataFrame:
     return cross.unionByName(within)
 
 
+def _embedding_pairs(new_sig: DataFrame, old_sig: DataFrame) -> DataFrame:
+    """Sign-LSH probe for mode='embedding': the batch's vectors and the
+    persisted index vectors are band-keyed (shared _band_keyed — 16
+    bands × 8 planes, one (band, bucket) row per vector per band) and
+    shuffled ONCE on the coarse group key with a physical ``side`` flag;
+    cross-batch pairs come from the side-aware rectangle sgemm
+    (new rows × old columns — old-old never scored, the
+    dedup_incremental_embedding shape) and within-batch pairs from the
+    full-corpus scorer over the batch alone. The score column is the
+    exact float64 ``cosine`` (same IEEE sequence as the one-shot
+    operators), not an est_jaccard."""
+    new_v = new_sig.select(
+        F.col("doc_id").alias("vec_id"), F.col("sig").alias("vf")
+    )
+    old_v = old_sig.select(
+        F.col("doc_id").alias("vec_id"), F.col("sig").alias("vf")
+    )
+    cross = (
+        _band_keyed(new_v)
+        .withColumn("side", F.lit(1))
+        .unionByName(_band_keyed(old_v).withColumn("side", F.lit(0)))
+        .groupBy("band", "grp")
+        .applyInPandas(
+            _score_bucket_group_flagged, "new_vec bigint, dup_of bigint, cosine double"
+        )
+        .distinct()
+        .select(
+            F.col("new_vec").alias("new_doc"),
+            "dup_of",
+            "cosine",
+            F.lit("index").alias("match_kind"),
+        )
+    )
+    # _score_bucket_group orients vec_a < vec_b; the gate's within-batch
+    # convention (new_doc > dup_of, the later-arriving id flags) maps to
+    # (vec_b, vec_a).
+    within = (
+        _band_keyed(new_v)
+        .groupBy("band", "grp")
+        .applyInPandas(
+            _score_bucket_group, "vec_a bigint, vec_b bigint, cosine double"
+        )
+        .distinct()
+        .select(
+            F.col("vec_b").alias("new_doc"),
+            F.col("vec_a").alias("dup_of"),
+            "cosine",
+            F.lit("batch").alias("match_kind"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def probe_batch(
     spark: SparkSession,
     index_dir: str,
@@ -176,6 +254,8 @@ def probe_batch(
     old_sig = read_index(spark, index_dir, exclude_date=exclude_date, mode=mode)
     if mode == "exact":
         return _exact_pairs(new_sig, old_sig)
+    if mode == "embedding":
+        return _embedding_pairs(new_sig, old_sig)
     new_bands = minhash_band_keys(new_sig)
     old_bands = minhash_band_keys(old_sig)
 

@@ -359,72 +359,104 @@ def _score_bucket_group(pdf):
     return pd.concat(outs, ignore_index=True)
 
 
-def _score_bucket_group_sided(pdf):
-    """Side-aware variant of _score_bucket_group for the incremental lane:
-    within each sub-bucket only NEW (vec_id % 10 == 0) × OLD pairs are
-    considered — the Gram is the new-rows × old-columns RECTANGLE, so
-    old-old work is never done and the per-bucket cost is
-    |new| × |old| × dim in BLAS, not C(n, 2). Prescreen margin and the
-    order-preserving float64 rescore are identical to the full-corpus
-    scorer (same IEEE sequence as the oracle's unrolled SQL dot)."""
+def _score_rectangle_masked(sub, new_mask, outs):
+    """Shared body of the side-aware scorers: within one sub-bucket,
+    score only new_mask-rows × complement-columns — the Gram is the
+    new × old RECTANGLE, so old-old work is never done and the
+    per-bucket cost is |new| × |old| × dim in BLAS, not C(n, 2).
+    Prescreen margin and the order-preserving float64 rescore are
+    identical to the full-corpus scorer (same IEEE sequence as the
+    oracle's unrolled SQL dot). Appends matched-pair frames to outs."""
     import numpy as np
     import pandas as pd
 
-    empty = pd.DataFrame(
+    if not new_mask.any() or new_mask.all():
+        return
+    ids = sub["vec_id"].to_numpy()
+    V32 = np.stack(sub["vf"].to_numpy())
+    n32 = np.sqrt(np.einsum("ij,ij->i", V32, V32))
+    t32 = np.float32(_NEARDUP_THRESHOLD - _PRESCREEN_MARGIN)
+    nidx = np.nonzero(new_mask)[0]
+    oidx = np.nonzero(~new_mask)[0]
+    Vo = V32[oidx]
+    no32 = n32[oidx]
+    blocks_a, blocks_b = [], []
+    for r in range(0, len(nidx), _GRAM_BLOCK):
+        nb = nidx[r : r + _GRAM_BLOCK]
+        g = V32[nb] @ Vo.T
+        keep = g >= t32 * np.outer(n32[nb], no32)
+        ra, rb = np.nonzero(keep)
+        blocks_a.append(nb[ra])
+        blocks_b.append(oidx[rb])
+    if not blocks_a:
+        return
+    ia = np.concatenate(blocks_a)
+    ib = np.concatenate(blocks_b)
+    if len(ia) == 0:
+        return
+    V = V32.astype(np.float64)
+    acc = V[:, 0] * V[:, 0]
+    for i in range(1, DIM):
+        acc = acc + V[:, i] * V[:, i]
+    nrm = np.sqrt(acc)
+    for s in range(0, len(ia), _PAIR_CHUNK):
+        ja, jb = ia[s : s + _PAIR_CHUNK], ib[s : s + _PAIR_CHUNK]
+        A, B = V[ja], V[jb]
+        d = A[:, 0] * B[:, 0]
+        for i in range(1, DIM):
+            d = d + A[:, i] * B[:, i]
+        cos = d / (nrm[ja] * nrm[jb])
+        m = cos >= _NEARDUP_THRESHOLD
+        if m.any():
+            outs.append(
+                pd.DataFrame(
+                    {"new_vec": ids[ja[m]], "dup_of": ids[jb[m]], "cosine": cos[m]}
+                )
+            )
+
+
+def _empty_sided_pairs():
+    import pandas as pd
+
+    return pd.DataFrame(
         {
             "new_vec": pd.Series(dtype="int64"),
             "dup_of": pd.Series(dtype="int64"),
             "cosine": pd.Series(dtype="float64"),
         }
     )
+
+
+def _score_bucket_group_sided(pdf):
+    """Side-aware variant of _score_bucket_group for the incremental lane:
+    within each sub-bucket only NEW (vec_id % 10 == 0) × OLD pairs are
+    considered — see _score_rectangle_masked for the rectangle-Gram
+    economics this buys."""
+    import pandas as pd
+
     outs = []
     for _, sub in pdf.groupby("bkt", sort=False):
-        ids = sub["vec_id"].to_numpy()
-        new_mask = ids % 10 == 0
-        if not new_mask.any() or new_mask.all():
-            continue
-        V32 = np.stack(sub["vf"].to_numpy())
-        n32 = np.sqrt(np.einsum("ij,ij->i", V32, V32))
-        t32 = np.float32(_NEARDUP_THRESHOLD - _PRESCREEN_MARGIN)
-        nidx = np.nonzero(new_mask)[0]
-        oidx = np.nonzero(~new_mask)[0]
-        Vo = V32[oidx]
-        no32 = n32[oidx]
-        blocks_a, blocks_b = [], []
-        for r in range(0, len(nidx), _GRAM_BLOCK):
-            nb = nidx[r : r + _GRAM_BLOCK]
-            g = V32[nb] @ Vo.T
-            keep = g >= t32 * np.outer(n32[nb], no32)
-            ra, rb = np.nonzero(keep)
-            blocks_a.append(nb[ra])
-            blocks_b.append(oidx[rb])
-        if not blocks_a:
-            continue
-        ia = np.concatenate(blocks_a)
-        ib = np.concatenate(blocks_b)
-        if len(ia) == 0:
-            continue
-        V = V32.astype(np.float64)
-        acc = V[:, 0] * V[:, 0]
-        for i in range(1, DIM):
-            acc = acc + V[:, i] * V[:, i]
-        nrm = np.sqrt(acc)
-        for s in range(0, len(ia), _PAIR_CHUNK):
-            ja, jb = ia[s : s + _PAIR_CHUNK], ib[s : s + _PAIR_CHUNK]
-            A, B = V[ja], V[jb]
-            d = A[:, 0] * B[:, 0]
-            for i in range(1, DIM):
-                d = d + A[:, i] * B[:, i]
-            cos = d / (nrm[ja] * nrm[jb])
-            m = cos >= _NEARDUP_THRESHOLD
-            if m.any():
-                outs.append(
-                    pd.DataFrame(
-                        {"new_vec": ids[ja[m]], "dup_of": ids[jb[m]], "cosine": cos[m]}
-                    )
-                )
+        _score_rectangle_masked(sub, sub["vec_id"].to_numpy() % 10 == 0, outs)
     if not outs:
-        return empty
+        return _empty_sided_pairs()
+    return pd.concat(outs, ignore_index=True)
+
+
+def _score_bucket_group_flagged(pdf):
+    """Gate variant of the side-aware scorer (operators/dedup_gate.py,
+    mode='embedding'): the NEW side is the rows carrying ``side`` == 1 —
+    a physical flag on each keyed row, set by which table the vector came
+    from (incoming batch vs persisted index) — instead of the modeled
+    ``vec_id % 10`` split. Same rectangle sgemm, same exact float64
+    rescore, so the gate's cross-batch pairs are bit-identical to what
+    the one-shot operator computes for the same pair."""
+    import pandas as pd
+
+    outs = []
+    for _, sub in pdf.groupby("bkt", sort=False):
+        _score_rectangle_masked(sub, sub["side"].to_numpy() == 1, outs)
+    if not outs:
+        return _empty_sided_pairs()
     return pd.concat(outs, ignore_index=True)
 
 

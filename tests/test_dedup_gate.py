@@ -291,3 +291,95 @@ def test_exact_mode_replay_is_idempotent(spark, tmp_path):
         matches_dir=str(matches_dir), mode="exact",
     )
     assert state() == before
+
+
+def _vectors(spark):
+    """(doc_id, embedding) batch frame with planted re-crawl copies
+    (identical vector under a shifted id — cosine 1.0 by construction,
+    so the pair set is non-empty at any threshold)."""
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    recrawl = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "embedding"
+    )
+    return base.unionByName(recrawl)
+
+
+def test_embedding_mode_gate_equals_full_corpus(spark, tmp_path):
+    """mode='embedding': N-day gate application emits exactly the pair
+    set the one-shot full-corpus sign-LSH scorer computes (each pair
+    once, cosine bit-identical — the float64 rescore depends only on the
+    two vectors), and the final index row-equals the corpus vectors."""
+    from data_ingestion_lambda_spark.plans.similarity import (
+        _band_keyed,
+        _score_bucket_group,
+    )
+
+    docs = _vectors(spark)
+    index_dir = tmp_path / "index"
+    matches_dir = tmp_path / "matches"
+    for day in range(_N_DAYS):
+        batch = docs.filter(_day_of(F.col("doc_id")) == day)
+        apply_batch(
+            spark,
+            str(index_dir),
+            batch,
+            f"2025-07-0{day + 1}",
+            matches_dir=str(matches_dir),
+            mode="embedding",
+        )
+
+    flagged = spark.read.parquet(str(matches_dir)).collect()
+    got = sorted(
+        (min(r["new_doc"], r["dup_of"]), max(r["new_doc"], r["dup_of"]), r["cosine"])
+        for r in flagged
+    )
+    one_shot = (
+        _band_keyed(docs.select(F.col("doc_id").alias("vec_id"), F.col("embedding").alias("vf")))
+        .groupBy("band", "grp")
+        .applyInPandas(_score_bucket_group, "vec_a bigint, vec_b bigint, cosine double")
+        .distinct()
+        .collect()
+    )
+    want = sorted((r["vec_a"], r["vec_b"], r["cosine"]) for r in one_shot)
+    assert got == want and len(want) > 0
+    assert len(got) == len({(a, b) for a, b, _ in got}), "each pair exactly once"
+
+    got_idx = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in read_index(spark, str(index_dir), mode="embedding").collect()
+    )
+    want_idx = sorted((r["doc_id"], tuple(r["embedding"])) for r in docs.collect())
+    assert got_idx == want_idx
+
+
+def test_embedding_mode_replay_is_idempotent(spark, tmp_path):
+    docs = _vectors(spark)
+    index_dir = tmp_path / "index"
+    matches_dir = tmp_path / "matches"
+    for day in range(_N_DAYS):
+        batch = docs.filter(_day_of(F.col("doc_id")) == day)
+        apply_batch(
+            spark, str(index_dir), batch, f"2025-07-0{day + 1}",
+            matches_dir=str(matches_dir), mode="embedding",
+        )
+
+    def state():
+        idx = sorted(
+            (r["doc_id"], r["date"], tuple(r["sig"]))
+            for r in spark.read.parquet(str(index_dir)).collect()
+        )
+        m = sorted(
+            (r["new_doc"], r["dup_of"], r["cosine"], r["match_kind"], r["date"])
+            for r in spark.read.parquet(str(matches_dir)).collect()
+        )
+        return idx, m
+
+    before = state()
+    last = docs.filter(_day_of(F.col("doc_id")) == _N_DAYS - 1)
+    apply_batch(
+        spark, str(index_dir), last, f"2025-07-0{_N_DAYS}",
+        matches_dir=str(matches_dir), mode="embedding",
+    )
+    assert state() == before
