@@ -644,9 +644,118 @@ def char_grams_packed(text_col: Column) -> Column:
     return bind(codes, from_codes)
 
 
-@register(
-    "dedup_edit_distance",
-    oracle=f"""
+def char_grams4_hashed62(text_col: Column) -> Column:
+    """Character 4-gram identities as 62-bit integers. Four 21-bit
+    codepoints exceed one long, so exact packing stops at q = 3; the
+    q = 4 lane uses the jaccard family's trick instead — two INDEPENDENT
+    polynomial hashes over the 4 codepoints (multipliers 31 / 131, both
+    mod P) packed as ``h1·P + h2`` < 2⁶². A hash collision merges two
+    gram identities, which can only ADD candidate pairs — a true shared
+    gram always shares its hash — so the prefix-filter completeness
+    argument survives hashing verbatim (the naive oracle's hash-match is
+    the proof); a false candidate costs one banded levenshtein and is
+    discarded. Same let-bound one-pass HOF shape as char_grams_packed."""
+
+    def from_codes(cs: Column) -> Column:
+        n = F.size(cs)
+
+        def fam(mult: int, i: Column) -> Column:
+            return (
+                (
+                    (F.element_at(cs, i) * mult + F.element_at(cs, i + 1)) % P * mult
+                    + F.element_at(cs, i + 2)
+                )
+                % P
+                * mult
+                + F.element_at(cs, i + 3)
+            ) % P
+
+        g = F.transform(
+            F.sequence(F.lit(1), n - 3),
+            lambda i: fam(31, i) * P + fam(131, i),
+        )
+        return F.when(n >= 4, g).otherwise(F.array().cast("array<bigint>"))
+
+    codes = F.transform(F.split(text_col, ""), lambda ch: F.ascii(ch).cast("long"))
+    return bind(codes, from_codes)
+
+
+def _edit_distance_plan(d: DataFrame, grams: Column, q: int) -> DataFrame:
+    """Shared prefix-filtered edit-distance join, parameterized by gram
+    length q — the operator's documented scale knob made code: longer
+    grams have exponentially lower df, so per-gram bucket occupancy (and
+    with it candidate-pair volume) collapses as the corpus grows, at the
+    price of q·d+1 indexed occurrences per doc instead of 3·d+1. All
+    thresholds derive from (q, d): each edit changes ≤ q gram
+    occurrences, so the prefix is the q·d+1 rarest items and docs with
+    ≤ q·d + q − 1 chars take the broadcast guard lane."""
+    prefix_len = q * _EDIT_MAX + 1
+    short_doc = q * _EDIT_MAX + q - 1
+    short_partner = short_doc + _EDIT_MAX
+    occ = (
+        d.select("doc_id", "n", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dfreq = occ.groupBy("g").agg(F.count("*").alias("df"))
+    items = occ.join(dfreq, "g").select(
+        "doc_id", "n", "g", "df", F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("k")
+    )
+    # per-doc prefix in global (df, g, k) order — sort_array on structs is
+    # lexicographic, so one collect+slice, no window. Persisted: both
+    # sides of the candidate self-join read it. At 100 TB it is a
+    # written-once index table, exactly like the jaccard lane's prefix
+    # relation.
+    prefix = (
+        items.groupBy("doc_id", "n")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("df", "g", "k"))), 1, prefix_len
+            ).alias("pref")
+        )
+        .select("doc_id", "n", F.explode("pref").alias("it"))
+        .select("doc_id", "n", F.col("it.g").alias("g"), F.col("it.k").alias("k"))
+        .persist()
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n") - F.col("b.n")) <= _EDIT_MAX),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    shorts = d.filter(F.col("n") <= short_doc).select(
+        F.col("doc_id").alias("sid"), F.col("n").alias("sn")
+    )
+    partners = d.filter(F.col("n") <= short_partner).select(
+        F.col("doc_id").alias("pid"), F.col("n").alias("pn")
+    )
+    guard = (
+        partners.join(
+            F.broadcast(shorts),
+            (F.col("sid") != F.col("pid"))
+            & (F.abs(F.col("sn") - F.col("pn")) <= _EDIT_MAX),
+        )
+        .select(
+            F.least("sid", "pid").alias("doc_a"), F.greatest("sid", "pid").alias("doc_b")
+        )
+    )
+    cand_all = cand.unionByName(guard).distinct()
+    da, db = d.alias("da"), d.alias("db")
+    ed = F.levenshtein(F.col("da.text"), F.col("db.text"), _EDIT_MAX)
+    return (
+        cand_all.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
+        .select("doc_a", "doc_b", ed.cast("int").alias("edit_distance"))
+        .filter(F.col("edit_distance") >= 0)
+    )
+
+
+_EDIT_ORACLE = f"""
     SELECT doc_a, doc_b, edit_distance FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
@@ -654,7 +763,12 @@ def char_grams_packed(text_col: Column) -> Column:
           ON a.doc_id < b.doc_id
          AND abs(length(a.text) - length(b.text)) <= {_EDIT_MAX}
     ) WHERE edit_distance <= {_EDIT_MAX}
-    """,
+    """
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=_EDIT_ORACLE,
     tags=("llm", "dedup"),
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,72 +804,38 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an equi-join on (gram, k) meeting on the rare tail of the gram
     vocabulary (boilerplate grams have high df and fall PAST the prefix,
     so skew self-resolves — no DF cap needed for correctness); text rides
-    only the final per-candidate verify join."""
+    only the final per-candidate verify join. The gram-length scale knob
+    is CODE, not prose: dedup_edit_distance_q4 is the same plan at q = 4
+    (see _edit_distance_plan)."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "text", F.length("text").alias("n")
     )
-    occ = (
-        d.select("doc_id", "n", F.explode(char_grams_packed(F.col("text"))).alias("g"))
-        .groupBy("doc_id", "n", "g")
-        .agg(F.count("*").alias("cnt"))
+    return _edit_distance_plan(d, char_grams_packed(F.col("text")), _EDIT_Q)
+
+
+@register(
+    "dedup_edit_distance_q4",
+    oracle=_EDIT_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_edit_distance_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edit-distance join's SCALE-KNOB variant: gram length q = 4
+    (hashed 62-bit identities — four 21-bit codepoints don't pack into a
+    long, see char_grams4_hashed62). Identical contract and oracle to
+    dedup_edit_distance — the hash-match proves the q = 4 prefix filter
+    also loses no pair.
+
+    Why this is the 100 TB lane: candidate volume is Σ_gram occupancy²
+    over the indexed prefix items, and 4-gram df is ~alphabet-fold lower
+    than 3-gram df, so bucket occupancy — the term that bent the q = 3
+    lane's 100× ratio upward (SCALE.md) — collapses; the price is a
+    fixed q·d+1 = 33 indexed occurrences per doc instead of 25 (the
+    1.3× linear term buys down the quadratic one). Same banded
+    levenshtein verify, same guard lane (thresholds derived from q)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
     )
-    dfreq = occ.groupBy("g").agg(F.count("*").alias("df"))
-    # multiset items (g, k) with the global rarity key df attached
-    items = occ.join(dfreq, "g").select(
-        "doc_id", "n", "g", "df", F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("k")
-    )
-    # per-doc 25-item prefix in global (df, g, k) order — sort_array on
-    # structs is lexicographic, so one collect+slice, no window. Persisted:
-    # both sides of the candidate self-join read it (without this the whole
-    # tokenize→gram→df subtree runs twice). At 100 TB it is a written-once
-    # index table, exactly like the jaccard lane's prefix relation.
-    prefix = (
-        items.groupBy("doc_id", "n")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("df", "g", "k"))), 1, _EDIT_PREFIX
-            ).alias("pref")
-        )
-        .select("doc_id", "n", F.explode("pref").alias("it"))
-        .select("doc_id", "n", F.col("it.g").alias("g"), F.col("it.k").alias("k"))
-        .persist()
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n") - F.col("b.n")) <= _EDIT_MAX),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-    shorts = d.filter(F.col("n") <= _EDIT_SHORT_DOC).select(
-        F.col("doc_id").alias("sid"), F.col("n").alias("sn")
-    )
-    partners = d.filter(F.col("n") <= _EDIT_SHORT_PARTNER).select(
-        F.col("doc_id").alias("pid"), F.col("n").alias("pn")
-    )
-    guard = (
-        partners.join(
-            F.broadcast(shorts),
-            (F.col("sid") != F.col("pid"))
-            & (F.abs(F.col("sn") - F.col("pn")) <= _EDIT_MAX),
-        )
-        .select(
-            F.least("sid", "pid").alias("doc_a"), F.greatest("sid", "pid").alias("doc_b")
-        )
-    )
-    cand_all = cand.unionByName(guard).distinct()
-    da, db = d.alias("da"), d.alias("db")
-    ed = F.levenshtein(F.col("da.text"), F.col("db.text"), _EDIT_MAX)
-    return (
-        cand_all.join(da, F.col("doc_a") == F.col("da.doc_id"))
-        .join(db, F.col("doc_b") == F.col("db.doc_id"))
-        .select("doc_a", "doc_b", ed.cast("int").alias("edit_distance"))
-        .filter(F.col("edit_distance") >= 0)
-    )
+    return _edit_distance_plan(d, char_grams4_hashed62(F.col("text")), 4)
 
 
 def _sql_minhash_sig() -> str:

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from data_ingestion_lambda_spark.plans import all_specs
 
 from .conftest import SF_SMOKE
@@ -55,15 +57,19 @@ def test_rfm_hist_windows_are_coarse_bounded(spark):
     assert "percentile(" not in plan, f"exact percentile buffer returned:\n{plan}"
 
 
-def test_edit_distance_is_prefix_filtered(spark):
-    """dedup_edit_distance: candidates must meet on the 25-item rarity
+@pytest.mark.parametrize(
+    "name", ["dedup_edit_distance", "dedup_edit_distance_q4"]
+)
+def test_edit_distance_is_prefix_filtered(spark, name):
+    """Both edit-distance lanes (q=3 exact-packed, q=4 hashed — the
+    coded scale knob): candidates must meet on the q*d+1-item rarity
     prefix (slice of the sorted (df, g, k) item array), verification must
     be the banded built-in levenshtein (never a Python UDF), the ONLY
     nested-loop join is the broadcast short-doc guard lane (empty on this
     corpus, degenerate-slice-bounded by construction), and the prefix
     relation is persisted so the tokenize->gram->df subtree is built once
     and read by BOTH sides of the candidate self-join."""
-    df = all_specs()["dedup_edit_distance"].builder(spark, SF_SMOKE)
+    df = all_specs()[name].builder(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "CartesianProduct" not in plan, f"cartesian join appeared:\n{plan}"

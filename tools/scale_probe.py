@@ -308,10 +308,9 @@ def main() -> None:
     # Char-level lanes are only meaningful under the rotation isometry:
     # without it, interior q-grams collide across copies and the candidate
     # join measures cross-copy dup-structure growth, not engine scaling.
-    if "dedup_edit_distance" in query_list and not (
-        args.char_rotate or args.skip_build
-    ):
-        sys.exit("dedup_edit_distance requires --char-rotate (see its help text)")
+    char_level = [q for q in query_list if q.startswith("dedup_edit_distance")]
+    if char_level and not (args.char_rotate or args.skip_build):
+        sys.exit(f"{char_level} require --char-rotate (see its help text)")
 
     spark = get_spark("scale_probe")
     specs = all_specs()
