@@ -1,23 +1,32 @@
 #!/usr/bin/env python
 """Measure the maintained dedup gate's per-day economics: the cost of
 probing a FIXED daily batch against a persisted signature index as the
-indexed corpus grows 10x.
+indexed corpus grows 10x — for each of the gate's three lanes.
 
 The claim under operators/dedup_gate.py: a day's cost is the batch's own
-signature build + a band join against the stored (doc_id, sig) table —
+signature build + a probe join against the stored (doc_id, sig) table —
 the corpus's TEXT is never re-read and no old-old pair is enumerated, so
-per-day wall should grow far slower than the corpus (only the band
-join's index-side scan grows). This script measures exactly that:
+per-day wall should grow far slower than the corpus (only the probe
+join's index-side scan grows). Per mode:
 
-  corpus 1x  = sf0.1 documents (5k docs)   -> index, probe fixed batch
-  corpus 10x = scale_probe 10x replication -> index, probe same batch
+  minhash   — batch band keys x index band keys, agreement rescore
+  exact     — 16-byte digest equality join
+  embedding — sign-LSH band keys + side-aware rectangle sgemm
 
-Batch = the sf0.001 documents (500 docs) shifted to fresh doc_ids.
-Prints one JSON line per corpus and a summary line.
+  corpus 1x  = sf0.1 tables (5k docs / 6k vectors) -> index, probe batch
+  corpus 10x = scale_probe 10x replication         -> index, same batch
+
+Batch = the sf0.001 table (500 docs / 600 vectors) shifted to fresh ids.
+The exact lane's batch additionally plants 50 VERBATIM corpus docs under
+fresh ids (sf0.001 text never equals sf0.1 text byte-for-byte, so without
+planting the digest join would be vacuously empty — the probe must show
+the lane detecting real re-crawls, not just costing little).
+Prints one JSON line per (mode, corpus) and a summary line per mode.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -35,27 +44,38 @@ from tools.scale_probe import build_replicated
 
 BATCH_ID_OFFSET = 900_000_000
 
+# (table, key column, payload column) per gate lane
+_MODE_TABLE = {
+    "minhash": ("documents.parquet", "doc_id", "text"),
+    "exact": ("documents.parquet", "doc_id", "text"),
+    "embedding": ("embeddings.parquet", "vec_id", "embedding"),
+}
 
-def main() -> None:
-    spark = get_spark("gate_probe")
-    batch = (
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        .select((F.col("doc_id") + BATCH_ID_OFFSET).alias("doc_id"), "text")
-        .cache()
+
+def _frame(spark, src: str, mode: str, id_offset: int = 0):
+    table, key, payload = _MODE_TABLE[mode]
+    return spark.read.parquet(f"{src}/{table}").select(
+        (F.col(key) + id_offset).alias("doc_id"), payload
     )
-    n_batch = batch.count()
 
-    rep_dir = "/tmp/gate_probe_10x"
-    if not os.path.exists(f"{rep_dir}/documents.parquet"):
-        build_replicated(spark, "/root/testdata/sf0.1", rep_dir, 10)
+
+def run_mode(spark, mode: str, rep_dir: str) -> None:
+    batch = _frame(spark, "/root/testdata/sf0.001", mode, BATCH_ID_OFFSET)
+    if mode == "exact":
+        planted = _frame(
+            spark, "/root/testdata/sf0.1", mode, 2 * BATCH_ID_OFFSET
+        ).filter(F.col("doc_id") % 100 == 0)
+        batch = batch.unionByName(planted)
+    batch = batch.cache()
+    n_batch = batch.count()
 
     results = {}
     for label, src in (("1x", "/root/testdata/sf0.1"), ("10x", rep_dir)):
-        corpus = spark.read.parquet(f"{src}/documents.parquet").select("doc_id", "text")
-        idx = tempfile.mkdtemp(prefix=f"gate_idx_{label}_")
+        corpus = _frame(spark, src, mode)
+        idx = tempfile.mkdtemp(prefix=f"gate_idx_{mode}_{label}_")
         try:
             t0 = time.time()
-            apply_batch(spark, idx, corpus, "2025-07-01")
+            apply_batch(spark, idx, corpus, "2025-07-01", mode=mode)
             t_index = round(time.time() - t0, 2)
 
             t_probe = None
@@ -63,7 +83,7 @@ def main() -> None:
                 spark.catalog.clearCache()
                 batch.cache().count()
                 t0 = time.time()
-                n_pairs = probe_batch(spark, idx, batch).count()
+                n_pairs = probe_batch(spark, idx, batch, mode=mode).count()
                 dt = round(time.time() - t0, 2)
                 t_probe = dt if t_probe is None else min(t_probe, dt)
             results[label] = {
@@ -72,14 +92,16 @@ def main() -> None:
                 "t_daily_probe_s": t_probe,
                 "probe_pairs": n_pairs,
             }
-            print(json.dumps({"corpus": label, **results[label]}), flush=True)
+            print(json.dumps({"mode": mode, "corpus": label, **results[label]}), flush=True)
         finally:
             shutil.rmtree(idx, ignore_errors=True)
+    batch.unpersist()
 
     r1, r10 = results["1x"], results["10x"]
     print(
         json.dumps(
             {
+                "mode": mode,
                 "batch_docs": n_batch,
                 "corpus_growth": round(r10["corpus_docs"] / r1["corpus_docs"], 1),
                 "probe_growth": round(
@@ -87,8 +109,27 @@ def main() -> None:
                 ),
                 "index_growth": round(r10["t_index_once_s"] / r1["t_index_once_s"], 2),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--modes",
+        default="minhash,exact,embedding",
+        help="comma-separated gate lanes to measure",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark("gate_probe")
+    rep_dir = "/tmp/gate_probe_10x"
+    if not os.path.exists(f"{rep_dir}/documents.parquet"):
+        build_replicated(spark, "/root/testdata/sf0.1", rep_dir, 10)
+
+    for mode in [m for m in args.modes.split(",") if m]:
+        run_mode(spark, mode, rep_dir)
 
 
 if __name__ == "__main__":
