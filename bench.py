@@ -82,6 +82,8 @@ HEADLINE_V2 = [
     "events_retention_cohorts_approx",
     "agg_rfm_segmentation_hist",
     "dedup_edit_distance",
+    "text_unigram_surprisal",
+    "text_collocations_lift",
 ]
 
 

@@ -1651,6 +1651,162 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, UNNEST({SQL_TOKENS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY doc_id, tok),
+    vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot FROM vocab),
+    rarity AS (SELECT tok, CAST(LENGTH(bin(CAST(n_tot // cnt AS BIGINT))) AS BIGINT) AS bits
+               FROM vocab CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * bits) AS BIGINT) AS bits_sum,
+           CAST(SUM(tf * bits) AS DOUBLE) / SUM(tf) AS avg_bits_per_token
+    FROM tf JOIN rarity USING (tok)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average surprisal under the corpus's own unigram model —
+    the LM-based quality-filter signal (CCNet, arXiv:1911.00359 §4.3, uses
+    a trained LM's perplexity; a corpus unigram model is its zero-training
+    counterpart). Low = stopword-heavy boilerplate; high = rare-token spam
+    or gibberish; curation keeps the middle band.
+
+    Determinism: a token's surprisal is quantized to INTEGER bits as
+    ``length(bin(N div count))`` = floor(log2(N // count)) + 1 — exact
+    integer arithmetic in both engines, no transcendental (JVM and libm
+    log differ in the last ulp; same discipline as tfidf's rational idf
+    above). The per-doc average is one IEEE division of two exact
+    integers, bit-identical across engines. Quantization costs < 1 bit of
+    resolution per token, irrelevant to a band filter.
+
+    Scale: explode collapses to a (doc, token, tf) aggregate keyed by the
+    doc-local pair (map-side combinable — raw occurrences never shuffle),
+    the vocab rolls up from tf keyed by token, the corpus total is ONE
+    scalar to the driver, and the rarity join is token-keyed against a
+    one-row-per-token table (Heaps' law keeps the vocab sublinear in
+    corpus size — AQE broadcasts it when it fits). tf is persisted so the
+    corpus tokenizes ONCE and both the vocab rollup and the scoring join
+    read the aggregate (the scalar collect warms it). No all-pairs
+    anywhere.
+    """
+    d = t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    n_tot = vocab.agg(F.sum("cnt")).collect()[0][0]  # scalar: one number
+    rarity = vocab.select(
+        "tok",
+        F.length(F.bin(F.expr(f"CAST({n_tot} AS BIGINT) DIV cnt"))).cast("long").alias("bits"),
+    )
+    return (
+        tf.join(rarity, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("bits")).alias("bits_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bits_sum",
+            (F.col("bits_sum").cast("double") / F.col("n_tokens")).alias("avg_bits_per_token"),
+        )
+    )
+
+
+@register(
+    "text_collocations_lift",
+    oracle=f"""
+    WITH toks AS (SELECT {SQL_TOKENS} AS w FROM documents),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM
+            (SELECT UNNEST(w) AS tok FROM toks) GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM uni),
+    big AS (
+        SELECT s['a'] AS tok_a, s['b'] AS tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM (SELECT UNNEST(list_transform(generate_series(1, len(w) - 1),
+                                           i -> {{'a': w[i], 'b': w[i+1]}})) AS s
+              FROM toks)
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    scored AS (
+        SELECT tok_a, tok_b, c_ab,
+               CAST(c_ab AS DOUBLE) * n_tot / ua.c / ub.c AS lift
+        FROM big
+        JOIN uni ua ON big.tok_a = ua.tok
+        JOIN uni ub ON big.tok_b = ub.tok
+        CROSS JOIN tot)
+    SELECT tok_a, tok_b, c_ab, lift, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, tok_a, tok_b) AS rank
+        FROM scored)
+    WHERE rank <= 25
+    """,
+    tags=("llm", "text"),
+)
+def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: the 25 adjacent-token bigrams (count ≥ 5) most
+    over-represented vs independence, scored by LIFT = c(ab)·N / (c(a)·c(b))
+    — PMI's argument before the log (log is monotone, the ranking is
+    identical), kept rational for the same cross-engine determinism reason
+    as tfidf's idf. Collocation tables drive tokenizer-merge candidates and
+    template/boilerplate detection in curation pipelines.
+
+    Scale: unigram and bigram counts are both map-side-combinable aggs off
+    one tokenized scan (raw occurrences never shuffle unaggregated); the
+    two unigram joins are token-keyed against the vocab (Heaps-sublinear,
+    AQE-broadcastable); N is ONE driver scalar; top-25 plans
+    TakeOrderedAndProject (per-partition top-25, 25-row merge — never a
+    global sort), and the rank window runs over 25 rows post-limit."""
+    d = t(spark, sf_dir, "documents")
+
+    def _bigrams(w: Column) -> Column:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("a"), F.element_at(w, i + 1).alias("b")
+            ),
+        )
+        # guard: sequence(1, 0) steps DOWN in Spark, it is not empty
+        return F.when(F.size(w) >= 2, sh).otherwise(
+            F.array().cast("array<struct<a:string,b:string>>")
+        )
+
+    toks = d.select(tokens("text").alias("w"))
+    uni = toks.select(F.explode("w").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    n_tot = uni.agg(F.sum("c")).collect()[0][0]  # scalar: one number
+    big = (
+        toks.select(F.explode(bind(F.col("w"), _bigrams)).alias("s"))
+        .select(F.col("s.a").alias("tok_a"), F.col("s.b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    scored = (
+        big.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            (
+                F.col("c_ab").cast("double") * F.lit(n_tot) / F.col("c_a") / F.col("c_b")
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.desc("lift"), F.asc("tok_a"), F.asc("tok_b")).limit(25)
+    w = Window.orderBy(F.desc("lift"), F.asc("tok_a"), F.asc("tok_b"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "tok_a", "tok_b", "c_ab", "lift", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Within-document repetition (Gopher-style quality signals)
 # ---------------------------------------------------------------------------

@@ -83,3 +83,37 @@ def test_edit_distance_is_prefix_filtered(spark, name):
     assert plan.count("InMemoryTableScan") >= 2, (
         f"prefix relation must be persisted and reused by both join sides:\n{plan}"
     )
+
+
+def test_unigram_surprisal_stays_aggregated_and_jvm_side(spark):
+    """text_unigram_surprisal: raw token occurrences must collapse to the
+    doc-local (doc_id, tok, tf) aggregate BEFORE any join (map-side
+    partials present), the rarity table must be integer bin()-length
+    arithmetic (no transcendental, no Python UDF), and no nested-loop or
+    cartesian join may appear — the corpus total reaches the plan as a
+    literal, not a cross join."""
+    df = all_specs()["text_unigram_surprisal"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan, f"tf agg must map-side combine:\n{plan}"
+    # the rarity projection fuses into the vocab aggregate's result
+    # expressions in the physical string — pin it on the analyzed plan
+    assert "bin(" in analyzed, f"integer bit-length rarity missing:\n{analyzed}"
+    assert "log(" not in analyzed.lower(), f"transcendental crept in:\n{analyzed}"
+    assert plan.count("InMemoryTableScan") >= 2, (
+        f"tf must be persisted and read by both the vocab rollup and the "
+        f"scoring join (one tokenize pass):\n{plan}"
+    )
+
+
+def test_collocations_topk_never_global_sorts(spark):
+    """text_collocations_lift: the top-25 must plan TakeOrderedAndProject
+    (per-partition top-k + driver merge of 25 rows), never a global Sort
+    of the whole bigram relation; joins are hash joins (vocab side
+    broadcastable), no cartesian/nested-loop; counts map-side combine."""
+    plan = _plan(spark, "text_collocations_lift")
+    assert "TakeOrderedAndProject" in plan, f"top-k must TakeOrdered:\n{plan}"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan, f"bigram agg must map-side combine:\n{plan}"

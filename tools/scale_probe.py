@@ -116,6 +116,10 @@ QUERIES = [
     "dedup_incremental_embedding",
     # round-7 addition: the RFM histogram twin (two-phase prefix sum)
     "agg_rfm_segmentation_hist",
+    # round-7 additions: corpus-statistics text lanes (token-keyed vocab
+    # joins — the prefix-rotated replicas grow the vocab with the corpus)
+    "text_unigram_surprisal",
+    "text_collocations_lift",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
