@@ -326,9 +326,16 @@ def _fold_funnel(
     'strictly after' a fortiori when an earlier stage moves earlier)."""
     (user_id,) = key
     t1, t2, t3 = state.get if state.exists else (None, None, None)
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
+    # Materialize the whole group before sorting (the _fold_gaps fix):
+    # chunks of one group arrive in NO guaranteed order, and the strictly-
+    # after chain is order-sensitive — a view in a later chunk cannot
+    # resurrect a click already rejected while processing an earlier
+    # chunk. Concat + one sort makes a single-trigger run chunking-
+    # independent; only the genuine cross-TRIGGER refinement tradeoff
+    # (documented above) remains.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["ts", "event_id"])
         for ts_val, etype in zip(pdf["ts"], pdf["event_type"]):
             us = int(ts_val.value // 1_000)

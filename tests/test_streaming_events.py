@@ -861,3 +861,53 @@ def test_ledger_quantiles_equal_registered_hist_operator(spark, tmp_path):
     assert gap_quantiles_from_ledger(spark, target).columns == [
         "n_gaps", "p50_s", "p90_s", "p99_s", "n_within_session_gap",
     ]
+
+
+def test_fold_funnel_sorts_across_arrow_chunks():
+    """Chunk-order independence for the strictly-after funnel chain: a
+    view delivered in a LATER chunk than a click it should unlock must
+    still produce the click's stage — the per-chunk-sort draft rejected
+    the click forever (it processed chunks in arrival order, and a
+    rejected candidate is never revisited). Feed the same rows as one
+    chunk and as two chunks delivered newest-first; both must reach
+    stage 3 with identical timestamps."""
+    from data_ingestion_lambda_spark.streaming.events import _fold_funnel
+
+    class _St:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    rows = pd.DataFrame(
+        {
+            "ts": [
+                pd.Timestamp("2025-01-01 10:00"),  # view  — the unlocker
+                pd.Timestamp("2025-01-01 10:30"),  # click
+                pd.Timestamp("2025-01-01 11:00"),  # purchase
+            ],
+            "event_id": [1, 2, 3],
+            "event_type": ["view", "click", "purchase"],
+        }
+    )
+
+    def run(chunks):
+        st = _St()
+        (out,) = list(_fold_funnel((7,), iter(chunks), st))
+        return out.iloc[0]["stage"], st.get
+
+    stage_one, st1 = run([rows])
+    # click+purchase chunk arrives BEFORE the view chunk
+    stage_two, st2 = run([rows.iloc[1:], rows.iloc[:1]])
+    assert stage_one == 3
+    assert stage_two == stage_one
+    assert st1 == st2
