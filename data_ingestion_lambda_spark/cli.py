@@ -129,6 +129,30 @@ def build_parser() -> argparse.ArgumentParser:
         "index directory belongs to ONE mode",
     )
 
+    voc = sub.add_parser(
+        "vocab",
+        help="maintained corpus unigram model: extend it with a document "
+        "batch and/or score a batch's LM-quality against the persisted "
+        "model (the production form of text_unigram_surprisal)",
+    )
+    voc.add_argument("--batch", required=True, help="parquet of (doc_id, text) documents")
+    voc.add_argument("--vocab", required=True, help="vocab table directory")
+    voc.add_argument(
+        "--date",
+        default=None,
+        help="batch date (the vocab partition key); required unless --score-only",
+    )
+    voc.add_argument(
+        "--score-out",
+        default=None,
+        help="persist the per-doc surprisal table here (overwrite)",
+    )
+    voc.add_argument(
+        "--score-only",
+        action="store_true",
+        help="score against the persisted model without extending it",
+    )
+
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
     qry.add_argument("--data", help="directory holding the parquet tables")
@@ -234,6 +258,36 @@ def main(argv: list[str] | None = None) -> int:
                 matches_dir=args.matches_out,
                 mode=args.mode,
             )
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "vocab":
+        from data_ingestion_lambda_spark.operators.vocab import (
+            score_batch,
+            update_vocab,
+        )
+
+        if not args.score_only and args.date is None:
+            raise SystemExit("vocab: --date is required unless --score-only")
+        spark = get_spark("data-ingestion-cli")
+        batch = spark.read.parquet(args.batch).select("doc_id", "text")
+        report: dict = {"batch_docs": batch.count()}
+        # Score FIRST, against the model excluding this batch's own
+        # partition — a replayed (batch, date) scores exactly what the
+        # first run scored, never its own earlier write (the dedup gate's
+        # own-partition exclusion).
+        try:
+            scored = score_batch(
+                spark, args.vocab, batch, exclude_date=args.date
+            )
+            if args.score_out is not None:
+                scored.write.mode("overwrite").parquet(args.score_out)
+                report["score_out"] = args.score_out
+            report["scored_docs"] = scored.count()
+        except ValueError:
+            report["scored_docs"] = None  # first batch: no model yet
+        if not args.score_only:
+            report.update(update_vocab(spark, args.vocab, batch, args.date))
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 

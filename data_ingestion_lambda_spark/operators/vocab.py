@@ -1,0 +1,143 @@
+"""Maintained corpus unigram model — the PRODUCTION form of
+``text_unigram_surprisal`` (plans/llm_ops.py), which recomputes the
+vocabulary from the whole corpus per run. This module PERSISTS the
+unigram counts and lets each daily batch (a) extend the model by its own
+counts and (b) be SCORED against the frozen model — the CCNet-style
+quality gate as a maintained pipeline rather than a one-shot query.
+
+Reference intent: the reference's daily loop touches only the new day's
+files against its stored table (src/lambda_handler.py:38-102,
+src/db_operations.py:29); applied to the LM-quality filter this means
+the corpus is tokenized exactly once, on the day it arrives.
+
+Table layout: a ``date=<batch>``-partitioned parquet table of
+``(tok, cnt)`` — each batch's OWN token counts live in the batch's own
+partition, and the model is the SUM across partitions. Addition is
+associative and commutative, so:
+
+  - N daily updates == one-shot corpus vocabulary, EXACTLY (integer
+    counts; pinned in tests/test_vocab_model.py);
+  - a replayed batch overwrites only its own partition
+    (``replace_partitions``), so the update is idempotent by
+    construction — the same batch-id-keyed sink idiom as the dedup
+    gate's signature index and the streaming gap ledger;
+  - there is deliberately NO compaction: merging partitions into a base
+    would make a later replay of an old batch double-count (the replayed
+    partition would no longer be addressable). The read-side SUM costs
+    one map-side-combining aggregate over (tok, cnt) rows — partitions
+    are per-batch, i.e. hundreds, not millions.
+
+Scoring semantics: ``score_batch`` scores documents against the model
+AS PERSISTED (a frozen model — the scored batch's own tokens do not
+shift the distribution, unlike the one-shot query which scores the
+corpus against itself). Tokens the model has never seen take the
+maximum surprisal the model can express: count 1, i.e.
+``length(bin(N))`` bits — the standard "unseen = rarest" convention for
+a count model without smoothing mass. When the model holds exactly the
+scored corpus, every token is present with its full-corpus count and
+the output row-equals the registered operator (pinned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.upsert import (
+    PARTITION_COL,
+    list_partition_dates,
+    replace_partitions,
+)
+from data_ingestion_lambda_spark.plans.llm_ops import tokens
+
+
+def _batch_counts(batch_docs: DataFrame) -> DataFrame:
+    """(tok, cnt) for one batch — the doc-local (doc, tok, tf) aggregate
+    rolls up map-side before the token-keyed exchange; raw occurrences
+    never shuffle (same shape as the registered operator's tf stage)."""
+    return (
+        batch_docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("cnt"))
+    )
+
+
+def update_vocab(
+    spark: SparkSession, vocab_dir: str, batch_docs: DataFrame, batch_date: str
+) -> dict:
+    """Extend the model by one batch: the batch's own (tok, cnt) rows land
+    under ``date=<batch_date>``. Re-running the same (batch, date)
+    overwrites only that partition — idempotent."""
+    counts = _batch_counts(batch_docs).withColumn(PARTITION_COL, F.lit(batch_date))
+    replace_partitions(spark, vocab_dir, counts, [batch_date])
+    return {"date": batch_date, "batch_docs": batch_docs.count()}
+
+
+def read_vocab(
+    spark: SparkSession, vocab_dir: str, exclude_date: str | None = None
+) -> DataFrame:
+    """The model: (tok, cnt) summed across batch partitions. ``exclude_date``
+    drops one batch's contribution — used by replay-safe scoring, exactly
+    like the dedup gate's own-partition exclusion."""
+    dates = list_partition_dates(spark, vocab_dir)
+    if exclude_date is not None:
+        dates = [d for d in dates if d != exclude_date]
+    if not dates:
+        raise ValueError(f"vocab at {vocab_dir} has no (remaining) partitions")
+    df = spark.read.parquet(vocab_dir)
+    if exclude_date is not None:
+        # partition-pruned: the filter resolves on directory names
+        df = df.filter(F.col(PARTITION_COL) != exclude_date)
+    return df.groupBy("tok").agg(F.sum("cnt").alias("cnt"))
+
+
+def score_batch(
+    spark: SparkSession,
+    vocab_dir: str,
+    batch_docs: DataFrame,
+    exclude_date: str | None = None,
+) -> DataFrame:
+    """Per-document average surprisal of ``batch_docs`` under the persisted
+    model: (doc_id, n_tokens, bits_sum, avg_bits_per_token) — the
+    registered operator's exact columns and arithmetic (integer
+    ``length(bin(N div cnt))`` bits, one IEEE division), with the model
+    side read from the vocab table instead of recomputed. Unseen tokens
+    score as count 1 (``length(bin(N))`` bits). Read-only.
+
+    Plan shape: the batch tokenizes once into the doc-local tf aggregate;
+    the model side ships only aggregated (tok, cnt) rows; the single join
+    is token-keyed (the vocab is Heaps-sublinear in corpus size — AQE
+    broadcasts it when it fits); N is ONE scalar to the driver."""
+    vocab = read_vocab(spark, vocab_dir, exclude_date=exclude_date)
+    n_tot = vocab.agg(F.sum("cnt")).collect()[0][0]  # scalar: one number
+    rarity = vocab.select(
+        "tok",
+        F.length(F.bin(F.expr(f"CAST({n_tot} AS BIGINT) DIV cnt")))
+        .cast("long")
+        .alias("bits"),
+    )
+    unseen_bits = F.lit(len(bin(int(n_tot))) - 2).cast("long")  # length(bin(N DIV 1))
+    tf = (
+        batch_docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.join(rarity, "tok", "left")
+        .withColumn("bits", F.coalesce(F.col("bits"), unseen_bits))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("bits")).alias("bits_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bits_sum",
+            (F.col("bits_sum").cast("double") / F.col("n_tokens")).alias(
+                "avg_bits_per_token"
+            ),
+        )
+    )

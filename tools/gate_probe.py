@@ -12,6 +12,8 @@ join's index-side scan grows). Per mode:
   minhash   — batch band keys x index band keys, agreement rescore
   exact     — 16-byte digest equality join
   embedding — sign-LSH band keys + side-aware rectangle sgemm
+  vocab     — maintained unigram model (operators/vocab.py): "probe" =
+              score the batch's LM-quality against the persisted counts
 
   corpus 1x  = sf0.1 tables (5k docs / 6k vectors) -> index, probe batch
   corpus 10x = scale_probe 10x replication         -> index, same batch
@@ -114,11 +116,68 @@ def run_mode(spark, mode: str, rep_dir: str) -> None:
     )
 
 
+def run_vocab(spark, rep_dir: str) -> None:
+    """Same economics for the maintained unigram model: index = the
+    corpus's per-batch (tok, cnt) partitions; daily probe = scoring the
+    fixed batch against the persisted counts (read-side SUM + one
+    token-keyed join). The scored output is batch-sized by construction,
+    so unlike the embedding lane there is no output-growth term — only
+    the model-side aggregate grows."""
+    from data_ingestion_lambda_spark.operators.vocab import score_batch, update_vocab
+
+    batch = _frame(spark, "/root/testdata/sf0.001", "minhash", BATCH_ID_OFFSET).cache()
+    n_batch = batch.count()
+
+    results = {}
+    for label, src in (("1x", "/root/testdata/sf0.1"), ("10x", rep_dir)):
+        corpus = _frame(spark, src, "minhash")
+        idx = tempfile.mkdtemp(prefix=f"gate_idx_vocab_{label}_")
+        try:
+            t0 = time.time()
+            update_vocab(spark, idx, corpus, "2025-07-01")
+            t_index = round(time.time() - t0, 2)
+
+            t_probe = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                batch.cache().count()
+                t0 = time.time()
+                n_scored = score_batch(spark, idx, batch).count()
+                dt = round(time.time() - t0, 2)
+                t_probe = dt if t_probe is None else min(t_probe, dt)
+            results[label] = {
+                "corpus_docs": corpus.count(),
+                "t_index_once_s": t_index,
+                "t_daily_probe_s": t_probe,
+                "probe_pairs": n_scored,
+            }
+            print(json.dumps({"mode": "vocab", "corpus": label, **results[label]}), flush=True)
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+    batch.unpersist()
+
+    r1, r10 = results["1x"], results["10x"]
+    print(
+        json.dumps(
+            {
+                "mode": "vocab",
+                "batch_docs": n_batch,
+                "corpus_growth": round(r10["corpus_docs"] / r1["corpus_docs"], 1),
+                "probe_growth": round(
+                    r10["t_daily_probe_s"] / r1["t_daily_probe_s"], 2
+                ),
+                "index_growth": round(r10["t_index_once_s"] / r1["t_index_once_s"], 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--modes",
-        default="minhash,exact,embedding",
+        default="minhash,exact,embedding,vocab",
         help="comma-separated gate lanes to measure",
     )
     args = ap.parse_args()
@@ -129,7 +188,10 @@ def main() -> None:
         build_replicated(spark, "/root/testdata/sf0.1", rep_dir, 10)
 
     for mode in [m for m in args.modes.split(",") if m]:
-        run_mode(spark, mode, rep_dir)
+        if mode == "vocab":
+            run_vocab(spark, rep_dir)
+        else:
+            run_mode(spark, mode, rep_dir)
 
 
 if __name__ == "__main__":
