@@ -383,3 +383,103 @@ def test_embedding_mode_replay_is_idempotent(spark, tmp_path):
         matches_dir=str(matches_dir), mode="embedding",
     )
     assert state() == before
+
+
+# ---------------------------------------------------------------------------
+# Bucketed band-table variant
+# ---------------------------------------------------------------------------
+
+
+def _apply_days_bucketed(spark, docs, table_name, matches_dir):
+    from data_ingestion_lambda_spark.operators.dedup_gate import apply_batch_bucketed
+
+    reports = []
+    for day in range(_N_DAYS):
+        batch = docs.filter(_day_of(F.col("doc_id")) == day)
+        reports.append(
+            apply_batch_bucketed(
+                spark, table_name, batch, f"2025-07-0{day + 1}", matches_dir=str(matches_dir)
+            )
+        )
+    return reports
+
+
+def _gate_rows(spark, matches_dir):
+    return sorted(
+        (r["new_doc"], r["dup_of"], round(r["est_jaccard"], 9), r["match_kind"])
+        for r in spark.read.parquet(str(matches_dir)).collect()
+    )
+
+
+def test_bucketed_gate_equals_directory_gate(spark, tmp_path):
+    """The bucketed band table is a LAYOUT change only: gating the same
+    daily batches must emit the identical flag rows (pairs, est values,
+    match kinds, days) as the directory gate — which is itself pinned
+    equal to the one-shot full-corpus LSH above."""
+    docs = _docs(spark)
+    dir_matches = tmp_path / "dir_matches"
+    _apply_days(spark, docs, tmp_path / "dir_idx", dir_matches)
+    buck_matches = tmp_path / "buck_matches"
+    try:
+        reports = _apply_days_bucketed(spark, docs, "gate_bidx_eq", buck_matches)
+        assert _gate_rows(spark, buck_matches) == _gate_rows(spark, dir_matches)
+        assert all(r["dup_pairs"] >= 0 for r in reports)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gate_bidx_eq")
+
+
+def test_bucketed_replay_is_idempotent(spark, tmp_path):
+    from data_ingestion_lambda_spark.operators.dedup_gate import apply_batch_bucketed
+
+    docs = _docs(spark)
+    matches_dir = tmp_path / "m"
+    try:
+        first = _apply_days_bucketed(spark, docs, "gate_bidx_replay", matches_dir)
+        before_idx = spark.table("gate_bidx_replay").count()
+        before_rows = _gate_rows(spark, matches_dir)
+        last = docs.filter(_day_of(F.col("doc_id")) == _N_DAYS - 1)
+        replay = apply_batch_bucketed(
+            spark, "gate_bidx_replay", last, f"2025-07-0{_N_DAYS}", matches_dir=str(matches_dir)
+        )
+        assert replay == first[-1]
+        assert spark.table("gate_bidx_replay").count() == before_idx
+        assert _gate_rows(spark, matches_dir) == before_rows
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gate_bidx_replay")
+
+
+def test_bucketed_probe_skips_index_side_shuffle(spark, tmp_path):
+    """The point of the layout: the candidate join reads the index as a
+    bucketed FileScan with NO exchange on the stored side — strictly
+    fewer exchanges than the directory probe of the same batch, whose
+    index side must shuffle its band keys every day."""
+    from data_ingestion_lambda_spark.operators.dedup_gate import (
+        apply_batch_bucketed,
+        probe_batch_bucketed,
+    )
+
+    docs = _docs(spark)
+    old = docs.filter(_day_of(F.col("doc_id")) != 0)
+    batch = docs.filter(_day_of(F.col("doc_id")) == 0)
+    try:
+        apply_batch_bucketed(spark, "gate_bidx_plan", old, "2025-07-01")
+        apply_batch(spark, str(tmp_path / "dir_idx"), old, "2025-07-01")
+        buck_plan = (
+            probe_batch_bucketed(spark, "gate_bidx_plan", batch)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        dir_plan = (
+            probe_batch(spark, str(tmp_path / "dir_idx"), batch)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in buck_plan, buck_plan
+        assert buck_plan.count("Exchange") < dir_plan.count("Exchange"), (
+            f"bucketed {buck_plan.count('Exchange')} vs directory "
+            f"{dir_plan.count('Exchange')} exchanges"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gate_bidx_plan")

@@ -14,6 +14,11 @@ join's index-side scan grows). Per mode:
   embedding — sign-LSH band keys + side-aware rectangle sgemm
   vocab     — maintained unigram model (operators/vocab.py): "probe" =
               score the batch's LM-quality against the persisted counts
+  bucketed  — the minhash lane over the BUCKETED band-table layout
+              (apply_batch_bucketed): same pair set, but the daily probe
+              reads the index as a bucketed FileScan with no index-side
+              exchange — the probe_growth ratio prices what the 3x
+              storage (band rows + riding signatures) buys per day
 
   corpus 1x  = sf0.1 tables (5k docs / 6k vectors) -> index, probe batch
   corpus 10x = scale_probe 10x replication         -> index, same batch
@@ -173,6 +178,70 @@ def run_vocab(spark, rep_dir: str) -> None:
     )
 
 
+def run_bucketed(spark, rep_dir: str) -> None:
+    """Same economics for the bucketed band-table layout: index-once =
+    apply_batch_bucketed over the corpus (band explosion + bucketed
+    write — deliberately pricier than the signature-only directory
+    index), daily probe = probe_batch_bucketed of the fixed batch (one
+    exchange, batch side only). Compare t_daily_probe_s against the
+    minhash lane's: the delta is what the bucketed layout buys per day."""
+    from data_ingestion_lambda_spark.operators.dedup_gate import (
+        apply_batch_bucketed,
+        probe_batch_bucketed,
+    )
+
+    batch = _frame(spark, "/root/testdata/sf0.001", "minhash", BATCH_ID_OFFSET).cache()
+    n_batch = batch.count()
+
+    results = {}
+    for label, src in (("1x", "/root/testdata/sf0.1"), ("10x", rep_dir)):
+        corpus = _frame(spark, src, "minhash")
+        tbl = f"gate_probe_bidx_{label}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        try:
+            t0 = time.time()
+            apply_batch_bucketed(spark, tbl, corpus, "2025-07-01")
+            t_index = round(time.time() - t0, 2)
+
+            t_probe = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                batch.cache().count()
+                t0 = time.time()
+                n_pairs = probe_batch_bucketed(spark, tbl, batch).count()
+                dt = round(time.time() - t0, 2)
+                t_probe = dt if t_probe is None else min(t_probe, dt)
+            results[label] = {
+                "corpus_docs": corpus.count(),
+                "t_index_once_s": t_index,
+                "t_daily_probe_s": t_probe,
+                "probe_pairs": n_pairs,
+            }
+            print(
+                json.dumps({"mode": "bucketed", "corpus": label, **results[label]}),
+                flush=True,
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    batch.unpersist()
+
+    r1, r10 = results["1x"], results["10x"]
+    print(
+        json.dumps(
+            {
+                "mode": "bucketed",
+                "batch_docs": n_batch,
+                "corpus_growth": round(r10["corpus_docs"] / r1["corpus_docs"], 1),
+                "probe_growth": round(
+                    r10["t_daily_probe_s"] / r1["t_daily_probe_s"], 2
+                ),
+                "index_growth": round(r10["t_index_once_s"] / r1["t_index_once_s"], 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -190,6 +259,8 @@ def main() -> None:
     for mode in [m for m in args.modes.split(",") if m]:
         if mode == "vocab":
             run_vocab(spark, rep_dir)
+        elif mode == "bucketed":
+            run_bucketed(spark, rep_dir)
         else:
             run_mode(spark, mode, rep_dir)
 
