@@ -153,6 +153,37 @@ def build_parser() -> argparse.ArgumentParser:
         help="score against the persisted model without extending it",
     )
 
+    ann = sub.add_parser(
+        "ann-index",
+        help="maintained IVF-ANN index: train the frozen coarse quantizer, "
+        "append daily vector batches to the cell-partitioned inverted "
+        "file, and/or run top-k cosine queries against it",
+    )
+    ann.add_argument("--index", required=True, help="index directory")
+    ann.add_argument(
+        "--train",
+        default=None,
+        help="parquet of (vec_id, embedding) to train the quantizer on "
+        "(writes {index}/centroids; a new model means a new index dir)",
+    )
+    ann.add_argument(
+        "--batch",
+        default=None,
+        help="parquet of (vec_id, embedding) vectors to append",
+    )
+    ann.add_argument(
+        "--date", default=None, help="batch date (the index partition key)"
+    )
+    ann.add_argument(
+        "--query",
+        default=None,
+        help="parquet of (vec_id|query_id, embedding) query vectors",
+    )
+    ann.add_argument("--k", type=int, default=None, help="neighbors per query")
+    ann.add_argument(
+        "--out", default=None, help="persist the top-k result here (overwrite)"
+    )
+
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
     qry.add_argument("--data", help="directory holding the parquet tables")
@@ -288,6 +319,39 @@ def main(argv: list[str] | None = None) -> int:
             report["scored_docs"] = None  # first batch: no model yet
         if not args.score_only:
             report.update(update_vocab(spark, args.vocab, batch, args.date))
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "ann-index":
+        from data_ingestion_lambda_spark.operators.ann_index import (
+            append_batch,
+            probe_topk,
+            train_index,
+        )
+        from pyspark.sql import functions as F
+
+        if args.train is None and args.batch is None and args.query is None:
+            raise SystemExit("ann-index: need --train, --batch and/or --query")
+        if args.batch is not None and args.date is None:
+            raise SystemExit("ann-index: --batch requires --date")
+        spark = get_spark("data-ingestion-cli")
+        report: dict = {}
+        if args.train is not None:
+            vecs = spark.read.parquet(args.train).select("vec_id", "embedding")
+            report.update(train_index(spark, args.index, vecs))
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch).select("vec_id", "embedding")
+            report.update(append_batch(spark, args.index, batch, args.date))
+        if args.query is not None:
+            raw = spark.read.parquet(args.query)
+            key = "query_id" if "query_id" in raw.columns else "vec_id"
+            queries = raw.select(F.col(key).alias("query_id"), "embedding")
+            kwargs = {} if args.k is None else {"k": args.k}
+            topk = probe_topk(spark, args.index, queries, **kwargs)
+            if args.out is not None:
+                topk.write.mode("overwrite").parquet(args.out)
+                report["out"] = args.out
+            report["result_rows"] = topk.count()
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 

@@ -1,0 +1,174 @@
+"""Maintained IVF-ANN index — the PRODUCTION form of ``ann_ivf_topk``
+(plans/similarity.py), which retrains the coarse quantizer and
+re-assigns the whole corpus on every run. This module PERSISTS both
+halves of the IVF structure and lets daily vector batches extend it:
+
+  - ``{index}/centroids`` — the FROZEN coarse quantizer: the 16
+    (cent_id, cv, cnrm) rows ``_train_ivf_centroids`` produces, written
+    once by ``train_index`` ("train offline, ship the quantizer" — the
+    same frozen-model discipline as the vocab model's persisted counts).
+  - ``{index}/cells`` — the inverted file: (vec_id, ve, nrm, cell) rows
+    partitioned by ``date=<batch>/cell=<c>``. The DATE level is the
+    commit/replay unit (``replace_partitions``: a replayed batch
+    overwrites only itself — the same batch-id-keyed sink idiom as the
+    dedup gate's signature index); the CELL level under it is the read
+    path — a query probing n_probe of the 16 cells partition-prunes to
+    those directories, so probe I/O is ~n_probe/n_cells of the corpus
+    REGARDLESS of corpus size. That pruning IS the inverted file,
+    expressed as storage layout instead of an in-memory posting list.
+
+Reference intent: the reference's daily loop touches only the new day's
+files against its stored table (src/lambda_handler.py:38-102,
+src/db_operations.py:29); applied to similarity search this means each
+vector is assigned to its cell exactly once, on the day it arrives, and
+queries never scan vectors outside their probed cells.
+
+Equivalence contract (pinned in tests/test_ann_index.py): with the
+quantizer trained on the full corpus, appending the corpus in N daily
+batches and probing yields EXACTLY ``ann_ivf_topk``'s rows — cell
+assignment is a per-vector argmax against the frozen centroids
+(batch-split-invariant by construction), and the cosine rescore is the
+same unrolled-dot arithmetic, so even the double-precision values
+match. Appends are replay-idempotent; the stored assignment table
+row-equals the one-shot assignment pass.
+
+Scale: assignment is a broadcast cross-join against 16 centroid rows
+inside the batch's scan stage; the probe collects its candidate CELL
+IDS (bounded by the centroid count, never by data) to drive static
+partition pruning, then scores only the pruned scan. At 10^10 vectors
+the quantizer grows to ~2^14 cells trained on a sample, and the layout
+holds: one directory per cell, queries read n_probe of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.upsert import (
+    PARTITION_COL,
+    replace_partitions,
+)
+from data_ingestion_lambda_spark.plans.similarity import (
+    TOP_K,
+    _N_PROBE,
+    _train_ivf_centroids,
+    as_double,
+    dot,
+)
+
+
+def _with_norm(vectors: DataFrame) -> DataFrame:
+    """(vec_id, ve, nrm) from a (vec_id, embedding) frame — the same
+    projection ``ann_ivf_topk`` opens with."""
+    return vectors.select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    ).select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm"))
+
+
+def train_index(spark: SparkSession, index_dir: str, vectors: DataFrame) -> dict:
+    """Train the coarse quantizer on ``vectors`` and freeze it under
+    ``{index}/centroids``. Deliberately NOT incremental: retraining is
+    an offline decision (it changes every assignment), so a new model
+    means a new index directory — the vocab model's frozen-scoring
+    stance, applied to the quantizer."""
+    cent = _train_ivf_centroids(spark, _with_norm(vectors))
+    cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    n = spark.read.parquet(f"{index_dir}/centroids").count()
+    return {"centroids": n}
+
+
+def read_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{index_dir}/centroids")
+
+
+def _assign(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, ve, nrm, cell) — per-vector argmax against the frozen
+    centroids, the identical (ccos DESC, cell ASC) total order and
+    map-side max_by shape as the one-shot operator's assignment pass."""
+    ccos = (dot("ve", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
+    return (
+        vectors.crossJoin(F.broadcast(cent))
+        .select("vec_id", "ve", "nrm", F.col("cent_id").alias("cell"), ccos)
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cell, struct(ccos, -cell))").alias("cell"),
+            F.first("ve").alias("ve"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", "ve", "nrm", "cell")
+    )
+
+
+def append_batch(
+    spark: SparkSession, index_dir: str, batch_vectors: DataFrame, batch_date: str
+) -> dict:
+    """Assign one day's vectors against the frozen quantizer and land
+    them under ``date=<batch_date>/cell=<c>/``. Re-running the same
+    (batch, date) overwrites only that date partition — idempotent."""
+    cent = read_centroids(spark, index_dir)
+    rows = _assign(_with_norm(batch_vectors), cent).withColumn(
+        PARTITION_COL, F.lit(batch_date)
+    )
+    replace_partitions(
+        spark, f"{index_dir}/cells", rows, [batch_date], extra_partition_cols=("cell",)
+    )
+    return {"date": batch_date, "batch_vectors": batch_vectors.count()}
+
+
+def probe_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_probe: int = _N_PROBE,
+) -> DataFrame:
+    """Top-k cosine neighbors for ``queries`` (query_id, embedding)
+    against the maintained index: rank the frozen centroids per query,
+    probe the ``n_probe`` closest cells, score only vectors stored in
+    those cells. The probed cell ids are collected to the driver
+    (bounded by the CENTROID count — 16 rows, never data-sized) so the
+    cells scan partition-prunes to exactly those directories; the
+    candidate join and rescore then read n_probe/n_cells of the index."""
+    q = queries.select(
+        F.col("query_id"), as_double(F.col("embedding")).alias("qv")
+    ).select("query_id", "qv", F.sqrt(dot("qv", "qv")).alias("qnrm"))
+    cent = read_centroids(spark, index_dir)
+
+    qcos = (dot("qv", "cv") / (F.col("qnrm") * F.col("cnrm"))).alias("qcos")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", F.col("cent_id").alias("cell"), qcos)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    # Bounded collect: at most one row per CENTROID (16), independent of
+    # both corpus and query-set size — it exists purely to turn the probe
+    # set into a literal IN-list the scan can partition-prune on.
+    cells = sorted(r["cell"] for r in probe.select("cell").distinct().collect())
+
+    idx = (
+        spark.read.parquet(f"{index_dir}/cells")
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("ve").alias("nve"),
+            F.col("nrm").alias("nnrm"),
+            "cell",
+        )
+    )
+    scored = (
+        probe.join(idx, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            (dot("qv", "nve") / (F.col("qnrm") * F.col("nnrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

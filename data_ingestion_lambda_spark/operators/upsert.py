@@ -217,10 +217,22 @@ def upsert_into_parquet(
         batch.unpersist()
 
 
-def replace_partitions(spark: SparkSession, target_dir: str, df: DataFrame, dates) -> None:
+def replace_partitions(
+    spark: SparkSession,
+    target_dir: str,
+    df: DataFrame,
+    dates,
+    extra_partition_cols: tuple[str, ...] = (),
+) -> None:
     """Staged per-partition commit: materialize ``df`` into a hidden
     staging directory (dot-prefixed → invisible to readers), then swap
     each listed date partition in with delete+rename.
+
+    ``extra_partition_cols`` adds secondary Hive partition levels UNDER
+    the date (e.g. ``date=D/cell=C/``) so readers can partition-prune on
+    them; the commit protocol is unchanged — the swap still moves whole
+    ``date=D`` directories (sub-partitions ride along atomically), so the
+    idempotence and failure contracts below hold regardless.
 
     Stage 1 fully consumes any snapshot reads of the live partitions
     before stage 2 touches them; rename is atomic on HDFS-like stores, so
@@ -231,7 +243,9 @@ def replace_partitions(spark: SparkSession, target_dir: str, df: DataFrame, date
     data, including pre-existing rows); the error names the path for
     manual recovery or a re-run."""
     staging_dir = f"{target_dir}/.staging-{uuid.uuid4().hex}"
-    df.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(staging_dir)
+    df.write.mode("overwrite").partitionBy(
+        PARTITION_COL, *extra_partition_cols
+    ).parquet(staging_dir)
 
     fs, path_cls = _hadoop_fs(spark, target_dir)
     fs.mkdirs(path_cls(target_dir))

@@ -1,0 +1,167 @@
+"""Maintained IVF-ANN index (operators/ann_index.py) — the equivalence
+discipline: quantizer trained on the full corpus + N daily appends +
+probe must reproduce the one-shot ``ann_ivf_topk`` EXACTLY (values
+included: same argmax order, same unrolled-dot arithmetic), appends
+must be replay-idempotent, and the probe's cells scan must
+partition-prune to the probed cells — the layout-as-inverted-file
+claim, pinned on the executed plan."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.ann_index import (
+    _assign,
+    _with_norm,
+    append_batch,
+    probe_topk,
+    read_centroids,
+    train_index,
+)
+from data_ingestion_lambda_spark.plans.similarity import N_QUERIES, ann_ivf_topk
+
+SF = "/root/testdata/sf0.001"
+_N_DAYS = 3
+
+
+def _vectors(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+
+
+def _build(spark, tmp_path):
+    idx = str(tmp_path / "ann_idx")
+    vecs = _vectors(spark)
+    train_index(spark, idx, vecs)
+    for day in range(_N_DAYS):
+        batch = vecs.filter(F.col("vec_id") % _N_DAYS == day)
+        append_batch(spark, idx, batch, f"2025-07-0{day + 1}")
+    return idx, vecs
+
+
+def _queries(vecs):
+    return vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cell"], r["cosine"])
+        for r in df.collect()
+    )
+
+
+def test_maintained_probe_equals_one_shot(spark, tmp_path):
+    """Full-corpus quantizer + 3 daily appends + probe == ann_ivf_topk,
+    down to the cosine doubles (same expressions over the same parquet
+    doubles — parquet round-trips them exactly)."""
+    idx, vecs = _build(spark, tmp_path)
+    assert _rows(probe_topk(spark, idx, _queries(vecs))) == _rows(
+        ann_ivf_topk(spark, SF)
+    )
+
+
+def test_index_rows_equal_one_shot_assignment(spark, tmp_path):
+    """The stored inverted file after N appends row-equals assigning the
+    whole corpus in one pass — cell assignment is a per-vector argmax
+    against the frozen centroids, so the batch split cannot matter."""
+    idx, vecs = _build(spark, tmp_path)
+    stored = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{idx}/cells").select("vec_id", "cell").collect()
+    )
+    oneshot = sorted(
+        (r["vec_id"], r["cell"])
+        for r in _assign(_with_norm(vecs), read_centroids(spark, idx))
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert stored == oneshot
+
+
+def test_append_replay_is_idempotent(spark, tmp_path):
+    idx, vecs = _build(spark, tmp_path)
+
+    def state():
+        return sorted(
+            (r["vec_id"], r["cell"], r["date"])
+            for r in spark.read.parquet(f"{idx}/cells")
+            .select("vec_id", "cell", "date")
+            .collect()
+        )
+
+    before = state()
+    last = vecs.filter(F.col("vec_id") % _N_DAYS == _N_DAYS - 1)
+    append_batch(spark, idx, last, f"2025-07-0{_N_DAYS}")
+    assert state() == before
+
+
+def test_cli_ann_index_roundtrip(spark, tmp_path, capsys):
+    """train + append + query through the CLI, one invocation each; the
+    CLI result parquet row-equals the registered one-shot operator."""
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+
+    vecs = _vectors(spark)
+    train_pq = tmp_path / "all.parquet"
+    vecs.write.parquet(str(train_pq))
+    day_pqs = []
+    for day in range(_N_DAYS):
+        p = tmp_path / f"day{day}.parquet"
+        vecs.filter(F.col("vec_id") % _N_DAYS == day).write.parquet(str(p))
+        day_pqs.append(p)
+    q_pq = tmp_path / "queries.parquet"
+    vecs.filter(F.col("vec_id") < N_QUERIES).write.parquet(str(q_pq))
+    idx = tmp_path / "idx"
+
+    assert main(["ann-index", "--index", str(idx), "--train", str(train_pq)]) == 0
+    for day, p in enumerate(day_pqs):
+        assert (
+            main(
+                [
+                    "ann-index",
+                    "--index",
+                    str(idx),
+                    "--batch",
+                    str(p),
+                    "--date",
+                    f"2025-07-0{day + 1}",
+                ]
+            )
+            == 0
+        )
+    out = tmp_path / "topk.parquet"
+    assert (
+        main(
+            [
+                "ann-index",
+                "--index",
+                str(idx),
+                "--query",
+                str(q_pq),
+                "--out",
+                str(out),
+            ]
+        )
+        == 0
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["statusCode"] == 200 and report["result_rows"] > 0
+    assert _rows(spark.read.parquet(str(out))) == _rows(ann_ivf_topk(spark, SF))
+
+
+def test_probe_scan_partition_prunes_to_probed_cells(spark, tmp_path):
+    """The point of the date/cell layout: the executed plan's cells scan
+    carries a PartitionFilters IN-list on cell — the probe reads the
+    probed cells' directories only, not the corpus."""
+    idx, vecs = _build(spark, tmp_path)
+    plan = (
+        probe_topk(spark, idx, _queries(vecs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PartitionFilters: \[cell#\d+ INSET ", plan), plan
