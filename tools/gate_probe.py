@@ -14,6 +14,12 @@ join's index-side scan grows). Per mode:
   embedding — sign-LSH band keys + side-aware rectangle sgemm
   vocab     — maintained unigram model (operators/vocab.py): "probe" =
               score the batch's LM-quality against the persisted counts
+  ann       — maintained IVF-ANN index (operators/ann_index.py):
+              "probe" = top-k cosine for the 8 demo query vectors
+              against the cell-partitioned inverted file; the pruned
+              scan reads n_probe/n_cells of the corpus, so probe cost
+              tracks corpus/4 here (the fraction is the scale knob —
+              production grows the cell count, shrinking it)
   bucketed  — the minhash lane over the BUCKETED band-table layout
               (apply_batch_bucketed): same pair set, but the daily probe
               reads the index as a bucketed FileScan with no index-side
@@ -178,6 +184,80 @@ def run_vocab(spark, rep_dir: str) -> None:
     )
 
 
+def run_ann(spark, rep_dir: str) -> None:
+    """Query economics for the maintained ANN index: index-once = train
+    the quantizer on the corpus + assign/land every vector; daily probe
+    = the 8 demo query vectors' top-k against the persisted index. The
+    partition-pruned scan reads the probed cells only, so probe cost
+    should grow ~(n_probe/n_cells) x corpus — the constant-fraction
+    floor a FIXED 16-cell quantizer admits (production scales the cell
+    count instead, shrinking the fraction with the corpus)."""
+    from data_ingestion_lambda_spark.operators.ann_index import (
+        append_batch,
+        probe_topk,
+        train_index,
+    )
+    from data_ingestion_lambda_spark.plans.similarity import N_QUERIES
+
+    queries = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .cache()
+    )
+    n_batch = queries.count()
+
+    results = {}
+    for label, src in (("1x", "/root/testdata/sf0.1"), ("10x", rep_dir)):
+        corpus = spark.read.parquet(f"{src}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        idx = tempfile.mkdtemp(prefix=f"gate_idx_ann_{label}_")
+        try:
+            t0 = time.time()
+            train_index(spark, idx, corpus)
+            append_batch(spark, idx, corpus, "2025-07-01")
+            t_index = round(time.time() - t0, 2)
+
+            t_probe = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                queries.cache().count()
+                t0 = time.time()
+                n_rows = probe_topk(spark, idx, queries).count()
+                dt = round(time.time() - t0, 2)
+                t_probe = dt if t_probe is None else min(t_probe, dt)
+            results[label] = {
+                "corpus_docs": corpus.count(),
+                "t_index_once_s": t_index,
+                "t_daily_probe_s": t_probe,
+                "probe_pairs": n_rows,
+            }
+            print(
+                json.dumps({"mode": "ann", "corpus": label, **results[label]}),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+    queries.unpersist()
+
+    r1, r10 = results["1x"], results["10x"]
+    print(
+        json.dumps(
+            {
+                "mode": "ann",
+                "batch_docs": n_batch,
+                "corpus_growth": round(r10["corpus_docs"] / r1["corpus_docs"], 1),
+                "probe_growth": round(
+                    r10["t_daily_probe_s"] / r1["t_daily_probe_s"], 2
+                ),
+                "index_growth": round(r10["t_index_once_s"] / r1["t_index_once_s"], 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def run_bucketed(spark, rep_dir: str) -> None:
     """Same economics for the bucketed band-table layout: index-once =
     apply_batch_bucketed over the corpus (band explosion + bucketed
@@ -261,6 +341,8 @@ def main() -> None:
             run_vocab(spark, rep_dir)
         elif mode == "bucketed":
             run_bucketed(spark, rep_dir)
+        elif mode == "ann":
+            run_ann(spark, rep_dir)
         else:
             run_mode(spark, mode, rep_dir)
 
