@@ -104,12 +104,35 @@ def build_parser() -> argparse.ArgumentParser:
     )
     gate.add_argument(
         "--batch",
-        required=True,
+        default=None,
         help="parquet of (doc_id, text) documents — or (doc_id|vec_id, "
         "embedding) vectors for --mode embedding",
     )
+    gate.add_argument(
+        "--stream-source",
+        default=None,
+        help="instead of --batch: drain every document file under this "
+        "directory that the --checkpoint offset log has not seen, gating "
+        "each micro-batch (batch-id-keyed partitions; replay-idempotent)",
+    )
+    gate.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming offset log directory (required with --stream-source)",
+    )
+    gate.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        help="bound each streamed micro-batch to this many files",
+    )
     gate.add_argument("--index", required=True, help="signature index table directory")
-    gate.add_argument("--date", required=True, help="batch date (the index partition key)")
+    gate.add_argument(
+        "--date",
+        default=None,
+        help="batch date (the index partition key); required with --batch "
+        "(streamed batches are keyed by micro-batch id instead)",
+    )
     gate.add_argument(
         "--matches-out",
         default=None,
@@ -264,6 +287,28 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         spark = get_spark("data-ingestion-cli")
+        if args.stream_source is not None:
+            if args.checkpoint is None:
+                raise SystemExit("dedup-gate: --stream-source requires --checkpoint")
+            from data_ingestion_lambda_spark.streaming.dedup_stream import (
+                run_dedup_gate_available_now,
+            )
+
+            reports = run_dedup_gate_available_now(
+                spark,
+                args.stream_source,
+                args.index,
+                args.checkpoint,
+                matches_dir=args.matches_out,
+                mode=args.mode,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+            print(json.dumps({"statusCode": 200, "batches": reports}))
+            return 0
+        if args.batch is None or args.date is None:
+            raise SystemExit(
+                "dedup-gate: --batch and --date are required without --stream-source"
+            )
         raw = spark.read.parquet(args.batch)
         # Embedding batches are typically vec_id-keyed (the embeddings
         # table's own key); accept either key name.
