@@ -84,6 +84,8 @@ HEADLINE_V2 = [
     "dedup_edit_distance",
     "text_unigram_surprisal",
     "text_collocations_lift",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
 ]
 
 

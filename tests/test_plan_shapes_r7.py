@@ -117,3 +117,35 @@ def test_collocations_topk_never_global_sorts(spark):
     assert "TakeOrderedAndProject" in plan, f"top-k must TakeOrdered:\n{plan}"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan, f"bigram agg must map-side combine:\n{plan}"
+
+
+def test_bm25_query_join_broadcasts_and_no_cartesian(spark):
+    """search_bm25_topk: the query term bag joins the postings as a
+    BroadcastHashJoin (the bag is 8 docs' vocabulary; shuffling the
+    postings against it would move the whole inverted index), no
+    nested-loop/cartesian join appears anywhere, and the score
+    aggregate partially combines map-side (exact long contributions —
+    the reason the lane can avoid doubles entirely)."""
+    plan = _plan(spark, "search_bm25_topk")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, f"query-bag join must broadcast:\n{plan}"
+    assert re.search(r"partial_sum", plan), f"score sum must partial-agg:\n{plan}"
+
+
+def test_hybrid_rrf_fuses_rank_rows_only(spark):
+    """search_hybrid_rrf: the fusion stage itself adds NO join at all —
+    it is a union of the two top-k lists plus a grouped sum, so the
+    only non-equi/nested-loop joins in the whole plan are the ones the
+    dense brute-force retriever already contains (its deliberate
+    broadcast-bounded 8-query scorer), and the lexical side stays
+    cartesian-free."""
+    plan = _plan(spark, "search_hybrid_rrf")
+    dense = _plan(spark, "ann_cosine_topk")
+
+    def nl_joins(p):
+        return p.count("CartesianProduct") + p.count("BroadcastNestedLoopJoin")
+
+    assert nl_joins(plan) == nl_joins(dense), (
+        f"fusion added nested-loop joins beyond the dense retriever's own:\n{plan}"
+    )
+    assert "Union" in plan, f"fusion unions the two ranked lists:\n{plan}"

@@ -134,6 +134,7 @@ _EMBEDDING_QUERIES = {
     "embedding_drift_splits",
     "embedding_kmeans_clusters",
     "sample_cluster_balanced",
+    "search_hybrid_rrf",  # fuses ann_cosine_topk's dense list
 }
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
