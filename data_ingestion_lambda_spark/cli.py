@@ -207,6 +207,29 @@ def build_parser() -> argparse.ArgumentParser:
         "--out", default=None, help="persist the top-k result here (overwrite)"
     )
 
+    sidx = sub.add_parser(
+        "search-index",
+        help="maintained BM25 postings index: append daily document "
+        "batches to the bucket-partitioned inverted file and/or run "
+        "top-k lexical queries against it",
+    )
+    sidx.add_argument("--index", required=True, help="index directory")
+    sidx.add_argument(
+        "--batch", default=None, help="parquet of (doc_id, text) documents to append"
+    )
+    sidx.add_argument(
+        "--date", default=None, help="batch date (the index partition key)"
+    )
+    sidx.add_argument(
+        "--query",
+        default=None,
+        help="parquet of (doc_id|query_id, text) query documents",
+    )
+    sidx.add_argument("--k", type=int, default=None, help="matches per query")
+    sidx.add_argument(
+        "--out", default=None, help="persist the top-k result here (overwrite)"
+    )
+
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
     qry.add_argument("--data", help="directory holding the parquet tables")
@@ -364,6 +387,35 @@ def main(argv: list[str] | None = None) -> int:
             report["scored_docs"] = None  # first batch: no model yet
         if not args.score_only:
             report.update(update_vocab(spark, args.vocab, batch, args.date))
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "search-index":
+        from data_ingestion_lambda_spark.operators.postings import (
+            search_topk,
+            update_postings,
+        )
+        from pyspark.sql import functions as F
+
+        if args.batch is None and args.query is None:
+            raise SystemExit("search-index: need --batch and/or --query")
+        if args.batch is not None and args.date is None:
+            raise SystemExit("search-index: --batch requires --date")
+        spark = get_spark("data-ingestion-cli")
+        report: dict = {}
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch).select("doc_id", "text")
+            report.update(update_postings(spark, args.index, batch, args.date))
+        if args.query is not None:
+            raw = spark.read.parquet(args.query)
+            key = "query_id" if "query_id" in raw.columns else "doc_id"
+            queries = raw.select(F.col(key).alias("query_id"), "text")
+            kwargs = {} if args.k is None else {"k": args.k}
+            topk = search_topk(spark, args.index, queries, **kwargs)
+            if args.out is not None:
+                topk.write.mode("overwrite").parquet(args.out)
+                report["out"] = args.out
+            report["result_rows"] = topk.count()
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 

@@ -19,7 +19,7 @@ stack.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.plans._util import t
@@ -48,6 +48,24 @@ _RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 # peaks ~2·10^18, inside int64; beyond that, widen to decimal), one
 # correctly-rounded double division, one floor at _SCALE. Both engines
 # perform the identical IEEE ops on identical integers.
+
+
+def bm25_contribution(n_docs: int, t_tokens: int) -> Column:
+    """The scaled-long per-term BM25 contribution over columns
+    (tf, df, dl) — shared by the registered one-shot query and the
+    maintained postings index (operators/postings.py), so their scores
+    are equal BY CONSTRUCTION, not by parallel maintenance."""
+    num = (F.lit(2 * n_docs + 1) - 2 * F.col("df")) * (
+        F.col("tf") * F.lit(44 * t_tokens)
+    )
+    den = (2 * F.col("df") + 1) * (
+        F.col("tf") * F.lit(20 * t_tokens)
+        + F.lit(6 * t_tokens)
+        + F.col("dl") * F.lit(18 * n_docs)
+    )
+    return F.floor(
+        num.cast("double") / den.cast("double") * F.lit(float(_SCALE))
+    ).cast("long")
 
 
 @register(
@@ -125,16 +143,9 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dfq, "tok")
         .join(dl, "doc_id")
     )
-    num = (F.lit(2 * n_docs + 1) - 2 * F.col("df")) * (F.col("tf") * F.lit(44 * t_tokens))
-    den = (2 * F.col("df") + 1) * (
-        F.col("tf") * F.lit(20 * t_tokens)
-        + F.lit(6 * t_tokens)
-        + F.col("dl") * F.lit(18 * n_docs)
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.sum(bm25_contribution(n_docs, t_tokens)).alias("score_n")
     )
-    contrib = F.floor(
-        num.cast("double") / den.cast("double") * F.lit(float(_SCALE))
-    ).cast("long")
-    scored = cand.groupBy("query_id", "doc_id").agg(F.sum(contrib).alias("score_n"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score_n"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -20,6 +20,11 @@ join's index-side scan grows). Per mode:
               scan reads n_probe/n_cells of the corpus, so probe cost
               tracks corpus/4 here (the fraction is the scale knob —
               production grows the cell count, shrinking it)
+  bm25      — maintained BM25 postings index (operators/postings.py):
+              "probe" = the 8 demo query documents' lexical top-k
+              against the persisted bucket-partitioned inverted file;
+              prices what materializing the postings once buys vs the
+              registered query's per-run corpus re-tokenization
   bucketed  — the minhash lane over the BUCKETED band-table layout
               (apply_batch_bucketed): same pair set, but the daily probe
               reads the index as a bucketed FileScan with no index-side
@@ -258,6 +263,76 @@ def run_ann(spark, rep_dir: str) -> None:
     )
 
 
+def run_bm25(spark, rep_dir: str) -> None:
+    """Query economics for the maintained postings index: index-once =
+    tokenize + land the corpus; daily probe = the 8 demo query docs'
+    top-k (bucket-pruned postings join + two scalar sums — no corpus
+    text touched). Contrast with the one-shot registered query, whose
+    EVERY run pays the index-once column."""
+    from data_ingestion_lambda_spark.operators.postings import (
+        search_topk,
+        update_postings,
+    )
+    from data_ingestion_lambda_spark.plans.retrieval import N_QUERIES
+
+    queries = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .filter(F.col("doc_id") < N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "text")
+        .cache()
+    )
+    n_batch = queries.count()
+
+    results = {}
+    for label, src in (("1x", "/root/testdata/sf0.1"), ("10x", rep_dir)):
+        corpus = spark.read.parquet(f"{src}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        idx = tempfile.mkdtemp(prefix=f"gate_idx_bm25_{label}_")
+        try:
+            t0 = time.time()
+            update_postings(spark, idx, corpus, "2025-07-01")
+            t_index = round(time.time() - t0, 2)
+
+            t_probe = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                queries.cache().count()
+                t0 = time.time()
+                n_rows = search_topk(spark, idx, queries).count()
+                dt = round(time.time() - t0, 2)
+                t_probe = dt if t_probe is None else min(t_probe, dt)
+            results[label] = {
+                "corpus_docs": corpus.count(),
+                "t_index_once_s": t_index,
+                "t_daily_probe_s": t_probe,
+                "probe_pairs": n_rows,
+            }
+            print(
+                json.dumps({"mode": "bm25", "corpus": label, **results[label]}),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+    queries.unpersist()
+
+    r1, r10 = results["1x"], results["10x"]
+    print(
+        json.dumps(
+            {
+                "mode": "bm25",
+                "batch_docs": n_batch,
+                "corpus_growth": round(r10["corpus_docs"] / r1["corpus_docs"], 1),
+                "probe_growth": round(
+                    r10["t_daily_probe_s"] / r1["t_daily_probe_s"], 2
+                ),
+                "index_growth": round(r10["t_index_once_s"] / r1["t_index_once_s"], 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def run_bucketed(spark, rep_dir: str) -> None:
     """Same economics for the bucketed band-table layout: index-once =
     apply_batch_bucketed over the corpus (band explosion + bucketed
@@ -343,6 +418,8 @@ def main() -> None:
             run_bucketed(spark, rep_dir)
         elif mode == "ann":
             run_ann(spark, rep_dir)
+        elif mode == "bm25":
+            run_bm25(spark, rep_dir)
         else:
             run_mode(spark, mode, rep_dir)
 
