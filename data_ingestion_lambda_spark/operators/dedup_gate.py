@@ -404,7 +404,10 @@ def probe_batch_bucketed(
     the index path (the batch's band rows hash to the table's buckets);
     the index side is a bucketed FileScan, never reshuffled, and the
     rescore is in-row (the signature rides the band row)."""
-    new_sig = _sig_table(batch_docs, "minhash").persist()
+    # deliberately not persisted: the returned frame stays lazy (callers
+    # pin its plan), and a .persist() here would outlive the call — the
+    # directory probe makes the same choice for the same reason
+    new_sig = _sig_table(batch_docs, "minhash")
     new_bands = _bands_with_sig(new_sig)
 
     if spark.catalog.tableExists(table_name):

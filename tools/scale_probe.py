@@ -120,6 +120,11 @@ QUERIES = [
     # joins — the prefix-rotated replicas grow the vocab with the corpus)
     "text_unigram_surprisal",
     "text_collocations_lift",
+    # late-r7 additions: the search surface (fixed 8-doc query set; the
+    # rotated replicas keep candidate volume constant, so these measure
+    # the corpus statistics build — see SCALE.md's honest reading)
+    "search_bm25_topk",
+    "search_hybrid_rrf",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
