@@ -483,3 +483,101 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering_coeff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop BFS: takedown / contamination blast radius
+# ---------------------------------------------------------------------------
+
+# Deterministic stand-in for an external flag list (DMCA takedowns, PII
+# reports, eval-contamination hits): every 31st document (~3%). In
+# production the seed set arrives as a table; the modulus keeps the
+# oracle self-contained and — checked against the sf0.01 corpus — dense
+# enough that seeds actually hit LSH pairs, so the registered row
+# exercises hop > 0 (the planted near-dup graph has no chains, so hops
+# 2-3 are pinned by the synthetic-graph pytest instead).
+_BLAST_SEED_MOD = 31
+# Propagation depth. Near-dup evidence decays fast with hops (a 3-hop
+# neighbor shares no measured similarity with the seed), so deployments
+# cap the radius instead of taking the full component — that full-closure
+# variant is dedup_cluster_assign.
+_BLAST_MAX_HOPS = 3
+
+
+def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
+    """(doc_id, hops): min-hop BFS distance from ``seeds`` (one ``doc_id``
+    column) over undirected ``edges`` (``u``/``v`` longs), for every node
+    within ``max_hops``; unreached nodes are absent.
+
+    K-round frontier relaxation, unrolled because K is a small constant —
+    each round joins the previous frontier against the edge list,
+    distincts, and anti-joins away already-reached nodes, so a node's hop
+    count is its true BFS distance. No driver loop state: K static
+    join/distinct rounds that Catalyst plans as one DAG.
+    """
+    edges = _neighbors(edges).persist()
+    reached = seeds.select("doc_id", F.lit(0).cast("bigint").alias("hops"))
+    frontier = seeds.select(F.col("doc_id").alias("id"))
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["u"])
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(reached.select(F.col("doc_id").alias("id")), "id", "left_anti")
+        )
+        reached = reached.union(
+            nxt.select(F.col("id").alias("doc_id"), F.lit(k).cast("bigint").alias("hops"))
+        )
+        frontier = nxt
+    return reached
+
+
+@register(
+    "graph_blast_radius",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(id, hops) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id % {_BLAST_SEED_MOD} = 0
+        UNION ALL
+        SELECT e.v, w.hops + 1
+        FROM walk w JOIN edges e ON e.u = w.id
+        WHERE w.hops < {_BLAST_MAX_HOPS}
+    )
+    SELECT id AS doc_id, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY id
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def graph_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS from a flagged-document seed set over the MinHash-LSH
+    near-dup graph, capped at 3 hops — the takedown-propagation table:
+    when a document is flagged (copyright takedown, PII report, eval
+    contamination), its near-duplicates must be pulled too, and THEIR
+    near-duplicates reviewed. ``hops`` is the review priority (0 = the
+    flagged doc itself).
+
+    Algorithm: bfs_hops() frontier relaxation (min-hop semantics pinned
+    on a synthetic chain/min-path graph in tests/test_graph_ops.py —
+    the sf0.01 LSH graph only exposes hops 0-1).
+
+    Scale (100 TB): iteration state is (id, hop) pairs — never text or
+    signatures; each round is an equi-join keyed on node id; frontier
+    size is bounded by seed count x graph expansion, orders of magnitude
+    under the corpus. The full-closure variant (unbounded hops) is
+    dedup_cluster_assign's star contraction; bounded-K BFS is cheaper
+    exactly because it never iterates to the component diameter.
+
+    The DuckDB oracle walks the same graph with a depth-bounded
+    recursive CTE and takes MIN(hops) — path enumeration is feasible at
+    sf0.01; the Spark side's frontier relaxation is the form that
+    scales."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    seeds = d.select("doc_id").where(F.col("doc_id") % _BLAST_SEED_MOD == 0)
+    return bfs_hops(seeds, edges, _BLAST_MAX_HOPS)
