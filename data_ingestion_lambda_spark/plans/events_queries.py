@@ -1323,3 +1323,81 @@ def events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_events", "n_anomalies", "med_cents", "mad_cents")
     )
+
+
+@register(
+    "events_trend_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_per_day,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+               (CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE)
+           END AS intercept_at_epoch
+    FROM s
+    """,
+    tags=("events", "timeseries"),
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of DAILY volume: slope
+    (events/day/day) and intercept — the drift detector behind traffic
+    dashboards ("is purchase volume growing or decaying, and how fast").
+
+    Determinism: the classic closed form slope = (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²) over (x = epoch day, y = daily count) — every moment
+    is an exact BIGINT aggregate (associative, partition-order-free), and
+    the only floating-point steps are the final divisions, identical
+    single IEEE operations in both engines. No avg()/covar() built-ins,
+    whose double accumulation order differs per engine/partitioning.
+
+    Scale: two map-side-combinable aggregations — (type, day) rollup,
+    then 5 integer moments over the day rows (|types|·|days| rows, data-
+    volume-free); one exchange each. Magnitudes: |x| ≤ ~2e4 (epoch days),
+    so n·Σxy stays far under BIGINT range even at 1e12 events/day."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long").alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count("*").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(den != 0, slope).alias("slope_per_day"),
+        F.when(den != 0, intercept).alias("intercept_at_epoch"),
+    )

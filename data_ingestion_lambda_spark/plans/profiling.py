@@ -453,3 +453,99 @@ def profile_numeric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"p{p}_cents" for p in _QUANT_PS],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment Pearson correlation (engine-deterministic corr())
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_correlation_exact",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS grp,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS z
+        FROM lineitem
+    ),
+    m AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+               SUM(x * y) AS sxy, SUM(x * z) AS sxz
+        FROM v GROUP BY grp
+    )
+    SELECT grp AS l_returnflag, n AS n_rows,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
+           CAST(n * sxz - sx * sz AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS corr_qty_discount
+    FROM m
+    """,
+    tags=("profiling",),
+)
+def profile_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag Pearson correlation of quantity vs price-cents and
+    quantity vs discount-percent — the feature-redundancy screen a
+    pipeline owner runs before training on tabular columns (|r| ~ 1 means
+    one column is the other in disguise; this corpus draws price
+    independently of quantity, so all six group r's sit near 0 — the
+    screen's "keep both columns" verdict).
+
+    Determinism: built-in corr() accumulates doubles in partition order —
+    never hash-comparable across engines. Instead every co-moment (Σx,
+    Σxy, Σy², ...) is an EXACT integer aggregate over integer-quantized
+    values (quantity integral; price half-up-rounded to cents; discount
+    to percent) — Spark sums them as decimal(38,0) (BIGINT·BIGINT
+    products overflow 8 bytes at ~1e19; Σcents² passes that near 1e7
+    rows), DuckDB as HUGEINT. The closed form r = (nΣxy − ΣxΣy) /
+    (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) then runs in doubles: each term is one
+    decimal→double conversion (round-to-nearest in both engines), and
+    sqrt/multiply/divide are single correctly-rounded IEEE ops evaluated
+    in the same written order — bit-identical results.
+
+    Scale: ONE map-side-combinable aggregation over the scan (10 integer
+    moments per group), one exchange on the 3-value group key; the moment
+    matrix never materializes rows."""
+    li = t(spark, sf_dir, "lineitem")
+    DEC38 = "decimal(38,0)"
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("y"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("z"),
+    )
+
+    def dsum38(c) -> F.Column:
+        return F.sum(c.cast(DEC38))
+
+    m = v.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        dsum38(F.col("x")).alias("sx"),
+        dsum38(F.col("y")).alias("sy"),
+        dsum38(F.col("z")).alias("sz"),
+        dsum38(F.col("x") * F.col("x")).alias("sxx"),
+        dsum38(F.col("y") * F.col("y")).alias("syy"),
+        dsum38(F.col("z") * F.col("z")).alias("szz"),
+        dsum38(F.col("x") * F.col("y")).alias("sxy"),
+        dsum38(F.col("x") * F.col("z")).alias("sxz"),
+    )
+
+    def r(sab: str, sa: str, sb: str, saa: str, sbb: str) -> F.Column:
+        n = F.col("n").cast(DEC38)
+        num = (n * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+        ta = (n * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+        tb = (n * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        return num / (F.sqrt(ta) * F.sqrt(tb))
+
+    return m.select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("n").alias("n_rows"),
+        r("sxy", "sx", "sy", "sxx", "syy").alias("corr_qty_price"),
+        r("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_discount"),
+    )
