@@ -1401,3 +1401,74 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(den != 0, slope).alias("slope_per_day"),
         F.when(den != 0, intercept).alias("intercept_at_epoch"),
     )
+
+
+# Half-life-one-day smoothing, truncated at 7 taps: weights 2^-k are
+# represented as INTEGER weights 2^(6-k) over the numerator AND the
+# denominator, so the whole kernel is exact integer arithmetic and the
+# only floating-point step is the final division. 7 taps carry >= 99.2%
+# of the untruncated geometric mass.
+_EWMA_TAPS = 7
+
+
+@register(
+    "events_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, day, n_events,
+               {', '.join(f"lag(n_events, {k}) OVER (PARTITION BY event_type ORDER BY day) AS y{k}" for k in range(1, _EWMA_TAPS))}
+        FROM daily
+    )
+    SELECT event_type, day, n_events,
+           CAST(n_events * {2 ** (_EWMA_TAPS - 1)}
+                + {' + '.join(f"COALESCE(y{k} * {2 ** (_EWMA_TAPS - 1 - k)}, 0)" for k in range(1, _EWMA_TAPS))}
+                AS DOUBLE)
+           / ({2 ** (_EWMA_TAPS - 1)}
+              + {' + '.join(f"CASE WHEN y{k} IS NOT NULL THEN {2 ** (_EWMA_TAPS - 1 - k)} ELSE 0 END" for k in range(1, _EWMA_TAPS))})
+           AS ewma
+    FROM lagged
+    """,
+    tags=("events", "timeseries"),
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume per
+    type (half-life one day, 7-tap truncation) — the smoothed trend line
+    ops dashboards draw over noisy daily counts, and the baseline the
+    anomaly lanes compare spikes against.
+
+    Determinism: the geometric weights 1/2^k are dyadic, so the kernel is
+    computed as integer numerator Σ y_{t-k}·2^(6-k) over integer
+    denominator Σ 2^(6-k) (missing leading taps drop out of BOTH sums —
+    the standard adjusted-EWMA debias) and ONE final IEEE division —
+    hash-identical across engines, unlike any accumulate-in-double
+    formulation.
+
+    Scale: volume collapses at the (type, day) rollup (map-side combine,
+    one exchange); the 7 lag taps share ONE window sort over day rows —
+    |types| x |days| = calendar-bounded, independent of event volume."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = [F.col("n_events")] + [
+        F.lag("n_events", k).over(w) for k in range(1, _EWMA_TAPS)
+    ]
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k, yk in enumerate(lags):
+        wt = 2 ** (_EWMA_TAPS - 1 - k)
+        num = num + F.coalesce(yk * wt, F.lit(0))
+        den = den + F.when(yk.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        (num.cast("double") / den).alias("ewma"),
+    )

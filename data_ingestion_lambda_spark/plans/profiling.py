@@ -549,3 +549,95 @@ def profile_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         r("sxy", "sx", "sy", "sxx", "syy").alias("corr_qty_price"),
         r("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_discount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen (synthetic / fabricated numeric detection)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) as fixed literals: both engines compare against the SAME
+# double constant, so no transcendental is ever *computed* in-plan. The
+# oracle spells them with an e0 exponent suffix — a bare decimal literal
+# parses as DECIMAL(18,17) in DuckDB and the decimal->double conversion
+# lands one ulp off the correctly-rounded parse Python/Spark use.
+_BENFORD_PCT = {
+    1: 0.30102999566398120,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_COL = "l_extendedprice"
+
+
+@register(
+    "profile_benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR({_BENFORD_COL} * 100.0 + 0.5) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM lineitem
+        WHERE {_BENFORD_COL} > 0
+    ),
+    counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit),
+    total AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts),
+    bp(digit, benford_pct) AS (VALUES
+        {', '.join(f'({d}, {p!r}e0)' for d, p in _BENFORD_PCT.items())})
+    SELECT c.digit, c.n_obs,
+           CAST(c.n_obs AS DOUBLE) / t.n AS obs_pct,
+           b.benford_pct,
+           CAST(c.n_obs AS DOUBLE) / t.n / b.benford_pct AS benford_ratio
+    FROM counts c CROSS JOIN total t JOIN bp b ON b.digit = c.digit
+    """,
+    tags=("profiling", "quality"),
+)
+def profile_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of the money column against
+    Benford's law — the classic fabricated-data screen: organically-grown
+    amounts follow log10(1+1/d); uniform or hand-synthesized generators
+    (like this corpus's) sit near benford_ratio 1/(9·benford_pct) per
+    digit instead, and a ratio far from 1 flags the column for review
+    before it trains anything.
+
+    Determinism: the digit is extracted through exact integer/string ops
+    (half-up cents, cast to string, first char — no log10 in-plan); the
+    Benford reference shares one literal table of double constants; the
+    two ratios are single IEEE divisions off exact integers. The 9-row
+    reference joins AFTER aggregation — it touches digit rows, not data.
+
+    Scale: one groupBy over a 9-value key with map-side combine + a
+    broadcast of one total row; nothing else."""
+    li = t(spark, sf_dir, "lineitem")
+    digits = (
+        li.where(F.col(_BENFORD_COL) > 0)
+        .select(
+            F.substring(
+                F.floor(F.col(_BENFORD_COL) * 100.0 + 0.5).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").alias("n"))
+    bp = counts.sparkSession.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PCT.items()], "digit long, benford_pct double"
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(bp), "digit")
+        .select(
+            "digit",
+            "n_obs",
+            (F.col("n_obs").cast("double") / F.col("n")).alias("obs_pct"),
+            "benford_pct",
+            (F.col("n_obs").cast("double") / F.col("n") / F.col("benford_pct")).alias(
+                "benford_ratio"
+            ),
+        )
+    )
