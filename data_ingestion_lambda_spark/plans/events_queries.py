@@ -1472,3 +1472,145 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (num.cast("double") / den).alias("ewma"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    outdeg AS (
+        SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_out
+        FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n_trans,
+           CAST(t.n_trans AS DOUBLE) / o.n_out AS p
+    FROM trans t JOIN outdeg o USING (from_type)
+    """,
+    tags=("events", "behavioral"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current type), estimated from every adjacent pair
+    in each user's timeline — the behavioral model behind next-action
+    prediction, funnel leak diagnosis ("where do users go after
+    view?"), and bot detection (near-deterministic rows).
+
+    Determinism: adjacency comes from lag() over (ts, event_id) — the
+    same unique-tiebreak ordering contract the sessionize lane pins —
+    and the probability is ONE IEEE division of two exact counts.
+
+    Scale: one user-keyed window sort (the same single exchange every
+    per-user lane pays), then the matrix collapses to |types|^2 rows —
+    the outdegree join and division touch matrix rows, not events."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    # Persisted: |types|^2 rows, but BOTH the outdegree aggregate and the
+    # output join consume it — unpersisted, each branch would re-run the
+    # user-keyed window sort over all events (the plan pin counts windows).
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n_trans"))
+        .persist()
+    )
+    outdeg = trans.groupBy("from_type").agg(F.sum("n_trans").alias("n_out"))
+    return trans.join(F.broadcast(outdeg), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (F.col("n_trans").cast("double") / F.col("n_out")).alias("p"),
+    )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, day, y,
+               CAST(row_number() OVER w AS BIGINT) AS d,
+               CAST(SUM(y) OVER w AS BIGINT) AS cum,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+               CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS sy
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day AS changepoint_day,
+           abs(n_days * cum - d * sy) AS cusum_abs,
+           n_days,
+           CAST(cum AS DOUBLE) / d AS mean_before,
+           CASE WHEN n_days > d
+                THEN CAST(sy - cum AS DOUBLE) / (n_days - d) END AS mean_after
+    FROM c
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(n_days * cum - d * sy) DESC, day ASC) = 1
+    """,
+    tags=("events", "timeseries"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type: the day d maximizing
+    |N·cum_d − d·ΣY| — the scaled-by-N cumulative deviation from the
+    global daily mean, whose argmax is the classic single-changepoint
+    estimator (where the series' level shifted). mean_before/mean_after
+    quantify the regime shift.
+
+    Determinism: the statistic is pure BIGINT (scaling by N instead of
+    dividing by it keeps the mean-deviation sum integer); the argmax
+    tie-breaks on earliest day via an explicit (stat DESC, day ASC)
+    row_number in both engines; the two means are single IEEE divisions.
+
+    Scale: volume collapses at the (type, day) rollup; every window runs
+    over day rows — |types| x |days|, calendar-bounded, one exchange."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    c = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w).cast("long").alias("d"),
+        F.sum("y").over(wcum).cast("long").alias("cum"),
+        F.count("*").over(wall).cast("long").alias("n_days"),
+        F.sum("y").over(wall).cast("long").alias("sy"),
+    )
+    stat = F.abs(F.col("n_days") * F.col("cum") - F.col("d") * F.col("sy"))
+    ranked = c.withColumn("cusum_abs", stat).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.col("cusum_abs").desc(), F.col("day").asc())
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        F.col("event_type"),
+        F.col("day").alias("changepoint_day"),
+        "cusum_abs",
+        "n_days",
+        (F.col("cum").cast("double") / F.col("d")).alias("mean_before"),
+        F.when(
+            F.col("n_days") > F.col("d"),
+            (F.col("sy") - F.col("cum")).cast("double") / (F.col("n_days") - F.col("d")),
+        ).alias("mean_after"),
+    )

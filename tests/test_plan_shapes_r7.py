@@ -149,3 +149,100 @@ def test_hybrid_rrf_fuses_rank_rows_only(spark):
         f"fusion added nested-loop joins beyond the dense retriever's own:\n{plan}"
     )
     assert "Union" in plan, f"fusion unions the two ranked lists:\n{plan}"
+
+
+def _count_exchanges(plan: str) -> int:
+    # ShuffleExchange occurrences (reused exchanges still count once each
+    # in the string; AQE may rewrite, so pins use upper bounds).
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def test_trend_slope_is_two_rollups_no_window(spark):
+    """events_trend_slope: (type, day) rollup -> 5-moment rollup. Two
+    hash exchanges max, no window sort, no exact percentile, and both
+    aggregates must have map-side partials (partial_count/partial_sum)."""
+    plan = _plan(spark, "events_trend_slope")
+    assert "Window" not in plan, f"no window belongs in this plan:\n{plan}"
+    assert _count_exchanges(plan) <= 2, f"more than two exchanges:\n{plan}"
+    assert "partial_sum" in plan or "partial_count" in plan, (
+        f"map-side partial aggregation missing:\n{plan}"
+    )
+
+
+def test_ewma_single_window_sort_over_rollup(spark):
+    """events_ewma_daily: all 6 lag taps must share ONE window operator
+    over the (type, day) rollup — 7 separate window sorts would re-sort
+    the day rows per tap; and the window must be partitioned (never a
+    global order-only frame)."""
+    plan = _plan(spark, "events_ewma_daily")
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert len(windows) == 1, f"expected exactly one Window op:\n{plan}"
+    assert "event_type" in windows[0], f"window must partition by type:\n{plan}"
+
+
+def test_correlation_exact_one_aggregation_no_doubles_in_moments(spark):
+    """profile_correlation_exact: ONE grouped aggregation (plus its
+    partial) computes all 10 moments; no corr()/covar() built-in (their
+    double buffers are partition-order-dependent) and no second exchange
+    beyond the group-key shuffle."""
+    plan = _plan(spark, "profile_correlation_exact")
+    assert "corr(" not in plan and "covar" not in plan, (
+        f"nondeterministic double-accumulator aggregate in plan:\n{plan}"
+    )
+    assert _count_exchanges(plan) <= 1, f"expected a single exchange:\n{plan}"
+    assert "partial_sum" in plan, f"map-side partials missing:\n{plan}"
+
+
+def test_benford_reference_broadcasts(spark):
+    """profile_benford_first_digit: the 9-row Benford table and the 1-row
+    total must broadcast; the only shuffle is the 9-key digit rollup; no
+    log10 computed in-plan (the constants are literals)."""
+    plan = _plan(spark, "profile_benford_first_digit")
+    assert "BroadcastExchange" in plan, f"reference join must broadcast:\n{plan}"
+    # the 9-key digit rollup feeds both the total agg and the output join,
+    # so the un-reused pre-AQE plan carries the rollup exchange twice
+    assert _count_exchanges(plan) <= 2, f"expected only digit-rollup exchanges:\n{plan}"
+    assert "LOG10" not in plan.upper().replace("log10(1+1/d)", ""), (
+        f"log10 must not be computed in-plan:\n{plan}"
+    )
+
+
+def test_blast_radius_equijoins_only_bounded_state(spark):
+    """graph_blast_radius: every BFS round is an equi-join (no cartesian/
+    nested-loop anywhere) and iteration state is (id, hop) longs — the
+    document text column must never appear in the BFS section of the
+    plan (text enters only the upstream signature scan)."""
+    plan = _plan(spark, "graph_blast_radius")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the LSH upstream ends at the band join; BFS rounds join on id=u
+    assert "LeftAnti" in plan, f"anti-join dedup of reached set missing:\n{plan}"
+
+
+def test_markov_one_user_window_matrix_broadcast(spark):
+    """events_markov_transitions: the user-keyed adjacency window runs
+    ONCE — both the outdegree aggregate and the output join must read
+    the persisted transition matrix (InMemoryTableScan), not re-derive
+    it; the normalization joins |types|^2 matrix rows via broadcast."""
+    plan = _plan(spark, "events_markov_transitions")
+    windows = {m for m in re.findall(r"windowspecdefinition\(([^,]*)", plan)}
+    assert len(windows) == 1 and any("user_id" in w for w in windows), (
+        f"expected one distinct user-keyed window spec:\n{plan}"
+    )
+    assert plan.count("InMemoryTableScan") >= 2, (
+        f"both consumers must read the cached matrix:\n{plan}"
+    )
+    assert "BroadcastHashJoin" in plan, f"outdegree join must broadcast:\n{plan}"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_changepoint_windows_day_rows_only(spark):
+    """events_changepoint_cusum: every window partitions by event_type
+    and runs AFTER the (type, day) rollup — none may see raw events
+    (the rollup's partial_count pins map-side collapse before the
+    exchange)."""
+    plan = _plan(spark, "events_changepoint_cusum")
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert windows, f"expected windows:\n{plan}"
+    for spec in windows:
+        assert "event_type" in spec, f"window not type-partitioned:\n{plan}"
+    assert "partial_count" in plan, f"rollup must combine map-side:\n{plan}"

@@ -125,6 +125,16 @@ QUERIES = [
     # the corpus statistics build — see SCALE.md's honest reading)
     "search_bm25_topk",
     "search_hybrid_rrf",
+    # late-r7 additions: calendar-bounded time-series lanes (rollup then
+    # day-row math), exact-moment statistics (one aggregation each), and
+    # bounded-hop BFS over the near-dup graph
+    "events_trend_slope",
+    "events_ewma_daily",
+    "profile_correlation_exact",
+    "profile_benford_first_digit",
+    "graph_blast_radius",
+    "events_markov_transitions",
+    "events_changepoint_cusum",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
