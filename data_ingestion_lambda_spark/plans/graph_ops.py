@@ -581,3 +581,52 @@ def graph_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     seeds = d.select("doc_id").where(F.col("doc_id") % _BLAST_SEED_MOD == 0)
     return bfs_hops(seeds, edges, _BLAST_MAX_HOPS)
+
+
+# Composed at import from the registered decontamination oracle — the same
+# no-drift discipline the curation chain uses: the seed definition IS
+# decontaminate_against_eval's output, never a re-statement of it.
+_DECON_ORACLE = REGISTRY["decontaminate_against_eval"].oracle
+
+
+@register(
+    "graph_contamination_radius",
+    oracle=f"""
+    WITH RECURSIVE decon AS ({_DECON_ORACLE}),
+    pairs AS ({MINHASH_PAIRS_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(id, hops) AS (
+        SELECT doc_id, 0 FROM decon WHERE contaminated
+        UNION ALL
+        SELECT e.v, w.hops + 1
+        FROM walk w JOIN edges e ON e.u = w.id
+        WHERE w.hops < 2
+    )
+    SELECT id AS doc_id, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY id
+    """,
+    tags=("llm", "dedup", "graph", "decontamination"),
+)
+def graph_contamination_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination sweep's second pass: eval-contaminated train
+    docs (decontaminate_against_eval's verdicts — composed, not
+    re-stated) PLUS every document within 2 near-dup hops of one. An
+    n-gram screen only catches docs that share literal windows with the
+    eval set; a near-duplicate of a contaminated doc carries the same
+    leaked content with the overlapping window mutated away, and this
+    closure is the standard fix (drop the whole similarity neighborhood,
+    not just the textual hit). On the sf0.01 corpus: 5 seeds + 4
+    hop-1 docs the screen alone misses.
+
+    Scale: decon seeds are an equi-join of gram hashes (broadcast-able
+    eval side), the radius is bfs_hops over the LSH pair graph —
+    (id, hop) state, two unrolled equi-join rounds."""
+    decon = REGISTRY["decontaminate_against_eval"].builder(spark, sf_dir)
+    seeds = decon.where(F.col("contaminated")).select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    return bfs_hops(seeds, edges, 2)

@@ -641,3 +641,73 @@ def profile_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency / candidate-key discovery
+# ---------------------------------------------------------------------------
+
+# Candidate (determinant -> dependent) pairs to screen on orders. A real
+# profiler enumerates pairs; the fixed list keeps the oracle literal and
+# covers the three outcomes (key-backed FD holds / FD fails narrowly /
+# FD fails broadly).
+_FD_PAIRS = (
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderdate", "o_orderpriority"),
+)
+
+
+def _fd_oracle_one(lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_distinct,
+           CAST(SUM(n_rhs) AS BIGINT) AS n_pairs_distinct,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_lhs,
+           SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+    FROM (SELECT {lhs}, CAST(COUNT(DISTINCT {rhs}) AS BIGINT) AS n_rhs
+          FROM orders GROUP BY {lhs})
+    """
+
+
+@register(
+    "profile_functional_dependencies",
+    oracle=" UNION ALL ".join(_fd_oracle_one(a, b) for a, b in _FD_PAIRS),
+    tags=("profiling",),
+)
+def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency screen over candidate column pairs: does
+    A uniquely determine B? The discovery step behind key inference,
+    normalization, and join-safety checks (an FD that holds means B can
+    ride a dimension keyed by A instead of repeating per row; a
+    violating lhs count says how broken a SUPPOSED key is). Covers a
+    key-backed FD that holds and two that fail.
+
+    Determinism: pure exact counts — per-lhs distinct-rhs cardinality,
+    then three integer aggregates; no floating point at all.
+
+    Scale: one groupBy per screened pair on the determinant key
+    (map-side combine; the distinct runs inside the per-key group), then
+    the violation count collapses the key rows. Pairs are screened
+    independently — a production profiler fans the pair list out; each
+    pair's cost is one exchange over its key cardinality."""
+    o = t(spark, sf_dir, "orders")
+    outs = []
+    for lhs, rhs in _FD_PAIRS:
+        per_key = o.groupBy(lhs).agg(F.count_distinct(F.col(rhs)).alias("n_rhs"))
+        viol = F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        outs.append(
+            per_key.agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count("*").alias("n_lhs_distinct"),
+                F.sum("n_rhs").alias("n_pairs_distinct"),
+                viol.cast("long").alias("n_violating_lhs"),
+                (viol == 0).alias("fd_holds"),
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out

@@ -246,3 +246,24 @@ def test_changepoint_windows_day_rows_only(spark):
     for spec in windows:
         assert "event_type" in spec, f"window not type-partitioned:\n{plan}"
     assert "partial_count" in plan, f"rollup must combine map-side:\n{plan}"
+
+
+def test_contamination_radius_equijoins_only(spark):
+    """graph_contamination_radius: decon seeds (gram-hash semi-join) +
+    BFS rounds — equi-joins and anti-joins only; no cartesian/nested-
+    loop anywhere in the composed plan."""
+    plan = _plan(spark, "graph_contamination_radius")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan, f"BFS reached-set anti-join missing:\n{plan}"
+    assert "LeftSemi" in plan, f"decon gram semi-join missing:\n{plan}"
+
+
+def test_fd_screen_no_window_partial_aggs(spark):
+    """profile_functional_dependencies: three independent two-level
+    aggregation branches (per-key distinct, then the violation
+    collapse) — no window, map-side partials present, and at most two
+    exchanges per screened pair."""
+    plan = _plan(spark, "profile_functional_dependencies")
+    assert "Window" not in plan, f"no window belongs here:\n{plan}"
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert _count_exchanges(plan) <= 6, f"exchange budget exceeded:\n{plan}"

@@ -135,6 +135,8 @@ QUERIES = [
     "graph_blast_radius",
     "events_markov_transitions",
     "events_changepoint_cusum",
+    "graph_contamination_radius",
+    "profile_functional_dependencies",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
