@@ -695,3 +695,72 @@ def stream_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFram
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Markov-transition extraction (events_markov_transitions' twin)
+# ---------------------------------------------------------------------------
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+    ]
+)
+
+# state: the user's last-seen event type — one string
+_TRANSITION_STATE_SCHEMA = StructType([StructField("last_type", StringType())])
+
+
+def _fold_transitions(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit one (from_type, to_type) adjacency per event after a user's
+    first: events fold in (ts, event_id) order against the stored last
+    type, so a single-trigger run reproduces the batch lag derivation
+    exactly and a multi-trigger run continues across the boundary (the
+    first event of trigger 2 pairs with trigger 1's last event). Same
+    materialize-then-sort discipline as _fold_gaps: chunk order within a
+    group is not guaranteed, so the transient group is concatenated
+    before sorting; state stays one string."""
+    (last,) = state.get if state.exists else (None,)
+    frm: list[str] = []
+    to: list[str] = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for et in pdf["event_type"]:
+            if last is not None:
+                frm.append(last)
+                to.append(et)
+            last = et
+    state.update((last,))
+    yield pd.DataFrame(
+        {
+            "from_type": pd.Series(frm, dtype="object"),
+            "to_type": pd.Series(to, dtype="object"),
+        }
+    )
+
+
+def stream_markov_transitions(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of events_markov_transitions' adjacency extraction:
+    per-user transition emission via ``applyInPandasWithState`` with ONE
+    string of state per user. Each adjacency is an immutable fact once
+    both endpoints are seen (append mode, emitted exactly once), so the
+    |types|^2 transition-count rollup composes downstream per micro-batch
+    through the additive-ledger idiom (counts are deltas keyed by batch
+    id, same as the gap histogram), and P(to|from) is a read-side
+    division over the summed ledger."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_transitions,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=_TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

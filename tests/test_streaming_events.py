@@ -911,3 +911,63 @@ def test_fold_funnel_sorts_across_arrow_chunks():
     assert stage_one == 3
     assert stage_two == stage_one
     assert st1 == st2
+
+
+def test_markov_transitions_single_trigger_matches_batch(spark, tmp_path):
+    """One availableNow trigger over the real sf0.001 events, rolled up
+    to transition counts, must equal the registered batch operator's
+    n_trans matrix (and therefore its probabilities)."""
+    from data_ingestion_lambda_spark.plans import all_specs
+    from data_ingestion_lambda_spark.streaming.events import stream_markov_transitions
+
+    sf = "/root/testdata/sf0.001"
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf}/events.parquet").write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        stream_markov_transitions(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.from_type, r.to_type, r["count"])
+        for r in spark.read.parquet(out)
+        .groupBy("from_type", "to_type")
+        .count()
+        .collect()
+    )
+    want = sorted(
+        (r.from_type, r.to_type, r.n_trans)
+        for r in all_specs()["events_markov_transitions"].builder(spark, sf).collect()
+    )
+    assert got == want
+
+
+def test_markov_transitions_continue_across_triggers(spark, tmp_path):
+    """The stored last-type bridges triggers: trigger 2's first event
+    pairs with trigger 1's last event, and no adjacency re-emits."""
+    from data_ingestion_lambda_spark.streaming.events import stream_markov_transitions
+
+    src, ckpt, out = _paths(tmp_path)
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, _ts(10, 0), 1, "view", 1.0, "{}"),
+            (2, _ts(10, 30), 1, "click", 1.0, "{}"),
+        ],
+    )
+    run = lambda: _run(spark, stream_markov_transitions, src, ckpt, out, "append")
+    run()
+    _write_batch(spark, src, "b2", [(3, _ts(11, 15), 1, "purchase", 5.0, "{}")])
+    run()
+    got = sorted(
+        (r.from_type, r.to_type) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("click", "purchase"), ("view", "click")]
