@@ -1614,3 +1614,122 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - F.col("cum")).cast("double") / (F.col("n_days") - F.col("d")),
         ).alias("mean_after"),
     )
+
+
+@register(
+    "events_distribution_drift",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(FLOOR(value) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT event_type, day, CAST(SUM(cnt) AS BIGINT) AS total
+        FROM h GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+               COALESCE(a.day, b.day + 1) AS day,
+               COALESCE(a.cnt, 0) AS cnt_cur,
+               COALESCE(b.cnt, 0) AS cnt_prev
+        FROM h a FULL OUTER JOIN h b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+         AND a.day = b.day + 1
+    ),
+    agg AS (
+        SELECT p.event_type, p.day,
+               tc.total AS total_cur, tp.total AS total_prev,
+               CAST(SUM(abs(p.cnt_cur * tp.total - p.cnt_prev * tc.total)) AS BIGINT)
+                   AS l1_scaled
+        FROM pairs p
+        JOIN tot tc ON tc.event_type = p.event_type AND tc.day = p.day
+        JOIN tot tp ON tp.event_type = p.event_type
+                   AND tp.day = p.day - 1
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT event_type, day, total_cur, total_prev,
+           CAST(l1_scaled AS DOUBLE) / (total_cur * total_prev) AS l1_drift
+    FROM agg
+    """,
+    tags=("events", "quality", "drift"),
+)
+def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day L1 distance between per-type value distributions
+    (integer-dollar buckets): the drift monitor a training pipeline runs
+    on each day's batch before it joins the corpus — l1_drift ∈ [0, 2],
+    0 = identical shape, 2 = disjoint support; a spike says the batch's
+    value distribution shifted (schema break, upstream bug, regime
+    change) even when volume looks normal.
+
+    Determinism: shares are never materialized as doubles — the L1 sum
+    is computed scaled by both days' totals (|cnt_d·N_{d-1} −
+    cnt_{d-1}·N_d|, exact BIGINT), with ONE final division per
+    (type, day). Days missing a bucket contribute through the full-outer
+    join's zero side, so support changes are counted, not skipped.
+
+    Scale: volume collapses at the (type, day, bucket) rollup (map-side
+    combine); the self-join and the two total joins run over histogram
+    rows — |types| x |days| x |value-domain buckets|, data-volume-free.
+    The drift stat is one number per (type, day-pair): the table a
+    monitoring dashboard reads directly."""
+    e = t(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor("value").cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    tot = h.groupBy("event_type", "day").agg(F.sum("cnt").alias("total")).persist()
+    a = h.alias("a")
+    b = h.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.day") == F.date_add(F.col("b.day"), 1)),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("a.event_type"), F.col("b.event_type")).alias("event_type"),
+        F.coalesce(F.col("a.day"), F.date_add(F.col("b.day"), 1)).alias("day"),
+        F.coalesce(F.col("a.cnt"), F.lit(0)).alias("cnt_cur"),
+        F.coalesce(F.col("b.cnt"), F.lit(0)).alias("cnt_prev"),
+    )
+    tc = tot.select(
+        F.col("event_type"), F.col("day"), F.col("total").alias("total_cur")
+    )
+    tp = tot.select(
+        F.col("event_type"),
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("total").alias("total_prev"),
+    )
+    agg = (
+        pairs.join(tc, ["event_type", "day"])
+        .join(tp, ["event_type", "day"])
+        .groupBy("event_type", "day", "total_cur", "total_prev")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cnt_cur") * F.col("total_prev")
+                    - F.col("cnt_prev") * F.col("total_cur")
+                )
+            )
+            .cast("long")
+            .alias("l1_scaled")
+        )
+    )
+    return agg.select(
+        "event_type",
+        "day",
+        "total_cur",
+        "total_prev",
+        (
+            F.col("l1_scaled").cast("double")
+            / (F.col("total_cur") * F.col("total_prev"))
+        ).alias("l1_drift"),
+    )

@@ -267,3 +267,15 @@ def test_fd_screen_no_window_partial_aggs(spark):
     assert "Window" not in plan, f"no window belongs here:\n{plan}"
     assert "partial_count" in plan or "partial_sum" in plan
     assert _count_exchanges(plan) <= 6, f"exchange budget exceeded:\n{plan}"
+
+
+def test_distribution_drift_histogram_rows_only(spark):
+    """events_distribution_drift: the (type, day, bucket) rollup is
+    persisted and every downstream join (self-join + two totals) reads
+    the cache — raw events are scanned once; no window, no cartesian."""
+    plan = _plan(spark, "events_distribution_drift")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 3, (
+        f"histogram cache must feed all consumers:\n{plan}"
+    )

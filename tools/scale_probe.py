@@ -137,6 +137,7 @@ QUERIES = [
     "events_changepoint_cusum",
     "graph_contamination_radius",
     "profile_functional_dependencies",
+    "events_distribution_drift",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
