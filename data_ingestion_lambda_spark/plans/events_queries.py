@@ -1733,3 +1733,142 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total_cur") * F.col("total_prev"))
         ).alias("l1_drift"),
     )
+
+
+@register(
+    "events_asof_join_nearest",
+    oracle="""
+    WITH prevn AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT MAX(c.ts) FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts <= p.ts) AS prev_ts,
+               (SELECT MIN(c.ts) FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts >= p.ts) AS next_ts
+        FROM events p WHERE p.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+               WHEN prev_ts IS NULL THEN next_ts
+               WHEN next_ts IS NULL THEN prev_ts
+               WHEN epoch_us(next_ts) - epoch_us(ts)
+                    < epoch_us(ts) - epoch_us(prev_ts) THEN next_ts
+               ELSE prev_ts
+           END AS nearest_click_ts
+    FROM prevn
+    """,
+    tags=("events", "asof-join"),
+)
+def events_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — completes the direction family (pandas
+    ``merge_asof(direction='nearest')``): for each purchase, the click
+    by the same user minimizing |click_ts − purchase_ts|; equidistant
+    ties take the PRIOR click (pandas' backward preference).
+
+    Both candidates come from ONE union + ONE user-keyed exchange: the
+    backward carry (last click ≤ ts) and the forward carry (first click
+    ≥ ts) are two frames over the same hash partition — Spark re-sorts
+    within partitions between them (the tie-orderings differ at equal
+    ts) but never re-shuffles, so the family's one-user-exchange pin
+    holds. The winner is picked row-locally with exact epoch-µs integer
+    comparisons. No range join, linear in events per user."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    # backward frame: click sorts BEFORE the purchase at equal ts (<=)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward frame: click sorts AFTER the purchase at equal ts (>=)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = (
+        clicks.unionByName(purchases)
+        .withColumn("prev_ts", F.last("click_ts", ignorenulls=True).over(wb))
+        .withColumn("next_ts", F.first("click_ts", ignorenulls=True).over(wf))
+    )
+    prev_us = F.unix_micros("prev_ts")
+    next_us = F.unix_micros("next_ts")
+    ts_us = F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(next_us - ts_us < ts_us - prev_us, F.col("next_ts"))
+        .otherwise(F.col("prev_ts"))
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
+    )
+
+
+@register(
+    "events_cumulative_reach",
+    oracle="""
+    WITH first_touch AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1
+    ),
+    new_users AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_touch GROUP BY day
+    )
+    SELECT d.day, d.dau,
+           COALESCE(n.n_new, 0) AS n_new_users,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_reach
+    FROM daily d LEFT JOIN new_users n USING (day)
+    """,
+    tags=("events", "growth"),
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, new users, and cumulative reach (running
+    DISTINCT user count since launch) — the growth-dashboard triple.
+
+    The running distinct is NOT a window-distinct (no engine supports a
+    distributable one): each user collapses to a first-touch day, new
+    users roll up per day, and reach is a prefix sum over day rows —
+    the first-occurrence trick that turns an O(n·days) running distinct
+    into two linear aggregations plus a calendar-bounded cumsum.
+
+    Scale: both rollups are map-side-combinable over user/day keys; the
+    only window runs over |days| rows. The global day ordering is a
+    single-task window over CALENDAR rows — bounded by the date domain,
+    never by volume (the same boundedness argument as the coarse-range
+    offsets tables), and at decades-long horizons the two-phase
+    coarse-range prefix sum generalizes."""
+    e = t(spark, sf_dir, "events")
+    first_touch = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = (
+        e.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("dau"))
+    )
+    new_users = first_touch.groupBy("day").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.join(new_users, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("n_new", F.lit(0)).alias("n_new_users"),
+        )
+        .withColumn(
+            "cumulative_reach", F.sum("n_new_users").over(w).cast("long")
+        )
+    )

@@ -54,14 +54,17 @@ def test_mad_hist_windows_are_type_partitioned(spark):
 
 
 def test_asof_family_is_one_user_exchange_no_range_join(spark):
-    """All three as-of variants (backward / forward / tolerance) must keep
-    the union-window recipe: a single user_id exchange, no
+    """All four as-of variants (backward / forward / tolerance / nearest)
+    must keep the union-window recipe: a single user_id exchange, no
     BroadcastNestedLoopJoin or CartesianProduct (the naive range-join
-    formulations Catalyst would pick for the correlated-subquery shape)."""
+    formulations Catalyst would pick for the correlated-subquery shape).
+    The nearest variant carries two frames with different tie-orderings —
+    an in-partition re-sort, never a second shuffle."""
     for name in (
         "events_asof_join",
         "events_asof_join_forward",
         "events_asof_join_tolerance",
+        "events_asof_join_nearest",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name

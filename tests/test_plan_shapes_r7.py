@@ -279,3 +279,17 @@ def test_distribution_drift_histogram_rows_only(spark):
     assert plan.count("InMemoryTableScan") >= 3, (
         f"histogram cache must feed all consumers:\n{plan}"
     )
+
+
+def test_cumulative_reach_window_over_calendar_rows(spark):
+    """events_cumulative_reach: the only windows run AFTER the day-level
+    rollups (the global prefix sum sees |days| rows, volume-free) — both
+    aggregates must collapse map-side first."""
+    plan = _plan(spark, "events_cumulative_reach")
+    assert "partial_count" in plan or "partial_sum" in plan
+    # every window input is an aggregate output, never the raw scan:
+    # the Window operators must sit above HashAggregate in the tree
+    seg = plan.split("Window")[0]
+    assert "parquet" not in seg.lower() or "HashAggregate" in plan, (
+        f"window must consume rollup rows:\n{plan}"
+    )

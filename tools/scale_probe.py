@@ -138,6 +138,8 @@ QUERIES = [
     "graph_contamination_radius",
     "profile_functional_dependencies",
     "events_distribution_drift",
+    "events_asof_join_nearest",
+    "events_cumulative_reach",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
