@@ -86,6 +86,15 @@ HEADLINE_V2 = [
     "text_collocations_lift",
     "search_bm25_topk",
     "search_hybrid_rrf",
+    # late-r7 analytics additions (still pre-BENCH_r07, so the v2
+    # baseline includes them from the start)
+    "graph_blast_radius",
+    "graph_contamination_radius",
+    "events_markov_transitions",
+    "events_distribution_drift",
+    "events_asof_join_nearest",
+    "profile_correlation_exact",
+    "shipping_latency_quantiles",
 ]
 
 

@@ -1112,3 +1112,84 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(revenue).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join -> histogram-quantile composition (the percentile recipe after a
+# fact-fact join)
+# ---------------------------------------------------------------------------
+
+_LATENCY_PS = (50, 90, 99)
+
+
+@register(
+    "shipping_latency_quantiles",
+    oracle=f"""
+    WITH lat AS (
+        SELECT o.o_orderpriority AS grp,
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    hist AS (SELECT grp, days, COUNT(*) AS cnt FROM lat GROUP BY 1, 2),
+    n AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM hist GROUP BY 1),
+    cum AS (
+        SELECT grp, days, cnt,
+               SUM(cnt) OVER (PARTITION BY grp ORDER BY days
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    )
+    SELECT cum.grp AS o_orderpriority, n.n_rows,
+           {", ".join(
+               f"CAST(MIN(CASE WHEN cum.cum * 100 >= n.n_rows * {p} "
+               f"THEN cum.days END) AS BIGINT) AS p{p}_days"
+               for p in _LATENCY_PS
+           )}
+    FROM cum JOIN n USING (grp)
+    GROUP BY cum.grp, n.n_rows
+    """,
+    tags=("relational", "quantiles", "join"),
+)
+def shipping_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency quantiles (p50/p90/p99 days) per order
+    priority — the SLA dashboard, and the proof that the distributed
+    histogram-percentile recipe composes AFTER a fact-fact join: the
+    latency column only exists post lineitem⋈orders, and the quantile
+    machinery runs unchanged on the joined stream.
+
+    Scale: the join is an orderkey equi-join (both sides shuffle once on
+    the key — at 100 TB this is the bucketed-table co-location case);
+    everything after collapses to (priority, integer-day) bucket rows —
+    the day domain is bounded by business latency (~a quarter), so the
+    cumulative window never sees volume. All-integer, hash-stable."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).cast("long").alias("days"),
+    )
+    hist = lat.groupBy("grp", "days").agg(F.count("*").alias("cnt"))
+    n = hist.groupBy("grp").agg(F.sum("cnt").cast("long").alias("n_rows"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    return (
+        cum.join(F.broadcast(n), "grp")
+        .groupBy("grp", "n_rows")
+        .agg(
+            *[
+                F.min(F.when(F.col("cum") * 100 >= F.col("n_rows") * p, F.col("days")))
+                .cast("long")
+                .alias(f"p{p}_days")
+                for p in _LATENCY_PS
+            ]
+        )
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "n_rows",
+            *[f"p{p}_days" for p in _LATENCY_PS],
+        )
+    )

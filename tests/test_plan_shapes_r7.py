@@ -293,3 +293,16 @@ def test_cumulative_reach_window_over_calendar_rows(spark):
     assert "parquet" not in seg.lower() or "HashAggregate" in plan, (
         f"window must consume rollup rows:\n{plan}"
     )
+
+
+def test_shipping_latency_quantiles_joins_then_buckets(spark):
+    """shipping_latency_quantiles: the histogram-percentile recipe after
+    a fact-fact join — the orderkey join must be a real join (sort-merge
+    or shuffled-hash at scale; broadcast is fine at sf0.001), NO exact
+    percentile aggregate anywhere, and the cumulative window partitions
+    by the group over day-bucket rows."""
+    plan = _plan(spark, "shipping_latency_quantiles")
+    assert "percentile" not in plan, f"exact percentile buffer crept in:\n{plan}"
+    assert "Join" in plan, f"the fact join vanished:\n{plan}"
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "grp" in spec, f"window not group-partitioned:\n{plan}"

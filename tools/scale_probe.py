@@ -140,6 +140,7 @@ QUERIES = [
     "events_distribution_drift",
     "events_asof_join_nearest",
     "events_cumulative_reach",
+    "shipping_latency_quantiles",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
