@@ -230,6 +230,24 @@ def build_parser() -> argparse.ArgumentParser:
         "--out", default=None, help="persist the top-k result here (overwrite)"
     )
 
+    drf = sub.add_parser(
+        "drift-monitor",
+        help="maintained value-distribution drift gate: land a day's "
+        "histogram partition and/or report day-over-day L1 drift from "
+        "the persisted index (the production form of "
+        "events_distribution_drift)",
+    )
+    drf.add_argument("--index", required=True, help="histogram table directory")
+    drf.add_argument("--batch", default=None, help="parquet of the day's events")
+    drf.add_argument(
+        "--date", default=None, help="batch date (the histogram partition key)"
+    )
+    drf.add_argument(
+        "--report-out",
+        default=None,
+        help="persist the drift table here (overwrite); printed to stdout otherwise",
+    )
+
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
     qry.add_argument("--data", help="directory holding the parquet tables")
@@ -387,6 +405,31 @@ def main(argv: list[str] | None = None) -> int:
             report["scored_docs"] = None  # first batch: no model yet
         if not args.score_only:
             report.update(update_vocab(spark, args.vocab, batch, args.date))
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "drift-monitor":
+        from data_ingestion_lambda_spark.operators.drift_monitor import (
+            apply_histogram_batch,
+            read_drift,
+        )
+
+        if (args.batch is None) != (args.date is None):
+            raise SystemExit("drift-monitor: --batch and --date go together")
+        spark = get_spark("data-ingestion-cli")
+        report: dict = {}
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch)
+            report.update(apply_histogram_batch(spark, args.index, batch, args.date))
+        drift = read_drift(spark, args.index)
+        if args.report_out is not None:
+            drift.write.mode("overwrite").parquet(args.report_out)
+            report["report_out"] = args.report_out
+            report["drift_rows"] = spark.read.parquet(args.report_out).count()
+        else:
+            rows = drift.orderBy("event_type", "day").collect()
+            report["drift_rows"] = len(rows)
+            report["max_l1_drift"] = max((r.l1_drift for r in rows), default=None)
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 

@@ -1,0 +1,78 @@
+"""Maintained value-distribution drift monitor — the PRODUCTION form of
+``events_distribution_drift`` (plans/events_queries.py), which rescans
+all events per run. This module PERSISTS each day's value histogram in
+the day's own partition and computes the day-over-day L1 drift READ-SIDE
+over histogram rows — so a 100 TB events table is scanned once per day
+(its own batch), never re-aggregated to answer "did yesterday's batch
+shift".
+
+Reference intent: the reference's daily loop touches only the new day's
+files against its stored table (src/lambda_handler.py:38-102); applied
+to the drift gate this means each batch is histogrammed exactly once, on
+the day it arrives.
+
+Table layout: ``date=<batch>``-partitioned parquet of
+``(event_type, bucket, cnt)`` — the batch-id-keyed sink idiom shared
+with the vocab model, the dedup-gate signature index, and the streaming
+gap ledger:
+
+  - a replayed batch overwrites only its own partition
+    (``replace_partitions``) — idempotent by construction;
+  - histogram counts are per-day facts (never merged across days), so
+    there is nothing to compact and no double-count hazard;
+  - the read-side drift runs over |types| x |days| x |value-domain|
+    histogram rows — data-volume-free.
+
+Equality contract: the L1 arithmetic is LITERALLY the registered
+operator's ``drift_from_histograms`` (imported), so N daily applications
+followed by ``read_drift`` row-equals the one-shot operator over the
+same events — pinned in tests/test_drift_monitor.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.upsert import (
+    PARTITION_COL,
+    replace_partitions,
+)
+from data_ingestion_lambda_spark.plans.events_queries import drift_from_histograms
+
+
+def _batch_histogram(batch_events: DataFrame) -> DataFrame:
+    """(event_type, bucket, cnt) for one batch — identical quantization
+    to the registered operator (integer-dollar FLOOR buckets)."""
+    return (
+        batch_events.select(
+            "event_type", F.floor("value").cast("long").alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def apply_histogram_batch(
+    spark: SparkSession, index_dir: str, batch_events: DataFrame, batch_date: str
+) -> dict:
+    """Land one day's value histogram under ``date=<batch_date>``.
+    Re-running the same (batch, date) overwrites only that partition —
+    idempotent."""
+    hist = _batch_histogram(batch_events).withColumn(PARTITION_COL, F.lit(batch_date))
+    replace_partitions(spark, index_dir, hist, [batch_date])
+    return {"date": batch_date, "hist_rows": hist.count()}
+
+
+def read_drift(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Day-over-day L1 drift from the persisted histograms — the same
+    output schema and arithmetic as events_distribution_drift, computed
+    without touching raw events. The partition date string becomes the
+    operator's DATE-typed day column."""
+    h = spark.read.parquet(index_dir).select(
+        "event_type",
+        F.col(PARTITION_COL).cast("date").alias("day"),
+        "bucket",
+        "cnt",
+    )
+    return drift_from_histograms(h)

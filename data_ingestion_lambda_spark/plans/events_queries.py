@@ -1683,8 +1683,18 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "day", "bucket")
         .agg(F.count("*").alias("cnt"))
-        .persist()
     )
+    return drift_from_histograms(h)
+
+
+def drift_from_histograms(h: DataFrame) -> DataFrame:
+    """(event_type, day, bucket, cnt) histogram rows -> the drift table.
+
+    Shared by the registered one-shot operator above and the maintained
+    per-day histogram index (operators/drift_monitor.py), so the two
+    compute IDENTICAL arithmetic by construction — the vocab/postings
+    shared-expression discipline."""
+    h = h.persist()
     tot = h.groupBy("event_type", "day").agg(F.sum("cnt").alias("total")).persist()
     a = h.alias("a")
     b = h.alias("b")

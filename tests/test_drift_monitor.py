@@ -1,0 +1,85 @@
+"""Maintained drift monitor: N daily histogram applications + read-side
+drift must row-equal the one-shot events_distribution_drift over the
+same events, and a replayed day must be a bitwise no-op."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.drift_monitor import (
+    apply_histogram_batch,
+    read_drift,
+)
+from data_ingestion_lambda_spark.plans import all_specs
+from data_ingestion_lambda_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        (r.event_type, r.day, r.total_cur, r.total_prev, round(r.l1_drift, 12))
+        for r in df.collect()
+    )
+
+
+def _apply_all_days(spark, idx, events):
+    days = sorted(
+        r.d for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    for d in days:
+        batch = events.filter(F.to_date("ts") == F.lit(d))
+        apply_histogram_batch(spark, idx, batch, str(d))
+    return days
+
+
+def test_nday_application_equals_oneshot(spark, tmp_path):
+    idx = str(tmp_path / "hist_idx")
+    events = load_table(spark, SF, "events")
+    _apply_all_days(spark, idx, events)
+    got = _rows(read_drift(spark, idx))
+    want = _rows(all_specs()["events_distribution_drift"].builder(spark, SF))
+    assert got == want and len(got) > 0
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    idx = str(tmp_path / "hist_idx")
+    events = load_table(spark, SF, "events")
+    days = _apply_all_days(spark, idx, events)
+    before = _rows(read_drift(spark, idx))
+    # replay a middle day verbatim
+    mid = days[len(days) // 2]
+    batch = events.filter(F.to_date("ts") == F.lit(mid))
+    apply_histogram_batch(spark, idx, batch, str(mid))
+    assert _rows(read_drift(spark, idx)) == before
+
+
+def test_cli_roundtrip(spark, tmp_path):
+    """drift-monitor CLI: apply two day-batches, then the read-side
+    report must match read_drift on the same index."""
+    import json
+    import subprocess
+    import sys
+
+    idx = str(tmp_path / "hist_idx")
+    events = load_table(spark, SF, "events")
+    days = sorted(
+        r.d for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )[:2]
+    outs = []
+    for d in days:
+        src = str(tmp_path / f"batch_{d}")
+        events.filter(F.to_date("ts") == F.lit(d)).write.parquet(src)
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "data_ingestion_lambda_spark",
+                "drift-monitor", "--index", idx, "--batch", src, "--date", str(d),
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    assert outs[-1]["statusCode"] == 200
+    # day 2's report sees exactly one drift row pair (day2 vs day1) per type
+    got = _rows(read_drift(spark, idx))
+    assert outs[-1]["drift_rows"] == len(got) and len(got) > 0
