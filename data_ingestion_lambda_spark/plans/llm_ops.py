@@ -2737,3 +2737,71 @@ def _attach_lang_confusion_oracle() -> None:
 
 
 _attach_lang_confusion_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Directional containment audit over LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH pairs AS ({MINHASH_PAIRS_ORACLE}),
+    ctoks AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    cth AS (SELECT doc_id, {_SQL_TH31} AS th1, {_SQL_TH131} AS th2 FROM ctoks),
+    csets AS (SELECT doc_id, {SQL_SHINGLE_HASHES62} AS shingles FROM cth),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM csets)
+    SELECT p.doc_a, p.doc_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / sa.n
+               AS containment_a_in_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / sb.n
+               AS containment_b_in_a
+    FROM pairs p
+    JOIN sized sa ON p.doc_a = sa.doc_id
+    JOIN sized sb ON p.doc_b = sb.doc_id
+    WHERE sa.n > 0 AND sb.n > 0
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment audit for every MinHash-LSH candidate
+    pair: |A∩B|/|A| and |A∩B|/|B| over the full distinct shingle sets —
+    the asymmetric companion to the symmetric Jaccard verdict. A pair
+    with containment_a_in_b ≈ 1 but modest Jaccard is a QUOTE/SUBSET
+    relationship (A embedded in a larger B): the dedup reviewer keeps B
+    and drops A, where a symmetric near-dup would keep either. (Subset
+    pairs whose Jaccard falls below the LSH threshold need the
+    substring-span lane — this audits the pairs the pipeline already
+    surfaced.)
+
+    Determinism: shingle identity is the 62-bit double-polynomial hash
+    (both engines compute it identically); the two containments are
+    single IEEE divisions of exact set sizes.
+
+    Scale: the shingle-set table joins pair rows by doc id — sets ride
+    the join as arrays of longs (the written-once signature-table shape);
+    the intersection is per-pair row-local work bounded by doc length;
+    candidate volume is the LSH output, never all-pairs."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sets = d.select(
+        "doc_id", shingle_hashes62(tokens("text")).alias("ss")
+    ).withColumn("n", F.size("ss"))
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where((F.col("sa.n") > 0) & (F.col("sb.n") > 0))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n").cast("long").alias("n_a"),
+            F.col("sb.n").cast("long").alias("n_b"),
+            (inter.cast("double") / F.col("sa.n")).alias("containment_a_in_b"),
+            (inter.cast("double") / F.col("sb.n")).alias("containment_b_in_a"),
+        )
+    )

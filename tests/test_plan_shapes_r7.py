@@ -306,3 +306,15 @@ def test_shipping_latency_quantiles_joins_then_buckets(spark):
     assert "Join" in plan, f"the fact join vanished:\n{plan}"
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "grp" in spec, f"window not group-partitioned:\n{plan}"
+
+
+def test_containment_no_cartesian_rowlocal_intersect(spark):
+    """dedup_containment: candidate volume is the LSH band join — no
+    cartesian/nested-loop anywhere; verification must be the row-local
+    array_intersect (never a per-shingle pair-row aggregation)."""
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan, f"row-local intersect missing:\n{plan}"
+    assert not re.search(r"partial_count.*doc_a.*doc_b", plan), (
+        f"per-pair shingle-row aggregation:\n{plan}"
+    )

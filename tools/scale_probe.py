@@ -141,6 +141,7 @@ QUERIES = [
     "events_asof_join_nearest",
     "events_cumulative_reach",
     "shipping_latency_quantiles",
+    "dedup_containment",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
