@@ -764,3 +764,66 @@ def stream_markov_transitions(events: DataFrame, watermark: str = "2 hours") -> 
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming value-histogram ledger (the drift monitor's streaming front)
+# ---------------------------------------------------------------------------
+
+
+def stream_value_histogram_to_table(
+    events: DataFrame, target_dir: str, checkpoint_dir: str
+):
+    """Stream events into the drift monitor's input: each micro-batch's
+    (event_type, day, bucket) value-histogram DELTA lands in its own
+    ``ingest_batch=<id>`` partition — the additive-ledger idiom shared
+    with the gap histogram, which is what makes a day arriving across
+    MANY micro-batches correct (the maintained daily form
+    operators/drift_monitor.py assumes day-complete batches; the ledger
+    sums partial days read-side). At-least-once foreachBatch replays
+    overwrite their own partition — idempotent by construction. Counts
+    are associative, so the ledger compacts like the gap ledger.
+    Stateless: histogram deltas need no watermark or state store.
+    Returns the DataStreamWriter."""
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                "event_type",
+                F.to_date("ts").alias("day"),
+                F.floor("value").cast("long").alias("bucket"),
+            )
+            .groupBy("event_type", "day", "bucket")
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(f"{target_dir}/ingest_batch={batch_id}")
+        )
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(_land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_value_histogram(spark, target_dir: str) -> DataFrame:
+    """Sum the batch-id ledger into the current (event_type, day, bucket,
+    cnt) histogram — the drift computation's input shape."""
+    return (
+        spark.read.option("basePath", target_dir)
+        .parquet(f"{target_dir}/ingest_batch=*")
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def drift_from_value_ledger(spark, target_dir: str) -> DataFrame:
+    """Day-over-day L1 drift read straight from the streamed ledger,
+    through the SAME drift_from_histograms expression the registered
+    operator and the maintained daily index use — so stream → ledger →
+    drift yields events_distribution_drift's exact rows (pinned in
+    tests/test_drift_monitor.py)."""
+    from data_ingestion_lambda_spark.plans.events_queries import drift_from_histograms
+
+    return drift_from_histograms(read_value_histogram(spark, target_dir))

@@ -83,3 +83,51 @@ def test_cli_roundtrip(spark, tmp_path):
     # day 2's report sees exactly one drift row pair (day2 vs day1) per type
     got = _rows(read_drift(spark, idx))
     assert outs[-1]["drift_rows"] == len(got) and len(got) > 0
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_stream_ledger_drift_equals_oneshot_with_midday_split(spark, tmp_path):
+    """Streaming front: events arrive in two triggers split MID-DAY (the
+    case the daily replace_partitions form cannot express), the ledger
+    sums the partial-day deltas, and the read-side drift must still
+    row-equal the one-shot operator. A third run over the finished
+    source is a checkpointed no-op."""
+    from data_ingestion_lambda_spark.streaming.events import (
+        drift_from_value_ledger,
+        stream_value_histogram_to_table,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "ledger")
+    events = load_table(spark, SF, "events").orderBy("ts", "event_id")
+    rows = events.collect()
+    # split at an arbitrary row INSIDE a day, not at a day boundary
+    cut = len(rows) // 2
+    assert rows[cut - 1].ts.date() == rows[cut].ts.date(), "cut must be mid-day"
+    spark.createDataFrame(rows[:cut], EVENTS_SCHEMA).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            stream_value_histogram_to_table(
+                spark.readStream.schema(EVENTS_SCHEMA).parquet(src), ledger, ckpt
+            ).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows[cut:], EVENTS_SCHEMA).write.mode("append").parquet(src)
+    run()
+    got = _rows(drift_from_value_ledger(spark, ledger))
+    want = _rows(all_specs()["events_distribution_drift"].builder(spark, SF))
+    assert got == want and len(got) > 0
+    import glob
+    n_parts = len(glob.glob(f"{ledger}/ingest_batch=*"))
+    run()  # finished source: no new batch partitions, same drift
+    assert len(glob.glob(f"{ledger}/ingest_batch=*")) == n_parts
+    assert _rows(drift_from_value_ledger(spark, ledger)) == want
