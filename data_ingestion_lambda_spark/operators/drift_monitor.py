@@ -38,16 +38,18 @@ from data_ingestion_lambda_spark.operators.upsert import (
     PARTITION_COL,
     replace_partitions,
 )
-from data_ingestion_lambda_spark.plans.events_queries import drift_from_histograms
+from data_ingestion_lambda_spark.plans.events_queries import (
+    drift_from_histograms,
+    value_bucket,
+)
 
 
 def _batch_histogram(batch_events: DataFrame) -> DataFrame:
-    """(event_type, bucket, cnt) for one batch — identical quantization
-    to the registered operator (integer-dollar FLOOR buckets)."""
+    """(event_type, bucket, cnt) for one batch — the quantization is the
+    registered operator's own value_bucket expression (imported, so the
+    two can never desynchronize)."""
     return (
-        batch_events.select(
-            "event_type", F.floor("value").cast("long").alias("bucket")
-        )
+        batch_events.select("event_type", value_bucket())
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -58,10 +60,32 @@ def apply_histogram_batch(
 ) -> dict:
     """Land one day's value histogram under ``date=<batch_date>``.
     Re-running the same (batch, date) overwrites only that partition —
-    idempotent."""
+    idempotent.
+
+    DAY PURITY IS ENFORCED: unlike the vocab/postings indexes, where the
+    partition date is only a replay-idempotence key, the drift signal's
+    correctness depends on every event belonging to its partition's day
+    — a multi-day or mislabeled batch would silently corrupt BOTH
+    adjacent day-pairs. Events outside ``batch_date`` raise; feeds that
+    legitimately split or mix days belong on the streaming ledger
+    (streaming/events.py::stream_value_histogram_to_table), which sums
+    per-batch deltas read-side."""
+    n_outside = batch_events.filter(
+        F.to_date("ts") != F.lit(batch_date).cast("date")
+    ).count()
+    if n_outside:
+        raise ValueError(
+            f"drift monitor: {n_outside} events in this batch fall outside "
+            f"{batch_date}; the daily histogram index requires day-pure "
+            "batches — route mixed-day feeds through the streaming ledger "
+            "(stream_value_histogram_to_table)"
+        )
     hist = _batch_histogram(batch_events).withColumn(PARTITION_COL, F.lit(batch_date))
     replace_partitions(spark, index_dir, hist, [batch_date])
-    return {"date": batch_date, "hist_rows": hist.count()}
+    # count the COMMITTED partition (parquet row-group metadata), not a
+    # re-run of the batch aggregation
+    landed = spark.read.parquet(f"{index_dir}/{PARTITION_COL}={batch_date}").count()
+    return {"date": batch_date, "hist_rows": landed}
 
 
 def read_drift(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -11,7 +11,7 @@ arithmetic is integer epoch-µs → deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.plans.decimals import dsum
@@ -1337,10 +1337,10 @@ def events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx
+               SUM(x) AS sx,
+               SUM(y) AS sy,
+               SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx
         FROM daily GROUP BY event_type
     )
     SELECT event_type, n AS n_days,
@@ -1364,15 +1364,17 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the classic closed form slope = (n·Σxy − Σx·Σy) /
     (n·Σx² − (Σx)²) over (x = epoch day, y = daily count) — every moment
-    is an exact BIGINT aggregate (associative, partition-order-free), and
-    the only floating-point steps are the final divisions, identical
-    single IEEE operations in both engines. No avg()/covar() built-ins,
-    whose double accumulation order differs per engine/partitioning.
+    is an exact integer aggregate (associative, partition-order-free;
+    Spark sums in decimal(38,0), DuckDB in HUGEINT — Σxy crosses 2^63
+    within ~a year of 1e12-events-per-day history, so 8-byte moments
+    would silently wrap), and the only floating-point steps are the
+    final divisions, identical single IEEE operations in both engines.
+    No avg()/covar() built-ins, whose double accumulation order differs
+    per engine/partitioning.
 
     Scale: two map-side-combinable aggregations — (type, day) rollup,
     then 5 integer moments over the day rows (|types|·|days| rows, data-
-    volume-free); one exchange each. Magnitudes: |x| ≤ ~2e4 (epoch days),
-    so n·Σxy stays far under BIGINT range even at 1e12 events/day."""
+    volume-free); one exchange each."""
     e = t(spark, sf_dir, "events")
     daily = (
         e.select(
@@ -1382,15 +1384,17 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "x")
         .agg(F.count("*").alias("y"))
     )
+    DEC38 = "decimal(38,0)"
     s = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(DEC38)).alias("sx"),
+        F.sum(F.col("y").cast(DEC38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC38)).alias("sxx"),
     )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    nd = F.col("n").cast(DEC38)
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
     slope = num.cast("double") / den.cast("double")
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
@@ -1641,8 +1645,8 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
         SELECT p.event_type, p.day,
                tc.total AS total_cur, tp.total AS total_prev,
-               CAST(SUM(abs(p.cnt_cur * tp.total - p.cnt_prev * tc.total)) AS BIGINT)
-                   AS l1_scaled
+               SUM(abs(CAST(p.cnt_cur AS HUGEINT) * tp.total
+                       - CAST(p.cnt_prev AS HUGEINT) * tc.total)) AS l1_scaled
         FROM pairs p
         JOIN tot tc ON tc.event_type = p.event_type AND tc.day = p.day
         JOIN tot tp ON tp.event_type = p.event_type
@@ -1650,7 +1654,8 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3, 4
     )
     SELECT event_type, day, total_cur, total_prev,
-           CAST(l1_scaled AS DOUBLE) / (total_cur * total_prev) AS l1_drift
+           CAST(l1_scaled AS DOUBLE)
+               / (CAST(total_cur AS DOUBLE) * CAST(total_prev AS DOUBLE)) AS l1_drift
     FROM agg
     """,
     tags=("events", "quality", "drift"),
@@ -1665,8 +1670,9 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: shares are never materialized as doubles — the L1 sum
     is computed scaled by both days' totals (|cnt_d·N_{d-1} −
-    cnt_{d-1}·N_d|, exact BIGINT), with ONE final division per
-    (type, day). Days missing a bucket contribute through the full-outer
+    cnt_{d-1}·N_d|, exact in decimal(38,0)/HUGEINT: the cross products
+    pass 2^63 once daily volume nears ~10^9.5), with one final
+    double-by-double division per (type, day). Days missing a bucket contribute through the full-outer
     join's zero side, so support changes are counted, not skipped.
 
     Scale: volume collapses at the (type, day, bucket) rollup (map-side
@@ -1676,15 +1682,19 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring dashboard reads directly."""
     e = t(spark, sf_dir, "events")
     h = (
-        e.select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            F.floor("value").cast("long").alias("bucket"),
-        )
+        e.select("event_type", F.to_date("ts").alias("day"), value_bucket())
         .groupBy("event_type", "day", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
     return drift_from_histograms(h)
+
+
+def value_bucket() -> Column:
+    """The drift family's ONE bucketization (integer-dollar FLOOR of
+    events.value) — shared by the registered operator, the maintained
+    daily index (operators/drift_monitor.py), and the streaming ledger
+    (streaming/events.py), so the three can never desynchronize."""
+    return F.floor("value").cast("long").alias("bucket")
 
 
 def drift_from_histograms(h: DataFrame) -> DataFrame:
@@ -1723,14 +1733,14 @@ def drift_from_histograms(h: DataFrame) -> DataFrame:
         .join(tp, ["event_type", "day"])
         .groupBy("event_type", "day", "total_cur", "total_prev")
         .agg(
+            # decimal(38,0): cnt x total crosses 2^63 near 1e9.5 events
+            # per (type, day) — the oracle mirrors with HUGEINT
             F.sum(
                 F.abs(
-                    F.col("cnt_cur") * F.col("total_prev")
-                    - F.col("cnt_prev") * F.col("total_cur")
+                    F.col("cnt_cur").cast("decimal(38,0)") * F.col("total_prev")
+                    - F.col("cnt_prev").cast("decimal(38,0)") * F.col("total_cur")
                 )
-            )
-            .cast("long")
-            .alias("l1_scaled")
+            ).alias("l1_scaled")
         )
     )
     return agg.select(
@@ -1740,7 +1750,7 @@ def drift_from_histograms(h: DataFrame) -> DataFrame:
         "total_prev",
         (
             F.col("l1_scaled").cast("double")
-            / (F.col("total_cur") * F.col("total_prev"))
+            / (F.col("total_cur").cast("double") * F.col("total_prev").cast("double"))
         ).alias("l1_drift"),
     )
 

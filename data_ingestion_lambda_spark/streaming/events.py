@@ -786,13 +786,11 @@ def stream_value_histogram_to_table(
     Stateless: histogram deltas need no watermark or state store.
     Returns the DataStreamWriter."""
 
+    from data_ingestion_lambda_spark.plans.events_queries import value_bucket
+
     def _land(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.select(
-                "event_type",
-                F.to_date("ts").alias("day"),
-                F.floor("value").cast("long").alias("bucket"),
-            )
+            batch_df.select("event_type", F.to_date("ts").alias("day"), value_bucket())
             .groupBy("event_type", "day", "bucket")
             .agg(F.count("*").alias("cnt"))
             .write.mode("overwrite")

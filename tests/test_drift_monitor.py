@@ -131,3 +131,19 @@ def test_stream_ledger_drift_equals_oneshot_with_midday_split(spark, tmp_path):
     run()  # finished source: no new batch partitions, same drift
     assert len(glob.glob(f"{ledger}/ingest_batch=*")) == n_parts
     assert _rows(drift_from_value_ledger(spark, ledger)) == want
+
+
+def test_mixed_day_batch_is_rejected(spark, tmp_path):
+    """Day purity: a batch containing any event outside --date must
+    raise (silently crediting it to the partition day would corrupt
+    both adjacent drift pairs)."""
+    import pytest
+
+    idx = str(tmp_path / "hist_idx")
+    events = load_table(spark, SF, "events")
+    days = sorted(
+        r.d for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )[:2]
+    mixed = events.filter(F.to_date("ts").isin([F.lit(d) for d in days]))
+    with pytest.raises(ValueError, match="outside"):
+        apply_histogram_batch(spark, idx, mixed, str(days[0]))

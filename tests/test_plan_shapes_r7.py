@@ -202,7 +202,7 @@ def test_benford_reference_broadcasts(spark):
     # the 9-key digit rollup feeds both the total agg and the output join,
     # so the un-reused pre-AQE plan carries the rollup exchange twice
     assert _count_exchanges(plan) <= 2, f"expected only digit-rollup exchanges:\n{plan}"
-    assert "LOG10" not in plan.upper().replace("log10(1+1/d)", ""), (
+    assert "LOG10(" not in plan.upper(), (
         f"log10 must not be computed in-plan:\n{plan}"
     )
 
@@ -287,11 +287,17 @@ def test_cumulative_reach_window_over_calendar_rows(spark):
     aggregates must collapse map-side first."""
     plan = _plan(spark, "events_cumulative_reach")
     assert "partial_count" in plan or "partial_sum" in plan
-    # every window input is an aggregate output, never the raw scan:
-    # the Window operators must sit above HashAggregate in the tree
-    seg = plan.split("Window")[0]
-    assert "parquet" not in seg.lower() or "HashAggregate" in plan, (
-        f"window must consume rollup rows:\n{plan}"
+    # exactly one window (the reach prefix sum), ordered by day, and the
+    # plan text BELOW it (its input subtree) must start with aggregated/
+    # joined rollup output — a window sitting directly on the scan would
+    # put the parquet relation before any HashAggregate in that subtree
+    w_at = plan.index("Window")
+    subtree = plan[w_at:]
+    assert plan.count("Window [") == 1, f"expected one window:\n{plan}"
+    agg_at = subtree.find("HashAggregate")
+    scan_at = subtree.lower().find("parquet")
+    assert agg_at != -1 and (scan_at == -1 or agg_at < scan_at), (
+        f"window must consume rollup rows, not the raw scan:\n{plan}"
     )
 
 
