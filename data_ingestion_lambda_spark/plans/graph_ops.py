@@ -630,3 +630,78 @@ def graph_contamination_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     return bfs_hops(seeds, edges, 2)
+
+
+_QUALITY_ORACLE = REGISTRY["text_quality_score"].oracle
+
+
+@register(
+    "dedup_canonical_by_quality",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    assign AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    qual AS ({_QUALITY_ORACLE}),
+    ranked AS (
+        SELECT a.cluster_id, a.doc_id, q.passes_quality, q.n_tokens,
+               row_number() OVER (PARTITION BY a.cluster_id
+                   ORDER BY q.passes_quality DESC, q.n_tokens DESC, a.doc_id ASC)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY a.cluster_id) AS n_members
+        FROM assign a JOIN qual q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS canonical_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           passes_quality AS canonical_passes,
+           CAST(n_tokens AS BIGINT) AS canonical_n_tokens
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+    tags=("llm", "dedup", "graph", "curation"),
+)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per duplicate cluster: the
+    survivor of each non-trivial near-dup cluster is the member that
+    passes the quality gate with the most tokens (tie-break doc_id) —
+    the production dedup rule, versus dedup_cluster_assign's keep-min-id
+    convention, which can keep a truncated or boilerplate copy while
+    dropping the full document. Quality verdicts are
+    text_quality_score's own (oracle composed, no drift).
+
+    Determinism: rank keys are a boolean, an integer token count, and
+    the id — no doubles in the ordering, so ties can't split on ulps.
+
+    Scale: cluster assignment is the star-contraction CC (edges-only
+    state); the rank is one window over cluster members — graph-sized,
+    not corpus-sized; quality joins by doc id."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    assign = connected_components(edges).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    qual = REGISTRY["text_quality_score"].builder(spark, sf_dir).select(
+        "doc_id", "passes_quality", "n_tokens"
+    )
+    wrank = Window.partitionBy("cluster_id").orderBy(
+        F.col("passes_quality").desc(), F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    wcnt = Window.partitionBy("cluster_id")
+    ranked = (
+        assign.join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(wrank))
+        .withColumn("n_members", F.count("*").over(wcnt))
+    )
+    return ranked.where((F.col("rn") == 1) & (F.col("n_members") > 1)).select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("passes_quality").alias("canonical_passes"),
+        F.col("n_tokens").cast("long").alias("canonical_n_tokens"),
+    )

@@ -324,3 +324,14 @@ def test_containment_no_cartesian_rowlocal_intersect(spark):
     assert not re.search(r"partial_count.*doc_a.*doc_b", plan), (
         f"per-pair shingle-row aggregation:\n{plan}"
     )
+
+
+def test_canonical_by_quality_rank_window_cluster_scoped(spark):
+    """dedup_canonical_by_quality: the rank/count windows partition by
+    cluster_id (graph-sized rows), never unpartitioned; no cartesian."""
+    plan = _plan(spark, "dedup_canonical_by_quality")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert specs and all("cluster_id" in x for x in specs), (
+        f"windows must be cluster-scoped:\n{plan}"
+    )

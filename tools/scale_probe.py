@@ -142,6 +142,7 @@ QUERIES = [
     "events_cumulative_reach",
     "shipping_latency_quantiles",
     "dedup_containment",
+    "dedup_canonical_by_quality",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
