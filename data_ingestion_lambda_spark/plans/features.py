@@ -1,0 +1,463 @@
+"""ML feature-preparation lanes: the transforms a training-data pipeline
+applies to tabular columns before a model ever sees them — scaling,
+categorical encoding, the hashing trick, and quantile discretization.
+
+The reference repo ingests raw rows and stops
+(/root/reference/src/s3_processor.py:10-210); feature preparation is
+extension surface, built on the same determinism disciplines as the
+profiling suite:
+
+- every statistic that feeds a per-row transform is an EXACT integer /
+  decimal aggregate (cent-quantized values, decimal(38,0) co-moments in
+  Spark / HUGEINT in DuckDB), so the two engines agree bit-for-bit;
+- the final per-row arithmetic is a short, fixed sequence of
+  correctly-rounded IEEE double ops written identically in both engines;
+- double constants in oracle SQL carry an ``e0`` suffix (a bare decimal
+  literal parses as DECIMAL in DuckDB and converts one ulp off).
+
+Scale notes are per-lane; the common shape is "one map-side-combinable
+stats aggregation, broadcast back over the scan" — group statistics are
+group-cardinality rows no matter how many trillion rows carry them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_lambda_spark.plans._util import t
+from data_ingestion_lambda_spark.plans.llm_ops import P, polyhash
+from data_ingestion_lambda_spark.plans.registry import register
+
+DEC38 = "decimal(38,0)"
+
+# ---------------------------------------------------------------------------
+# Numeric scaling: per-group z-score + min-max, exact group moments
+# ---------------------------------------------------------------------------
+
+# Deterministic ~1% row sample so the lane emits a bounded, hash-checkable
+# slice of the scaled output (the transform itself is row-parallel over the
+# full table; the sample is only the *verification* surface).
+_SAMPLE_MOD = 97
+
+
+@register(
+    "feature_scale_numeric",
+    oracle=f"""
+    WITH v AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag AS grp,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(cents) AS sx,
+               SUM(cents * cents) AS sxx,
+               MIN(cents) AS mn,
+               MAX(cents) AS mx
+        FROM v GROUP BY grp
+    )
+    SELECT v.l_orderkey, v.l_linenumber, v.grp AS l_returnflag,
+           v.cents AS price_cents,
+           CAST(CAST(s.n AS HUGEINT) * v.cents - s.sx AS DOUBLE)
+             / sqrt(CAST(CAST(s.n AS HUGEINT) * s.sxx - s.sx * s.sx AS DOUBLE))
+             AS z_price,
+           CAST(v.cents - s.mn AS DOUBLE) / CAST(s.mx - s.mn AS DOUBLE)
+             AS minmax_price
+    FROM v JOIN stats s ON s.grp = v.grp
+    WHERE (v.l_orderkey * 7 + v.l_linenumber) % {_SAMPLE_MOD} = 0
+    """,
+    tags=("features", "scaling"),
+)
+def feature_scale_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score and min-max scaling of line price — the two
+    standard numeric normalizations a tabular feature pipeline applies
+    before gradient-based training, emitted for a deterministic 1-in-97
+    key-hash sample of rows.
+
+    Determinism: prices quantize to integer cents; the group statistics
+    (n, Σx, Σx², min, max) are exact integer aggregates (decimal(38,0) /
+    HUGEINT — Σcents² crosses 2⁶³ near 1e5 rows of 1e7-cent values).
+    The per-row z-score uses the division-free closed form
+    z = (n·x − Σx) / √(n·Σx² − (Σx)²) — algebraically (x−μ)/σ with the
+    1/n factors cancelled, so each row is ONE decimal→double conversion
+    pair, one sqrt, one divide: identical IEEE ops in both engines.
+    Min-max is (x−min)/(max−min), both deltas exact integers.
+
+    Scale: one map-side-combinable stats aggregation (5 integer moments
+    per return flag), broadcast-joined back over the scan — group stats
+    are 3 rows regardless of fact volume; the transform is then
+    row-parallel with NO second exchange. The sample predicate is a pure
+    integer expression on the key, pushed into the scan."""
+    v = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    stats = v.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast(DEC38)).alias("sx"),
+        F.sum((F.col("cents") * F.col("cents")).cast(DEC38)).alias("sxx"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+    )
+    nD = F.col("n").cast(DEC38)
+    return (
+        v.filter((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % _SAMPLE_MOD == 0)
+        .join(F.broadcast(stats), "grp")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("grp").alias("l_returnflag"),
+            F.col("cents").alias("price_cents"),
+            (
+                (nD * F.col("cents") - F.col("sx")).cast("double")
+                / F.sqrt((nD * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            ).alias("z_price"),
+            (
+                (F.col("cents") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn")).cast("double")
+            ).alias("minmax_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Categorical target encoding (m-estimate smoothing)
+# ---------------------------------------------------------------------------
+
+_TE_SMOOTH = 20  # m-estimate pseudo-count
+
+
+@register(
+    "feature_target_encode_brand",
+    oracle=f"""
+    WITH j AS (
+        SELECT p.p_brand,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    per AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(ret) AS BIGINT) AS n_returned
+        FROM j GROUP BY p_brand
+    ),
+    g AS (
+        SELECT CAST(SUM(n_returned) AS DOUBLE) / CAST(SUM(n_lines) AS BIGINT)
+               AS gmean
+        FROM per
+    )
+    SELECT per.p_brand, per.n_lines, per.n_returned,
+           CAST(per.n_returned AS DOUBLE) / per.n_lines AS raw_return_rate,
+           (CAST(per.n_returned AS DOUBLE) + {_TE_SMOOTH}e0 * g.gmean)
+             / CAST(per.n_lines + {_TE_SMOOTH} AS DOUBLE) AS smoothed_return_rate
+    FROM per CROSS JOIN g
+    """,
+    tags=("features", "encoding"),
+)
+def feature_target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding of a categorical feature (part brand) against a
+    binary target (line was returned), with m-estimate smoothing —
+    the leakage-resistant way to feed a high-cardinality category to a
+    model: each brand's rate is shrunk toward the global rate by a
+    pseudo-count of m=20 observations, so rare brands don't memorize
+    their few labels.
+
+    Determinism: per-brand counts are exact integers; the global mean is
+    ONE integer-ratio division, and the smoothed rate
+    (n_ret + m·G)/(n + m) is mul-add-divide in fixed written order —
+    bit-identical in both engines (the oracle spells m as ``20e0`` so
+    DuckDB parses a double, not a decimal).
+
+    Scale: fact joins the part dimension broadcast (no fact shuffle for
+    the join), the brand rollup combines map-side to |brands| rows, and
+    the global mean derives from the rollup itself — one exchange over
+    brand-cardinality rows total."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret")
+    )
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("ret").cast("long").alias("n_returned"),
+        )
+    )
+    g = per.agg(
+        (F.sum("n_returned").cast("double") / F.sum("n_lines").cast("long")).alias(
+            "gmean"
+        )
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "p_brand",
+        "n_lines",
+        "n_returned",
+        (F.col("n_returned").cast("double") / F.col("n_lines")).alias(
+            "raw_return_rate"
+        ),
+        (
+            (F.col("n_returned").cast("double") + F.lit(float(_TE_SMOOTH)) * F.col("gmean"))
+            / (F.col("n_lines") + F.lit(_TE_SMOOTH)).cast("double")
+        ).alias("smoothed_return_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The hashing trick: portable polynomial hash → fixed bucket space
+# ---------------------------------------------------------------------------
+
+_HASH_BUCKETS = 64
+
+
+@register(
+    "feature_hash_bucket",
+    oracle=f"""
+    WITH h AS (
+        SELECT p_type,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(p_type, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {P}) % {_HASH_BUCKETS} AS bucket
+        FROM part
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM h GROUP BY bucket
+    """,
+    tags=("features", "encoding"),
+)
+def feature_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: map a string category (part type) into a fixed
+    64-bucket feature space via the repo's portable polynomial hash —
+    how an unbounded-vocabulary categorical becomes a bounded model
+    input with no fitted dictionary. The output is the bucket occupancy
+    table: rows per bucket plus DISTINCT source categories per bucket
+    (n_types > 1 marks a hash collision — the accounting a pipeline
+    owner checks before sizing the bucket space).
+
+    Determinism: the polynomial hash (fold ×31 mod 1e9+7 over
+    codepoints) is exact integer arithmetic reproducible in any engine —
+    unlike murmur/xxhash builtins, which differ across engines.
+
+    Scale: pure row-parallel hashing in whole-stage codegen, then one
+    map-side-combined rollup to <= 64 rows; the distinct-count expands
+    per bucket but stays hash-path (no string min/max shares the
+    aggregate — the profile_table SortAggregate lesson)."""
+    h = t(spark, sf_dir, "part").select(
+        "p_type", (polyhash(F.col("p_type")) % _HASH_BUCKETS).alias("bucket")
+    )
+    return h.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.countDistinct("p_type").cast("long").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile discretization (decile binning via the bucket-histogram recipe)
+# ---------------------------------------------------------------------------
+
+_QB_COARSE = 100_000  # cents per coarse prefix-sum range ($1,000)
+
+
+@register(
+    "feature_quantile_bucketize",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    hist AS (SELECT cents, COUNT(*) AS cnt FROM v GROUP BY cents),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows FROM hist),
+    cum AS (
+        SELECT cents, cnt,
+               SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    cuts AS (
+        SELECT g.p,
+               MIN(CASE WHEN cum.cum * 10 >= n.n_rows * g.p
+                        THEN cum.cents END) AS cut
+        FROM cum CROSS JOIN n CROSS JOIN generate_series(1, 9) AS g(p)
+        GROUP BY g.p
+    ),
+    assigned AS (
+        SELECT v.o_orderkey, v.cents,
+               1 + COUNT(c.cut) AS decile
+        FROM v LEFT JOIN cuts c ON c.cut < v.cents
+        GROUP BY v.o_orderkey, v.cents
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(cents) AS lo_cents,
+           MAX(cents) AS hi_cents
+    FROM assigned GROUP BY decile
+    """,
+    tags=("features", "discretization"),
+)
+def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization: bin order total price into DECILES whose
+    cut points come from the data itself — the standard way a skewed
+    numeric becomes a uniform categorical feature (equal-population
+    bins), and the feature-prep application of the round-6/7
+    integer-bucket histogram recipe.
+
+    Cut points are type-1 lower quantiles at cent resolution: the
+    smallest cent bucket whose cumulative count covers p/10 of rows,
+    for p = 1..9. A row's decile is 1 + (# cuts strictly below its
+    value), so boundary values land in the LOWER bin — the same
+    convention as the histogram percentile lanes, and exactly
+    reproducible in SQL (no interpolation, all integers).
+
+    Scale: the histogram rolls up map-side to one row per distinct
+    cent value (value-domain-bounded, never volume-bounded); the
+    cumulative count is the TWO-PHASE distributed prefix sum from
+    events_interarrival_hist (per-$1,000-range local cumsum + broadcast
+    offsets — no task windows more than one range); the 9 cut points
+    collapse to a single broadcast array and the per-row assignment is
+    a codegen filter-count against it — NO second shuffle over facts,
+    then a 10-row rollup."""
+    v = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    hist = v.groupBy("cents").agg(F.count("*").alias("cnt"))
+    hist = hist.withColumn("coarse", F.expr(f"cents div {_QB_COARSE}"))
+    wl = (
+        Window.partitionBy("coarse")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wo = Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        hist.groupBy("coarse")
+        .agg(F.sum("cnt").alias("ccnt"))
+        .select("coarse", F.coalesce(F.sum("ccnt").over(wo), F.lit(0)).alias("off"))
+    )
+    cum = (
+        hist.withColumn("lcum", F.sum("cnt").over(wl))
+        .join(F.broadcast(offsets), "coarse")
+        .withColumn("cum", F.col("lcum") + F.col("off"))
+    )
+    n = hist.agg(F.sum("cnt").cast("long").alias("n_rows"))
+    cuts = (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "cents",
+            "cum",
+            "n_rows",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("p"),
+        )
+        .groupBy("p")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 10 >= F.col("n_rows") * F.col("p"), F.col("cents"))
+            ).alias("cut")
+        )
+    )
+    cut_arr = cuts.agg(F.sort_array(F.collect_list("cut")).alias("cut_arr"))
+    assigned = v.crossJoin(F.broadcast(cut_arr)).select(
+        "o_orderkey",
+        "cents",
+        (
+            1 + F.size(F.filter(F.col("cut_arr"), lambda c: c < F.col("cents")))
+        )
+        .cast("long")
+        .alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unique-key candidate discovery
+# ---------------------------------------------------------------------------
+
+_KEY_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "profile_unique_key_candidates",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {", ".join(
+                   f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS d_{c}, "
+                   f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                   f" AS z_{c}"
+                   for c in _KEY_COLS
+               )}
+        FROM orders
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n_rows, d_{c} AS n_distinct, z_{c} AS n_nulls, "
+        f"CAST(d_{c} AS DOUBLE) / n_rows AS uniqueness, "
+        f"CAST(d_{c} = n_rows AND z_{c} = 0 AS BOOLEAN) AS is_key FROM s"
+        for c in _KEY_COLS
+    )}
+    """,
+    tags=("profiling", "quality", "features"),
+)
+def profile_unique_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key candidate discovery over the orders table: for each
+    column, exact distinct count, NULL count, uniqueness ratio, and the
+    is_key verdict (distinct == rows AND no NULLs) — the schema-
+    inference step a pipeline runs on an undocumented drop before
+    choosing MERGE keys (the reference hardcodes its key;
+    /root/reference/src/db_operations.py:77-84 — this lane derives it).
+
+    Determinism: counts are exact integers; the ratio is one
+    integer-ratio division. Column set is fixed and ordered, so the
+    6-row output is stable.
+
+    Scale: ONE aggregation with 6 COUNT(DISTINCT) columns — Catalyst
+    Expand (×6 row replication of a 6-column projection) feeding a
+    hash aggregate with map-side partials; no string min/max shares the
+    plan, so the whole Expand stays on the hash path (the profile_table
+    lesson). The long-format pivot is a 1-row → 6-row stack on the
+    driver-side-free aggregate result."""
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in _KEY_COLS:
+        aggs.append(F.countDistinct(c).cast("long").alias(f"d_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"z_{c}")
+        )
+    s = o.agg(*aggs)
+    stack_args: list[Column] = []
+    for c in _KEY_COLS:
+        stack_args.extend([F.lit(c), F.col(f"d_{c}"), F.col(f"z_{c}")])
+    return s.select(
+        "n_rows",
+        F.stack(F.lit(len(_KEY_COLS)), *stack_args).alias(
+            "col_name", "n_distinct", "n_nulls"
+        ),
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "n_nulls",
+        (F.col("n_distinct").cast("double") / F.col("n_rows")).alias("uniqueness"),
+        ((F.col("n_distinct") == F.col("n_rows")) & (F.col("n_nulls") == 0)).alias(
+            "is_key"
+        ),
+    )

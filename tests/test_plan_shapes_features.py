@@ -1,0 +1,86 @@
+"""Plan-shape pins for the feature-preparation lanes (plans/features.py)
+and the ACF lane: group statistics must broadcast back over the scan
+(never a fact-side shuffle join), distinct-count aggregates must stay on
+the hash path, and the histogram cumsum must stay coarse-range bounded.
+"""
+
+from __future__ import annotations
+
+import re
+
+from data_ingestion_lambda_spark.plans import all_specs
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = all_specs()[name].builder(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scale_numeric_stats_broadcast_back(spark):
+    """feature_scale_numeric: the 3-row group-stats aggregate must reach
+    the per-row transform through a broadcast hash join — a sort-merge
+    join here would shuffle the full fact table to normalize it."""
+    plan = _plan(spark, "feature_scale_numeric")
+    assert "BroadcastHashJoin" in plan, f"stats must broadcast:\n{plan}"
+    assert "SortMergeJoin" not in plan, f"fact-side shuffle join:\n{plan}"
+    assert "percentile(" not in plan
+
+
+def test_target_encode_dimension_broadcasts(spark):
+    """feature_target_encode_brand: the part dimension joins broadcast
+    (no fact shuffle), and the global-mean crossjoin is a one-row
+    broadcast, not a nested loop over data."""
+    plan = _plan(spark, "feature_target_encode_brand")
+    assert "BroadcastHashJoin" in plan, f"dim join must broadcast:\n{plan}"
+    assert "SortMergeJoin" not in plan, f"fact-side shuffle join:\n{plan}"
+
+
+def test_hash_bucket_stays_on_hash_aggregate_path(spark):
+    """feature_hash_bucket: the bucket rollup with COUNT(DISTINCT) must
+    stay HashAggregate end-to-end (the profile_table lesson: one string
+    min/max in the same aggregate silently flips the whole Expand to
+    SortAggregate)."""
+    plan = _plan(spark, "feature_hash_bucket")
+    assert "SortAggregate" not in plan, f"hash path lost:\n{plan}"
+    # a single distinct column plans as the two-phase (bucket, p_type)
+    # regroup, not an Expand — both are hash-path; just pin hash-path
+    assert "HashAggregate" in plan
+
+
+def test_unique_key_candidates_hash_path(spark):
+    """profile_unique_key_candidates: 6 COUNT(DISTINCT) in one aggregate
+    — the Expand must stay on the hash path, and no window/percentile
+    sneaks into a pure counting profile."""
+    plan = _plan(spark, "profile_unique_key_candidates")
+    assert "SortAggregate" not in plan, f"hash path lost:\n{plan}"
+    assert "Expand" in plan
+    assert "Window" not in plan
+
+
+def test_quantile_bucketize_cumsum_is_coarse_bounded(spark):
+    """feature_quantile_bucketize: the bucket-level cumulative sum must
+    partition by the coarse range (two-phase prefix sum) — the only
+    permissible unpartitioned window is over the coarse-range offsets
+    table, whose row count is the value domain / $1,000. The decile cut
+    array must broadcast to the assignment pass, and no exact
+    percentile aggregate may appear."""
+    plan = _plan(spark, "feature_quantile_bucketize")
+    assert re.search(r"Window \[[^\]]*lcum[^\]]*\], \[coarse", plan), (
+        f"local cumsum must partition by coarse:\n{plan}"
+    )
+    assert "BroadcastExchange" in plan, f"cut array must broadcast:\n{plan}"
+    assert "percentile(" not in plan, f"exact percentile buffer:\n{plan}"
+
+
+def test_autocorrelation_is_rollup_then_tiny_join(spark):
+    """events_autocorrelation: event volume must collapse in a map-side
+    combinable rollup BEFORE the lag self-join — no window function,
+    no cartesian join, no exact percentile; the join operates on
+    calendar-cardinality rows only."""
+    plan = _plan(spark, "events_autocorrelation")
+    assert "Window" not in plan, f"ACF must not window:\n{plan}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan, f"daily rollup must combine map-side:\n{plan}"
