@@ -2004,3 +2004,71 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         (num / (F.sqrt(tx) * F.sqrt(ty))).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median of daily volume (trailing-window robust baseline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_median_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS dayn,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, dayn, cnt,
+               list_sort(list(cnt) OVER (PARTITION BY event_type ORDER BY dayn
+                                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+               AS win,
+               CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY dayn
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_win
+        FROM daily
+    )
+    SELECT event_type, dayn, cnt, n_win,
+           win[CAST((n_win + 1) // 2 AS INTEGER)] AS rolling_median
+    FROM w
+    """,
+    tags=("events", "timeseries"),
+)
+def events_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of daily event volume per type — the
+    robust baseline an alerting pipeline compares today's count against
+    (a mean baseline moves with the spike it should flag; the median
+    doesn't). Median = lower-middle element (type-1) of the sorted
+    trailing window, so short leading windows are well-defined.
+
+    Determinism: daily counts are exact integers and the median is an
+    element SELECTED from them (never averaged) — no IEEE arithmetic
+    anywhere in the lane.
+
+    Scale: event volume collapses in the first map-side-combinable
+    rollup; the rolling window runs over (type × day) CALENDAR rows —
+    a decade is ~3,650 rows per type regardless of event volume — and
+    buffers at most 7 longs per row. One fact exchange total."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts")).cast("long") / F.lit(_DAY_US))
+        .cast("long")
+        .alias("dayn"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dayn")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = F.sort_array(F.collect_list("cnt").over(w))
+    n_win = F.count("*").over(w).cast("long")
+    return daily.select(
+        "event_type",
+        "dayn",
+        "cnt",
+        n_win.alias("n_win"),
+        F.element_at(win, ((n_win + 1) / 2).cast("int")).alias("rolling_median"),
+    )

@@ -711,3 +711,92 @@ def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFra
     for x in outs[1:]:
         out = out.unionByName(x)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Inclusion-dependency discovery (FK hypothesis testing)
+# ---------------------------------------------------------------------------
+
+_IND_PAIRS = (
+    # (lhs table, lhs col, rhs table, rhs col) — directed: lhs ⊆ rhs?
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("customer", "c_nationkey", "supplier", "s_nationkey"),
+)
+
+
+@register(
+    "profile_inclusion_dependencies",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{lt}.{lc} -> {rt}.{rc}' AS candidate,
+           (SELECT CAST(COUNT(DISTINCT {lc}) AS BIGINT) FROM {lt}) AS n_lhs_distinct,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT DISTINCT {lc} FROM {lt} WHERE {lc} IS NOT NULL) v
+            WHERE v.{lc} IN (SELECT {rc} FROM {rt})) AS n_contained,
+           CAST((SELECT CAST(COUNT(*) AS BIGINT)
+                 FROM (SELECT DISTINCT {lc} FROM {lt} WHERE {lc} IS NOT NULL) v
+                 WHERE v.{lc} IN (SELECT {rc} FROM {rt})) AS DOUBLE)
+             / (SELECT COUNT(DISTINCT {lc}) FROM {lt}) AS containment,
+           (SELECT COUNT(DISTINCT {lc}) FROM {lt}) =
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT DISTINCT {lc} FROM {lt} WHERE {lc} IS NOT NULL) v
+            WHERE v.{lc} IN (SELECT {rc} FROM {rt})) AS is_inclusion
+    """
+        for lt, lc, rt, rc in _IND_PAIRS
+    ),
+    tags=("profiling", "quality"),
+)
+def profile_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery: for each directed column-pair
+    hypothesis "every LHS value appears in RHS", the distinct-value
+    containment fraction and the yes/no verdict — with
+    profile_unique_key_candidates (keys), profile_functional_dependencies
+    (intra-table FDs), and profile_referential_integrity (row-level
+    orphans on KNOWN edges), this completes schema inference over an
+    undocumented drop: keys ∘ inclusions ⇒ the FK graph a MERGE/join
+    plan needs. Both directions of each edge are tested — asymmetry is
+    the signal (every order line has an order, but customers without
+    orders exist).
+
+    Determinism: distinct counts are exact integers; containment is one
+    integer-ratio division.
+
+    Scale: each hypothesis reduces BOTH sides to distinct values
+    map-side (partial aggregate before any exchange), then left-semi
+    joins distinct-vs-distinct — key-cardinality rows, never row
+    volume; dimension-sized sides broadcast (Catalyst decides). The
+    pair list is fixed and small; hypotheses are independent scans AQE
+    schedules concurrently."""
+    parts = []
+    for lt, lc, rt, rc in _IND_PAIRS:
+        lhs = (
+            t(spark, sf_dir, lt)
+            .select(F.col(lc).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+        )
+        rhs = t(spark, sf_dir, rt).select(F.col(rc).alias("rv")).distinct()
+        nl = lhs.agg(F.count("*").cast("long").alias("n_lhs_distinct"))
+        nc = lhs.join(rhs, F.col("v") == F.col("rv"), "left_semi").agg(
+            F.count("*").cast("long").alias("n_contained")
+        )
+        parts.append(
+            nl.crossJoin(nc).select(
+                F.lit(f"{lt}.{lc} -> {rt}.{rc}").alias("candidate"),
+                "n_lhs_distinct",
+                "n_contained",
+                (F.col("n_contained").cast("double") / F.col("n_lhs_distinct")).alias(
+                    "containment"
+                ),
+                (F.col("n_lhs_distinct") == F.col("n_contained")).alias("is_inclusion"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -84,3 +84,30 @@ def test_autocorrelation_is_rollup_then_tiny_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan, f"daily rollup must combine map-side:\n{plan}"
+
+
+def test_rolling_median_windows_by_type_over_calendar_rows(spark):
+    """events_rolling_median_daily: the rolling window must partition by
+    event_type (never global) and run AFTER the map-side daily rollup;
+    no exact-percentile aggregate appears (the median is an element
+    selected from a 7-long sorted buffer)."""
+    import re
+    plan = _plan(spark, "events_rolling_median_daily")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert specs, f"expected a window:\n{plan}"
+    for spec in specs:
+        assert "event_type" in spec, f"window not partitioned by type:\n{plan}"
+    assert "percentile(" not in plan
+    assert "partial_count" in plan, f"daily rollup must combine map-side:\n{plan}"
+
+
+def test_inclusion_dependencies_reduce_to_distincts_before_join(spark):
+    """profile_inclusion_dependencies: every hypothesis must test
+    distinct-vs-distinct through a semi join — pinning that the
+    distincts partially aggregate before their exchange (key-cardinality
+    rows shuffle, never row volume) and the containment join is a semi
+    join, not an inner join that could duplicate rows."""
+    plan = _plan(spark, "profile_inclusion_dependencies")
+    assert "LeftSemi" in plan, f"containment must semi-join:\n{plan}"
+    assert "partial_count" in plan
+    assert "SortAggregate" not in plan
