@@ -95,6 +95,8 @@ HEADLINE_V2 = [
     "events_asof_join_nearest",
     "profile_correlation_exact",
     "shipping_latency_quantiles",
+    "feature_user_vectors",
+    "feature_point_in_time",
 ]
 
 

@@ -248,6 +248,40 @@ def build_parser() -> argparse.ArgumentParser:
         help="persist the drift table here (overwrite); printed to stdout otherwise",
     )
 
+    fst = sub.add_parser(
+        "feature-store",
+        help="maintained per-user feature store: land a batch's additive "
+        "moment deltas, derive the trainer-facing vectors read-side, "
+        "and/or fold old partitions into the base (the production form "
+        "of feature_user_vectors)",
+    )
+    fst.add_argument("--index", required=True, help="moment ledger directory")
+    fst.add_argument("--batch", default=None, help="parquet of the batch's events")
+    fst.add_argument(
+        "--date", default=None, help="batch date (the ledger partition key)"
+    )
+    fst.add_argument(
+        "--vectors-out",
+        default=None,
+        help="persist the derived per-user feature vectors here (overwrite)",
+    )
+    fst.add_argument(
+        "--as-of",
+        default=None,
+        metavar="DATE",
+        help="with --vectors-out: time-travel — derive the vectors as they "
+        "stood at end-of-day DATE (refuses dates below the compaction "
+        "horizon)",
+    )
+    fst.add_argument(
+        "--compact-before",
+        default=None,
+        metavar="DATE",
+        help="fold ledger partitions strictly before DATE into the base "
+        "partition (SPENDS those dates' replay keys — fold only past the "
+        "re-delivery policy)",
+    )
+
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
     qry.add_argument("--data", help="directory holding the parquet tables")
@@ -430,6 +464,43 @@ def main(argv: list[str] | None = None) -> int:
             rows = drift.orderBy("event_type", "day").collect()
             report["drift_rows"] = len(rows)
             report["max_l1_drift"] = max((r.l1_drift for r in rows), default=None)
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "feature-store":
+        from data_ingestion_lambda_spark.operators.feature_store import (
+            apply_feature_batch,
+            compact_feature_ledger,
+            read_user_features,
+            read_user_features_asof,
+        )
+
+        if (args.batch is None) != (args.date is None):
+            raise SystemExit("feature-store: --batch and --date go together")
+        if args.batch is None and args.vectors_out is None and args.compact_before is None:
+            raise SystemExit(
+                "feature-store: need --batch/--date, --vectors-out and/or --compact-before"
+            )
+        spark = get_spark("data-ingestion-cli")
+        report: dict = {}
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch)
+            report.update(apply_feature_batch(spark, args.index, batch, args.date))
+        if args.compact_before is not None:
+            report["folded_partitions"] = compact_feature_ledger(
+                spark, args.index, args.compact_before
+            )
+        if args.as_of is not None and args.vectors_out is None:
+            raise SystemExit("feature-store: --as-of needs --vectors-out")
+        if args.vectors_out is not None:
+            vectors = (
+                read_user_features(spark, args.index)
+                if args.as_of is None
+                else read_user_features_asof(spark, args.index, args.as_of)
+            )
+            vectors.write.mode("overwrite").parquet(args.vectors_out)
+            report["vectors_out"] = args.vectors_out
+            report["users"] = spark.read.parquet(args.vectors_out).count()
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 

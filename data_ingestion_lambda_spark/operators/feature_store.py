@@ -1,0 +1,326 @@
+"""Maintained per-user feature store — the PRODUCTION form of the
+registered ``feature_user_vectors`` lane (plans/features.py), which
+rescans all events per run. This module PERSISTS each batch's per-user
+moment DELTAS in the batch date's own partition and derives the feature
+vectors READ-SIDE from the merged moments — so a 100 TB events table is
+scanned once per day (its own batch), never re-aggregated to refresh
+the vectors a trainer joins against.
+
+Reference intent: the reference's daily loop touches only the new day's
+files against its stored table (src/lambda_handler.py:38-102); applied
+to feature engineering this means each batch contributes one additive
+increment and the store never looks back at raw history.
+
+Why this is EXACT, not approximate: every persisted moment is a
+SEMIGROUP element — counts and integer-cent sums add, min/max of epoch
+microseconds combine as min/max, and the "last event" rides as a
+(ts_us, event_id, type) struct merged by lexicographic max (event_id is
+unique, so ties cannot exist). Associative + commutative merges mean
+N daily applications followed by ``read_user_features`` row-equals the
+one-shot lane over the same events — any batch split, any order —
+pinned in tests/test_feature_store.py. The derivation from moments to
+vector (the IEEE-double part) is ONE shared expression
+(``derive_user_vector``), imported by both the registered lane and the
+read side, so the two can never desynchronize.
+
+Table layout: ``date=<batch>``-partitioned parquet of per-user moment
+rows — the batch-id-keyed sink idiom shared with the vocab model, the
+dedup-gate signature index, the drift monitor, and the streaming gap
+ledger: a replayed batch overwrites only its own partition
+(``replace_partitions``) — idempotent by construction.
+
+Compaction: moments are additive, so folding old partitions into the
+reserved base partition ``date=0000-00-00`` is a plain re-aggregation
+(read-equality and idempotence pinned). It SPENDS the replay keys of
+the folded dates — the same contract compact_gap_ledger states for
+committed batch ids — so fold only dates old enough that re-delivery is
+out of policy. Read-side cost before compaction is |users| x |days|
+moment rows (data-volume-free but calendar-linear); after, |users| + a
+few recent days.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.upsert import (
+    _hadoop_fs,
+    replace_partitions,
+)
+
+DEC38 = "decimal(38,0)"
+
+# Reserved base partition for compacted history — sorts before every real
+# ISO date, and apply_feature_batch refuses it as a batch date.
+BASE_DATE = "0000-00-00"
+
+
+def user_moments(events: DataFrame) -> DataFrame:
+    """Per-user ADDITIVE moment rows from an event set: counts, exact
+    integer-cent value sums (first and second moment), epoch-µs
+    first/last-seen bounds, and the last event as a (ts_us, event_id,
+    type) struct. Every column merges as a semigroup op, so moments of
+    a union == merge of moments — the property the whole store rests
+    on. Sums are decimal(38,0): a per-user cent total is long-safe, but
+    these rows feed cross-batch merges where Σcents² crosses 2⁶³.
+
+    One user-keyed exchange with map-side partials; the struct max
+    needs no window."""
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    return events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(cents.cast(DEC38)).alias("sum_cents"),
+        F.sum((cents * cents).cast(DEC38)).alias("sumsq_cents"),
+        F.min(F.unix_micros(F.col("ts"))).cast("long").alias("first_ts_us"),
+        F.max(F.unix_micros(F.col("ts"))).cast("long").alias("last_ts_us"),
+        F.max(
+            F.struct(
+                F.unix_micros(F.col("ts")).cast("long").alias("ts_us"),
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+            )
+        ).alias("last_event"),
+    )
+
+
+def merge_moments(moments: DataFrame) -> DataFrame:
+    """Fold moment rows (one per user per batch partition) back to one
+    row per user. Exact: every merge is the column's own semigroup op,
+    and decimal(38,0) addition is associative — no ordering effects."""
+    return moments.groupBy("user_id").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("n_purchases").cast("long").alias("n_purchases"),
+        F.sum("sum_cents").cast(DEC38).alias("sum_cents"),
+        F.sum("sumsq_cents").cast(DEC38).alias("sumsq_cents"),
+        F.min("first_ts_us").cast("long").alias("first_ts_us"),
+        F.max("last_ts_us").cast("long").alias("last_ts_us"),
+        F.max("last_event").alias("last_event"),
+    )
+
+
+def derive_user_vector(moments: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """Moments → the feature vector a trainer joins on. The ONLY
+    IEEE-double arithmetic in the pipeline, shared verbatim by the
+    registered one-shot lane, the ledger read sides, and the
+    point-in-time lane (which passes its label keys via ``extra_cols``):
+    each feature is a fixed short sequence of correctly-rounded ops (one
+    division for the rates/mean; convert→sqrt→divide for the population
+    std; one division by a double literal for tenure), so identical
+    moments always derive identical vectors. Requires n_events >= 1 in
+    every input row (Spark 4 ANSI mode makes /0 an error, not a NULL) —
+    aggregates guarantee it; point-in-time callers filter first."""
+    n = F.col("n_events")
+    nD = n.cast(DEC38)
+    var_num = (nD * F.col("sumsq_cents") - F.col("sum_cents") * F.col("sum_cents")).cast(
+        "double"
+    )
+    return moments.select(
+        "user_id",
+        *extra_cols,
+        "n_events",
+        "n_purchases",
+        (F.col("n_purchases").cast("double") / n).alias("purchase_rate"),
+        (F.col("sum_cents").cast("double") / n).alias("mean_cents"),
+        (F.sqrt(var_num) / n.cast("double")).alias("std_cents"),
+        (
+            (F.col("last_ts_us") - F.col("first_ts_us")).cast("double")
+            / F.lit(86400000000.0)
+        ).alias("tenure_days"),
+        F.col("last_event").getField("event_type").alias("last_event_type"),
+    )
+
+
+def apply_feature_batch(
+    spark: SparkSession, index_dir: str, batch_events: DataFrame, batch_date: str
+) -> dict:
+    """Land one batch's per-user moment deltas under ``date=<batch_date>``.
+    Re-running the same (batch, date) overwrites only that partition —
+    idempotent. Unlike the drift monitor there is NO day-purity
+    requirement: moments are additive deltas, not per-day facts, so a
+    batch spanning midnight merges correctly; the date is purely the
+    replay-idempotence key."""
+    _dt.date.fromisoformat(batch_date)  # raises on junk (and on BASE_DATE)
+    deltas = user_moments(batch_events)
+    replace_partitions(spark, index_dir, deltas.withColumn("date", F.lit(batch_date)),
+                       [batch_date])
+    return {
+        "index": index_dir,
+        "date": batch_date,
+        "users_in_batch": deltas.count(),
+    }
+
+
+def read_moments(spark: SparkSession, index_dir: str) -> DataFrame:
+    """All persisted moment partitions, merged to one row per user."""
+    return merge_moments(spark.read.parquet(index_dir).drop("date"))
+
+
+def read_user_features(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Feature vectors derived read-side from the merged ledger — the
+    maintained twin of the registered ``feature_user_vectors`` lane,
+    row-equal to it over the same events by construction (same moment
+    schema, same derivation expression; pinned in tests)."""
+    return derive_user_vector(read_moments(spark, index_dir))
+
+
+def _fold_horizon(fs, path_cls, index_dir: str) -> str | None:
+    """The compaction horizon: dates strictly below it have been folded
+    into the base partition and are no longer separable for as-of reads.
+    Recorded as an empty ``_horizon=<date>`` marker DIRECTORY (a mkdir is
+    atomic on every Hadoop FS and needs no stream I/O to read back; the
+    underscore prefix hides it from Spark's file index). A crash between
+    creating the new marker and deleting the old one leaves both — the
+    MAX rule keeps that safe (refusing slightly more than necessary)."""
+    if not fs.exists(path_cls(index_dir)):
+        return None
+    hs = [
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(path_cls(index_dir))
+        if st.isDirectory() and st.getPath().getName().startswith("_horizon=")
+    ]
+    return max(hs) if hs else None
+
+
+def read_user_features_asof(
+    spark: SparkSession, index_dir: str, as_of: str
+) -> DataFrame:
+    """Time-travel read: the feature vectors the store would have served
+    at end-of-day ``as_of`` — moments merged from every date partition
+    <= as_of. This is what makes the ledger layout a feature STORE
+    rather than a cache: training-set reconstruction needs the vectors
+    as they stood at label time, and the date-keyed deltas give any
+    end-of-day state for free (for intra-day label timestamps, the
+    registered feature_point_in_time lane reconstructs per-event).
+
+    Compaction COARSENS time travel: folded dates are no longer
+    separable, so an as_of below the recorded fold horizon raises
+    loudly instead of silently returning the folded total. Plan your
+    compaction policy as "fold only dates older than any training
+    lookback you still need"."""
+    _dt.date.fromisoformat(as_of)
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    parts = [
+        st.getPath().getName()
+        for st in fs.listStatus(path_cls(index_dir))
+        if st.isDirectory() and st.getPath().getName().startswith("date=")
+    ]
+    if f"date={BASE_DATE}" in parts:
+        horizon = _fold_horizon(fs, path_cls, index_dir)
+        if horizon is None:
+            raise ValueError(
+                f"read_user_features_asof: {index_dir} has a compacted base "
+                "partition but no _horizon= marker — the fold horizon is "
+                "unknown, so no as-of read can be proven correct; re-run "
+                "compact_feature_ledger (it restores the marker) or read "
+                "the current state via read_user_features"
+            )
+        if as_of < horizon:
+            raise ValueError(
+                f"read_user_features_asof: as_of {as_of} is below the "
+                f"compaction horizon {horizon} — those dates were folded "
+                "into the base and are no longer separable"
+            )
+    selected = [
+        p
+        for p in parts
+        if p == f"date={BASE_DATE}" or p.split("=", 1)[1] <= as_of
+    ]
+    if not selected:
+        raise ValueError(
+            f"read_user_features_asof: no ledger partition at or before "
+            f"{as_of} in {index_dir}"
+        )
+    return derive_user_vector(
+        merge_moments(
+            spark.read.parquet(*[f"{index_dir}/{p}" for p in selected])
+        )
+    )
+
+
+def compact_feature_ledger(spark: SparkSession, index_dir: str, keep_from: str) -> int:
+    """Fold every date partition STRICTLY BEFORE ``keep_from`` (plus any
+    existing base) into the reserved base partition ``date=0000-00-00``;
+    returns the number of partitions folded. Moments are associative,
+    so this is a plain re-aggregation — read equality before/after and
+    re-run idempotence are pinned by test. SPENDS the replay keys of
+    the folded dates: a later apply for such a date would double-count,
+    so fold only dates past the re-delivery policy.
+
+    Crash-safe via the ledger discipline (compact_gap_ledger): the full
+    merged base lands in a dot-prefixed staging dir FIRST; a crash
+    between the partition drops and the final rename leaves staging as
+    the only complete copy, and the next entry REFUSES loudly with the
+    recovery path instead of recompacting a partial table. FS-agnostic:
+    every directory op goes through the Hadoop FS API, and Hadoop's
+    returns-false failure contract raises on every path."""
+    _dt.date.fromisoformat(keep_from)
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    staging = f"{index_dir}/.compact-staging"
+    if fs.exists(path_cls(staging)):
+        raise RuntimeError(
+            f"compact_feature_ledger: stranded {staging} from a crashed "
+            "compaction — it holds the full pre-crash base; remove any "
+            f"leftover folded date=* dirs and rename it to date={BASE_DATE} "
+            "before re-running"
+        )
+    parts = [
+        st.getPath().getName()
+        for st in fs.listStatus(path_cls(index_dir))
+        if st.isDirectory() and st.getPath().getName().startswith("date=")
+    ]
+    fold = [
+        p
+        for p in parts
+        if p == f"date={BASE_DATE}" or p.split("=", 1)[1] < keep_from
+    ]
+    if len(fold) < 2 and f"date={BASE_DATE}" in fold:
+        return 0  # only the base itself — nothing to fold
+    if not fold:
+        return 0
+    base = merge_moments(
+        spark.read.parquet(*[f"{index_dir}/{p}" for p in fold])
+    )
+    base.write.mode("overwrite").parquet(staging)
+    # Record the new fold horizon BEFORE any partition drop: every date
+    # about to become non-separable is < keep_from, and a too-high
+    # horizon after a crash only refuses as-of reads it could have
+    # served (safe), never serves one it shouldn't. Old markers are
+    # removed after the new one exists — the MAX rule in _fold_horizon
+    # covers the crash window where both remain.
+    prior = _fold_horizon(fs, path_cls, index_dir)
+    new_horizon = max(prior or "", keep_from)
+    if not fs.mkdirs(path_cls(f"{index_dir}/_horizon={new_horizon}")):
+        raise IOError(
+            f"compact_feature_ledger: mkdirs _horizon={new_horizon} returned "
+            f"false; nothing dropped yet — remove {staging} and re-run"
+        )
+    if prior is not None and prior != new_horizon:
+        old_marker = path_cls(f"{index_dir}/_horizon={prior}")
+        if fs.exists(old_marker) and not fs.delete(old_marker, True):
+            raise IOError(
+                f"compact_feature_ledger: delete of stale {old_marker} "
+                "returned false; the new marker exists and wins by the MAX "
+                "rule — remove the stale one manually, nothing dropped yet"
+            )
+    for p in fold:
+        full = path_cls(f"{index_dir}/{p}")
+        if fs.exists(full) and not fs.delete(full, True):
+            raise IOError(
+                f"compact_feature_ledger: delete of {full} returned false; "
+                f"full compacted base preserved at {staging} — finish by "
+                "removing remaining folded date=* dirs and renaming it to "
+                f"date={BASE_DATE}"
+            )
+    if not fs.rename(path_cls(staging), path_cls(f"{index_dir}/date={BASE_DATE}")):
+        raise IOError(
+            f"compact_feature_ledger: rename {staging} -> date={BASE_DATE} "
+            f"returned false; the compacted base is intact at {staging} — "
+            "rename it manually to finish"
+        )
+    return len(fold)

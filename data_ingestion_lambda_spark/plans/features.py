@@ -461,3 +461,203 @@ def profile_unique_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
             "is_key"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user feature vectors (one-shot twin of the maintained feature store)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_user_vectors",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS us,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               SUM(cents) AS s, SUM(cents * cents) AS sq,
+               MIN(us) AS mn, MAX(us) AS mx
+        FROM v GROUP BY user_id
+    ),
+    last AS (
+        SELECT user_id, event_type AS last_event_type
+        FROM (SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY us DESC, event_id DESC) AS rn
+              FROM v) r
+        WHERE rn = 1
+    )
+    SELECT m.user_id, m.n_events, m.n_purchases,
+           CAST(m.n_purchases AS DOUBLE) / m.n_events AS purchase_rate,
+           CAST(m.s AS DOUBLE) / m.n_events AS mean_cents,
+           sqrt(CAST(CAST(m.n_events AS HUGEINT) * m.sq - m.s * m.s AS DOUBLE))
+             / CAST(m.n_events AS DOUBLE) AS std_cents,
+           CAST(m.mx - m.mn AS DOUBLE) / 86400000000e0 AS tenure_days,
+           last.last_event_type
+    FROM m JOIN last USING (user_id)
+    """,
+    tags=("features", "events"),
+)
+def feature_user_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user training feature vectors from the events table: activity
+    counts, purchase rate, exact-cent value mean and population std,
+    tenure, and the last event type — the entity-level feature set a
+    model trainer joins against. This is the ONE-SHOT derivation; the
+    maintained form (operators/feature_store.py) persists per-batch
+    additive moment deltas and derives the SAME vectors read-side
+    through the SAME shared expressions (user_moments ∘
+    derive_user_vector — imported here, so lane and store can never
+    desynchronize; N-batch == one-shot equality is pinned in
+    tests/test_feature_store.py).
+
+    Determinism: all moments are exact (integer cents, decimal(38,0)
+    sums, epoch-µs bounds; the last event is a lexicographic struct max
+    with the unique event_id as tiebreak — no window needed in Spark);
+    the derivation is a fixed short IEEE sequence per feature. The
+    oracle reproduces the struct max as a ROW_NUMBER pick over the same
+    (ts, event_id) ordering.
+
+    Scale: ONE user-keyed exchange with map-side partials — moments
+    and the struct max combine in the same aggregate; the derivation is
+    a projection. |users| output rows."""
+    from data_ingestion_lambda_spark.operators.feature_store import (
+        derive_user_vector,
+        user_moments,
+    )
+
+    return derive_user_vector(user_moments(t(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature join (the label-leakage guard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_point_in_time",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(epoch_us(ts) AS BIGINT) AS us,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, event_id AS label_event_id, ts AS label_ts,
+               event_type,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_events,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) OVER w, 0)
+                    AS BIGINT) AS n_purchases,
+               SUM(cents) OVER w AS s,
+               SUM(cents * cents) OVER w AS sq,
+               MIN(us) OVER w AS mn,
+               MAX(us) OVER w AS mx,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id)
+                 AS last_event_type
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, label_event_id, label_ts, n_events, n_purchases,
+           CAST(n_purchases AS DOUBLE) / n_events AS purchase_rate,
+           CAST(s AS DOUBLE) / n_events AS mean_cents,
+           sqrt(CAST(CAST(n_events AS HUGEINT) * sq - s * s AS DOUBLE))
+             / CAST(n_events AS DOUBLE) AS std_cents,
+           CAST(mx - mn AS DOUBLE) / 86400000000e0 AS tenure_days,
+           last_event_type
+    FROM c
+    WHERE event_type = 'purchase' AND n_events > 0
+    """,
+    tags=("features", "events"),
+)
+def feature_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join: for every purchase event (the
+    label), the SAME per-user feature vector feature_user_vectors
+    computes — but over only the events STRICTLY BEFORE that label in
+    (ts, event_id) order. This is the feature-store operation that
+    prevents label leakage: a trainer joining labels against
+    current-state features lets each label see its own future; this
+    lane reconstructs what the store would have served at label time.
+    Labels whose user has no prior event are dropped (no vector existed
+    to serve — and Spark 4 ANSI mode makes the 0-division an error, so
+    the filter is correctness, not taste).
+
+    Shares derive_user_vector with the one-shot lane and both ledger
+    read sides (label keys ride through extra_cols) — the served-online
+    vs reconstructed-offline skew is zero by construction.
+
+    Determinism: cumulative moments are exact (integer cents,
+    decimal(38,0) window sums, epoch-µs bounds); "strictly before" is
+    the ROWS frame ending at 1 PRECEDING over the unique (ts, event_id)
+    order, spelled identically in both engines; the last-prior-event
+    struct max over that frame equals LAG over the same order.
+
+    Scale: ONE user-keyed exchange and one sort — all seven cumulative
+    aggregates and the struct max share a single window frame, so
+    Catalyst evaluates them in one Window operator (pinned in
+    tests/test_plan_shapes_features.py). Running state is a handful of
+    scalars per user; output is |labels| rows."""
+    from data_ingestion_lambda_spark.operators.feature_store import (
+        DEC38,
+        derive_user_vector,
+    )
+
+    us = F.unix_micros(F.col("ts"))
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    moments = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            us.alias("us"),
+            cents.alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("label_event_id"),
+            F.col("ts").alias("label_ts"),
+            "event_type",
+            F.count(F.lit(1)).over(w).alias("n_events"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).over(w),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_purchases"),
+            F.sum(F.col("cents").cast(DEC38)).over(w).alias("sum_cents"),
+            F.sum((F.col("cents") * F.col("cents")).cast(DEC38))
+            .over(w)
+            .alias("sumsq_cents"),
+            F.min("us").over(w).alias("first_ts_us"),
+            F.max("us").over(w).alias("last_ts_us"),
+            F.max(
+                F.struct(
+                    F.col("us").alias("ts_us"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("event_type").alias("event_type"),
+                )
+            )
+            .over(w)
+            .alias("last_event"),
+        )
+        .filter((F.col("event_type") == "purchase") & (F.col("n_events") > 0))
+    )
+    return derive_user_vector(moments, extra_cols=("label_event_id", "label_ts"))

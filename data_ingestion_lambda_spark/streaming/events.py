@@ -825,3 +825,65 @@ def drift_from_value_ledger(spark, target_dir: str) -> DataFrame:
     from data_ingestion_lambda_spark.plans.events_queries import drift_from_histograms
 
     return drift_from_histograms(read_value_histogram(spark, target_dir))
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-user moment ledger (the feature store's streaming front)
+# ---------------------------------------------------------------------------
+
+
+def stream_user_moments_to_table(
+    events: DataFrame, target_dir: str, checkpoint_dir: str
+):
+    """Stream events into the feature store's input: each micro-batch's
+    per-user moment DELTA (operators/feature_store.py::user_moments —
+    the same expression the daily form and the registered one-shot lane
+    use) lands in its own ``ingest_batch=<id>`` partition. Every moment
+    column is a semigroup element, so this is the additive-ledger idiom
+    at its cleanest: a user active across MANY micro-batches merges
+    exactly read-side, with no day-completeness assumption at all (the
+    property the date-keyed daily form gets from additivity, the stream
+    gets per trigger). At-least-once foreachBatch replays overwrite
+    their own partition — idempotent by construction. Stateless: moment
+    deltas need no watermark or state store; the state lives in the
+    ledger, not the engine. Returns the DataStreamWriter."""
+    from data_ingestion_lambda_spark.operators.feature_store import user_moments
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            user_moments(batch_df)
+            .write.mode("overwrite")
+            .parquet(f"{target_dir}/ingest_batch={batch_id}")
+        )
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(_land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_moment_ledger(spark, target_dir: str) -> DataFrame:
+    """Merge the batch-id moment ledger to one row per user — the same
+    shape operators/feature_store.py::read_moments yields from the
+    date-keyed daily index (the two ledgers differ only in their replay
+    key)."""
+    from data_ingestion_lambda_spark.operators.feature_store import merge_moments
+
+    return merge_moments(
+        spark.read.option("basePath", target_dir)
+        .parquet(f"{target_dir}/ingest_batch=*")
+        .drop("ingest_batch")
+    )
+
+
+def features_from_moment_ledger(spark, target_dir: str) -> DataFrame:
+    """Feature vectors read straight from the streamed ledger, through
+    the SAME derive_user_vector expression the registered
+    feature_user_vectors lane and the maintained daily store share — so
+    stream → ledger → merge → derive yields the one-shot lane's exact
+    rows for any trigger split (pinned in tests/test_feature_store.py)."""
+    from data_ingestion_lambda_spark.operators.feature_store import derive_user_vector
+
+    return derive_user_vector(read_moment_ledger(spark, target_dir))

@@ -1,0 +1,255 @@
+"""Maintained feature store: N batch applications + read-side derivation
+must row-equal the one-shot feature_user_vectors lane over the same
+events (for ANY batch split — the moments are semigroup elements), a
+replayed batch must be a no-op, and compaction must be read-equal and
+idempotent while spending only the folded dates' replay keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.feature_store import (
+    BASE_DATE,
+    apply_feature_batch,
+    compact_feature_ledger,
+    read_user_features,
+)
+from data_ingestion_lambda_spark.plans import all_specs
+from data_ingestion_lambda_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        (
+            r.user_id,
+            r.n_events,
+            r.n_purchases,
+            r.purchase_rate,
+            r.mean_cents,
+            r.std_cents,
+            r.tenure_days,
+            r.last_event_type,
+        )
+        for r in df.collect()
+    )
+
+
+def _days(events):
+    return sorted(
+        str(r.d)
+        for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+
+
+def _apply_daily(spark, idx, events):
+    days = _days(events)
+    for d in days:
+        batch = events.filter(F.to_date("ts") == F.lit(d))
+        apply_feature_batch(spark, idx, batch, d)
+    return days
+
+
+def test_daily_application_equals_oneshot(spark, tmp_path):
+    idx = str(tmp_path / "feat_idx")
+    events = load_table(spark, SF, "events")
+    _apply_daily(spark, idx, events)
+    got = _rows(read_user_features(spark, idx))
+    want = _rows(all_specs()["feature_user_vectors"].builder(spark, SF))
+    assert got == want and len(got) > 0
+
+
+def test_random_split_equals_oneshot(spark, tmp_path):
+    """The semigroup claim: ANY partition of the events into batches —
+    here 5 random slices by event_id hash, nothing to do with days —
+    merges to the same vectors. Exact equality, not approximate."""
+    idx = str(tmp_path / "feat_idx")
+    events = load_table(spark, SF, "events")
+    dates = [f"2024-0{i}-01" for i in range(1, 6)]
+    for i, d in enumerate(dates):
+        batch = events.filter(F.pmod(F.col("event_id"), F.lit(5)) == i)
+        apply_feature_batch(spark, idx, batch, d)
+    got = _rows(read_user_features(spark, idx))
+    want = _rows(all_specs()["feature_user_vectors"].builder(spark, SF))
+    assert got == want and len(got) > 0
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    idx = str(tmp_path / "feat_idx")
+    events = load_table(spark, SF, "events")
+    days = _apply_daily(spark, idx, events)
+    before = _rows(read_user_features(spark, idx))
+    mid = days[len(days) // 2]
+    batch = events.filter(F.to_date("ts") == F.lit(mid))
+    apply_feature_batch(spark, idx, batch, mid)
+    assert _rows(read_user_features(spark, idx)) == before
+
+
+def test_compaction_is_read_equal_and_idempotent(spark, tmp_path):
+    idx = str(tmp_path / "feat_idx")
+    events = load_table(spark, SF, "events")
+    days = _apply_daily(spark, idx, events)
+    before = _rows(read_user_features(spark, idx))
+    keep_from = days[-1]  # fold everything but the newest day
+    folded = compact_feature_ledger(spark, idx, keep_from)
+    assert folded == len(days) - 1
+    assert _rows(read_user_features(spark, idx)) == before
+    # the fold left exactly the base + the kept day
+    import os
+
+    parts = sorted(p for p in os.listdir(idx) if p.startswith("date="))
+    assert parts == [f"date={BASE_DATE}", f"date={keep_from}"]
+    # re-running the same compaction folds the base alone — a no-op
+    assert compact_feature_ledger(spark, idx, keep_from) == 0
+    assert _rows(read_user_features(spark, idx)) == before
+    # a LATER cutoff folds base + kept day into the base again
+    assert compact_feature_ledger(spark, idx, "9999-12-31") == 2
+    assert _rows(read_user_features(spark, idx)) == before
+
+
+def test_new_batch_after_compaction_merges(spark, tmp_path):
+    """Post-compaction applies keep working: land days 1..N-1, compact,
+    then land day N — vectors must equal the one-shot over everything."""
+    idx = str(tmp_path / "feat_idx")
+    events = load_table(spark, SF, "events")
+    days = _days(events)
+    for d in days[:-1]:
+        apply_feature_batch(
+            spark, idx, events.filter(F.to_date("ts") == F.lit(d)), d
+        )
+    compact_feature_ledger(spark, idx, days[-1])
+    apply_feature_batch(
+        spark, idx, events.filter(F.to_date("ts") == F.lit(days[-1])), days[-1]
+    )
+    got = _rows(read_user_features(spark, idx))
+    want = _rows(all_specs()["feature_user_vectors"].builder(spark, SF))
+    assert got == want
+
+
+def test_cli_roundtrip(spark, tmp_path):
+    """feature-store CLI: land two batches, read back via --vectors-out,
+    then compact via --compact-before; the persisted vectors must match
+    read_user_features on the same index."""
+    from data_ingestion_lambda_spark.cli import main
+
+    events = load_table(spark, SF, "events")
+    days = _days(events)[:2]
+    idx = str(tmp_path / "feat_idx")
+    outs = []
+    for d in days:
+        bdir = str(tmp_path / f"batch_{d}")
+        events.filter(F.to_date("ts") == F.lit(d)).write.parquet(bdir)
+        rc = main(
+            ["feature-store", "--index", idx, "--batch", bdir, "--date", d]
+        )
+        outs.append(rc)
+    assert outs == [0, 0]
+    vec_dir = str(tmp_path / "vectors")
+    assert (
+        main(
+            [
+                "feature-store",
+                "--index",
+                idx,
+                "--vectors-out",
+                vec_dir,
+                "--compact-before",
+                days[-1],
+            ]
+        )
+        == 0
+    )
+    got = _rows(spark.read.parquet(vec_dir))
+    want = _rows(read_user_features(spark, idx))
+    assert got == want and len(got) > 0
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_stream_ledger_features_equal_oneshot_with_midstream_split(spark, tmp_path):
+    """Streaming front: events arrive in two triggers cut at an arbitrary
+    row (users and days both straddle the cut — the case neither the
+    daily form's date key nor any watermark helps with; moment
+    additivity alone carries it), and the read-side vectors must
+    row-equal the one-shot lane. A third run over the finished source is
+    a checkpointed no-op."""
+    import glob
+
+    from data_ingestion_lambda_spark.streaming.events import (
+        features_from_moment_ledger,
+        stream_user_moments_to_table,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "ledger")
+    events = load_table(spark, SF, "events").orderBy("ts", "event_id")
+    rows = events.collect()
+    cut = len(rows) // 2
+    spark.createDataFrame(rows[:cut], EVENTS_SCHEMA).write.mode("append").parquet(src)
+
+    def run():
+        q = stream_user_moments_to_table(
+            spark.readStream.schema(EVENTS_SCHEMA).parquet(src), ledger, ckpt
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows[cut:], EVENTS_SCHEMA).write.mode("append").parquet(src)
+    run()
+    got = _rows(features_from_moment_ledger(spark, ledger))
+    want = _rows(all_specs()["feature_user_vectors"].builder(spark, SF))
+    assert got == want and len(got) > 0
+    n_parts = len(glob.glob(f"{ledger}/ingest_batch=*"))
+    run()  # finished source: no new batch partitions, same vectors
+    assert len(glob.glob(f"{ledger}/ingest_batch=*")) == n_parts
+    assert _rows(features_from_moment_ledger(spark, ledger)) == want
+
+
+def test_asof_read_equals_oneshot_prefix_and_respects_horizon(spark, tmp_path):
+    """Time travel: the as-of read at day k must equal the one-shot lane
+    over events <= day k for every k; after compaction, an as_of below
+    the fold horizon must refuse (the folded total is NOT that day's
+    state), while reads at/above the horizon keep working."""
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.feature_store import (
+        read_user_features_asof,
+    )
+
+    idx = str(tmp_path / "feat_idx")
+    events = load_table(spark, SF, "events")
+    days = _apply_daily(spark, idx, events)
+
+    def want_upto(d):
+        prefix = events.filter(F.to_date("ts") <= F.lit(d))
+        tmp = str(tmp_path / f"prefix_{d}")
+        one_shot = all_specs()["feature_user_vectors"].builder
+        # one-shot lane reads a directory layout: stage the prefix as its
+        # own events table
+        import os
+
+        os.makedirs(f"{tmp}_dir", exist_ok=True)
+        prefix.write.mode("overwrite").parquet(f"{tmp}_dir/events.parquet")
+        return _rows(one_shot(spark, f"{tmp}_dir"))
+
+    for d in (days[0], days[len(days) // 2], days[-1]):
+        assert _rows(read_user_features_asof(spark, idx, d)) == want_upto(d)
+
+    with pytest.raises(ValueError, match="no ledger partition"):
+        read_user_features_asof(spark, idx, "1999-01-01")
+
+    keep_from = days[-1]
+    compact_feature_ledger(spark, idx, keep_from)
+    # at/above the horizon still serves (base == everything < keep_from)
+    assert _rows(read_user_features_asof(spark, idx, days[-1])) == want_upto(
+        days[-1]
+    )
+    # below the horizon refuses loudly
+    with pytest.raises(ValueError, match="compaction horizon"):
+        read_user_features_asof(spark, idx, days[0])

@@ -111,3 +111,18 @@ def test_inclusion_dependencies_reduce_to_distincts_before_join(spark):
     assert "LeftSemi" in plan, f"containment must semi-join:\n{plan}"
     assert "partial_count" in plan
     assert "SortAggregate" not in plan
+
+
+def test_point_in_time_is_one_window_one_exchange(spark):
+    """feature_point_in_time: all seven cumulative moments and the
+    last-event struct max must share ONE Window operator over one
+    user-keyed exchange — a second Window (or exchange) would mean the
+    frames diverged and the lane re-sorts the fact table per feature."""
+    plan = _plan(spark, "feature_point_in_time")
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1, (
+        f"moments must share one window:\n{plan}"
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, (
+        f"one user exchange expected:\n{plan}"
+    )
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
