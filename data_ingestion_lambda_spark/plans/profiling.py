@@ -800,3 +800,166 @@ def profile_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFram
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact baseline + mergeable Misra-Gries sketch gauge
+# ---------------------------------------------------------------------------
+
+# The synthetic tables are deliberately uniform (no key exceeds any
+# useful support threshold), so the lane plants its own skew — the
+# planted-pair methodology the MinHash/embedding recall curves use:
+# event_id % 10 < 3 collapses 30% of the stream onto two hot items
+# (hot_0 at 20%, hot_1 at 10%); the rest stays a singleton tail, giving
+# a domain of ~0.7N items that dwarfs the sketch budget. Deterministic
+# in both engines from event_id alone.
+_HH_ITEM_SQL = """
+        SELECT CASE WHEN event_id % 10 < 3
+                    THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
+                    ELSE 'c' || CAST(event_id AS VARCHAR) END AS item
+        FROM events
+"""
+
+# support threshold phi = 1/20 of the stream (20 * cnt > N), matched to
+# the sketch budget below so presence of every true heavy hitter is a
+# THEOREM, not a tuning outcome.
+_HH_EXACT_SQL = f"""
+    WITH items AS ({_HH_ITEM_SQL}),
+    c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY item),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM items)
+    SELECT item, cnt, CAST(cnt AS DOUBLE) / (SELECT n FROM t) AS share
+    FROM c WHERE 20 * cnt > (SELECT n FROM t)
+"""
+
+_HH_K = 19  # counters; epsilon = 1/(K+1) = the 5% support threshold
+
+
+def _hh_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        F.when(
+            F.col("event_id") % 10 < 3,
+            F.concat(F.lit("hot_"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("c"), F.col("event_id").cast("string")))
+        .alias("item")
+    )
+
+
+def _hh_exact_counts(items: DataFrame) -> DataFrame:
+    counts = items.groupBy("item").agg(F.count("*").cast("long").alias("cnt"))
+    total = items.agg(F.count("*").cast("long").alias("n"))
+    return counts.crossJoin(F.broadcast(total)).filter(
+        F.lit(20) * F.col("cnt") > F.col("n")
+    )
+
+
+@register(
+    "profile_heavy_hitters",
+    oracle=_HH_EXACT_SQL,
+    tags=("profiling", "events"),
+)
+def profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: items carrying > 1/20 of the (planted-skew)
+    stream, with exact counts and shares. The baseline the sketch lane
+    gauges against — and at 100 TB the shape to AVOID when the item
+    domain is huge: the groupBy shuffles one row per DISTINCT item
+    (~0.7N here), which is exactly the cost profile_heavy_hitters_mg
+    replaces with a constant-size summary per partition.
+
+    Determinism: integer threshold compare (20*cnt > N, no division);
+    share is one final double division."""
+    items = _hh_items(spark, sf_dir)
+    return _hh_exact_counts(items).select(
+        "item",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("share"),
+    )
+
+
+@register(
+    "profile_heavy_hitters_mg",
+    oracle=f"""
+    WITH hh AS ({_HH_EXACT_SQL})
+    SELECT item, cnt, TRUE AS found, TRUE AS lower_bound_ok FROM hh
+    """,
+    tags=("profiling", "events", "sketch"),
+)
+def profile_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy-hitter sketch, verified against the
+    exact baseline through the recall-gauge idiom (the HLL/MinHash
+    pattern): the OUTPUT is one row per TRUE heavy hitter with two
+    booleans the mergeable-summaries theorem guarantees — `found` (the
+    item survived in the merged sketch) and `lower_bound_ok` (its merged
+    counter underestimates by at most N/(K+1)). Sketch CONTENT depends
+    on partition order and can't hash-match an engine twin; these
+    guarantees are partition-order-FREE, so the oracle states them as
+    literals and a sketch bug breaks the hash.
+
+    Mergeable summaries (Agarwal, Cormode, Huang, Phillips, Wei, Yi —
+    PODS'12): per-partition batched Misra-Gries with K=19 counters
+    (Arrow-batched mapInPandas, counters merged across a partition's
+    chunks with one (K+1)th-largest subtraction per chunk), merged by
+    summing counters per item and subtracting the global (K+1)th
+    largest. Total undercount <= N/(K+1) = 5% of the stream, so every
+    item above the 5% support threshold MUST survive with a counter
+    within the bound (hot_0 at 20%, hot_1 at 10% — both clear it with
+    margin).
+
+    Scale: the whole point at 100 TB — the exact plan shuffles ~|domain|
+    rows; this shuffles <= K rows PER PARTITION (a few KB each),
+    whatever the domain size. The final reduce runs over <= K x
+    |partitions| summary rows (the one global window is bounded by that
+    summary size, never by data; same boundedness argument as the
+    histogram coarse-offset windows)."""
+    import pandas as pd  # noqa: F401 — imported for the worker closure
+
+    items = _hh_items(spark, sf_dir)
+    k = _HH_K
+
+    def _mg_partials(chunks):
+        import numpy as np
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in chunks:
+            for itm, c in pdf["item"].value_counts().items():
+                counters[itm] = counters.get(itm, 0) + int(c)
+            if len(counters) > k:
+                vals = np.fromiter(counters.values(), dtype="int64")
+                kth = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
+                counters = {i: c - kth for i, c in counters.items() if c > kth}
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    partials = items.mapInPandas(_mg_partials, "item string, cnt long")
+    summed = partials.groupBy("item").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    # Reduce the merged counters back to K: subtract the (K+1)th largest
+    # (Agarwal et al.'s merge step). The window input is the summary
+    # (<= K per partition), bounded by design, never by data volume.
+    w = Window.orderBy(F.desc("cnt"), "item")
+    ranked = summed.withColumn("rn", F.row_number().over(w))
+    sub = ranked.filter(F.col("rn") == k + 1).agg(
+        F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("sub")
+    )
+    sketch = (
+        ranked.crossJoin(F.broadcast(sub))
+        .select("item", (F.col("cnt") - F.col("sub")).alias("g"))
+        .filter(F.col("g") > 0)
+    )
+    exact = _hh_exact_counts(_hh_items(spark, sf_dir))
+    return (
+        exact.join(sketch, "item", "left")
+        .select(
+            "item",
+            "cnt",
+            F.col("g").isNotNull().alias("found"),
+            (
+                F.coalesce(F.col("g"), F.lit(0))
+                >= F.col("cnt") - F.floor(F.col("n") / 20).cast("long")
+            ).alias("lower_bound_ok"),
+        )
+    )
