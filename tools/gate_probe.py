@@ -397,6 +397,130 @@ def run_bucketed(spark, rep_dir: str) -> None:
     )
 
 
+def run_feature(spark, rep_dir: str) -> None:
+    """Per-day economics for the maintained feature store
+    (operators/feature_store.py). Three claims under the ledger design,
+    measured against a 1x (sf0.1: 1,500 users) and a 10x (15,000 users)
+    30-day history built by real day-by-day applies:
+
+      apply   — landing a FIXED one-day batch writes only its own moment
+                partition and reads NOTHING from the store, so apply cost
+                must be FLAT in store size (the upsert_probe claim, here
+                without even a merge read).
+      read    — deriving the trainer vectors merges |users| x |days|
+                moment rows: calendar-linear, volume-free. Growth tracks
+                the user multiple, never raw event volume.
+      compact — folding history into the base collapses the |days| term;
+                the read re-measured after compaction prices what the
+                maintenance op buys back.
+    """
+    from pyspark.sql import functions as F
+
+    from data_ingestion_lambda_spark.operators.feature_store import (
+        apply_feature_batch,
+        compact_feature_ledger,
+        read_user_features,
+    )
+
+    def _events(path):
+        # raw parquet yields TIMESTAMP_NTZ; the store's moment exprs
+        # (unix_micros) need TIMESTAMP, same normalization load_table does
+        return spark.read.parquet(path).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    batch = (
+        _events("/root/testdata/sf0.001/events.parquet")
+        .filter(F.to_date("ts") == "2024-01-01")
+        .withColumn("user_id", F.col("user_id") + F.lit(10**9))
+        .cache()
+    )
+    n_batch = batch.count()
+
+    results = {}
+    for label, src in (("1x", "/root/testdata/sf0.1"), ("10x", rep_dir)):
+        events = _events(f"{src}/events.parquet")
+        days = sorted(
+            str(r.d)
+            for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+        )
+        idx = tempfile.mkdtemp(prefix=f"feat_idx_{label}_")
+        shutil.rmtree(idx)  # apply creates it
+        try:
+            t0 = time.time()
+            for d in days:
+                apply_feature_batch(
+                    spark, idx, events.filter(F.to_date("ts") == F.lit(d)), d
+                )
+            t_index = round(time.time() - t0, 2)
+
+            t_apply = None
+            for _ in range(2):  # replay overwrites its own partition: idempotent
+                t0 = time.time()
+                apply_feature_batch(spark, idx, batch, "2025-07-01")
+                dt = round(time.time() - t0, 2)
+                t_apply = dt if t_apply is None else min(t_apply, dt)
+
+            t_read = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                batch.cache().count()
+                t0 = time.time()
+                n_users = read_user_features(spark, idx).count()
+                dt = round(time.time() - t0, 2)
+                t_read = dt if t_read is None else min(t_read, dt)
+
+            folded = compact_feature_ledger(spark, idx, "2025-01-01")
+            t_read_c = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                batch.cache().count()
+                t0 = time.time()
+                read_user_features(spark, idx).count()
+                dt = round(time.time() - t0, 2)
+                t_read_c = dt if t_read_c is None else min(t_read_c, dt)
+
+            results[label] = {
+                "store_users": n_users,
+                "history_days": len(days),
+                "t_build_once_s": t_index,
+                "t_daily_apply_s": t_apply,
+                "t_read_vectors_s": t_read,
+                "folded_partitions": folded,
+                "t_read_after_compact_s": t_read_c,
+            }
+            print(
+                json.dumps({"mode": "feature", "corpus": label, **results[label]}),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+    batch.unpersist()
+
+    r1, r10 = results["1x"], results["10x"]
+    print(
+        json.dumps(
+            {
+                "mode": "feature",
+                "batch_events": n_batch,
+                "store_growth": round(r10["store_users"] / r1["store_users"], 1),
+                "apply_growth": round(
+                    r10["t_daily_apply_s"] / max(r1["t_daily_apply_s"], 0.01), 2
+                ),
+                "read_growth": round(
+                    r10["t_read_vectors_s"] / max(r1["t_read_vectors_s"], 0.01), 2
+                ),
+                "compacted_read_growth": round(
+                    r10["t_read_after_compact_s"]
+                    / max(r1["t_read_after_compact_s"], 0.01),
+                    2,
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -420,6 +544,8 @@ def main() -> None:
             run_ann(spark, rep_dir)
         elif mode == "bm25":
             run_bm25(spark, rep_dir)
+        elif mode == "feature":
+            run_feature(spark, rep_dir)
         else:
             run_mode(spark, mode, rep_dir)
 
