@@ -877,6 +877,59 @@ def profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mg_partials_fold(chunks):
+    """Per-partition batched Misra-Gries with K counters. The counters
+    live as an int64 Series indexed by item — the chunk merge (concat +
+    groupby-sum) and the (K+1)th-largest reduction (np.partition) both
+    stay in C, so the fold's Python cost is per-CHUNK, not per-item.
+    Each reduction subtracts the (K+1)th largest value from every
+    counter and drops the non-positive, removing >= (K+1) x subtracted
+    mass — the step the N/(K+1) undercount bound charges against."""
+    import numpy as np
+    import pandas as pd
+
+    k = _HH_K
+    counters = pd.Series(dtype="int64")
+    for pdf in chunks:
+        vc = pdf["item"].value_counts()
+        counters = (
+            pd.concat([counters, vc]).groupby(level=0).sum()
+            if len(counters)
+            else vc.astype("int64")
+        )
+        if len(counters) > k:
+            vals = counters.to_numpy()
+            kth = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
+            counters = counters[counters > kth] - kth
+    yield pd.DataFrame(
+        {"item": counters.index.astype(str), "cnt": counters.to_numpy()}
+    )
+
+
+def mg_sketch(items: DataFrame) -> DataFrame:
+    """The full distributed Misra-Gries pipeline over an (item) frame:
+    per-partition folds, per-item counter sum, and Agarwal et al.'s
+    merge step (subtract the global (K+1)th largest, keep positive).
+    Shared by the registered gauge lane and the adversarial-partitioning
+    tests, so there is exactly one sketch implementation to trust. The
+    one global window runs over the <= K x |partitions| summary —
+    bounded by design, never by data volume."""
+    partials = items.mapInPandas(_mg_partials_fold, "item string, cnt long")
+    summed = partials.groupBy("item").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), "item")
+    ranked = summed.withColumn("rn", F.row_number().over(w))
+    sub = ranked.filter(F.col("rn") == _HH_K + 1).agg(
+        F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("sub")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(sub))
+        .select("item", (F.col("cnt") - F.col("sub")).alias("g"))
+        .filter(F.col("g") > 0)
+    )
+
+
 @register(
     "profile_heavy_hitters_mg",
     oracle=f"""
@@ -912,44 +965,7 @@ def profile_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     |partitions| summary rows (the one global window is bounded by that
     summary size, never by data; same boundedness argument as the
     histogram coarse-offset windows)."""
-    import pandas as pd  # noqa: F401 — imported for the worker closure
-
-    items = _hh_items(spark, sf_dir)
-    k = _HH_K
-
-    def _mg_partials(chunks):
-        import numpy as np
-        import pandas as pd
-
-        counters: dict = {}
-        for pdf in chunks:
-            for itm, c in pdf["item"].value_counts().items():
-                counters[itm] = counters.get(itm, 0) + int(c)
-            if len(counters) > k:
-                vals = np.fromiter(counters.values(), dtype="int64")
-                kth = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
-                counters = {i: c - kth for i, c in counters.items() if c > kth}
-        yield pd.DataFrame(
-            {"item": list(counters.keys()), "cnt": list(counters.values())}
-        )
-
-    partials = items.mapInPandas(_mg_partials, "item string, cnt long")
-    summed = partials.groupBy("item").agg(
-        F.sum("cnt").cast("long").alias("cnt")
-    )
-    # Reduce the merged counters back to K: subtract the (K+1)th largest
-    # (Agarwal et al.'s merge step). The window input is the summary
-    # (<= K per partition), bounded by design, never by data volume.
-    w = Window.orderBy(F.desc("cnt"), "item")
-    ranked = summed.withColumn("rn", F.row_number().over(w))
-    sub = ranked.filter(F.col("rn") == k + 1).agg(
-        F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("sub")
-    )
-    sketch = (
-        ranked.crossJoin(F.broadcast(sub))
-        .select("item", (F.col("cnt") - F.col("sub")).alias("g"))
-        .filter(F.col("g") > 0)
-    )
+    sketch = mg_sketch(_hh_items(spark, sf_dir))
     exact = _hh_exact_counts(_hh_items(spark, sf_dir))
     return (
         exact.join(sketch, "item", "left")

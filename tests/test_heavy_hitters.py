@@ -3,7 +3,8 @@
 an undercount <= N/(K+1)) must hold under ANY partitioning of the input
 — partition count and item placement change sketch CONTENT, never the
 gauge booleans. The registered lane pins the default partitioning via
-its oracle; this file adversarially repartitions.
+its oracle; this file adversarially repartitions THROUGH the lane's own
+mg_sketch pipeline (one implementation to trust).
 """
 
 from __future__ import annotations
@@ -15,53 +16,10 @@ from data_ingestion_lambda_spark.plans.profiling import (
     _HH_K,
     _hh_exact_counts,
     _hh_items,
+    mg_sketch,
 )
 
 from .conftest import SF_SMOKE
-
-
-def _mg_sketch(items):
-    """The registered lane's sketch pipeline, lifted so tests can feed
-    adversarially partitioned inputs (mirrors profile_heavy_hitters_mg;
-    kept in lockstep by the assertions below, which fail if the lane's
-    guarantee logic drifts from this reconstruction)."""
-    from pyspark.sql import Window
-
-    spec = all_specs()["profile_heavy_hitters_mg"]
-    # reuse the lane's own mapInPandas fold by invoking the builder is
-    # not possible on a repartitioned frame — reconstruct the stages
-    # with the same constants instead.
-    k = _HH_K
-
-    def _mg_partials(chunks):
-        import numpy as np
-        import pandas as pd
-
-        counters: dict = {}
-        for pdf in chunks:
-            for itm, c in pdf["item"].value_counts().items():
-                counters[itm] = counters.get(itm, 0) + int(c)
-            if len(counters) > k:
-                vals = np.fromiter(counters.values(), dtype="int64")
-                kth = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
-                counters = {i: c - kth for i, c in counters.items() if c > kth}
-        yield pd.DataFrame(
-            {"item": list(counters.keys()), "cnt": list(counters.values())}
-        )
-
-    partials = items.mapInPandas(_mg_partials, "item string, cnt long")
-    summed = partials.groupBy("item").agg(F.sum("cnt").cast("long").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), "item")
-    ranked = summed.withColumn("rn", F.row_number().over(w))
-    sub = ranked.filter(F.col("rn") == k + 1).agg(
-        F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("sub")
-    )
-    assert spec is not None  # lane is registered
-    return (
-        ranked.crossJoin(F.broadcast(sub))
-        .select("item", (F.col("cnt") - F.col("sub")).alias("g"))
-        .filter(F.col("g") > 0)
-    )
 
 
 def test_guarantee_holds_under_adversarial_partitionings(spark):
@@ -80,7 +38,7 @@ def test_guarantee_holds_under_adversarial_partitionings(spark):
         items.repartition(7, "item"),
         items.coalesce(1),
     ):
-        sketch = {r.item: r.g for r in _mg_sketch(layout).collect()}
+        sketch = {r.item: r.g for r in mg_sketch(layout).collect()}
         assert len(sketch) <= _HH_K
         for row in exact:
             assert row.item in sketch, f"true HH {row.item} evicted"
