@@ -661,3 +661,120 @@ def feature_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("event_type") == "purchase") & (F.col("n_events") > 0))
     )
     return derive_user_vector(moments, extra_cols=("label_event_id", "label_ts"))
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling (contrastive / recsys training pairs)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4  # candidates drawn per customer
+_NEG_A = 2654435761  # Knuth multiplicative hash constant
+_NEG_B = 40503
+
+
+@register(
+    "feature_negative_sampling",
+    oracle=f"""
+    WITH np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+    pidx AS (
+        SELECT p_partkey,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT) AS rk
+        FROM part
+    ),
+    cand AS (
+        SELECT c_custkey, CAST(i.i AS BIGINT) AS sample_idx,
+               ((c_custkey * {_NEG_A} + i.i * {_NEG_B}) % 1000000007)
+                 % (SELECT n FROM np) + 1 AS rk
+        FROM customer, (SELECT UNNEST(generate_series(0, {_NEG_K - 1})) AS i) i
+    ),
+    inter AS (
+        SELECT DISTINCT o_custkey AS ckey, l_partkey AS pkey
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT cand.c_custkey, cand.sample_idx, pidx.p_partkey
+    FROM cand JOIN pidx ON cand.rk = pidx.rk
+    WHERE NOT EXISTS (
+        SELECT 1 FROM inter
+        WHERE inter.ckey = cand.c_custkey AND inter.pkey = pidx.p_partkey
+    )
+    """,
+    tags=("features", "sampling"),
+)
+def feature_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive / recommender
+    training: per customer, {_NEG_K} pseudo-random candidate parts drawn
+    by a multiplicative hash over (c_custkey, sample_idx), anti-joined
+    against the OBSERVED (customer, part) interactions (orders ⋈
+    lineitem) so no sampled "negative" is secretly a positive. The
+    standard positives+negatives construction for a two-tower or
+    ranking model — and the op that goes subtly wrong with rand()
+    (non-reproducible epochs, accidental positives): here the draw is a
+    pure hash, so every engine, run, and retry yields the same pairs.
+
+    Determinism: candidate = hash % P % |parts| mapped through a dense
+    part-rank index; all integer arithmetic (c_custkey·A fits in int64
+    at any TPC-H SF the 1e9+7 modulus sees — A·|customers| < 2^63 up to
+    ~3.5e9 customers); ROW_NUMBER over the same (p_partkey) order in
+    both engines.
+
+    Scale: ONE fact exchange (the orderkey join for interactions,
+    distinct-reduced before the anti-join, so the anti-join's right
+    side is interaction-pairs-sized, not lineitem-sized); candidates
+    are |customers| × {_NEG_K} rows; the part-rank window runs over the
+    part DIM only (the documented dim-bounded global-window family).
+    The part index broadcasts into the candidate join — no fact-side
+    shuffle for it (plan-pinned)."""
+    part = t(spark, sf_dir, "part").select("p_partkey")
+    n_parts = part.agg(F.count("*").cast("long").alias("n"))
+    pidx = part.withColumn(
+        "rk", F.row_number().over(Window.orderBy("p_partkey")).cast("long")
+    )
+    cand = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "c_custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("i"),
+            "n",
+        )
+        .select(
+            "c_custkey",
+            F.col("i").cast("long").alias("sample_idx"),
+            "n",
+        )
+        .select(
+            "c_custkey",
+            "sample_idx",
+            (
+                (
+                    (
+                        F.col("c_custkey") * F.lit(_NEG_A)
+                        + F.col("sample_idx") * F.lit(_NEG_B)
+                    )
+                    % F.lit(1000000007)
+                )
+                % F.col("n")
+                + 1
+            ).alias("rk"),
+        )
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("ckey"), F.col("l_partkey").alias("pkey")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(F.broadcast(pidx), "rk")
+        .join(
+            inter,
+            (F.col("c_custkey") == F.col("ckey"))
+            & (F.col("p_partkey") == F.col("pkey")),
+            "left_anti",
+        )
+        .select("c_custkey", "sample_idx", "p_partkey")
+    )

@@ -126,3 +126,16 @@ def test_point_in_time_is_one_window_one_exchange(spark):
         f"one user exchange expected:\n{plan}"
     )
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_sampling_part_index_broadcasts(spark):
+    """feature_negative_sampling: the part-rank index must broadcast into
+    the candidate join (dim-sized), and the interactions side must be
+    distinct-reduced before the anti-join — no nested-loop anywhere."""
+    plan = _plan(spark, "feature_negative_sampling")
+    assert "BroadcastHashJoin" in plan, f"part index must broadcast:\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count(
+        "BroadcastNestedLoopJoin"
+    ) == plan.count("IdentityBroadcastMode"), (
+        f"non-1-row nested loop:\n{plan}"
+    )
