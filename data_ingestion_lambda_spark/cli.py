@@ -281,6 +281,25 @@ def build_parser() -> argparse.ArgumentParser:
         "partition (SPENDS those dates' replay keys — fold only past the "
         "re-delivery policy)",
     )
+    fst.add_argument(
+        "--stream-source",
+        default=None,
+        help="instead of --batch/--date: drain every events file under "
+        "this directory that the --checkpoint offset log has not seen "
+        "into a batch-id-keyed moment ledger (an index dir belongs to "
+        "ONE driver: date-keyed daily batches or the stream — never both)",
+    )
+    fst.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming offset log directory (required with --stream-source)",
+    )
+    fst.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        help="bound each streamed micro-batch to this many files",
+    )
 
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
@@ -477,27 +496,106 @@ def main(argv: list[str] | None = None) -> int:
 
         if (args.batch is None) != (args.date is None):
             raise SystemExit("feature-store: --batch and --date go together")
-        if args.batch is None and args.vectors_out is None and args.compact_before is None:
+        if args.stream_source is not None and args.checkpoint is None:
+            raise SystemExit("feature-store: --stream-source requires --checkpoint")
+        if args.stream_source is not None and args.batch is not None:
             raise SystemExit(
-                "feature-store: need --batch/--date, --vectors-out and/or --compact-before"
+                "feature-store: --stream-source and --batch are exclusive "
+                "(an index dir belongs to one driver)"
+            )
+        if (
+            args.batch is None
+            and args.stream_source is None
+            and args.vectors_out is None
+            and args.compact_before is None
+        ):
+            raise SystemExit(
+                "feature-store: need --batch/--date, --stream-source, "
+                "--vectors-out and/or --compact-before"
             )
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
+        # layout detection: a stream-driven ledger holds ingest_batch=
+        # partitions, the daily form date= partitions — never both
+        # (enforced below); reads route accordingly. FS-agnostic: the
+        # listing goes through the Hadoop FS API like every ledger op.
+        from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+        def _index_exists() -> bool:
+            fs, path_cls = _hadoop_fs(spark, args.index)
+            return fs.exists(path_cls(args.index))
+
+        def _is_stream_ledger() -> bool:
+            fs, path_cls = _hadoop_fs(spark, args.index)
+            if not fs.exists(path_cls(args.index)):
+                return args.stream_source is not None
+            names = [
+                st.getPath().getName()
+                for st in fs.listStatus(path_cls(args.index))
+                if st.isDirectory()
+            ]
+            has_b = any(n.startswith("ingest_batch=") for n in names)
+            has_d = any(n.startswith("date=") for n in names)
+            if has_b and has_d:
+                raise SystemExit(
+                    f"feature-store: {args.index} mixes date= and "
+                    "ingest_batch= partitions — one index dir, one driver"
+                )
+            return has_b
+        if args.stream_source is not None:
+            if _index_exists() and not _is_stream_ledger():
+                raise SystemExit(
+                    f"feature-store: {args.index} is a date-keyed daily "
+                    "store; point --stream-source at its own ledger dir"
+                )
+            from data_ingestion_lambda_spark.streaming.events import (
+                run_feature_store_available_now,
+            )
+
+            report["stream_batches"] = run_feature_store_available_now(
+                spark,
+                args.stream_source,
+                args.index,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
         if args.batch is not None:
+            if _is_stream_ledger():
+                raise SystemExit(
+                    f"feature-store: {args.index} is a stream-driven "
+                    "ledger; daily --batch applies need their own dir"
+                )
             batch = spark.read.parquet(args.batch)
             report.update(apply_feature_batch(spark, args.index, batch, args.date))
         if args.compact_before is not None:
+            if _is_stream_ledger():
+                raise SystemExit(
+                    "feature-store: --compact-before folds date= partitions; "
+                    "a stream ledger has batch-id keys (no calendar horizon)"
+                )
             report["folded_partitions"] = compact_feature_ledger(
                 spark, args.index, args.compact_before
             )
         if args.as_of is not None and args.vectors_out is None:
             raise SystemExit("feature-store: --as-of needs --vectors-out")
         if args.vectors_out is not None:
-            vectors = (
-                read_user_features(spark, args.index)
-                if args.as_of is None
-                else read_user_features_asof(spark, args.index, args.as_of)
-            )
+            if _is_stream_ledger():
+                if args.as_of is not None:
+                    raise SystemExit(
+                        "feature-store: --as-of needs the date-keyed daily "
+                        "store (a stream ledger is keyed by batch id)"
+                    )
+                from data_ingestion_lambda_spark.streaming.events import (
+                    features_from_moment_ledger,
+                )
+
+                vectors = features_from_moment_ledger(spark, args.index)
+            else:
+                vectors = (
+                    read_user_features(spark, args.index)
+                    if args.as_of is None
+                    else read_user_features_asof(spark, args.index, args.as_of)
+                )
             vectors.write.mode("overwrite").parquet(args.vectors_out)
             report["vectors_out"] = args.vectors_out
             report["users"] = spark.read.parquet(args.vectors_out).count()

@@ -832,6 +832,19 @@ def drift_from_value_ledger(spark, target_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _land_moment_delta(batch_df: DataFrame, batch_id: int, target_dir: str) -> None:
+    """Land one micro-batch's per-user moment DELTA in its own
+    ``ingest_batch=<id>`` partition (shared by the raw writer and the
+    CLI's availableNow runner)."""
+    from data_ingestion_lambda_spark.operators.feature_store import user_moments
+
+    (
+        user_moments(batch_df)
+        .write.mode("overwrite")
+        .parquet(f"{target_dir}/ingest_batch={batch_id}")
+    )
+
+
 def stream_user_moments_to_table(
     events: DataFrame, target_dir: str, checkpoint_dir: str
 ):
@@ -847,18 +860,9 @@ def stream_user_moments_to_table(
     their own partition — idempotent by construction. Stateless: moment
     deltas need no watermark or state store; the state lives in the
     ledger, not the engine. Returns the DataStreamWriter."""
-    from data_ingestion_lambda_spark.operators.feature_store import user_moments
-
-    def _land(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            user_moments(batch_df)
-            .write.mode("overwrite")
-            .parquet(f"{target_dir}/ingest_batch={batch_id}")
-        )
-
     return (
         events.writeStream.outputMode("append")
-        .foreachBatch(_land)
+        .foreachBatch(lambda b, i: _land_moment_delta(b, i, target_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
@@ -887,3 +891,49 @@ def features_from_moment_ledger(spark, target_dir: str) -> DataFrame:
     from data_ingestion_lambda_spark.operators.feature_store import derive_user_vector
 
     return derive_user_vector(read_moment_ledger(spark, target_dir))
+
+
+_FEATURE_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def run_feature_store_available_now(
+    spark,
+    source_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """One scheduled feature-store 'invocation' (the dedup-gate streaming
+    front's shape, run_dedup_gate_available_now): drain every events
+    file the offset log hasn't seen into the batch-id-keyed moment
+    ledger, then stop. Returns the number of micro-batches landed; a
+    no-op run returns 0. The ledger converges to the one-shot vectors
+    for ANY file grouping (moment additivity — pinned in
+    tests/test_feature_store.py), and a replayed batch overwrites only
+    its own partition."""
+    reader = spark.readStream.schema(_FEATURE_EVENTS_SCHEMA).option(
+        "recursiveFileLookup", True
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.parquet(source_dir)
+    landed = {"n": 0}
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _land_moment_delta(batch_df, batch_id, ledger_dir)
+        landed["n"] += 1
+
+    q = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(_land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return landed["n"]

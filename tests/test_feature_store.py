@@ -253,3 +253,50 @@ def test_asof_read_equals_oneshot_prefix_and_respects_horizon(spark, tmp_path):
     # below the horizon refuses loudly
     with pytest.raises(ValueError, match="compaction horizon"):
         read_user_features_asof(spark, idx, days[0])
+
+
+def test_cli_stream_source_drains_and_derives(spark, tmp_path):
+    """feature-store --stream-source: two invocations over a growing
+    drop directory land only the new files each time; the derived
+    vectors match the one-shot lane; a mixed-layout index refuses."""
+    from data_ingestion_lambda_spark.cli import main
+
+    events = load_table(spark, SF, "events").orderBy("ts", "event_id")
+    rows = events.collect()
+    cut = len(rows) // 2
+    src = str(tmp_path / "drops")
+    idx = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows[:cut], EVENTS_SCHEMA).write.mode("append").parquet(src)
+    assert (
+        main(
+            ["feature-store", "--index", idx, "--stream-source", src,
+             "--checkpoint", ckpt]
+        )
+        == 0
+    )
+    spark.createDataFrame(rows[cut:], EVENTS_SCHEMA).write.mode("append").parquet(src)
+    vec_dir = str(tmp_path / "vectors")
+    assert (
+        main(
+            ["feature-store", "--index", idx, "--stream-source", src,
+             "--checkpoint", ckpt, "--vectors-out", vec_dir]
+        )
+        == 0
+    )
+    got = _rows(spark.read.parquet(vec_dir))
+    want = _rows(all_specs()["feature_user_vectors"].builder(spark, SF))
+    assert got == want and len(got) > 0
+
+    # a daily --batch apply into the stream ledger must refuse
+    import pytest
+
+    bdir = str(tmp_path / "b0")
+    spark.createDataFrame(rows[:5], EVENTS_SCHEMA).write.parquet(bdir)
+    with pytest.raises(SystemExit, match="stream-driven"):
+        main(["feature-store", "--index", idx, "--batch", bdir,
+              "--date", "2025-01-01"])
+    # and --compact-before has no calendar meaning on batch-id keys
+    with pytest.raises(SystemExit, match="batch-id"):
+        main(["feature-store", "--index", idx, "--compact-before",
+              "2025-01-01"])
