@@ -1998,3 +1998,80 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("long").alias("rank_in_cluster"),
         (F.col("rk") <= _BAL_K).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (retrieval / contrastive training)
+# ---------------------------------------------------------------------------
+
+# Positive ceiling: neighbors at or above this cosine are treated as
+# positives/near-dups (they'd be FALSE negatives if sampled); the hard
+# negatives are the top-scoring neighbors strictly BELOW it. 0.90 is the
+# measured embedding-recall-curve tier where near-dup recall reaches
+# 0.985 (dedup_embedding_recall_curve), i.e. the band the dedup stack
+# already treats as "same content".
+_HARD_NEG_CEIL = 0.90
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
+    q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qnrm FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT query_id, v.vec_id AS neighbor_id,
+               ({_sql_dot('qv', 've')}) / (qnrm * nrm) AS cosine
+        FROM q JOIN v ON v.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored WHERE cosine < {_HARD_NEG_CEIL}e0
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("llm", "ann", "training"),
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per
+    query, the top-{TOP_K} most-similar neighbors STRICTLY BELOW the
+    positive ceiling (cosine < {_HARD_NEG_CEIL}). Random negatives are
+    too easy (the model separates them immediately); neighbors ABOVE
+    the ceiling are near-duplicates of the query — sampling those as
+    negatives poisons training with false negatives. This lane is the
+    standard middle band: hard enough to carry gradient, provably not
+    positives. The ceiling is the 0.90 tier of the shipped embedding
+    recall curve (near-dup recall 0.985 there), so "excluded as
+    probable positive" aligns with what the dedup stack already treats
+    as same-content. Complements feature_negative_sampling (hash-drawn
+    easy negatives over interactions) — a trainer mixes both.
+
+    Determinism: same exact-arithmetic skeleton as ann_cosine_topk
+    (unrolled left-associated dot, one division), one added filter;
+    ROW_NUMBER tie-break on neighbor_id.
+
+    Scale: identical plan to the brute-force baseline (broadcast query
+    set, per-group top-k window) — at 10^10 vectors swap the scorer for
+    the IVF/LSH candidate generation exactly as the ANN family
+    documents; the ceiling filter composes with any of them."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    )
+    v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ve").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot("qv", "ve") / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col("cosine") < F.lit(_HARD_NEG_CEIL))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
