@@ -89,10 +89,98 @@ def user_moments(events: DataFrame) -> DataFrame:
     )
 
 
-def merge_moments(moments: DataFrame) -> DataFrame:
+# Semigroup identity per moment column — what an old-schema partition
+# contributes for a column added after it was written. Counters/sums get
+# 0; min/max/struct-max get NULL (skipped by the aggregate), so every
+# identity-filled feature uniformly means "since the column's
+# introduction".
+_ADDITIVE_MOMENTS = ("n_events", "n_purchases", "sum_cents", "sumsq_cents")
+_MOMENT_TYPES = {
+    "n_events": "long",
+    "n_purchases": "long",
+    "sum_cents": DEC38,
+    "sumsq_cents": DEC38,
+    "first_ts_us": "long",
+    "last_ts_us": "long",
+    "last_event": "struct<ts_us:long,event_id:long,event_type:string>",
+}
+
+
+def _moment_identity(col: str):
+    # built lazily — F.lit needs an active session, and this module
+    # imports fine without one
+    base = F.lit(0) if col in _ADDITIVE_MOMENTS else F.lit(None)
+    return base.cast(_MOMENT_TYPES[col])
+
+
+def merge_moments(moments: DataFrame, *, missing_columns: str = "refuse") -> DataFrame:
     """Fold moment rows (one per user per batch partition) back to one
     row per user. Exact: every merge is the column's own semigroup op,
-    and decimal(38,0) addition is associative — no ordering effects."""
+    and decimal(38,0) addition is associative — no ordering effects.
+
+    Schema evolution: a moment column ADDED after old partitions were
+    written is absent from the merged read (Spark's parquet union drops
+    nothing — the column reads as missing only if no file has it, or
+    NULL rows where files lack it). Default ``missing_columns="refuse"``
+    raises, naming the column and the two honest remedies: BACKFILL
+    (re-apply the old dates from raw events — each apply overwrites only
+    its own partition, so backfill is the normal idempotent operation),
+    or opt into ``"from_introduction"``, which fills each absent/NULL
+    cell with the column's semigroup identity so the derived feature
+    reads as "since the column existed". The default refuses because the
+    opt-in gives DIFFERENT features different time windows (counters
+    present since day 1, the new column since its introduction) — a
+    trainer must choose that knowingly, not inherit it silently."""
+    if missing_columns not in ("refuse", "from_introduction"):
+        raise ValueError(f"missing_columns: {missing_columns!r}")
+    absent = [c for c in _MOMENT_TYPES if c not in moments.columns]
+    if absent and missing_columns == "refuse":
+        raise ValueError(
+            f"merge_moments: ledger partitions lack moment column(s) "
+            f"{absent} (added after they were written). Either BACKFILL "
+            "the old dates (re-apply them from raw events — applies "
+            "overwrite only their own partition) or pass "
+            "missing_columns='from_introduction' to identity-fill, "
+            "accepting that the affected features cover only the period "
+            "since the column's introduction"
+        )
+    for c in absent:
+        moments = moments.withColumn(c, _moment_identity(c))
+    present = [c for c in _MOMENT_TYPES if c not in absent]
+    if missing_columns == "refuse" and present:
+        # Under a merged-schema read, files written before a column's
+        # introduction surface as NULL CELLS, not a missing column — and
+        # a healthy current-schema ledger never writes a NULL moment (a
+        # user row exists only because events did), so any NULL proves an
+        # old-schema partition. One summary-sized probe buys the loud
+        # refusal the silent null-skipping aggregates would otherwise
+        # paper over.
+        nulled = moments.filter(
+            __import__("functools").reduce(
+                lambda a, b: a | b, [F.col(c).isNull() for c in present]
+            )
+        ).limit(1)
+        if nulled.count() > 0:
+            raise ValueError(
+                "merge_moments: ledger has old-schema partitions (NULL "
+                f"moment cells among {present}). Either BACKFILL the old "
+                "dates (re-apply them from raw events) or pass "
+                "missing_columns='from_introduction' to identity-fill, "
+                "accepting that the affected features cover only the "
+                "period since the column's introduction"
+            )
+    if missing_columns == "from_introduction":
+        # files written before the column's introduction read as NULL
+        # cells even when newer files carry it — same identity fill
+        moments = moments.select(
+            "user_id",
+            *[
+                F.coalesce(F.col(c), _moment_identity(c)).alias(c)
+                if c in _ADDITIVE_MOMENTS
+                else F.col(c)  # null IS the identity for min/max/struct
+                for c in _MOMENT_TYPES
+            ],
+        )
     return moments.groupBy("user_id").agg(
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("n_purchases").cast("long").alias("n_purchases"),
@@ -156,17 +244,30 @@ def apply_feature_batch(
     }
 
 
-def read_moments(spark: SparkSession, index_dir: str) -> DataFrame:
-    """All persisted moment partitions, merged to one row per user."""
-    return merge_moments(spark.read.parquet(index_dir).drop("date"))
+def read_moments(
+    spark: SparkSession, index_dir: str, *, missing_columns: str = "refuse"
+) -> DataFrame:
+    """All persisted moment partitions, merged to one row per user.
+    Reads with mergeSchema so a column added by a newer code version is
+    visible across the whole ledger (old files surface NULL cells);
+    see merge_moments for the evolution semantics of
+    ``missing_columns``."""
+    return merge_moments(
+        spark.read.option("mergeSchema", "true").parquet(index_dir).drop("date"),
+        missing_columns=missing_columns,
+    )
 
 
-def read_user_features(spark: SparkSession, index_dir: str) -> DataFrame:
+def read_user_features(
+    spark: SparkSession, index_dir: str, *, missing_columns: str = "refuse"
+) -> DataFrame:
     """Feature vectors derived read-side from the merged ledger — the
     maintained twin of the registered ``feature_user_vectors`` lane,
     row-equal to it over the same events by construction (same moment
     schema, same derivation expression; pinned in tests)."""
-    return derive_user_vector(read_moments(spark, index_dir))
+    return derive_user_vector(
+        read_moments(spark, index_dir, missing_columns=missing_columns)
+    )
 
 
 def _fold_horizon(fs, path_cls, index_dir: str) -> str | None:
@@ -238,7 +339,9 @@ def read_user_features_asof(
         )
     return derive_user_vector(
         merge_moments(
-            spark.read.parquet(*[f"{index_dir}/{p}" for p in selected])
+            spark.read.option("mergeSchema", "true").parquet(
+                *[f"{index_dir}/{p}" for p in selected]
+            )
         )
     )
 

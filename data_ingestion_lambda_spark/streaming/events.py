@@ -868,7 +868,9 @@ def stream_user_moments_to_table(
     )
 
 
-def read_moment_ledger(spark, target_dir: str) -> DataFrame:
+def read_moment_ledger(
+    spark, target_dir: str, *, missing_columns: str = "refuse"
+) -> DataFrame:
     """Merge the batch-id moment ledger to one row per user — the same
     shape operators/feature_store.py::read_moments yields from the
     date-keyed daily index (the two ledgers differ only in their replay
@@ -877,12 +879,16 @@ def read_moment_ledger(spark, target_dir: str) -> DataFrame:
 
     return merge_moments(
         spark.read.option("basePath", target_dir)
+        .option("mergeSchema", "true")
         .parquet(f"{target_dir}/ingest_batch=*")
-        .drop("ingest_batch")
+        .drop("ingest_batch"),
+        missing_columns=missing_columns,
     )
 
 
-def features_from_moment_ledger(spark, target_dir: str) -> DataFrame:
+def features_from_moment_ledger(
+    spark, target_dir: str, *, missing_columns: str = "refuse"
+) -> DataFrame:
     """Feature vectors read straight from the streamed ledger, through
     the SAME derive_user_vector expression the registered
     feature_user_vectors lane and the maintained daily store share — so
@@ -890,7 +896,9 @@ def features_from_moment_ledger(spark, target_dir: str) -> DataFrame:
     rows for any trigger split (pinned in tests/test_feature_store.py)."""
     from data_ingestion_lambda_spark.operators.feature_store import derive_user_vector
 
-    return derive_user_vector(read_moment_ledger(spark, target_dir))
+    return derive_user_vector(
+        read_moment_ledger(spark, target_dir, missing_columns=missing_columns)
+    )
 
 
 _FEATURE_EVENTS_SCHEMA = (

@@ -300,3 +300,79 @@ def test_cli_stream_source_drains_and_derives(spark, tmp_path):
     with pytest.raises(SystemExit, match="batch-id"):
         main(["feature-store", "--index", idx, "--compact-before",
               "2025-01-01"])
+
+
+def test_schema_evolution_refuses_then_from_introduction(spark, tmp_path):
+    """Ledger evolution: a partition written before a moment column
+    existed (simulated by rewriting one date dir without n_purchases)
+    must make the default read REFUSE loudly; the explicit
+    from_introduction opt-in serves vectors whose evolved feature counts
+    only post-introduction batches, while backfilling the old date
+    restores full equality with the one-shot lane."""
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.feature_store import (
+        read_user_features_asof,
+    )
+
+    idx = str(tmp_path / "feat_idx")
+    events = load_table(spark, SF, "events")
+    days = _apply_daily(spark, idx, events)
+    old_day = days[0]
+
+    # simulate the pre-introduction file: rewrite day 0's moments
+    # without n_purchases (as a version of user_moments before that
+    # feature would have written it)
+    part_dir = f"{idx}/date={old_day}"
+    old = spark.read.parquet(part_dir).drop("n_purchases")
+    tmp_dir = str(tmp_path / "rewrite")
+    old.write.parquet(tmp_dir)
+    import shutil
+
+    shutil.rmtree(part_dir)
+    shutil.move(tmp_dir, part_dir)
+
+    # default read refuses, naming the remedy
+    with pytest.raises(ValueError, match="from_introduction"):
+        read_user_features(spark, idx).collect()
+    # the as-of read over a range including the old partition refuses too
+    with pytest.raises(ValueError, match="from_introduction"):
+        read_user_features_asof(spark, idx, days[-1]).collect()
+
+    # opt-in: n_purchases counts only post-introduction days; every
+    # other feature still covers all history
+    got = {
+        r.user_id: r
+        for r in read_user_features(
+            spark, idx, missing_columns="from_introduction"
+        ).collect()
+    }
+    want_all = {
+        r.user_id: r
+        for r in all_specs()["feature_user_vectors"].builder(spark, SF).collect()
+    }
+    post = events.filter(F.to_date("ts") > F.lit(old_day))
+    from data_ingestion_lambda_spark.operators.feature_store import (
+        merge_moments,
+        user_moments,
+    )
+
+    want_post_purchases = {
+        r.user_id: r.n_purchases
+        for r in merge_moments(user_moments(post)).collect()
+    }
+    assert len(got) == len(want_all) > 0
+    for uid, row in got.items():
+        assert row.n_events == want_all[uid].n_events  # full history
+        assert row.tenure_days == want_all[uid].tenure_days
+        assert row.mean_cents == want_all[uid].mean_cents
+        assert row.n_purchases == want_post_purchases.get(uid, 0)
+
+    # backfill: re-apply the old date from raw events — the normal
+    # idempotent operation — and full equality returns
+    apply_feature_batch(
+        spark, idx, events.filter(F.to_date("ts") == F.lit(old_day)), old_day
+    )
+    got2 = _rows(read_user_features(spark, idx))
+    want2 = _rows(all_specs()["feature_user_vectors"].builder(spark, SF))
+    assert got2 == want2
