@@ -778,3 +778,79 @@ def feature_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "sample_idx", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user session features (composed from the sessionize definition)
+# ---------------------------------------------------------------------------
+
+from data_ingestion_lambda_spark.plans.registry import REGISTRY as _REGISTRY
+
+_SESSIONIZE_ORACLE = _REGISTRY["events_sessionize"].oracle
+
+
+@register(
+    "feature_user_session_stats",
+    oracle=f"""
+    WITH sessions AS ({_SESSIONIZE_ORACLE}),
+    agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS total_events,
+               CAST(SUM(epoch_us(session_end) - epoch_us(session_start))
+                    AS BIGINT) AS total_us,
+               CAST(MAX(epoch_us(session_end) - epoch_us(session_start))
+                    AS BIGINT) AS max_us
+        FROM sessions GROUP BY user_id
+    )
+    SELECT user_id, n_sessions, total_events,
+           CAST(total_events AS DOUBLE) / n_sessions AS events_per_session,
+           CAST(total_us AS DOUBLE) / (n_sessions * 1000000)
+               AS mean_session_sec,
+           CAST(max_us AS DOUBLE) / 1000000e0 AS max_session_sec
+    FROM agg
+    """,
+    tags=("features", "events", "sessionization"),
+)
+def feature_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session-level features: session count, events per
+    session, mean and max session length — the behavioral half of the
+    entity feature set (feature_user_vectors carries the value/activity
+    half; a trainer joins both on user_id). Session boundaries are the
+    registered events_sessionize lane's OWN builder and oracle (imported
+    and composed — the 30-min gap constant cannot drift between the
+    feature and the sessionization it summarizes).
+
+    Determinism: durations are integer epoch-µs; each emitted rate is
+    ONE double division of exact integers (the µs→sec scaling rides the
+    divisor, so there is no second rounding step).
+
+    Scale: sessionize's one user-keyed exchange, then a user-keyed
+    rollup that reuses the same partitioning (no second exchange for
+    the groupBy — the session aggregate is already user-partitioned).
+    Output is |users| rows."""
+    from data_ingestion_lambda_spark.plans.events_queries import events_sessionize
+
+    sessions = events_sessionize(spark, sf_dir)
+    dur_us = F.unix_micros("session_end") - F.unix_micros("session_start")
+    agg = sessions.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.sum(dur_us).cast("long").alias("total_us"),
+        F.max(dur_us).cast("long").alias("max_us"),
+    )
+    return agg.select(
+        "user_id",
+        "n_sessions",
+        "total_events",
+        (F.col("total_events").cast("double") / F.col("n_sessions")).alias(
+            "events_per_session"
+        ),
+        (
+            F.col("total_us").cast("double")
+            / (F.col("n_sessions") * F.lit(1000000))
+        ).alias("mean_session_sec"),
+        (F.col("max_us").cast("double") / F.lit(1000000.0)).alias(
+            "max_session_sec"
+        ),
+    )

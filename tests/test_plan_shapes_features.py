@@ -139,3 +139,14 @@ def test_negative_sampling_part_index_broadcasts(spark):
     ) == plan.count("IdentityBroadcastMode"), (
         f"non-1-row nested loop:\n{plan}"
     )
+
+
+def test_user_session_stats_reuses_sessionize_exchange(spark):
+    """feature_user_session_stats: the user-keyed rollup must reuse the
+    sessionize window's user_id partitioning — one exchange end-to-end
+    (hashpartitioning(user_id) co-locates every (user_id, session_seq)
+    group, so ENSURE_REQUIREMENTS adds nothing)."""
+    plan = _plan(spark, "feature_user_session_stats")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, (
+        f"one user exchange expected:\n{plan}"
+    )
