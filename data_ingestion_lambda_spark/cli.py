@@ -301,6 +301,29 @@ def build_parser() -> argparse.ArgumentParser:
         help="bound each streamed micro-batch to this many files",
     )
 
+    ses = sub.add_parser(
+        "session-store",
+        help="maintained incremental sessionization: land a day-pure "
+        "batch's partial sessions and/or read the seam-merged session "
+        "table / per-user session stats (the production form of "
+        "events_sessionize + feature_user_session_stats)",
+    )
+    ses.add_argument("--index", required=True, help="partial-session table directory")
+    ses.add_argument("--batch", default=None, help="parquet of the day's events")
+    ses.add_argument(
+        "--date", default=None, help="batch date (the partition key; batch must be day-pure)"
+    )
+    ses.add_argument(
+        "--sessions-out",
+        default=None,
+        help="persist the merged session table here (overwrite)",
+    )
+    ses.add_argument(
+        "--stats-out",
+        default=None,
+        help="persist the per-user session stats here (overwrite)",
+    )
+
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
     qry.add_argument("--data", help="directory holding the parquet tables")
@@ -483,6 +506,39 @@ def main(argv: list[str] | None = None) -> int:
             rows = drift.orderBy("event_type", "day").collect()
             report["drift_rows"] = len(rows)
             report["max_l1_drift"] = max((r.l1_drift for r in rows), default=None)
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "session-store":
+        from data_ingestion_lambda_spark.operators.session_store import (
+            apply_session_batch,
+            read_sessions,
+            read_user_session_stats,
+        )
+
+        if (args.batch is None) != (args.date is None):
+            raise SystemExit("session-store: --batch and --date go together")
+        if args.batch is None and args.sessions_out is None and args.stats_out is None:
+            raise SystemExit(
+                "session-store: need --batch/--date, --sessions-out and/or --stats-out"
+            )
+        spark = get_spark("data-ingestion-cli")
+        report: dict = {}
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch)
+            report.update(apply_session_batch(spark, args.index, batch, args.date))
+        if args.sessions_out is not None:
+            read_sessions(spark, args.index).write.mode("overwrite").parquet(
+                args.sessions_out
+            )
+            report["sessions_out"] = args.sessions_out
+            report["sessions"] = spark.read.parquet(args.sessions_out).count()
+        if args.stats_out is not None:
+            read_user_session_stats(spark, args.index).write.mode(
+                "overwrite"
+            ).parquet(args.stats_out)
+            report["stats_out"] = args.stats_out
+            report["users"] = spark.read.parquet(args.stats_out).count()
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
