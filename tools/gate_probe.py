@@ -521,6 +521,91 @@ def run_feature(spark, rep_dir: str) -> None:
     )
 
 
+def run_session(spark, rep_dir: str) -> None:
+    """Per-day economics for maintained incremental sessionization
+    (operators/session_store.py): apply cost must track the BATCH (one
+    day's events sessionized + a partition write — no store read);
+    the seam-merge read costs session-count rows, which grows with the
+    user multiple but never re-touches events."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_lambda_spark.operators.session_store import (
+        apply_session_batch,
+        read_sessions,
+    )
+
+    def _events(path):
+        return spark.read.parquet(path).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    results = {}
+    for label, src in (("1x", "/root/testdata/sf0.1"), ("10x", rep_dir)):
+        events = _events(f"{src}/events.parquet")
+        days = sorted(
+            str(r.d)
+            for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+        )
+        idx = tempfile.mkdtemp(prefix=f"sess_idx_{label}_")
+        shutil.rmtree(idx)
+        try:
+            t0 = time.time()
+            for d in days:
+                apply_session_batch(
+                    spark, idx, events.filter(F.to_date("ts") == F.lit(d)), d
+                )
+            t_index = round(time.time() - t0, 2)
+
+            # fixed daily batch: replay the LAST day (idempotent overwrite)
+            batch = events.filter(F.to_date("ts") == F.lit(days[-1]))
+            t_apply = None
+            for _ in range(2):
+                t0 = time.time()
+                apply_session_batch(spark, idx, batch, days[-1])
+                dt = round(time.time() - t0, 2)
+                t_apply = dt if t_apply is None else min(t_apply, dt)
+
+            t_read = None
+            n_sessions = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                n_sessions = read_sessions(spark, idx).count()
+                dt = round(time.time() - t0, 2)
+                t_read = dt if t_read is None else min(t_read, dt)
+
+            results[label] = {
+                "history_days": len(days),
+                "sessions": n_sessions,
+                "t_build_once_s": t_index,
+                "t_daily_apply_s": t_apply,
+                "t_read_sessions_s": t_read,
+            }
+            print(
+                json.dumps({"mode": "session", "corpus": label, **results[label]}),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+
+    r1, r10 = results["1x"], results["10x"]
+    print(
+        json.dumps(
+            {
+                "mode": "session",
+                "session_growth": round(r10["sessions"] / r1["sessions"], 1),
+                "apply_growth": round(
+                    r10["t_daily_apply_s"] / max(r1["t_daily_apply_s"], 0.01), 2
+                ),
+                "read_growth": round(
+                    r10["t_read_sessions_s"] / max(r1["t_read_sessions_s"], 0.01), 2
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -546,6 +631,8 @@ def main() -> None:
             run_bm25(spark, rep_dir)
         elif mode == "feature":
             run_feature(spark, rep_dir)
+        elif mode == "session":
+            run_session(spark, rep_dir)
         else:
             run_mode(spark, mode, rep_dir)
 
