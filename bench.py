@@ -97,6 +97,9 @@ HEADLINE_V2 = [
     "shipping_latency_quantiles",
     "feature_user_vectors",
     "feature_point_in_time",
+    "profile_heavy_hitters_mg",
+    "ann_hard_negatives",
+    "feature_user_session_stats",
 ]
 
 
