@@ -2075,3 +2075,156 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (embedding compression)
+# ---------------------------------------------------------------------------
+
+_JL_DIM = 16  # compressed dimensionality (4x storage/IO reduction)
+_JL_A = 2654435761  # Knuth multiplicative constant (shared with sampling)
+_JL_P = 1000000007
+
+
+def _jl_sign(j: int, i: int) -> int:
+    """Deterministic ±1 for projection cell (output dim j, input dim i) —
+    pure integer arithmetic, identical in both engines by construction
+    (evaluated HERE, at plan-build time; only the resulting constant
+    reaches either engine)."""
+    return 1 if ((j * 64 + i) * _JL_A) % _JL_P % 2 == 0 else -1
+
+
+def _jl_term_sql(col: str, j: int) -> str:
+    # left-associated 64-term signed sum for output dim j
+    return " + ".join(
+        f"({_jl_sign(j, i)} * {col}[{i + 1}])" for i in range(DIM)
+    )
+
+
+@register(
+    "embedding_jl_projection",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
+    q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qnrm FROM v WHERE vec_id < {N_QUERIES}),
+    top1 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, v.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY ({_sql_dot('qv', 've')}) / (qnrm * nrm) DESC,
+                                v.vec_id) AS rk
+            FROM q JOIN v ON v.vec_id <> query_id
+        ) WHERE rk = 1
+    ),
+    proj AS (
+        SELECT vec_id,
+               [{", ".join(f"({_jl_term_sql('ve', j)})" for j in range(_JL_DIM))}]
+                   AS pv
+        FROM v
+    )
+    SELECT t.query_id, t.neighbor_id,
+           ({_sql_dot('qx.ve', 'nx.ve')})
+             / (sqrt({_sql_dot('qx.ve', 'qx.ve')})
+                * sqrt({_sql_dot('nx.ve', 'nx.ve')})) AS cosine_orig,
+           ({_sql_dot('qp.pv', 'np.pv', _JL_DIM)})
+             / (sqrt({_sql_dot('qp.pv', 'qp.pv', _JL_DIM)})
+                * sqrt({_sql_dot('np.pv', 'np.pv', _JL_DIM)})) AS cosine_jl
+    FROM top1 t
+    JOIN v qx ON qx.vec_id = t.query_id
+    JOIN v nx ON nx.vec_id = t.neighbor_id
+    JOIN proj qp ON qp.vec_id = t.query_id
+    JOIN proj np ON np.vec_id = t.neighbor_id
+    """,
+    tags=("llm", "embedding", "compression"),
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection: 64-dim embeddings
+    compressed to {_JL_DIM} dims (4× storage/IO — at 100 TB the
+    embedding column is often the widest thing in the table), with the
+    distance-preservation GAUGE emitted as the verification surface:
+    for each demo query and its exact top-1 neighbor, the cosine in
+    original vs projected space, side by side. The JL lemma bounds the
+    distortion in expectation; the gauge makes the realized distortion a
+    hash-checked number instead of a belief (same idiom as the LSH and
+    MinHash recall curves).
+
+    THE GAUGE'S VERDICT ON THIS CORPUS IS "DON'T": at 4x compression
+    (k=16) the realized cosine error is up to +-0.75 against originals
+    in the 0.32-0.49 band (sf0.01: orig 0.40 -> jl -0.11, orig 0.32 ->
+    jl 0.80) — exactly what the JL bound predicts when k carries no
+    epsilon at this n, and the honest counterpart of the lang-ID
+    confusion gauge: the operator ships WITH the measurement that tells
+    a deployment which k to choose, not a claim that 16 works. The
+    64->16 setting stays because the synthetic corpus is only 64-dim;
+    production embeddings (768+) compress through the same lane with k
+    sized by this gauge.
+
+    Determinism: the ±1 projection matrix is a pure integer hash
+    evaluated at PLAN BUILD time — only ±1 literals reach either
+    engine; every sum is the unrolled left-associated form both engines
+    round identically; one division per cosine.
+
+    Scale: the projection is a per-row map (no shuffle, embarrassingly
+    parallel — the production form writes pv once next to the table);
+    the gauge join is 8 broadcast rows against the corpus. Projected
+    vectors drop into every downstream ANN/dedup lane that takes an
+    embedding column. Wall time is COMPILE-bound, not data-bound (the
+    1024-term unrolled projection costs ~10 s of plan build once; the
+    10x data point ran 3.5x FASTER warm), so the probe ratio is
+    meaningless here — the data-path cost is one pass."""
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    )
+    v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ve").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc((dot("qv", "ve") / (F.col("qnrm") * F.col("nrm")))), F.asc("vec_id")
+    )
+    top1 = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    proj = base.select(
+        "vec_id",
+        F.array(
+            *[
+                F.expr(
+                    " + ".join(
+                        f"({_jl_sign(j, i)} * element_at(ve, {i + 1}))"
+                        for i in range(DIM)
+                    )
+                )
+                for j in range(_JL_DIM)
+            ]
+        ).alias("pv"),
+    )
+    qx = v.select(F.col("vec_id").alias("query_id"), F.col("ve").alias("qve"))
+    nx = v.select(F.col("vec_id").alias("neighbor_id"), F.col("ve").alias("nve"))
+    qp = proj.select(F.col("vec_id").alias("query_id"), F.col("pv").alias("qpv"))
+    np_ = proj.select(F.col("vec_id").alias("neighbor_id"), F.col("pv").alias("npv"))
+    out = (
+        top1.join(qx, "query_id")
+        .join(nx, "neighbor_id")
+        .join(qp, "query_id")
+        .join(np_, "neighbor_id")
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot("qve", "nve")
+            / (F.sqrt(dot("qve", "qve")) * F.sqrt(dot("nve", "nve")))
+        ).alias("cosine_orig"),
+        (
+            dot("qpv", "npv", _JL_DIM)
+            / (F.sqrt(dot("qpv", "qpv", _JL_DIM)) * F.sqrt(dot("npv", "npv", _JL_DIM)))
+        ).alias("cosine_jl"),
+    )
