@@ -17,6 +17,7 @@ from data_ingestion_lambda_spark.plans import curation  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import profiling  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import retrieval  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import features  # noqa: E402,F401
+from data_ingestion_lambda_spark.plans import entity  # noqa: E402,F401
 
 # The correctness driver verifies only the FIRST 50 entries of
 # __spark_entry__.queries() (registration order). This explicit priority

