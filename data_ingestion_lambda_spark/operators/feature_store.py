@@ -427,3 +427,78 @@ def compact_feature_ledger(spark: SparkSession, index_dir: str, keep_from: str) 
             "rename it manually to finish"
         )
     return len(fold)
+
+
+def read_user_decayed_activity(
+    spark: SparkSession, index_dir: str, as_of: str
+) -> DataFrame:
+    """Recency-weighted engagement served from the ledger: each date
+    partition's per-user n_events weighted by 2^(−weeks_old at as_of),
+    week-step dyadic decay truncated past 8 half-lives — the SAME
+    numbers as the registered feature_user_decayed_activity lane over
+    raw events (pinned), with no new persisted state: the date key the
+    ledger already carries IS the decay input. Requires DATE-PURE
+    batches (the batch date must be the event day — the drift-monitor
+    contract); under the store's laxer any-split batching the weights
+    would shift to batch dates, so deployments wanting this read adopt
+    day-pure applies. Partitions dated after as_of are excluded (as-of
+    semantics); a compacted base contributes exactly 0 ONLY when every
+    folded date is past the truncation horizon, so the read refuses a
+    base newer than as_of − 8 weeks rather than silently under-weight."""
+    from data_ingestion_lambda_spark.plans.features import (
+        _DECAY_WMAX,
+    )
+
+    _dt.date.fromisoformat(as_of)
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    parts = [
+        st.getPath().getName()
+        for st in fs.listStatus(path_cls(index_dir))
+        if st.isDirectory() and st.getPath().getName().startswith("date=")
+    ]
+    if f"date={BASE_DATE}" in parts:
+        horizon = _fold_horizon(fs, path_cls, index_dir)
+        cutoff = (
+            _dt.date.fromisoformat(as_of) - _dt.timedelta(weeks=_DECAY_WMAX)
+        ).isoformat()
+        if horizon is None or horizon > cutoff:
+            raise ValueError(
+                "read_user_decayed_activity: the compacted base may hold "
+                f"dates inside the decay window (horizon {horizon!r} > "
+                f"truncation cutoff {cutoff}); decayed reads need the "
+                "date identity compaction spends — keep the decay window "
+                "of partitions unfolded"
+            )
+    # partition-type hazard: an all-real-dates ledger infers `date` as
+    # DATE, and comparing that to the '0000-00-00' literal would cast
+    # the literal and throw (ANSI) — normalize through a string cast,
+    # which is the identity for string-inferred mixed ledgers
+    d_str = F.col("date").cast("string")
+    rows = (
+        spark.read.parquet(index_dir)
+        .filter(d_str != BASE_DATE)
+        .filter(d_str <= as_of)
+        .select("user_id", "n_events", d_str.alias("d"))
+    )
+    weekly = rows.withColumn(
+        "w",
+        (
+            F.datediff(F.lit(as_of).cast("date"), F.col("d").cast("date")).cast(
+                "long"
+            )
+            / F.lit(7)
+        ).cast("long"),
+    )
+    num = F.expr(
+        f"CASE WHEN w < {_DECAY_WMAX} THEN "
+        f"n_events * shiftleft(CAST(1 AS BIGINT), CAST({_DECAY_WMAX} - w AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return weekly.groupBy("user_id").agg(
+        (F.sum(num).cast("double") / F.lit(float(1 << _DECAY_WMAX))).alias(
+            "decayed_activity"
+        ),
+        F.sum(F.when(F.col("w") == 0, F.col("n_events")).otherwise(0))
+        .cast("long")
+        .alias("events_last_week"),
+    )

@@ -854,3 +854,84 @@ def feature_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_session_sec"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed activity (recency-weighted engagement feature)
+# ---------------------------------------------------------------------------
+
+_DECAY_ASOF = "2024-01-30"  # the corpus's last day — the scoring reference
+_DECAY_WMAX = 8  # truncate beyond 8 half-lives (< 0.4% residual weight)
+
+
+@register(
+    "feature_user_decayed_activity",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    weighted AS (
+        SELECT user_id,
+               CAST(DATE '{_DECAY_ASOF}' - d AS BIGINT) // 7 AS w, n
+        FROM daily
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN w < {_DECAY_WMAX}
+                         THEN n * (1 << ({_DECAY_WMAX} - w))
+                         ELSE 0 END) AS DOUBLE) / {1 << _DECAY_WMAX}
+               AS decayed_activity,
+           CAST(SUM(CASE WHEN w = 0 THEN n ELSE 0 END) AS BIGINT)
+               AS events_last_week
+    FROM weighted GROUP BY user_id
+    """,
+    tags=("features", "events"),
+)
+def feature_user_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: per user, Σ n_events(day) ×
+    2^(−weeks_old) at the corpus's last day (half-life one week,
+    week-step decay, truncated past 8 half-lives) plus the current
+    week's hard count — the "is this user active NOW" features a
+    lifetime counter can't express. Day-granular decay is the designed
+    fit for the feature store's date-keyed moment ledger: the SAME
+    number is served store-side by weighting each date partition's
+    n_events at read time (tests pin ledger == one-shot), so recency
+    features need no new persisted state at all.
+
+    Determinism — the EWMA lane's dyadic discipline: a smooth
+    2^(−days/7) weight is irrational, and an UNORDERED double sum of
+    such terms hash-mismatched in the last ulp on the first try
+    (engines add in different orders; double addition is not
+    associative). Week-step weights 2^(−w) are dyadic, so each term is
+    the exact integer n·2^(WMAX−w); the per-user sum is exact integer
+    arithmetic, and ONE final division by the constant 2^WMAX (itself a
+    power of two — exact scaling) produces the double. The truncation
+    at w ≥ 8 is what bounds the numerator — the documented cost of
+    engine-exactness, as in events_ewma_daily.
+
+    Scale: volume collapses at the (user, day) rollup — the decay
+    arithmetic touches |users| × |days| rows, never raw events; one
+    user-keyed exchange."""
+    asof = F.lit(_DECAY_ASOF).cast("date")
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    weekly = daily.withColumn(
+        "w", (F.datediff(asof, F.col("d")).cast("long") / F.lit(7)).cast("long")
+    )
+    num = F.expr(
+        f"CASE WHEN w < {_DECAY_WMAX} THEN "
+        f"n * shiftleft(CAST(1 AS BIGINT), CAST({_DECAY_WMAX} - w AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return weekly.groupBy("user_id").agg(
+        (
+            F.sum(num).cast("double") / F.lit(float(1 << _DECAY_WMAX))
+        ).alias("decayed_activity"),
+        F.sum(F.when(F.col("w") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("events_last_week"),
+    )

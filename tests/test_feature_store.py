@@ -376,3 +376,34 @@ def test_schema_evolution_refuses_then_from_introduction(spark, tmp_path):
     got2 = _rows(read_user_features(spark, idx))
     want2 = _rows(all_specs()["feature_user_vectors"].builder(spark, SF))
     assert got2 == want2
+
+
+def test_decayed_activity_ledger_equals_oneshot_and_respects_fold(spark, tmp_path):
+    """Recency read: day-pure daily applies + date-weighted ledger read
+    must row-equal the registered one-shot decay lane; a compacted base
+    inside the decay window refuses."""
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.feature_store import (
+        read_user_decayed_activity,
+    )
+    from data_ingestion_lambda_spark.plans.features import _DECAY_ASOF
+
+    idx = str(tmp_path / "feat_idx")
+    events = load_table(spark, SF, "events")
+    days = _apply_daily(spark, idx, events)
+    got = sorted(
+        tuple(r)
+        for r in read_user_decayed_activity(spark, idx, _DECAY_ASOF).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in all_specs()["feature_user_decayed_activity"]
+        .builder(spark, SF)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # folding the whole history puts the base inside the decay window
+    compact_feature_ledger(spark, idx, days[-1])
+    with pytest.raises(ValueError, match="decay window"):
+        read_user_decayed_activity(spark, idx, _DECAY_ASOF)
