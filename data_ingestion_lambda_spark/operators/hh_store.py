@@ -62,7 +62,10 @@ def read_heavy_hitters(spark: SparkSession, index_dir: str) -> DataFrame:
     stream count, and the absolute undercount bound total/(K+1). Every
     item whose true frequency exceeds the bound is guaranteed present;
     no counter ever exceeds an item's true count."""
-    rows = spark.read.parquet(index_dir).drop("date")
+    # works over both ledger keyings: the CLI-shaped date= partitions
+    # and the streaming front's ingest_batch= partitions (drop is
+    # lenient for absent columns)
+    rows = spark.read.parquet(index_dir).drop("date", "ingest_batch")
     total = rows.filter(F.col("item") == N_ROW).agg(
         F.sum("cnt").cast("long").alias("n_total")
     )

@@ -945,3 +945,39 @@ def run_feature_store_available_now(
     )
     q.awaitTermination()
     return landed["n"]
+
+
+def stream_heavy_hitters_to_table(
+    items: DataFrame, target_dir: str, checkpoint_dir: str
+):
+    """Streaming front for the maintained heavy-hitter store: each
+    micro-batch's Misra-Gries summary (+ its ``__n__`` total row) lands
+    in its own ``ingest_batch=<id>`` partition — the additive-ledger
+    idiom carrying a SKETCH: mergeability (operators/hh_store.py) is
+    what makes per-trigger summaries exactly as good as one sketch over
+    the whole stream, so the read-side guarantee is trigger-split-free
+    (pinned in tests/test_hh_store.py). At-least-once replays overwrite
+    their own partition. Stateless — the sketch state lives in the
+    ledger, not the engine. Returns the DataStreamWriter."""
+    from data_ingestion_lambda_spark.operators.hh_store import N_ROW
+    from data_ingestion_lambda_spark.plans.profiling import mg_sketch
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sketch = mg_sketch(batch_df).select("item", F.col("g").alias("cnt"))
+        total = batch_df.agg(
+            F.lit(N_ROW).alias("item"), F.count("*").cast("long").alias("cnt")
+        )
+        (
+            sketch.unionByName(total)
+            .write.mode("overwrite")
+            .parquet(f"{target_dir}/ingest_batch={batch_id}")
+        )
+
+    return (
+        items.writeStream.outputMode("append")
+        .foreachBatch(_land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -75,3 +75,32 @@ def test_reserved_item_name_refused(spark, tmp_path):
     bad = spark.createDataFrame([(N_ROW,), ("x",)], "item string")
     with pytest.raises(ValueError, match="reserved"):
         apply_hh_batch(spark, idx, bad, "2024-01-01")
+
+
+def test_stream_ledger_carries_guarantee_under_midstream_split(spark, tmp_path):
+    """Streaming front: items arrive in two arbitrary triggers; the
+    batch-id-keyed sketch ledger must carry the same guarantee as the
+    one-shot sketch over everything — mergeability makes the trigger
+    split irrelevant."""
+    from data_ingestion_lambda_spark.streaming.events import (
+        stream_heavy_hitters_to_table,
+    )
+
+    items = _items_with_day(spark).select("item")
+    rows = items.collect()
+    cut = len(rows) // 2
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "ledger")
+    spark.createDataFrame(rows[:cut], "item string").write.mode("append").parquet(src)
+
+    def run():
+        q = stream_heavy_hitters_to_table(
+            spark.readStream.schema("item string").parquet(src), idx, ckpt
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows[cut:], "item string").write.mode("append").parquet(src)
+    run()
+    _check_guarantee(spark, idx, _items_with_day(spark))
