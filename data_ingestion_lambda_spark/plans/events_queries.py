@@ -2072,3 +2072,140 @@ def events_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_win.alias("n_win"),
         F.element_at(win, ((n_win + 1) / 2).cast("int")).alias("rolling_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B funnel significance (two-proportion z-test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_ab_significance",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, max(t1) AS t1, max(t2) AS t2,
+               min(CASE WHEN event_type = 'purchase' AND ts > t2
+                        AND ts <= t2 + INTERVAL 24 HOUR THEN ts END) AS t3
+        FROM (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM (
+                SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                              OVER (PARTITION BY user_id) AS t1
+                FROM events
+            )
+        )
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(count(*) FILTER (t1 IS NOT NULL) AS BIGINT) AS n_viewed,
+               CAST(count(*) FILTER (t3 IS NOT NULL) AS BIGINT) AS n_converted
+        FROM per_user GROUP BY user_id % 2
+    ),
+    wide AS (
+        SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN n_viewed END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN arm = 0 THEN n_converted END) AS BIGINT) AS c_a,
+            CAST(SUM(CASE WHEN arm = 1 THEN n_viewed END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN arm = 1 THEN n_converted END) AS BIGINT) AS c_b
+        FROM arms
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CAST(c_a AS DOUBLE) / n_a AS conv_a,
+           CAST(c_b AS DOUBLE) / n_b AS conv_b,
+           (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1e0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1e0 / n_a + 1e0 / n_b)) AS z_score,
+           abs((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1e0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1e0 / n_a + 1e0 / n_b))) > 1.959963985e0 AS significant
+    FROM wide
+    """,
+    tags=("events", "funnel", "abtest"),
+)
+def events_funnel_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout for the ordered funnel: users split into two arms by
+    the deterministic user_id parity (the hash-split idiom of the
+    sampling lanes — in production the assignment column), attributed
+    conversion (purchase within 24 HOURS after the first qualifying
+    click, over viewers — unwindowed conversion saturates at 100% on
+    this dense corpus, making the z-denominator literally zero) per
+    arm, and the pooled
+    two-proportion z-test at α=0.05 — the analytics-side answer to "did
+    the B arm actually convert better, or is that noise?". On the
+    synthetic corpus the arms are exchangeable by construction, so the
+    expected readout is non-significance — which is itself the pin: a
+    biased split or a broken funnel stage shows up as a spurious z.
+
+    Determinism: all counts exact integers through ONE user-keyed
+    exchange (the funnel recipe's per-user stage resolution — this lane
+    deliberately reuses the pre-r6 windowed per-user form in the ORACLE
+    for readability, and the same form in Spark, since the per-arm
+    rollup is count-sized either way); the z-statistic is a fixed
+    written-once IEEE sequence over four integers (each division and
+    the sqrt spelled identically in both engines; the 1.96 critical
+    value carried to 9 decimals with an e0 suffix).
+
+    Scale: the per-user window shape is the funnel-users twin's (one
+    user exchange); everything after is a 2-row rollup and a scalar
+    projection."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    with_t1 = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    with_t2 = with_t1.withColumn("t2", t2)
+    per_user = with_t2.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS")),
+                F.col("ts"),
+            )
+        ).alias("t3"),
+    )
+    arms = per_user.groupBy((F.col("user_id") % 2).cast("long").alias("arm")).agg(
+        F.count(F.col("t1")).cast("long").alias("n_viewed"),
+        F.count(F.col("t3")).cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n_viewed"))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_converted")))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_viewed"))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_converted")))
+        .cast("long")
+        .alias("c_b"),
+    )
+    conv_a = F.col("c_a").cast("double") / F.col("n_a")
+    conv_b = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (conv_a - conv_b) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        conv_a.alias("conv_a"),
+        conv_b.alias("conv_b"),
+        z.alias("z_score"),
+        (F.abs(z) > F.lit(1.959963985)).alias("significant"),
+    )
