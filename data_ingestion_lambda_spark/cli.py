@@ -301,6 +301,28 @@ def build_parser() -> argparse.ArgumentParser:
         help="bound each streamed micro-batch to this many files",
     )
 
+    hhs = sub.add_parser(
+        "hh-store",
+        help="maintained heavy-hitter store: land a batch's Misra-Gries "
+        "summary and/or read the merged sketch with its guarantee bound "
+        "(the production form of profile_heavy_hitters_mg)",
+    )
+    hhs.add_argument("--index", required=True, help="sketch ledger directory")
+    hhs.add_argument(
+        "--batch",
+        default=None,
+        help="parquet with an `item` string column (the batch's stream slice)",
+    )
+    hhs.add_argument(
+        "--date", default=None, help="batch date (the ledger partition key)"
+    )
+    hhs.add_argument(
+        "--report-out",
+        default=None,
+        help="persist the merged heavy-hitter report here (overwrite); "
+        "printed to stdout otherwise",
+    )
+
     ses = sub.add_parser(
         "session-store",
         help="maintained incremental sessionization: land a day-pure "
@@ -506,6 +528,38 @@ def main(argv: list[str] | None = None) -> int:
             rows = drift.orderBy("event_type", "day").collect()
             report["drift_rows"] = len(rows)
             report["max_l1_drift"] = max((r.l1_drift for r in rows), default=None)
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "hh-store":
+        from pyspark.sql import functions as F
+
+        from data_ingestion_lambda_spark.operators.hh_store import (
+            apply_hh_batch,
+            read_heavy_hitters,
+        )
+
+        if (args.batch is None) != (args.date is None):
+            raise SystemExit("hh-store: --batch and --date go together")
+        spark = get_spark("data-ingestion-cli")
+        report: dict = {}
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch).select("item")
+            report.update(apply_hh_batch(spark, args.index, batch, args.date))
+        hh = read_heavy_hitters(spark, args.index)
+        if args.report_out is not None:
+            hh.write.mode("overwrite").parquet(args.report_out)
+            report["report_out"] = args.report_out
+            report["heavy_hitters"] = spark.read.parquet(args.report_out).count()
+        else:
+            rows = hh.orderBy(F.desc("count_lower"), "item").collect()
+            report["heavy_hitters"] = len(rows)
+            report["top"] = [
+                {"item": r.item, "count_lower": r.count_lower} for r in rows[:5]
+            ]
+            if rows:
+                report["n_total"] = rows[0].n_total
+                report["undercount_bound"] = rows[0].undercount_bound
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 

@@ -104,3 +104,26 @@ def test_stream_ledger_carries_guarantee_under_midstream_split(spark, tmp_path):
     spark.createDataFrame(rows[cut:], "item string").write.mode("append").parquet(src)
     run()
     _check_guarantee(spark, idx, _items_with_day(spark))
+
+
+def test_cli_roundtrip(spark, tmp_path):
+    """hh-store CLI: two daily applies then a read; the persisted report
+    must match the library read and carry the guarantee fields."""
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+
+    items = _items_with_day(spark)
+    days = sorted(r.d for r in items.select("d").distinct().collect())[:2]
+    idx = str(tmp_path / "hh_idx")
+    for d in days:
+        bdir = str(tmp_path / f"batch_{d}")
+        items.filter(F.col("d") == d).select("item").write.parquet(bdir)
+        assert (
+            main(["hh-store", "--index", idx, "--batch", bdir, "--date", d]) == 0
+        )
+    out = str(tmp_path / "report")
+    assert main(["hh-store", "--index", idx, "--report-out", out]) == 0
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in read_heavy_hitters(spark, idx).collect())
+    assert got == want and len(got) > 0
