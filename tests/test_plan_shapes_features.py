@@ -150,3 +150,31 @@ def test_user_session_stats_reuses_sessionize_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, (
         f"one user exchange expected:\n{plan}"
     )
+
+
+def test_heavy_hitters_mg_shuffles_summaries_not_items(spark):
+    """profile_heavy_hitters_mg: the only full-data operator is the
+    mapInPandas partial fold — the exchange above it carries <= K rows
+    per partition (summary), and the one global window is downstream of
+    that summary aggregate, never over items."""
+    plan = _plan(spark, "profile_heavy_hitters_mg")
+    assert "MapInPandas" in plan, f"partial fold missing:\n{plan}"
+    # every Window in this plan belongs to the summary reduce — each
+    # must sit directly on the summed (item, cnt) aggregate output, so
+    # its windowspec mentions cnt, never raw items or event columns
+    # (plan text is a tree dump; sibling branches follow each other, so
+    # "text after MapInPandas" is NOT its subtree — match specs instead)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "cnt#" in m.group(1), f"window not over the summary:\n{plan}"
+    assert "SortAggregate" not in plan
+
+
+def test_funnel_ab_is_one_user_exchange(spark):
+    """events_funnel_ab_significance: the per-user stage resolution and
+    both rollups must ride ONE user-keyed exchange (plus single-
+    partition scalar steps) — no second full-data shuffle."""
+    plan = _plan(spark, "events_funnel_ab_significance")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, (
+        f"too many hash exchanges:\n{plan}"
+    )
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
