@@ -282,6 +282,14 @@ def build_parser() -> argparse.ArgumentParser:
         "re-delivery policy)",
     )
     fst.add_argument(
+        "--decayed-out",
+        default=None,
+        metavar="DIR",
+        help="persist per-user recency-decayed activity here (overwrite); "
+        "requires --as-of and a day-pure date-keyed store (weights come "
+        "from the ledger's date keys)",
+    )
+    fst.add_argument(
         "--stream-source",
         default=None,
         help="instead of --batch/--date: drain every events file under "
@@ -617,11 +625,12 @@ def main(argv: list[str] | None = None) -> int:
             args.batch is None
             and args.stream_source is None
             and args.vectors_out is None
+            and args.decayed_out is None
             and args.compact_before is None
         ):
             raise SystemExit(
                 "feature-store: need --batch/--date, --stream-source, "
-                "--vectors-out and/or --compact-before"
+                "--vectors-out, --decayed-out and/or --compact-before"
             )
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
@@ -686,8 +695,30 @@ def main(argv: list[str] | None = None) -> int:
             report["folded_partitions"] = compact_feature_ledger(
                 spark, args.index, args.compact_before
             )
-        if args.as_of is not None and args.vectors_out is None:
-            raise SystemExit("feature-store: --as-of needs --vectors-out")
+        if args.decayed_out is not None:
+            if args.as_of is None:
+                raise SystemExit("feature-store: --decayed-out needs --as-of")
+            if _is_stream_ledger():
+                raise SystemExit(
+                    "feature-store: --decayed-out needs the date-keyed "
+                    "daily store (decay weights come from date keys)"
+                )
+            from data_ingestion_lambda_spark.operators.feature_store import (
+                read_user_decayed_activity,
+            )
+
+            read_user_decayed_activity(
+                spark, args.index, args.as_of
+            ).write.mode("overwrite").parquet(args.decayed_out)
+            report["decayed_out"] = args.decayed_out
+        if (
+            args.as_of is not None
+            and args.vectors_out is None
+            and args.decayed_out is None
+        ):
+            raise SystemExit(
+                "feature-store: --as-of needs --vectors-out or --decayed-out"
+            )
         if args.vectors_out is not None:
             if _is_stream_ledger():
                 if args.as_of is not None:

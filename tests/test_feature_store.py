@@ -407,3 +407,35 @@ def test_decayed_activity_ledger_equals_oneshot_and_respects_fold(spark, tmp_pat
     compact_feature_ledger(spark, idx, days[-1])
     with pytest.raises(ValueError, match="decay window"):
         read_user_decayed_activity(spark, idx, _DECAY_ASOF)
+
+
+def test_cli_decayed_out(spark, tmp_path):
+    """--decayed-out: the persisted recency table must match the library
+    read, and the flag refuses without --as-of."""
+    import pytest
+
+    from data_ingestion_lambda_spark.cli import main
+    from data_ingestion_lambda_spark.operators.feature_store import (
+        read_user_decayed_activity,
+    )
+    from data_ingestion_lambda_spark.plans.features import _DECAY_ASOF
+
+    idx = str(tmp_path / "feat_idx")
+    events = load_table(spark, SF, "events")
+    _apply_daily(spark, idx, events)
+    out = str(tmp_path / "decayed")
+    assert (
+        main(
+            ["feature-store", "--index", idx, "--decayed-out", out,
+             "--as-of", _DECAY_ASOF]
+        )
+        == 0
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r)
+        for r in read_user_decayed_activity(spark, idx, _DECAY_ASOF).collect()
+    )
+    assert got == want and len(got) > 0
+    with pytest.raises(SystemExit, match="as-of"):
+        main(["feature-store", "--index", idx, "--decayed-out", out])
