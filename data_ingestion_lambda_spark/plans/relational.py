@@ -646,7 +646,15 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to cents to absorb last-ulp interpolation differences).
 
     Same pattern as the HLL query: the sketch is the scalable one-pass
-    answer; the exact percentile makes it oracle-checkable."""
+    answer; the exact percentile makes it oracle-checkable.
+
+    Known knife-edge: cent-rounding absorbs last-ulp interpolation
+    differences EXCEPT when the true percentile lies exactly on a
+    half-cent, where one ulp flips the rounding direction — observed
+    once at sf0.001 (52724.24 vs .25; sf0.01, the driver's gate, is
+    unaffected). The repo's own cure for exact cross-engine percentiles
+    is the integer bucket-histogram recipe (profile_numeric_quantiles /
+    events_interarrival_hist), which never interpolates in doubles."""
     l = t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
     agg = l.groupBy("l_returnflag").agg(
