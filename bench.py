@@ -159,29 +159,51 @@ def main() -> None:
     v2_times = {n: times[n] for n in HEADLINE_V2}
     total = round(sum(v1_times.values()), 3)
     total_v2 = round(sum(v2_times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": v1_times,
-                "metric_v2": "headline_queries_v2_total_wall",
-                "value_v2": total_v2,
-                "queries_v2": v2_times,
-                "value_v2_normalized": round(total_v2 / calib, 1) if calib else None,
-                "passes": n_passes,
-                "estimator": "min",
-                "calib_sec": calib,
-                # Host-drift-corrected total: wall seconds per calibration
-                # second. Cross-round comparisons should use THIS number
-                # (see README) — raw totals drift ±30% with host load while
-                # calib_sec moves identically.
-                "value_normalized": round(total / calib, 1) if calib else None,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": v1_times,
+        "metric_v2": "headline_queries_v2_total_wall",
+        "value_v2": total_v2,
+        "queries_v2": v2_times,
+        "value_v2_normalized": round(total_v2 / calib, 1) if calib else None,
+        "passes": n_passes,
+        "estimator": "min",
+        "calib_sec": calib,
+        # Host-drift-corrected total: wall seconds per calibration
+        # second. Cross-round comparisons should use THIS number
+        # (see README) — raw totals drift ±30% with host load while
+        # calib_sec moves identically.
+        "value_normalized": round(total / calib, 1) if calib else None,
+        "sf": sf,
+    }
+    # Full detail (both per-query maps) goes to a FILE — the driver keeps
+    # only the last 2000 chars of stdout, and the two maps together outgrew
+    # that in round 7 (BENCH_r07 arrived truncated/unparseable). stdout
+    # gets ONE compact line that always fits: totals + calib + the v1
+    # per-query map rounded to centiseconds (v2 per-query lives in the file).
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in v1_times.items()},
+        "value_v2": total_v2,
+        "calib_sec": calib,
+        "value_normalized": round(total / calib, 1) if calib else None,
+        "value_v2_normalized": round(total_v2 / calib, 1) if calib else None,
+        "sf": sf,
+        "detail": "BENCH_local.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # hard guard: never exceed the driver's stdout tail
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,31 @@ from data_ingestion_lambda_spark.streaming.ingest import (
 )
 
 
+def _read_event_batch(spark, path: str):
+    """Read an event-batch parquet with the same ts normalization as
+    ``sources.catalog.load_table``: raw generator drops carry ts as
+    parquet TIMESTAMP(NANOS) (arrives as epoch-ns long under
+    nanosAsLong) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (infers as
+    TIMESTAMP_NTZ). The drift/feature/session stores' unix_micros /
+    day-boundary expressions need a regular (UTC) TIMESTAMP — without
+    this, the same data that works through the registered lanes fails
+    the CLI apply with an analysis error."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(path)
+    field = {f.name: f.dataType for f in df.schema.fields}.get("ts")
+    if isinstance(field, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(field, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_ingestion_lambda_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -525,7 +550,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
         if args.batch is not None:
-            batch = spark.read.parquet(args.batch)
+            batch = _read_event_batch(spark, args.batch)
             report.update(apply_histogram_batch(spark, args.index, batch, args.date))
         drift = read_drift(spark, args.index)
         if args.report_out is not None:
@@ -587,7 +612,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
         if args.batch is not None:
-            batch = spark.read.parquet(args.batch)
+            batch = _read_event_batch(spark, args.batch)
             report.update(apply_session_batch(spark, args.index, batch, args.date))
         if args.sessions_out is not None:
             read_sessions(spark, args.index).write.mode("overwrite").parquet(
@@ -684,7 +709,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"feature-store: {args.index} is a stream-driven "
                     "ledger; daily --batch applies need their own dir"
                 )
-            batch = spark.read.parquet(args.batch)
+            batch = _read_event_batch(spark, args.batch)
             report.update(apply_feature_batch(spark, args.index, batch, args.date))
         if args.compact_before is not None:
             if _is_stream_ledger():

@@ -70,16 +70,37 @@ def apply_histogram_batch(
     legitimately split or mix days belong on the streaming ledger
     (streaming/events.py::stream_value_histogram_to_table), which sums
     per-batch deltas read-side."""
+    # NULL ts counts as a purity violation too — `to_date(NULL) != date`
+    # is NULL, which a bare inequality filter drops, silently admitting
+    # undateable events into a day-keyed histogram.
     n_outside = batch_events.filter(
-        F.to_date("ts") != F.lit(batch_date).cast("date")
+        F.col("ts").isNull()
+        | (F.to_date("ts") != F.lit(batch_date).cast("date"))
     ).count()
     if n_outside:
         raise ValueError(
             f"drift monitor: {n_outside} events in this batch fall outside "
-            f"{batch_date}; the daily histogram index requires day-pure "
-            "batches — route mixed-day feeds through the streaming ledger "
-            "(stream_value_histogram_to_table)"
+            f"{batch_date} (or carry NULL ts); the daily histogram index "
+            "requires day-pure batches — route mixed-day feeds through the "
+            "streaming ledger (stream_value_histogram_to_table)"
         )
+    if batch_events.isEmpty():
+        # A zero-row day is a legitimate fact, but replace_partitions only
+        # swaps partitions that EXIST in staging — an empty histogram
+        # stages nothing, so (a) the committed-partition count below would
+        # read a nonexistent path and raise, and (b) a replay-as-empty
+        # would leave a prior non-empty partition stale. Drop any existing
+        # partition explicitly and report zero.
+        from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+        fs, path_cls = _hadoop_fs(spark, index_dir)
+        dst = path_cls(f"{index_dir}/{PARTITION_COL}={batch_date}")
+        if fs.exists(dst) and not fs.delete(dst, True):
+            raise IOError(
+                f"drift monitor: delete of stale {dst} returned false while "
+                "landing an empty batch"
+            )
+        return {"date": batch_date, "hist_rows": 0}
     hist = _batch_histogram(batch_events).withColumn(PARTITION_COL, F.lit(batch_date))
     replace_partitions(spark, index_dir, hist, [batch_date])
     # count the COMMITTED partition (parquet row-group metadata), not a

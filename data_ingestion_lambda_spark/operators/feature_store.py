@@ -146,24 +146,32 @@ def merge_moments(moments: DataFrame, *, missing_columns: str = "refuse") -> Dat
         )
     for c in absent:
         moments = moments.withColumn(c, _moment_identity(c))
-    present = [c for c in _MOMENT_TYPES if c not in absent]
-    if missing_columns == "refuse" and present:
+    # Only SENTINEL columns participate in the old-schema NULL probe:
+    # columns a current-schema user_moments can NEVER write as NULL
+    # (count aggregates over a group that exists by construction). The
+    # value-/ts-derived moments (sum_cents, sumsq_cents, first/last_ts_us)
+    # are legitimately NULL for a user whose batch events all carried
+    # NULL value or ts — the events schema declares both nullable — and
+    # NULL is those columns' semigroup identity, so such rows merge
+    # correctly and must not be refused as "old-schema partitions".
+    probe = [c for c in ("n_events", "n_purchases") if c not in absent]
+    if missing_columns == "refuse" and probe:
         # Under a merged-schema read, files written before a column's
         # introduction surface as NULL CELLS, not a missing column — and
-        # a healthy current-schema ledger never writes a NULL moment (a
-        # user row exists only because events did), so any NULL proves an
-        # old-schema partition. One summary-sized probe buys the loud
-        # refusal the silent null-skipping aggregates would otherwise
+        # a healthy current-schema ledger never writes a NULL sentinel (a
+        # user row exists only because events did), so a NULL sentinel
+        # proves an old-schema partition. One summary-sized probe buys the
+        # loud refusal the silent null-skipping aggregates would otherwise
         # paper over.
         nulled = moments.filter(
             __import__("functools").reduce(
-                lambda a, b: a | b, [F.col(c).isNull() for c in present]
+                lambda a, b: a | b, [F.col(c).isNull() for c in probe]
             )
         ).limit(1)
         if nulled.count() > 0:
             raise ValueError(
                 "merge_moments: ledger has old-schema partitions (NULL "
-                f"moment cells among {present}). Either BACKFILL the old "
+                f"moment cells among {probe}). Either BACKFILL the old "
                 "dates (re-apply them from raw events) or pass "
                 "missing_columns='from_introduction' to identity-fill, "
                 "accepting that the affected features cover only the "
@@ -318,8 +326,10 @@ def read_user_features_asof(
                 f"read_user_features_asof: {index_dir} has a compacted base "
                 "partition but no _horizon= marker — the fold horizon is "
                 "unknown, so no as-of read can be proven correct; re-run "
-                "compact_feature_ledger (it restores the marker) or read "
-                "the current state via read_user_features"
+                "compact_feature_ledger with the original (or a later) "
+                "keep_from — it restores the marker even when nothing is "
+                "left to fold — or read the current state via "
+                "read_user_features"
             )
         if as_of < horizon:
             raise ValueError(
@@ -369,8 +379,10 @@ def compact_feature_ledger(spark: SparkSession, index_dir: str, keep_from: str) 
         raise RuntimeError(
             f"compact_feature_ledger: stranded {staging} from a crashed "
             "compaction — it holds the full pre-crash base; remove any "
-            f"leftover folded date=* dirs and rename it to date={BASE_DATE} "
-            "before re-running"
+            f"leftover folded date=* dirs and rename it to date={BASE_DATE}, "
+            "then re-run compact_feature_ledger with the ORIGINAL (or a "
+            "later) keep_from — the re-run restores the _horizon marker "
+            "that as-of reads require"
         )
     parts = [
         st.getPath().getName()
@@ -383,7 +395,22 @@ def compact_feature_ledger(spark: SparkSession, index_dir: str, keep_from: str) 
         if p == f"date={BASE_DATE}" or p.split("=", 1)[1] < keep_from
     ]
     if len(fold) < 2 and f"date={BASE_DATE}" in fold:
-        return 0  # only the base itself — nothing to fold
+        # Only the base itself — nothing to fold. But if the base exists
+        # WITHOUT a _horizon marker (the documented crash recovery renames
+        # staging to the base; on a first-ever compaction there was no
+        # prior marker to survive), every as-of read is refused with
+        # "re-run compact_feature_ledger" — so this early return must
+        # actually restore the marker or that remedy is a no-op. keep_from
+        # is a correct horizon PROVIDED the re-run uses the original (or a
+        # later) keep_from: every folded date was < the original, and a
+        # too-high horizon only refuses reads it could have served.
+        if _fold_horizon(fs, path_cls, index_dir) is None:
+            if not fs.mkdirs(path_cls(f"{index_dir}/_horizon={keep_from}")):
+                raise IOError(
+                    f"compact_feature_ledger: mkdirs _horizon={keep_from} "
+                    "returned false while restoring the missing marker"
+                )
+        return 0
     if not fold:
         return 0
     base = merge_moments(

@@ -23,7 +23,8 @@ date-keyed sink idiom (replay overwrites only itself; idempotent).
 Also persisted per batch: one ``__n__`` row carrying the batch's total
 item count, so the read side can state the absolute undercount bound
 without touching raw data (the reserved item name cannot collide with
-real items because real items are length-checked at apply time).
+real items because both apply paths — apply_hh_batch and the streaming
+front's per-trigger land — REFUSE any real item named ``__n__``).
 """
 
 from __future__ import annotations

@@ -965,6 +965,15 @@ def stream_heavy_hitters_to_table(
     def _land(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Same reserved-name refusal as apply_hh_batch: a real item named
+        # __n__ would silently inflate n_total and the undercount bound
+        # read_heavy_hitters reports. Raising inside foreachBatch fails
+        # the trigger loudly; the checkpoint replays the batch after the
+        # poisoned item is fixed upstream.
+        if batch_df.filter(F.col("item") == N_ROW).limit(1).count() > 0:
+            raise ValueError(
+                f"stream_heavy_hitters_to_table: item name {N_ROW!r} is reserved"
+            )
         sketch = mg_sketch(batch_df).select("item", F.col("g").alias("cnt"))
         total = batch_df.agg(
             F.lit(N_ROW).alias("item"), F.count("*").cast("long").alias("cnt")

@@ -147,3 +147,39 @@ def test_mixed_day_batch_is_rejected(spark, tmp_path):
     mixed = events.filter(F.to_date("ts").isin([F.lit(d) for d in days]))
     with pytest.raises(ValueError, match="outside"):
         apply_histogram_batch(spark, idx, mixed, str(days[0]))
+
+
+def test_null_ts_is_a_purity_violation(spark, tmp_path):
+    """ADVICE r8: `to_date(NULL) != date` is NULL, which a bare inequality
+    filter drops — NULL-ts events must count as day-purity violations,
+    not silently slip into the day's histogram."""
+    import pytest
+
+    idx = str(tmp_path / "hist_idx")
+    batch = spark.createDataFrame(
+        [("view", 1.0, "2025-05-01 10:00:00"), ("view", 2.0, None)],
+        "event_type string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="NULL ts"):
+        apply_histogram_batch(spark, idx, batch, "2025-05-01")
+
+
+def test_empty_batch_lands_zero_and_clears_stale_partition(spark, tmp_path):
+    """ADVICE r8: a zero-row batch stages no partition, so the committed-
+    partition read used to raise on the nonexistent path; and a replay-
+    as-empty must not leave a prior non-empty partition stale."""
+    idx = str(tmp_path / "hist_idx")
+    schema = "event_type string, value double, ts timestamp"
+    empty = spark.createDataFrame([], schema)
+    # empty batch on a brand-new index: no raise, zero rows
+    assert apply_histogram_batch(spark, idx, empty, "2025-05-01")["hist_rows"] == 0
+    # non-empty apply, then replay the same date as empty -> partition gone
+    batch = spark.createDataFrame(
+        [("view", 1.0, "2025-05-01 10:00:00")], 
+        "event_type string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert apply_histogram_batch(spark, idx, batch, "2025-05-01")["hist_rows"] == 1
+    assert apply_histogram_batch(spark, idx, empty, "2025-05-01")["hist_rows"] == 0
+    import os
+
+    assert not os.path.exists(f"{idx}/date=2025-05-01")

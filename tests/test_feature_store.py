@@ -439,3 +439,79 @@ def test_cli_decayed_out(spark, tmp_path):
     assert got == want and len(got) > 0
     with pytest.raises(SystemExit, match="as-of"):
         main(["feature-store", "--index", idx, "--decayed-out", out])
+
+
+def test_null_value_batch_is_served_not_refused(spark, tmp_path):
+    """ADVICE r8: a user whose batch events all carry NULL value (the
+    events schema declares value nullable) writes NULL sum_cents /
+    sumsq_cents moments. That is a LEGITIMATE current-schema ledger —
+    NULL is those columns' semigroup identity — and the old-schema NULL
+    probe must not refuse it (only the never-null sentinels n_events /
+    n_purchases prove an old-schema partition)."""
+    idx = str(tmp_path / "feat_idx")
+    events = spark.createDataFrame(
+        [
+            (1, 10, "view", None, "2025-05-01 10:00:00"),
+            (1, 11, "view", None, "2025-05-01 11:00:00"),
+            (2, 12, "purchase", 3.5, "2025-05-01 12:00:00"),
+        ],
+        "user_id long, event_id long, event_type string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    apply_feature_batch(spark, idx, events, "2025-05-01")
+    got = {r.user_id: r for r in read_user_features(spark, idx).collect()}
+    assert got[1].n_events == 2 and got[1].mean_cents is None
+    assert got[2].n_events == 1 and got[2].mean_cents == 350.0
+
+
+def test_compact_early_return_restores_missing_horizon_marker(spark, tmp_path):
+    """ADVICE r8: after the documented crash recovery on a FIRST-EVER
+    compaction (rename staging to date=0000-00-00 — no prior marker
+    existed to survive), the ledger has a base but no _horizon marker and
+    every as-of read is refused with 're-run compact_feature_ledger'.
+    The early return (nothing left to fold) must make that remedy real by
+    recreating the marker at keep_from."""
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.feature_store import (
+        read_user_features_asof,
+    )
+    from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+    idx = str(tmp_path / "feat_idx")
+    events = load_table(spark, SF, "events")
+    days = _apply_daily(spark, idx, events)
+    keep_from = days[-1]
+    assert compact_feature_ledger(spark, idx, keep_from) > 0
+    # simulate the crash-recovery end state: base exists, marker never did
+    fs, path_cls = _hadoop_fs(spark, idx)
+    assert fs.delete(path_cls(f"{idx}/_horizon={keep_from}"), True)
+    with pytest.raises(ValueError, match="no _horizon= marker"):
+        read_user_features_asof(spark, idx, days[-1])
+    # the documented remedy: re-run with the original keep_from
+    assert compact_feature_ledger(spark, idx, keep_from) == 0
+    assert fs.exists(path_cls(f"{idx}/_horizon={keep_from}"))
+    got = _rows(read_user_features_asof(spark, idx, days[-1]))
+    assert got == _rows(read_user_features(spark, idx))
+
+
+def test_cli_batch_normalizes_ntz_timestamps(spark, tmp_path):
+    """ADVICE r8: a raw generator drop whose ts is TIMESTAMP_NTZ (what
+    parquet MICROS isAdjustedToUTC=false infers as under Spark 4) must
+    work through the CLI --batch path exactly like it does through the
+    registered lanes — the store's unix_micros expressions need a regular
+    TIMESTAMP, so the CLI applies load_table's normalization."""
+    from data_ingestion_lambda_spark.cli import main
+
+    events = load_table(spark, SF, "events")
+    d = _days(events)[0]
+    bdir = str(tmp_path / "batch_ntz")
+    events.filter(F.to_date("ts") == F.lit(d)).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).write.parquet(bdir)
+    idx = str(tmp_path / "feat_idx")
+    assert main(["feature-store", "--index", idx, "--batch", bdir, "--date", d]) == 0
+    got = _rows(read_user_features(spark, idx))
+    # must equal the same day applied with a proper TIMESTAMP
+    idx2 = str(tmp_path / "feat_idx2")
+    apply_feature_batch(spark, idx2, events.filter(F.to_date("ts") == F.lit(d)), d)
+    assert got == _rows(read_user_features(spark, idx2)) and len(got) > 0

@@ -127,3 +127,27 @@ def test_cli_roundtrip(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     want = sorted(tuple(r) for r in read_heavy_hitters(spark, idx).collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_reserved_item_name_refused(spark, tmp_path):
+    """ADVICE r8: the streaming front must refuse a real item named
+    '__n__' exactly like apply_hh_batch — otherwise it silently inflates
+    n_total and the undercount bound read_heavy_hitters reports."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from data_ingestion_lambda_spark.streaming.events import (
+        stream_heavy_hitters_to_table,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a",), ("__n__",), ("b",)], "item string"
+    ).write.parquet(src)
+    q = stream_heavy_hitters_to_table(
+        spark.readStream.schema("item string").parquet(src),
+        str(tmp_path / "ledger"),
+        str(tmp_path / "ckpt"),
+    ).start()
+    with pytest.raises(StreamingQueryException, match="reserved"):
+        q.awaitTermination(120)
