@@ -231,6 +231,21 @@ def build_parser() -> argparse.ArgumentParser:
     ann.add_argument(
         "--out", default=None, help="persist the top-k result here (overwrite)"
     )
+    ann.add_argument(
+        "--hard-negatives",
+        action="store_true",
+        help="mine hard negatives instead of top-k: per query, the top-k "
+        "stored vectors strictly BELOW --ceiling (probable positives are "
+        "excluded — sampling them as negatives poisons contrastive "
+        "training)",
+    )
+    ann.add_argument(
+        "--ceiling",
+        type=float,
+        default=None,
+        help="positive cosine ceiling for --hard-negatives (default 0.90, "
+        "the shipped recall curve's near-dup tier)",
+    )
 
     sidx = sub.add_parser(
         "search-index",
@@ -817,12 +832,23 @@ def main(argv: list[str] | None = None) -> int:
         if args.batch is not None:
             batch = spark.read.parquet(args.batch).select("vec_id", "embedding")
             report.update(append_batch(spark, args.index, batch, args.date))
+        if args.ceiling is not None and not args.hard_negatives:
+            raise SystemExit("ann-index: --ceiling only applies with --hard-negatives")
         if args.query is not None:
             raw = spark.read.parquet(args.query)
             key = "query_id" if "query_id" in raw.columns else "vec_id"
             queries = raw.select(F.col(key).alias("query_id"), "embedding")
             kwargs = {} if args.k is None else {"k": args.k}
-            topk = probe_topk(spark, args.index, queries, **kwargs)
+            if args.hard_negatives:
+                from data_ingestion_lambda_spark.operators.ann_index import (
+                    probe_hard_negatives,
+                )
+
+                if args.ceiling is not None:
+                    kwargs["ceiling"] = args.ceiling
+                topk = probe_hard_negatives(spark, args.index, queries, **kwargs)
+            else:
+                topk = probe_topk(spark, args.index, queries, **kwargs)
             if args.out is not None:
                 topk.write.mode("overwrite").parquet(args.out)
                 report["out"] = args.out

@@ -51,6 +51,7 @@ from data_ingestion_lambda_spark.operators.upsert import (
 )
 from data_ingestion_lambda_spark.plans.similarity import (
     TOP_K,
+    _HARD_NEG_CEIL,
     _N_PROBE,
     _train_ivf_centroids,
     as_double,
@@ -116,20 +117,21 @@ def append_batch(
     return {"date": batch_date, "batch_vectors": batch_vectors.count()}
 
 
-def probe_topk(
+def _probe_scored(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
-    k: int = TOP_K,
-    n_probe: int = _N_PROBE,
+    n_probe: int,
 ) -> DataFrame:
-    """Top-k cosine neighbors for ``queries`` (query_id, embedding)
-    against the maintained index: rank the frozen centroids per query,
-    probe the ``n_probe`` closest cells, score only vectors stored in
-    those cells. The probed cell ids are collected to the driver
-    (bounded by the CENTROID count — 16 rows, never data-sized) so the
-    cells scan partition-prunes to exactly those directories; the
-    candidate join and rescore then read n_probe/n_cells of the index."""
+    """The probe pipeline up to the per-pair cosine: rank the frozen
+    centroids per query, probe the ``n_probe`` closest cells, score only
+    vectors stored in those cells. The probed cell ids are collected to
+    the driver (bounded by the CENTROID count — 16 rows, never
+    data-sized) so the cells scan partition-prunes to exactly those
+    directories; the candidate join and rescore then read
+    n_probe/n_cells of the index. Returns (query_id, neighbor_id, cell,
+    cosine) — probe_topk ranks it as-is, probe_hard_negatives applies
+    the positive ceiling first."""
     q = queries.select(
         F.col("query_id"), as_double(F.col("embedding")).alias("qv")
     ).select("query_id", "qv", F.sqrt(dot("qv", "qv")).alias("qnrm"))
@@ -159,7 +161,7 @@ def probe_topk(
             "cell",
         )
     )
-    scored = (
+    return (
         probe.join(idx, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(q), "query_id")
@@ -170,5 +172,50 @@ def probe_topk(
             (dot("qv", "nve") / (F.col("qnrm") * F.col("nnrm"))).alias("cosine"),
         )
     )
+
+
+def probe_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_probe: int = _N_PROBE,
+) -> DataFrame:
+    """Top-k cosine neighbors for ``queries`` (query_id, embedding)
+    against the maintained index — see _probe_scored for the
+    partition-pruned probe plan."""
+    scored = _probe_scored(spark, index_dir, queries, n_probe)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def probe_hard_negatives(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_probe: int = _N_PROBE,
+    ceiling: float = _HARD_NEG_CEIL,
+) -> DataFrame:
+    """Hard-negative mining served from the maintained index: per query,
+    the top-k most-similar stored vectors STRICTLY BELOW the positive
+    ``ceiling`` (cosine >= ceiling means probable positive/near-dup —
+    sampling it as a negative poisons contrastive training with false
+    negatives; see plans/similarity.py::ann_hard_negatives for the 0.90
+    tier's derivation from the shipped recall curve).
+
+    This is the production form of the registered
+    ann_hard_negatives_ivf lane: the SAME frozen quantizer, the SAME
+    n_probe cell probe and ceiling arithmetic, but candidates come from
+    the PERSISTED partition-pruned cell directories — so mining a day's
+    new training queries costs n_probe/n_cells of the index, never a
+    corpus×queries scan (the brute-force lane's 100 TB failure mode).
+    With the quantizer trained on the full corpus this row-equals the
+    registered lane (pinned in tests/test_ann_index.py)."""
+    scored = _probe_scored(spark, index_dir, queries, n_probe)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col("cosine") < F.lit(ceiling))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -14,22 +14,24 @@ makes the per-batch result an EXACT mergeable summary instead:
   adjacent ones merged when the seam gap (next.start − prev.end) is
   within the threshold, then min-start/max-end/Σevents per merged run.
 
-Why the seam merge is exact: within a date, each partial session is a
-MAXIMAL run of events under the gap rule; daily batches partition each
-user's timeline into contiguous, non-overlapping intervals, so the only
-merges the within-batch pass could have missed are at the seams — and
-the gap between two adjacent partial sessions equals the gap between
-the boundary EVENTS that would have been compared in the one-shot sort.
-Re-running the identical lag/cumsum recipe over partial-session rows
-therefore reproduces the one-shot session set for ANY day split —
-pinned in tests/test_session_store.py, including per-user session_seq
-numbering. The merge input is |sessions| rows (data-volume-free), so
-the read side costs session-count, never event-count.
+Why the seam merge is exact: each partial session is a CHAIN of events
+(consecutive gaps within the threshold inside its own batch), and the
+interval-union merge — gap measured from the running max of prior ends,
+see merge_partial_sessions — reconstructs the one-shot session set from
+any collection of chains, for ANY split of the events into batches
+(day-pure or not; the proof is in the merge's docstring). Pinned in
+tests/test_session_store.py including per-user session_seq numbering,
+and in tests/test_index_streams.py for arbitrary micro-batch splits.
+The merge input is |sessions| rows (data-volume-free), so the read side
+costs session-count, never event-count.
 
-Requires date-pure batches (unlike the feature store's moments, which
-are order-free): the maximal-run argument needs each partition to own a
-contiguous time slice per user, so a batch containing events outside
-its date is refused — the drift monitor's day-purity contract.
+The CALENDAR ledger still requires date-pure batches — not for merge
+correctness (the running-max merge doesn't need it) but as the replay
+discipline: the date partition is the idempotence key, so it must own
+ALL of its day's events or a replayed apply would drop the strays.
+Feeds that legitimately mix days belong on the streaming front
+(streaming/index_streams.py), whose micro-batch-id keys own exactly
+their batch's events by construction.
 
 Cites: gap-based sessionization twin of
 ``session_window(ts, '30 minutes')`` (plans/events_queries.py:69-111);
@@ -99,16 +101,48 @@ def apply_session_batch(
     }
 
 
+def land_session_batch(
+    spark: SparkSession, index_dir: str, batch_events: DataFrame, key: str
+) -> None:
+    """Land one micro-batch's partial sessions under ``date=<key>`` with
+    NO day-purity requirement — the streaming front's landing: the
+    batch-id key owns exactly its batch's events by construction, and
+    the running-max seam merge is exact for arbitrary splits (see
+    merge_partial_sessions). Replaying the same (batch, key) overwrites
+    only its own partition — idempotent."""
+    part = sessionize_batch(batch_events)
+    replace_partitions(
+        spark, index_dir, part.withColumn("date", F.lit(key)), [key]
+    )
+
+
 def merge_partial_sessions(partials: DataFrame) -> DataFrame:
-    """The seam merge: the SAME lag/cumsum gap rule the event-level
-    recipe uses, applied at session granularity (gap measured from the
-    previous partial session's END to this one's START), then a
-    min/max/Σ rollup per merged run. Input and output are session-count
-    rows. Emits the per-user ``session_seq`` in time order — identical
-    numbering to the one-shot lane by construction (both are cumsums
-    over the same time order)."""
+    """The seam merge: the gap/cumsum rule applied at session
+    granularity, with the gap measured from the RUNNING MAX of prior
+    partial-session ENDS to this one's start (the textbook interval-
+    union recipe), then a min/max/Σ rollup per merged run. Input and
+    output are session-count rows. Emits the per-user ``session_seq``
+    in time order — identical numbering to the one-shot lane by
+    construction (both are cumsums over the same time order).
+
+    Why running-max (not lag) makes this exact for ARBITRARY batch
+    splits, not just contiguous day slices: every partial is a CHAIN
+    (consecutive events ≤ gap apart within its batch), so (a) a partial
+    whose start is within gap of the running max end shares a ≤gap event
+    pair with the group — same true session; and (b) two partials P, Q
+    carrying time-consecutive events e ∈ P, e' ∈ Q with e' − e ≤ gap
+    always land in the same group: any interval R sorting between them
+    that could break the run would need start_R > maxend + gap ≥ e + gap
+    while start_R ≤ start_Q ≤ e' ≤ e + gap — a contradiction. lag(end)
+    lacks property (b) when one partial NESTS inside another's span
+    (e.g. [0,300] and [10,20]: the next interval's lag-end is 20, not
+    300), which day-pure slices could never produce but arbitrary
+    micro-batch splits can — the streaming front
+    (streaming/index_streams.py) relies on this."""
     w = Window.partitionBy("user_id").orderBy("start_us", "end_us")
-    prev_end = F.lag("end_us").over(w)
+    prev_end = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
     new_session = F.when(
         prev_end.isNull() | (F.col("start_us") - prev_end > GAP_US), 1
     ).otherwise(0)

@@ -1020,9 +1020,11 @@ def _train_ivf_centroids(
 
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
+# The whole IVF pipeline up to (and including) the per-pair cosine, as
+# oracle CTE text — shared VERBATIM by ann_ivf_topk and the hard-negative
+# miner below, so the two oracles can never desynchronize on the quantizer
+# or the probe.
+_IVF_SCORED_CTES = f"""
     WITH v AS (
         SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm
         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
@@ -1054,28 +1056,16 @@ def _train_ivf_centroids(
     scored AS (
         SELECT query_id, neighbor_id, cell,
                ({_sql_dot('qv', 'nve')}) / (qnrm * nnrm) AS cosine
-        FROM cand JOIN q USING (query_id) JOIN nv USING (neighbor_id))
-    SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INTEGER) AS rank FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, neighbor_id) AS rank
-        FROM scored
-    ) WHERE rank <= {TOP_K}
-    """,
-    tags=("llm", "ann"),
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
-    vector to its nearest of {_N_CENTROIDS} centroid cells; each query
-    probes its {_N_PROBE} closest cells and scores only vectors in those
-    cells.
+        FROM cand JOIN q USING (query_id) JOIN nv USING (neighbor_id))"""
 
-    The quantizer is trained (seeded by the first {_N_CENTROIDS} vectors,
-    {_KMEANS_ITERS} deterministic Lloyd iterations — see
-    _train_ivf_centroids) then broadcast. Scale: assignment is a broadcast
-    cross-join against {_N_CENTROIDS} rows inside the scan stage + a
-    per-vector argmax; the probe-join fans each query to {_N_PROBE} cells,
-    so scored candidates shrink ~{_N_CENTROIDS}/{_N_PROBE}-fold vs brute
-    force, and the cell id is an equi-join key (the inverted file)."""
+
+def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF pipeline up to the per-pair cosine: train/load the frozen
+    quantizer, assign the corpus to cells, probe each query's
+    {_N_PROBE} closest cells, score only the candidates living there.
+    Returns (query_id, neighbor_id, cell, cosine) — ann_ivf_topk ranks
+    it as-is; ann_hard_negatives_ivf applies the positive ceiling first.
+    The Spark twin of _IVF_SCORED_CTES, term for term."""
     base = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("ve")
     )
@@ -1117,7 +1107,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ve").alias("nve"),
         F.col("nrm").alias("nnrm"),
     )
-    scored = (
+    return (
         cand.join(F.broadcast(q), "query_id")
         .join(F.broadcast(nv), "neighbor_id")
         .select(
@@ -1127,6 +1117,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot("qv", "nve") / (F.col("qnrm") * F.col("nnrm"))).alias("cosine"),
         )
     )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""{_IVF_SCORED_CTES}
+    SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("llm", "ann"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    vector to its nearest of {_N_CENTROIDS} centroid cells; each query
+    probes its {_N_PROBE} closest cells and scores only vectors in those
+    cells.
+
+    The quantizer is trained (seeded by the first {_N_CENTROIDS} vectors,
+    {_KMEANS_ITERS} deterministic Lloyd iterations — see
+    _train_ivf_centroids) then broadcast. Scale: assignment is a broadcast
+    cross-join against {_N_CENTROIDS} rows inside the scan stage + a
+    per-vector argmax; the probe-join fans each query to {_N_PROBE} cells,
+    so scored candidates shrink ~{_N_CENTROIDS}/{_N_PROBE}-fold vs brute
+    force, and the cell id is an equi-join key (the inverted file)."""
+    scored = _ivf_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
@@ -2074,6 +2091,104 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("cosine") < F.lit(_HARD_NEG_CEIL))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "ann_hard_negatives_ivf",
+    oracle=f"""{_IVF_SCORED_CTES}
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored WHERE cosine < {_HARD_NEG_CEIL}e0
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("llm", "ann", "training"),
+)
+def ann_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE form of ann_hard_negatives: mine the top-{TOP_K}
+    below-ceiling neighbors from the IVF index's PROBED-CELL candidates
+    instead of scoring the whole corpus per query — the composition the
+    brute-force lane's docstring promises, now coded (the dedup family's
+    incremental/maintained discipline applied to mining).
+
+    The candidate generator is LITERALLY ann_ivf_topk's pipeline
+    (_ivf_scored: frozen quantizer, {_N_PROBE}-of-{_N_CENTROIDS} cell
+    probe, in-cell cosine); the ceiling filter and ranking are LITERALLY
+    ann_hard_negatives' (strictly below {_HARD_NEG_CEIL}, ROW_NUMBER
+    tie-break on neighbor_id). Why the composition is semantically right
+    and not just cheaper: hard negatives live in the HIGH-cosine band
+    just under the positive ceiling, which is exactly the band IVF
+    probing is built to retain (a vector cosine-close to the query is
+    overwhelmingly in one of its closest cells) — the far tail the probe
+    loses is the band mining never wanted. ann_hard_negatives_recall
+    measures the overlap per query.
+
+    Scale: per query, scored candidates are ~{_N_PROBE}/{_N_CENTROIDS}
+    of the corpus instead of ALL of it, and the cell id is an equi-join
+    key; at 10^10 vectors the maintained index
+    (operators/ann_index.py::probe_hard_negatives) serves the same
+    mining from partition-pruned cell directories."""
+    scored = _ivf_scored(spark, sf_dir).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col("cosine") < F.lit(_HARD_NEG_CEIL))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+_HARD_NEG_SQL = _REG["ann_hard_negatives"].oracle
+_HARD_NEG_IVF_SQL = _REG["ann_hard_negatives_ivf"].oracle
+
+
+@register(
+    "ann_hard_negatives_recall",
+    oracle=f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_HARD_NEG_SQL}) t1),
+         ivf AS (SELECT query_id, neighbor_id FROM ({_HARD_NEG_IVF_SQL}) t2),
+         hits AS (
+             SELECT query_id, COUNT(*) AS n_hits
+             FROM exact JOIN ivf USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           COALESCE(MAX(n_hits), 0) AS n_hits,
+           CAST(COALESCE(MAX(n_hits), 0) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact e LEFT JOIN hits USING (query_id)
+    GROUP BY e.query_id
+    """,
+    tags=("llm", "ann", "quality", "training"),
+)
+def ann_hard_negatives_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF-mined hard negatives against the brute-force
+    miner, per query — the gauge that licenses swapping
+    ann_hard_negatives for ann_hard_negatives_ivf in a training
+    pipeline, same shape as ann_ivf_recall. A miss here is a hard
+    negative whose cell the probe skipped; the training consequence is
+    a slightly easier negative taking its slot, not a false negative
+    (the ceiling is applied identically on both sides).
+
+    Scale: joins the two miners' (query, neighbor) outputs — k×Q rows
+    each — so the gauge costs the two minings, no extra pass."""
+    exact = ann_hard_negatives(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_hard_negatives_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.join(hits, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.max("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.max("n_hits"), F.lit(0)).cast("double") / F.count("*")
+            ).alias("recall_at_k"),
+        )
     )
 
 

@@ -1,0 +1,191 @@
+"""Streaming fronts for the remaining maintained indexes — vocab model,
+BM25 postings, IVF-ANN cells, and the incremental session store — the
+same composition the dedup gate (streaming/dedup_stream.py), drift
+monitor, feature store and heavy-hitter store already have: Structured
+Streaming's file discovery/offset log DRIVES the persisted index's
+per-batch apply, so "a new drop landed" → "the index extended" is one
+unattended invocation.
+
+Reference intent: the reference's scheduled handler discovers new files,
+processes exactly the new ones against its stored table, and records
+progress (src/lambda_handler.py:38-102, src/s3_processor.py:113-158);
+these lanes are that loop with each index's apply as the body and the
+stream's checkpoint as the progress record.
+
+Exactly-once shape (shared by all four): foreachBatch is at-least-once,
+and every apply here is idempotent PER PARTITION KEY — so the
+micro-batch id becomes the key (``b<batch_id>``): a replayed batch
+overwrites only its own partition, making the replay a bitwise no-op
+(the batch-id-keyed sink idiom). Each index's batch-split-invariance is
+inherited from its operator module, not re-proved:
+
+- vocab counts and postings/doclen/stats rows are ADDITIVE — any split
+  sums to the same model (operators/vocab.py, operators/postings.py);
+- IVF cell assignment is a per-vector argmax against the FROZEN
+  quantizer — batch-split-invariant by construction
+  (operators/ann_index.py; ``train_index`` must have run first);
+- partial sessions are chains, and the running-max seam merge is exact
+  for ARBITRARY splits (operators/session_store.py::
+  merge_partial_sessions — the generalization that lets this front drop
+  the calendar ledger's day-purity requirement).
+
+All four are pinned in tests/test_index_streams.py: streamed N-trigger
+state == the one-shot operator, and a re-run with nothing new is a
+checkpointed no-op.
+
+Scale: ``maxFilesPerTrigger`` bounds a micro-batch exactly as it does
+for ingestion; each batch pays only its own tokenize/assign/sessionize
+plus the partition swap, and the stream adds file discovery on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DOCS_SCHEMA = "doc_id bigint, text string"
+VECS_SCHEMA = "vec_id bigint, embedding array<float>"
+EVENTS_SCHEMA = "event_id bigint, user_id bigint, ts timestamp"
+
+
+def _drain(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    body,
+    max_files_per_trigger: int | None,
+) -> list[dict]:
+    """Shared availableNow loop: drain every file not yet in the offset
+    log, run ``body(batch_df, key)`` per micro-batch, stop. Returns the
+    per-batch reports in processing order; a no-op run returns []."""
+    reader = spark.readStream.schema(schema).option("recursiveFileLookup", True)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+
+    reports: list[dict] = []
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = body(batch, f"b{batch_id:09d}")
+        reports.append(out if isinstance(out, dict) else {"batch": batch_id})
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return reports
+
+
+def run_vocab_update_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    vocab_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> list[dict]:
+    """Drain new document files into the maintained unigram model: each
+    micro-batch's (tok, cnt) rows land in their own partition; the model
+    read (``read_vocab``) sums across partitions, so the streamed model
+    equals ``update_vocab`` over everything ingested, any split."""
+    from data_ingestion_lambda_spark.operators.vocab import update_vocab
+
+    return _drain(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        DOCS_SCHEMA,
+        lambda batch, key: update_vocab(spark, vocab_dir, batch, key),
+        max_files_per_trigger,
+    )
+
+
+def run_postings_update_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> list[dict]:
+    """Drain new document files into the maintained BM25 postings index:
+    each micro-batch tokenizes ONCE and lands its postings/doclen/stats
+    rows in its own partition (token-bucket sub-partitions ride along);
+    ``search_topk`` reads sums/pruned scans, so the streamed index
+    serves the same results as daily ``update_postings`` applies."""
+    from data_ingestion_lambda_spark.operators.postings import update_postings
+
+    return _drain(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        DOCS_SCHEMA,
+        lambda batch, key: update_postings(spark, index_dir, batch, key),
+        max_files_per_trigger,
+    )
+
+
+def run_ann_append_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> list[dict]:
+    """Drain new vector files into the maintained IVF index: each
+    micro-batch is assigned against the FROZEN quantizer and lands under
+    its own date partition with cell sub-partitions — probes
+    partition-prune identically however the stream split the corpus.
+    ``train_index`` must have run first; refuses loudly otherwise (a
+    quantizer trained mid-stream would assign different batches with
+    different models, breaking the one-shot equivalence)."""
+    from data_ingestion_lambda_spark.operators.ann_index import append_batch
+    from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    if not fs.exists(path_cls(f"{index_dir}/centroids")):
+        raise ValueError(
+            f"run_ann_append_available_now: {index_dir}/centroids does not "
+            "exist — train_index must freeze the quantizer before any "
+            "streamed append (a mid-stream retrain would assign batches "
+            "against different models)"
+        )
+    return _drain(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        VECS_SCHEMA,
+        lambda batch, key: append_batch(spark, index_dir, batch, key),
+        max_files_per_trigger,
+    )
+
+
+def run_session_update_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    schema: str = EVENTS_SCHEMA,
+) -> list[dict]:
+    """Drain new event files into the incremental session store: each
+    micro-batch's partial sessions (chains under the gap rule, within
+    the batch only) land in their own partition — NO day-purity
+    requirement, because the running-max seam merge reconstructs the
+    one-shot session set from any split (the proof in
+    merge_partial_sessions). ``read_sessions`` /
+    ``read_user_session_stats`` serve the merged state as usual."""
+    from data_ingestion_lambda_spark.operators.session_store import (
+        land_session_batch,
+    )
+
+    def _body(batch: DataFrame, key: str) -> dict:
+        land_session_batch(spark, index_dir, batch, key)
+        return {"key": key}
+
+    return _drain(
+        spark, source_dir, checkpoint_dir, schema, _body, max_files_per_trigger
+    )

@@ -165,3 +165,73 @@ def test_probe_scan_partition_prunes_to_probed_cells(spark, tmp_path):
         .toString()
     )
     assert re.search(r"PartitionFilters: \[cell#\d+ INSET ", plan), plan
+
+
+def test_maintained_hard_negatives_equal_registered_lane(spark, tmp_path):
+    """probe_hard_negatives over the maintained index row-equals the
+    registered ann_hard_negatives_ivf lane (same frozen quantizer, same
+    probe, same ceiling arithmetic) — and its cells scan still
+    partition-prunes, so mining stays n_probe/n_cells of the index."""
+    from data_ingestion_lambda_spark.operators.ann_index import probe_hard_negatives
+    from data_ingestion_lambda_spark.plans.similarity import ann_hard_negatives_ivf
+
+    idx, vecs = _build(spark, tmp_path)
+    mined = probe_hard_negatives(spark, idx, _queries(vecs))
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in df.select("query_id", "rank", "neighbor_id", "cosine").collect()
+        )
+
+    assert rows(mined) == rows(ann_hard_negatives_ivf(spark, SF))
+    plan = mined._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cell#\d+ INSET ", plan), plan
+
+
+def test_cli_hard_negatives(spark, tmp_path, capsys):
+    """ann-index --hard-negatives mines through the maintained index and
+    row-equals the registered lane."""
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+    from data_ingestion_lambda_spark.plans.similarity import ann_hard_negatives_ivf
+
+    vecs = _vectors(spark)
+    train_pq = tmp_path / "all.parquet"
+    vecs.write.parquet(str(train_pq))
+    q_pq = tmp_path / "queries.parquet"
+    vecs.filter(F.col("vec_id") < N_QUERIES).write.parquet(str(q_pq))
+    idx = tmp_path / "idx"
+    assert main(["ann-index", "--index", str(idx), "--train", str(train_pq)]) == 0
+    assert (
+        main(
+            [
+                "ann-index", "--index", str(idx),
+                "--batch", str(train_pq), "--date", "2025-07-01",
+            ]
+        )
+        == 0
+    )
+    out = tmp_path / "hardneg.parquet"
+    assert (
+        main(
+            [
+                "ann-index", "--index", str(idx),
+                "--query", str(q_pq), "--hard-negatives", "--out", str(out),
+            ]
+        )
+        == 0
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["statusCode"] == 200 and report["result_rows"] > 0
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in df.select("query_id", "rank", "neighbor_id", "cosine").collect()
+        )
+
+    assert rows(spark.read.parquet(str(out))) == rows(
+        ann_hard_negatives_ivf(spark, SF)
+    )

@@ -1,0 +1,163 @@
+"""Streaming fronts for the maintained vocab / postings / IVF-ANN /
+session indexes (streaming/index_streams.py): the streamed N-trigger
+state must equal the one-shot operator over everything ingested —
+including the session store under an ARBITRARY (non-day) split, the
+case the running-max seam merge exists for — and a re-run with nothing
+new must be a checkpointed no-op."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+SF = SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+def _two_drops(df, src, cut_expr):
+    """Write df as two file drops split by a boolean column expression."""
+    df.filter(cut_expr).write.mode("append").parquet(src)
+    return lambda: df.filter(~cut_expr).write.mode("append").parquet(src)
+
+
+def test_vocab_stream_equals_oneshot_and_rerun_noop(spark, tmp_path):
+    from data_ingestion_lambda_spark.operators.vocab import (
+        _batch_counts,
+        read_vocab,
+    )
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        run_vocab_update_available_now,
+    )
+
+    docs = _docs(spark)
+    src, ckpt, vocab = (str(tmp_path / d) for d in ("src", "ckpt", "vocab"))
+    drop2 = _two_drops(docs, src, F.col("doc_id") % 2 == 0)
+    assert len(run_vocab_update_available_now(spark, src, vocab, ckpt)) >= 1
+    drop2()
+    assert len(run_vocab_update_available_now(spark, src, vocab, ckpt)) >= 1
+
+    def rows():
+        return sorted(map(tuple, read_vocab(spark, vocab).collect()))
+
+    got = rows()
+    assert got == sorted(map(tuple, _batch_counts(docs).collect()))
+    # nothing new -> no-op, state untouched
+    assert run_vocab_update_available_now(spark, src, vocab, ckpt) == []
+    assert rows() == got
+
+
+def test_postings_stream_search_equals_oneshot(spark, tmp_path):
+    from data_ingestion_lambda_spark.operators.postings import search_topk
+    from data_ingestion_lambda_spark.plans.retrieval import (
+        N_QUERIES,
+        search_bm25_topk,
+    )
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        run_postings_update_available_now,
+    )
+
+    docs = _docs(spark)
+    src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "idx"))
+    drop2 = _two_drops(docs, src, F.col("doc_id") % 2 == 0)
+    run_postings_update_available_now(spark, src, idx, ckpt)
+    drop2()
+    run_postings_update_available_now(spark, src, idx, ckpt)
+
+    queries = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["match_id"], r["bm25"])
+            for r in df.collect()
+        )
+
+    got = rows(search_topk(spark, idx, queries))
+    assert got == rows(search_bm25_topk(spark, SF)) and len(got) > 0
+    assert run_postings_update_available_now(spark, src, idx, ckpt) == []
+    assert rows(search_topk(spark, idx, queries)) == got
+
+
+def test_ann_stream_probe_equals_oneshot(spark, tmp_path):
+    from data_ingestion_lambda_spark.operators.ann_index import (
+        probe_topk,
+        train_index,
+    )
+    from data_ingestion_lambda_spark.plans.similarity import (
+        N_QUERIES,
+        ann_ivf_topk,
+    )
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        run_ann_append_available_now,
+    )
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "idx"))
+    # quantizer must be frozen first — refused otherwise
+    with pytest.raises(ValueError, match="train_index"):
+        run_ann_append_available_now(spark, src, idx, ckpt)
+    train_index(spark, idx, vecs)
+    drop2 = _two_drops(vecs, src, F.col("vec_id") % 2 == 0)
+    run_ann_append_available_now(spark, src, idx, ckpt)
+    drop2()
+    run_ann_append_available_now(spark, src, idx, ckpt)
+
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cell"], r["cosine"])
+            for r in df.collect()
+        )
+
+    got = rows(probe_topk(spark, idx, queries))
+    assert got == rows(ann_ivf_topk(spark, SF)) and len(got) > 0
+    assert run_ann_append_available_now(spark, src, idx, ckpt) == []
+    assert rows(probe_topk(spark, idx, queries)) == got
+
+
+def test_session_stream_equals_oneshot_under_arbitrary_split(spark, tmp_path):
+    """The front's whole point: the split is by event_id hash — NOT by
+    day — so batches interleave in time and partial sessions can nest
+    inside each other's spans. The running-max seam merge must still
+    reconstruct the one-shot session set exactly."""
+    from data_ingestion_lambda_spark.operators.session_store import (
+        read_sessions,
+    )
+    from data_ingestion_lambda_spark.plans import all_specs
+    from data_ingestion_lambda_spark.sources.catalog import load_table
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        run_session_update_available_now,
+    )
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "ts")
+    src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "idx"))
+    drop2 = _two_drops(events, src, F.pmod(F.xxhash64("event_id"), F.lit(3)) < 2)
+    run_session_update_available_now(spark, src, idx, ckpt)
+    drop2()
+    run_session_update_available_now(spark, src, idx, ckpt)
+
+    def rows():
+        return sorted(
+            (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events)
+            for r in read_sessions(spark, idx).collect()
+        )
+
+    got = rows()
+    want = sorted(
+        (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events)
+        for r in all_specs()["events_sessionize"].builder(spark, SF).collect()
+    )
+    assert got == want and len(got) > 0
+    assert run_session_update_available_now(spark, src, idx, ckpt) == []
+    assert rows() == got

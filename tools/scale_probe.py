@@ -143,6 +143,10 @@ QUERIES = [
     "shipping_latency_quantiles",
     "dedup_containment",
     "dedup_canonical_by_quality",
+    # round-8 addition: IVF-probed hard-negative mining — the scale-safe
+    # replacement for the brute-force ann_hard_negatives (3.26x at 10x in
+    # the r7 sweep), expected to track ann_ivf_topk's profile
+    "ann_hard_negatives_ivf",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
@@ -158,6 +162,8 @@ _EMBEDDING_QUERIES = {
     "embedding_kmeans_clusters",
     "sample_cluster_balanced",
     "search_hybrid_rrf",  # fuses ann_cosine_topk's dense list
+    "ann_hard_negatives",
+    "ann_hard_negatives_ivf",
 }
 
 ID_STRIDE = 100_000_000  # far above any real doc_id/vec_id in the corpus
