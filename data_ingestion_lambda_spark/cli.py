@@ -98,12 +98,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="freeze/list/expire table versions",
         description=(
             "Freeze the target table under <target>/.snapshots/v<N>. "
-            "LOCAL-FILESYSTEM materialization: files are hardlinked "
-            "(byte-free) or copied — the target must be a local path, not "
-            "an object-store URI. On an object store, immutable objects "
-            "make the JSON manifest alone the snapshot; this command's "
-            "manifest format is exactly that list (see operators/"
-            "snapshot.py), but the hardlink step does not apply there."
+            "Materialization economics depend on the filesystem: on a "
+            "LOCAL path, files are hardlinked — freezing a multi-TB table "
+            "costs directory entries, not bytes. On a URI-scheme target "
+            "(hdfs://, s3a://, abfss://) all I/O goes through the Hadoop "
+            "FS API and each file is BYTE-COPIED (no hardlink primitive "
+            "exists there) — freezing costs one read+write of the table, "
+            "so snapshot BEFORE the day's swaps, not after. A "
+            "manifest-only snapshot (the JSON manifest IS the version) "
+            "would be byte-free on a versioned object store, but requires "
+            "the partition swap to leave old objects in place, which this "
+            "repo's replace_partitions does not — see operators/"
+            "snapshot.py."
         ),
     )
     snp.add_argument("--target", required=True)
@@ -151,7 +157,31 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="bound each streamed micro-batch to this many files",
     )
-    gate.add_argument("--index", required=True, help="signature index table directory")
+    gate.add_argument(
+        "--index",
+        default=None,
+        help="signature index table directory (required unless "
+        "--bucketed-table)",
+    )
+    gate.add_argument(
+        "--bucketed-table",
+        default=None,
+        help="instead of --index: gate against the BUCKETED band table of "
+        "this catalog name (minhash mode only) — the probe's candidate "
+        "join needs no exchange on the index side (bucketed FileScan). "
+        "Bucketing metadata lives in the session catalog, so pass "
+        "--metastore-dir to keep the layout across process restarts",
+    )
+    gate.add_argument(
+        "--metastore-dir",
+        default=None,
+        help="persistent catalog location (embedded Derby metastore + "
+        "warehouse under this directory): saveAsTable metadata — the "
+        "bucketed band-table layout in particular — survives process "
+        "restart, so tomorrow's invocation still plans the probe as one "
+        "exchange. Single-node equivalent of Hive/Glue/Unity; one "
+        "metastore per process (fixed at first session build)",
+    )
     gate.add_argument(
         "--date",
         default=None,
@@ -407,7 +437,6 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.cmd == "snapshot":
-        # pure-filesystem operation (except --diff): no SparkSession needed
         from data_ingestion_lambda_spark.operators.snapshot import (
             diff_snapshots,
             expire_snapshots,
@@ -415,10 +444,22 @@ def main(argv: list[str] | None = None) -> int:
             snapshot_table,
         )
 
+        # A scheme-less target is plain-os filesystem work — no
+        # SparkSession (and no JVM startup) needed. A URI-scheme target
+        # (hdfs://, s3a://, file://...) routes through the Hadoop FS API,
+        # which needs the session's JVM.
+        import re as _re
+
+        _spark = (
+            get_spark("data-ingestion-cli")
+            if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", args.target)
+            else None
+        )
+
         if args.diff:
             from pyspark.sql import functions as F
 
-            spark = get_spark("data-ingestion-cli")
+            spark = _spark or get_spark("data-ingestion-cli")
             va, vb = (int(x) for x in args.diff.split(","))
             d = diff_snapshots(
                 spark, args.target, va, vb, keys=args.keys.split(",")
@@ -429,12 +470,15 @@ def main(argv: list[str] | None = None) -> int:
                               "versions": [va, vb]}))
             return 0
         if args.list:
-            print(json.dumps({"statusCode": 200, "snapshots": list_snapshots(args.target)}))
+            print(json.dumps({"statusCode": 200,
+                              "snapshots": list_snapshots(args.target, spark=_spark)}))
         elif args.expire_keep is not None:
-            dropped = expire_snapshots(args.target, keep_last=args.expire_keep)
+            dropped = expire_snapshots(
+                args.target, keep_last=args.expire_keep, spark=_spark
+            )
             print(json.dumps({"statusCode": 200, "expired_versions": dropped}))
         else:
-            v = snapshot_table(args.target, note=args.note)
+            v = snapshot_table(args.target, note=args.note, spark=_spark)
             print(json.dumps({"statusCode": 200, "version": v}))
         return 0
 
@@ -473,7 +517,46 @@ def main(argv: list[str] | None = None) -> int:
         )
         from pyspark.sql import functions as F
 
-        spark = get_spark("data-ingestion-cli")
+        spark = get_spark("data-ingestion-cli", metastore_dir=args.metastore_dir)
+        if args.bucketed_table is not None:
+            from data_ingestion_lambda_spark.operators.dedup_gate import (
+                apply_batch_bucketed,
+                probe_batch_bucketed,
+            )
+
+            if args.mode != "minhash":
+                raise SystemExit("dedup-gate: --bucketed-table is minhash-only")
+            if args.stream_source is not None:
+                raise SystemExit(
+                    "dedup-gate: --bucketed-table takes --batch/--date; use the "
+                    "directory index (--index) for --stream-source"
+                )
+            if args.batch is None or args.date is None:
+                raise SystemExit("dedup-gate: --bucketed-table needs --batch and --date")
+            batch = spark.read.parquet(args.batch).select("doc_id", "text")
+            if args.probe_only:
+                m = probe_batch_bucketed(
+                    spark, args.bucketed_table, batch, exclude_date=args.date
+                )
+                report = {
+                    "date": args.date,
+                    "batch_docs": batch.count(),
+                    "dup_pairs": m.count(),
+                    "flagged_docs": m.select("new_doc").distinct().count(),
+                    "probe_only": True,
+                }
+            else:
+                report = apply_batch_bucketed(
+                    spark,
+                    args.bucketed_table,
+                    batch,
+                    args.date,
+                    matches_dir=args.matches_out,
+                )
+            print(json.dumps({"statusCode": 200, **report}))
+            return 0
+        if args.index is None:
+            raise SystemExit("dedup-gate: --index is required without --bucketed-table")
         if args.stream_source is not None:
             if args.checkpoint is None:
                 raise SystemExit("dedup-gate: --stream-source requires --checkpoint")

@@ -350,8 +350,13 @@ def apply_batch(
 # Catalog note (standard Spark semantics, not ours): bucketing metadata
 # lives in the session catalog, so cross-SESSION maintenance of this
 # variant needs a persistent metastore (Hive/Glue/UC) — exactly the setup
-# any production bucketed table requires. The directory-layout gate above
-# stays the metastore-free default.
+# any production bucketed table requires. The single-node equivalent is
+# shipped: get_spark(metastore_dir=...) / the CLI's
+# `dedup-gate --bucketed-table NAME --metastore-dir DIR` wire an embedded
+# Derby metastore + warehouse under DIR, and the layout's survival across
+# process restarts (probe still one-exchange) is pinned by a two-JVM test
+# (tests/test_metastore_gate.py). The directory-layout gate above stays
+# the metastore-free default.
 # ---------------------------------------------------------------------------
 
 BUCKET_COUNT = 64

@@ -10,11 +10,22 @@ it — with a JSON manifest of every data file and its size.
 Mechanism: hardlinks (os.link) when source and snapshot share a local
 filesystem — freezing a multi-TB table costs directory entries, not
 bytes, because the swap DELETES old partition dirs rather than truncating
-files, so a hardlinked snapshot keeps the old blocks alive. Falls back to
-copy when linking fails (cross-device). On an object store the same
-design is manifest-only: objects are immutable, so recording their keys
-IS the snapshot (this module's manifest format is exactly that list);
-the hardlink step is the local-filesystem materialization of it.
+files, so a hardlinked snapshot keeps the old blocks alive.
+
+FS-agnostic: every function accepts an optional ``spark``; when given,
+ALL directory/manifest I/O goes through the Hadoop FS API
+(operators/upsert.py::_hadoop_fs), so the same code runs against
+hdfs:// / s3a:// / abfss:// targets. Materialization on a non-local FS
+falls back to ``FileUtil.copy`` per file — a BYTE COPY, not a link:
+object stores and HDFS have no hardlink, so freezing costs one read+write
+of the table there (run it before, not after, the day's swaps). On a
+versioned object store the cheaper design is manifest-only — objects are
+immutable, so recording their keys IS the snapshot, and this module's
+manifest format is exactly that list — but that requires the SWAP to
+leave old objects in place, which replace_partitions does not; hence the
+copy. Without ``spark`` the implementation is plain-os and LOCAL PATHS
+ONLY (the CLI always passes the session). Both constraints are surfaced
+in the CLI's ``snapshot`` help, not just here.
 
 Reference parity: the reference keeps no history at all (its MERGE
 overwrites, src/db_operations.py:56-106); this is a §2.11 north-star
@@ -31,12 +42,91 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
 _SNAP_ROOT = ".snapshots"
 _MANIFEST = "manifest.json"
 
 
 def _snap_root(target_dir: str) -> str:
-    return os.path.join(target_dir, _SNAP_ROOT)
+    return f"{target_dir.rstrip('/')}/{_SNAP_ROOT}"
+
+
+# --- Hadoop-FS plumbing (used whenever a session is provided) ---------------
+
+
+def _fs_walk_data_files(fs, path_cls, base: str) -> list[str]:
+    """Relative paths of every visible data file under ``base`` (hidden
+    dirs/files skipped) — the Hadoop twin of os.walk."""
+    out: list[str] = []
+    base_uri = fs.makeQualified(path_cls(base)).toString().rstrip("/")
+
+    def _walk(p):
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith((".", "_")):
+                continue
+            if st.isDirectory():
+                _walk(st.getPath())
+            else:
+                full = st.getPath().toString()
+                out.append(full[len(base_uri) + 1 :])
+
+    _walk(path_cls(base))
+    return sorted(out)
+
+
+def _fs_read_json(spark, fs, path_cls, path: str) -> dict:
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(path_cls(path))
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _fs_write_json_atomic(fs, path_cls, tmp: str, dst: str, payload: dict) -> None:
+    out = fs.create(path_cls(tmp), True)
+    try:
+        out.write(bytearray(json.dumps(payload, indent=1, sort_keys=True), "utf-8"))
+    finally:
+        out.close()
+    if not fs.rename(path_cls(tmp), path_cls(dst)):
+        raise IOError(f"snapshot: rename {tmp} -> {dst} returned false")
+
+
+def _local_root(fs, path_cls, path: str) -> str | None:
+    """The plain-os path when ``path`` lives on the local FS (scheme-less
+    or file:), else None. Hardlinks exist only here."""
+    qualified = fs.makeQualified(path_cls(path)).toUri()
+    if qualified.getScheme() in (None, "file"):
+        return qualified.getPath()
+    return None
+
+
+def _materialize(spark, fs, path_cls, src: str, dst: str) -> None:
+    """One data file into the snapshot: hardlink on the local FS (bytes
+    are shared, the freeze costs a directory entry), FileUtil.copy
+    elsewhere (no link primitive exists — a real byte copy)."""
+    lsrc, ldst = _local_root(fs, path_cls, src), _local_root(fs, path_cls, dst)
+    if lsrc is not None and ldst is not None:
+        os.makedirs(os.path.dirname(ldst), exist_ok=True)
+        try:
+            os.link(lsrc, ldst)
+            return
+        except OSError:
+            shutil.copy2(lsrc, ldst)  # cross-device fallback
+            return
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if not jvm.org.apache.hadoop.fs.FileUtil.copy(
+        fs, path_cls(src), fs, path_cls(dst), False, hconf
+    ):
+        raise IOError(f"snapshot: copy {src} -> {dst} returned false")
+
+
+# --- plain-os fallbacks (spark=None; local paths only) ----------------------
 
 
 def _data_files(target_dir: str) -> list[str]:
@@ -51,11 +141,21 @@ def _data_files(target_dir: str) -> list[str]:
     return sorted(out)
 
 
-def list_snapshots(target_dir: str) -> list[dict]:
+def list_snapshots(target_dir: str, spark: SparkSession | None = None) -> list[dict]:
     root = _snap_root(target_dir)
+    snaps = []
+    if spark is not None:
+        fs, path_cls = _hadoop_fs(spark, target_dir)
+        if not fs.exists(path_cls(root)):
+            return []
+        for st in fs.listStatus(path_cls(root)):
+            name = st.getPath().getName()
+            mf = f"{root}/{name}/{_MANIFEST}"
+            if name.startswith("v") and st.isDirectory() and fs.exists(path_cls(mf)):
+                snaps.append(_fs_read_json(spark, fs, path_cls, mf))
+        return sorted(snaps, key=lambda s: s["version"])
     if not os.path.isdir(root):
         return []
-    snaps = []
     for name in sorted(os.listdir(root)):
         mf = os.path.join(root, name, _MANIFEST)
         if name.startswith("v") and os.path.isfile(mf):
@@ -64,26 +164,39 @@ def list_snapshots(target_dir: str) -> list[dict]:
     return sorted(snaps, key=lambda s: s["version"])
 
 
-def snapshot_table(target_dir: str, note: str = "") -> int:
+def snapshot_table(
+    target_dir: str, note: str = "", spark: SparkSession | None = None
+) -> int:
     """Freeze the current table state as the next version; returns it.
 
     Write order is crash-safe: data files land first, the manifest last —
     a half-written snapshot has no manifest and is invisible to
-    list/read/expire."""
-    existing = list_snapshots(target_dir)
+    list/read/expire. With ``spark``, works on any Hadoop FS (see module
+    docstring for the local-hardlink vs remote-copy economics); without,
+    local paths only."""
+    existing = list_snapshots(target_dir, spark=spark)
     version = (existing[-1]["version"] + 1) if existing else 1
-    files = _data_files(target_dir)
-    snap_dir = os.path.join(_snap_root(target_dir), f"v{version}")
-    sizes = {}
-    for rel in files:
-        src = os.path.join(target_dir, rel)
-        dst = os.path.join(snap_dir, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy2(src, dst)  # cross-device fallback
-        sizes[rel] = os.path.getsize(src)
+    snap_dir = f"{_snap_root(target_dir)}/v{version}"
+    if spark is not None:
+        fs, path_cls = _hadoop_fs(spark, target_dir)
+        files = _fs_walk_data_files(fs, path_cls, target_dir)
+        sizes = {}
+        for rel in files:
+            src = f"{target_dir.rstrip('/')}/{rel}"
+            _materialize(spark, fs, path_cls, src, f"{snap_dir}/{rel}")
+            sizes[rel] = fs.getFileStatus(path_cls(src)).getLen()
+    else:
+        files = _data_files(target_dir)
+        sizes = {}
+        for rel in files:
+            src = os.path.join(target_dir, rel)
+            dst = os.path.join(snap_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+            sizes[rel] = os.path.getsize(src)
     manifest = {
         "version": version,
         "created_at": time.time(),
@@ -92,31 +205,48 @@ def snapshot_table(target_dir: str, note: str = "") -> int:
         "total_bytes": sum(sizes.values()),
         "files": sizes,
     }
-    os.makedirs(snap_dir, exist_ok=True)
-    tmp = os.path.join(snap_dir, f".{_MANIFEST}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(snap_dir, _MANIFEST))
+    if spark is not None:
+        fs, path_cls = _hadoop_fs(spark, target_dir)
+        fs.mkdirs(path_cls(snap_dir))
+        _fs_write_json_atomic(
+            fs, path_cls, f"{snap_dir}/.{_MANIFEST}.tmp", f"{snap_dir}/{_MANIFEST}",
+            manifest,
+        )
+    else:
+        os.makedirs(snap_dir, exist_ok=True)
+        tmp = os.path.join(snap_dir, f".{_MANIFEST}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(snap_dir, _MANIFEST))
     return version
 
 
 def read_snapshot(spark: SparkSession, target_dir: str, version: int) -> DataFrame:
     """The table AS OF ``version`` — partition discovery works unchanged
     because the snapshot preserves the date=... layout."""
-    snap_dir = os.path.join(_snap_root(target_dir), f"v{version}")
-    if not os.path.isfile(os.path.join(snap_dir, _MANIFEST)):
+    snap_dir = f"{_snap_root(target_dir)}/v{version}"
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    if not fs.exists(path_cls(f"{snap_dir}/{_MANIFEST}")):
         raise FileNotFoundError(f"no snapshot v{version} under {target_dir}")
     return spark.read.parquet(snap_dir)
 
 
-def expire_snapshots(target_dir: str, keep_last: int) -> list[int]:
+def expire_snapshots(
+    target_dir: str, keep_last: int, spark: SparkSession | None = None
+) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots; returns dropped
     versions. Hardlinked blocks are freed only when the last reference
     (live table or newer snapshot) also drops them."""
-    snaps = list_snapshots(target_dir)
+    snaps = list_snapshots(target_dir, spark=spark)
     dropped = []
     for s in snaps[: max(0, len(snaps) - keep_last)]:
-        shutil.rmtree(os.path.join(_snap_root(target_dir), f"v{s['version']}"))
+        snap_dir = f"{_snap_root(target_dir)}/v{s['version']}"
+        if spark is not None:
+            fs, path_cls = _hadoop_fs(spark, target_dir)
+            if not fs.delete(path_cls(snap_dir), True):
+                raise IOError(f"expire_snapshots: delete {snap_dir} returned false")
+        else:
+            shutil.rmtree(snap_dir)
         dropped.append(s["version"])
     return dropped
 

@@ -29,12 +29,25 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    metastore_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
     cluster pass ``None`` via spark-submit and the cluster manager wins.
-    """
+
+    ``metastore_dir`` turns on a PERSISTENT catalog (Hive implementation
+    over an embedded Derby database under that directory, warehouse
+    alongside it): saveAsTable metadata — in particular the dedup gate's
+    BUCKETED band-table layout (operators/dedup_gate.py::
+    apply_batch_bucketed) — survives process restart, so tomorrow's CLI
+    invocation still plans the probe as one exchange against a bucketed
+    FileScan. Without it, Spark's default in-memory catalog forgets
+    bucketing at exit (standard Spark semantics). On a real cluster the
+    same role is played by Hive/Glue/Unity; this wiring is the
+    single-node, zero-service equivalent. Note: the session-conf derby
+    location is fixed at FIRST session build in a JVM — one metastore per
+    process."""
     cores = _local_cores()
     if master is None:
         master = f"local[{cores}]"
@@ -71,6 +84,17 @@ def get_spark(
         # as epoch-nanos long, converted to µs timestamp in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if metastore_dir is not None:
+        builder = (
+            builder.config("spark.sql.catalogImplementation", "hive")
+            .config("spark.sql.warehouse.dir", f"{metastore_dir}/warehouse")
+            # spark.hadoop. prefix lands the property in the Hadoop/Hive
+            # conf (a bare javax.jdo.* key is dropped as "non-Spark")
+            .config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={metastore_dir}/metastore_db;create=true",
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

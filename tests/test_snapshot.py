@@ -201,3 +201,59 @@ def test_diff_digest_distinguishes_null_from_sentinel_lookalikes(spark, tmp_path
         for r in diff_snapshots(spark, target, 1, 2, keys=["date", "k"]).collect()
     }
     assert got == {"K1": "changed", "K2": "changed"}
+
+
+def test_hadoop_fs_path_equals_plain_os_path(spark, tmp_path):
+    """FS-agnostic route (r8): with ``spark`` passed and a URI-scheme
+    target, all snapshot I/O goes through the Hadoop FS API — the
+    resulting versions must behave identically to the plain-os path
+    (freeze, list, read, hardlink economics on file://, expire), and the
+    two routes must interoperate on the same snapshot root."""
+    target = str(tmp_path / "consumptions")
+    upsert_into_parquet(
+        spark,
+        target,
+        _batch(spark, [("2025-05-01", "A", 100), ("2025-05-01", "B", 10)]),
+        keys=["date", "client_code"],
+        order_cols=["total_consumed_tokens"],
+    )
+    uri = f"file://{target}"
+    v1 = snapshot_table(uri, note="via hadoop fs", spark=spark)
+    assert v1 == 1
+    # file:// is the local FS -> materialization hardlinked, not copied:
+    # at freeze time the snapshot file IS the live file (same inode). The
+    # later merge deletes the live copy, dropping st_nlink back to 1 —
+    # the hardlink keeping the old blocks alive is the whole design.
+    import json as _json
+
+    with open(os.path.join(target, ".snapshots", "v1", "manifest.json")) as fh:
+        first = sorted(_json.load(fh)["files"])[0]
+    assert (
+        os.stat(os.path.join(target, ".snapshots", "v1", first)).st_ino
+        == os.stat(os.path.join(target, first)).st_ino
+    )
+    upsert_into_parquet(
+        spark,
+        target,
+        _batch(spark, [("2025-05-01", "A", 999)]),
+        keys=["date", "client_code"],
+        order_cols=["total_consumed_tokens"],
+    )
+    # plain-os route sees the hadoop-written version and continues the chain
+    v2 = snapshot_table(target, note="via plain os")
+    assert v2 == 2
+    metas_h = list_snapshots(uri, spark=spark)
+    metas_o = list_snapshots(target)
+    assert [m["version"] for m in metas_h] == [1, 2]
+    assert [(m["version"], m["n_files"], m["total_bytes"]) for m in metas_h] == [
+        (m["version"], m["n_files"], m["total_bytes"]) for m in metas_o
+    ]
+    # the frozen v1 still serves the pre-merge row
+    rows_v1 = {
+        (r.client_code): r.total_consumed_tokens
+        for r in read_snapshot(spark, uri, 1).collect()
+    }
+    assert rows_v1["A"] == 100
+    # expire through the hadoop route
+    assert expire_snapshots(uri, keep_last=1, spark=spark) == [1]
+    assert [m["version"] for m in list_snapshots(target)] == [2]
