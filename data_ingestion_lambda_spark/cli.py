@@ -59,6 +59,30 @@ def _read_event_batch(spark, path: str):
     return df
 
 
+def _add_stream_args(sub_parser, noun: str) -> None:
+    """The shared streaming-front flags (streaming/index_streams.py):
+    drain every file the offset log has not seen, applying each
+    micro-batch under its own batch-id partition (replay-idempotent)."""
+    sub_parser.add_argument(
+        "--stream-source",
+        default=None,
+        help=f"instead of --batch: drain every {noun} file under this "
+        "directory that the --checkpoint offset log has not seen "
+        "(batch-id-keyed partitions; replay-idempotent)",
+    )
+    sub_parser.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming offset log directory (required with --stream-source)",
+    )
+    sub_parser.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        help="bound each streamed micro-batch to this many files",
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_ingestion_lambda_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -213,8 +237,11 @@ def build_parser() -> argparse.ArgumentParser:
         "batch and/or score a batch's LM-quality against the persisted "
         "model (the production form of text_unigram_surprisal)",
     )
-    voc.add_argument("--batch", required=True, help="parquet of (doc_id, text) documents")
+    voc.add_argument(
+        "--batch", default=None, help="parquet of (doc_id, text) documents"
+    )
     voc.add_argument("--vocab", required=True, help="vocab table directory")
+    _add_stream_args(voc, "document")
     voc.add_argument(
         "--date",
         default=None,
@@ -276,6 +303,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="positive cosine ceiling for --hard-negatives (default 0.90, "
         "the shipped recall curve's near-dup tier)",
     )
+    _add_stream_args(ann, "vector")
 
     sidx = sub.add_parser(
         "search-index",
@@ -299,6 +327,7 @@ def build_parser() -> argparse.ArgumentParser:
     sidx.add_argument(
         "--out", default=None, help="persist the top-k result here (overwrite)"
     )
+    _add_stream_args(sidx, "document")
 
     drf = sub.add_parser(
         "drift-monitor",
@@ -423,6 +452,7 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="persist the per-user session stats here (overwrite)",
     )
+    _add_stream_args(ses, "event")
 
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
@@ -613,6 +643,30 @@ def main(argv: list[str] | None = None) -> int:
             update_vocab,
         )
 
+        if args.stream_source is not None:
+            if args.checkpoint is None:
+                raise SystemExit("vocab: --stream-source requires --checkpoint")
+            if args.batch is not None or args.score_only or args.score_out:
+                raise SystemExit(
+                    "vocab: --stream-source only extends the model; scoring "
+                    "runs against the persisted counts via --batch --score-only"
+                )
+            from data_ingestion_lambda_spark.streaming.index_streams import (
+                run_vocab_update_available_now,
+            )
+
+            spark = get_spark("data-ingestion-cli")
+            reports = run_vocab_update_available_now(
+                spark,
+                args.stream_source,
+                args.vocab,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+            print(json.dumps({"statusCode": 200, "batches": reports}))
+            return 0
+        if args.batch is None:
+            raise SystemExit("vocab: need --batch or --stream-source")
         if not args.score_only and args.date is None:
             raise SystemExit("vocab: --date is required unless --score-only")
         spark = get_spark("data-ingestion-cli")
@@ -703,12 +757,37 @@ def main(argv: list[str] | None = None) -> int:
 
         if (args.batch is None) != (args.date is None):
             raise SystemExit("session-store: --batch and --date go together")
-        if args.batch is None and args.sessions_out is None and args.stats_out is None:
+        if args.stream_source is not None and args.checkpoint is None:
+            raise SystemExit("session-store: --stream-source requires --checkpoint")
+        if args.stream_source is not None and args.batch is not None:
             raise SystemExit(
-                "session-store: need --batch/--date, --sessions-out and/or --stats-out"
+                "session-store: --stream-source (batch-id keys) and --batch "
+                "(calendar keys) are exclusive per ledger"
+            )
+        if (
+            args.batch is None
+            and args.stream_source is None
+            and args.sessions_out is None
+            and args.stats_out is None
+        ):
+            raise SystemExit(
+                "session-store: need --batch/--date, --stream-source, "
+                "--sessions-out and/or --stats-out"
             )
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
+        if args.stream_source is not None:
+            from data_ingestion_lambda_spark.streaming.index_streams import (
+                run_session_update_available_now,
+            )
+
+            report["batches"] = run_session_update_available_now(
+                spark,
+                args.stream_source,
+                args.index,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
         if args.batch is not None:
             batch = _read_event_batch(spark, args.batch)
             report.update(apply_session_batch(spark, args.index, batch, args.date))
@@ -873,12 +952,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         from pyspark.sql import functions as F
 
-        if args.batch is None and args.query is None:
-            raise SystemExit("search-index: need --batch and/or --query")
+        if args.batch is None and args.query is None and args.stream_source is None:
+            raise SystemExit("search-index: need --batch, --stream-source and/or --query")
         if args.batch is not None and args.date is None:
             raise SystemExit("search-index: --batch requires --date")
+        if args.stream_source is not None and args.checkpoint is None:
+            raise SystemExit("search-index: --stream-source requires --checkpoint")
+        if args.stream_source is not None and args.batch is not None:
+            raise SystemExit("search-index: --stream-source and --batch are exclusive")
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
+        if args.stream_source is not None:
+            from data_ingestion_lambda_spark.streaming.index_streams import (
+                run_postings_update_available_now,
+            )
+
+            report["batches"] = run_postings_update_available_now(
+                spark,
+                args.stream_source,
+                args.index,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
         if args.batch is not None:
             batch = spark.read.parquet(args.batch).select("doc_id", "text")
             report.update(update_postings(spark, args.index, batch, args.date))
@@ -903,15 +998,38 @@ def main(argv: list[str] | None = None) -> int:
         )
         from pyspark.sql import functions as F
 
-        if args.train is None and args.batch is None and args.query is None:
-            raise SystemExit("ann-index: need --train, --batch and/or --query")
+        if (
+            args.train is None
+            and args.batch is None
+            and args.query is None
+            and args.stream_source is None
+        ):
+            raise SystemExit(
+                "ann-index: need --train, --batch, --stream-source and/or --query"
+            )
         if args.batch is not None and args.date is None:
             raise SystemExit("ann-index: --batch requires --date")
+        if args.stream_source is not None and args.checkpoint is None:
+            raise SystemExit("ann-index: --stream-source requires --checkpoint")
+        if args.stream_source is not None and args.batch is not None:
+            raise SystemExit("ann-index: --stream-source and --batch are exclusive")
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
         if args.train is not None:
             vecs = spark.read.parquet(args.train).select("vec_id", "embedding")
             report.update(train_index(spark, args.index, vecs))
+        if args.stream_source is not None:
+            from data_ingestion_lambda_spark.streaming.index_streams import (
+                run_ann_append_available_now,
+            )
+
+            report["batches"] = run_ann_append_available_now(
+                spark,
+                args.stream_source,
+                args.index,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
         if args.batch is not None:
             batch = spark.read.parquet(args.batch).select("vec_id", "embedding")
             report.update(append_batch(spark, args.index, batch, args.date))

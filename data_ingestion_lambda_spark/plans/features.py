@@ -683,7 +683,8 @@ _NEG_B = 40503
     ),
     cand AS (
         SELECT c_custkey, CAST(i.i AS BIGINT) AS sample_idx,
-               ((c_custkey * {_NEG_A} + i.i * {_NEG_B}) % 1000000007)
+               (((c_custkey % 1000000007) * {_NEG_A} % 1000000007
+                 + i.i * {_NEG_B}) % 1000000007)
                  % (SELECT n FROM np) + 1 AS rk
         FROM customer, (SELECT UNNEST(generate_series(0, {_NEG_K - 1})) AS i) i
     ),
@@ -712,10 +713,12 @@ def feature_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure hash, so every engine, run, and retry yields the same pairs.
 
     Determinism: candidate = hash % P % |parts| mapped through a dense
-    part-rank index; all integer arithmetic (c_custkey·A fits in int64
-    at any TPC-H SF the 1e9+7 modulus sees — A·|customers| < 2^63 up to
-    ~3.5e9 customers); ROW_NUMBER over the same (p_partkey) order in
-    both engines.
+    part-rank index; all integer arithmetic, with the key reduced mod P
+    BEFORE the multiply — ((ck % P)·A) % P ≡ (ck·A) % P but the left
+    form's intermediate is bounded by (P−1)·A < 2.7e18 < 2^63 for ANY
+    key, while the naive ck·A overflows ANSI int64 once keys reach
+    ~3.5e9 (found at 100x replication; real 10-digit user ids hit it
+    too). ROW_NUMBER over the same (p_partkey) order in both engines.
 
     Scale: ONE fact exchange (the orderkey join for interactions,
     distinct-reduced before the anti-join, so the anti-join's right
@@ -749,7 +752,8 @@ def feature_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (
                     (
-                        F.col("c_custkey") * F.lit(_NEG_A)
+                        (F.col("c_custkey") % F.lit(1000000007)) * F.lit(_NEG_A)
+                        % F.lit(1000000007)
                         + F.col("sample_idx") * F.lit(_NEG_B)
                     )
                     % F.lit(1000000007)

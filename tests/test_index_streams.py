@@ -161,3 +161,48 @@ def test_session_stream_equals_oneshot_under_arbitrary_split(spark, tmp_path):
     assert got == want and len(got) > 0
     assert run_session_update_available_now(spark, src, idx, ckpt) == []
     assert rows() == got
+
+
+def test_cli_stream_fronts(spark, tmp_path, capsys):
+    """The four new --stream-source CLI wirings drain and apply; the
+    drained vocab equals the one-shot counts and the session store
+    serves the merged table."""
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+    from data_ingestion_lambda_spark.operators.vocab import _batch_counts, read_vocab
+
+    docs = _docs(spark)
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    vocab = str(tmp_path / "vocab")
+    rc = main(
+        [
+            "vocab", "--vocab", vocab,
+            "--stream-source", src, "--checkpoint", str(tmp_path / "vckpt"),
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200 and len(rep["batches"]) >= 1
+    assert sorted(map(tuple, read_vocab(spark, vocab).collect())) == sorted(
+        map(tuple, _batch_counts(docs).collect())
+    )
+
+    from data_ingestion_lambda_spark.operators.session_store import read_sessions
+    from data_ingestion_lambda_spark.sources.catalog import load_table
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "ts")
+    esrc = str(tmp_path / "events_src")
+    events.write.parquet(esrc)
+    sess_idx = str(tmp_path / "sess_idx")
+    rc = main(
+        [
+            "session-store", "--index", sess_idx,
+            "--stream-source", esrc, "--checkpoint", str(tmp_path / "sckpt"),
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200 and len(rep["batches"]) >= 1
+    assert read_sessions(spark, sess_idx).count() > 0

@@ -521,12 +521,14 @@ def run_feature(spark, rep_dir: str) -> None:
     )
 
 
-def run_session(spark, rep_dir: str) -> None:
+def run_session(spark, rep_dir: str, extra_corpora: list[tuple[str, str]] = ()) -> None:
     """Per-day economics for maintained incremental sessionization
     (operators/session_store.py): apply cost must track the BATCH (one
     day's events sessionized + a partition write — no store read);
     the seam-merge read costs session-count rows, which grows with the
-    user multiple but never re-touches events."""
+    user multiple but never re-touches events. ``extra_corpora`` adds
+    (label, events-dir) points past the default 1x/10x — e.g.
+    ``--session-extra 300x=/tmp/scale_300`` for the 300x read point."""
     from pyspark.sql import functions as F
 
     from data_ingestion_lambda_spark.operators.session_store import (
@@ -540,7 +542,8 @@ def run_session(spark, rep_dir: str) -> None:
         )
 
     results = {}
-    for label, src in (("1x", "/root/testdata/sf0.1"), ("10x", rep_dir)):
+    corpora = [("1x", "/root/testdata/sf0.1"), ("10x", rep_dir)] + list(extra_corpora)
+    for label, src in corpora:
         events = _events(f"{src}/events.parquet")
         days = sorted(
             str(r.d)
@@ -588,22 +591,18 @@ def run_session(spark, rep_dir: str) -> None:
         finally:
             shutil.rmtree(idx, ignore_errors=True)
 
-    r1, r10 = results["1x"], results["10x"]
-    print(
-        json.dumps(
-            {
-                "mode": "session",
-                "session_growth": round(r10["sessions"] / r1["sessions"], 1),
-                "apply_growth": round(
-                    r10["t_daily_apply_s"] / max(r1["t_daily_apply_s"], 0.01), 2
-                ),
-                "read_growth": round(
-                    r10["t_read_sessions_s"] / max(r1["t_read_sessions_s"], 0.01), 2
-                ),
-            }
-        ),
-        flush=True,
-    )
+    r1 = results["1x"]
+    summary = {"mode": "session"}
+    for label, _ in corpora[1:]:
+        r = results[label]
+        summary[f"session_growth_{label}"] = round(r["sessions"] / r1["sessions"], 1)
+        summary[f"apply_growth_{label}"] = round(
+            r["t_daily_apply_s"] / max(r1["t_daily_apply_s"], 0.01), 2
+        )
+        summary[f"read_growth_{label}"] = round(
+            r["t_read_sessions_s"] / max(r1["t_read_sessions_s"], 0.01), 2
+        )
+    print(json.dumps(summary), flush=True)
 
 
 def main() -> None:
@@ -612,6 +611,12 @@ def main() -> None:
         "--modes",
         default="minhash,exact,embedding,vocab",
         help="comma-separated gate lanes to measure",
+    )
+    ap.add_argument(
+        "--session-extra",
+        default="",
+        help="extra session corpora as comma-separated LABEL=EVENTS_DIR "
+        "pairs (e.g. 300x=/tmp/scale_300), measured after the 1x/10x pair",
     )
     args = ap.parse_args()
 
@@ -632,7 +637,12 @@ def main() -> None:
         elif mode == "feature":
             run_feature(spark, rep_dir)
         elif mode == "session":
-            run_session(spark, rep_dir)
+            extra = [
+                tuple(pair.split("=", 1))
+                for pair in args.session_extra.split(",")
+                if pair
+            ]
+            run_session(spark, rep_dir, extra_corpora=extra)
         else:
             run_mode(spark, mode, rep_dir)
 
