@@ -217,6 +217,140 @@ def upsert_into_parquet(
         batch.unpersist()
 
 
+_NULL_DIGEST = "-" * 32  # fixed-width, not hex: unreachable by md5
+
+
+def _row_digest(df: DataFrame, keys: list[str], alias: str) -> DataFrame:
+    """(keys..., <alias>) with one md5 digest over every non-key,
+    non-internal column — the snapshot-diff discipline (each column
+    hashed independently, NULL → a fixed-width non-hex sentinel, digests
+    concatenated) so change detection never confuses NULL with a literal
+    or shifts field boundaries on separator characters."""
+    cols = sorted(
+        c for c in df.columns if c not in keys and not c.startswith("_")
+    )
+    per_col = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit(_NULL_DIGEST))
+        for c in cols
+    ]
+    digest = F.md5(F.concat(*per_col)) if per_col else F.lit(_NULL_DIGEST)
+    return df.select(*keys, digest.alias(alias))
+
+
+def upsert_into_parquet_with_cdc(
+    spark: SparkSession,
+    target_dir: str,
+    batch: DataFrame,
+    change_key: str,
+    changes_dir: str | None = None,
+    keys: list[str] = UPSERT_KEYS,
+    order_cols: list[str] | None = None,
+) -> dict:
+    """MERGE like ``upsert_into_parquet`` and ALSO persist the batch's
+    CHANGE FEED: one row per key the merge actually touched, labeled
+    ``insert`` (key new to its partition) or ``update`` (key existed,
+    any payload column changed), carrying the full post-merge row.
+    Unchanged keys (a stale batch row losing last-writer-wins, or a
+    bit-identical re-send) emit NOTHING — the feed is the merge's
+    effect, not its input. Deletes cannot occur under this merge.
+
+    This is the change-data-capture contract downstream incrementals
+    need: applying the feed rows (upsert by key) to any copy of the
+    PRE-merge table reproduces the POST-merge table exactly — pinned in
+    tests/test_upsert_cdc.py. The feed lands under
+    ``changes_dir`` (default ``{target}/_changes`` — underscore-hidden
+    from readers of the table itself) in its own
+    ``date=<change_key>`` partition via the staged swap, so a replayed
+    (batch, change_key) overwrites only its own feed partition —
+    idempotent end to end.
+
+    Plan cost over the plain upsert: the merged result is persisted and
+    compared against the pre-merge rows of the touched partitions with
+    ONE keys-equi left join of row DIGESTS (never payload) — partition-
+    pruned exactly like the merge read itself."""
+    batch = batch.cache()
+    try:
+        batch_dates = [r[0] for r in batch.select(PARTITION_COL).distinct().collect()]
+        if not batch_dates:
+            return {"dates": [], "inserts": 0, "updates": 0}
+
+        existing = None
+        if list_partition_dates(spark, target_dir):
+            existing = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(target_dir)
+                .filter(F.col(PARTITION_COL).isin(batch_dates))
+            )
+            existing, batch_aligned = _align_schemas(existing, batch)
+        else:
+            batch_aligned = batch
+
+        merged = merge_last_writer_wins(
+            existing, batch_aligned, keys=keys, order_cols=order_cols
+        ).persist()
+        try:
+            # The CDC rows must be MATERIALIZED before the partition swap:
+            # `existing` lazily reads the very files the swap deletes.
+            if existing is None:
+                cdc = merged.withColumn("_op", F.lit("insert"))
+            else:
+                pre = _row_digest(existing, keys, "_pre_digest")
+                post = _row_digest(merged, keys, "_post_digest")
+                changed = (
+                    post.join(pre, keys, "left")
+                    .filter(
+                        F.col("_pre_digest").isNull()
+                        | (F.col("_post_digest") != F.col("_pre_digest"))
+                    )
+                    .select(
+                        *keys,
+                        F.when(F.col("_pre_digest").isNull(), "insert")
+                        .otherwise("update")
+                        .alias("_op"),
+                    )
+                )
+                cdc = merged.join(changed, keys)
+            feed_dir = changes_dir or f"{target_dir}/_changes"
+            feed = cdc.select(
+                F.col("_op").alias("op"),
+                *[c for c in merged.columns if c != PARTITION_COL],
+                F.col(PARTITION_COL).alias("row_date"),
+            ).withColumn(PARTITION_COL, F.lit(change_key))
+            if feed.isEmpty():
+                # Nothing changed. Either this logical batch genuinely had
+                # no effect (every row lost last-writer-wins or re-sent
+                # identical payloads) — no feed partition to write — or
+                # this is an at-least-once REPLAY of a batch whose effect
+                # already applied: the recompute against the post-apply
+                # state is empty, and overwriting the feed with it would
+                # destroy the logical batch's recorded effect. Keep any
+                # existing partition; the table swap below still re-merges
+                # (idempotent either way).
+                counts = {}
+            else:
+                replace_partitions(spark, feed_dir, feed, [change_key])
+                counts = {
+                    r["op"]: r["n"]
+                    for r in spark.read.parquet(
+                        f"{feed_dir}/{PARTITION_COL}={change_key}"
+                    )
+                    .groupBy("op")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            replace_partitions(spark, target_dir, merged, batch_dates)
+        finally:
+            merged.unpersist()
+        return {
+            "dates": batch_dates,
+            "inserts": counts.get("insert", 0),
+            "updates": counts.get("update", 0),
+            "changes_dir": feed_dir,
+        }
+    finally:
+        batch.unpersist()
+
+
 def replace_partitions(
     spark: SparkSession,
     target_dir: str,

@@ -468,3 +468,105 @@ def materialize_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
         seq.alias("sequence_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-blend selection (multi-signal curation without score calibration)
+# ---------------------------------------------------------------------------
+
+_BLEND_K = 30  # docs kept per source by the blended rank
+
+
+@register(
+    "corpus_rank_blend",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                   AS BIGINT) AS n_distinct,
+               CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+                   AS n_alpha
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_tokens DESC, doc_id) AS r_tokens,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_distinct DESC, doc_id) AS r_distinct,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_alpha DESC, doc_id) AS r_alpha
+        FROM sig
+    )
+    SELECT doc_id, source,
+           CAST(r_tokens AS BIGINT) AS r_tokens,
+           CAST(r_distinct AS BIGINT) AS r_distinct,
+           CAST(r_alpha AS BIGINT) AS r_alpha,
+           CAST(r_tokens + r_distinct + r_alpha AS BIGINT) AS rank_sum,
+           CAST(blended AS BIGINT) AS blended_rank,
+           blended <= {_BLEND_K} AS selected
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY r_tokens + r_distinct + r_alpha, doc_id) AS blended
+        FROM ranked
+    )
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal curation by RANK FUSION: per source, each document is
+    ranked under three independent keep-signals (token count, distinct
+    tokens, alpha mass), the ranks are summed, and the top {_BLEND_K}
+    by blended rank are selected. Rank aggregation is the standard
+    answer to combining signals on incomparable scales (the same
+    calibration-free argument as the retrieval stack's RRF —
+    plans/retrieval.py — applied to curation): no weights to tune, no
+    score normalization to drift, outliers capped at rank distance.
+
+    Determinism: every signal is an exact integer, every rank a
+    ROW_NUMBER under an explicit (signal DESC, doc_id) total order, the
+    blend an integer sum — no floating point anywhere.
+
+    Scale: all four windows are PARTITIONED BY source (the module's
+    no-global-window discipline) and share one exchange on source; at a
+    fixed per-source working set this is one shuffle of (doc_id, 3
+    longs) per doc regardless of corpus size. If a single source is
+    itself 100 TB, swap each ROW_NUMBER for the two-phase histogram
+    prefix-sum rank (the agg_rfm_segmentation_hist recipe) — signals
+    here are small integers, so the histogram is exact, not
+    approximate."""
+    from data_ingestion_lambda_spark.plans.llm_ops import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sig = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("long").alias("n_alpha"),
+    )
+
+    def _rank(col: str):
+        return F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc(col), F.asc("doc_id"))
+        )
+
+    ranked = sig.select(
+        "doc_id",
+        "source",
+        _rank("n_tokens").cast("long").alias("r_tokens"),
+        _rank("n_distinct").cast("long").alias("r_distinct"),
+        _rank("n_alpha").cast("long").alias("r_alpha"),
+    ).withColumn(
+        "rank_sum",
+        (F.col("r_tokens") + F.col("r_distinct") + F.col("r_alpha")).cast("long"),
+    )
+    blended = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc("rank_sum"), F.asc("doc_id"))
+    )
+    return ranked.withColumn("blended_rank", blended.cast("long")).withColumn(
+        "selected", F.col("blended_rank") <= _BLEND_K
+    )

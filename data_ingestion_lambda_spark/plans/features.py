@@ -939,3 +939,74 @@ def feature_user_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("events_last_week"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency-weighted downsampling (training-set thinning with exact IPW)
+# ---------------------------------------------------------------------------
+
+_SAMP_WMAX = 8  # acceptance floor: weeks >= 8 keep 1/256 of events
+_SAMP_P = 1000000007
+
+
+@register(
+    "sample_recency_decayed",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id, user_id, event_type,
+               LEAST(CAST(DATE '{_DECAY_ASOF}' - CAST(ts AS DATE) AS BIGINT) // 7,
+                     {_SAMP_WMAX}) AS weeks_old
+        FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(weeks_old AS BIGINT) AS weeks_old,
+           CAST(1 << weeks_old AS BIGINT) AS ipw_weight
+    FROM w
+    WHERE ((event_id % {_SAMP_P}) * {_NEG_A} % {_SAMP_P}) % (1 << weeks_old) = 0
+    """,
+    tags=("features", "sampling", "events"),
+)
+def sample_recency_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted training-set thinning: keep an event with
+    probability 2^(−weeks_old) (week-step half-life, floored at
+    2^−{_SAMP_WMAX}) via a DETERMINISTIC hash draw, and attach the exact
+    inverse-propensity weight 2^weeks_old so any downstream aggregate
+    over the sample is unbiased for the full set. The standard move
+    when recent behavior matters most but old history is too big to
+    keep: the sample's expected volume is geometric in age while every
+    epoch, engine, and retry draws the SAME rows (rand() gives none of
+    that).
+
+    Determinism: acceptance is ((event_id % P)·A % P) mod 2^w == 0 —
+    the negative-sampling lane's overflow-safe Knuth hash, compared
+    against dyadic thresholds, so both the draw and the weight are pure
+    integers; there is no floating point in the lane at all. The
+    acceptance sets are NESTED (x mod 2^(w+1) == 0 implies
+    x mod 2^w == 0): an event that survives at age w would also have
+    survived at any younger age, so re-running the sampler as the
+    corpus ages only ever REMOVES rows — an incremental thinning pass
+    can delete in place, never resample.
+
+    Scale: a pure filter inside the scan stage — no shuffle, no window,
+    predicate-pushdown-friendly; the hash and the mod run in
+    whole-stage codegen per row."""
+    w = F.least(
+        (F.datediff(F.lit(_DECAY_ASOF).cast("date"), F.to_date("ts")).cast("long")
+         / F.lit(7)).cast("long"),
+        F.lit(_SAMP_WMAX).cast("long"),
+    )
+    draw = (F.col("event_id") % F.lit(_SAMP_P)) * F.lit(_NEG_A) % F.lit(_SAMP_P)
+    # shiftleft with a COLUMN shift count needs the SQL form (the PySpark
+    # wrapper only takes a literal int)
+    pow2 = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(weeks_old AS INT))")
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            w.alias("weeks_old"),
+        )
+        .filter(draw % pow2 == 0)
+        .withColumn("ipw_weight", pow2.cast("long"))
+    )

@@ -1720,6 +1720,90 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    ex AS (
+        SELECT doc_id, bg FROM d,
+          UNNEST(list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i + 1])) AS u(bg)
+    ),
+    tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM ex GROUP BY doc_id, bg),
+    vocab AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY bg),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot FROM vocab),
+    rarity AS (SELECT bg, CAST(LENGTH(bin(CAST(n_tot // cnt AS BIGINT))) AS BIGINT) AS bits
+               FROM vocab CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(tf * bits) AS BIGINT) AS bits_sum,
+           CAST(SUM(tf * bits) AS DOUBLE) / SUM(tf) AS avg_bits_per_bigram
+    FROM tf JOIN rarity USING (bg)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average surprisal under the corpus's own BIGRAM
+    model — the order-2 companion of text_unigram_surprisal: unigram
+    surprisal scores vocabulary rarity, bigram surprisal scores
+    SEQUENCE rarity, so shuffled/templated text that reuses common
+    words in uncommon orders (spam mills, keyword stuffing) reads
+    normal to the unigram filter and anomalous here. Docs with fewer
+    than two tokens have no bigrams and drop out (a band filter has
+    nothing to say about them).
+
+    Determinism: the unigram lane's integer-bits quantization verbatim
+    (``length(bin(N div count))`` — no transcendental); one IEEE
+    division for the per-doc average. Bigrams are built IN-ROW from the
+    token array (transform over an index sequence — one pass, no
+    positional self-join), identical construction in the DuckDB twin.
+
+    Scale: same profile as the unigram lane — explode collapses to the
+    map-side-combinable (doc, bigram, tf) aggregate, the bigram vocab
+    rolls up from tf, the total is one scalar, and the rarity join is
+    keyed on a one-row-per-bigram table. Bigram vocabularies run larger
+    than unigram ones (still far sublinear in corpus size), which only
+    grows the broadcast/shuffle of the vocab side, never reintroduces
+    an all-pairs."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    # size==1 guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]), and
+    # element_at(toks, 0) is an ANSI error — empty array instead.
+    bigrams = F.when(
+        F.size("toks") > 1,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    ex = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    tf = ex.groupBy("doc_id", "bg").agg(F.count("*").alias("tf")).persist()
+    vocab = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
+    n_tot = vocab.agg(F.sum("cnt")).collect()[0][0]  # scalar: one number
+    rarity = vocab.select(
+        "bg",
+        F.length(F.bin(F.expr(f"CAST({n_tot} AS BIGINT) DIV cnt"))).cast("long").alias("bits"),
+    )
+    return (
+        tf.join(rarity, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("bits")).alias("bits_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "bits_sum",
+            (F.col("bits_sum").cast("double") / F.col("n_bigrams")).alias(
+                "avg_bits_per_bigram"
+            ),
+        )
+    )
+
+
+@register(
     "text_collocations_lift",
     oracle=f"""
     WITH toks AS (SELECT {SQL_TOKENS} AS w FROM documents),
@@ -2804,4 +2888,76 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / F.col("sa.n")).alias("containment_a_in_b"),
             (inter.cast("double") / F.col("sb.n")).alias("containment_b_in_a"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document keyword extraction (tf-idf, engine-exact arithmetic)
+# ---------------------------------------------------------------------------
+
+_KW_K = 5  # keywords kept per document
+
+
+@register(
+    "text_top_keywords",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, UNNEST({SQL_TOKENS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM ex GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    idf AS (SELECT tok, df,
+                   CAST(LENGTH(bin(CAST(n_docs // df AS BIGINT))) AS BIGINT) AS idf_bits
+            FROM df CROSS JOIN nd)
+    SELECT doc_id, tok, tf, df,
+           CAST(tf * idf_bits AS BIGINT) AS score_bits,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT tf.doc_id, tf.tok, tf.tf, idf.df, idf.idf_bits,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * idf.idf_bits DESC, tf.tok) AS rk
+        FROM tf JOIN idf USING (tok)
+    ) WHERE rk <= {_KW_K}
+    """,
+    tags=("llm", "text"),
+)
+def text_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top {_KW_K} tokens by
+    tf·idf, where idf is the unigram-surprisal lane's INTEGER-BITS
+    quantization (``length(bin(n_docs div df))`` = floor(log2) + 1 — no
+    transcendental, so both engines score identically to the bit). The
+    labeling/routing primitive of a curation pipeline: cluster naming,
+    topic routing, and dedup-cluster summaries all start from "which
+    terms characterize this document against the corpus".
+
+    Determinism: tf, df, n_docs and the score tf·idf_bits are exact
+    integers; ROW_NUMBER under the explicit (score DESC, tok ASC)
+    total order breaks ties identically in both engines.
+
+    Scale: the unigram lane's profile — explode collapses to the
+    map-side-combinable (doc, token, tf) aggregate, df rolls up from tf
+    keyed by token (one row per vocab term, Heaps-sublinear), n_docs is
+    one scalar, and the scoring join is token-keyed; the only window
+    partitions by doc_id — never global."""
+    ex = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    tf = ex.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf")).persist()
+    df = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()  # scalar: one number
+    idf = df.select(
+        "tok",
+        "df",
+        F.length(F.bin(F.expr(f"CAST({n_docs} AS BIGINT) DIV df")))
+        .cast("long")
+        .alias("idf_bits"),
+    )
+    scored = tf.join(idf, "tok").withColumn(
+        "score_bits", (F.col("tf") * F.col("idf_bits")).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_bits"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _KW_K)
+        .select("doc_id", "tok", "tf", "df", "score_bits", "rank")
     )
