@@ -430,6 +430,36 @@ def build_parser() -> argparse.ArgumentParser:
         "printed to stdout otherwise",
     )
 
+    cms = sub.add_parser(
+        "cms-store",
+        help="maintained Count-Min sketch store: land a batch's d x w "
+        "grid and/or point-query item frequency estimates that never "
+        "undercount (the production form of profile_heavy_hitters_cms; "
+        "the no-undercount dual of hh-store)",
+    )
+    cms.add_argument("--index", required=True, help="grid ledger directory")
+    cms.add_argument(
+        "--batch",
+        default=None,
+        help="parquet with an `item` string column (the batch's stream slice)",
+    )
+    cms.add_argument(
+        "--date", default=None, help="batch date (the ledger partition key)"
+    )
+    cms.add_argument(
+        "--query",
+        default=None,
+        help="parquet with an `item` column: estimate each distinct item's "
+        "total across every applied batch",
+    )
+    cms.add_argument(
+        "--estimates-out",
+        default=None,
+        help="persist the (item, est) estimates here (overwrite); top "
+        "rows printed otherwise",
+    )
+    _add_stream_args(cms, "item")
+
     ses = sub.add_parser(
         "session-store",
         help="maintained incremental sessionization: land a day-pure "
@@ -745,6 +775,58 @@ def main(argv: list[str] | None = None) -> int:
             if rows:
                 report["n_total"] = rows[0].n_total
                 report["undercount_bound"] = rows[0].undercount_bound
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "cms-store":
+        from pyspark.sql import functions as F
+
+        from data_ingestion_lambda_spark.operators.cms_store import (
+            apply_cms_batch,
+            estimate_items,
+        )
+
+        if (args.batch is None) != (args.date is None):
+            raise SystemExit("cms-store: --batch and --date go together")
+        if args.stream_source is not None and args.checkpoint is None:
+            raise SystemExit("cms-store: --stream-source requires --checkpoint")
+        if args.stream_source is not None and args.batch is not None:
+            raise SystemExit("cms-store: --stream-source and --batch are exclusive")
+        if args.batch is None and args.stream_source is None and args.query is None:
+            raise SystemExit(
+                "cms-store: need --batch/--date, --stream-source and/or --query"
+            )
+        spark = get_spark("data-ingestion-cli")
+        report: dict = {}
+        if args.stream_source is not None:
+            from data_ingestion_lambda_spark.streaming.index_streams import (
+                run_cms_update_available_now,
+            )
+
+            report["batches"] = run_cms_update_available_now(
+                spark,
+                args.stream_source,
+                args.index,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch).select("item")
+            report.update(apply_cms_batch(spark, args.index, batch, args.date))
+        if args.query is not None:
+            est = estimate_items(
+                spark, args.index, spark.read.parquet(args.query).select("item")
+            )
+            if args.estimates_out is not None:
+                est.write.mode("overwrite").parquet(args.estimates_out)
+                report["estimates_out"] = args.estimates_out
+                report["estimated_items"] = spark.read.parquet(
+                    args.estimates_out
+                ).count()
+            else:
+                rows = est.orderBy(F.desc("est"), "item").collect()
+                report["estimated_items"] = len(rows)
+                report["top"] = [{"item": r.item, "est": r.est} for r in rows[:5]]
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 

@@ -51,12 +51,32 @@ from data_ingestion_lambda_spark.operators.upsert import (
 from data_ingestion_lambda_spark.plans.llm_ops import tokens
 
 
-def _batch_counts(batch_docs: DataFrame) -> DataFrame:
+def _ngrams(order: int):
+    """The n-gram column for one document's text: order 1 is the shared
+    ``tokens`` expression; higher orders build space-joined windows
+    IN-ROW from the token array (the registered bigram lane's
+    construction, generalized) — one pass, no positional self-join.
+    Guarded for short docs: Spark's ``sequence(1, 0)`` is DESCENDING
+    and element_at(…, 0) an ANSI error, so fewer-than-order tokens
+    yield an empty array."""
+    if order == 1:
+        return tokens("text")
+    toks = tokens("text")
+    parts = ", ".join(f"element_at(t, i + {k})" for k in range(order))
+    gram = F.expr(
+        f"transform(sequence(1, size(t) - {order - 1}),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+    return F.when(F.size(toks) >= order, gram).otherwise(F.expr("array()"))
+
+
+def _batch_counts(batch_docs: DataFrame, order: int = 1) -> DataFrame:
     """(tok, cnt) for one batch — the doc-local (doc, tok, tf) aggregate
     rolls up map-side before the token-keyed exchange; raw occurrences
     never shuffle (same shape as the registered operator's tf stage)."""
+    d = batch_docs.select("doc_id", tokens("text").alias("t"), "text")
     return (
-        batch_docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        d.select("doc_id", F.explode(_ngrams(order)).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
         .groupBy("tok")
@@ -64,15 +84,53 @@ def _batch_counts(batch_docs: DataFrame) -> DataFrame:
     )
 
 
+def _check_order_marker(spark: SparkSession, vocab_dir: str, order: int, create: bool) -> None:
+    """The model's n-gram ORDER is part of its identity: scoring a bigram
+    table as unigrams (or extending one with the other) silently
+    corrupts every count, so the order is recorded as an empty
+    ``_order=<n>`` marker directory (the feature store's _horizon idiom)
+    and checked on every update/score. Legacy marker-less directories
+    are unigram models (order 1)."""
+    from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+    fs, path_cls = _hadoop_fs(spark, vocab_dir)
+    if fs.exists(path_cls(vocab_dir)):
+        found = [
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(path_cls(vocab_dir))
+            if st.isDirectory() and st.getPath().getName().startswith("_order=")
+        ]
+        recorded = found[0] if found else (1 if list_partition_dates(spark, vocab_dir) else None)
+        if recorded is not None and recorded != order:
+            raise ValueError(
+                f"vocab at {vocab_dir} is an order-{recorded} model; "
+                f"refusing order-{order} access — one directory, one order"
+            )
+        if found:
+            return
+    if create and order != 1:
+        fs.mkdirs(path_cls(f"{vocab_dir}/_order={order}"))
+
+
 def update_vocab(
-    spark: SparkSession, vocab_dir: str, batch_docs: DataFrame, batch_date: str
+    spark: SparkSession,
+    vocab_dir: str,
+    batch_docs: DataFrame,
+    batch_date: str,
+    order: int = 1,
 ) -> dict:
     """Extend the model by one batch: the batch's own (tok, cnt) rows land
     under ``date=<batch_date>``. Re-running the same (batch, date)
-    overwrites only that partition — idempotent."""
-    counts = _batch_counts(batch_docs).withColumn(PARTITION_COL, F.lit(batch_date))
+    overwrites only that partition — idempotent. ``order`` > 1 maintains
+    an N-GRAM model (e.g. 2 = the bigram LM of text_bigram_surprisal)
+    in the identical layout; the order is recorded in the directory and
+    mismatched access refuses."""
+    _check_order_marker(spark, vocab_dir, order, create=True)
+    counts = _batch_counts(batch_docs, order=order).withColumn(
+        PARTITION_COL, F.lit(batch_date)
+    )
     replace_partitions(spark, vocab_dir, counts, [batch_date])
-    return {"date": batch_date, "batch_docs": batch_docs.count()}
+    return {"date": batch_date, "batch_docs": batch_docs.count(), "order": order}
 
 
 def read_vocab(
@@ -98,6 +156,7 @@ def score_batch(
     vocab_dir: str,
     batch_docs: DataFrame,
     exclude_date: str | None = None,
+    order: int = 1,
 ) -> DataFrame:
     """Per-document average surprisal of ``batch_docs`` under the persisted
     model: (doc_id, n_tokens, bits_sum, avg_bits_per_token) — the
@@ -110,6 +169,7 @@ def score_batch(
     the model side ships only aggregated (tok, cnt) rows; the single join
     is token-keyed (the vocab is Heaps-sublinear in corpus size — AQE
     broadcasts it when it fits); N is ONE scalar to the driver."""
+    _check_order_marker(spark, vocab_dir, order, create=False)
     vocab = read_vocab(spark, vocab_dir, exclude_date=exclude_date)
     n_tot = vocab.agg(F.sum("cnt")).collect()[0][0]  # scalar: one number
     rarity = vocab.select(
@@ -120,7 +180,8 @@ def score_batch(
     )
     unseen_bits = F.lit(len(bin(int(n_tot))) - 2).cast("long")  # length(bin(N DIV 1))
     tf = (
-        batch_docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        batch_docs.select("doc_id", tokens("text").alias("t"), "text")
+        .select("doc_id", F.explode(_ngrams(order)).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
     )

@@ -979,3 +979,152 @@ def profile_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lower_bound_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (the no-undercount dual of Misra-Gries)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # buckets per row
+_CMS_A = 2654435761  # Knuth multiplicative constant (shared with sampling)
+_CMS_B = 40503
+_CMS_P = 1000000007
+
+# Bucket for (item-hash ph, row j): ((ph + j*B) * A % P) % W. The additive
+# j-shift keeps every intermediate under (P + dB)*A < 2.7e18 < 2^63 —
+# the overflow-safe discipline from feature_negative_sampling.
+_SQL_CMS_BUCKET = (
+    f"((({{ph}} + {{j}} * {_CMS_B}) * {_CMS_A}) % {_CMS_P}) % {_CMS_W}"
+)
+
+
+def cms_counters(items: DataFrame) -> DataFrame:
+    """The full Count-Min table over an (item) frame: (j, bucket, cnt)
+    with d={_CMS_D} rows x w={_CMS_W} buckets. Purely additive — the CMS
+    of a union is the cell-wise SUM of the parts' tables, which is what
+    makes the maintained form (operators/cms_store.py) exact under any
+    batch split. Deterministic: the item hash is the repo's polynomial
+    string hash (no engine-specific murmur), buckets are pure integer
+    arithmetic. One map-side-combinable aggregate over d rows per item
+    occurrence; the table is d*w rows regardless of stream size."""
+    from data_ingestion_lambda_spark.plans.llm_ops import polyhash
+
+    ph = polyhash(F.col("item"))
+    return (
+        items.select(ph.alias("ph"))
+        .select(
+            "ph",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
+        )
+        .select(
+            "j",
+            (
+                ((F.col("ph") + F.col("j") * _CMS_B) * _CMS_A % _CMS_P) % _CMS_W
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(items: DataFrame, counters: DataFrame) -> DataFrame:
+    """Point estimates for distinct query items against a counter table:
+    est = min over rows j of the item's bucket counter. Never
+    undercounts (the item's own occurrences are in every probed cell) —
+    the exact dual of Misra-Gries, which never OVERcounts. Query cost:
+    |items| x d lookup rows joined against the d*w table (broadcast)."""
+    from data_ingestion_lambda_spark.plans.llm_ops import polyhash
+
+    probes = (
+        items.select("item").distinct()
+        .select("item", polyhash(F.col("item")).alias("ph"))
+        .select(
+            "item",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
+            "ph",
+        )
+        .select(
+            "item",
+            "j",
+            (
+                ((F.col("ph") + F.col("j") * _CMS_B) * _CMS_A % _CMS_P) % _CMS_W
+            ).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("item")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+
+
+_CMS_BUCKET_OF = _SQL_CMS_BUCKET.format(ph="ph", j="j.j")
+_CMS_SQL_PH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(item, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(a, b) -> (a * 31 + b) % {_CMS_P})"
+)
+
+
+@register(
+    "profile_heavy_hitters_cms",
+    oracle=f"""
+    WITH items AS ({_HH_ITEM_SQL}),
+    hashed AS (SELECT item, {_CMS_SQL_PH} AS ph FROM items),
+    cells AS (
+        SELECT j.j AS j, {_CMS_BUCKET_OF} AS bucket
+        FROM hashed, (SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS j) j
+    ),
+    counters AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY j, bucket
+    ),
+    hh AS ({_HH_EXACT_SQL}),
+    probes AS (
+        SELECT hh.item, hh.cnt AS true_cnt, j.j AS j,
+               {_SQL_CMS_BUCKET.format(ph=_CMS_SQL_PH.replace('item', 'hh.item'), j='j.j')} AS bucket
+        FROM hh, (SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS j) j
+    )
+    SELECT item, true_cnt AS cnt,
+           CAST(MIN(counters.cnt) AS BIGINT) AS est,
+           CAST(MIN(counters.cnt) - true_cnt AS BIGINT) AS overcount,
+           MIN(counters.cnt) >= true_cnt AS lower_bound_ok
+    FROM probes JOIN counters USING (j, bucket)
+    GROUP BY item, true_cnt
+    """,
+    tags=("profiling", "events", "sketch"),
+)
+def profile_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch estimates for the true heavy hitters — the
+    NO-UNDERCOUNT dual of profile_heavy_hitters_mg (MG never
+    overcounts, CMS never undercounts; production monitors run both and
+    bracket the truth). Unlike the MG and HLL lanes, nothing here is
+    engine-divergent: the sketch is d x w integer cells under the
+    repo's polynomial string hash, so the DuckDB twin reproduces the
+    ENTIRE table bit-for-bit and this lane value-hash-matches — a
+    sketch lane with a full oracle, not a rows-only allowlist entry.
+
+    Output: one row per true heavy hitter (from the exact baseline)
+    with its exact count, CMS estimate, measured overcount (collision
+    mass in the item's least-loaded cell), and the theorem boolean
+    est >= cnt. Budget note: d={_CMS_D}, w={_CMS_W} gives expected
+    collision mass ~N/w per cell; the planted 0.7N-singleton tail makes
+    the overcount column genuinely nonzero, so the gauge is not
+    vacuous.
+
+    Scale: counters aggregate map-side to d*w rows regardless of
+    stream size; the probe side is |hh| x d rows joined against the
+    broadcast counter table. The counter table is also ADDITIVE across
+    batches — operators/cms_store.py maintains it incrementally."""
+    items = _hh_items(spark, sf_dir)
+    counters = cms_counters(items)
+    hh = _hh_exact_counts(items).select("item", "cnt")
+    est = cms_estimate(hh, counters)
+    return hh.join(est, "item").select(
+        "item",
+        "cnt",
+        "est",
+        (F.col("est") - F.col("cnt")).cast("long").alias("overcount"),
+        (F.col("est") >= F.col("cnt")).alias("lower_bound_ok"),
+    )

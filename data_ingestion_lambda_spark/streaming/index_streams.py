@@ -189,3 +189,35 @@ def run_session_update_available_now(
     return _drain(
         spark, source_dir, checkpoint_dir, schema, _body, max_files_per_trigger
     )
+
+
+ITEMS_SCHEMA = "item string"
+
+
+def run_cms_update_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> list[dict]:
+    """Drain new item files into the maintained Count-Min store: each
+    micro-batch's d x w grid lands in its own ``ingest_batch=<id>``
+    partition (the additive-ledger-carrying-a-sketch idiom of
+    stream_heavy_hitters_to_table); CMS grids sum cell-wise, so the
+    read (operators/cms_store.py::read_cms) equals the one-shot sketch
+    over everything ingested, any trigger split. Replays overwrite only
+    their own partition."""
+    from data_ingestion_lambda_spark.plans.profiling import cms_counters
+
+    def _body(batch: DataFrame, key: str) -> dict:
+        (
+            cms_counters(batch)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/ingest_batch={key}")
+        )
+        return {"key": key}
+
+    return _drain(
+        spark, source_dir, checkpoint_dir, ITEMS_SCHEMA, _body, max_files_per_trigger
+    )

@@ -1,0 +1,128 @@
+"""Maintained Count-Min store: N daily grids + read-side cell sum must
+equal the one-shot sketch (cell-wise additivity), estimates must never
+undercount the exact totals, replays must be no-ops, and the streaming
+front must converge to the same grid under a mid-stream split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.cms_store import (
+    apply_cms_batch,
+    estimate_items,
+    read_cms,
+)
+from data_ingestion_lambda_spark.plans.profiling import _hh_items, cms_counters
+
+SF = "/root/testdata/sf0.001"
+_N_DAYS = 3
+
+
+def _grid_rows(df):
+    return sorted((r.j, r.bucket, r.cnt) for r in df.collect())
+
+
+def _items_with_day(spark):
+    from data_ingestion_lambda_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    return ev.select(
+        F.when(
+            F.col("event_id") % 10 < 3,
+            F.concat(F.lit("hot_"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("c"), F.col("event_id").cast("string")))
+        .alias("item"),
+        (F.pmod(F.col("event_id"), F.lit(_N_DAYS))).alias("slice"),
+    )
+
+
+def test_daily_grids_sum_to_oneshot_and_never_undercount(spark, tmp_path):
+    idx = str(tmp_path / "cms_idx")
+    items = _items_with_day(spark)
+    for day in range(_N_DAYS):
+        batch = items.filter(F.col("slice") == day).select("item")
+        apply_cms_batch(spark, idx, batch, f"2025-07-0{day + 1}")
+    allitems = items.select("item")
+    assert _grid_rows(read_cms(spark, idx)) == _grid_rows(cms_counters(allitems))
+    exact = allitems.groupBy("item").agg(F.count("*").cast("long").alias("cnt"))
+    est = estimate_items(spark, idx, allitems)
+    bad = exact.join(est, "item").filter(F.col("est") < F.col("cnt")).count()
+    assert bad == 0
+    hot = {r.item: r.est for r in est.filter(F.col("item").startswith("hot_")).collect()}
+    true_hot = {
+        r.item: r.cnt for r in exact.filter(F.col("item").startswith("hot_")).collect()
+    }
+    assert all(hot[k] >= v for k, v in true_hot.items())
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    idx = str(tmp_path / "cms_idx")
+    items = _items_with_day(spark)
+    for day in range(_N_DAYS):
+        apply_cms_batch(
+            spark, idx, items.filter(F.col("slice") == day).select("item"),
+            f"2025-07-0{day + 1}",
+        )
+    before = _grid_rows(read_cms(spark, idx))
+    apply_cms_batch(
+        spark, idx, items.filter(F.col("slice") == _N_DAYS - 1).select("item"),
+        f"2025-07-0{_N_DAYS}",
+    )
+    assert _grid_rows(read_cms(spark, idx)) == before
+
+
+def test_stream_front_converges_under_midstream_split(spark, tmp_path):
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        run_cms_update_available_now,
+    )
+
+    items = _items_with_day(spark).select("item")
+    rows = items.collect()
+    cut = len(rows) // 2
+    src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "idx"))
+    spark.createDataFrame(rows[:cut], "item string").write.mode("append").parquet(src)
+    run_cms_update_available_now(spark, src, idx, ckpt)
+    spark.createDataFrame(rows[cut:], "item string").write.mode("append").parquet(src)
+    run_cms_update_available_now(spark, src, idx, ckpt)
+    assert _grid_rows(read_cms(spark, idx)) == _grid_rows(cms_counters(items))
+    assert run_cms_update_available_now(spark, src, idx, ckpt) == []
+
+
+def test_cli_roundtrip(spark, tmp_path, capsys):
+    """cms-store CLI: two daily applies then a point query; estimates
+    must never undercount the exact totals."""
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+
+    items = _items_with_day(spark)
+    for day in range(2):
+        p = str(tmp_path / f"day{day}")
+        items.filter(F.col("slice") == day).select("item").write.parquet(p)
+        assert (
+            main(
+                ["cms-store", "--index", str(tmp_path / "idx"),
+                 "--batch", p, "--date", f"2025-07-0{day + 1}"]
+            )
+            == 0
+        )
+    q = str(tmp_path / "q")
+    items.filter(F.col("slice") < 2).select("item").distinct().write.parquet(q)
+    out = str(tmp_path / "est")
+    assert (
+        main(
+            ["cms-store", "--index", str(tmp_path / "idx"),
+             "--query", q, "--estimates-out", out]
+        )
+        == 0
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200 and rep["estimated_items"] > 0
+    exact = (
+        items.filter(F.col("slice") < 2)
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    est = spark.read.parquet(out)
+    assert exact.join(est, "item").filter(F.col("est") < F.col("cnt")).count() == 0

@@ -144,3 +144,39 @@ def test_cli_vocab_roundtrip(spark, tmp_path, capsys):
     # after both updates the model equals the one-shot corpus vocabulary
     maintained = _rows(read_vocab(spark, str(vocab_dir)), ("tok",))
     assert maintained == _rows(_batch_counts(docs), ("tok",))
+
+
+def test_bigram_model_equals_registered_lane_and_refuses_order_mixup(spark, tmp_path):
+    """order=2 (r8): N daily bigram updates + scoring the same corpus
+    against the persisted model must row-equal text_bigram_surprisal
+    (model == scored corpus => every bigram present at full count), and
+    order-mismatched access to the directory must refuse."""
+    import pytest
+
+    docs = _docs(spark)
+    vocab_dir = str(tmp_path / "bivocab")
+    for day in range(_N_DAYS):
+        batch = docs.filter(F.col("doc_id") % _N_DAYS == day)
+        update_vocab(spark, vocab_dir, batch, f"2025-07-0{day + 1}", order=2)
+    got = _rows(
+        score_batch(spark, vocab_dir, docs, order=2).select(
+            "doc_id",
+            F.col("n_tokens").alias("n_bigrams"),
+            "bits_sum",
+            F.col("avg_bits_per_token").alias("avg_bits_per_bigram"),
+        ),
+        ("doc_id",),
+    )
+    want = _rows(
+        all_specs()["text_bigram_surprisal"].builder(spark, SF_SMOKE), ("doc_id",)
+    )
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="order-2 model"):
+        update_vocab(spark, vocab_dir, docs, "2025-07-09", order=1)
+    with pytest.raises(ValueError, match="order-2 model"):
+        score_batch(spark, vocab_dir, docs, order=1)
+    # legacy marker-less unigram dir refuses bigram access too
+    uni_dir = str(tmp_path / "univocab")
+    update_vocab(spark, uni_dir, docs, "2025-07-01")
+    with pytest.raises(ValueError, match="order-1 model"):
+        score_batch(spark, uni_dir, docs, order=2)
