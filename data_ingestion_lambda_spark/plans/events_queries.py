@@ -2209,3 +2209,193 @@ def events_funnel_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame
         z.alias("z_score"),
         (F.abs(z) > F.lit(1.959963985)).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort revenue triangle (value-based LTV companion of retention_cohorts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_revenue",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS first_day,
+               CAST(ts AS DATE) AS d,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               event_type
+        FROM events
+    )
+    SELECT first_day - CAST((dayofweek(first_day) + 6) % 7 AS INTEGER)
+               AS cohort_week,
+           CAST(datediff('day',
+                         first_day - CAST((dayofweek(first_day) + 6) % 7 AS INTEGER),
+                         d) AS BIGINT) // 7 AS age_weeks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+                AS BIGINT) AS revenue_cents,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+                AS DOUBLE) / count(DISTINCT user_id) AS cents_per_active_user
+    FROM u
+    GROUP BY 1, 2
+    """,
+    tags=("events", "retention", "revenue"),
+)
+def events_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort REVENUE triangle: users grouped by their first-seen
+    week (Monday-anchored), purchase value summed per (cohort_week,
+    age_weeks) cell, normalized per active user — the value-based LTV
+    companion of events_retention_cohorts (which counts presence; a
+    growth team reads the two side by side to see whether retained
+    users also keep SPENDING). Weeks anchor to Monday; the two engines
+    NUMBER weekdays differently (Spark Sunday=1, DuckDB Sunday=0), so
+    the Monday fold is (dow + 5) % 7 in Spark and (dow + 6) % 7 in the
+    oracle — same dates out.
+
+    Determinism: values quantize to integer cents at the row
+    (floor(x·100 + 0.5) — associative exact addition from there), the
+    distinct-user count is an integer, and the per-user rate is ONE
+    final IEEE division. No double accumulates across rows.
+
+    Scale: one user-keyed window computes each user's first day (the
+    same exchange retention_cohorts pays), then the triangle rollup is
+    map-side combinable to |cohorts| x |ages| cells — calendar-bounded
+    output regardless of event volume."""
+    first_day = F.min(F.to_date("ts")).over(Window.partitionBy("user_id"))
+    u = t(spark, sf_dir, "events").select(
+        "user_id",
+        first_day.alias("first_day"),
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        "event_type",
+    )
+    cohort_week = F.date_sub(
+        F.col("first_day"), ((F.dayofweek("first_day") + 5) % 7).cast("int")
+    )
+    rev = F.sum(
+        F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+    ).cast("long")
+    return (
+        u.withColumn("cohort_week", cohort_week)
+        .withColumn(
+            "age_weeks",
+            F.expr("CAST(datediff(d, cohort_week) AS BIGINT) div 7"),
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_active"),
+            rev.alias("revenue_cents"),
+        )
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_active",
+            "revenue_cents",
+            (F.col("revenue_cents").cast("double") / F.col("n_active")).alias(
+                "cents_per_active_user"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal (weekday-conditioned) anomaly screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    ranked AS (
+        SELECT *, dayofweek(d) AS dow,
+               ROW_NUMBER() OVER (PARTITION BY event_type, dayofweek(d)
+                                  ORDER BY cnt, d) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type, dayofweek(d))
+                    AS BIGINT) AS n
+        FROM daily
+    ),
+    med AS (
+        SELECT event_type, dow,
+               CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN cnt ELSE 0 END)
+                    + sum(CASE WHEN rn = (n + 2) // 2 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS med2
+        FROM ranked GROUP BY event_type, dow
+    )
+    SELECT r.event_type, r.d AS day, r.cnt,
+           CAST(med2 AS DOUBLE) / 2 AS weekday_baseline,
+           r.cnt - CAST(med2 AS DOUBLE) / 2 AS deviation,
+           2 * abs(2 * r.cnt - med2) > med2 AS anomalous
+    FROM ranked r JOIN med USING (event_type, dow)
+    """,
+    tags=("events", "anomaly", "timeseries"),
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-conditioned anomaly screen: each (event_type, day)'s count
+    against the MEDIAN of its own weekday's daily counts — the seasonal
+    refinement of events_anomaly_mad, whose single global baseline flags
+    every ordinary Saturday on a traffic profile with weekly shape
+    (weekend dips read as anomalies). Conditioning the baseline on
+    day-of-week removes exactly that; a day is flagged when it deviates
+    from its weekday's median by more than 50%.
+
+    Determinism: the median is computed as the SUM of the lower and
+    upper middle elements (2x the median — exact integers under an
+    explicit (cnt, day) total order; the single-sample cell doubles its
+    one value), so baseline and deviation are one IEEE division/
+    subtraction off exact integers, and the flag is a pure integer
+    comparison (2·|2·cnt − med2| > med2 ⇔ |cnt − median| > median/2).
+    The engines number weekdays differently (Spark Sunday=1, DuckDB
+    Sunday=0), so the dow is an INTERNAL group key only — it groups the
+    same calendar days either way and never reaches the output.
+
+    Scale: volume collapses at the (type, day) rollup; every window
+    runs over |types| x |days| rows — calendar-bounded, the
+    trend/EWMA/CUSUM family's profile."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wspec = Window.partitionBy("event_type", "dow")
+    ranked = daily.withColumn("dow", F.dayofweek("d")).select(
+        "event_type",
+        "d",
+        "cnt",
+        "dow",
+        F.row_number()
+        .over(wspec.orderBy(F.asc("cnt"), F.asc("d")))
+        .alias("rn"),
+        F.count("*").over(wspec).cast("long").alias("n"),
+    )
+    # med2 = 2x the median: lower and upper middle summed as SEPARATE
+    # terms, so an odd cell's single middle row contributes TWICE (a
+    # combined rn-matches-either CASE counts it once and halves the
+    # baseline — found by hand-checking an odd cell)
+    med = ranked.groupBy("event_type", "dow").agg(
+        (
+            F.sum(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cnt")).otherwise(0)
+            )
+            + F.sum(
+                F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("cnt")).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("med2")
+    )
+    return ranked.join(med, ["event_type", "dow"]).select(
+        "event_type",
+        F.col("d").alias("day"),
+        "cnt",
+        (F.col("med2").cast("double") / 2).alias("weekday_baseline"),
+        (F.col("cnt") - F.col("med2").cast("double") / 2).alias("deviation"),
+        (2 * F.abs(2 * F.col("cnt") - F.col("med2")) > F.col("med2")).alias(
+            "anomalous"
+        ),
+    )
