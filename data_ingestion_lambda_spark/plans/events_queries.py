@@ -2399,3 +2399,96 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anomalous"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU (trailing-window distinct actives)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT days.d AS day,
+           CAST(count(DISTINCT CASE WHEN ud.d = days.d
+                                    THEN ud.user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT CASE WHEN ud.d > days.d - 7
+                                    THEN ud.user_id END) AS BIGINT) AS wau,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau,
+           CAST(count(DISTINCT CASE WHEN ud.d = days.d
+                                    THEN ud.user_id END) AS DOUBLE)
+             / count(DISTINCT CASE WHEN ud.d > days.d - 7
+                                   THEN ud.user_id END) AS dau_over_wau
+    FROM days JOIN ud
+      ON ud.d <= days.d AND ud.d > days.d - 30
+    GROUP BY days.d
+    """,
+    tags=("events", "engagement"),
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement dashboard's headline row: per calendar day, the
+    EXACT distinct active users that day (DAU), over the trailing 7
+    days (WAU), and the trailing 30 (MAU), plus the DAU/WAU stickiness
+    ratio. Exact trailing-window DISTINCT does not decompose into
+    per-day aggregates (a user active twice in a week must count once),
+    so the lane materializes the (user, day) presence rollup ONCE and
+    range-joins it against the day spine — each day counts its own
+    window's users.
+
+    Determinism: counts are integers; the stickiness ratio is one IEEE
+    division (WAU >= DAU >= 1 on any day that exists, so no /0 under
+    ANSI).
+
+    Scale: volume collapses at the DISTINCT (user, day) rollup — one
+    exchange over events. The trailing windows are then realized by
+    EXPLODING each presence pair into the <= 30 future days it counts
+    toward (sequence + explode in-row) and equi-grouping on the day —
+    a plain hash shuffle of 30x|pairs| rows, never a non-equi
+    nested-loop join (the oracle spells the same windows as a range
+    join; the equi rewrite is the distributed plan). Days past the
+    corpus's last real day are dropped by a broadcast semi join against
+    the day spine. At extreme user counts the exact form's shuffle
+    grows with actives/day; the corpus's HLL sketch discipline
+    (events_retention_cohorts_approx) is the documented swap when a
+    +-2% MAU suffices."""
+    ud = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .persist()
+    )
+    days = ud.select("d").distinct().withColumnRenamed("d", "day")
+    exploded = ud.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 29))
+        ).alias("day"),
+    ).join(F.broadcast(days), "day", "left_semi")
+    return (
+        exploded.groupBy("day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("d") == F.col("day"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("dau"),
+            F.count_distinct(
+                F.when(F.col("d") > F.date_sub(F.col("day"), 7), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("wau"),
+            F.count_distinct("user_id").cast("long").alias("mau"),
+        )
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("dau_over_wau"),
+        )
+    )
