@@ -93,6 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--checkpoint", required=True)
     ing.add_argument("--quarantine", default=None)
     ing.add_argument("--log", default=None)
+    ing.add_argument(
+        "--changes",
+        default=None,
+        help="also persist each micro-batch's change feed (insert/update "
+        "rows with full post-merge payload) under this directory, one "
+        "batch-id partition per trigger — what downstream incrementals "
+        "subscribe to instead of diffing the table",
+    )
     ing.add_argument("--max-files-per-trigger", type=int, default=None)
     ing.add_argument("--glob", default="*.csv")
 
@@ -1148,6 +1156,7 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint,
             quarantine_dir=args.quarantine,
             log_dir=args.log,
+            changes_dir=args.changes,
         )
         processed = run_ingest_available_now(
             spark,

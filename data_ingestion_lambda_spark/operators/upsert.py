@@ -220,14 +220,19 @@ def upsert_into_parquet(
 _NULL_DIGEST = "-" * 32  # fixed-width, not hex: unreachable by md5
 
 
-def _row_digest(df: DataFrame, keys: list[str], alias: str) -> DataFrame:
+def _row_digest(
+    df: DataFrame, keys: list[str], alias: str, ignore: tuple = ()
+) -> DataFrame:
     """(keys..., <alias>) with one md5 digest over every non-key,
-    non-internal column — the snapshot-diff discipline (each column
-    hashed independently, NULL → a fixed-width non-hex sentinel, digests
-    concatenated) so change detection never confuses NULL with a literal
-    or shifts field boundaries on separator characters."""
+    non-internal, non-ignored column — the snapshot-diff discipline
+    (each column hashed independently, NULL → a fixed-width non-hex
+    sentinel, digests concatenated) so change detection never confuses
+    NULL with a literal or shifts field boundaries on separator
+    characters."""
     cols = sorted(
-        c for c in df.columns if c not in keys and not c.startswith("_")
+        c
+        for c in df.columns
+        if c not in keys and c not in ignore and not c.startswith("_")
     )
     per_col = [
         F.coalesce(F.md5(F.col(c).cast("string")), F.lit(_NULL_DIGEST))
@@ -245,6 +250,7 @@ def upsert_into_parquet_with_cdc(
     changes_dir: str | None = None,
     keys: list[str] = UPSERT_KEYS,
     order_cols: list[str] | None = None,
+    ignore_cols: tuple = (),
 ) -> dict:
     """MERGE like ``upsert_into_parquet`` and ALSO persist the batch's
     CHANGE FEED: one row per key the merge actually touched, labeled
@@ -263,6 +269,14 @@ def upsert_into_parquet_with_cdc(
     ``date=<change_key>`` partition via the staged swap, so a replayed
     (batch, change_key) overwrites only its own feed partition —
     idempotent end to end.
+
+    ``ignore_cols`` excludes columns from change DETECTION (the feed row
+    still carries their post-merge values) — pass the processing-time
+    audit columns (updated_at/created_at) so an identical re-send whose
+    only difference is a refreshed ingest timestamp is a no-op, not an
+    update; the documented cost is that the apply-feed-to-pre
+    equivalence then holds up to those columns on unchanged-payload
+    rows.
 
     Plan cost over the plain upsert: the merged result is persisted and
     compared against the pre-merge rows of the touched partitions with
@@ -294,8 +308,8 @@ def upsert_into_parquet_with_cdc(
             if existing is None:
                 cdc = merged.withColumn("_op", F.lit("insert"))
             else:
-                pre = _row_digest(existing, keys, "_pre_digest")
-                post = _row_digest(merged, keys, "_post_digest")
+                pre = _row_digest(existing, keys, "_pre_digest", ignore=ignore_cols)
+                post = _row_digest(merged, keys, "_post_digest", ignore=ignore_cols)
                 changed = (
                     post.join(pre, keys, "left")
                     .filter(

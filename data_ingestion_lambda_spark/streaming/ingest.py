@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.functions.normalize import normalize_consumption
-from data_ingestion_lambda_spark.operators.upsert import upsert_into_parquet
+from data_ingestion_lambda_spark.operators.upsert import (
+    upsert_into_parquet,
+    upsert_into_parquet_with_cdc,
+)
 from data_ingestion_lambda_spark.schemas import CONSUMPTION_RAW_SCHEMA, CORRUPT_COL
 
 
@@ -41,6 +44,11 @@ class IngestPaths:
     checkpoint_dir: str  # streaming offset/commit log
     quarantine_dir: str | None = None  # bad rows, append-only
     log_dir: str | None = None  # ingestion log (audit twin)
+    # change feed (upsert_into_parquet_with_cdc): each micro-batch's
+    # insert/update rows land in their own batch-id partition here —
+    # what downstream incrementals subscribe to instead of diffing the
+    # table. None = plain merge, no feed.
+    changes_dir: str | None = None
 
 
 def _process_batch(
@@ -77,12 +85,26 @@ def _process_batch(
             F.count(F.lit(1)).alias("rows_upserted"),
             F.max("date").alias("max_date"),
         )
-    written = upsert_into_parquet(
-        spark,
-        paths.target_dir,
-        good.withColumnRenamed("_source_file", "_file_seq"),
-        order_cols=["_file_seq", "_block_start", "_ingest_seq"],
-    )
+    if paths.changes_dir is not None:
+        rep = upsert_into_parquet_with_cdc(
+            spark,
+            paths.target_dir,
+            good.withColumnRenamed("_source_file", "_file_seq"),
+            change_key=f"b{batch_id:09d}",
+            changes_dir=paths.changes_dir,
+            order_cols=["_file_seq", "_block_start", "_ingest_seq"],
+            # audit timestamps refresh on every winning re-send; the feed
+            # should capture PAYLOAD changes, not ingest-time churn
+            ignore_cols=("updated_at", "created_at"),
+        )
+        written = rep["dates"]
+    else:
+        written = upsert_into_parquet(
+            spark,
+            paths.target_dir,
+            good.withColumnRenamed("_source_file", "_file_seq"),
+            order_cols=["_file_seq", "_block_start", "_ingest_seq"],
+        )
     if processed_dates is not None:
         processed_dates.update(written)
 

@@ -136,3 +136,57 @@ def test_cdc_reader_never_sees_feed(spark, tmp_path):
     )
     assert spark.read.parquet(target).count() == 1
     assert "op" not in spark.read.parquet(target).columns
+
+
+def test_ingest_stream_emits_change_feed(spark, tmp_path):
+    """End-to-end: the ingest pipeline with changes_dir set emits one
+    batch-id feed partition per trigger — first drop all inserts, second
+    drop exactly the changed/new keys — and the table equals a plain
+    (feed-less) ingest of the same drops."""
+    from tests.test_ingestion import HEADER, drop_dir, write_csv
+    from data_ingestion_lambda_spark.streaming.ingest import (
+        IngestPaths,
+        run_ingest_available_now,
+    )
+
+    src = str(tmp_path / "drops")
+    write_csv(
+        drop_dir(src, "2025_05_01"),
+        "consumption_2025_05_01.csv",
+        ["2025-05-01,CLI001,TechCorp,API Gateway,1500",
+         "2025-05-01,CLI002,Acme,Storage,10"],
+    )
+    paths = IngestPaths(
+        source_dir=src,
+        target_dir=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        changes_dir=str(tmp_path / "feed"),
+    )
+    assert run_ingest_available_now(spark, paths) == ["2025-05-01"]
+    feed = spark.read.option("basePath", str(tmp_path / "feed")).parquet(
+        str(tmp_path / "feed")
+    )
+    assert {r.op for r in feed.collect()} == {"insert"}
+    assert feed.count() == 2
+
+    # second drop: CLI001 re-priced, CLI003 new, CLI002 re-sent identically
+    write_csv(
+        drop_dir(src, "2025_05_01"),
+        "consumption_2025_05_01_b.csv",
+        ["2025-05-01,CLI001,TechCorp,API Gateway,2500",
+         "2025-05-01,CLI002,Acme,Storage,10",
+         "2025-05-01,CLI003,New,Storage,5"],
+    )
+    assert run_ingest_available_now(spark, paths) == ["2025-05-01"]
+    feed2 = spark.read.option("basePath", str(tmp_path / "feed")).parquet(
+        str(tmp_path / "feed")
+    )
+    batches = sorted(r.date for r in feed2.select("date").distinct().collect())
+    assert len(batches) == 2
+    second = {
+        (r.op, r.client_id): r.total_consumed_tokens
+        for r in feed2.filter(F.col("date") == batches[-1]).collect()
+    }
+    assert second == {("update", "CLI001"): 2500, ("insert", "CLI003"): 5}
+    # CLI002's identical re-send emitted nothing
+    assert ("update", "CLI002") not in second and ("insert", "CLI002") not in second
