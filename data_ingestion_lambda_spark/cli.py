@@ -265,6 +265,14 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="score against the persisted model without extending it",
     )
+    voc.add_argument(
+        "--order",
+        type=int,
+        default=1,
+        help="n-gram order of the model (1 = unigram, 2 = the bigram LM "
+        "of text_bigram_surprisal); recorded in the directory — "
+        "mismatched access refuses",
+    )
 
     ann = sub.add_parser(
         "ann-index",
@@ -716,7 +724,7 @@ def main(argv: list[str] | None = None) -> int:
         # own-partition exclusion).
         try:
             scored = score_batch(
-                spark, args.vocab, batch, exclude_date=args.date
+                spark, args.vocab, batch, exclude_date=args.date, order=args.order
             )
             if args.score_out is not None:
                 scored.write.mode("overwrite").parquet(args.score_out)
@@ -725,7 +733,9 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError:
             report["scored_docs"] = None  # first batch: no model yet
         if not args.score_only:
-            report.update(update_vocab(spark, args.vocab, batch, args.date))
+            report.update(
+                update_vocab(spark, args.vocab, batch, args.date, order=args.order)
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
