@@ -2492,3 +2492,104 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("dau_over_wau"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (marketing analytics over the event stream)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day attribution window
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    tagged AS (
+        SELECT *,
+               max(CASE WHEN event_type = 'click'
+                        THEN {{'cts': ts_us, 'cid': event_id}} END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click
+        FROM e
+    )
+    SELECT event_id AS purchase_id, user_id, cents AS purchase_cents,
+           CASE WHEN attributed THEN last_click.cid END AS click_id,
+           CASE WHEN attributed
+                THEN CAST(ts_us - last_click.cts AS BIGINT) END AS gap_us,
+           attributed
+    FROM (
+        SELECT *,
+               last_click IS NOT NULL
+               AND ts_us - last_click.cts <= {_ATTR_WINDOW_US} AS attributed
+        FROM tagged
+    ) WHERE event_type = 'purchase'
+    """,
+    tags=("events", "attribution"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRECEDING click within a 7-day window — the standard
+    marketing-attribution primitive, and the classic case where a naive
+    purchase x clicks range join explodes (every purchase against every
+    earlier click). Here it is ONE pass: a running max over the user's
+    time-ordered events carries the latest click as a (ts_us, event_id)
+    STRUCT (lexicographic max — both engines compare structs field by
+    field; a packed ts·10^k + id integer would overflow int64 at real
+    timestamps), so each purchase reads its attribution from window
+    state — the as-of-join recipe specialized to "same stream, typed
+    events".
+
+    Determinism: integer microseconds and ids throughout; the window's
+    (ts_us, event_id) order is total; gap and the 7-day cutoff are
+    integer arithmetic. NULL last_click (no prior click, or none within
+    the window) yields attributed=false with NULL click columns.
+
+    Scale: one user-keyed exchange + one ordered window; output is
+    purchase-count rows. No self-join, no candidate explosion."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(
+                F.col("ts_us").alias("cts"), F.col("event_id").alias("cid")
+            ),
+        )
+    ).over(w)
+    tagged = e.withColumn("last_click", last_click)
+    attributed = F.col("last_click").isNotNull() & (
+        F.col("ts_us") - F.col("last_click.cts") <= F.lit(_ATTR_WINDOW_US)
+    )
+    return (
+        tagged.withColumn("attributed", attributed)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("cents").alias("purchase_cents"),
+            F.when(F.col("attributed"), F.col("last_click.cid")).alias("click_id"),
+            F.when(
+                F.col("attributed"),
+                (F.col("ts_us") - F.col("last_click.cts")).cast("long"),
+            ).alias("gap_us"),
+            "attributed",
+        )
+    )
