@@ -2593,3 +2593,79 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             "attributed",
         )
     )
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    tagged AS (
+        SELECT *,
+               CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us
+                       RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS n_clicks
+        FROM e
+    )
+    SELECT event_id AS purchase_id, user_id, cents AS purchase_cents,
+           n_clicks AS n_clicks_window,
+           CASE WHEN n_clicks > 0
+                THEN CAST(cents AS DOUBLE) / n_clicks END AS credit_per_click,
+           n_clicks > 0 AS attributed
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+    tags=("events", "attribution"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) attribution: each purchase's value splits
+    evenly across ALL of the user's clicks in the preceding 7-day
+    window — the multi-touch companion of the last-touch lane, reported
+    per purchase as (window click count, credit per click). The naive
+    form is a purchase x clicks range join; here the click count comes
+    from a VALUE-RANGE window frame over the time-ordered stream
+    (RANGE BETWEEN 7d-in-µs PRECEDING AND 1 PRECEDING on the integer
+    ts_us order), so the plan stays one exchange + one window and emits
+    purchase-count rows. A per-(purchase, click) credit table would
+    re-introduce the explosion — derive it downstream only for the
+    purchases you audit.
+
+    Determinism: integer microsecond bounds, integer counts, ONE IEEE
+    division for the credit (guarded by n_clicks > 0 — ANSI /0).
+    Same-instant click-purchase ties are excluded by the 1-µs frame end
+    in both engines."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
+    n_clicks = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "click", 1)).over(w), F.lit(0)
+    ).cast("long")
+    return (
+        e.withColumn("n_clicks", n_clicks)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("cents").alias("purchase_cents"),
+            F.col("n_clicks").alias("n_clicks_window"),
+            F.when(
+                F.col("n_clicks") > 0,
+                F.col("cents").cast("double") / F.col("n_clicks"),
+            ).alias("credit_per_click"),
+            (F.col("n_clicks") > 0).alias("attributed"),
+        )
+    )
