@@ -708,6 +708,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.vocab,
                 args.checkpoint,
                 max_files_per_trigger=args.max_files_per_trigger,
+                order=args.order,
             )
             print(json.dumps({"statusCode": 200, "batches": reports}))
             return 0
@@ -730,7 +731,13 @@ def main(argv: list[str] | None = None) -> int:
                 scored.write.mode("overwrite").parquet(args.score_out)
                 report["score_out"] = args.score_out
             report["scored_docs"] = scored.count()
-        except ValueError:
+        except ValueError as e:
+            # ONLY the empty-model case is benign (first batch: nothing to
+            # score against yet). An order-mismatch refusal must surface —
+            # swallowing it would report success while silently masking
+            # the guard against cross-order scoring.
+            if "no (remaining) partitions" not in str(e):
+                raise
             report["scored_docs"] = None  # first batch: no model yet
         if not args.score_only:
             report.update(
@@ -1135,6 +1142,11 @@ def main(argv: list[str] | None = None) -> int:
             report.update(append_batch(spark, args.index, batch, args.date))
         if args.ceiling is not None and not args.hard_negatives:
             raise SystemExit("ann-index: --ceiling only applies with --hard-negatives")
+        if args.hard_negatives and args.query is None:
+            raise SystemExit(
+                "ann-index: --hard-negatives mines against --query vectors; "
+                "pass --query (the flag does nothing for train/append)"
+            )
         if args.query is not None:
             raw = spark.read.parquet(args.query)
             key = "query_id" if "query_id" in raw.columns else "vec_id"

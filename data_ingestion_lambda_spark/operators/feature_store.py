@@ -154,6 +154,12 @@ def merge_moments(moments: DataFrame, *, missing_columns: str = "refuse") -> Dat
     # NULL value or ts — the events schema declares both nullable — and
     # NULL is those columns' semigroup identity, so such rows merge
     # correctly and must not be refused as "old-schema partitions".
+    # Deliberate narrowing: a hypothetical partition written when the
+    # sentinels existed but the value/ts moments did not would now pass
+    # undetected — impossible for THIS schema (all current moments have
+    # existed since v1), but any future non-null-at-write moment column
+    # must be added to the probe tuple below or its absence in old
+    # partitions will identity-fill silently.
     probe = [c for c in ("n_events", "n_purchases") if c not in absent]
     if missing_columns == "refuse" and probe:
         # Under a merged-schema read, files written before a column's

@@ -325,12 +325,20 @@ def upsert_into_parquet_with_cdc(
                 )
                 cdc = merged.join(changed, keys)
             feed_dir = changes_dir or f"{target_dir}/_changes"
-            feed = cdc.select(
-                F.col("_op").alias("op"),
-                *[c for c in merged.columns if c != PARTITION_COL],
-                F.col(PARTITION_COL).alias("row_date"),
-            ).withColumn(PARTITION_COL, F.lit(change_key))
-            if feed.isEmpty():
+            # Persisted: the digest comparison reads the pre-merge
+            # partitions and hashes both sides — without the cache, the
+            # emptiness probe and the feed write would each pay that
+            # pipeline in full.
+            feed = (
+                cdc.select(
+                    F.col("_op").alias("op"),
+                    *[c for c in merged.columns if c != PARTITION_COL],
+                    F.col(PARTITION_COL).alias("row_date"),
+                )
+                .withColumn(PARTITION_COL, F.lit(change_key))
+                .persist()
+            )
+            if feed.limit(1).count() == 0:
                 # Nothing changed. Either this logical batch genuinely had
                 # no effect (every row lost last-writer-wins or re-sent
                 # identical payloads) — no feed partition to write — or
@@ -355,6 +363,10 @@ def upsert_into_parquet_with_cdc(
             replace_partitions(spark, target_dir, merged, batch_dates)
         finally:
             merged.unpersist()
+            try:
+                feed.unpersist()
+            except NameError:
+                pass  # existing is None path never built a feed frame
         return {
             "dates": batch_dates,
             "inserts": counts.get("insert", 0),

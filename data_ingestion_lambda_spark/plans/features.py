@@ -954,8 +954,9 @@ _SAMP_P = 1000000007
     oracle=f"""
     WITH w AS (
         SELECT event_id, user_id, event_type,
-               LEAST(CAST(DATE '{_DECAY_ASOF}' - CAST(ts AS DATE) AS BIGINT) // 7,
-                     {_SAMP_WMAX}) AS weeks_old
+               GREATEST(LEAST(
+                   CAST(DATE '{_DECAY_ASOF}' - CAST(ts AS DATE) AS BIGINT) // 7,
+                   {_SAMP_WMAX}), 0) AS weeks_old
         FROM events
     )
     SELECT event_id, user_id, event_type,
@@ -990,10 +991,17 @@ def sample_recency_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a pure filter inside the scan stage — no shuffle, no window,
     predicate-pushdown-friendly; the hash and the mod run in
     whole-stage codegen per row."""
-    w = F.least(
-        (F.datediff(F.lit(_DECAY_ASOF).cast("date"), F.to_date("ts")).cast("long")
-         / F.lit(7)).cast("long"),
-        F.lit(_SAMP_WMAX).cast("long"),
+    # clamp at BOTH ends: events past the as-of would otherwise produce a
+    # NEGATIVE shift count — Spark's shiftleft wraps it (count & 63) while
+    # DuckDB errors, so the bit-exact twin contract breaks the first time
+    # the corpus gains a day past the constant. Age < 0 keeps everything.
+    w = F.greatest(
+        F.least(
+            (F.datediff(F.lit(_DECAY_ASOF).cast("date"), F.to_date("ts")).cast("long")
+             / F.lit(7)).cast("long"),
+            F.lit(_SAMP_WMAX).cast("long"),
+        ),
+        F.lit(0).cast("long"),
     )
     draw = (F.col("event_id") % F.lit(_SAMP_P)) * F.lit(_NEG_A) % F.lit(_SAMP_P)
     # shiftleft with a COLUMN shift count needs the SQL form (the PySpark

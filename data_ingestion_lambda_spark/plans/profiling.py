@@ -1033,7 +1033,14 @@ def cms_estimate(items: DataFrame, counters: DataFrame) -> DataFrame:
     est = min over rows j of the item's bucket counter. Never
     undercounts (the item's own occurrences are in every probed cell) —
     the exact dual of Misra-Gries, which never OVERcounts. Query cost:
-    |items| x d lookup rows joined against the d*w table (broadcast)."""
+    |items| x d lookup rows joined against the d*w table (broadcast).
+
+    The counter join is LEFT with absent cells read as 0: the grid
+    stores only touched cells, so a never-ingested query item (all its
+    cells absent) must answer est=0 — an inner join would DROP it from
+    the output, and an item with only SOME empty cells would min() over
+    the nonzero subset and overestimate a count the sketch provably
+    knows is zero."""
     from data_ingestion_lambda_spark.plans.llm_ops import polyhash
 
     probes = (
@@ -1053,9 +1060,9 @@ def cms_estimate(items: DataFrame, counters: DataFrame) -> DataFrame:
         )
     )
     return (
-        probes.join(F.broadcast(counters), ["j", "bucket"])
+        probes.join(F.broadcast(counters), ["j", "bucket"], "left")
         .groupBy("item")
-        .agg(F.min("cnt").cast("long").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
 
 

@@ -87,11 +87,15 @@ def run_vocab_update_available_now(
     vocab_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    order: int = 1,
 ) -> list[dict]:
-    """Drain new document files into the maintained unigram model: each
+    """Drain new document files into the maintained n-gram model: each
     micro-batch's (tok, cnt) rows land in their own partition; the model
     read (``read_vocab``) sums across partitions, so the streamed model
-    equals ``update_vocab`` over everything ingested, any split."""
+    equals ``update_vocab`` over everything ingested, any split.
+    ``order`` selects the n-gram order exactly as in update_vocab (the
+    _order marker is written/checked per batch, so a stream pointed at a
+    mismatched directory fails its first trigger loudly)."""
     from data_ingestion_lambda_spark.operators.vocab import update_vocab
 
     return _drain(
@@ -99,7 +103,7 @@ def run_vocab_update_available_now(
         source_dir,
         checkpoint_dir,
         DOCS_SCHEMA,
-        lambda batch, key: update_vocab(spark, vocab_dir, batch, key),
+        lambda batch, key: update_vocab(spark, vocab_dir, batch, key, order=order),
         max_files_per_trigger,
     )
 
@@ -177,12 +181,29 @@ def run_session_update_available_now(
     requirement, because the running-max seam merge reconstructs the
     one-shot session set from any split (the proof in
     merge_partial_sessions). ``read_sessions`` /
-    ``read_user_session_stats`` serve the merged state as usual."""
+    ``read_user_session_stats`` serve the merged state as usual.
+
+    Raw generator drops carry ts as parquet TIMESTAMP(NANOS) — under
+    the session factory's nanosAsLong conf that surfaces as a LONG, so
+    the default ``ts timestamp`` schema would fail the read; pass
+    ``schema="event_id bigint, user_id bigint, ts bigint"`` for such
+    drops and the body applies the same epoch-ns normalization as the
+    CLI's --batch path (TIMESTAMP_NTZ likewise relabels to UTC)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     from data_ingestion_lambda_spark.operators.session_store import (
         land_session_batch,
     )
 
     def _body(batch: DataFrame, key: str) -> dict:
+        field = {f.name: f.dataType for f in batch.schema.fields}.get("ts")
+        if isinstance(field, LongType):
+            batch = batch.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(field, TimestampNTZType):
+            batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
         land_session_batch(spark, index_dir, batch, key)
         return {"key": key}
 

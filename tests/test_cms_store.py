@@ -126,3 +126,24 @@ def test_cli_roundtrip(spark, tmp_path, capsys):
     )
     est = spark.read.parquet(out)
     assert exact.join(est, "item").filter(F.col("est") < F.col("cnt")).count() == 0
+
+
+def test_unseen_items_estimate_zero(spark, tmp_path):
+    """Review r8: a never-ingested item must answer est=0 (absent cells
+    read as zero), not vanish from the output or overestimate from the
+    nonzero subset of its cells."""
+    idx = str(tmp_path / "cms_idx")
+    apply_cms_batch(
+        spark, idx, spark.createDataFrame([("a",), ("b",)], "item string"),
+        "2025-07-01",
+    )
+    q = spark.createDataFrame(
+        [("a",), ("zz_never_seen_1",), ("zz_never_seen_2",)], "item string"
+    )
+    got = {r.item: r.est for r in estimate_items(spark, idx, q).collect()}
+    assert set(got) == {"a", "zz_never_seen_1", "zz_never_seen_2"}
+    assert got["a"] >= 1
+    # with d=4 rows over w=512 buckets and 2 ingested items, at least one
+    # probed cell of an unseen item is empty with near-certainty; the
+    # min-with-zero contract caps both at their true count's upper bound
+    assert got["zz_never_seen_1"] == 0 and got["zz_never_seen_2"] == 0

@@ -206,3 +206,46 @@ def test_cli_stream_fronts(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["statusCode"] == 200 and len(rep["batches"]) >= 1
     assert read_sessions(spark, sess_idx).count() > 0
+
+
+def test_session_stream_normalizes_ns_long_ts(spark, tmp_path):
+    """Review r8: raw generator drops carry ts as epoch-ns longs under
+    the session factory's nanosAsLong conf; the session front must
+    accept them (schema 'ts bigint' + in-body normalization) and
+    produce the same sessions as proper-timestamp events."""
+    from data_ingestion_lambda_spark.operators.session_store import read_sessions
+    from data_ingestion_lambda_spark.sources.catalog import load_table
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        run_session_update_available_now,
+    )
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "ts")
+    src = str(tmp_path / "src_ns")
+    events.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") * 1000).cast("long").alias("ts"),
+    ).write.parquet(src)
+    idx = str(tmp_path / "idx_ns")
+    reports = run_session_update_available_now(
+        spark,
+        src,
+        idx,
+        str(tmp_path / "ck_ns"),
+        schema="event_id bigint, user_id bigint, ts bigint",
+    )
+    assert len(reports) >= 1
+    got = sorted(
+        (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events)
+        for r in read_sessions(spark, idx).collect()
+    )
+    idx2 = str(tmp_path / "idx_ts")
+    events.write.parquet(str(tmp_path / "src_ts"))
+    run_session_update_available_now(
+        spark, str(tmp_path / "src_ts"), idx2, str(tmp_path / "ck_ts")
+    )
+    want = sorted(
+        (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events)
+        for r in read_sessions(spark, idx2).collect()
+    )
+    assert got == want and len(got) > 0

@@ -180,3 +180,35 @@ def test_bigram_model_equals_registered_lane_and_refuses_order_mixup(spark, tmp_
     update_vocab(spark, uni_dir, docs, "2025-07-01")
     with pytest.raises(ValueError, match="order-1 model"):
         score_batch(spark, uni_dir, docs, order=2)
+
+
+def test_cli_surfaces_order_mismatch_and_streams_order(spark, tmp_path, capsys):
+    """Review r8: --score-only against a mismatched-order model must FAIL
+    loudly (the bare except used to swallow the refusal as 'no model
+    yet'), and --stream-source must forward --order."""
+    import json
+
+    import pytest
+
+    from data_ingestion_lambda_spark.cli import main
+    from data_ingestion_lambda_spark.operators.vocab import _batch_counts
+
+    docs = _docs(spark)
+    bdir = str(tmp_path / "docs")
+    docs.write.parquet(bdir)
+    vdir = str(tmp_path / "vocab")
+    assert main(["vocab", "--vocab", vdir, "--batch", bdir, "--date", "2025-07-01"]) == 0
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="order-1 model"):
+        main(["vocab", "--vocab", vdir, "--batch", bdir, "--score-only", "--order", "2"])
+    # streamed bigram model: --order reaches the per-batch update
+    v2 = str(tmp_path / "bivocab")
+    rc = main(
+        ["vocab", "--vocab", v2, "--stream-source", bdir,
+         "--checkpoint", str(tmp_path / "ck"), "--order", "2"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(b["order"] == 2 for b in rep["batches"])
+    got = sorted(map(tuple, read_vocab(spark, v2).collect()))
+    assert got == sorted(map(tuple, _batch_counts(docs, order=2).collect()))
