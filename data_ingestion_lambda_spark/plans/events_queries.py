@@ -2669,3 +2669,85 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_clicks") > 0).alias("attributed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration (Lorenz curve from the frequency spectrum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_lorenz",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ),
+    spectrum AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS n_users FROM per_user GROUP BY n
+    ),
+    tot AS (
+        SELECT CAST(sum(n_users) AS BIGINT) AS total_users,
+               CAST(sum(n * n_users) AS BIGINT) AS total_events
+        FROM spectrum
+    )
+    SELECT n AS events_per_user, n_users,
+           CAST(sum(n_users) OVER (ORDER BY n DESC) AS BIGINT) AS cum_users,
+           CAST(sum(n * n_users) OVER (ORDER BY n DESC) AS BIGINT) AS cum_events,
+           CAST(sum(n_users) OVER (ORDER BY n DESC) AS DOUBLE)
+             / (SELECT total_users FROM tot) AS user_share,
+           CAST(sum(n * n_users) OVER (ORDER BY n DESC) AS DOUBLE)
+             / (SELECT total_events FROM tot) AS event_share
+    FROM spectrum
+    """,
+    tags=("events", "engagement"),
+)
+def events_user_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration as a Lorenz curve: for each activity level
+    (events per user, descending), the cumulative share of USERS at or
+    above it vs the cumulative share of EVENTS they carry — "the top 7%
+    of users generate 40% of traffic", the capacity-planning and
+    whale-detection read, and the Zipf-spectrum twin of
+    text_token_spectrum applied to users.
+
+    Scale — the reason this is a SPECTRUM walk, not a user sort: the
+    per-user rollup collapses volume at one user-keyed exchange; the
+    count-of-counts rollup collapses |users| rows to |distinct activity
+    levels| (tens here, bounded by max activity, never user count), and
+    the cumulative window runs over THOSE rows — a global user sort at
+    100 TB is exactly what this shape avoids. Shares are two IEEE
+    divisions per spectrum row off exact integer prefix sums."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    spectrum = per_user.groupBy("n").agg(
+        F.count("*").cast("long").alias("n_users")
+    ).persist()
+    tot = spectrum.agg(
+        F.sum("n_users").cast("long").alias("total_users"),
+        F.sum(F.col("n") * F.col("n_users")).cast("long").alias("total_events"),
+    )
+    w = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spectrum.withColumn("cum_users", F.sum("n_users").over(w).cast("long"))
+        .withColumn(
+            "cum_events",
+            F.sum(F.col("n") * F.col("n_users")).over(w).cast("long"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("events_per_user"),
+            "n_users",
+            "cum_users",
+            "cum_events",
+            (F.col("cum_users").cast("double") / F.col("total_users")).alias(
+                "user_share"
+            ),
+            (F.col("cum_events").cast("double") / F.col("total_events")).alias(
+                "event_share"
+            ),
+        )
+    )

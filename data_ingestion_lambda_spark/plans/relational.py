@@ -1201,3 +1201,115 @@ def shipping_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"p{p}_days" for p in _LATENCY_PS],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (association mining over order lines)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 3  # pairs must co-occur in at least this many orders
+_BASKET_TOP_K = 25
+
+
+@register(
+    "agg_market_basket",
+    oracle=f"""
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders_item
+        FROM lines GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lines),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, n_pair,
+           ia.n_orders_item AS n_a, ib.n_orders_item AS n_b,
+           CAST(n_pair * (SELECT n_orders FROM tot) AS DOUBLE)
+             / (ia.n_orders_item * ib.n_orders_item) AS lift,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY CAST(n_pair * (SELECT n_orders FROM tot) AS DOUBLE)
+                     / (ia2.n_orders_item * ib2.n_orders_item) DESC,
+                     part_a, part_b) AS rk
+        FROM pairs
+        JOIN item ia2 ON ia2.l_partkey = pairs.part_a
+        JOIN item ib2 ON ib2.l_partkey = pairs.part_b
+    ) p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    WHERE rk <= {_BASKET_TOP_K}
+    """,
+    tags=("agg", "association"),
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: the top-{_BASKET_TOP_K} part
+    PAIRS by lift = P(a,b)/(P(a)·P(b)) among pairs co-ordered at least
+    {_BASKET_MIN_SUPPORT} times — the relational twin of
+    text_collocations_lift (same rational-lift-before-the-log
+    discipline), and the recommender bootstrap ("customers who bought a
+    also bought b") every commerce pipeline starts from.
+
+    Determinism: all counts are integers over the DISTINCT (order,
+    part) relation (a part twice in one order counts once); lift is ONE
+    IEEE division of exact integers; ROW_NUMBER breaks ties on
+    (part_a, part_b).
+
+    Scale: the pair join is WITHIN-ORDER (equi on l_orderkey with
+    part_a < part_b) — candidates are Σ per-order (lines choose 2),
+    bounded by order size squared (~7² here), never catalog²; the pair
+    rollup combines map-side; item marginals are one part-keyed
+    aggregate; the total is one scalar. Top-k plans
+    TakeOrderedAndProject over support-filtered pairs."""
+    lines = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    ).persist()
+    item = lines.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_orders_item")
+    )
+    n_orders = lines.select("l_orderkey").distinct().count()  # scalar
+    a = lines.alias("a")
+    b = lines.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders_item").alias("n_b")
+    )
+    scored = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .withColumn(
+            "lift",
+            (F.col("n_pair") * F.lit(n_orders)).cast("double")
+            / (F.col("n_a") * F.col("n_b")),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BASKET_TOP_K)
+        .select("part_a", "part_b", "n_pair", "n_a", "n_b", "lift", "rank")
+    )
