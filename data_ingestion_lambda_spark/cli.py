@@ -500,6 +500,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_stream_args(ses, "event")
 
+    att = sub.add_parser(
+        "attribution-store",
+        help="maintained last-touch attribution: land a day-pure batch's "
+        "purchases + per-user last clicks, and/or read the attribution "
+        "table (the production form of events_attribution_last_touch)",
+    )
+    att.add_argument("--index", required=True, help="attribution ledger directory")
+    att.add_argument("--batch", default=None, help="parquet of the day's events")
+    att.add_argument(
+        "--date", default=None, help="batch date (the partition key; batch must be day-pure)"
+    )
+    att.add_argument(
+        "--out",
+        default=None,
+        help="persist the attribution table here (overwrite); summary "
+        "printed otherwise",
+    )
+
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
     qry.add_argument("--data", help="directory holding the parquet tables")
@@ -800,6 +818,35 @@ def main(argv: list[str] | None = None) -> int:
             if rows:
                 report["n_total"] = rows[0].n_total
                 report["undercount_bound"] = rows[0].undercount_bound
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "attribution-store":
+        from pyspark.sql import functions as F
+
+        from data_ingestion_lambda_spark.operators.attribution_store import (
+            apply_attribution_batch,
+            read_attribution,
+        )
+
+        if (args.batch is None) != (args.date is None):
+            raise SystemExit("attribution-store: --batch and --date go together")
+        if args.batch is None and args.out is None:
+            raise SystemExit("attribution-store: need --batch/--date and/or --out")
+        spark = get_spark("data-ingestion-cli")
+        report: dict = {}
+        if args.batch is not None:
+            batch = _read_event_batch(spark, args.batch)
+            report.update(
+                apply_attribution_batch(spark, args.index, batch, args.date)
+            )
+        if args.out is not None:
+            attr = read_attribution(spark, args.index)
+            attr.write.mode("overwrite").parquet(args.out)
+            report["out"] = args.out
+            persisted = spark.read.parquet(args.out)
+            report["purchases"] = persisted.count()
+            report["attributed"] = persisted.filter(F.col("attributed")).count()
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
