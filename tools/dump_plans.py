@@ -53,6 +53,13 @@ FLAGSHIPS = [
     ("profile_heavy_hitters_mg", "Misra-Gries partials shuffle <=K rows per partition; global reduce windows only the summary (late r7)"),
     ("er_resolve_customers", "ER candidates via block-key equi-join (nation, segment, balance prefix) — never all-pairs; lev inside the join (late r7)"),
     ("feature_negative_sampling", "hash-drawn candidates; part-rank index broadcast; interactions distinct-reduced before the anti-join (late r7)"),
+    ("ann_hard_negatives_ivf", "candidates from the probed-cell equi-join (never corpus x queries); ceiling filter before the per-query window (r8)"),
+    ("events_dau_wau_mau", "presence pairs explode in-row to their <=30 covered days and equi-group; only nested-loop is the broadcast day-spine semi join (r8)"),
+    ("sample_recency_decayed", "pure scan-stage filter: no exchange, join, window, or sort anywhere (r8)"),
+    ("events_attribution_last_touch", "ONE user exchange; last click rides a running struct max — no purchase x clicks join (r8)"),
+    ("agg_market_basket", "pair candidates bounded by within-order self-join; marginals one part-keyed agg; top-k after support filter (r8)"),
+    ("events_user_lorenz", "cumulative window runs over the count-of-counts spectrum, never a global user sort (r8)"),
+    ("profile_heavy_hitters_cms", "d x w grid aggregates map-side; probes join the broadcast grid (r8)"),
 ]
 
 

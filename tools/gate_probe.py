@@ -605,6 +605,88 @@ def run_session(spark, rep_dir: str, extra_corpora: list[tuple[str, str]] = ()) 
     print(json.dumps(summary), flush=True)
 
 
+def run_attribution(spark, rep_dir: str) -> None:
+    """Per-day economics for the maintained attribution store
+    (operators/attribution_store.py): apply cost must track the BATCH
+    (one day's events windowed + two partition writes); the read joins
+    purchase-count rows against <= 7 day partitions of USER-bounded
+    last-click rows — never event history."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        apply_attribution_batch,
+        read_attribution,
+    )
+
+    def _events(path):
+        return spark.read.parquet(path).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    results = {}
+    for label, src_dir in (("1x", "/root/testdata/sf0.1"), ("10x", rep_dir)):
+        events = _events(f"{src_dir}/events.parquet")
+        days = sorted(
+            str(r.d)
+            for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+        )
+        idx = tempfile.mkdtemp(prefix=f"attr_idx_{label}_")
+        shutil.rmtree(idx)
+        try:
+            t0 = time.time()
+            for d in days:
+                apply_attribution_batch(
+                    spark, idx, events.filter(F.to_date("ts") == F.lit(d)), d
+                )
+            t_index = round(time.time() - t0, 2)
+
+            batch = events.filter(F.to_date("ts") == F.lit(days[-1]))
+            t_apply = None
+            for _ in range(2):
+                t0 = time.time()
+                apply_attribution_batch(spark, idx, batch, days[-1])
+                dt = round(time.time() - t0, 2)
+                t_apply = dt if t_apply is None else min(t_apply, dt)
+
+            t_read = None
+            n_purchases = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                n_purchases = read_attribution(spark, idx).count()
+                dt = round(time.time() - t0, 2)
+                t_read = dt if t_read is None else min(t_read, dt)
+
+            results[label] = {
+                "history_days": len(days),
+                "purchases": n_purchases,
+                "t_build_once_s": t_index,
+                "t_daily_apply_s": t_apply,
+                "t_read_s": t_read,
+            }
+            print(
+                json.dumps({"mode": "attribution", "corpus": label, **results[label]}),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+
+    r1, r10 = results["1x"], results["10x"]
+    print(
+        json.dumps(
+            {
+                "mode": "attribution",
+                "purchase_growth": round(r10["purchases"] / r1["purchases"], 1),
+                "apply_growth": round(
+                    r10["t_daily_apply_s"] / max(r1["t_daily_apply_s"], 0.01), 2
+                ),
+                "read_growth": round(r10["t_read_s"] / max(r1["t_read_s"], 0.01), 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -636,6 +718,8 @@ def main() -> None:
             run_bm25(spark, rep_dir)
         elif mode == "feature":
             run_feature(spark, rep_dir)
+        elif mode == "attribution":
+            run_attribution(spark, rep_dir)
         elif mode == "session":
             extra = [
                 tuple(pair.split("=", 1))
