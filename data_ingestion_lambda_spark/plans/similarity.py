@@ -1109,7 +1109,13 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(F.broadcast(q), "query_id")
-        .join(F.broadcast(nv), "neighbor_id")
+        # nv is CORPUS-sized — no broadcast hint (a forced broadcast of the
+        # vector table is exactly what breaks at 10^10 vectors). AQE
+        # broadcasts it by itself while it fits; past that the candidate
+        # set shuffles on neighbor_id, which is the correct plan. The
+        # maintained index (operators/ann_index.py) avoids this join
+        # entirely — vectors ride the cell partitions.
+        .join(nv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
