@@ -896,9 +896,10 @@ def events_resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "scd2_user_segments",
-    oracle="""
+# Shared SQL text: the full SCD2 derivation — used verbatim by the lane
+# below and composed into the as-of read's oracle so the two can never
+# drift.
+_SCD2_SQL = """
     WITH ordered AS (
         SELECT user_id, ts, event_id, event_type AS segment,
                LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -916,7 +917,12 @@ def events_resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame
            LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
                IS NULL AS is_current
     FROM changes
-    """,
+"""
+
+
+@register(
+    "scd2_user_segments",
+    oracle=_SCD2_SQL,
     tags=("events", "scd"),
 )
 def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2751,3 +2757,38 @@ def events_user_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SCD2_ASOF = "2024-01-15 00:00:00"  # mid-corpus instant
+
+
+@register(
+    "scd2_as_of_read",
+    oracle=f"""
+    WITH scd AS ({_SCD2_SQL})
+    SELECT user_id, segment, valid_from
+    FROM scd
+    WHERE valid_from <= TIMESTAMP '{_SCD2_ASOF}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SCD2_ASOF}')
+    """,
+    tags=("events", "scd"),
+)
+def scd2_as_of_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The point-in-time dimension read the SCD2 history exists FOR:
+    every user's segment valid at one instant (each user contributes at
+    most one row — the version whose [valid_from, valid_to) interval
+    covers the as-of). This is what a training-set builder joins facts
+    against to avoid label leakage (the batch twin of the feature
+    store's as-of read, on categorical attributes instead of moments);
+    oracle composed from the SCD2 lane's own SQL so the interval
+    semantics can never drift between the two.
+
+    Scale: a pure filter over the version table (version-count rows —
+    bounded by change count, not event count); on a persisted SCD2 sink
+    (operators/scd2.py) the same predicate partition-prunes."""
+    asof = F.lit(_SCD2_ASOF).cast("timestamp")
+    scd = scd2_user_segments(spark, sf_dir)
+    return scd.filter(
+        (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+    ).select("user_id", "segment", "valid_from")
