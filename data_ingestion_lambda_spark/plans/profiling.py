@@ -1135,3 +1135,69 @@ def profile_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est") - F.col("cnt")).cast("long").alias("overcount"),
         (F.col("est") >= F.col("cnt")).alias("lower_bound_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Completeness drift (daily null-rate monitoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_null_drift_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null_value,
+               CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) AS n_null_props
+        FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, n_rows, n_null_value, n_null_props,
+           CAST(n_null_value AS DOUBLE) / n_rows AS value_null_rate,
+           CAST(n_null_value AS DOUBLE) / n_rows
+             - LAG(CAST(n_null_value AS DOUBLE) / n_rows)
+                 OVER (ORDER BY day) AS value_null_rate_delta
+    FROM daily
+    """,
+    tags=("profiling", "events", "quality"),
+)
+def profile_null_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness DRIFT: per-day null counts and null rate for the
+    nullable event columns, with the day-over-day rate delta — the
+    monitoring view that catches a producer silently dropping a field
+    (profile_table reports completeness as one static number; an
+    upstream regression shows up as a STEP in this series long before
+    it moves the corpus-wide rate). The distribution-drift monitor's
+    sibling for presence instead of values.
+
+    Determinism: integer counts; the rate is one IEEE division and the
+    delta one subtraction of two such rates computed identically on
+    both sides (same division first, then subtract — written order
+    matters and matches the oracle).
+
+    Scale: volume collapses at the per-day rollup (map-side
+    combinable); the lag window runs over |days| rows — calendar-
+    bounded, the drift family's profile."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count(F.when(F.col("value").isNull(), 1))
+            .cast("long")
+            .alias("n_null_value"),
+            F.count(F.when(F.col("props").isNull(), 1))
+            .cast("long")
+            .alias("n_null_props"),
+        )
+    )
+    rate = F.col("n_null_value").cast("double") / F.col("n_rows")
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "n_rows",
+        "n_null_value",
+        "n_null_props",
+        rate.alias("value_null_rate"),
+        (rate - F.lag(rate).over(w)).alias("value_null_rate_delta"),
+    )
