@@ -145,3 +145,83 @@ def er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", dist.cast("long").alias("distance")
     ).filter(F.col("distance") <= _ER_MAX_DIST)
+
+
+# ---------------------------------------------------------------------------
+# Golden-record assignment (entity ids from the match graph)
+# ---------------------------------------------------------------------------
+
+
+from data_ingestion_lambda_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_ER_SQL = _REG["er_resolve_customers"].oracle
+
+
+@register(
+    "er_entity_ids",
+    oracle=f"""
+    WITH RECURSIVE matches AS (
+        SELECT id_a, id_b FROM ({_ER_SQL}) m
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM matches
+        UNION SELECT id_b AS u, id_a AS v FROM matches
+    ),
+    reach(id, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    assign AS (SELECT id, MIN(r) AS entity_id FROM reach GROUP BY id),
+    base AS (SELECT c_custkey AS rec_id FROM customer),
+    planted AS (SELECT c_custkey + {_ER_ID_OFFSET} AS rec_id FROM customer
+                WHERE c_custkey % {_ER_MOD} = 0),
+    recs AS (SELECT rec_id FROM base UNION ALL SELECT rec_id FROM planted)
+    SELECT recs.rec_id,
+           COALESCE(a.entity_id, recs.rec_id) AS entity_id,
+           COALESCE(a.entity_id, recs.rec_id) <> recs.rec_id AS is_merged
+    FROM recs LEFT JOIN assign a ON recs.rec_id = a.id
+    """,
+    tags=("entity-resolution", "graph"),
+)
+def er_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-integration ENDPOINT the match pairs exist for: one
+    golden entity id per record — connected components over the
+    er_resolve_customers match graph (min record id per component; an
+    unmatched record is its own entity), with the merged flag a
+    downstream MDM consumer filters on. Transitive closure matters: a
+    typo'd re-registration matching two spellings of the same customer
+    must land all three in ONE entity even when the outer pair missed
+    the distance cutoff.
+
+    Scale: the match pairs are the ER lane's blocked output (never
+    all-pairs); components run on the shared large-star/small-star
+    contraction (plans/graph_ops.py — state is graph-sized, rounds
+    logarithmic). The oracle recomputes the closure with a recursive
+    CTE over the SAME match SQL, composed at import time so the two
+    can never drift."""
+    from data_ingestion_lambda_spark.plans.graph_ops import connected_components
+
+    pairs = er_resolve_customers(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    assign = connected_components(edges).select(
+        F.col("id").alias("rec_id"), F.col("cluster_id").alias("entity_id")
+    )
+    base = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("rec_id"))
+    planted = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % _ER_MOD == 0)
+        .select((F.col("c_custkey") + _ER_ID_OFFSET).alias("rec_id"))
+    )
+    recs = base.unionByName(planted)
+    return recs.join(assign, "rec_id", "left").select(
+        "rec_id",
+        F.coalesce(F.col("entity_id"), F.col("rec_id")).alias("entity_id"),
+        (
+            F.coalesce(F.col("entity_id"), F.col("rec_id")) != F.col("rec_id")
+        ).alias("is_merged"),
+    )
