@@ -147,6 +147,23 @@ QUERIES = [
     # replacement for the brute-force ann_hard_negatives (3.26x at 10x in
     # the r7 sweep), expected to track ann_ivf_topk's profile
     "ann_hard_negatives_ivf",
+    # round-8 lanes: n-gram text (prefix-rotated replicas grow the
+    # vocab), event analytics (shifted user/event keys), within-order
+    # basket mining, sketch grid, calendar-bounded monitors
+    "text_bigram_surprisal",
+    "text_top_keywords",
+    "corpus_rank_blend",
+    "sample_recency_decayed",
+    "events_cohort_revenue",
+    "events_seasonal_anomaly",
+    "events_dau_wau_mau",
+    "events_attribution_last_touch",
+    "events_attribution_linear",
+    "events_user_lorenz",
+    "agg_market_basket",
+    "profile_null_drift_daily",
+    "scd2_as_of_read",
+    "profile_heavy_hitters_cms",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
