@@ -249,3 +249,75 @@ def test_session_stream_normalizes_ns_long_ts(spark, tmp_path):
         for r in read_sessions(spark, idx2).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_cli_stream_fronts_postings_and_ann(spark, tmp_path, capsys):
+    """search-index / ann-index --stream-source: drained indexes serve
+    the same results as the registered one-shot lanes."""
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+    from data_ingestion_lambda_spark.operators.postings import search_topk
+    from data_ingestion_lambda_spark.plans.retrieval import (
+        N_QUERIES as BM25_Q,
+        search_bm25_topk,
+    )
+
+    docs = _docs(spark)
+    dsrc = str(tmp_path / "docs_src")
+    docs.write.parquet(dsrc)
+    pidx = str(tmp_path / "postings")
+    rc = main(
+        ["search-index", "--index", pidx,
+         "--stream-source", dsrc, "--checkpoint", str(tmp_path / "pck")]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200 and len(rep["batches"]) >= 1
+    queries = docs.filter(F.col("doc_id") < BM25_Q).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["match_id"], r["bm25"])
+        for r in search_topk(spark, pidx, queries).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["match_id"], r["bm25"])
+        for r in search_bm25_topk(spark, SF).collect()
+    )
+    assert got == want and len(got) > 0
+
+    from data_ingestion_lambda_spark.operators.ann_index import probe_topk
+    from data_ingestion_lambda_spark.plans.similarity import (
+        N_QUERIES as ANN_Q,
+        ann_ivf_topk,
+    )
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    vsrc = str(tmp_path / "vecs_src")
+    vecs.write.parquet(vsrc)
+    aidx = str(tmp_path / "ann")
+    train = str(tmp_path / "train")
+    vecs.write.parquet(train)
+    assert main(["ann-index", "--index", aidx, "--train", train]) == 0
+    rc = main(
+        ["ann-index", "--index", aidx,
+         "--stream-source", vsrc, "--checkpoint", str(tmp_path / "ack")]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200 and len(rep["batches"]) >= 1
+    q = vecs.filter(F.col("vec_id") < ANN_Q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in probe_topk(spark, aidx, q).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in ann_ivf_topk(spark, SF).collect()
+    )
+    assert got == want and len(got) > 0
