@@ -483,3 +483,40 @@ def test_bucketed_probe_skips_index_side_shuffle(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS gate_bidx_plan")
+
+
+def test_retention_composes_with_the_gate(spark, tmp_path):
+    """Gate index retention (r8): expire_partitions drops signature
+    partitions past the re-crawl policy, and subsequent probes match
+    ONLY against retained days — the policy knob a deployment turns
+    when 'duplicates of last year's crawl' stops mattering. The probe's
+    own semantics are untouched: a re-probe of the last day against the
+    expired index equals probing a fresh index built from the retained
+    days alone."""
+    from data_ingestion_lambda_spark.operators.compact import expire_partitions
+    from data_ingestion_lambda_spark.operators.dedup_gate import probe_batch
+
+    docs = _docs(spark)
+    idx = tmp_path / "gate_idx"
+    _apply_days(spark, docs, idx, tmp_path / "m")
+    # drop day 1 (keep days 2..N)
+    assert expire_partitions(spark, str(idx), "2025-07-02") == ["2025-07-01"]
+    last = docs.filter(_day_of(F.col("doc_id")) == _N_DAYS - 1)
+
+    def pairs(df):
+        return sorted(
+            (min(r["new_doc"], r["dup_of"]), max(r["new_doc"], r["dup_of"]))
+            for r in df.select("new_doc", "dup_of").collect()
+        )
+
+    got = pairs(probe_batch(spark, str(idx), last, exclude_date=f"2025-07-0{_N_DAYS}"))
+    # reference: fresh index holding only the retained earlier days
+    idx2 = tmp_path / "gate_idx_fresh"
+    for day in range(1, _N_DAYS - 1):
+        apply_batch(
+            spark, str(idx2),
+            docs.filter(_day_of(F.col("doc_id")) == day),
+            f"2025-07-0{day + 1}",
+        )
+    want = pairs(probe_batch(spark, str(idx2), last))
+    assert got == want
