@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -989,4 +990,100 @@ def stream_heavy_hitters_to_table(
         .foreachBatch(_land)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
+    )
+
+
+# --- streaming last-touch attribution ----------------------------------------
+
+ATTRIBUTION_SCHEMA = StructType(
+    [
+        StructField("purchase_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("purchase_cents", LongType()),
+        StructField("click_id", LongType()),
+        StructField("gap_us", LongType()),
+        StructField("attributed", BooleanType()),
+    ]
+)
+
+# state: the user's latest click as (epoch-µs, event_id) — two longs
+_ATTR_STATE_SCHEMA = StructType(
+    [StructField("cts", LongType()), StructField("cid", LongType())]
+)
+
+_ATTR_WINDOW_US_STREAM = 7 * 86400 * 1_000_000
+
+
+def _fold_attribution(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user last-touch attribution fold: events arrive in (ts,
+    event_id) order within the materialized group (whole-group sort, the
+    _fold_gaps chunk discipline); a click updates the two-long state, a
+    purchase reads it and emits its attribution row exactly once (append
+    mode — credit is an immutable fact once the purchase is seen). A
+    single-trigger run reproduces the batch
+    events_attribution_last_touch rows bit-for-bit (pinned); state is
+    O(1) per user, never an event buffer."""
+    (user_id,) = key
+    cts, cid = state.get if state.exists else (None, None)
+    out: list[tuple] = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts_val, eid, etype, val in zip(
+            pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
+        ):
+            us = int(ts_val.value // 1_000)
+            if etype == "click":
+                # (ts, event_id) order makes each click the running max
+                cts, cid = us, int(eid)
+            elif etype == "purchase":
+                cents = int(math.floor(float(val) * 100.0 + 0.5))
+                hit = cts is not None and us - cts <= _ATTR_WINDOW_US_STREAM
+                out.append(
+                    (
+                        int(eid),
+                        user_id,
+                        cents,
+                        int(cid) if hit else None,
+                        us - cts if hit else None,
+                        bool(hit),
+                    )
+                )
+    state.update((cts, cid))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "purchase_id",
+            "user_id",
+            "purchase_cents",
+            "click_id",
+            "gap_us",
+            "attributed",
+        ],
+    )
+
+
+def stream_attribution_last_touch(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of events_attribution_last_touch via
+    ``applyInPandasWithState``: per-user latest-click state (two longs),
+    purchases emit their credit row the trigger they arrive — the
+    real-time form of the maintained attribution store's daily loop.
+    In-order feed across triggers assumed (the sessionize/gaps
+    contract); buffer upstream if the transport reorders beyond the
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_attribution,
+            outputStructType=ATTRIBUTION_SCHEMA,
+            stateStructType=_ATTR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

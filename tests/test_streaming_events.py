@@ -971,3 +971,72 @@ def test_markov_transitions_continue_across_triggers(spark, tmp_path):
         (r.from_type, r.to_type) for r in spark.read.parquet(out).collect()
     )
     assert got == [("click", "purchase"), ("view", "click")]
+
+
+def test_attribution_single_trigger_matches_batch_twin(spark, tmp_path):
+    """One availableNow trigger over the real sf0.001 events must
+    reproduce the batch events_attribution_last_touch rows exactly
+    (per-user two-long click state == the batch running struct max)."""
+    from data_ingestion_lambda_spark.plans import all_specs
+    from data_ingestion_lambda_spark.streaming.events import (
+        stream_attribution_last_touch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf}/events.parquet").write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        stream_attribution_last_touch(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.purchase_id: (r.user_id, r.purchase_cents, r.click_id, r.gap_us, r.attributed)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.purchase_id: (r.user_id, r.purchase_cents, r.click_id, r.gap_us, r.attributed)
+        for r in all_specs()["events_attribution_last_touch"].builder(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_attribution_state_spans_triggers(spark, tmp_path):
+    """A click in trigger 1 credits a purchase arriving in trigger 2 —
+    the state genuinely persists across micro-batches."""
+    from data_ingestion_lambda_spark.streaming.events import (
+        stream_attribution_last_touch,
+    )
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+
+    def rows(data):
+        return spark.createDataFrame(data, EVENTS_SCHEMA)
+
+    def run():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        q = (
+            stream_attribution_last_touch(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t0 = datetime(2025, 5, 1, 10, 0, 0)
+    t1 = datetime(2025, 5, 2, 10, 0, 0)
+    rows([(10, t0, 1, "click", 1.0, None)]).write.mode("append").parquet(src)
+    run()
+    rows([(11, t1, 1, "purchase", 3.5, None)]).write.mode("append").parquet(src)
+    run()
+    got = {r.purchase_id: r for r in spark.read.parquet(out).collect()}
+    assert got[11].attributed and got[11].click_id == 10
+    assert got[11].gap_us == 86400 * 1_000_000
