@@ -2792,3 +2792,95 @@ def scd2_as_of_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= asof)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
     ).select("user_id", "segment", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion latency (view -> purchase time-to-convert, histogram form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_latency_hist",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT e.user_id,
+               CAST((epoch_us(CAST(min(e.ts) AS TIMESTAMP))
+                     - epoch_us(CAST(p.t1 AS TIMESTAMP))) // 1000000 AS BIGINT)
+                   AS gap_s
+        FROM events e JOIN per_user p ON e.user_id = p.user_id
+        WHERE e.event_type = 'purchase' AND p.t1 IS NOT NULL AND e.ts > p.t1
+        GROUP BY e.user_id, p.t1
+    ),
+    hist AS (SELECT gap_s, CAST(count(*) AS BIGINT) AS cnt FROM conv GROUP BY gap_s),
+    cum AS (
+        SELECT gap_s, cnt,
+               sum(cnt) OVER (ORDER BY gap_s) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_converters,
+                   CAST(coalesce(sum(CASE WHEN gap_s < {_SESSION_GAP_S} THEN cnt END), 0)
+                        AS BIGINT) AS n_same_session
+            FROM hist)
+    SELECT (SELECT n_converters FROM tot) AS n_converters,
+           CAST(min(CASE WHEN cum * 100 >= (SELECT n_converters FROM tot) * 50
+                         THEN gap_s END) AS BIGINT) AS p50_s,
+           CAST(min(CASE WHEN cum * 100 >= (SELECT n_converters FROM tot) * 90
+                         THEN gap_s END) AS BIGINT) AS p90_s,
+           CAST(min(CASE WHEN cum * 100 >= (SELECT n_converters FROM tot) * 99
+                         THEN gap_s END) AS BIGINT) AS p99_s,
+           (SELECT n_same_session FROM tot) AS n_same_session
+    FROM cum
+    """,
+    tags=("events", "funnel", "timeseries"),
+)
+def events_funnel_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per converting user, seconds from FIRST VIEW to
+    the first purchase after it, summarized as exact type-1 p50/p90/p99
+    at second resolution plus the count converting within one session
+    gap — the growth metric next to the funnel's stage counts ("how
+    many convert" there; "how fast" here).
+
+    Scale — the distributed-percentile discipline
+    (events_interarrival_hist's recipe): per-user latencies collapse at
+    one user-keyed aggregate (sorted purchase-ts array + array_min
+    filter, the funnel lane's no-window shape), the histogram rollup is
+    map-side combinable, and the quantile stage runs over BUCKET rows
+    (bounded by the latency span in seconds, never by users). The
+    shared gap_hist_quantiles stage is reused verbatim, so this lane's
+    arithmetic is the pinned stream-ledger-compatible one."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
+    )
+    conv = (
+        per_user.filter(F.col("t1").isNotNull())
+        .withColumn(
+            "tp", F.array_min(F.filter("purchases", lambda p: p > F.col("t1")))
+        )
+        .filter(F.col("tp").isNotNull())
+        .select(
+            (
+                (F.unix_micros("tp") - F.unix_micros("t1"))
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("gap_s")
+        )
+    )
+    hist = conv.groupBy("gap_s").agg(F.count("*").cast("long").alias("cnt"))
+    q = gap_hist_quantiles(hist)
+    return q.select(
+        F.col("n_gaps").alias("n_converters"),
+        "p50_s",
+        "p90_s",
+        "p99_s",
+        F.col("n_within_session_gap").alias("n_same_session"),
+    )
