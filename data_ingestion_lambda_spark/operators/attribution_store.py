@@ -10,15 +10,22 @@ day the same way sessions decompose into chains:
   click of that day is dominated by it, and cross-day dominance is
   resolved read-side by the struct max over days).
 
-So each daily apply persists TWO user-bounded artifacts in the batch
-date's own partition (``date=<batch>`` — the replay-idempotence key,
-day-pure like the session store's calendar ledger):
+So each daily apply persists THREE artifacts in the batch date's own
+partition (``date=<batch>`` — the replay-idempotence key, day-pure
+like the session store's calendar ledger):
 
   {index}/purchases : (purchase_id, user_id, ts_us, cents,
-                       same-day candidate click struct or NULL)
+                       same-day candidate click struct or NULL,
+                       same-day prior click count)
   {index}/last_clicks : one (user_id, cts, cid) row per user who
                         clicked that day — |active users| rows,
                         NEVER event-count rows
+  {index}/clicks : (user_id, cts) — the day's click timestamps, the
+                   one event-bounded artifact (a 2-column projection):
+                   the LINEAR read needs exact timestamps because a
+                   per-day count cannot resolve the partial boundary
+                   day of the microsecond window; the last-touch read
+                   never touches it
 
 ``read_attribution`` then joins each purchase against its user's
 last-click rows from the preceding {_LOOKBACK_DAYS} day partitions
@@ -85,8 +92,16 @@ def apply_attribution_batch(
         F.col("event_type") == "click",
         F.struct(F.col("ts_us").alias("cts"), F.col("event_id").alias("cid")),
     )
+    click_flag = F.when(F.col("event_type") == "click", 1).otherwise(0)
     purchases = (
         e.withColumn("same_day_click", F.max(click_struct).over(w))
+        # same-day PRIOR click count rides the same window — the linear
+        # read needs it (prior days contribute via the clicks artifact;
+        # same-day clicks after the purchase must not count)
+        .withColumn(
+            "same_day_prior_clicks",
+            F.coalesce(F.sum(click_flag).over(w), F.lit(0)).cast("long"),
+        )
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -94,6 +109,7 @@ def apply_attribution_batch(
             "ts_us",
             "cents",
             "same_day_click",
+            "same_day_prior_clicks",
         )
         .withColumn("date", F.lit(batch_date))
     )
@@ -108,8 +124,20 @@ def apply_attribution_batch(
         .select("user_id", "last_click.cts", "last_click.cid")
         .withColumn("date", F.lit(batch_date))
     )
+    # The LINEAR read needs every prior-window click's exact timestamp
+    # (a per-day count cannot resolve the partial boundary day), so the
+    # day's clicks persist as (user_id, cts) rows — a two-column
+    # projection of the day's click events, the one event-bounded
+    # artifact in the store (documented cost of exact equal-credit; the
+    # last-touch read never touches it).
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts_us").alias("cts"))
+        .withColumn("date", F.lit(batch_date))
+    )
     replace_partitions(spark, f"{index_dir}/purchases", purchases, [batch_date])
     replace_partitions(spark, f"{index_dir}/last_clicks", last_clicks, [batch_date])
+    replace_partitions(spark, f"{index_dir}/clicks", clicks, [batch_date])
     return {"index": index_dir, "date": batch_date}
 
 
@@ -186,4 +214,63 @@ def read_attribution(spark: SparkSession, index_dir: str) -> DataFrame:
             (F.col("ts_us") - F.col("best_click.cts")).cast("long"),
         ).alias("gap_us"),
         "attributed",
+    )
+
+
+def read_attribution_linear(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The equal-credit attribution table — row-equal to
+    ``events_attribution_linear`` over the same events: per purchase,
+    the window click count is its SAME-DAY prior count (persisted at
+    apply time from the day's own window) plus the exact count of
+    prior-day clicks inside the 7-day microsecond window, read from the
+    store's (user_id, cts) click rows with a date-pruned, user-keyed
+    join. One guarded division for the per-click credit."""
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    if not fs.exists(path_cls(f"{index_dir}/purchases")):
+        raise ValueError(
+            f"read_attribution_linear: no purchases ledger at {index_dir}"
+        )
+    p = spark.read.parquet(f"{index_dir}/purchases").withColumn(
+        "pdate", F.col("date").cast("date")
+    )
+    if fs.exists(path_cls(f"{index_dir}/clicks")):
+        c = spark.read.parquet(f"{index_dir}/clicks").select(
+            "user_id", "cts", F.col("date").cast("date").alias("cdate")
+        )
+        joined = p.join(
+            c,
+            (p["user_id"] == c["user_id"])
+            & (c["cdate"] < p["pdate"])
+            & (c["cdate"] >= F.date_sub(p["pdate"], _LOOKBACK_DAYS))
+            & (c["cts"] < p["ts_us"])
+            & (p["ts_us"] - c["cts"] <= F.lit(_ATTR_WINDOW_US)),
+            "left",
+        ).select(
+            p["purchase_id"],
+            p["user_id"],
+            p["ts_us"],
+            p["cents"],
+            p["same_day_prior_clicks"],
+            c["cts"].alias("prior_cts"),
+        )
+    else:
+        joined = p.select(
+            "purchase_id",
+            "user_id",
+            "ts_us",
+            "cents",
+            "same_day_prior_clicks",
+            F.lit(None).cast("bigint").alias("prior_cts"),
+        )
+    counted = joined.groupBy(
+        "purchase_id", "user_id", "ts_us", "cents", "same_day_prior_clicks"
+    ).agg(F.count("prior_cts").cast("long").alias("n_prior"))
+    n = (F.col("same_day_prior_clicks") + F.col("n_prior")).cast("long")
+    return counted.select(
+        "purchase_id",
+        "user_id",
+        F.col("cents").alias("purchase_cents"),
+        n.alias("n_clicks_window"),
+        F.when(n > 0, F.col("cents").cast("double") / n).alias("credit_per_click"),
+        (n > 0).alias("attributed"),
     )

@@ -115,3 +115,35 @@ def test_cli_roundtrip(spark, tmp_path, capsys):
     assert rep["statusCode"] == 200 and rep["purchases"] > 0
     got = _rows(spark.read.parquet(out))
     assert got == _rows(read_attribution(spark, idx))
+
+
+def test_linear_read_equals_oneshot(spark, tmp_path):
+    """Maintained equal-credit attribution: the persisted same-day prior
+    counts plus the date-pruned prior-day click join must row-equal the
+    one-shot events_attribution_linear lane (including boundary-day
+    clicks partially outside the microsecond window — the reason the
+    store keeps exact click timestamps, not per-day counts)."""
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        read_attribution_linear,
+    )
+
+    idx = str(tmp_path / "attr_idx")
+    events = load_table(spark, SF, "events")
+    _apply_daily(spark, idx, events)
+
+    def rows(df):
+        return sorted(
+            (
+                r.purchase_id,
+                r.user_id,
+                r.purchase_cents,
+                r.n_clicks_window,
+                r.credit_per_click,
+                r.attributed,
+            )
+            for r in df.collect()
+        )
+
+    got = rows(read_attribution_linear(spark, idx))
+    want = rows(all_specs()["events_attribution_linear"].builder(spark, SF))
+    assert got == want and len(got) > 0
