@@ -2884,3 +2884,112 @@ def events_funnel_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99_s",
         F.col("n_within_session_gap").alias("n_same_session"),
     )
+
+
+@register(
+    "events_attribution_position",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    tagged AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'click'
+                        THEN {{'cts': ts_us, 'cid': event_id}} END)
+                 OVER w AS first_click,
+               max(CASE WHEN event_type = 'click'
+                        THEN {{'cts': ts_us, 'cid': event_id}} END)
+                 OVER w AS last_click,
+               CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+                 OVER w, 0) AS BIGINT) AS n_window
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                           AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, cents AS purchase_cents,
+           n_window AS n_clicks_window,
+           CASE WHEN n_window > 0 THEN first_click.cid END AS first_click_id,
+           CASE WHEN n_window > 0 THEN last_click.cid END AS last_click_id,
+           CASE WHEN n_window >= 2 THEN 40 * cents END AS first_credit_x100,
+           CASE WHEN n_window >= 2 THEN 40 * cents END AS last_credit_x100,
+           CASE WHEN n_window > 2 THEN 20 * cents END AS middle_pool_x100,
+           n_window > 0 AS attributed
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+    tags=("events", "attribution"),
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution: within the 7-day window,
+    the FIRST touch and the LAST touch each earn 40% of the purchase
+    value and the middle clicks split the remaining 20% — the standard
+    compromise between first-touch (discovery) and last-touch (closing)
+    credit. With exactly one window click it takes everything (the
+    credits collapse — reported here as NULL first/last splits, the
+    single-click case the last-touch lane already covers); with two,
+    the middle pool is empty.
+
+    Determinism: credits are reported as exact INTEGER
+    hundredths-of-cents (40·cents / 20·cents) rather than divided
+    doubles — the division by n_middle belongs to the consumer joining
+    actual middle clicks, and keeping the pool integral keeps the lane
+    float-free. The windows are the last-touch lane's running struct
+    extremes plus the linear lane's value-range count, all over one
+    user exchange.
+
+    Scale: identical profile to the other attribution lanes — one user
+    exchange, purchase-count output rows, no purchase x clicks join."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    # ALL window state is value-range scoped (the 7-day µs frame ending
+    # 1 µs before the purchase), so first/last/count agree on exactly the
+    # clicks the window admits — the rows-frame struct extremes of the
+    # last-touch lane would include out-of-window history here.
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
+    click_struct = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts_us").alias("cts"), F.col("event_id").alias("cid")),
+    )
+    n_window = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "click", 1)).over(w_range), F.lit(0)
+    ).cast("long")
+    tagged = (
+        e.withColumn("first_click", F.min(click_struct).over(w_range))
+        .withColumn("last_click", F.max(click_struct).over(w_range))
+        .withColumn("n_window", n_window)
+    )
+    hit = F.col("n_window") > 0
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("cents").alias("purchase_cents"),
+            F.col("n_window").alias("n_clicks_window"),
+            F.when(hit, F.col("first_click.cid")).alias("first_click_id"),
+            F.when(hit, F.col("last_click.cid")).alias("last_click_id"),
+            F.when(
+                F.col("n_window") >= 2, (F.lit(40) * F.col("cents")).cast("long")
+            ).alias("first_credit_x100"),
+            F.when(
+                F.col("n_window") >= 2, (F.lit(40) * F.col("cents")).cast("long")
+            ).alias("last_credit_x100"),
+            F.when(
+                F.col("n_window") > 2, (F.lit(20) * F.col("cents")).cast("long")
+            ).alias("middle_pool_x100"),
+            hit.alias("attributed"),
+        )
+    )
