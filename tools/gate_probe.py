@@ -616,6 +616,7 @@ def run_attribution(spark, rep_dir: str) -> None:
     from data_ingestion_lambda_spark.operators.attribution_store import (
         apply_attribution_batch,
         read_attribution,
+        read_attribution_linear,
     )
 
     def _events(path):
@@ -657,12 +658,21 @@ def run_attribution(spark, rep_dir: str) -> None:
                 dt = round(time.time() - t0, 2)
                 t_read = dt if t_read is None else min(t_read, dt)
 
+            t_linear = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                read_attribution_linear(spark, idx).count()
+                dt = round(time.time() - t0, 2)
+                t_linear = dt if t_linear is None else min(t_linear, dt)
+
             results[label] = {
                 "history_days": len(days),
                 "purchases": n_purchases,
                 "t_build_once_s": t_index,
                 "t_daily_apply_s": t_apply,
                 "t_read_s": t_read,
+                "t_linear_read_s": t_linear,
             }
             print(
                 json.dumps({"mode": "attribution", "corpus": label, **results[label]}),
@@ -681,6 +691,9 @@ def run_attribution(spark, rep_dir: str) -> None:
                     r10["t_daily_apply_s"] / max(r1["t_daily_apply_s"], 0.01), 2
                 ),
                 "read_growth": round(r10["t_read_s"] / max(r1["t_read_s"], 0.01), 2),
+                "linear_read_growth": round(
+                    r10["t_linear_read_s"] / max(r1["t_linear_read_s"], 0.01), 2
+                ),
             }
         ),
         flush=True,
