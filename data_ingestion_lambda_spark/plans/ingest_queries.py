@@ -350,3 +350,120 @@ def source_xml_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("amount_cents").cast("long").alias("total_cents"),
         F.sum("region").cast("long").alias("region_sum"),
     )
+
+
+_AVRO_FILES = 4
+_AVRO_ROWS = 60  # rows per file
+_AVRO_CATS = ("alpha", "beta", "gamma")
+
+
+def _write_avro_fixture() -> str:
+    """Deterministic Avro OCF drop: {_AVRO_FILES} files x {_AVRO_ROWS}
+    rows, every value a pure integer function of the row id (the XML
+    lane's reproducible-content discipline). Exercises the decoder's
+    whole supported surface: long, enum (category), ['null','long']
+    union (1-in-10 null amount), double (dyadic — exactly
+    representable, so the cross-engine hash can't drift), and
+    array<long> ([rid, 2*rid]); EVEN files use the null codec, ODD
+    files deflate, so both codec paths feed the same oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_ingestion_lambda_spark.sources.avro_source import write_ocf
+
+    out = os.path.join(tempfile.gettempdir(), "dils_avro_fixture")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    schema = {
+        "type": "record",
+        "name": "fixture_row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "category",
+                "type": {"type": "enum", "name": "cat", "symbols": list(_AVRO_CATS)},
+            },
+            {"name": "amount_cents", "type": ["null", "long"]},
+            {"name": "weight", "type": "double"},
+            {"name": "tags", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    for f in range(_AVRO_FILES):
+        rows = []
+        for i in range(_AVRO_ROWS):
+            rid = f * _AVRO_ROWS + i
+            rows.append(
+                (
+                    rid,
+                    _AVRO_CATS[rid % 3],
+                    None if rid % 10 == 9 else (rid * 37) % 10000,
+                    (rid % 16) / 16.0,  # dyadic: exact in binary64
+                    [rid, 2 * rid],
+                )
+            )
+        write_ocf(
+            os.path.join(out, f"part_{f}.avro"),
+            schema,
+            rows,
+            codec="deflate" if f % 2 else "null",
+            rows_per_block=17,  # non-divisor → a short tail block per file
+        )
+    return out
+
+
+@register(
+    "source_avro_rows",
+    oracle=f"""
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(amount_cents) AS BIGINT) AS n_with_amount,
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+           SUM(weight) AS weight_sum,
+           CAST(SUM(3 * rid) AS BIGINT) AS tag_sum
+    FROM (
+        SELECT (f.f * {_AVRO_ROWS} + i.i) AS rid,
+               ['alpha', 'beta', 'gamma'][(f.f * {_AVRO_ROWS} + i.i) % 3 + 1]
+                   AS category,
+               CASE WHEN (f.f * {_AVRO_ROWS} + i.i) % 10 = 9 THEN NULL
+                    ELSE ((f.f * {_AVRO_ROWS} + i.i) * 37) % 10000 END
+                   AS amount_cents,
+               CAST((f.f * {_AVRO_ROWS} + i.i) % 16 AS DOUBLE) / 16e0
+                   AS weight
+        FROM (SELECT UNNEST(generate_series(0, {_AVRO_FILES - 1})) AS f) f,
+             (SELECT UNNEST(generate_series(0, {_AVRO_ROWS - 1})) AS i) i
+    )
+    GROUP BY category
+    """,
+    tags=("sources",),
+)
+def source_avro_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro ingestion end-to-end, oracle-checked — the LAST documented
+    data-format gap ("spark-avro jar not bundled", SURVEY §2.11) CLOSED
+    with a pure-stdlib OCF decoder on the Python DataSource API
+    (sources/avro_source.py): a deterministic OCF drop (one
+    InputPartition per file; zigzag varints, enum, ['null','long']
+    union, double, array blocks, null AND deflate codecs, short tail
+    blocks) is read through ``format("avroocf")`` with the schema taken
+    from the files' own embedded headers, then aggregated per category
+    (array content folded via the JVM-side higher-order
+    ``aggregate``). The DuckDB twin replays the fixture's integer row
+    formula with generate_series, proving the binary decoder's CONTENT
+    — null-union, enum mapping, both codecs — matches an independent
+    engine. The double column is dyadic (k/16) so SUM is exact in both
+    engines. Ignores sf_dir by design: the fixture is the point of the
+    lane."""
+    from data_ingestion_lambda_spark.sources.avro_source import register_avro_source
+
+    register_avro_source(spark)
+    path = _write_avro_fixture()
+    d = spark.read.format("avroocf").option("path", path).load()
+    return d.groupBy("category").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("amount_cents").cast("long").alias("n_with_amount"),
+        F.sum("amount_cents").cast("long").alias("total_cents"),
+        F.sum("weight").alias("weight_sum"),
+        F.sum(
+            F.aggregate("tags", F.lit(0).cast("long"), lambda acc, x: acc + x)
+        ).alias("tag_sum"),
+    )

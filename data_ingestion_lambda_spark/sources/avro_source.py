@@ -1,0 +1,480 @@
+"""Avro Object Container File source on the Spark 4 Python DataSource
+API — closing the repo's LAST documented data-format gap (SURVEY §2.11
+"Known environment gaps": the spark-avro jar is not bundled and the
+container has no Python avro lib) with stdlib-only code, the exact
+pattern that closed the XML gap in ``sources/xml_source.py``.
+
+A user of the reference pipeline with a Kafka+Avro feed lands OCF files
+on the object store; after ``register_avro_source(spark)`` they read
+them as ``spark.read.format("avroocf").load(path)`` — schema comes from
+the file's own embedded header (Avro is self-describing), or an explicit
+``.schema(...)`` projects/renames nothing: it must match the embedded
+record's field names, and is validated field-by-field.
+
+Format coverage (the OCF spec is public and small):
+- Header: magic ``Obj\\x01``, metadata map carrying ``avro.schema``
+  (JSON) and ``avro.codec``, 16-byte sync marker.
+- Codecs: ``null`` and ``deflate`` (raw DEFLATE via ``zlib`` with
+  wbits=-15 — the spec's "deflate" is RFC 1951 without zlib headers).
+- Types: null, boolean, int, long, float, double, string, bytes, enum
+  (→ string), fixed (→ binary), record (→ struct), array, map
+  (string-keyed), and unions of ``["null", T]`` (→ nullable T).
+  Logical types (date, timestamp-*) decode as their UNDERLYING
+  primitive — re-interpreting them as zoned timestamps is the caller's
+  decision, not the codec's (the catalog's ts-normalization discipline).
+- Multi-branch non-null unions are refused loudly (no Spark analogue
+  short of a variant column; PERMISSIVE nulling them would silently
+  drop data).
+
+Error stance mirrors the XML source: ``mode=failfast`` (default here —
+binary corruption should not yield silent nulls) raises naming the file
+and offset; ``mode=permissive`` skips undecodable BLOCKS (the sync
+marker makes block boundaries recoverable) and counts them.
+
+Scale: ``partitions()`` lists the glob once on the driver (planning
+metadata only) and returns one InputPartition per FILE — a
+1000-executor cluster decodes 1000 files concurrently; each reader
+holds one file's bytes plus one decompressed block (OCF drops are
+block-rotated many-small-files, the same layout note as the XML
+source). Listing uses plain OS paths — like
+the XML source, this covers local/NFS layouts; hdfs:///s3a:// targets
+go through the JVM sources, which already speak Avro when the jar is
+present. That constraint is deliberate and documented, not an accident.
+
+The module also ships a minimal WRITER (``write_ocf``) used by the
+fixture lane and tests — encoding is the mirror of decoding and keeping
+both here means the round-trip property (write → read == identity) is
+testable without any third-party lib.
+
+Reference parity: the reference ingests CSV/JSON via pandas readers
+(src/s3_processor.py:1-210); Avro is extension surface for the same
+ingest contract.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import io
+import json
+import os
+import struct
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC = b"Obj\x01"
+_SYNC = b"\x00dils-avro-sync\x00"  # deterministic writer sync marker (16 bytes)
+assert len(_SYNC) == 16
+
+
+# ---------------------------------------------------------------------------
+# Binary decoding (Avro spec: zigzag varints, length-prefixed bytes, LE IEEE)
+# ---------------------------------------------------------------------------
+
+
+class _Cursor:
+    """Byte cursor over one buffer; every primitive read advances it."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.buf)
+
+    def take(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        if len(b) != n:
+            raise EOFError(f"avroocf: truncated read of {n} bytes at offset {self.pos}")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            byte = self.buf[self.pos]
+            self.pos += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 63:
+                raise ValueError(f"avroocf: varint overflow at offset {self.pos}")
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def read_bytes(self) -> bytes:
+        return self.take(self.read_long())
+
+    def read_string(self) -> str:
+        return self.read_bytes().decode("utf-8")
+
+    def read_float(self) -> float:
+        return struct.unpack("<f", self.take(4))[0]
+
+    def read_double(self) -> float:
+        return struct.unpack("<d", self.take(8))[0]
+
+    def read_boolean(self) -> bool:
+        return self.take(1) != b"\x00"
+
+
+def _skip_blocks_read(cur: _Cursor, read_item) -> list:
+    """Avro array/map block sequence: count (negative → abs count then
+    byte size), items, ..., 0 terminator."""
+    out = []
+    while True:
+        count = cur.read_long()
+        if count == 0:
+            return out
+        if count < 0:
+            count = -count
+            cur.read_long()  # block byte size — we decode items anyway
+        for _ in range(count):
+            out.append(read_item(cur))
+
+
+# ---------------------------------------------------------------------------
+# Schema-driven decode plan: avro JSON schema → (decode fn, spark type)
+# ---------------------------------------------------------------------------
+
+
+def _plan(schema) -> tuple:
+    """Returns (decode(cursor) -> python value, spark DataType)."""
+    if isinstance(schema, str):
+        prim = {
+            "null": (lambda c: None, StringType()),  # standalone null: typed string
+            "boolean": (_Cursor.read_boolean, BooleanType()),
+            "int": (_Cursor.read_long, IntegerType()),
+            "long": (_Cursor.read_long, LongType()),
+            "float": (_Cursor.read_float, FloatType()),
+            "double": (_Cursor.read_double, DoubleType()),
+            "string": (_Cursor.read_string, StringType()),
+            "bytes": (_Cursor.read_bytes, BinaryType()),
+        }
+        if schema not in prim:
+            raise ValueError(f"avroocf: unsupported named-type reference {schema!r}")
+        return prim[schema]
+    if isinstance(schema, list):  # union
+        branches = [b for b in schema if b != "null"]
+        if len(branches) != 1 or "null" not in schema:
+            raise ValueError(
+                "avroocf: only ['null', T] unions are supported "
+                f"(got {schema!r}) — multi-branch unions have no Spark "
+                "column type and silently nulling them would drop data"
+            )
+        null_idx = schema.index("null")
+        dec, typ = _plan(branches[0])
+
+        def read_union(cur, _null_idx=null_idx, _dec=dec):
+            return None if cur.read_long() == _null_idx else _dec(cur)
+
+        return read_union, typ
+    # dict-typed schemas
+    t = schema["type"]
+    if t in ("null", "boolean", "int", "long", "float", "double", "string", "bytes"):
+        return _plan(t)  # logical types decode as the underlying primitive
+    if t == "enum":
+        symbols = list(schema["symbols"])
+
+        def read_enum(cur, _symbols=symbols):
+            i = cur.read_long()
+            if not 0 <= i < len(_symbols):
+                raise ValueError(f"avroocf: enum index {i} out of range")
+            return _symbols[i]
+
+        return read_enum, StringType()
+    if t == "fixed":
+        size = int(schema["size"])
+        return (lambda cur, _n=size: cur.take(_n)), BinaryType()
+    if t == "array":
+        item_dec, item_typ = _plan(schema["items"])
+        return (
+            lambda cur, _d=item_dec: _skip_blocks_read(cur, _d),
+            ArrayType(item_typ),
+        )
+    if t == "map":
+        val_dec, val_typ = _plan(schema["values"])
+
+        def read_map(cur, _d=val_dec):
+            return dict(
+                _skip_blocks_read(cur, lambda c: (c.read_string(), _d(c)))
+            )
+
+        return read_map, MapType(StringType(), val_typ)
+    if t == "record":
+        fields = [(f["name"], *_plan(f["type"])) for f in schema["fields"]]
+
+        def read_record(cur, _fields=fields):
+            return tuple(dec(cur) for _, dec, _t in _fields)
+
+        spark_fields = [StructField(n, typ, True) for n, _d, typ in fields]
+        return read_record, StructType(spark_fields)
+    raise ValueError(f"avroocf: unsupported avro type {t!r}")
+
+
+def _read_header(fh) -> tuple[dict, str, bytes, _Cursor]:
+    """Parse one OCF header → (avro schema dict, codec, sync marker,
+    cursor positioned at the first data block)."""
+    if fh.read(4) != _MAGIC:
+        raise ValueError("avroocf: bad magic — not an Avro Object Container File")
+    # The metadata map's byte length is unknown upfront, so buffer the
+    # rest of the file and walk it with one cursor; read_ocf continues
+    # from the same cursor into the data blocks.
+    cur = _Cursor(fh.read())
+    meta: dict[str, bytes] = {}
+    while True:
+        count = cur.read_long()
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            cur.read_long()
+        for _ in range(count):
+            key = cur.read_string()
+            meta[key] = cur.read_bytes()
+    sync = cur.take(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avroocf: unsupported codec {codec!r} (null/deflate)")
+    return schema, codec, sync, cur
+
+
+def read_ocf(path: str, *, failfast: bool = True) -> tuple[StructType, list[tuple], int]:
+    """Decode one OCF file → (spark schema, rows, skipped_block_count).
+
+    Public so tests and non-Spark callers can round-trip without a
+    session; the DataSource reader below is a thin wrapper.
+    """
+    with open(path, "rb") as fh:
+        schema, codec, sync, cur = _read_header(fh)
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise ValueError("avroocf: top-level schema must be a record")
+    decode, spark_type = _plan(schema)
+    rows: list[tuple] = []
+    skipped = 0
+    while not cur.eof():
+        try:
+            count = cur.read_long()
+        except (EOFError, IndexError):
+            break  # trailing bytes short of a block — EOF
+        size = cur.read_long()
+        payload = cur.take(size)
+        marker = cur.take(16)
+        if marker != sync:
+            raise ValueError(
+                f"avroocf: sync marker mismatch in {path} at offset {cur.pos}"
+            )
+        try:
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            block = _Cursor(payload)
+            block_rows = [decode(block) for _ in range(count)]
+        except Exception as exc:  # noqa: BLE001 — corruption path
+            if failfast:
+                raise ValueError(
+                    f"avroocf: undecodable block in {path} "
+                    f"(count={count}, size={size}): {exc}"
+                ) from exc
+            skipped += 1
+            continue
+        rows.extend(block_rows)
+    return spark_type, rows, skipped
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer — fixture/test mirror of the decoder
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> bytes:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode(value, schema) -> bytes:
+    if isinstance(schema, str):
+        if schema == "null":
+            return b""
+        if schema == "boolean":
+            return b"\x01" if value else b"\x00"
+        if schema in ("int", "long"):
+            return _zigzag(int(value))
+        if schema == "float":
+            return struct.pack("<f", value)
+        if schema == "double":
+            return struct.pack("<d", value)
+        if schema == "string":
+            raw = value.encode("utf-8")
+            return _zigzag(len(raw)) + raw
+        if schema == "bytes":
+            return _zigzag(len(value)) + bytes(value)
+        raise ValueError(f"write_ocf: unsupported type {schema!r}")
+    if isinstance(schema, list):  # ['null', T] union
+        branches = [b for b in schema if b != "null"]
+        if value is None:
+            return _zigzag(schema.index("null"))
+        return _zigzag(schema.index(branches[0])) + _encode(value, branches[0])
+    t = schema["type"]
+    if t in ("null", "boolean", "int", "long", "float", "double", "string", "bytes"):
+        return _encode(value, t)
+    if t == "enum":
+        return _zigzag(schema["symbols"].index(value))
+    if t == "fixed":
+        assert len(value) == schema["size"]
+        return bytes(value)
+    if t == "array":
+        if not value:
+            return _zigzag(0)
+        body = b"".join(_encode(v, schema["items"]) for v in value)
+        return _zigzag(len(value)) + body + _zigzag(0)
+    if t == "map":
+        if not value:
+            return _zigzag(0)
+        body = b"".join(
+            _encode(k, "string") + _encode(v, schema["values"])
+            for k, v in value.items()
+        )
+        return _zigzag(len(value)) + body + _zigzag(0)
+    if t == "record":
+        return b"".join(
+            _encode(value[i], f["type"]) for i, f in enumerate(schema["fields"])
+        )
+    raise ValueError(f"write_ocf: unsupported avro type {t!r}")
+
+
+def write_ocf(
+    path: str,
+    schema: dict,
+    rows: list[tuple],
+    *,
+    codec: str = "null",
+    rows_per_block: int = 64,
+) -> None:
+    """Write rows (tuples in record-field order) as one OCF file."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"write_ocf: unsupported codec {codec!r}")
+    buf = io.BytesIO()
+    buf.write(_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema, sort_keys=True).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    buf.write(_zigzag(len(meta)))
+    for k, v in sorted(meta.items()):
+        kb = k.encode("utf-8")
+        buf.write(_zigzag(len(kb)) + kb + _zigzag(len(v)) + v)
+    buf.write(_zigzag(0))
+    buf.write(_SYNC)
+    for start in range(0, len(rows), rows_per_block):
+        chunk = rows[start : start + rows_per_block]
+        payload = b"".join(_encode(r, schema) for r in chunk)
+        if codec == "deflate":
+            comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+            payload = comp.compress(payload) + comp.flush()
+        buf.write(_zigzag(len(chunk)) + _zigzag(len(payload)) + payload + _SYNC)
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# Spark DataSource
+# ---------------------------------------------------------------------------
+
+
+class _AvroFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _resolve_pattern(options) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("avroocf: the `path` option is required")
+    return os.path.join(path, "*.avro") if os.path.isdir(path) else path
+
+
+class _AvroOcfReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self._pattern = _resolve_pattern(options)
+        self._failfast = options.get("mode", "failfast").lower() != "permissive"
+        self._schema = schema
+
+    def partitions(self):
+        files = sorted(_glob.glob(self._pattern))
+        if not files:
+            raise ValueError(f"avroocf: no files match {self._pattern}")
+        return [_AvroFilePartition(p) for p in files]
+
+    def read(self, partition: _AvroFilePartition) -> Iterator[tuple]:
+        file_schema, rows, _skipped = read_ocf(
+            partition.path, failfast=self._failfast
+        )
+        # Field-name validation: the planned schema (embedded-or-explicit)
+        # must match this file's embedded record, else a silent positional
+        # mismatch would mislabel columns.
+        want = [f.name for f in self._schema.fields]
+        have = [f.name for f in file_schema.fields]
+        if want != have:
+            raise ValueError(
+                f"avroocf: field mismatch in {partition.path}: "
+                f"file has {have}, plan expects {want}"
+            )
+        yield from rows
+
+
+class AvroOcfDataSource(DataSource):
+    """``spark.read.format("avroocf").load(path)`` after
+    ``register_avro_source(spark)``. Schema is inferred from the FIRST
+    file's embedded header (one driver-side header read — Avro is
+    self-describing); an explicit ``.schema(...)`` must name the same
+    fields and is validated per file."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avroocf"
+
+    def schema(self) -> StructType:
+        files = sorted(_glob.glob(_resolve_pattern(self.options)))
+        if not files:
+            raise ValueError(
+                f"avroocf: no files match {_resolve_pattern(self.options)}"
+            )
+        with open(files[0], "rb") as fh:
+            avro_schema, _codec, _sync, _cur = _read_header(fh)
+        _decode, spark_type = _plan(avro_schema)
+        if not isinstance(spark_type, StructType):
+            raise ValueError("avroocf: top-level schema must be a record")
+        return spark_type
+
+    def reader(self, schema: StructType) -> _AvroOcfReader:
+        return _AvroOcfReader(self.options, schema)
+
+
+def register_avro_source(spark) -> None:
+    spark.dataSource.register(AvroOcfDataSource)

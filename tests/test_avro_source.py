@@ -1,0 +1,181 @@
+"""Avro OCF source (sources/avro_source.py): write→read round-trip over
+the whole supported type surface, both codecs, short tail blocks,
+failfast vs permissive corruption handling, sync-marker verification,
+schema inference from the embedded header, explicit-schema validation,
+multi-branch-union refusal, and one InputPartition per file."""
+
+from __future__ import annotations
+
+import copy
+import json
+
+import pytest
+
+from data_ingestion_lambda_spark.sources.avro_source import (
+    read_ocf,
+    register_avro_source,
+    write_ocf,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "small", "type": "int"},
+        {"name": "ratio", "type": "double"},
+        {"name": "f32", "type": "float"},
+        {"name": "label", "type": "string"},
+        {"name": "blob", "type": "bytes"},
+        {"name": "maybe", "type": ["null", "long"]},
+        {
+            "name": "color",
+            "type": {"type": "enum", "name": "col", "symbols": ["red", "green"]},
+        },
+        {"name": "nums", "type": {"type": "array", "items": "long"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "point",
+            "type": {
+                "type": "record",
+                "name": "pt",
+                "fields": [
+                    {"name": "x", "type": "long"},
+                    {"name": "y", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _rows(n: int) -> list[tuple]:
+    out = []
+    for i in range(n):
+        # negatives exercise zigzag's sign bit; empty array/map exercise
+        # the zero-block encoding
+        out.append(
+            (
+                i - 3,
+                i % 2 == 0,
+                -i,
+                (i % 8) / 8.0,
+                float(i % 4),
+                f"s{i}",
+                bytes([i % 251]),
+                None if i % 3 == 0 else i * 100,
+                ["red", "green"][i % 2],
+                [] if i % 5 == 0 else [i, -i, 7],
+                {} if i % 4 == 0 else {"a": i, "b": -i},
+                (i, 2 * i),
+            )
+        )
+    return out
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_all_types_both_codecs(tmp_path, codec):
+    rows = _rows(23)
+    path = str(tmp_path / "t.avro")
+    write_ocf(path, SCHEMA, rows, codec=codec, rows_per_block=7)  # tail block of 2
+    schema, got, skipped = read_ocf(path)
+    assert skipped == 0
+    assert [f.name for f in schema.fields] == [f["name"] for f in SCHEMA["fields"]]
+    assert got == rows
+
+
+def test_spark_read_infers_schema_and_partitions(spark, tmp_path):
+    rows = _rows(11)
+    write_ocf(str(tmp_path / "a.avro"), SCHEMA, rows[:6], codec="null")
+    write_ocf(str(tmp_path / "b.avro"), SCHEMA, rows[6:], codec="deflate")
+    register_avro_source(spark)
+    df = spark.read.format("avroocf").option("path", str(tmp_path)).load()
+    assert df.rdd.getNumPartitions() == 2  # one per file
+    assert df.count() == 11
+    got = {r.id: r for r in df.collect()}
+    assert got[-3].maybe is None and got[-2].maybe == 100
+    assert got[-3].point.x == 0 and got[-2].point.y == 2
+    assert got[-3].nums == [] and got[-2].attrs == {"a": 1, "b": -1}
+    # dyadic double survives exactly
+    assert got[2].ratio == 5 / 8  # id=2 is i=5 -> (5%8)/8, dyadic-exact
+
+
+def test_explicit_schema_mismatch_refused(spark, tmp_path):
+    small = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    write_ocf(str(tmp_path / "a.avro"), small, [(1,), (2,)])
+    register_avro_source(spark)
+    df = (
+        spark.read.format("avroocf")
+        .schema("wrong long")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    with pytest.raises(Exception, match="field mismatch"):
+        df.collect()
+
+
+def test_corrupt_block_failfast_vs_permissive(tmp_path):
+    small = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "s", "type": "string"}],
+    }
+    path = str(tmp_path / "c.avro")
+    write_ocf(path, small, [("aa",), ("bb",)], rows_per_block=1, codec="deflate")
+    raw = bytearray(open(path, "rb").read())
+    # corrupt the LAST deflate payload: flip bytes just before the final
+    # sync marker (16 sync + payload sits before it)
+    raw[-20:-16] = b"\xff\xff\xff\xff"
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="undecodable block"):
+        read_ocf(path, failfast=True)
+    _schema, rows, skipped = read_ocf(path, failfast=False)
+    assert rows == [("aa",)] and skipped == 1
+
+
+def test_sync_marker_mismatch_raises(tmp_path):
+    small = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    path = str(tmp_path / "s.avro")
+    write_ocf(path, small, [(1,)], rows_per_block=1)
+    raw = bytearray(open(path, "rb").read())
+    raw[-1] ^= 0xFF  # trailing sync byte
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        read_ocf(path)
+
+
+def test_multi_branch_union_refused(tmp_path):
+    bad = copy.deepcopy(SCHEMA)
+    bad["fields"] = [{"name": "u", "type": ["null", "long", "string"]}]
+    path = str(tmp_path / "u.avro")
+    # hand-write the header only; _plan refuses before any block decode
+    write_header_only = bytearray(b"Obj\x01")
+    meta = json.dumps(bad).encode()
+    from data_ingestion_lambda_spark.sources.avro_source import _SYNC, _zigzag
+
+    write_header_only += _zigzag(1)
+    for k, v in [("avro.schema", meta)]:
+        kb = k.encode()
+        write_header_only += _zigzag(len(kb)) + kb + _zigzag(len(v)) + v
+    write_header_only += _zigzag(0) + _SYNC
+    open(path, "wb").write(bytes(write_header_only))
+    with pytest.raises(ValueError, match="null', T"):
+        read_ocf(path)
+
+
+def test_bad_magic_and_unknown_codec(tmp_path):
+    path = str(tmp_path / "m.avro")
+    open(path, "wb").write(b"PAR1not-avro")
+    with pytest.raises(ValueError, match="bad magic"):
+        read_ocf(path)
+    with pytest.raises(ValueError, match="unsupported codec"):
+        write_ocf(str(tmp_path / "z.avro"), SCHEMA, [], codec="snappy")
