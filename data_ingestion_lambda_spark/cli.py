@@ -517,6 +517,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="persist the attribution table here (overwrite); summary "
         "printed otherwise",
     )
+    att.add_argument(
+        "--read-mode",
+        choices=("last_touch", "linear", "position"),
+        default="last_touch",
+        help="which attribution table --out persists (each row-equal to "
+        "its one-shot lane)",
+    )
+    att.add_argument(
+        "--expire-keep-days",
+        type=int,
+        default=None,
+        help="drop clicks/last_clicks partitions older than "
+        "--expire-as-of minus this many days (>= the 7-day lookback; "
+        "purchases are never touched)",
+    )
+    att.add_argument(
+        "--expire-as-of",
+        default=None,
+        help="retention anchor date (required with --expire-keep-days)",
+    )
 
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
@@ -826,13 +846,24 @@ def main(argv: list[str] | None = None) -> int:
 
         from data_ingestion_lambda_spark.operators.attribution_store import (
             apply_attribution_batch,
+            expire_attribution,
             read_attribution,
+            read_attribution_linear,
+            read_attribution_position,
         )
 
         if (args.batch is None) != (args.date is None):
             raise SystemExit("attribution-store: --batch and --date go together")
-        if args.batch is None and args.out is None:
-            raise SystemExit("attribution-store: need --batch/--date and/or --out")
+        if (args.expire_keep_days is None) != (args.expire_as_of is None):
+            raise SystemExit(
+                "attribution-store: --expire-keep-days and --expire-as-of "
+                "go together"
+            )
+        if args.batch is None and args.out is None and args.expire_keep_days is None:
+            raise SystemExit(
+                "attribution-store: need --batch/--date, --out, and/or "
+                "--expire-keep-days"
+            )
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
         if args.batch is not None:
@@ -840,10 +871,28 @@ def main(argv: list[str] | None = None) -> int:
             report.update(
                 apply_attribution_batch(spark, args.index, batch, args.date)
             )
+        if args.expire_keep_days is not None:
+            try:
+                report.update(
+                    expire_attribution(
+                        spark,
+                        args.index,
+                        as_of=args.expire_as_of,
+                        keep_days=args.expire_keep_days,
+                    )
+                )
+            except ValueError as exc:
+                raise SystemExit(f"attribution-store: {exc}") from exc
         if args.out is not None:
-            attr = read_attribution(spark, args.index)
+            reader = {
+                "last_touch": read_attribution,
+                "linear": read_attribution_linear,
+                "position": read_attribution_position,
+            }[args.read_mode]
+            attr = reader(spark, args.index)
             attr.write.mode("overwrite").parquet(args.out)
             report["out"] = args.out
+            report["read_mode"] = args.read_mode
             persisted = spark.read.parquet(args.out)
             report["purchases"] = persisted.count()
             report["attributed"] = persisted.filter(F.col("attributed")).count()

@@ -16,16 +16,21 @@ like the session store's calendar ledger):
 
   {index}/purchases : (purchase_id, user_id, ts_us, cents,
                        same-day candidate click struct or NULL,
-                       same-day prior click count)
-  {index}/last_clicks : one (user_id, cts, cid) row per user who
-                        clicked that day — |active users| rows,
-                        NEVER event-count rows
-  {index}/clicks : (user_id, cts) — the day's click timestamps, the
-                   one event-bounded artifact (a 2-column projection):
-                   the LINEAR read needs exact timestamps because a
-                   per-day count cannot resolve the partial boundary
-                   day of the microsecond window; the last-touch read
-                   never touches it
+                       same-day RANGE-frame prior click count,
+                       same-day RANGE-frame first/last click structs)
+  {index}/last_clicks : one (user_id, cts, cid, fcts, fcid, n_clicks)
+                        row per user who clicked that day — the day's
+                        LAST and FIRST click plus the day's click
+                        count; |active users| rows, NEVER event-count
+                        rows
+  {index}/clicks : (user_id, cts, cid) — the day's click timestamps,
+                   the one event-bounded artifact (a 3-column
+                   projection): the LINEAR and POSITION reads need
+                   exact timestamps because a per-day count cannot
+                   resolve the partial BOUNDARY day of the microsecond
+                   window; the last-touch read never touches it, and
+                   the position read touches only ONE boundary
+                   partition per purchase date
 
 ``read_attribution`` then joins each purchase against its user's
 last-click rows from the preceding {_LOOKBACK_DAYS} day partitions
@@ -38,6 +43,24 @@ Economics: a day's apply scans only its own events (one user-keyed
 window); the read joins purchase-count rows against <= {_LOOKBACK_DAYS}
 x |clicking users/day| last-click rows — the 100 TB event history is
 never re-read to attribute today's purchases.
+
+Retention: ``expire_attribution`` drops click-side partitions
+(``clicks``/``last_clicks``) older than the lookback — they are the
+store's only unbounded INPUT state; ``purchases`` is the OUTPUT and is
+kept. After expiring everything before date B, reads stay exact for
+purchases dated >= B + {_LOOKBACK_DAYS}; older purchases are
+already-emitted history (their attribution left the store before the
+expiry horizon reached them).
+
+Frame-semantics note (cross-lane tie discipline): the LAST-TOUCH lane
+orders by (ts_us, event_id) with a ROWS frame — a click sharing the
+purchase's exact microsecond (lower event_id) IS a candidate — while
+the LINEAR and POSITION lanes use a value-RANGE frame ending at -1 µs,
+which excludes ALL same-instant clicks. The store persists both
+flavors: ``same_day_click`` (ROWS, last-touch) and the
+``same_day_prior_clicks`` / ``same_day_first_click`` /
+``same_day_last_click`` trio (RANGE), so every read matches its lane
+even on tied timestamps (pinned in tests/test_attribution_store.py).
 """
 
 from __future__ import annotations
@@ -54,6 +77,20 @@ from data_ingestion_lambda_spark.operators.upsert import (
 from data_ingestion_lambda_spark.plans.events_queries import _ATTR_WINDOW_US
 
 _LOOKBACK_DAYS = 7  # matches _ATTR_WINDOW_US = 7 days
+
+
+def _has_partitions(fs, path_cls, path: str) -> bool:
+    """True iff the ledger sub-table holds at least one ``date=``
+    partition. A purchase-only day legitimately writes NO click rows,
+    leaving the click-side directory empty (replace_partitions mkdirs
+    the target even when nothing swaps in) — reading an empty parquet
+    dir would fail schema inference, so reads treat it as absent."""
+    p = path_cls(path)
+    if not fs.exists(p):
+        return False
+    return any(
+        s.getPath().getName().startswith("date=") for s in fs.listStatus(p)
+    )
 
 
 def apply_attribution_batch(
@@ -92,16 +129,26 @@ def apply_attribution_batch(
         F.col("event_type") == "click",
         F.struct(F.col("ts_us").alias("cts"), F.col("event_id").alias("cid")),
     )
-    click_flag = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    click_flag = F.when(F.col("event_type") == "click", 1)
+    # The linear/position lanes scope same-day state with a value-RANGE
+    # frame ending 1 µs before the purchase (same-instant clicks
+    # excluded; the 7-day lower bound never binds inside one day but is
+    # kept for frame identity with the lanes) — the ROWS frame above
+    # would count a same-microsecond click with a lower event_id, which
+    # those lanes exclude (tie-pinned in tests).
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
     purchases = (
         e.withColumn("same_day_click", F.max(click_struct).over(w))
-        # same-day PRIOR click count rides the same window — the linear
-        # read needs it (prior days contribute via the clicks artifact;
-        # same-day clicks after the purchase must not count)
         .withColumn(
             "same_day_prior_clicks",
-            F.coalesce(F.sum(click_flag).over(w), F.lit(0)).cast("long"),
+            F.coalesce(F.sum(click_flag).over(w_range), F.lit(0)).cast("long"),
         )
+        .withColumn("same_day_first_click", F.min(click_struct).over(w_range))
+        .withColumn("same_day_last_click", F.max(click_struct).over(w_range))
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -110,6 +157,8 @@ def apply_attribution_batch(
             "cents",
             "same_day_click",
             "same_day_prior_clicks",
+            "same_day_first_click",
+            "same_day_last_click",
         )
         .withColumn("date", F.lit(batch_date))
     )
@@ -119,20 +168,31 @@ def apply_attribution_batch(
         .agg(
             F.max(
                 F.struct(F.col("ts_us").alias("cts"), F.col("event_id").alias("cid"))
-            ).alias("last_click")
+            ).alias("last_click"),
+            F.min(
+                F.struct(F.col("ts_us").alias("cts"), F.col("event_id").alias("cid"))
+            ).alias("first_click"),
+            F.count("*").cast("long").alias("n_clicks"),
         )
-        .select("user_id", "last_click.cts", "last_click.cid")
+        .select(
+            "user_id",
+            "last_click.cts",
+            "last_click.cid",
+            F.col("first_click.cts").alias("fcts"),
+            F.col("first_click.cid").alias("fcid"),
+            "n_clicks",
+        )
         .withColumn("date", F.lit(batch_date))
     )
-    # The LINEAR read needs every prior-window click's exact timestamp
-    # (a per-day count cannot resolve the partial boundary day), so the
-    # day's clicks persist as (user_id, cts) rows — a two-column
-    # projection of the day's click events, the one event-bounded
-    # artifact in the store (documented cost of exact equal-credit; the
-    # last-touch read never touches it).
+    # The LINEAR and POSITION reads need every prior-window click's
+    # exact timestamp (a per-day count cannot resolve the partial
+    # boundary day), so the day's clicks persist as (user_id, cts, cid)
+    # rows — a three-column projection of the day's click events, the
+    # one event-bounded artifact in the store (documented cost of exact
+    # multi-touch credit; the last-touch read never touches it).
     clicks = (
         e.filter(F.col("event_type") == "click")
-        .select("user_id", F.col("ts_us").alias("cts"))
+        .select("user_id", F.col("ts_us").alias("cts"), F.col("event_id").alias("cid"))
         .withColumn("date", F.lit(batch_date))
     )
     replace_partitions(spark, f"{index_dir}/purchases", purchases, [batch_date])
@@ -156,7 +216,7 @@ def read_attribution(spark: SparkSession, index_dir: str) -> DataFrame:
     p = spark.read.parquet(f"{index_dir}/purchases").withColumn(
         "pdate", F.col("date").cast("date")
     )
-    have_clicks = fs.exists(path_cls(f"{index_dir}/last_clicks"))
+    have_clicks = _has_partitions(fs, path_cls, f"{index_dir}/last_clicks")
     if have_clicks:
         c = spark.read.parquet(f"{index_dir}/last_clicks").select(
             "user_id",
@@ -233,7 +293,7 @@ def read_attribution_linear(spark: SparkSession, index_dir: str) -> DataFrame:
     p = spark.read.parquet(f"{index_dir}/purchases").withColumn(
         "pdate", F.col("date").cast("date")
     )
-    if fs.exists(path_cls(f"{index_dir}/clicks")):
+    if _has_partitions(fs, path_cls, f"{index_dir}/clicks"):
         c = spark.read.parquet(f"{index_dir}/clicks").select(
             "user_id", "cts", F.col("date").cast("date").alias("cdate")
         )
@@ -274,3 +334,196 @@ def read_attribution_linear(spark: SparkSession, index_dir: str) -> DataFrame:
         F.when(n > 0, F.col("cents").cast("double") / n).alias("credit_per_click"),
         (n > 0).alias("attributed"),
     )
+
+
+def read_attribution_position(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The position-based (U-shaped) attribution table — row-equal to
+    ``events_attribution_position`` over the same events: per purchase,
+    the window's FIRST and LAST click structs and its click count,
+    assembled day-decomposed:
+
+    - SAME-DAY state comes from the persisted RANGE-frame columns
+      (first/last struct + prior count, written at apply time from the
+      day's own window — no join).
+    - FULL prior days (pdate-6 .. pdate-1) are wholly inside the 7-day
+      window (day start of pdate-6 > ts_us - 7d for any ts_us within
+      pdate), so the per-user (first, last, count) rows of
+      ``last_clicks`` are exact — user-bounded, date-pruned.
+    - The BOUNDARY day (pdate-7) is partial: the window's microsecond
+      start lands inside it, so its contribution needs exact
+      timestamps — joined from ``clicks`` filtered to
+      cts >= ts_us - 7d, touching exactly ONE date partition per
+      purchase date.
+
+    The three candidate sets union into ONE user-keyed aggregation
+    (min/max struct + sum), then the credits are the lane's integer
+    hundredth-cents splits. Economics: same profile as the linear read
+    plus one single-partition boundary join — never a re-sort of
+    history."""
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    if not fs.exists(path_cls(f"{index_dir}/purchases")):
+        raise ValueError(
+            f"read_attribution_position: no purchases ledger at {index_dir}"
+        )
+    p = spark.read.parquet(f"{index_dir}/purchases").withColumn(
+        "pdate", F.col("date").cast("date")
+    )
+    keys = [
+        "purchase_id",
+        "user_id",
+        "ts_us",
+        "cents",
+        "same_day_prior_clicks",
+        "same_day_first_click",
+        "same_day_last_click",
+    ]
+    start = p["ts_us"] - F.lit(_ATTR_WINDOW_US)
+    parts = []
+    if _has_partitions(fs, path_cls, f"{index_dir}/last_clicks"):
+        lc = spark.read.parquet(f"{index_dir}/last_clicks").select(
+            F.col("user_id").alias("c_user"),
+            "cts",
+            "cid",
+            "fcts",
+            "fcid",
+            "n_clicks",
+            F.col("date").cast("date").alias("cdate"),
+        )
+        # full days: every click of the day is inside the window, so the
+        # day's (first, last, count) summary row is exact as-is
+        full = p.join(
+            lc,
+            (p["user_id"] == lc["c_user"])
+            & (lc["cdate"] > F.date_sub(p["pdate"], _LOOKBACK_DAYS))
+            & (lc["cdate"] < p["pdate"]),
+            "left",
+        ).select(
+            *[p[k] for k in keys],
+            F.when(
+                lc["fcts"].isNotNull(),
+                F.struct(lc["fcts"].alias("cts"), lc["fcid"].alias("cid")),
+            ).alias("first_cand"),
+            F.when(
+                lc["cts"].isNotNull(),
+                F.struct(lc["cts"].alias("cts"), lc["cid"].alias("cid")),
+            ).alias("last_cand"),
+            lc["n_clicks"].alias("n_cand"),
+        )
+        parts.append(full)
+        c = spark.read.parquet(f"{index_dir}/clicks").select(
+            F.col("user_id").alias("c_user"),
+            "cts",
+            "cid",
+            F.col("date").cast("date").alias("cdate"),
+        )
+        # boundary day: window-exact per-click rows from ONE partition
+        bnd_struct = F.struct(c["cts"].alias("cts"), c["cid"].alias("cid"))
+        bnd = p.join(
+            c,
+            (p["user_id"] == c["c_user"])
+            & (c["cdate"] == F.date_sub(p["pdate"], _LOOKBACK_DAYS))
+            & (c["cts"] >= start),
+            "left",
+        ).select(
+            *[p[k] for k in keys],
+            F.when(c["cts"].isNotNull(), bnd_struct).alias("first_cand"),
+            F.when(c["cts"].isNotNull(), bnd_struct).alias("last_cand"),
+            F.when(c["cts"].isNotNull(), F.lit(1)).cast("long").alias("n_cand"),
+        )
+        parts.append(bnd)
+    else:
+        null_struct = F.lit(None).cast("struct<cts:bigint,cid:bigint>")
+        parts.append(
+            p.select(
+                *keys,
+                null_struct.alias("first_cand"),
+                null_struct.alias("last_cand"),
+                F.lit(None).cast("long").alias("n_cand"),
+            )
+        )
+    u = parts[0]
+    for extra in parts[1:]:
+        u = u.unionByName(extra)
+    agg = u.groupBy(*keys).agg(
+        F.min("first_cand").alias("prior_first"),
+        F.max("last_cand").alias("prior_last"),
+        F.sum("n_cand").alias("n_prior"),
+    )
+    n = (
+        F.col("same_day_prior_clicks") + F.coalesce(F.col("n_prior"), F.lit(0))
+    ).cast("long")
+    # least/greatest skip NULL sides, resolving cross-day vs same-day
+    first = F.least(F.col("prior_first"), F.col("same_day_first_click"))
+    last = F.greatest(F.col("prior_last"), F.col("same_day_last_click"))
+    hit = n > 0
+    return agg.select(
+        "purchase_id",
+        "user_id",
+        F.col("cents").alias("purchase_cents"),
+        n.alias("n_clicks_window"),
+        F.when(hit, first["cid"]).alias("first_click_id"),
+        F.when(hit, last["cid"]).alias("last_click_id"),
+        F.when(n >= 2, (F.lit(40) * F.col("cents")).cast("long")).alias(
+            "first_credit_x100"
+        ),
+        F.when(n >= 2, (F.lit(40) * F.col("cents")).cast("long")).alias(
+            "last_credit_x100"
+        ),
+        F.when(n > 2, (F.lit(20) * F.col("cents")).cast("long")).alias(
+            "middle_pool_x100"
+        ),
+        hit.alias("attributed"),
+    )
+
+
+def expire_attribution(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    as_of: str,
+    keep_days: int = _LOOKBACK_DAYS,
+) -> dict:
+    """Retention for the store's only unbounded INPUT state: drop
+    ``clicks`` and ``last_clicks`` partitions dated before
+    ``as_of - keep_days``. ``purchases`` is the OUTPUT ledger and is
+    never touched.
+
+    Contract: reads stay EXACT for purchases dated >=
+    cutoff + {_LOOKBACK_DAYS} (their whole click window survives);
+    older purchases are already-emitted history. ``keep_days`` below
+    the {_LOOKBACK_DAYS}-day lookback is refused — it would change
+    reads for purchases on ``as_of`` itself. Idempotent: re-running
+    with the same arguments deletes nothing new."""
+    _dt.date.fromisoformat(as_of)
+    if keep_days < _LOOKBACK_DAYS:
+        raise ValueError(
+            f"expire_attribution: keep_days={keep_days} < lookback "
+            f"{_LOOKBACK_DAYS} would corrupt reads for purchases on "
+            f"as_of={as_of} itself"
+        )
+    cutoff = _dt.date.fromisoformat(as_of) - _dt.timedelta(days=keep_days)
+    dropped: list[str] = []
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    for sub in ("clicks", "last_clicks"):
+        base = path_cls(f"{index_dir}/{sub}")
+        if not fs.exists(base):
+            continue
+        for status in fs.listStatus(base):
+            name = status.getPath().getName()
+            if not name.startswith("date="):
+                continue
+            try:
+                pdate = _dt.date.fromisoformat(name[len("date=") :])
+            except ValueError:
+                continue
+            if pdate < cutoff:
+                fs.delete(status.getPath(), True)
+                dropped.append(f"{sub}/{name}")
+    return {
+        "index": index_dir,
+        "cutoff": cutoff.isoformat(),
+        "dropped": sorted(dropped),
+        "exact_for_purchases_from": (
+            cutoff + _dt.timedelta(days=_LOOKBACK_DAYS)
+        ).isoformat(),
+    }

@@ -34,16 +34,71 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_lambda_spark.operators.upsert import replace_partitions
+from data_ingestion_lambda_spark.operators.upsert import (
+    _hadoop_fs,
+    replace_partitions,
+)
 from data_ingestion_lambda_spark.plans.profiling import cms_counters, cms_estimate
+
+_KEYINGS = ("date", "ingest_batch")
+
+
+def check_keying_marker(spark: SparkSession, index_dir: str, keying: str) -> None:
+    """One directory, one ledger keying (ADVICE r8): CLI applies
+    partition by ``date=`` while the streaming front partitions by
+    ``ingest_batch=`` — MIXING them in one index puts conflicting
+    partition column names at the same level, which Spark's partition
+    discovery rejects at READ time, long after both writers thought
+    they succeeded. The keying is recorded as an empty
+    ``_keyed_by=<col>`` marker directory (the vocab ``_order`` idiom —
+    the underscore prefix hides it from the file index) and every
+    writer checks it up front; legacy marker-less directories infer
+    theirs from the existing partition dirs."""
+    if keying not in _KEYINGS:
+        raise ValueError(f"check_keying_marker: unknown keying {keying!r}")
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    recorded = None
+    if fs.exists(path_cls(index_dir)):
+        names = [
+            st.getPath().getName()
+            for st in fs.listStatus(path_cls(index_dir))
+            if st.isDirectory()
+        ]
+        marked = [
+            n.split("=", 1)[1] for n in names if n.startswith("_keyed_by=")
+        ]
+        if marked:
+            recorded = marked[0]
+        else:  # legacy: infer from the partition dirs already present
+            present = {k for k in _KEYINGS for n in names if n.startswith(f"{k}=")}
+            if len(present) > 1:
+                raise ValueError(
+                    f"cms store at {index_dir} already mixes "
+                    f"{sorted(present)} partitions — reads are broken; "
+                    "split the ledgers into separate --index dirs"
+                )
+            if present:
+                recorded = present.pop()
+    if recorded is not None and recorded != keying:
+        raise ValueError(
+            f"cms store at {index_dir} is keyed by {recorded}=; refusing a "
+            f"{keying}=-keyed apply — one directory, one keying (use a "
+            "separate --index for the other ingestion path)"
+        )
+    if recorded is None or not fs.exists(
+        path_cls(f"{index_dir}/_keyed_by={keying}")
+    ):
+        fs.mkdirs(path_cls(f"{index_dir}/_keyed_by={keying}"))
 
 
 def apply_cms_batch(
     spark: SparkSession, index_dir: str, items: DataFrame, batch_date: str
 ) -> dict:
     """Land one batch's CMS grid under ``date=<batch_date>``. Idempotent
-    per (batch, date)."""
+    per (batch, date). Refuses an index the streaming front keys by
+    ``ingest_batch=`` (marker check above)."""
     _dt.date.fromisoformat(batch_date)
+    check_keying_marker(spark, index_dir, "date")
     grid = cms_counters(items).withColumn("date", F.lit(batch_date))
     replace_partitions(spark, index_dir, grid, [batch_date])
     return {"index": index_dir, "date": batch_date}

@@ -385,10 +385,9 @@ def compact_feature_ledger(spark: SparkSession, index_dir: str, keep_from: str) 
         raise RuntimeError(
             f"compact_feature_ledger: stranded {staging} from a crashed "
             "compaction — it holds the full pre-crash base; remove any "
-            f"leftover folded date=* dirs and rename it to date={BASE_DATE}, "
-            "then re-run compact_feature_ledger with the ORIGINAL (or a "
-            "later) keep_from — the re-run restores the _horizon marker "
-            "that as-of reads require"
+            f"leftover folded date=* dirs and rename it to date={BASE_DATE}. "
+            "The _horizon marker was already advanced BEFORE staging was "
+            "written, so as-of reads stay safe throughout recovery"
         )
     parts = [
         st.getPath().getName()
@@ -401,40 +400,45 @@ def compact_feature_ledger(spark: SparkSession, index_dir: str, keep_from: str) 
         if p == f"date={BASE_DATE}" or p.split("=", 1)[1] < keep_from
     ]
     if len(fold) < 2 and f"date={BASE_DATE}" in fold:
-        # Only the base itself — nothing to fold. But if the base exists
-        # WITHOUT a _horizon marker (the documented crash recovery renames
-        # staging to the base; on a first-ever compaction there was no
-        # prior marker to survive), every as-of read is refused with
-        # "re-run compact_feature_ledger" — so this early return must
-        # actually restore the marker or that remedy is a no-op. keep_from
-        # is a correct horizon PROVIDED the re-run uses the original (or a
-        # later) keep_from: every folded date was < the original, and a
-        # too-high horizon only refuses reads it could have served.
+        # Only the base itself — nothing to fold. A base WITHOUT a
+        # _horizon marker cannot arise from any crash window anymore
+        # (the marker is written FIRST, below, before staging or drops,
+        # and crash recovery never deletes it) — seeing one means the
+        # marker was removed out-of-band, and the true fold point is
+        # unknowable from the surviving partitions. REFUSING here is
+        # deliberate (ADVICE r9): the r8 behavior restored the marker at
+        # the CALLER-supplied keep_from, so a re-run with an EARLIER
+        # keep_from than the original fold understated the horizon and
+        # served as-of reads between the two dates from already-folded
+        # base state.
         if _fold_horizon(fs, path_cls, index_dir) is None:
-            if not fs.mkdirs(path_cls(f"{index_dir}/_horizon={keep_from}")):
-                raise IOError(
-                    f"compact_feature_ledger: mkdirs _horizon={keep_from} "
-                    "returned false while restoring the missing marker"
-                )
+            raise ValueError(
+                f"compact_feature_ledger: {index_dir} has a folded base "
+                "but no _horizon= marker, and the original fold point "
+                "cannot be reconstructed — recreate it manually (mkdir "
+                f"{index_dir}/_horizon=<the ORIGINAL keep_from>); "
+                "restoring it at this call's keep_from could understate "
+                "the horizon and serve corrupt as-of reads"
+            )
         return 0
     if not fold:
         return 0
-    base = merge_moments(
-        spark.read.parquet(*[f"{index_dir}/{p}" for p in fold])
-    )
-    base.write.mode("overwrite").parquet(staging)
-    # Record the new fold horizon BEFORE any partition drop: every date
-    # about to become non-separable is < keep_from, and a too-high
-    # horizon after a crash only refuses as-of reads it could have
-    # served (safe), never serves one it shouldn't. Old markers are
-    # removed after the new one exists — the MAX rule in _fold_horizon
-    # covers the crash window where both remain.
+    # Record the new fold horizon FIRST — before staging, before any
+    # partition drop: every date about to become non-separable is <
+    # keep_from, and a too-high horizon after a crash only refuses as-of
+    # reads it could have served (safe), never serves one it shouldn't.
+    # Writing it first means NO crash window leaves a folded base without
+    # a marker, so the restore-from-caller-input path (the r8 advice's
+    # understatement hazard) no longer exists. Old markers are removed
+    # after the new one exists — the MAX rule in _fold_horizon covers the
+    # crash window where both remain, and also clamps a re-run that
+    # passes an earlier keep_from than a surviving marker.
     prior = _fold_horizon(fs, path_cls, index_dir)
     new_horizon = max(prior or "", keep_from)
     if not fs.mkdirs(path_cls(f"{index_dir}/_horizon={new_horizon}")):
         raise IOError(
             f"compact_feature_ledger: mkdirs _horizon={new_horizon} returned "
-            f"false; nothing dropped yet — remove {staging} and re-run"
+            "false; nothing staged or dropped yet — safe to re-run"
         )
     if prior is not None and prior != new_horizon:
         old_marker = path_cls(f"{index_dir}/_horizon={prior}")
@@ -444,6 +448,10 @@ def compact_feature_ledger(spark: SparkSession, index_dir: str, keep_from: str) 
                 "returned false; the new marker exists and wins by the MAX "
                 "rule — remove the stale one manually, nothing dropped yet"
             )
+    base = merge_moments(
+        spark.read.parquet(*[f"{index_dir}/{p}" for p in fold])
+    )
+    base.write.mode("overwrite").parquet(staging)
     for p in fold:
         full = path_cls(f"{index_dir}/{p}")
         if fs.exists(full) and not fs.delete(full, True):

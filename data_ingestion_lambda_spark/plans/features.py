@@ -670,6 +670,7 @@ def feature_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEG_K = 4  # candidates drawn per customer
 _NEG_A = 2654435761  # Knuth multiplicative hash constant
 _NEG_B = 40503
+_NEG_COARSE = 65536  # part-rank prefix-sum coarse range (keys per task)
 
 
 @register(
@@ -723,14 +724,38 @@ def feature_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE fact exchange (the orderkey join for interactions,
     distinct-reduced before the anti-join, so the anti-join's right
     side is interaction-pairs-sized, not lineitem-sized); candidates
-    are |customers| × {_NEG_K} rows; the part-rank window runs over the
-    part DIM only (the documented dim-bounded global-window family).
-    The part index broadcasts into the candidate join — no fact-side
-    shuffle for it (plan-pinned)."""
+    are |customers| × {_NEG_K} rows. The dense part-rank index is the
+    TWO-PHASE coarse-range prefix sum (the feature_quantile_bucketize /
+    events_interarrival_hist recipe) — per-coarse-range local
+    row_number in parallel + broadcast coarse offsets — NOT a global
+    row_number over the part dim: a recsys item catalog is the one
+    "dim" that reaches 1e8+ rows, where a single-partition sort window
+    dies (ADVICE r8; 100x point in SCALE.md). The only unpartitioned
+    window left runs over the coarse-range AGGREGATE (|keyspace|/2^16
+    rows — reduced, domain-bounded). The part index broadcasts into the
+    candidate join — no fact-side shuffle for it (plan-pinned)."""
     part = t(spark, sf_dir, "part").select("p_partkey")
     n_parts = part.agg(F.count("*").cast("long").alias("n"))
-    pidx = part.withColumn(
-        "rk", F.row_number().over(Window.orderBy("p_partkey")).cast("long")
+    pp = part.withColumn("coarse", F.expr(f"p_partkey div {_NEG_COARSE}"))
+    wo = Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pp.groupBy("coarse")
+        .agg(F.count("*").alias("ccnt"))
+        .select(
+            "coarse", F.coalesce(F.sum("ccnt").over(wo), F.lit(0)).alias("off")
+        )
+    )
+    pidx = (
+        pp.withColumn(
+            "lrk",
+            F.row_number().over(
+                Window.partitionBy("coarse").orderBy("p_partkey")
+            ),
+        )
+        .join(F.broadcast(offsets), "coarse")
+        .select(
+            "p_partkey", (F.col("lrk") + F.col("off")).cast("long").alias("rk")
+        )
     )
     cand = (
         t(spark, sf_dir, "customer")

@@ -416,6 +416,13 @@ def _resolve_pattern(options) -> str:
     path = options.get("path")
     if not path:
         raise ValueError("avroocf: the `path` option is required")
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"avroocf: {path!r} — this source reads plain OS paths "
+            "(local/NFS); remote filesystems need the JVM-side "
+            "spark-avro package"
+        )
+    path = path.removeprefix("file://")
     return os.path.join(path, "*.avro") if os.path.isdir(path) else path
 
 

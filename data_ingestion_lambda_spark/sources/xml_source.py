@@ -21,8 +21,16 @@ Semantics (the useful subset of spark-xml's rowTag mode):
 
 Scale: ``partitions()`` returns one InputPartition per FILE (the
 driver lists the glob once — planning metadata, not data), so a
-1000-executor cluster parses 1000 files concurrently; each reader
+many-executor cluster parses many files concurrently; each reader
 streams one document through ElementTree and yields plain tuples.
+Path constraint (deliberate, ADVICE r8): listing and reads use plain
+OS paths (``glob``/``open``), so the source covers local and
+NFS-shared layouts — the ones row-oriented XML drops actually land
+on in this repo's ingest contract. ``hdfs://``/``s3a://`` targets
+are refused up front with a clear error rather than failing inside
+an executor; routing XML through the Hadoop FS API is not worth the
+JVM round-trips when the JVM side would then be better served by a
+proper spark-xml jar anyway.
 ElementTree is a full-document parser, so per-FILE memory is
 document-sized — row-oriented XML drops are many small files, which is
 exactly this layout; for one giant document, split upstream (the same
@@ -87,6 +95,13 @@ class _XmlRowsReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("xmlrows: the `path` option is required")
+        if "://" in path and not path.startswith("file://"):
+            raise ValueError(
+                f"xmlrows: {path!r} — this source reads plain OS paths "
+                "(local/NFS); remote filesystems need the JVM-side "
+                "spark-xml package"
+            )
+        path = path.removeprefix("file://")
         self._pattern = (
             os.path.join(path, "*.xml") if os.path.isdir(path) else path
         )

@@ -1040,7 +1040,16 @@ def _fold_attribution(
                 # (ts, event_id) order makes each click the running max
                 cts, cid = us, int(eid)
             elif etype == "purchase":
-                cents = int(math.floor(float(val) * 100.0 + 0.5))
+                # NULL purchase value (the events schema allows it —
+                # profile_null_drift_daily monitors exactly that) arrives
+                # as NaN here; the batch lane's F.floor(NULL) emits NULL
+                # cents, so mirror it instead of letting math.floor(NaN)
+                # kill the streaming query
+                cents = (
+                    None
+                    if pd.isna(val)
+                    else int(math.floor(float(val) * 100.0 + 0.5))
+                )
                 hit = cts is not None and us - cts <= _ATTR_WINDOW_US_STREAM
                 out.append(
                     (

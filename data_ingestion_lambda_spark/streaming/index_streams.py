@@ -229,7 +229,11 @@ def run_cms_update_available_now(
     read (operators/cms_store.py::read_cms) equals the one-shot sketch
     over everything ingested, any trigger split. Replays overwrite only
     their own partition."""
+    from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
     from data_ingestion_lambda_spark.plans.profiling import cms_counters
+
+    # one directory, one keying: refuse an index the CLI keys by date=
+    check_keying_marker(spark, index_dir, "ingest_batch")
 
     def _body(batch: DataFrame, key: str) -> dict:
         (

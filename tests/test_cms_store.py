@@ -147,3 +147,41 @@ def test_unseen_items_estimate_zero(spark, tmp_path):
     # probed cell of an unseen item is empty with near-certainty; the
     # min-with-zero contract caps both at their true count's upper bound
     assert got["zz_never_seen_1"] == 0 and got["zz_never_seen_2"] == 0
+
+
+def test_keying_marker_refuses_mixed_ledgers(spark, tmp_path):
+    """ADVICE r8: one index dir receiving both CLI date= applies and
+    streaming ingest_batch= triggers has conflicting partition column
+    names at the same level — Spark's partition discovery rejects the
+    READ long after both writers succeeded. The _keyed_by marker makes
+    the second writer the loud failure instead."""
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.cms_store import (
+        apply_cms_batch,
+        check_keying_marker,
+        read_cms,
+    )
+
+    items = spark.createDataFrame([("a",), ("b",), ("a",)], "item string")
+    # date-keyed index refuses a streaming-keyed access
+    idx1 = str(tmp_path / "cms_date")
+    apply_cms_batch(spark, idx1, items, "2025-05-01")
+    with pytest.raises(ValueError, match="keyed by date="):
+        check_keying_marker(spark, idx1, "ingest_batch")
+    # ...and still reads fine (marker dir hidden from the file index)
+    assert read_cms(spark, idx1).count() > 0
+    # streaming-keyed index refuses a CLI apply
+    idx2 = str(tmp_path / "cms_stream")
+    check_keying_marker(spark, idx2, "ingest_batch")
+    with pytest.raises(ValueError, match="keyed by ingest_batch="):
+        apply_cms_batch(spark, idx2, items, "2025-05-01")
+    # legacy marker-less dir: keying inferred from existing partitions
+    idx3 = str(tmp_path / "cms_legacy")
+    apply_cms_batch(spark, idx3, items, "2025-05-01")
+    import shutil
+
+    shutil.rmtree(f"{idx3}/_keyed_by=date")
+    with pytest.raises(ValueError, match="keyed by date="):
+        check_keying_marker(spark, idx3, "ingest_batch")
+    apply_cms_batch(spark, idx3, items, "2025-05-02")  # same keying: fine

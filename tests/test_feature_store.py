@@ -463,13 +463,16 @@ def test_null_value_batch_is_served_not_refused(spark, tmp_path):
     assert got[2].n_events == 1 and got[2].mean_cents == 350.0
 
 
-def test_compact_early_return_restores_missing_horizon_marker(spark, tmp_path):
-    """ADVICE r8: after the documented crash recovery on a FIRST-EVER
-    compaction (rename staging to date=0000-00-00 — no prior marker
-    existed to survive), the ledger has a base but no _horizon marker and
-    every as-of read is refused with 're-run compact_feature_ledger'.
-    The early return (nothing left to fold) must make that remedy real by
-    recreating the marker at keep_from."""
+def test_compact_horizon_marker_is_crashproof(spark, tmp_path):
+    """ADVICE r9: the r8 early-return restored a missing _horizon marker
+    at the CALLER-supplied keep_from, so a post-crash re-run with an
+    EARLIER keep_from understated the horizon and served as-of reads
+    from already-folded base state. Now (a) the marker is written FIRST
+    (before staging/drops), so no crash window leaves a folded base
+    without one; (b) a surviving marker CLAMPS a re-run's earlier
+    keep_from via the MAX rule; (c) a base genuinely missing its marker
+    (out-of-band deletion) is a loud refusal naming the manual remedy,
+    never a trusting restore."""
     import pytest
 
     from data_ingestion_lambda_spark.operators.feature_store import (
@@ -482,14 +485,23 @@ def test_compact_early_return_restores_missing_horizon_marker(spark, tmp_path):
     days = _apply_daily(spark, idx, events)
     keep_from = days[-1]
     assert compact_feature_ledger(spark, idx, keep_from) > 0
-    # simulate the crash-recovery end state: base exists, marker never did
     fs, path_cls = _hadoop_fs(spark, idx)
+    assert fs.exists(path_cls(f"{idx}/_horizon={keep_from}"))
+    # (b) a re-run with an EARLIER keep_from must NOT lower the marker
+    assert compact_feature_ledger(spark, idx, days[0]) == 0
+    assert fs.exists(path_cls(f"{idx}/_horizon={keep_from}"))
+    with pytest.raises(ValueError, match="compaction horizon"):
+        read_user_features_asof(spark, idx, days[0])
+    # (c) marker removed out-of-band: refusal with the manual remedy,
+    # and the understating re-run must NOT recreate it
     assert fs.delete(path_cls(f"{idx}/_horizon={keep_from}"), True)
     with pytest.raises(ValueError, match="no _horizon= marker"):
         read_user_features_asof(spark, idx, days[-1])
-    # the documented remedy: re-run with the original keep_from
-    assert compact_feature_ledger(spark, idx, keep_from) == 0
-    assert fs.exists(path_cls(f"{idx}/_horizon={keep_from}"))
+    with pytest.raises(ValueError, match="cannot be reconstructed"):
+        compact_feature_ledger(spark, idx, days[0])
+    assert not fs.exists(path_cls(f"{idx}/_horizon={days[0]}"))
+    # manual remedy at the ORIGINAL keep_from restores service
+    assert fs.mkdirs(path_cls(f"{idx}/_horizon={keep_from}"))
     got = _rows(read_user_features_asof(spark, idx, days[-1]))
     assert got == _rows(read_user_features(spark, idx))
 

@@ -1040,3 +1040,34 @@ def test_attribution_state_spans_triggers(spark, tmp_path):
     got = {r.purchase_id: r for r in spark.read.parquet(out).collect()}
     assert got[11].attributed and got[11].click_id == 10
     assert got[11].gap_us == 86400 * 1_000_000
+
+
+def test_attribution_null_purchase_value_survives(spark, tmp_path):
+    """A purchase with NULL value (the events schema allows it) arrives
+    in the fold as NaN; the query must NOT die — it emits the batch
+    twin's NULL cents, with attribution itself unaffected (r8 advice:
+    math.floor(NaN) used to raise and kill the stream)."""
+    from data_ingestion_lambda_spark.streaming.events import (
+        stream_attribution_last_touch,
+    )
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    t0 = datetime(2025, 5, 1, 10, 0, 0)
+    t1 = datetime(2025, 5, 1, 11, 0, 0)
+    spark.createDataFrame(
+        [(10, t0, 1, "click", 1.0, None), (11, t1, 1, "purchase", None, None)],
+        EVENTS_SCHEMA,
+    ).write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        stream_attribution_last_touch(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.purchase_id: r for r in spark.read.parquet(out).collect()}
+    assert got[11].attributed and got[11].click_id == 10
+    assert got[11].purchase_cents is None

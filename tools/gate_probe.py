@@ -617,6 +617,7 @@ def run_attribution(spark, rep_dir: str) -> None:
         apply_attribution_batch,
         read_attribution,
         read_attribution_linear,
+        read_attribution_position,
     )
 
     def _events(path):
@@ -666,6 +667,14 @@ def run_attribution(spark, rep_dir: str) -> None:
                 dt = round(time.time() - t0, 2)
                 t_linear = dt if t_linear is None else min(t_linear, dt)
 
+            t_position = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                read_attribution_position(spark, idx).count()
+                dt = round(time.time() - t0, 2)
+                t_position = dt if t_position is None else min(t_position, dt)
+
             results[label] = {
                 "history_days": len(days),
                 "purchases": n_purchases,
@@ -673,6 +682,7 @@ def run_attribution(spark, rep_dir: str) -> None:
                 "t_daily_apply_s": t_apply,
                 "t_read_s": t_read,
                 "t_linear_read_s": t_linear,
+                "t_position_read_s": t_position,
             }
             print(
                 json.dumps({"mode": "attribution", "corpus": label, **results[label]}),
@@ -693,6 +703,9 @@ def run_attribution(spark, rep_dir: str) -> None:
                 "read_growth": round(r10["t_read_s"] / max(r1["t_read_s"], 0.01), 2),
                 "linear_read_growth": round(
                     r10["t_linear_read_s"] / max(r1["t_linear_read_s"], 0.01), 2
+                ),
+                "position_read_growth": round(
+                    r10["t_position_read_s"] / max(r1["t_position_read_s"], 0.01), 2
                 ),
             }
         ),

@@ -260,16 +260,17 @@ def build_replicated(
 
     emb = load_table(spark, base, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    # Copy i circular-shifts by i, so copies stay mutually dissimilar ONLY
-    # while every shift is distinct and non-trivial: shift mult-1 must stay
-    # < dim. Beyond that, slice() lengths go non-positive and shifts alias
-    # every `dim` copies, silently violating the probe's premise — so past
-    # dim the embeddings table is SKIPPED (documents/facts still replicate;
-    # main() rejects embedding-dependent queries in that regime).
+    # Copy i applies a coordinate PERMUTATION (cosine-invariant within a
+    # copy): circular shift by i for i < dim, and reverse∘shift for
+    # dim <= i < 2*dim (reversal is its own permutation, so the two
+    # families are disjoint and each shift stays distinct). Past 2*dim
+    # the families alias, silently violating the probe's premise — so
+    # there the embeddings table is SKIPPED (documents/facts still
+    # replicate; main() rejects embedding-dependent queries).
     embeddings_written = True
-    if mult > dim:
+    if mult > 2 * dim:
         print(
-            f"  mult {mult} > embedding dim {dim}: skipping embeddings "
+            f"  mult {mult} > 2x embedding dim {dim}: skipping embeddings "
             "replication (document/fact queries only)",
             file=sys.stderr,
         )
@@ -302,14 +303,20 @@ def build_replicated(
 
 
 def _embedding_copies(emb, dim: int, mult: int) -> list:
+    def _permuted(i: int):
+        s = i % dim
+        shifted = (
+            F.col("embedding")
+            if s == 0
+            else F.expr(
+                f"concat(slice(embedding, {s + 1}, {dim - s}), slice(embedding, 1, {s}))"
+            )
+        )
+        return F.reverse(shifted) if i >= dim else shifted
+
     return [
         emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_STRIDE)).withColumn(
-            "embedding",
-            F.col("embedding")
-            if i == 0
-            else F.expr(
-                f"concat(slice(embedding, {i + 1}, {dim - i}), slice(embedding, 1, {i}))"
-            ),
+            "embedding", _permuted(i)
         )
         for i in range(mult)
     ]
@@ -386,7 +393,7 @@ def main() -> None:
         if named and explicit_queries:
             sys.exit(
                 f"--queries names embedding-dependent {named} but mult "
-                f"{args.mult} exceeds the embedding dim, so no replicated "
+                f"{args.mult} exceeds 2x the embedding dim, so no replicated "
                 "embeddings table exists; drop them or lower --mult"
             )
         if named:
