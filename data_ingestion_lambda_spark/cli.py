@@ -537,6 +537,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="retention anchor date (required with --expire-keep-days)",
     )
+    _add_stream_args(att, "event")
+    att.add_argument(
+        "--stream-out",
+        default=None,
+        help="persist the ANY-SPLIT streamed attribution table here "
+        "(reads stream_purchases/stream_clicks, not the day-pure "
+        "ledger; honors --read-mode)",
+    )
 
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
@@ -849,7 +857,10 @@ def main(argv: list[str] | None = None) -> int:
             expire_attribution,
             read_attribution,
             read_attribution_linear,
+            read_attribution_linear_stream,
             read_attribution_position,
+            read_attribution_position_stream,
+            read_attribution_stream,
         )
 
         if (args.batch is None) != (args.date is None):
@@ -859,13 +870,49 @@ def main(argv: list[str] | None = None) -> int:
                 "attribution-store: --expire-keep-days and --expire-as-of "
                 "go together"
             )
-        if args.batch is None and args.out is None and args.expire_keep_days is None:
+        if (args.stream_source is None) != (args.checkpoint is None):
             raise SystemExit(
-                "attribution-store: need --batch/--date, --out, and/or "
-                "--expire-keep-days"
+                "attribution-store: --stream-source and --checkpoint go together"
+            )
+        if all(
+            a is None
+            for a in (
+                args.batch,
+                args.out,
+                args.expire_keep_days,
+                args.stream_source,
+                args.stream_out,
+            )
+        ):
+            raise SystemExit(
+                "attribution-store: need --batch/--date, --out, "
+                "--expire-keep-days, --stream-source, and/or --stream-out"
             )
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
+        if args.stream_source is not None:
+            from data_ingestion_lambda_spark.streaming.index_streams import (
+                run_attribution_update_available_now,
+            )
+
+            report["batches"] = run_attribution_update_available_now(
+                spark,
+                args.stream_source,
+                args.index,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+        if args.stream_out is not None:
+            reader = {
+                "last_touch": read_attribution_stream,
+                "linear": read_attribution_linear_stream,
+                "position": read_attribution_position_stream,
+            }[args.read_mode]
+            attr = reader(spark, args.index)
+            attr.write.mode("overwrite").parquet(args.stream_out)
+            report["stream_out"] = args.stream_out
+            report["stream_read_mode"] = args.read_mode
+            report["stream_purchases"] = spark.read.parquet(args.stream_out).count()
         if args.batch is not None:
             batch = _read_event_batch(spark, args.batch)
             report.update(

@@ -527,3 +527,227 @@ def expire_attribution(
             cutoff + _dt.timedelta(days=_LOOKBACK_DAYS)
         ).isoformat(),
     }
+
+
+# ---------------------------------------------------------------------------
+# Any-split (streaming) representation — no day-purity requirement
+# ---------------------------------------------------------------------------
+
+
+def land_attribution_batch(
+    spark: SparkSession, index_dir: str, batch_events: DataFrame, batch_key: str
+) -> dict:
+    """ANY-SPLIT apply — the streaming front's body, the attribution
+    analogue of the session store's partial-session landing: a
+    micro-batch is NOT day-pure (a day routinely spans triggers), so
+    per-day window state cannot be finalized at apply time. Instead the
+    batch lands exactly what the window reads need, keyed by its OWN
+    partition (``ingest_batch=<key>`` — replay overwrites only itself,
+    the batch-id-keyed sink idiom), day-sliced INSIDE the batch
+    partition so reads can still partition-prune on date:
+
+      {index}/stream_purchases/ingest_batch=K/date=D :
+          (purchase_id, user_id, ts_us, cents)
+      {index}/stream_clicks/ingest_batch=K/date=D :
+          (user_id, cts, cid)
+
+    Same-day window state moves to the READ (it cannot be computed in a
+    batch that may have missed earlier same-day clicks from another
+    trigger); the reads below reconstruct every mode from a date-pruned
+    8-day click join — per-purchase cost bounded by its OWN window, not
+    by store age."""
+    if not batch_key or "/" in batch_key or "=" in batch_key:
+        raise ValueError(f"land_attribution_batch: bad batch key {batch_key!r}")
+    if batch_events.filter(F.col("ts").isNull()).limit(1).count() > 0:
+        raise ValueError(
+            "land_attribution_batch: batch contains NULL ts events — "
+            "attribution needs a timestamp; quarantine them upstream"
+        )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = batch_events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        F.to_date("ts").cast("string").alias("date"),
+    )
+    (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts_us",
+            "cents",
+            "date",
+        )
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(f"{index_dir}/stream_purchases/ingest_batch={batch_key}")
+    )
+    (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts_us").alias("cts"),
+            F.col("event_id").alias("cid"),
+            "date",
+        )
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(f"{index_dir}/stream_clicks/ingest_batch={batch_key}")
+    )
+    return {"index": index_dir, "key": batch_key}
+
+
+def _stream_window_agg(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Shared core of the any-split reads: per purchase, ONE date-pruned
+    user-keyed join against the clicks of its own 8 calendar days
+    (pdate-7 .. pdate — the only days the 7-day µs window can touch),
+    aggregated once into every mode's state:
+
+      lt_best     — max (cts, cid) struct over the LAST-TOUCH candidate
+                    set (the lane's ROWS-frame tie rule: a same-µs click
+                    counts iff its event_id is below the purchase's)
+      n_range / first_range / last_range — count and struct extremes
+                    over the RANGE-frame set (cts in [ts-7d, ts-1]:
+                    same-instant clicks excluded), the linear/position
+                    windows
+
+    Admission already enforces cts >= ts-7d, so an admitted last-touch
+    candidate always passes the cutoff — and a user whose latest click
+    sits BELOW the window aggregates to NULL, exactly the lane's
+    unattributed verdict. Scale: the date inequality prunes the click
+    side to <= 8 partitions per purchase DATE regardless of store age
+    (never a history re-scan); within them the join is user-keyed."""
+    try:
+        p = spark.read.parquet(f"{index_dir}/stream_purchases")
+    except Exception as exc:  # noqa: BLE001 — empty/missing ledger
+        raise ValueError(
+            f"attribution stream read: no purchases ledger under "
+            f"{index_dir}/stream_purchases ({exc})"
+        ) from exc
+    p = p.select(
+        "purchase_id",
+        "user_id",
+        "ts_us",
+        "cents",
+        F.col("date").cast("date").alias("pdate"),
+    )
+    try:
+        c = spark.read.parquet(f"{index_dir}/stream_clicks").select(
+            F.col("user_id").alias("c_user"),
+            "cts",
+            "cid",
+            F.col("date").cast("date").alias("cdate"),
+        )
+    except Exception:  # no clicks landed yet — all purchases unattributed
+        c = None
+    if c is not None:
+        start = p["ts_us"] - F.lit(_ATTR_WINDOW_US)
+        admitted = (
+            (p["user_id"] == c["c_user"])
+            & (c["cdate"] >= F.date_sub(p["pdate"], _LOOKBACK_DAYS))
+            & (c["cdate"] <= p["pdate"])
+            & (c["cts"] >= start)
+            # last-touch ROWS-frame precedence: strictly earlier µs, or
+            # same µs with a lower event id
+            & (
+                (c["cts"] < p["ts_us"])
+                | ((c["cts"] == p["ts_us"]) & (c["cid"] < p["purchase_id"]))
+            )
+        )
+        joined = p.join(c, admitted, "left").select(
+            p["purchase_id"],
+            p["user_id"],
+            p["ts_us"],
+            p["cents"],
+            F.when(
+                c["cts"].isNotNull(),
+                F.struct(c["cts"].alias("cts"), c["cid"].alias("cid")),
+            ).alias("lt_cand"),
+            # RANGE-frame subset: same-instant clicks excluded entirely
+            F.when(
+                c["cts"].isNotNull() & (c["cts"] < p["ts_us"]),
+                F.struct(c["cts"].alias("cts"), c["cid"].alias("cid")),
+            ).alias("range_cand"),
+        )
+    else:
+        null_struct = F.lit(None).cast("struct<cts:bigint,cid:bigint>")
+        joined = p.select(
+            "purchase_id",
+            "user_id",
+            "ts_us",
+            "cents",
+            null_struct.alias("lt_cand"),
+            null_struct.alias("range_cand"),
+        )
+    return joined.groupBy("purchase_id", "user_id", "ts_us", "cents").agg(
+        F.max("lt_cand").alias("lt_best"),
+        F.count("range_cand").cast("long").alias("n_range"),
+        F.min("range_cand").alias("first_range"),
+        F.max("range_cand").alias("last_range"),
+    )
+
+
+def read_attribution_stream(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Last-touch attribution from the any-split ledger — row-equal to
+    ``events_attribution_last_touch`` over the same events, for ANY
+    trigger split (pinned)."""
+    agg = _stream_window_agg(spark, index_dir)
+    hit = F.col("lt_best").isNotNull()
+    return agg.select(
+        "purchase_id",
+        "user_id",
+        F.col("cents").alias("purchase_cents"),
+        F.when(hit, F.col("lt_best.cid")).alias("click_id"),
+        F.when(hit, (F.col("ts_us") - F.col("lt_best.cts")).cast("long")).alias(
+            "gap_us"
+        ),
+        hit.alias("attributed"),
+    )
+
+
+def read_attribution_linear_stream(
+    spark: SparkSession, index_dir: str
+) -> DataFrame:
+    """Equal-credit attribution from the any-split ledger — row-equal to
+    ``events_attribution_linear`` (pinned)."""
+    agg = _stream_window_agg(spark, index_dir)
+    n = F.col("n_range")
+    return agg.select(
+        "purchase_id",
+        "user_id",
+        F.col("cents").alias("purchase_cents"),
+        n.alias("n_clicks_window"),
+        F.when(n > 0, F.col("cents").cast("double") / n).alias("credit_per_click"),
+        (n > 0).alias("attributed"),
+    )
+
+
+def read_attribution_position_stream(
+    spark: SparkSession, index_dir: str
+) -> DataFrame:
+    """U-shaped attribution from the any-split ledger — row-equal to
+    ``events_attribution_position`` (pinned)."""
+    agg = _stream_window_agg(spark, index_dir)
+    n = F.col("n_range")
+    hit = n > 0
+    return agg.select(
+        "purchase_id",
+        "user_id",
+        F.col("cents").alias("purchase_cents"),
+        n.alias("n_clicks_window"),
+        F.when(hit, F.col("first_range.cid")).alias("first_click_id"),
+        F.when(hit, F.col("last_range.cid")).alias("last_click_id"),
+        F.when(n >= 2, (F.lit(40) * F.col("cents")).cast("long")).alias(
+            "first_credit_x100"
+        ),
+        F.when(n >= 2, (F.lit(40) * F.col("cents")).cast("long")).alias(
+            "last_credit_x100"
+        ),
+        F.when(n > 2, (F.lit(20) * F.col("cents")).cast("long")).alias(
+            "middle_pool_x100"
+        ),
+        hit.alias("attributed"),
+    )

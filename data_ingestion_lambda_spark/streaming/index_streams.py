@@ -1,5 +1,6 @@
 """Streaming fronts for the remaining maintained indexes — vocab model,
-BM25 postings, IVF-ANN cells, and the incremental session store — the
+BM25 postings, IVF-ANN cells, the incremental session store, the CMS
+store, and (r9) the ANY-SPLIT attribution ledger — the
 same composition the dedup gate (streaming/dedup_stream.py), drift
 monitor, feature store and heavy-hitter store already have: Structured
 Streaming's file discovery/offset log DRIVES the persisted index's
@@ -27,11 +28,18 @@ inherited from its operator module, not re-proved:
 - partial sessions are chains, and the running-max seam merge is exact
   for ARBITRARY splits (operators/session_store.py::
   merge_partial_sessions — the generalization that lets this front drop
-  the calendar ledger's day-purity requirement).
+  the calendar ledger's day-purity requirement);
+- CMS grids sum cell-wise (operators/cms_store.py);
+- attribution lands RAW batch-keyed purchases/clicks and moves ALL
+  window state to a date-pruned read-side join, exact for any split
+  (operators/attribution_store.py::land_attribution_batch — the
+  calendar attribution store's day-pure apply REFUSES split days, so
+  this front gets its own representation).
 
-All four are pinned in tests/test_index_streams.py: streamed N-trigger
-state == the one-shot operator, and a re-run with nothing new is a
-checkpointed no-op.
+All are pinned (tests/test_index_streams.py,
+tests/test_attribution_stream.py): streamed N-trigger state == the
+one-shot operator, and a re-run with nothing new is a checkpointed
+no-op.
 
 Scale: ``maxFilesPerTrigger`` bounds a micro-batch exactly as it does
 for ingestion; each batch pays only its own tokenize/assign/sessionize
@@ -245,4 +253,55 @@ def run_cms_update_available_now(
 
     return _drain(
         spark, source_dir, checkpoint_dir, ITEMS_SCHEMA, _body, max_files_per_trigger
+    )
+
+
+ATTR_EVENTS_SCHEMA = (
+    "event_id bigint, user_id bigint, ts timestamp, "
+    "event_type string, value double"
+)
+
+
+def run_attribution_update_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    schema: str = ATTR_EVENTS_SCHEMA,
+) -> list[dict]:
+    """Drain new event files into the ANY-SPLIT attribution ledger —
+    the last maintained store to gain a streaming front, and the one
+    whose calendar form REFUSES this (its day-pure apply cannot accept
+    a day spanning triggers). Each micro-batch lands raw purchases and
+    clicks in its own ``ingest_batch=<id>`` partition, day-sliced
+    inside it (operators/attribution_store.py::land_attribution_batch);
+    the ``read_attribution*_stream`` reads reconstruct last-touch /
+    linear / position attribution from a date-pruned 8-day window join,
+    exact for ANY split (pinned: N-trigger scrambled split == the
+    one-shot lanes; replays are checkpointed no-ops).
+
+    The same ts normalization as the session front: raw generator
+    drops carry parquet TIMESTAMP(NANOS) (a LONG under the session's
+    nanosAsLong conf) or TIMESTAMP_NTZ — pass the matching schema and
+    the body converts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        land_attribution_batch,
+    )
+
+    def _body(batch: DataFrame, key: str) -> dict:
+        field = {f.name: f.dataType for f in batch.schema.fields}.get("ts")
+        if isinstance(field, LongType):
+            batch = batch.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(field, TimestampNTZType):
+            batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+        return land_attribution_batch(spark, index_dir, batch, key)
+
+    return _drain(
+        spark, source_dir, checkpoint_dir, schema, _body, max_files_per_trigger
     )
