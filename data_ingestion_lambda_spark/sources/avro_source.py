@@ -20,8 +20,11 @@ Format coverage (the OCF spec is public and small):
   (→ string), fixed (→ binary), record (→ struct), array, map
   (string-keyed), and unions of ``["null", T]`` (→ nullable T).
   Logical types (date, timestamp-*) decode as their UNDERLYING
-  primitive — re-interpreting them as zoned timestamps is the caller's
-  decision, not the codec's (the catalog's ts-normalization discipline).
+  primitive by default — re-interpreting them as zoned timestamps is
+  the caller's decision, not the codec's (the catalog's
+  ts-normalization discipline); ``option("logicalTypes", "native")``
+  opts into date → DateType and timestamp-micros/-millis →
+  TimestampType (tz-aware UTC, per the Avro spec's UTC adjustment).
 - Multi-branch non-null unions are refused loudly (no Spark analogue
   short of a variant column; PERMISSIVE nulling them would silently
   drop data).
@@ -53,6 +56,7 @@ ingest contract.
 
 from __future__ import annotations
 
+import datetime as _dt
 import glob as _glob
 import io
 import json
@@ -66,6 +70,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
+    DateType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -74,7 +79,11 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_TS = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
 _MAGIC = b"Obj\x01"
 _SYNC = b"\x00dils-avro-sync\x00"  # deterministic writer sync marker (16 bytes)
@@ -155,8 +164,16 @@ def _skip_blocks_read(cur: _Cursor, read_item) -> list:
 # ---------------------------------------------------------------------------
 
 
-def _plan(schema) -> tuple:
-    """Returns (decode(cursor) -> python value, spark DataType)."""
+def _plan(schema, *, logical: str = "raw") -> tuple:
+    """Returns (decode(cursor) -> python value, spark DataType).
+
+    ``logical="raw"`` (default) decodes logical types as their
+    UNDERLYING primitive (date → int days, timestamp-micros → long) —
+    re-interpretation is the caller's decision, matching the catalog's
+    ts-normalization discipline. ``logical="native"`` maps the common
+    Kafka-feed logical types to real Spark types: ``date`` → DateType,
+    ``timestamp-micros``/``timestamp-millis`` (UTC-adjusted per the
+    Avro spec) → TimestampType as tz-aware UTC datetimes."""
     if isinstance(schema, str):
         prim = {
             "null": (lambda c: None, StringType()),  # standalone null: typed string
@@ -180,7 +197,7 @@ def _plan(schema) -> tuple:
                 "column type and silently nulling them would drop data"
             )
         null_idx = schema.index("null")
-        dec, typ = _plan(branches[0])
+        dec, typ = _plan(branches[0], logical=logical)
 
         def read_union(cur, _null_idx=null_idx, _dec=dec):
             return None if cur.read_long() == _null_idx else _dec(cur)
@@ -189,7 +206,20 @@ def _plan(schema) -> tuple:
     # dict-typed schemas
     t = schema["type"]
     if t in ("null", "boolean", "int", "long", "float", "double", "string", "bytes"):
-        return _plan(t)  # logical types decode as the underlying primitive
+        lt = schema.get("logicalType")
+        if logical == "native" and lt == "date" and t == "int":
+            return (
+                lambda cur: _EPOCH_DATE + _dt.timedelta(days=cur.read_long()),
+                DateType(),
+            )
+        if logical == "native" and lt in ("timestamp-micros", "timestamp-millis"):
+            scale = 1 if lt == "timestamp-micros" else 1000
+
+            def read_ts(cur, _scale=scale):
+                return _EPOCH_TS + _dt.timedelta(microseconds=cur.read_long() * _scale)
+
+            return read_ts, TimestampType()
+        return _plan(t)  # otherwise: decode as the underlying primitive
     if t == "enum":
         symbols = list(schema["symbols"])
 
@@ -204,13 +234,13 @@ def _plan(schema) -> tuple:
         size = int(schema["size"])
         return (lambda cur, _n=size: cur.take(_n)), BinaryType()
     if t == "array":
-        item_dec, item_typ = _plan(schema["items"])
+        item_dec, item_typ = _plan(schema["items"], logical=logical)
         return (
             lambda cur, _d=item_dec: _skip_blocks_read(cur, _d),
             ArrayType(item_typ),
         )
     if t == "map":
-        val_dec, val_typ = _plan(schema["values"])
+        val_dec, val_typ = _plan(schema["values"], logical=logical)
 
         def read_map(cur, _d=val_dec):
             return dict(
@@ -219,7 +249,10 @@ def _plan(schema) -> tuple:
 
         return read_map, MapType(StringType(), val_typ)
     if t == "record":
-        fields = [(f["name"], *_plan(f["type"])) for f in schema["fields"]]
+        fields = [
+            (f["name"], *_plan(f["type"], logical=logical))
+            for f in schema["fields"]
+        ]
 
         def read_record(cur, _fields=fields):
             return tuple(dec(cur) for _, dec, _t in _fields)
@@ -257,7 +290,9 @@ def _read_header(fh) -> tuple[dict, str, bytes, _Cursor]:
     return schema, codec, sync, cur
 
 
-def read_ocf(path: str, *, failfast: bool = True) -> tuple[StructType, list[tuple], int]:
+def read_ocf(
+    path: str, *, failfast: bool = True, logical: str = "raw"
+) -> tuple[StructType, list[tuple], int]:
     """Decode one OCF file → (spark schema, rows, skipped_block_count).
 
     Public so tests and non-Spark callers can round-trip without a
@@ -267,7 +302,7 @@ def read_ocf(path: str, *, failfast: bool = True) -> tuple[StructType, list[tupl
         schema, codec, sync, cur = _read_header(fh)
     if not (isinstance(schema, dict) and schema.get("type") == "record"):
         raise ValueError("avroocf: top-level schema must be a record")
-    decode, spark_type = _plan(schema)
+    decode, spark_type = _plan(schema, logical=logical)
     rows: list[tuple] = []
     skipped = 0
     while not cur.eof():
@@ -412,6 +447,16 @@ class _AvroFilePartition(InputPartition):
         self.path = path
 
 
+def _logical_option(options) -> str:
+    v = options.get("logicalTypes", "raw").lower()
+    if v not in ("raw", "native"):
+        raise ValueError(
+            f"avroocf: logicalTypes={v!r} (raw = underlying primitives, "
+            "native = date/timestamp-* as Spark date/timestamp)"
+        )
+    return v
+
+
 def _resolve_pattern(options) -> str:
     path = options.get("path")
     if not path:
@@ -430,6 +475,7 @@ class _AvroOcfReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self._pattern = _resolve_pattern(options)
         self._failfast = options.get("mode", "failfast").lower() != "permissive"
+        self._logical = _logical_option(options)
         self._schema = schema
 
     def partitions(self):
@@ -440,7 +486,7 @@ class _AvroOcfReader(DataSourceReader):
 
     def read(self, partition: _AvroFilePartition) -> Iterator[tuple]:
         file_schema, rows, _skipped = read_ocf(
-            partition.path, failfast=self._failfast
+            partition.path, failfast=self._failfast, logical=self._logical
         )
         # Field-name validation: the planned schema (embedded-or-explicit)
         # must match this file's embedded record, else a silent positional
@@ -474,7 +520,7 @@ class AvroOcfDataSource(DataSource):
             )
         with open(files[0], "rb") as fh:
             avro_schema, _codec, _sync, _cur = _read_header(fh)
-        _decode, spark_type = _plan(avro_schema)
+        _decode, spark_type = _plan(avro_schema, logical=_logical_option(self.options))
         if not isinstance(spark_type, StructType):
             raise ValueError("avroocf: top-level schema must be a record")
         return spark_type

@@ -179,3 +179,67 @@ def test_bad_magic_and_unknown_codec(tmp_path):
         read_ocf(path)
     with pytest.raises(ValueError, match="unsupported codec"):
         write_ocf(str(tmp_path / "z.avro"), SCHEMA, [], codec="snappy")
+
+
+def test_logical_types_raw_vs_native(spark, tmp_path):
+    """date / timestamp-micros logical types: raw (default) yields the
+    underlying ints; logicalTypes=native yields Spark DATE/TIMESTAMP
+    columns with the UTC interpretation the Avro spec mandates."""
+    import datetime as dt
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+            {
+                "name": "maybe_ts",
+                "type": [
+                    "null",
+                    {"type": "long", "logicalType": "timestamp-micros"},
+                ],
+            },
+        ],
+    }
+    day = (dt.date(2025, 5, 9) - dt.date(1970, 1, 1)).days
+    us = int(
+        dt.datetime(2025, 5, 9, 12, 0, 0, tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    path = str(tmp_path / "lt.avro")
+    write_ocf(path, schema, [(day, us, None), (day + 1, us + 1, us)])
+    # raw: underlying primitives
+    raw_schema, raw_rows, _ = read_ocf(path)
+    assert raw_rows[0] == (day, us, None)
+    assert [f.dataType.simpleString() for f in raw_schema.fields] == [
+        "int",
+        "bigint",
+        "bigint",
+    ]
+    # native: real temporal types, end-to-end through Spark
+    register_avro_source(spark)
+    df = (
+        spark.read.format("avroocf")
+        .option("path", str(tmp_path))
+        .option("logicalTypes", "native")
+        .load()
+    )
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "date",
+        "timestamp",
+        "timestamp",
+    ]
+    rows = sorted(df.collect(), key=lambda r: r.d)
+    assert rows[0].d == dt.date(2025, 5, 9)
+    assert rows[0].ts == dt.datetime(2025, 5, 9, 12, 0, 0)  # session TZ is UTC
+    assert rows[0].maybe_ts is None and rows[1].maybe_ts is not None
+    with pytest.raises(Exception, match="logicalTypes"):
+        (
+            spark.read.format("avroocf")
+            .option("path", str(tmp_path))
+            .option("logicalTypes", "bogus")
+            .load()
+        )

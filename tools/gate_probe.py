@@ -713,6 +713,99 @@ def run_attribution(spark, rep_dir: str) -> None:
     )
 
 
+def run_attribution_stream(spark, rep_dir: str) -> None:
+    """Economics for the ANY-SPLIT attribution ledger (the streaming
+    front's representation): the read reconstructs window state from a
+    date-pruned 8-day click join — per-purchase cost must be bounded by
+    its own window, not store age. Batches land as day files here
+    purely for convenience; the representation makes no day-purity
+    assumption (tests pin scrambled splits)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        land_attribution_batch,
+        read_attribution_linear_stream,
+        read_attribution_position_stream,
+        read_attribution_stream,
+    )
+
+    def _events(path):
+        return spark.read.parquet(path).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    results = {}
+    for label, src_dir in (("1x", "/root/testdata/sf0.1"), ("10x", rep_dir)):
+        events = _events(f"{src_dir}/events.parquet").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        days = sorted(
+            str(r.d)
+            for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+        )
+        idx = tempfile.mkdtemp(prefix=f"attr_stream_{label}_")
+        shutil.rmtree(idx)
+        try:
+            t0 = time.time()
+            for i, d in enumerate(days):
+                land_attribution_batch(
+                    spark,
+                    idx,
+                    events.filter(F.to_date("ts") == F.lit(d)),
+                    f"b{i:04d}",
+                )
+            t_build = round(time.time() - t0, 2)
+            timings = {}
+            n_purchases = None
+            for name, reader in (
+                ("t_read_s", read_attribution_stream),
+                ("t_linear_read_s", read_attribution_linear_stream),
+                ("t_position_read_s", read_attribution_position_stream),
+            ):
+                best = None
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    n = reader(spark, idx).count()
+                    dt = round(time.time() - t0, 2)
+                    best = dt if best is None else min(best, dt)
+                    if name == "t_read_s":
+                        n_purchases = n
+                timings[name] = best
+            results[label] = {
+                "history_days": len(days),
+                "purchases": n_purchases,
+                "t_build_once_s": t_build,
+                **timings,
+            }
+            print(
+                json.dumps(
+                    {"mode": "attribution_stream", "corpus": label, **results[label]}
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+
+    r1, r10 = results["1x"], results["10x"]
+    print(
+        json.dumps(
+            {
+                "mode": "attribution_stream",
+                "purchase_growth": round(r10["purchases"] / r1["purchases"], 1),
+                "read_growth": round(r10["t_read_s"] / max(r1["t_read_s"], 0.01), 2),
+                "linear_read_growth": round(
+                    r10["t_linear_read_s"] / max(r1["t_linear_read_s"], 0.01), 2
+                ),
+                "position_read_growth": round(
+                    r10["t_position_read_s"] / max(r1["t_position_read_s"], 0.01), 2
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -746,6 +839,8 @@ def main() -> None:
             run_feature(spark, rep_dir)
         elif mode == "attribution":
             run_attribution(spark, rep_dir)
+        elif mode == "attribution-stream":
+            run_attribution_stream(spark, rep_dir)
         elif mode == "session":
             extra = [
                 tuple(pair.split("=", 1))
