@@ -671,6 +671,16 @@ def _stream_window_agg(spark: SparkSession, index_dir: str) -> DataFrame:
                 c["cts"].isNotNull() & (c["cts"] < p["ts_us"]),
                 F.struct(c["cts"].alias("cts"), c["cid"].alias("cid")),
             ).alias("range_cand"),
+            # whole-day age of a range-admitted click — the time-decay
+            # read's dyadic weight exponent (gap in [1, 7d] -> age 0..6;
+            # `div` = exact integer division, never IEEE)
+            F.when(
+                c["cts"].isNotNull() & (c["cts"] < p["ts_us"]),
+                (p["ts_us"] - c["cts"] - F.lit(1)),
+            ).alias("decay_gap1"),
+        ).withColumn(
+            "decay_age",
+            F.expr(f"CAST(decay_gap1 div {_DAY_US} AS INT)"),
         )
     else:
         null_struct = F.lit(None).cast("struct<cts:bigint,cid:bigint>")
@@ -681,12 +691,21 @@ def _stream_window_agg(spark: SparkSession, index_dir: str) -> DataFrame:
             "cents",
             null_struct.alias("lt_cand"),
             null_struct.alias("range_cand"),
+            F.lit(None).cast("int").alias("decay_age"),
         )
+    pow2 = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {_DECAY_BUCKETS - 1} - CAST(decay_age AS INT))"
+    )
     return joined.groupBy("purchase_id", "user_id", "ts_us", "cents").agg(
         F.max("lt_cand").alias("lt_best"),
         F.count("range_cand").cast("long").alias("n_range"),
         F.min("range_cand").alias("first_range"),
         F.max("range_cand").alias("last_range"),
+        F.coalesce(
+            F.sum(F.when(F.col("decay_age").isNotNull(), pow2)), F.lit(0)
+        )
+        .cast("long")
+        .alias("decay_weight"),
     )
 
 
@@ -750,4 +769,111 @@ def read_attribution_position_stream(
             "middle_pool_x100"
         ),
         hit.alias("attributed"),
+    )
+
+
+_DAY_US = 86400 * 1_000_000
+_DECAY_BUCKETS = 7  # whole-day ages 0..6 inside the 7-day window
+
+
+def read_attribution_time_decay(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Time-decay attribution from the CALENDAR store — row-equal to
+    ``events_attribution_time_decay``: same-day prior clicks are ALWAYS
+    age 0 (two events on one calendar day are < 24h apart), so the
+    persisted RANGE-frame count contributes 64·same_day_prior_clicks
+    outright; prior-day clicks get their exact whole-day age from the
+    (user_id, cts) click rows the linear read already joins — same
+    date-pruned join, one more integer column."""
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    if not fs.exists(path_cls(f"{index_dir}/purchases")):
+        raise ValueError(
+            f"read_attribution_time_decay: no purchases ledger at {index_dir}"
+        )
+    p = spark.read.parquet(f"{index_dir}/purchases").withColumn(
+        "pdate", F.col("date").cast("date")
+    )
+    if _has_partitions(fs, path_cls, f"{index_dir}/clicks"):
+        c = spark.read.parquet(f"{index_dir}/clicks").select(
+            F.col("user_id").alias("c_user"),
+            "cts",
+            F.col("date").cast("date").alias("cdate"),
+        )
+        joined = p.join(
+            c,
+            (p["user_id"] == c["c_user"])
+            & (c["cdate"] < p["pdate"])
+            & (c["cdate"] >= F.date_sub(p["pdate"], _LOOKBACK_DAYS))
+            & (c["cts"] < p["ts_us"])
+            & (p["ts_us"] - c["cts"] <= F.lit(_ATTR_WINDOW_US)),
+            "left",
+        ).select(
+            p["purchase_id"],
+            p["user_id"],
+            p["ts_us"],
+            p["cents"],
+            p["same_day_prior_clicks"],
+            F.when(
+                c["cts"].isNotNull(), (p["ts_us"] - c["cts"] - F.lit(1))
+            ).alias("gap1"),
+        ).withColumn(
+            "age", F.expr(f"CAST(gap1 div {_DAY_US} AS INT)")
+        )
+    else:
+        joined = p.select(
+            "purchase_id",
+            "user_id",
+            "ts_us",
+            "cents",
+            "same_day_prior_clicks",
+            F.lit(None).cast("int").alias("age"),
+        )
+    pow2 = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {_DECAY_BUCKETS - 1} - CAST(age AS INT))"
+    )
+    counted = joined.groupBy(
+        "purchase_id", "user_id", "ts_us", "cents", "same_day_prior_clicks"
+    ).agg(
+        F.count("age").cast("long").alias("n_prior"),
+        F.coalesce(F.sum(F.when(F.col("age").isNotNull(), pow2)), F.lit(0))
+        .cast("long")
+        .alias("w_prior"),
+    )
+    n = (F.col("same_day_prior_clicks") + F.col("n_prior")).cast("long")
+    weight = (
+        F.col("same_day_prior_clicks") * F.lit(1 << (_DECAY_BUCKETS - 1))
+        + F.col("w_prior")
+    ).cast("long")
+    return counted.select(
+        "purchase_id",
+        "user_id",
+        F.col("cents").alias("purchase_cents"),
+        n.alias("n_clicks_window"),
+        weight.alias("weight_total"),
+        F.when(n > 0, F.col("cents").cast("double") / weight).alias(
+            "credit_per_weight"
+        ),
+        (n > 0).alias("attributed"),
+    )
+
+
+def read_attribution_time_decay_stream(
+    spark: SparkSession, index_dir: str
+) -> DataFrame:
+    """Time-decay attribution from the ANY-SPLIT ledger — row-equal to
+    ``events_attribution_time_decay`` for any trigger split: the shared
+    window join already carries each admitted click's exact gap, so the
+    decay read just buckets it."""
+    agg = _stream_window_agg(spark, index_dir)
+    n = F.col("n_range")
+    weight = F.col("decay_weight")
+    return agg.select(
+        "purchase_id",
+        "user_id",
+        F.col("cents").alias("purchase_cents"),
+        n.alias("n_clicks_window"),
+        weight.alias("weight_total"),
+        F.when(n > 0, F.col("cents").cast("double") / weight).alias(
+            "credit_per_weight"
+        ),
+        (n > 0).alias("attributed"),
     )

@@ -2993,3 +2993,108 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit.alias("attributed"),
         )
     )
+
+
+_DAY_US = 86400 * 1_000_000
+_DECAY_BUCKETS = 7  # ages 0..6 whole days inside the 7-day window
+
+
+@register(
+    "events_attribution_time_decay",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    tagged AS (
+        SELECT *,
+               {", ".join(
+                   f'''CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us
+                       RANGE BETWEEN {(a + 1) * _DAY_US} PRECEDING
+                             AND {a * _DAY_US + 1} PRECEDING), 0) AS BIGINT)
+                 AS n_age{a}'''
+                   for a in range(_DECAY_BUCKETS)
+               )}
+        FROM e
+    )
+    SELECT event_id AS purchase_id, user_id, cents AS purchase_cents,
+           CAST({" + ".join(f"n_age{a}" for a in range(_DECAY_BUCKETS))} AS BIGINT)
+               AS n_clicks_window,
+           CAST({" + ".join(f"n_age{a} * {1 << (_DECAY_BUCKETS - 1 - a)}" for a in range(_DECAY_BUCKETS))} AS BIGINT)
+               AS weight_total,
+           CASE WHEN {" + ".join(f"n_age{a}" for a in range(_DECAY_BUCKETS))} > 0
+                THEN CAST(cents AS DOUBLE)
+                     / ({" + ".join(f"n_age{a} * {1 << (_DECAY_BUCKETS - 1 - a)}" for a in range(_DECAY_BUCKETS))})
+           END AS credit_per_weight,
+           {" + ".join(f"n_age{a}" for a in range(_DECAY_BUCKETS))} > 0 AS attributed
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+    tags=("events", "attribution"),
+)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution — the fourth industry-standard multi-touch
+    model beside last-touch / linear / position: a click's credit halves
+    for every whole DAY of age, so weight = 2^(6 − age_days) over the
+    7-day window (newest bucket 64, oldest 1 — DYADIC, hence exact in
+    both engines; the repo's decayed-activity discipline). The naive
+    form is again a purchase × clicks join; here each purchase reads 7
+    bucket COUNTS from 7 constant-bound value-RANGE frames over the one
+    user-keyed sort (bucket a = clicks with elapsed µs in
+    (a·86400e6, (a+1)·86400e6], i.e. RANGE BETWEEN (a+1)·D PRECEDING AND
+    a·D+1 PRECEDING — same-instant clicks excluded like the linear
+    lane), so the plan stays ONE exchange + window aggregations and
+    emits purchase-count rows.
+
+    Reported per purchase: the window click count (identical to the
+    linear lane's by construction — the buckets partition its frame),
+    the INTEGER total weight, and credit-per-weight-unit (cents/Σw, the
+    lane's ONE division, guarded) — a consumer joins actual clicks and
+    pays weight·credit_per_weight each; materializing the per-click
+    credit table here would re-introduce the explosion.
+
+    Scale: identical profile to the other attribution lanes — one user
+    exchange; Spark evaluates all 7 frames off the same sorted
+    partition stream. Cross-engine: integer RANGE bounds and integer
+    weights; DuckDB runs the same 7 frames."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    click_flag = F.when(F.col("event_type") == "click", 1)
+    tagged = e
+    for a in range(_DECAY_BUCKETS):
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_us")
+            .rangeBetween(-(a + 1) * _DAY_US, -(a * _DAY_US + 1))
+        )
+        tagged = tagged.withColumn(
+            f"n_age{a}",
+            F.coalesce(F.sum(click_flag).over(w), F.lit(0)).cast("long"),
+        )
+    n = sum(F.col(f"n_age{a}") for a in range(_DECAY_BUCKETS))
+    weight = sum(
+        F.col(f"n_age{a}") * F.lit(1 << (_DECAY_BUCKETS - 1 - a))
+        for a in range(_DECAY_BUCKETS)
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("cents").alias("purchase_cents"),
+            n.cast("long").alias("n_clicks_window"),
+            weight.cast("long").alias("weight_total"),
+            F.when(n > 0, F.col("cents").cast("double") / weight).alias(
+                "credit_per_weight"
+            ),
+            (n > 0).alias("attributed"),
+        )
+    )

@@ -357,3 +357,70 @@ def test_expiry_drops_click_state_keeps_reads_exact(spark, tmp_path):
     assert before == after
     rep2 = expire_attribution(spark, idx, as_of=as_of, keep_days=keep)
     assert rep2["dropped"] == []  # idempotent
+
+
+def test_time_decay_read_equals_oneshot(spark, tmp_path):
+    """Maintained time-decay attribution: same-day prior clicks are
+    always age 0 (64x weight from the persisted RANGE count alone);
+    prior-day clicks get exact whole-day ages from the clicks join —
+    must row-equal the one-shot events_attribution_time_decay lane."""
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        read_attribution_time_decay,
+    )
+
+    idx = str(tmp_path / "attr_idx")
+    events = load_table(spark, SF, "events")
+    _apply_daily(spark, idx, events)
+
+    def rows(df):
+        return sorted(
+            (
+                r.purchase_id,
+                r.user_id,
+                r.purchase_cents,
+                r.n_clicks_window,
+                r.weight_total,
+                r.credit_per_weight,
+                r.attributed,
+            )
+            for r in df.collect()
+        )
+
+    got = rows(read_attribution_time_decay(spark, idx))
+    want = rows(all_specs()["events_attribution_time_decay"].builder(spark, SF))
+    assert got == want and len(got) > 0
+    # non-vacuity: mixed-age windows must occur, or the weights never differ
+    assert any(r[3] >= 2 and r[4] != 64 * r[3] for r in got)
+
+
+def test_time_decay_age_buckets_planted(spark, tmp_path):
+    """Planted ages: clicks 2h (age 0, weight 64), 25h (age 1, 32) and
+    exactly 7d (age 6, 1) before the purchase -> weight_total 97; a
+    same-CALENDAR-day click is always age 0 even near midnight."""
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        read_attribution_time_decay,
+    )
+
+    idx = str(tmp_path / "attr_idx")
+    rows = [
+        (1, 9, "click", 1.0, "2025-05-02 12:00:00"),   # exactly 7d: age 6
+        (1, 10, "click", 1.0, "2025-05-08 11:00:00"),  # 25h: age 1
+        (1, 11, "click", 1.0, "2025-05-09 10:00:00"),  # 2h: age 0
+        (1, 12, "purchase", 5.0, "2025-05-09 12:00:00"),
+        # user 2: same calendar day, 23h50m apart -> still age 0
+        (2, 20, "click", 1.0, "2025-05-09 00:05:00"),
+        (2, 21, "purchase", 7.0, "2025-05-09 23:55:00"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for d in ("2025-05-02", "2025-05-08", "2025-05-09"):
+        apply_attribution_batch(
+            spark, idx, events.filter(F.to_date("ts") == F.lit(d)), d
+        )
+    got = {
+        r.purchase_id: r for r in read_attribution_time_decay(spark, idx).collect()
+    }
+    assert got[12].n_clicks_window == 3 and got[12].weight_total == 64 + 32 + 1
+    assert got[12].credit_per_weight == 500.0 / 97
+    assert got[21].n_clicks_window == 1 and got[21].weight_total == 64

@@ -225,3 +225,38 @@ def test_cli_stream_roundtrip(spark, tmp_path, capsys):
     assert got == _pos_rows(
         all_specs()["events_attribution_position"].builder(spark, SF_SMOKE)
     )
+
+
+def test_time_decay_stream_read_equals_oneshot(spark, tmp_path):
+    """The any-split ledger's fourth read: time-decay weights from the
+    shared window join's exact gaps — row-equal to the one-shot lane
+    under a scrambled split."""
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        read_attribution_time_decay_stream,
+    )
+
+    events = _events(spark)
+    src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "idx"))
+    for k in range(2):
+        events.filter(F.col("event_id") % 2 == k).write.mode("append").parquet(src)
+    run_attribution_update_available_now(spark, src, idx, ckpt)
+
+    def rows(df):
+        return sorted(
+            (
+                r.purchase_id,
+                r.user_id,
+                r.purchase_cents,
+                r.n_clicks_window,
+                r.weight_total,
+                r.credit_per_weight,
+                r.attributed,
+            )
+            for r in df.collect()
+        )
+
+    got = rows(read_attribution_time_decay_stream(spark, idx))
+    want = rows(
+        all_specs()["events_attribution_time_decay"].builder(spark, SF_SMOKE)
+    )
+    assert got == want and len(got) > 0
