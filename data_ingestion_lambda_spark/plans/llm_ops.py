@@ -2961,3 +2961,128 @@ def text_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KW_K)
         .select("doc_id", "tok", "tf", "df", "score_bits", "rank")
     )
+
+
+_DSIR_B = 1024  # hashed n-gram feature buckets
+
+
+@register(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang = 'en' AS is_t, {SQL_TOKENS} AS toks
+               FROM documents),
+    ex AS (
+        SELECT doc_id, is_t, bg FROM d,
+          UNNEST(list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i + 1])) AS u(bg)
+    ),
+    tf AS (
+        SELECT doc_id, is_t, {SQL_POLYHASH.format(s="bg")} % {_DSIR_B} AS bucket,
+               COUNT(*) AS tf
+        FROM ex GROUP BY ALL
+    ),
+    stats AS (
+        SELECT bucket,
+               CAST(SUM(tf) AS BIGINT) AS cnt_s,
+               CAST(SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS BIGINT) AS cnt_t
+        FROM tf GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(cnt_s) AS BIGINT) AS n_s,
+                   CAST(SUM(cnt_t) AS BIGINT) AS n_t FROM stats),
+    bits AS (
+        SELECT bucket,
+               CAST(LENGTH(bin((n_s + {_DSIR_B}) // (cnt_s + 1))) AS BIGINT) AS bits_s,
+               CAST(LENGTH(bin((n_t + {_DSIR_B}) // (cnt_t + 1))) AS BIGINT) AS bits_t
+        FROM stats CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_feats,
+           CAST(SUM(tf * (bits_s - bits_t)) AS BIGINT) AS logw_bits,
+           CAST(SUM(tf * (bits_s - bits_t)) AS DOUBLE) / SUM(tf)
+               AS avg_bits_per_feat
+    FROM tf JOIN bits USING (bucket)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text", "curation"),
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights over hashed bigram features — Data
+    Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score each document by how much more likely its
+    hashed n-gram profile is under a TARGET distribution (here the
+    corpus's lang='en' slice) than under the raw-source distribution,
+    then resample the corpus proportionally. The published recipe is
+    exactly this shape: bag of hashed n-grams, two unigram-over-buckets
+    models, per-doc log importance weight = sum of per-feature log
+    ratios.
+
+    Determinism: both models are quantized to INTEGER bits with the
+    repo's ``length(bin(N div cnt))`` idiom (= floor(log2)+1 — no
+    transcendental; Laplace add-1 smoothing with N+B in the numerator
+    keeps the argument >= 1 even for buckets absent from the target),
+    so a doc's log-weight is the exact BIGINT
+    sum(tf * (bits_source - bits_target)): POSITIVE = the feature is
+    rarer under the source than the target, i.e. the doc looks
+    target-like; the per-doc average is ONE IEEE division of exact
+    integers. No float reassociation anywhere.
+
+    Scale: explode collapses to the map-side-combinable
+    (doc, bucket, tf) aggregate with a FIXED {_DSIR_B}-bucket feature
+    space (the hash bounds state regardless of vocabulary growth — the
+    reason DSIR hashes at all), bucket stats roll up to {_DSIR_B} rows,
+    the two totals are ONE two-scalar collect, and the scoring join is
+    against a {_DSIR_B}-row broadcast. tf persists so the corpus
+    tokenizes once. At 100 TB the cost is the documents scan plus one
+    doc-keyed exchange; everything model-sized is constant."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("is_t"), tokens("text").alias("toks")
+    )
+    # size==1 guard: sequence(1, 0) is descending — see text_bigram_surprisal.
+    bigrams = F.when(
+        F.size("toks") > 1,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    ex = d.select("doc_id", "is_t", F.explode(bigrams).alias("bg"))
+    tf = (
+        ex.select(
+            "doc_id", "is_t", (polyhash(F.col("bg")) % _DSIR_B).alias("bucket")
+        )
+        .groupBy("doc_id", "is_t", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    stats = tf.groupBy("bucket").agg(
+        F.sum("tf").alias("cnt_s"),
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(0)).alias("cnt_t"),
+    )
+    n_s, n_t = (int(x) for x in stats.agg(F.sum("cnt_s"), F.sum("cnt_t")).collect()[0])
+    bits = stats.select(
+        "bucket",
+        F.length(
+            F.bin(F.expr(f"CAST({n_s + _DSIR_B} AS BIGINT) DIV (cnt_s + 1)"))
+        ).cast("long").alias("bits_s"),
+        F.length(
+            F.bin(F.expr(f"CAST({n_t + _DSIR_B} AS BIGINT) DIV (cnt_t + 1)"))
+        ).cast("long").alias("bits_t"),
+    )
+    return (
+        tf.join(bits, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * (F.col("bits_s") - F.col("bits_t"))).alias(
+                "logw_bits"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "logw_bits",
+            (F.col("logw_bits").cast("double") / F.col("n_feats")).alias(
+                "avg_bits_per_feat"
+            ),
+        )
+    )
