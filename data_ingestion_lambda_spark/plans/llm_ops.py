@@ -3086,3 +3086,137 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BLOOM_M = 4096  # filter bits, packed 32 per BIGINT word -> 128 words
+_BLOOM_HASHES = ((31, 7), (131, 38), (1009, 69))  # k=3 affine probes
+
+
+@register(
+    "dedup_bloom_screen",
+    oracle=f"""
+    WITH bench AS (
+        SELECT DISTINCT {SQL_POLYHASH.format(s="text")} AS fp
+        FROM documents WHERE source = 'src0'
+    ),
+    hashes(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in _BLOOM_HASHES)}),
+    bloom AS (
+        SELECT pos // 32 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+        FROM (SELECT (fp * a + b) % {_BLOOM_M} AS pos FROM bench CROSS JOIN hashes)
+        GROUP BY word_idx
+    ),
+    probes AS (
+        SELECT doc_id, {SQL_POLYHASH.format(s="text")} AS fp FROM documents
+    ),
+    checked AS (
+        SELECT p.doc_id,
+               CASE WHEN b.word IS NOT NULL
+                    AND (b.word // (CAST(1 AS BIGINT)
+                                    << CAST(p.pos % 32 AS INTEGER))) % 2 = 1
+                    THEN 1 ELSE 0 END AS hit
+        FROM (SELECT doc_id, (fp * a + b) % {_BLOOM_M} AS pos
+              FROM probes CROSS JOIN hashes) p
+        LEFT JOIN bloom b ON p.pos // 32 = b.word_idx
+    ),
+    verdicts AS (
+        SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS n_hits
+        FROM checked GROUP BY doc_id
+    )
+    SELECT q.doc_id,
+           (v.n_hits = {len(_BLOOM_HASHES)}) AS bloom_hit,
+           (bm.fp IS NOT NULL) AS exact_member
+    FROM probes q
+    JOIN verdicts v ON q.doc_id = v.doc_id
+    LEFT JOIN bench bm ON q.fp = bm.fp
+    """,
+    tags=("llm", "dedup", "sketch"),
+)
+def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screen — the constant-size companion of
+    ``decontaminate_against_eval``'s equi-join: compress a reference
+    set's fingerprints (here the source='src0' slice, standing in for a
+    benchmark/blocklist) into an m={_BLOOM_M}-bit filter packed as 128
+    BIGINT words, then screen EVERY corpus document against it with
+    arithmetic only. Bloom guarantee holds by construction: no false
+    negatives (every exact member sets exactly the bits it later
+    probes), false positives at the classic (1-e^(-kn/m))^k rate — the
+    output carries both verdicts (bloom_hit, exact_member) so the FP
+    rate is auditable in the result itself.
+
+    Determinism: fingerprints are the repo's polynomial text hash, the
+    k={len(_BLOOM_HASHES)} probe positions are affine maps mod {_BLOOM_M}, the filter
+    words build with the integer ``bit_or`` aggregate, and the probe
+    reads bits via (word div 2^bit) mod 2 — integer arithmetic end to
+    end, identical in both engines.
+
+    Scale: this is the 100 TB decontamination pattern the n-gram lane's
+    docstring promises — the reference set collapses to 128 words (one
+    KB regardless of its row count), the probe side joins a <=128-row
+    broadcast keyed by word index, and each document is screened in its
+    scan stage without shuffling text. A blocklist of billions still
+    yields a fixed-size filter (grow m, not the plan); only confirmed
+    bloom_hit docs ever reach the expensive exact verification join —
+    here included inline because the bench slice is table-sized."""
+    docs = t(spark, sf_dir, "documents")
+    fp = polyhash(F.col("text"))
+    bench = (
+        docs.filter(F.col("source") == "src0").select(fp.alias("fp")).distinct()
+    )
+    hashes = spark.createDataFrame(list(_BLOOM_HASHES), "a long, b long")
+    bloom = (
+        bench.crossJoin(hashes)
+        .select(((F.col("fp") * F.col("a") + F.col("b")) % _BLOOM_M).alias("pos"))
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("bitval"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bitval").alias("word"))
+    )
+    probes = docs.select("doc_id", fp.alias("fp"))
+    checked = (
+        probes.crossJoin(hashes)
+        .select(
+            "doc_id",
+            ((F.col("fp") * F.col("a") + F.col("b")) % _BLOOM_M).alias("pos"),
+        )
+        .join(
+            F.broadcast(bloom),
+            (F.col("pos") / 32).cast("long") == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("word").isNotNull()
+                & (
+                    F.expr(
+                        "(word div shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(pos % 32 AS INT))) % 2"
+                    )
+                    == 1
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("hit").cast("long").alias("n_hits"))
+    )
+    return (
+        probes.join(checked, "doc_id")
+        .join(
+            F.broadcast(bench.withColumnRenamed("fp", "bfp")),
+            F.col("fp") == F.col("bfp"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            (F.col("n_hits") == len(_BLOOM_HASHES)).alias("bloom_hit"),
+            F.col("bfp").isNotNull().alias("exact_member"),
+        )
+    )
