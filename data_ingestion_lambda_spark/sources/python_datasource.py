@@ -35,6 +35,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -275,8 +276,71 @@ class _ManifestJsonWriter(DataSourceWriter):
                     pass
 
 
+# --- stream write side: DataSourceStreamWriter (epoch manifests) -------------
+
+
+class _EpochManifestStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the manifest-last sink — the fourth quadrant of
+    the Python DataSource API (batch read / stream read / batch write /
+    stream write). Tasks stage part files exactly like the batch writer;
+    the driver's ``commit(messages, batchId)`` publishes ONE
+    ``_EPOCH-<batchId>.json`` manifest per epoch, written tmp+rename so
+    visibility flips atomically.
+
+    Exactly-once under epoch REPLAY (the failure mode streaming adds over
+    batch): if epoch N crashes between staging and the engine's offset
+    commit, the restart re-runs epoch N with fresh task attempts and the
+    rename REPLACES ``_EPOCH-N.json`` wholesale — the superseded attempt's
+    part files are stranded on disk but invisible, because readers trust
+    only manifested filenames. Idempotent-by-replacement is the same
+    contract Spark's own file sink implements with its compact log
+    (public FileStreamSink semantics), expressed through the DataSource
+    API's per-epoch commit hook."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("manifest_json requires a save path")
+
+    def write(self, iterator) -> _ManifestCommitMessage:
+        # identical staging protocol to the batch writer: uuid part file,
+        # commit message carries (filename, row count)
+        return _ManifestJsonWriter({"path": self._path}).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "epoch": batchId,
+            "files": [
+                {"filename": m.filename, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ],
+        }
+        manifest["total_rows"] = sum(f["n_rows"] for f in manifest["files"])
+        final = _os.path.join(self._path, f"_EPOCH-{batchId:020d}.json")
+        tmp = final + f".tmp-{_os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        _os.rename(tmp, final)  # replays REPLACE the epoch atomically
+
+    def abort(self, messages, batchId: int) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(_os.path.join(self._path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
 class ManifestJsonDataSource(DataSource):
-    """``df.write.format("manifest_json").save(path)`` after registration."""
+    """``df.write.format("manifest_json").save(path)`` after registration;
+    ``df.writeStream.format("manifest_json")`` for the epoch-manifest
+    streaming form."""
 
     @classmethod
     def name(cls) -> str:
@@ -289,6 +353,9 @@ class ManifestJsonDataSource(DataSource):
                 "manifests, not file replacement"
             )
         return _ManifestJsonWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> _EpochManifestStreamWriter:
+        return _EpochManifestStreamWriter(self.options)
 
 
 def read_manifested(spark: SparkSession, path: str, schema=None):
@@ -305,7 +372,10 @@ def read_manifested(spark: SparkSession, path: str, schema=None):
     import os as _os
 
     files: list[str] = []
-    for mf in sorted(_glob.glob(_os.path.join(path, "_MANIFEST-*.json"))):
+    manifests = sorted(_glob.glob(_os.path.join(path, "_MANIFEST-*.json"))) + sorted(
+        _glob.glob(_os.path.join(path, "_EPOCH-*.json"))  # streaming epochs
+    )
+    for mf in manifests:
         with open(mf) as f:
             files += [_os.path.join(path, e["filename"]) for e in _json.load(f)["files"]]
     if not files:

@@ -254,3 +254,102 @@ def test_ticks_stream_to_lww_merge_restart_resume(spark, tmp_path):
 
     run(5)  # restart after growth: exactly the two new batches merge in
     assert state() == expected(5)
+
+
+# --- stream write side (manifest_json epoch manifests) ------------------------
+
+
+def _run_ticks_to_manifest(spark, out, ckpt, batches):
+    q = (
+        spark.readStream.format("synthetic_ticks")
+        .option("batches", str(batches))
+        .option("rows_per_batch", "10")
+        .load()
+        .writeStream.format("manifest_json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_writer_epoch_manifests_and_restart_resume(spark, tmp_path):
+    """Full-Python streaming pipeline: Python stream READER -> Python
+    stream WRITER — the DataSource API's fourth quadrant. One trigger
+    drains all batches into epoch manifests; a restart with no new data
+    writes nothing; a restart with more data appends ONLY the delta
+    epochs."""
+    import glob
+    import json
+
+    from data_ingestion_lambda_spark.sources.python_datasource import (
+        _ticks_for_batch,
+        read_manifested,
+    )
+
+    register_python_sources(spark)
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_ticks_to_manifest(spark, out, ckpt, batches=3)
+    epochs = sorted(glob.glob(f"{out}/_EPOCH-*.json"))
+    assert len(epochs) >= 1
+    assert sum(json.load(open(e))["total_rows"] for e in epochs) == 30
+    back = read_manifested(spark, out)
+    assert back.count() == 30
+
+    _run_ticks_to_manifest(spark, out, ckpt, batches=3)
+    assert read_manifested(spark, out).count() == 30, "no new data -> no new epochs"
+
+    _run_ticks_to_manifest(spark, out, ckpt, batches=5)
+    got = sorted(
+        (r.batch, r.tick_id, r.sensor_id, r.reading_milli)
+        for r in read_manifested(spark, out).collect()
+    )
+    want = sorted(row for b in range(5) for row in _ticks_for_batch(b, 10))
+    assert got == want, "delta epochs + originals match the formula exactly"
+
+
+def test_stream_writer_epoch_replay_is_idempotent(tmp_path):
+    """An epoch replayed after a crash re-stages fresh part files and its
+    commit REPLACES the epoch manifest — the superseded attempt's files
+    are stranded but invisible to readers."""
+    import json
+    import os
+
+    from data_ingestion_lambda_spark.sources.python_datasource import (
+        _EpochManifestStreamWriter,
+        _ManifestCommitMessage,
+    )
+
+    path = str(tmp_path / "sink")
+    os.makedirs(path)
+    w = _EpochManifestStreamWriter({"path": path})
+    for name, rows in (("part-attempt1.jsonl", 7), ("part-attempt2.jsonl", 9)):
+        with open(os.path.join(path, name), "w") as f:
+            f.write('{"x": 1}\n' * rows)
+
+    w.commit([_ManifestCommitMessage("part-attempt1.jsonl", 7)], batchId=0)
+    w.commit([_ManifestCommitMessage("part-attempt2.jsonl", 9)], batchId=0)  # replay
+    manifests = [p for p in os.listdir(path) if p.startswith("_EPOCH-")]
+    assert manifests == ["_EPOCH-00000000000000000000.json"], "one manifest per epoch"
+    m = json.load(open(os.path.join(path, manifests[0])))
+    assert [e["filename"] for e in m["files"]] == ["part-attempt2.jsonl"]
+    assert m["total_rows"] == 9, "replay replaces, never unions"
+
+
+def test_stream_writer_abort_removes_staged_files(tmp_path):
+    import os
+
+    from data_ingestion_lambda_spark.sources.python_datasource import (
+        _EpochManifestStreamWriter,
+        _ManifestCommitMessage,
+    )
+
+    path = str(tmp_path / "sink")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-doomed.jsonl"), "w") as f:
+        f.write('{"x": 1}\n')
+    w = _EpochManifestStreamWriter({"path": path})
+    w.abort([_ManifestCommitMessage("part-doomed.jsonl", 1), None], batchId=3)
+    assert not os.path.exists(os.path.join(path, "part-doomed.jsonl"))
+    assert [p for p in os.listdir(path) if p.startswith("_EPOCH-")] == []
