@@ -164,6 +164,12 @@ QUERIES = [
     "profile_null_drift_daily",
     "scd2_as_of_read",
     "profile_heavy_hitters_cms",
+    # round-9 lanes: coalition-aggregated Shapley (constant-size stage 2),
+    # fixed-bucket DSIR models, constant-size Bloom screen — all expected
+    # to track their scan/exchange floor
+    "events_attribution_shapley",
+    "text_dsir_weights",
+    "dedup_bloom_screen",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
