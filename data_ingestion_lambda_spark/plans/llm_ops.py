@@ -3092,6 +3092,68 @@ _BLOOM_M = 4096  # filter bits, packed 32 per BIGINT word -> 128 words
 _BLOOM_HASHES = ((31, 7), (131, 38), (1009, 69))  # k=3 affine probes
 
 
+def _bloom_hashes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(_BLOOM_HASHES), "a long, b long")
+
+
+def bloom_words(fps: DataFrame) -> DataFrame:
+    """(word_idx, word) filter words for a DataFrame of ``fp`` BIGINT
+    fingerprints — the single definition the lane AND the maintained
+    store build from (no desync possible). bit_or is associative,
+    commutative and idempotent, so words built from ANY partition of the
+    member set fold (by another bit_or) to exactly the one-shot words."""
+    return (
+        fps.crossJoin(_bloom_hashes_df(fps.sparkSession))
+        .select(((F.col("fp") * F.col("a") + F.col("b")) % _BLOOM_M).alias("pos"))
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "bitval"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bitval").alias("word"))
+    )
+
+
+def bloom_screen(probes: DataFrame, words: DataFrame) -> DataFrame:
+    """(doc_id, bloom_hit) verdicts for probes (doc_id, fp) against a
+    words table — the probe half shared by the lane and the store."""
+    return (
+        probes.crossJoin(_bloom_hashes_df(probes.sparkSession))
+        .select(
+            "doc_id",
+            ((F.col("fp") * F.col("a") + F.col("b")) % _BLOOM_M).alias("pos"),
+        )
+        .join(
+            F.broadcast(words),
+            (F.col("pos") / 32).cast("long") == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("word").isNotNull()
+                & (
+                    F.expr(
+                        "(word div shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(pos % 32 AS INT))) % 2"
+                    )
+                    == 1
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("hit").cast("long").alias("n_hits"))
+        .select(
+            "doc_id", (F.col("n_hits") == len(_BLOOM_HASHES)).alias("bloom_hit")
+        )
+    )
+
+
 @register(
     "dedup_bloom_screen",
     oracle=f"""
@@ -3163,52 +3225,10 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         docs.filter(F.col("source") == "src0").select(fp.alias("fp")).distinct()
     )
-    hashes = spark.createDataFrame(list(_BLOOM_HASHES), "a long, b long")
-    bloom = (
-        bench.crossJoin(hashes)
-        .select(((F.col("fp") * F.col("a") + F.col("b")) % _BLOOM_M).alias("pos"))
-        .select(
-            (F.col("pos") / 32).cast("long").alias("word_idx"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
-            ).alias("bitval"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("bitval").alias("word"))
-    )
     probes = docs.select("doc_id", fp.alias("fp"))
-    checked = (
-        probes.crossJoin(hashes)
-        .select(
-            "doc_id",
-            ((F.col("fp") * F.col("a") + F.col("b")) % _BLOOM_M).alias("pos"),
-        )
-        .join(
-            F.broadcast(bloom),
-            (F.col("pos") / 32).cast("long") == F.col("word_idx"),
-            "left",
-        )
-        .select(
-            "doc_id",
-            F.when(
-                F.col("word").isNotNull()
-                & (
-                    F.expr(
-                        "(word div shiftleft(CAST(1 AS BIGINT),"
-                        " CAST(pos % 32 AS INT))) % 2"
-                    )
-                    == 1
-                ),
-                1,
-            )
-            .otherwise(0)
-            .alias("hit"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("hit").cast("long").alias("n_hits"))
-    )
+    verdicts = bloom_screen(probes, bloom_words(bench))
     return (
-        probes.join(checked, "doc_id")
+        probes.join(verdicts, "doc_id")
         .join(
             F.broadcast(bench.withColumnRenamed("fp", "bfp")),
             F.col("fp") == F.col("bfp"),
@@ -3216,7 +3236,7 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            (F.col("n_hits") == len(_BLOOM_HASHES)).alias("bloom_hit"),
+            "bloom_hit",
             F.col("bfp").isNotNull().alias("exact_member"),
         )
     )

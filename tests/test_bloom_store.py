@@ -1,0 +1,74 @@
+"""Maintained Bloom-filter store: N daily word batches + read-side
+bit_or must equal the one-shot filter EXACTLY (bit_or associativity/
+idempotence), members screened through the store must never miss (no
+false negatives), replays must be no-ops at the bit level, and the
+store's verdicts must match the one-shot lane's."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.bloom_store import (
+    apply_bloom_batch,
+    read_bloom,
+    screen_docs,
+)
+from data_ingestion_lambda_spark.plans.llm_ops import bloom_words, polyhash
+from data_ingestion_lambda_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+_N_DAYS = 3
+
+
+def _members(spark):
+    return load_table(spark, SF, "documents").filter(F.col("source") == "src0")
+
+
+def _words_rows(df):
+    return sorted((r.word_idx, r.word) for r in df.collect())
+
+
+def test_daily_batches_fold_to_oneshot_filter(spark, tmp_path):
+    idx = str(tmp_path / "bloom_idx")
+    members = _members(spark)
+    for day in range(_N_DAYS):
+        batch = members.filter(F.col("doc_id") % _N_DAYS == day)
+        apply_bloom_batch(spark, idx, batch, f"2025-07-0{day + 1}")
+    oneshot = bloom_words(
+        members.select(polyhash(F.col("text")).alias("fp")).distinct()
+    )
+    assert _words_rows(read_bloom(spark, idx)) == _words_rows(oneshot)
+
+
+def test_no_false_negatives_and_replay_idempotent(spark, tmp_path):
+    idx = str(tmp_path / "bloom_idx")
+    members = _members(spark)
+    for day in range(_N_DAYS):
+        batch = members.filter(F.col("doc_id") % _N_DAYS == day)
+        apply_bloom_batch(spark, idx, batch, f"2025-07-0{day + 1}")
+    verdicts = screen_docs(spark, idx, members.select("doc_id", "text"))
+    assert verdicts.filter(~F.col("bloom_hit")).count() == 0, "member missed"
+
+    before = _words_rows(read_bloom(spark, idx))
+    apply_bloom_batch(  # replay day 2 with the same batch
+        spark, idx, members.filter(F.col("doc_id") % _N_DAYS == 1), "2025-07-02"
+    )
+    assert _words_rows(read_bloom(spark, idx)) == before, "replay must be a no-op"
+
+
+def test_store_verdicts_match_lane(spark, tmp_path):
+    """screen_docs over a day-split src0 ledger == the one-shot lane's
+    bloom_hit column (the store builds from the lane's own helpers, and
+    the fold is exact, so any divergence is a landing bug)."""
+    from data_ingestion_lambda_spark.plans.registry import REGISTRY
+
+    idx = str(tmp_path / "bloom_idx")
+    members = _members(spark)
+    for day in range(_N_DAYS):
+        batch = members.filter(F.col("doc_id") % _N_DAYS == day)
+        apply_bloom_batch(spark, idx, batch, f"2025-07-0{day + 1}")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    got = {r.doc_id: r.bloom_hit for r in screen_docs(spark, idx, docs).collect()}
+    lane = REGISTRY["dedup_bloom_screen"].builder(spark, SF)
+    want = {r.doc_id: r.bloom_hit for r in lane.collect()}
+    assert got == want
