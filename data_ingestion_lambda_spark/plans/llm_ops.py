@@ -2966,6 +2966,77 @@ def text_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 1024  # hashed n-gram feature buckets
 
 
+def dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_t, bucket, tf) hashed-bigram features for a
+    (doc_id, is_t, text) DataFrame — the single definition the lane AND
+    the maintained store build from (no desync possible)."""
+    toks = tokens("text")
+    d = docs.select("doc_id", "is_t", toks.alias("toks"))
+    # size==1 guard: sequence(1, 0) is descending — see text_bigram_surprisal.
+    bigrams = F.when(
+        F.size("toks") > 1,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    return (
+        d.select("doc_id", "is_t", F.explode(bigrams).alias("bg"))
+        .select("doc_id", "is_t", (polyhash(F.col("bg")) % _DSIR_B).alias("bucket"))
+        .groupBy("doc_id", "is_t", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def dsir_stats(tf: DataFrame) -> DataFrame:
+    """(bucket, cnt_s, cnt_t) model counts from a features table —
+    strictly ADDITIVE in the documents, so per-batch stats summed
+    bucket-wise equal the one-shot stats (the maintained store's fold)."""
+    return tf.groupBy("bucket").agg(
+        F.sum("tf").cast("long").alias("cnt_s"),
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("cnt_t"),
+    )
+
+
+def dsir_bits(stats: DataFrame, n_s: int, n_t: int) -> DataFrame:
+    """(bucket, bits_s, bits_t) integer-bits models with add-1 smoothing
+    (argument >= 1 even for target-absent buckets)."""
+    return stats.select(
+        "bucket",
+        F.length(
+            F.bin(F.expr(f"CAST({n_s + _DSIR_B} AS BIGINT) DIV (cnt_s + 1)"))
+        ).cast("long").alias("bits_s"),
+        F.length(
+            F.bin(F.expr(f"CAST({n_t + _DSIR_B} AS BIGINT) DIV (cnt_t + 1)"))
+        ).cast("long").alias("bits_t"),
+    )
+
+
+def dsir_score(tf: DataFrame, bits: DataFrame) -> DataFrame:
+    """Per-doc log importance weight under a bits model (a {_DSIR_B}-row
+    broadcast join) — exact BIGINT sums, one final IEEE division."""
+    return (
+        tf.join(bits, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * (F.col("bits_s") - F.col("bits_t"))).alias(
+                "logw_bits"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "logw_bits",
+            (F.col("logw_bits").cast("double") / F.col("n_feats")).alias(
+                "avg_bits_per_feat"
+            ),
+        )
+    )
+
+
 @register(
     "text_dsir_weights",
     oracle=f"""
@@ -3035,57 +3106,12 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizes once. At 100 TB the cost is the documents scan plus one
     doc-keyed exchange; everything model-sized is constant."""
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("lang") == "en").alias("is_t"), tokens("text").alias("toks")
+        "doc_id", (F.col("lang") == "en").alias("is_t"), "text"
     )
-    # size==1 guard: sequence(1, 0) is descending — see text_bigram_surprisal.
-    bigrams = F.when(
-        F.size("toks") > 1,
-        F.expr(
-            "transform(sequence(1, size(toks) - 1),"
-            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-        ),
-    ).otherwise(F.expr("array()"))
-    ex = d.select("doc_id", "is_t", F.explode(bigrams).alias("bg"))
-    tf = (
-        ex.select(
-            "doc_id", "is_t", (polyhash(F.col("bg")) % _DSIR_B).alias("bucket")
-        )
-        .groupBy("doc_id", "is_t", "bucket")
-        .agg(F.count("*").alias("tf"))
-        .persist()
-    )
-    stats = tf.groupBy("bucket").agg(
-        F.sum("tf").alias("cnt_s"),
-        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(0)).alias("cnt_t"),
-    )
+    tf = dsir_features(d).persist()
+    stats = dsir_stats(tf)
     n_s, n_t = (int(x) for x in stats.agg(F.sum("cnt_s"), F.sum("cnt_t")).collect()[0])
-    bits = stats.select(
-        "bucket",
-        F.length(
-            F.bin(F.expr(f"CAST({n_s + _DSIR_B} AS BIGINT) DIV (cnt_s + 1)"))
-        ).cast("long").alias("bits_s"),
-        F.length(
-            F.bin(F.expr(f"CAST({n_t + _DSIR_B} AS BIGINT) DIV (cnt_t + 1)"))
-        ).cast("long").alias("bits_t"),
-    )
-    return (
-        tf.join(bits, "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_feats"),
-            F.sum(F.col("tf") * (F.col("bits_s") - F.col("bits_t"))).alias(
-                "logw_bits"
-            ),
-        )
-        .select(
-            "doc_id",
-            "n_feats",
-            "logw_bits",
-            (F.col("logw_bits").cast("double") / F.col("n_feats")).alias(
-                "avg_bits_per_feat"
-            ),
-        )
-    )
+    return dsir_score(tf, dsir_bits(stats, n_s, n_t))
 
 
 _BLOOM_M = 4096  # filter bits, packed 32 per BIGINT word -> 128 words
