@@ -305,3 +305,83 @@ def run_attribution_update_available_now(
     return _drain(
         spark, source_dir, checkpoint_dir, schema, _body, max_files_per_trigger
     )
+
+
+DOCS_LANG_SCHEMA = "doc_id bigint, lang string, text string"
+
+
+def run_bloom_update_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> list[dict]:
+    """Drain new member-document files into the maintained Bloom store:
+    each micro-batch's <=128 filter words land in their own
+    ``ingest_batch=<id>`` partition; bit_or is associative, commutative
+    and IDEMPOTENT, so the read (operators/bloom_store.py::read_bloom)
+    equals the one-shot filter over everything ingested under ANY
+    trigger split — even overlapping batches cannot corrupt it (a set
+    bit set again is the same bit). Replays overwrite only their own
+    partition."""
+    from data_ingestion_lambda_spark.operators.bloom_store import _fps
+    from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
+    from data_ingestion_lambda_spark.plans.llm_ops import bloom_words
+
+    check_keying_marker(spark, index_dir, "ingest_batch")
+
+    def _body(batch: DataFrame, key: str) -> dict:
+        (
+            bloom_words(_fps(batch))
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/ingest_batch={key}")
+        )
+        return {"key": key}
+
+    return _drain(
+        spark, source_dir, checkpoint_dir, DOCS_SCHEMA, _body, max_files_per_trigger
+    )
+
+
+def run_dsir_update_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    target_lang: str = "en",
+) -> list[dict]:
+    """Drain new document files into the maintained DSIR model store:
+    each micro-batch's <=1024 (bucket, cnt_s, cnt_t) rows land in their
+    own ``ingest_batch=<id>`` partition; counts sum bucket-wise, so the
+    folded model (operators/dsir_store.py::read_dsir_stats) — and
+    therefore every score computed under it — equals the one-shot model
+    over everything ingested, any split. Replays overwrite only their
+    own partition."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
+    from data_ingestion_lambda_spark.plans.llm_ops import dsir_features, dsir_stats
+
+    check_keying_marker(spark, index_dir, "ingest_batch")
+
+    def _body(batch: DataFrame, key: str) -> dict:
+        stats = dsir_stats(
+            dsir_features(
+                batch.select(
+                    "doc_id", (F.col("lang") == target_lang).alias("is_t"), "text"
+                )
+            )
+        )
+        stats.write.mode("overwrite").parquet(f"{index_dir}/ingest_batch={key}")
+        return {"key": key}
+
+    return _drain(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        DOCS_LANG_SCHEMA,
+        _body,
+        max_files_per_trigger,
+    )

@@ -321,3 +321,56 @@ def test_cli_stream_fronts_postings_and_ann(spark, tmp_path, capsys):
         for r in ann_ivf_topk(spark, SF).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_bloom_stream_equals_oneshot_and_rerun_noop(spark, tmp_path):
+    from data_ingestion_lambda_spark.operators.bloom_store import _fps, read_bloom
+    from data_ingestion_lambda_spark.plans.llm_ops import bloom_words
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        run_bloom_update_available_now,
+    )
+
+    docs = _docs(spark)
+    src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "bloom"))
+    drop2 = _two_drops(docs, src, F.col("doc_id") % 2 == 0)
+    assert len(run_bloom_update_available_now(spark, src, idx, ckpt)) >= 1
+    drop2()
+    assert len(run_bloom_update_available_now(spark, src, idx, ckpt)) >= 1
+
+    def rows():
+        return sorted(map(tuple, read_bloom(spark, idx).collect()))
+
+    got = rows()
+    assert got == sorted(map(tuple, bloom_words(_fps(docs)).collect()))
+    assert run_bloom_update_available_now(spark, src, idx, ckpt) == []
+    assert rows() == got
+
+
+def test_dsir_stream_equals_oneshot_and_rerun_noop(spark, tmp_path):
+    from data_ingestion_lambda_spark.operators.dsir_store import read_dsir_stats
+    from data_ingestion_lambda_spark.plans.llm_ops import dsir_features, dsir_stats
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        run_dsir_update_available_now,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "dsir"))
+    drop2 = _two_drops(docs, src, F.col("doc_id") % 2 == 0)
+    assert len(run_dsir_update_available_now(spark, src, idx, ckpt)) >= 1
+    drop2()
+    assert len(run_dsir_update_available_now(spark, src, idx, ckpt)) >= 1
+
+    def rows():
+        return sorted(map(tuple, read_dsir_stats(spark, idx).collect()))
+
+    got = rows()
+    oneshot = dsir_stats(
+        dsir_features(
+            docs.select("doc_id", (F.col("lang") == "en").alias("is_t"), "text")
+        )
+    )
+    assert got == sorted(map(tuple, oneshot.collect()))
+    assert run_dsir_update_available_now(spark, src, idx, ckpt) == []
+    assert rows() == got
