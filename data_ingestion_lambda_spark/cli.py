@@ -476,6 +476,71 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_stream_args(cms, "item")
 
+    blm = sub.add_parser(
+        "bloom-store",
+        help="maintained Bloom-filter store: land a member batch's "
+        "filter words (bit_or ledger — exact under any split) and/or "
+        "screen probe docs with no false negatives (the production "
+        "form of dedup_bloom_screen)",
+    )
+    blm.add_argument("--index", required=True, help="filter-word ledger directory")
+    blm.add_argument(
+        "--batch",
+        default=None,
+        help="parquet with a `text` column (the member batch to hash in)",
+    )
+    blm.add_argument(
+        "--date", default=None, help="batch date (the ledger partition key)"
+    )
+    blm.add_argument(
+        "--screen",
+        default=None,
+        help="parquet with (doc_id, text): screen each doc against the "
+        "folded filter",
+    )
+    blm.add_argument(
+        "--verdicts-out",
+        default=None,
+        help="persist the (doc_id, bloom_hit) verdicts here (overwrite); "
+        "summary printed otherwise",
+    )
+    _add_stream_args(blm, "member-document")
+
+    dsr = sub.add_parser(
+        "dsir-store",
+        help="maintained DSIR model store: land a document batch's "
+        "bucket counts (additive ledger) and/or score docs under the "
+        "folded source/target models (the production form of "
+        "text_dsir_weights)",
+    )
+    dsr.add_argument("--index", required=True, help="bucket-stats ledger directory")
+    dsr.add_argument(
+        "--batch",
+        default=None,
+        help="parquet with (doc_id, lang, text): the batch whose counts land",
+    )
+    dsr.add_argument(
+        "--date", default=None, help="batch date (the ledger partition key)"
+    )
+    dsr.add_argument(
+        "--score",
+        default=None,
+        help="parquet with (doc_id, lang, text): score each doc under the "
+        "current folded model",
+    )
+    dsr.add_argument(
+        "--scores-out",
+        default=None,
+        help="persist the per-doc scores here (overwrite); summary printed "
+        "otherwise",
+    )
+    dsr.add_argument(
+        "--target-lang",
+        default="en",
+        help="target-distribution language slice (default en)",
+    )
+    _add_stream_args(dsr, "document")
+
     ses = sub.add_parser(
         "session-store",
         help="maintained incremental sessionization: land a day-pure "
@@ -995,6 +1060,112 @@ def main(argv: list[str] | None = None) -> int:
                 rows = est.orderBy(F.desc("est"), "item").collect()
                 report["estimated_items"] = len(rows)
                 report["top"] = [{"item": r.item, "est": r.est} for r in rows[:5]]
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "bloom-store":
+        from pyspark.sql import functions as F
+
+        from data_ingestion_lambda_spark.operators.bloom_store import (
+            apply_bloom_batch,
+            screen_docs,
+        )
+
+        if (args.batch is None) != (args.date is None):
+            raise SystemExit("bloom-store: --batch and --date go together")
+        if args.stream_source is not None and args.checkpoint is None:
+            raise SystemExit("bloom-store: --stream-source requires --checkpoint")
+        if args.stream_source is not None and args.batch is not None:
+            raise SystemExit("bloom-store: --stream-source and --batch are exclusive")
+        if args.batch is None and args.stream_source is None and args.screen is None:
+            raise SystemExit(
+                "bloom-store: need --batch/--date, --stream-source and/or --screen"
+            )
+        spark = get_spark("data-ingestion-cli")
+        report = {}
+        if args.stream_source is not None:
+            from data_ingestion_lambda_spark.streaming.index_streams import (
+                run_bloom_update_available_now,
+            )
+
+            report["batches"] = run_bloom_update_available_now(
+                spark,
+                args.stream_source,
+                args.index,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch)
+            report.update(apply_bloom_batch(spark, args.index, batch, args.date))
+        if args.screen is not None:
+            verdicts = screen_docs(
+                spark,
+                args.index,
+                spark.read.parquet(args.screen).select("doc_id", "text"),
+            )
+            if args.verdicts_out is not None:
+                verdicts.write.mode("overwrite").parquet(args.verdicts_out)
+                report["verdicts_out"] = args.verdicts_out
+                verdicts = spark.read.parquet(args.verdicts_out)
+            report["screened"] = verdicts.count()
+            report["hits"] = verdicts.filter(F.col("bloom_hit")).count()
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "dsir-store":
+        from pyspark.sql import functions as F
+
+        from data_ingestion_lambda_spark.operators.dsir_store import (
+            apply_dsir_batch,
+            score_docs,
+        )
+
+        if (args.batch is None) != (args.date is None):
+            raise SystemExit("dsir-store: --batch and --date go together")
+        if args.stream_source is not None and args.checkpoint is None:
+            raise SystemExit("dsir-store: --stream-source requires --checkpoint")
+        if args.stream_source is not None and args.batch is not None:
+            raise SystemExit("dsir-store: --stream-source and --batch are exclusive")
+        if args.batch is None and args.stream_source is None and args.score is None:
+            raise SystemExit(
+                "dsir-store: need --batch/--date, --stream-source and/or --score"
+            )
+        spark = get_spark("data-ingestion-cli")
+        report = {}
+        if args.stream_source is not None:
+            from data_ingestion_lambda_spark.streaming.index_streams import (
+                run_dsir_update_available_now,
+            )
+
+            report["batches"] = run_dsir_update_available_now(
+                spark,
+                args.stream_source,
+                args.index,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+                target_lang=args.target_lang,
+            )
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch).select("doc_id", "lang", "text")
+            report.update(
+                apply_dsir_batch(
+                    spark, args.index, batch, args.date, target_lang=args.target_lang
+                )
+            )
+        if args.score is not None:
+            scores = score_docs(
+                spark,
+                args.index,
+                spark.read.parquet(args.score).select("doc_id", "lang", "text"),
+                target_lang=args.target_lang,
+            )
+            if args.scores_out is not None:
+                scores.write.mode("overwrite").parquet(args.scores_out)
+                report["scores_out"] = args.scores_out
+                scores = spark.read.parquet(args.scores_out)
+            report["scored"] = scores.count()
+            report["target_like"] = scores.filter(F.col("logw_bits") > 0).count()
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 

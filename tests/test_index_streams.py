@@ -374,3 +374,46 @@ def test_dsir_stream_equals_oneshot_and_rerun_noop(spark, tmp_path):
     assert got == sorted(map(tuple, oneshot.collect()))
     assert run_dsir_update_available_now(spark, src, idx, ckpt) == []
     assert rows() == got
+
+
+def test_cli_bloom_and_dsir_stores(spark, tmp_path, capsys):
+    """Round-9 CLI wirings: bloom-store apply+stream+screen and
+    dsir-store apply+score round-trip through main()."""
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    members = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    msrc = str(tmp_path / "members.parquet")
+    members.write.parquet(msrc)
+    probes = str(tmp_path / "probes.parquet")
+    docs.select("doc_id", "text").write.parquet(probes)
+
+    bidx = str(tmp_path / "bloom_idx")
+    rc = main(
+        ["bloom-store", "--index", bidx, "--batch", msrc, "--date", "2025-07-01",
+         "--screen", probes]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200
+    assert rep["screened"] == docs.count()
+    assert rep["hits"] >= members.count(), "no false negatives"
+
+    dsrc = str(tmp_path / "docs.parquet")
+    docs.select("doc_id", "lang", "text").write.parquet(dsrc)
+    didx = str(tmp_path / "dsir_idx")
+    rc = main(
+        ["dsir-store", "--index", didx,
+         "--stream-source", dsrc, "--checkpoint", str(tmp_path / "dckpt")]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200 and len(rep["batches"]) >= 1
+    rc = main(["dsir-store", "--index", didx, "--score", dsrc])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200 and rep["scored"] > 0
