@@ -3248,3 +3248,270 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "users_touched",
         "conv_touched",
     )
+
+
+_MARKOV_K = 12  # truncated-absorption horizon (steps from 'start')
+_MARKOV_STATES = 6  # 0=start 1=view 2=click 3=signup 4=conv 5=null
+
+
+def _markov_iter_ctes() -> str:
+    """Unrolled K-step value iteration (one CTE per step) — the DuckDB
+    twin of the builder's integer iteration, generated from the same K
+    so the two cannot drift."""
+    steps = []
+    for k in range(1, _MARKOV_K + 1):
+        steps.append(f"""
+    v{k} AS (
+        SELECT vs.vname, vs.state,
+               CAST(CASE WHEN vs.state = 4 THEN 1000000000
+                         WHEN vs.state = 5 THEN 0
+                         ELSE COALESCE(agg.nv, 0) END AS BIGINT) AS v
+        FROM vstates vs
+        LEFT JOIN (
+            SELECT m.vname, m.src AS state,
+                   SUM(m.p_ppb * pv.v) // 1000000000 AS nv
+            FROM mats m
+            JOIN v{k - 1} pv ON pv.vname = m.vname AND pv.state = m.dst
+            GROUP BY m.vname, m.src
+        ) agg ON agg.vname = vs.vname AND agg.state = vs.state
+    )""")
+    return ",".join(steps)
+
+
+@register(
+    "events_attribution_markov",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events
+    ),
+    first_p AS (
+        SELECT user_id, MIN(ts_us) AS fp_us
+        FROM e WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    users AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM e GROUP BY user_id
+    ),
+    touches AS (
+        SELECT t.user_id, t.ts_us, t.event_id,
+               CASE t.event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    ELSE 3 END AS state
+        FROM e t LEFT JOIN first_p fp ON t.user_id = fp.user_id
+        WHERE t.event_type IN ('view', 'click', 'signup')
+          AND (fp.fp_us IS NULL OR t.ts_us < fp.fp_us)
+    ),
+    seq AS (
+        SELECT user_id, state,
+               LAG(state) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS prev,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us DESC, event_id DESC) AS rdesc
+        FROM touches
+    ),
+    trans AS (
+        SELECT COALESCE(prev, 0) AS src, state AS dst FROM seq
+        UNION ALL
+        SELECT s.state AS src, CASE WHEN u.conv = 1 THEN 4 ELSE 5 END AS dst
+        FROM seq s JOIN users u ON s.user_id = u.user_id WHERE s.rdesc = 1
+        UNION ALL
+        SELECT 0 AS src, CASE WHEN u.conv = 1 THEN 4 ELSE 5 END AS dst
+        FROM users u
+        LEFT JOIN (SELECT DISTINCT user_id FROM touches) tu
+               ON u.user_id = tu.user_id
+        WHERE tu.user_id IS NULL
+    ),
+    cnts AS (SELECT src, dst, COUNT(*) AS cnt FROM trans GROUP BY src, dst),
+    probs AS (
+        SELECT src, dst,
+               (cnt * 1000000000) // SUM(cnt) OVER (PARTITION BY src) AS p_ppb
+        FROM cnts
+    ),
+    variants(vname, removed) AS
+        (VALUES ('full', -1), ('view', 1), ('click', 2), ('signup', 3)),
+    mats AS (
+        SELECT v.vname, p.src, p.dst, p.p_ppb
+        FROM probs p CROSS JOIN variants v
+        WHERE p.src <> v.removed AND p.dst <> v.removed
+    ),
+    vstates AS (
+        SELECT vname, s.state FROM variants
+        CROSS JOIN (SELECT CAST(UNNEST(generate_series(0, 5)) AS INTEGER)
+                        AS state) s
+    ),
+    v0 AS (
+        SELECT vname, state,
+               CAST(CASE WHEN state = 4 THEN 1000000000 ELSE 0 END AS BIGINT)
+                   AS v
+        FROM vstates
+    ),
+    {_markov_iter_ctes()},
+    reach AS (SELECT vname, v FROM v{_MARKOV_K} WHERE state = 0),
+    re AS (
+        SELECT c.channel,
+               rf.v AS reach_full_ppb,
+               rr.v AS reach_removed_ppb,
+               CASE WHEN rf.v > 0
+                    THEN 1000000000 - (rr.v * 1000000000) // rf.v
+               END AS removal_effect_ppb
+        FROM (VALUES ('view'), ('click'), ('signup')) c(channel)
+        JOIN reach rr ON rr.vname = c.channel
+        CROSS JOIN (SELECT v FROM reach WHERE vname = 'full') rf
+    )
+    SELECT channel, reach_full_ppb, reach_removed_ppb, removal_effect_ppb,
+           CASE WHEN SUM(removal_effect_ppb) OVER () > 0
+                THEN CAST(removal_effect_ppb AS DOUBLE)
+                     / CAST(SUM(removal_effect_ppb) OVER () AS DOUBLE)
+           END AS credit_share
+    FROM re
+    """,
+    tags=("events", "attribution"),
+)
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the SECOND industry
+    data-driven model beside events_attribution_shapley (Shapley is
+    Google Analytics' algorithm; removal effect is Adobe's and the
+    academic standard, Anderl et al. 2014): journeys become a
+    first-order Markov chain over states {start, view, click, signup}
+    with absorbing {{conv, null}}, and a channel's credit is how much
+    the chain's conversion reach DROPS when the channel's state is
+    removed (its transitions redirected to null — the "what if this
+    channel didn't exist" counterfactual that position rules can't ask).
+
+    Semantics: each user's touch sequence (events before their first
+    purchase, in (ts, event_id) order) contributes transitions
+    start→first, touch→next, last→conv/null; touchless users contribute
+    start→conv/null directly, so the baseline conversion rate anchors
+    the chain exactly as the Shapley lane's empty coalition does.
+
+    Determinism: transition probabilities quantize to integer ppb (one
+    integer division per matrix cell); conversion reach is K=12-step
+    truncated absorption computed by integer value iteration —
+    v'(s) = (Σ_t p(s,t)·v(t)) div 1e9 with v(conv)=1e9, v(null)=0 —
+    every step an exact BIGINT sum followed by ONE floor division, so
+    the builder's Python iteration and the oracle's unrolled CTE chain
+    (generated from the same K) produce bit-identical integers; the
+    credit share is one IEEE division of exact integers. Removal is
+    monotone (a submatrix iterates to a smaller v, floor preserves
+    order), so effects are provably in [0, 1e9].
+
+    Scale: the data-sized work is ONE pass over events — per-user lag/
+    row_number windows (user-keyed exchange) down to a ≤6×6 transition
+    count grid; the collect ships ≤36 integers (channel-bounded, the
+    Shapley coalition-table discipline) and the 4-variant × K-step
+    solve is O(K·n²) driver arithmetic. n channels grow the grid as
+    (n+3)², never with event count. Reference parity: extends the
+    reference's event rollups (src/s3_processor.py:118-160) like the
+    rest of the attribution family."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", us.alias("ts_us")
+    )
+    first_p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("fp_us"))
+    )
+    users = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        )
+    )
+    touches = (
+        e.filter(F.col("event_type").isin("view", "click", "signup"))
+        .join(first_p, "user_id", "left")
+        .filter(F.col("fp_us").isNull() | (F.col("ts_us") < F.col("fp_us")))
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .otherwise(3)
+            .alias("state"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    seq = touches.select(
+        "user_id",
+        "state",
+        F.lag("state").over(w).alias("prev"),
+        F.row_number().over(wd).alias("rdesc"),
+    )
+    end_state = F.when(F.col("conv") == 1, 4).otherwise(5)
+    trans = (
+        seq.select(
+            F.coalesce("prev", F.lit(0)).alias("src"), F.col("state").alias("dst")
+        )
+        .unionAll(
+            seq.filter(F.col("rdesc") == 1)
+            .join(users, "user_id")
+            .select(F.col("state").alias("src"), end_state.alias("dst"))
+        )
+        .unionAll(
+            users.join(touches.select("user_id").distinct(), "user_id", "left_anti")
+            .select(F.lit(0).alias("src"), end_state.alias("dst"))
+        )
+    )
+    cnt_rows = trans.groupBy("src", "dst").count().collect()  # <= 36 ints
+
+    # --- channel-bounded exact-integer solve (mirrors the oracle CTEs) ---
+    PPB = 10**9
+    cnts: dict[int, dict[int, int]] = {}
+    for r in cnt_rows:
+        cnts.setdefault(int(r.src), {})[int(r.dst)] = int(r["count"])
+    p = {
+        src: {dst: (c * PPB) // sum(row.values()) for dst, c in row.items()}
+        for src, row in cnts.items()
+    }
+
+    def reach(removed: int) -> int:
+        v = [0] * _MARKOV_STATES
+        v[4] = PPB
+        for _ in range(_MARKOV_K):
+            nv = list(v)
+            for i in range(4):  # transient states only; 4/5 stay fixed
+                if i == removed:
+                    nv[i] = 0
+                    continue
+                nv[i] = (
+                    sum(
+                        pij * v[j]
+                        for j, pij in p.get(i, {}).items()
+                        if j != removed
+                    )
+                    // PPB
+                )
+            v = nv
+        return v[0]
+
+    rf = reach(-1)
+    chans = (("view", 1), ("click", 2), ("signup", 3))
+    rr = {name: reach(code) for name, code in chans}
+    re = {
+        name: (PPB - (rr[name] * PPB) // rf) if rf > 0 else None
+        for name, _ in chans
+    }
+    total = sum(x for x in re.values() if x is not None)
+    rows = [
+        (
+            name,
+            rf,
+            rr[name],
+            re[name],
+            (float(re[name]) / float(total))
+            if re[name] is not None and total > 0
+            else None,
+        )
+        for name, _ in chans
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, reach_full_ppb long, reach_removed_ppb long, "
+        "removal_effect_ppb long, credit_share double",
+    )
