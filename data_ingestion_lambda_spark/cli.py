@@ -125,6 +125,26 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--target", required=True)
     exp.add_argument("--keep-from", required=True, help="ISO date; partitions < this are deleted")
 
+    ers = sub.add_parser(
+        "erase",
+        help="right-to-be-forgotten: remove every row of the subject keys, "
+        "rewriting only the partitions that contain them (tombstone audit, "
+        "zero-residual verify)",
+    )
+    ers.add_argument("--target", required=True, help="date-partitioned table")
+    ers.add_argument(
+        "--keys", required=True, help="parquet with the subject-key column"
+    )
+    ers.add_argument("--key-col", default="user_id")
+    ers.add_argument(
+        "--request-id", required=True, help="audit key (replays overwrite it)"
+    )
+    ers.add_argument(
+        "--verify-only",
+        action="store_true",
+        help="report the residual row count without erasing",
+    )
+
     snp = sub.add_parser(
         "snapshot",
         help="freeze/list/expire table versions",
@@ -1534,6 +1554,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"statusCode": 200, "compacted": result}))
         return 0
+
+    if args.cmd == "erase":
+        from data_ingestion_lambda_spark.operators.erasure import (
+            erase_keys,
+            verify_erasure,
+        )
+
+        keys = spark.read.parquet(args.keys).select(args.key_col)
+        if args.verify_only:
+            residual = verify_erasure(spark, args.target, keys, key_col=args.key_col)
+            print(json.dumps({"statusCode": 200, "residual_rows": residual}))
+            return 0 if residual == 0 else 1
+        report = erase_keys(
+            spark, args.target, keys, args.request_id, key_col=args.key_col
+        )
+        report["residual_rows"] = verify_erasure(
+            spark, args.target, keys, key_col=args.key_col
+        )
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0 if report["residual_rows"] == 0 else 1
 
     expired = expire_partitions(spark, args.target, keep_from=args.keep_from)
     print(json.dumps({"statusCode": 200, "expired": expired}))

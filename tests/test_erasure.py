@@ -98,3 +98,28 @@ def test_replay_is_noop_and_tombstones_audit(spark, tmp_path):
     assert {r.subject_key for r in tombs.collect()} == {"3", "4"}
     # tombstones are invisible to table readers (underscore-prefixed dir)
     assert "subject_key" not in spark.read.parquet(path).columns
+
+
+def test_cli_erase_roundtrip(spark, tmp_path, capsys):
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+
+    path = str(tmp_path / "ledger")
+    _ledger(spark, path)
+    kpath = str(tmp_path / "keys.parquet")
+    _keys(spark, 1, 2).write.parquet(kpath)
+
+    rc = main(
+        ["erase", "--target", path, "--keys", kpath, "--request-id", "cli-1"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200 and rep["residual_rows"] == 0
+    assert rep["rows_erased"] > 0
+
+    rc = main(["erase", "--target", path, "--keys", kpath, "--request-id", "v",
+               "--verify-only"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["residual_rows"] == 0

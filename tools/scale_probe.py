@@ -170,6 +170,7 @@ QUERIES = [
     "events_attribution_shapley",
     "text_dsir_weights",
     "dedup_bloom_screen",
+    "events_attribution_markov",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
