@@ -3214,6 +3214,10 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(n_conv * 1000000000) div n_users"),
             ).otherwise(F.lit(0).cast("long")),
         )
+        # referenced THREE times below (S side, T side, touched rollup):
+        # without this the events scan + user rollup would run three
+        # times; persisted it is 8 cached rows behind one scan
+        .persist()
     )
     chan = spark.createDataFrame(
         [("view", 1), ("click", 2), ("signup", 4)], "channel string, bit int"

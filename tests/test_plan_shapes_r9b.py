@@ -1,0 +1,88 @@
+"""Plan-shape pins for the round-9 lanes: the Bloom screen's probe must
+stay a broadcast join (never shuffle the corpus against the 128-word
+filter), DSIR's scoring join must broadcast the 1024-row model, and the
+Shapley lane's only DATA-sized exchange must be the user rollup (the
+coalition walk is constant-size)."""
+
+from __future__ import annotations
+
+import re
+
+from data_ingestion_lambda_spark.plans import all_specs
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = all_specs()[name].builder(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_screen_probe_is_broadcast(spark):
+    """dedup_bloom_screen: both the word probe and the exact-member
+    check broadcast filter-sized tables; the documents side must never
+    sort-merge against them."""
+    plan = _plan(spark, "dedup_bloom_screen")
+    assert "BroadcastExchange" in plan, f"filter broadcast missing:\n{plan[:2000]}"
+    assert "SortMergeJoin" not in plan, (
+        f"corpus shuffled against a KB-scale filter:\n{plan[:3000]}"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_scoring_joins_broadcast_model(spark):
+    """text_dsir_weights: the bits model is <=1024 rows — the scoring
+    join must broadcast it, and the only data-sized exchanges are the
+    doc-keyed feature aggregates."""
+    plan = _plan(spark, "text_dsir_weights")
+    assert "BroadcastHashJoin" in plan, f"model broadcast missing:\n{plan[:2000]}"
+    assert "SortMergeJoin" not in plan, (
+        f"features sort-merged against the 1024-row model:\n{plan[:3000]}"
+    )
+
+
+def test_shapley_single_user_exchange(spark):
+    """events_attribution_shapley: ONE hash exchange keyed by user_id is
+    the lane's only data-sized shuffle; every other exchange operates on
+    the <=8-row coalition table or the 3-row channel table."""
+    plan = _plan(spark, "events_attribution_shapley")
+    # the 8-row coalition table is persisted, so its three consumers
+    # print COPIES of one cached subtree: the distinct plan_id count is
+    # the real exchange count
+    ids = set(
+        re.findall(r"Exchange hashpartitioning\(user_id[^\n]*plan_id=(\d+)", plan)
+    )
+    assert len(ids) == 1, (
+        f"expected exactly one distinct user-keyed exchange, got {ids}:\n"
+        f"{plan[:3000]}"
+    )
+    assert "InMemoryTableScan" in plan, "coalition table must be cached"
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_rollup_is_user_keyed(spark):
+    """events_attribution_markov: the builder's Spark side (the
+    transition-count rollup feeding the 36-integer collect) runs the
+    journey windows off user-keyed exchanges — no global window, no
+    cartesian."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_lambda_spark.plans._util import t
+
+    # reconstruct the rollup plan the builder collects (the registered
+    # builder returns a createDataFrame result, whose plan is a local
+    # scan — the shape worth pinning is the aggregation feeding it)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = t(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "event_type", us.alias("ts_us")
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click", "signup"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = touches.select("user_id", F.lag("event_type").over(w).alias("prev"))
+    plan = seq._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "hashpartitioning(user_id" in plan
+    assert re.search(r"Window \[lag\(.*\bwindowspecdefinition\(user_id", plan), (
+        f"journey window must partition by user:\n{plan[:2000]}"
+    )
