@@ -3413,56 +3413,62 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", us.alias("ts_us")
     )
-    first_p = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("fp_us"))
-    )
-    users = e.groupBy("user_id").agg(
+    # ONE user rollup carries both the first-purchase instant and the
+    # conversion flag (merging them halves the events scans)
+    ua = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("fp_us"),
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "conv"
-        )
+        ),
     )
+    # pre-purchase touches, conv carried through so the terminal edge
+    # needs no second join; persisted because the touchless anti-join
+    # below re-reads the distinct touch users
     touches = (
         e.filter(F.col("event_type").isin("view", "click", "signup"))
-        .join(first_p, "user_id", "left")
+        .join(ua, "user_id")
         .filter(F.col("fp_us").isNull() | (F.col("ts_us") < F.col("fp_us")))
         .select(
             "user_id",
             "ts_us",
             "event_id",
+            "conv",
             F.when(F.col("event_type") == "view", 1)
             .when(F.col("event_type") == "click", 2)
             .otherwise(3)
             .alias("state"),
         )
+        .persist()
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wd = Window.partitionBy("user_id").orderBy(
-        F.desc("ts_us"), F.desc("event_id")
-    )
-    seq = touches.select(
-        "user_id",
-        "state",
-        F.lag("state").over(w).alias("prev"),
-        F.row_number().over(wd).alias("rdesc"),
-    )
     end_state = F.when(F.col("conv") == 1, 4).otherwise(5)
-    trans = (
-        seq.select(
-            F.coalesce("prev", F.lit(0)).alias("src"), F.col("state").alias("dst")
-        )
-        .unionAll(
-            seq.filter(F.col("rdesc") == 1)
-            .join(users, "user_id")
-            .select(F.col("state").alias("src"), end_state.alias("dst"))
-        )
-        .unionAll(
-            users.join(touches.select("user_id").distinct(), "user_id", "left_anti")
-            .select(F.lit(0).alias("src"), end_state.alias("dst"))
-        )
+    # ONE window pass emits both the step edge and (on the last touch,
+    # detected by a null lead) the terminal edge — no second branch over
+    # the data
+    seq = touches.select(
+        "state",
+        "conv",
+        F.lag("state").over(w).alias("prev"),
+        F.lead("state").over(w).alias("nxt"),
     )
-    cnt_rows = trans.groupBy("src", "dst").count().collect()  # <= 36 ints
+    step = F.struct(
+        F.coalesce("prev", F.lit(0)).alias("src"), F.col("state").alias("dst")
+    )
+    term = F.struct(F.col("state").alias("src"), end_state.alias("dst"))
+    edges = seq.select(
+        F.explode(
+            F.when(F.col("nxt").isNull(), F.array(step, term)).otherwise(
+                F.array(step)
+            )
+        ).alias("tr")
+    ).select("tr.src", "tr.dst")
+    touchless = ua.join(
+        touches.select("user_id").distinct(), "user_id", "left_anti"
+    ).select(F.lit(0).alias("src"), end_state.alias("dst"))
+    cnt_rows = edges.unionAll(touchless).groupBy("src", "dst").count().collect()
+    touches.unpersist()
 
     # --- channel-bounded exact-integer solve (mirrors the oracle CTEs) ---
     PPB = 10**9
