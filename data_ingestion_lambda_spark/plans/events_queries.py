@@ -3401,9 +3401,10 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone (a submatrix iterates to a smaller v, floor preserves
     order), so effects are provably in [0, 1e9].
 
-    Scale: the data-sized work is ONE pass over events — per-user lag/
-    row_number windows (user-keyed exchange) down to a ≤6×6 transition
-    count grid; the collect ships ≤36 integers (channel-bounded, the
+    Scale: the data-sized work is two column-pruned events scans (the
+    merged user rollup, then the touch rows) and one user-keyed window
+    pass that dual-emits step and terminal edges, down to a ≤6×6
+    transition count grid; the collect ships ≤36 integers (channel-bounded, the
     Shapley coalition-table discipline) and the 4-variant × K-step
     solve is O(K·n²) driver arithmetic. n channels grow the grid as
     (n+3)², never with event count. Reference parity: extends the
