@@ -60,6 +60,9 @@ FLAGSHIPS = [
     ("agg_market_basket", "pair candidates bounded by within-order self-join; marginals one part-keyed agg; top-k after support filter (r8)"),
     ("events_user_lorenz", "cumulative window runs over the count-of-counts spectrum, never a global user sort (r8)"),
     ("profile_heavy_hitters_cms", "d x w grid aggregates map-side; probes join the broadcast grid (r8)"),
+    ("events_attribution_shapley", "one cached user-keyed rollup (single events scan) feeds the constant 8-row coalition walk (r9)"),
+    ("dedup_bloom_screen", "corpus probes join the broadcast 128-word filter in the scan stage; no sort-merge anywhere (r9)"),
+    ("text_dsir_weights", "doc-keyed feature aggregate; the 1024-row bits model broadcasts into the scoring join (r9)"),
 ]
 
 
