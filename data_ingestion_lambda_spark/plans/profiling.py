@@ -1201,3 +1201,120 @@ def profile_null_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("value_null_rate"),
         (rate - F.lag(rate).over(w)).alias("value_null_rate_delta"),
     )
+
+
+@register(
+    "profile_contract_violations",
+    oracle="""
+    SELECT 'orders.o_orderkey is unique' AS constr,
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'customer.c_custkey is not null',
+           CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey IS NULL
+    UNION ALL
+    SELECT 'orders.o_custkey references customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey references orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_quantity in (0, 100]',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity IS NULL OR l_quantity <= 0 OR l_quantity > 100
+    UNION ALL
+    SELECT 'lineitem.l_discount in [0, 1]',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'orders.o_orderdate is not null',
+           CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderdate IS NULL
+    UNION ALL
+    SELECT 'events.event_type in catalog',
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    WHERE event_type IS NULL
+       OR event_type NOT IN ('view', 'click', 'signup', 'purchase', 'error')
+    """,
+    tags=("profiling", "contract"),
+)
+def profile_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract suite — the dbt-tests / Great Expectations gate as
+    ONE query: every declared constraint (uniqueness, not-null,
+    referential integrity, value ranges, categorical domains) evaluated
+    to a violation COUNT, unioned into a (constraint, n_violations)
+    report a CI gate asserts is all-zeros. The complement of the
+    discovery-direction profilers (profile_table finds what the data
+    looks like; this enforces what it MUST look like) and the suite
+    form of profile_referential_integrity's single FK check.
+
+    Scale: each branch is one aggregate over one table — uniqueness is
+    a keyed count (map-side combinable), FK checks are anti-join
+    aggregates (AQE broadcasts the smaller key side), range/domain
+    checks collapse in the scan stage. Branches over different tables
+    parallelize as independent stages; nothing is row-output (the
+    report is |constraints| rows), so the gate costs one pass over the
+    audited columns regardless of corpus size. A violations DRILL-DOWN
+    would re-run a single branch without the aggregate — deliberately
+    not materialized here to keep the gate cheap."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    lineitem = t(spark, sf_dir, "lineitem")
+    events = t(spark, sf_dir, "events")
+
+    def row(name: str, n: DataFrame) -> DataFrame:
+        return n.select(
+            F.lit(name).alias("constr"), F.col("n").cast("long").alias("n_violations")
+        )
+
+    dup_orders = (
+        orders.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("n"))
+    )
+    null_cust = customer.filter(F.col("c_custkey").isNull()).agg(
+        F.count("*").alias("n")
+    )
+    orphan_orders = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+    orphan_lines = (
+        lineitem.filter(F.col("l_orderkey").isNotNull())
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+    qty_range = lineitem.filter(
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") <= 0)
+        | (F.col("l_quantity") > 100)
+    ).agg(F.count("*").alias("n"))
+    disc_range = lineitem.filter(
+        F.col("l_discount").isNull()
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1)
+    ).agg(F.count("*").alias("n"))
+    null_odate = orders.filter(F.col("o_orderdate").isNull()).agg(
+        F.count("*").alias("n")
+    )
+    bad_types = events.filter(
+        F.col("event_type").isNull()
+        | ~F.col("event_type").isin("view", "click", "signup", "purchase", "error")
+    ).agg(F.count("*").alias("n"))
+
+    return (
+        row("orders.o_orderkey is unique", dup_orders)
+        .unionAll(row("customer.c_custkey is not null", null_cust))
+        .unionAll(row("orders.o_custkey references customer", orphan_orders))
+        .unionAll(row("lineitem.l_orderkey references orders", orphan_lines))
+        .unionAll(row("lineitem.l_quantity in (0, 100]", qty_range))
+        .unionAll(row("lineitem.l_discount in [0, 1]", disc_range))
+        .unionAll(row("orders.o_orderdate is not null", null_odate))
+        .unionAll(row("events.event_type in catalog", bad_types))
+    )
