@@ -27,7 +27,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -453,4 +453,67 @@ def frame_diff_stats(media: DataFrame) -> DataFrame:
 
     return video.select("doc_id", "payload").mapInPandas(
         stats, schema=SHOT_SIGNAL_SCHEMA
+    )
+
+
+def parse_image_headers(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """Container-level image metadata WITHOUT any codec — the one image
+    operation that is fully real in this container, because image
+    dimensions live at fixed byte offsets in the container header, not
+    in the compressed payload:
+
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are
+      big-endian uint32 at offsets 16 and 20 (PNG spec §11.2.2);
+    - GIF: 6-byte signature (GIF87a/GIF89a), then LITTLE-endian uint16
+      width/height at offsets 6 and 8;
+    - BMP: 'BM' + file size, then BITMAPINFOHEADER int32 width/height
+      at offsets 18 and 22 (little-endian).
+
+    Everything runs as codegen byte arithmetic over the binary column
+    (substring + unbase? no — Spark reads bytes as a BINARY slice whose
+    hex digits convert with conv()), so a 100 TB binaryFile scan sniffs
+    formats and dimensions in the scan stage with zero Python. JPEG is
+    deliberately ABSENT: its dimensions hide in a variable-offset SOF
+    marker that needs a real scan-parse — that path stays behind the
+    loud decode_image gate rather than shipping a half-right parser.
+
+    Returns (•, format, width, height) with NULLs for unrecognized or
+    truncated payloads — a quarantine filter downstream, same contract
+    as the CSV source's corrupt-record column."""
+    c = F.col(content_col)
+
+    def be32(off: int) -> Column:
+        # big-endian uint32 from 4 bytes at 1-based offset
+        return F.conv(F.hex(F.expr(f"substring({content_col}, {off}, 4)")), 16, 10).cast("long")
+
+    def le16(off: int) -> Column:
+        b1 = F.conv(F.hex(F.expr(f"substring({content_col}, {off}, 1)")), 16, 10).cast("long")
+        b2 = F.conv(F.hex(F.expr(f"substring({content_col}, {off + 1}, 1)")), 16, 10).cast("long")
+        return b1 + b2 * 256
+
+    def le32(off: int) -> Column:
+        return le16(off) + le16(off + 2) * 65536
+
+    png = F.hex(F.expr(f"substring({content_col}, 1, 8)")) == "89504E470D0A1A0A"
+    gif = F.expr(f"substring({content_col}, 1, 4)").cast("string").startswith("GIF8")
+    bmp = F.hex(F.expr(f"substring({content_col}, 1, 2)")) == "424D"
+    long_enough = F.length(c) >= 26
+
+    fmt = (
+        F.when(png & long_enough, F.lit("png"))
+        .when(gif & (F.length(c) >= 10), F.lit("gif"))
+        .when(bmp & long_enough, F.lit("bmp"))
+    )
+    width = (
+        F.when(fmt == "png", be32(17))
+        .when(fmt == "gif", le16(7))
+        .when(fmt == "bmp", le32(19))
+    )
+    height = (
+        F.when(fmt == "png", be32(21))
+        .when(fmt == "gif", le16(9))
+        .when(fmt == "bmp", le32(23))
+    )
+    return media.select(
+        "*", fmt.alias("format"), width.alias("width"), height.alias("height")
     )
