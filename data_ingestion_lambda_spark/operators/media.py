@@ -470,8 +470,9 @@ def parse_image_headers(media: DataFrame, content_col: str = "content") -> DataF
       at offsets 18 and 22 (little-endian).
 
     Everything runs as codegen byte arithmetic over the binary column
-    (substring + unbase? no — Spark reads bytes as a BINARY slice whose
-    hex digits convert with conv()), so a 100 TB binaryFile scan sniffs
+    (substring slices the BINARY, hex + conv() turn the slice into an
+    integer, little-endian orders recompose per byte), so a 100 TB
+    binaryFile scan sniffs
     formats and dimensions in the scan stage with zero Python. JPEG is
     deliberately ABSENT: its dimensions hide in a variable-offset SOF
     marker that needs a real scan-parse — that path stays behind the
