@@ -137,7 +137,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ers.add_argument("--key-col", default="user_id")
     ers.add_argument(
-        "--request-id", required=True, help="audit key (replays overwrite it)"
+        "--request-id",
+        default=None,
+        help="audit key (replays overwrite it); required unless --verify-only",
     )
     ers.add_argument(
         "--verify-only",
@@ -1566,6 +1568,9 @@ def main(argv: list[str] | None = None) -> int:
             residual = verify_erasure(spark, args.target, keys, key_col=args.key_col)
             print(json.dumps({"statusCode": 200, "residual_rows": residual}))
             return 0 if residual == 0 else 1
+        if not args.request_id:
+            print(json.dumps({"statusCode": 400, "message": "erase needs --request-id"}))
+            return 1
         report = erase_keys(
             spark, args.target, keys, args.request_id, key_col=args.key_col
         )

@@ -73,7 +73,7 @@ def check_keying_marker(spark: SparkSession, index_dir: str, keying: str) -> Non
             present = {k for k in _KEYINGS for n in names if n.startswith(f"{k}=")}
             if len(present) > 1:
                 raise ValueError(
-                    f"cms store at {index_dir} already mixes "
+                    f"index at {index_dir} already mixes "
                     f"{sorted(present)} partitions — reads are broken; "
                     "split the ledgers into separate --index dirs"
                 )
@@ -81,7 +81,7 @@ def check_keying_marker(spark: SparkSession, index_dir: str, keying: str) -> Non
                 recorded = present.pop()
     if recorded is not None and recorded != keying:
         raise ValueError(
-            f"cms store at {index_dir} is keyed by {recorded}=; refusing a "
+            f"index at {index_dir} is keyed by {recorded}=; refusing a "
             f"{keying}=-keyed apply — one directory, one keying (use a "
             "separate --index for the other ingestion path)"
         )

@@ -48,6 +48,33 @@ def _with_is_t(docs: DataFrame, target_lang: str) -> DataFrame:
     )
 
 
+def _check_target_marker(
+    spark: SparkSession, index_dir: str, target_lang: str
+) -> None:
+    """The TARGET slice is part of the model's identity: cnt_t columns
+    counted against different targets sum into a meaningless mixture,
+    so the target is recorded as an empty ``_target=<lang>`` marker
+    directory (the vocab ``_order`` idiom) and checked on every apply."""
+    from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    if fs.exists(path_cls(index_dir)):
+        found = [
+            st.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(path_cls(index_dir))
+            if st.isDirectory() and st.getPath().getName().startswith("_target=")
+        ]
+        if found and found[0] != target_lang:
+            raise ValueError(
+                f"dsir store at {index_dir} models target {found[0]!r}; "
+                f"refusing a {target_lang!r}-targeted apply — one "
+                "directory, one target"
+            )
+        if found:
+            return
+    fs.mkdirs(path_cls(f"{index_dir}/_target={target_lang}"))
+
+
 def apply_dsir_batch(
     spark: SparkSession,
     index_dir: str,
@@ -60,6 +87,7 @@ def apply_dsir_batch(
     index (marker check shared with the CMS store)."""
     _dt.date.fromisoformat(batch_date)
     check_keying_marker(spark, index_dir, "date")
+    _check_target_marker(spark, index_dir, target_lang)
     stats = dsir_stats(dsir_features(_with_is_t(docs, target_lang))).withColumn(
         "date", F.lit(batch_date)
     )

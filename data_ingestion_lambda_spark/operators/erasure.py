@@ -57,6 +57,20 @@ def erase_keys(
     if not request_id:
         raise ValueError("erase_keys: request_id is required (audit key)")
     keyset = keys.select(F.col(key_col)).distinct()
+    fs, path_cls = _hadoop_fs(spark, table_dir)
+    has_data = fs.exists(path_cls(table_dir)) and any(
+        st.getPath().getName().startswith(f"{PARTITION_COL}=")
+        for st in fs.listStatus(path_cls(table_dir))
+    )
+    if not has_data:  # a fully-erased (or empty) table: nothing to scan
+        _land_tombstones(keyset, key_col, 0, table_dir, tombstone_dir, request_id)
+        return {
+            "request_id": request_id,
+            "affected_dates": [],
+            "rows_erased": 0,
+            "partitions_rewritten": 0,
+            "partitions_deleted": 0,
+        }
     table = spark.read.parquet(table_dir)
 
     # pass 1: affected dates from a key-column-only scan + broadcast semi
@@ -94,25 +108,37 @@ def erase_keys(
                 kept.filter(F.col(PARTITION_COL).isin(rewrite)),
                 rewrite,
             )
-        fs, path_cls = _hadoop_fs(spark, table_dir)
         for d in drop:  # fully-erased days: no rows to stage, delete outright
             fs.delete(path_cls(f"{table_dir}/{PARTITION_COL}={d}"), True)
         kept.unpersist()
         report["partitions_rewritten"] = len(rewrite)
         report["partitions_deleted"] = len(drop)
 
+    _land_tombstones(
+        keyset, key_col, len(affected), table_dir, tombstone_dir, request_id
+    )
+    return report
+
+
+def _land_tombstones(
+    keyset: DataFrame,
+    key_col: str,
+    n_affected: int,
+    table_dir: str,
+    tombstone_dir: str | None,
+    request_id: str,
+) -> None:
     tomb = tombstone_dir or f"{table_dir}/_tombstones"
     (
         keyset.select(
             F.col(key_col).cast("string").alias("subject_key"),
             F.lit(key_col).alias("key_col"),
-            F.lit(len(affected)).cast("int").alias("n_affected_dates"),
+            F.lit(n_affected).cast("int").alias("n_affected_dates"),
         )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{tomb}/request_id={request_id}")
     )
-    return report
 
 
 def verify_erasure(

@@ -362,9 +362,11 @@ def run_dsir_update_available_now(
     from pyspark.sql import functions as F
 
     from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
+    from data_ingestion_lambda_spark.operators.dsir_store import _check_target_marker
     from data_ingestion_lambda_spark.plans.llm_ops import dsir_features, dsir_stats
 
     check_keying_marker(spark, index_dir, "ingest_batch")
+    _check_target_marker(spark, index_dir, target_lang)
 
     def _body(batch: DataFrame, key: str) -> dict:
         stats = dsir_stats(

@@ -67,3 +67,17 @@ def test_scores_under_folded_model_match_lane_and_replay_noop(spark, tmp_path):
         spark, idx, docs.filter(F.col("doc_id") % _N_DAYS == 1), "2025-07-02"
     )
     assert _stat_rows(read_dsir_stats(spark, idx)) == before
+
+
+def test_target_marker_refuses_mixed_targets(spark, tmp_path):
+    """cnt_t counted against different targets sums into a meaningless
+    mixture — the _target= marker (the vocab _order idiom) refuses it."""
+    import pytest
+
+    idx = str(tmp_path / "dsir_idx")
+    docs = _docs(spark)
+    apply_dsir_batch(spark, idx, docs, "2025-07-01", target_lang="en")
+    with pytest.raises(ValueError, match="one.*directory, one target"):
+        apply_dsir_batch(spark, idx, docs, "2025-07-02", target_lang="de")
+    # same target still lands
+    apply_dsir_batch(spark, idx, docs, "2025-07-02", target_lang="en")

@@ -123,3 +123,17 @@ def test_cli_erase_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["residual_rows"] == 0
+
+
+def test_erase_on_empty_table_is_graceful(spark, tmp_path):
+    """Erasing every partition, then erasing again: the second request
+    must report zeros (and still land its tombstone) instead of dying
+    on schema inference over an empty directory."""
+    path = str(tmp_path / "ledger")
+    _ledger(spark, path)
+    everyone = _keys(spark, *range(1, 7), 99)
+    erase_keys(spark, path, everyone, request_id="req-all")
+    report = erase_keys(spark, path, everyone, request_id="req-again")
+    assert report["affected_dates"] == [] and report["rows_erased"] == 0
+    tombs = read_tombstones(spark, path)
+    assert tombs.filter(F.col("request_id") == "req-again").count() == 7
