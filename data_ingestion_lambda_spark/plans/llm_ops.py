@@ -3266,3 +3266,141 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bfp").isNotNull().alias("exact_member"),
         )
     )
+
+
+_BPE_ROUNDS = 6  # merge-table prefix the trainer learns
+
+
+def _bpe_round_ctes() -> str:
+    """Unrolled per-round (pairs -> argmax -> fold-merge) CTE chain —
+    the DuckDB twin of the builder's round loop, generated from the
+    same constant so the two cannot drift."""
+    out = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        out.append(f"""
+    pairs{k} AS (
+        SELECT syms[i] AS pair_l, syms[i + 1] AS pair_r,
+               CAST(SUM(n) AS BIGINT) AS cnt
+        FROM wf{k - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    best{k} AS (
+        SELECT pair_l AS l, pair_r AS r, pair_l || pair_r AS mg, cnt
+        FROM pairs{k} ORDER BY cnt DESC, pair_l, pair_r LIMIT 1
+    ),
+    wf{k} AS (
+        SELECT word, n,
+               list_reduce(
+                   list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),
+                   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                               THEN list_append(acc[1:len(acc) - 1], mg)
+                               ELSE list_append(acc, x[1]) END
+               ) AS syms
+        FROM wf{k - 1} CROSS JOIN best{k}
+    )""")
+    return ",".join(out)
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=f"""
+    WITH ex AS (SELECT UNNEST({SQL_TOKENS}) AS word FROM documents),
+    wf0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+               string_split(word, '') AS syms
+        FROM ex GROUP BY word
+    ),
+    {_bpe_round_ctes()}
+    {" ".join(
+        f"SELECT {k} AS step, l AS left_sym, r AS right_sym, mg AS merged, cnt AS pair_count FROM best{k}"
+        + (" UNION ALL" if k < _BPE_ROUNDS else "")
+        for k in range(1, _BPE_ROUNDS + 1)
+    )}
+    """,
+    tags=("llm", "text"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table TRAINING (Sennrich et al. 2016; the algorithm
+    behind GPT-2/LLaMA tokenizers) — not just token COUNTING
+    (text_bpe_token_count) but learning the first {_BPE_ROUNDS} merges
+    from the corpus itself: start from characters, repeatedly merge the
+    most frequent adjacent symbol pair, greedy LEFT-TO-RIGHT within
+    each word (the reference implementations' fold order: 'aaa' under
+    merge (a,a) becomes (aa, a)).
+
+    The trainer runs on the WORD-FREQUENCY table, not the corpus — the
+    classic trick that makes BPE training tractable: pair statistics
+    are identical whether counted over every occurrence or over
+    (distinct word × its count), and the word table is Heaps-law
+    sublinear in corpus size. Each round is (1) adjacent-pair counts
+    weighted by word frequency — a map-side-combinable aggregate, (2)
+    ONE argmax row collected to the driver (count-desc, then
+    lexicographic pair — the deterministic tie-break), (3) an in-row
+    greedy fold rewriting every word's symbol array. The oracle unrolls
+    the same {_BPE_ROUNDS} rounds as CTEs (generated from the same
+    constant), with the same fold as a list_reduce lambda — exact
+    string/integer arithmetic end to end, so the learned merge tables
+    hash-match across engines.
+
+    Scale: at 100 TB the corpus pass is the ONE explode+groupBy
+    building wf0; every round after that touches only the vocab-sized
+    table (persisted, lineage truncated per round). Production BPE
+    (32k merges) runs the same loop longer — the per-round cost the
+    lane demonstrates is the whole story. No end-of-word marker is
+    appended (merges are word-internal), a deliberate, documented
+    simplification applied identically in both engines."""
+    d = t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select("word", "n", F.split("word", "").alias("syms"))
+        .persist()
+    )
+    merges = []
+    for step in range(1, _BPE_ROUNDS + 1):
+        pair_cols = F.when(
+            F.size("syms") > 1,
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> struct(element_at(syms, i) AS pair_l,"
+                "             element_at(syms, i + 1) AS pair_r))"
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<struct<pair_l:string,pair_r:string>>)"))
+        best = (
+            wf.select(F.explode(pair_cols).alias("p"), "n")
+            .groupBy("p.pair_l", "p.pair_r")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair_l", "pair_r")
+            .limit(1)
+            .collect()[0]
+        )
+        l, r, cnt = best.pair_l, best.pair_r, int(best.cnt)
+        mg = l + r
+        merges.append((step, l, r, mg, cnt))
+        folded = wf.select(
+            "word",
+            "n",
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(mg))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+        ).persist()
+        folded.count()  # materialize before dropping the parent
+        wf.unpersist()
+        wf = folded
+    wf.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint",
+    )
