@@ -171,6 +171,8 @@ QUERIES = [
     "text_dsir_weights",
     "dedup_bloom_screen",
     "events_attribution_markov",
+    "text_bpe_train_merges",
+    "profile_contract_violations",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
