@@ -3350,6 +3350,20 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     lane demonstrates is the whole story. No end-of-word marker is
     appended (merges are word-internal), a deliberate, documented
     simplification applied identically in both engines."""
+    merges, wf = _bpe_train(spark, sf_dir)
+    wf.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint",
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The trainer loop shared by text_bpe_train_merges (which returns
+    the merge table) and text_bpe_segment (which uses the final folded
+    vocabulary): returns (merges, wf) with wf PERSISTED — callers
+    unpersist when done."""
     d = t(spark, sf_dir, "documents")
     wf = (
         d.select(F.explode(tokens("text")).alias("word"))
@@ -3398,9 +3412,65 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded.count()  # materialize before dropping the parent
         wf.unpersist()
         wf = folded
-    wf.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "step int, left_sym string, right_sym string, merged string, "
-        "pair_count bigint",
+    return merges, wf
+
+
+@register(
+    "text_bpe_segment",
+    oracle=f"""
+    WITH ex AS (SELECT UNNEST({SQL_TOKENS}) AS word FROM documents),
+    wf0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+               string_split(word, '') AS syms
+        FROM ex GROUP BY word
+    ),
+    {_bpe_round_ctes()},
+    dx AS (SELECT doc_id, UNNEST({SQL_TOKENS}) AS word FROM documents)
+    SELECT dx.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(w.syms)) AS BIGINT) AS n_bpe_symbols,
+           CAST(SUM(length(dx.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(length(dx.word)) AS DOUBLE) / SUM(len(w.syms))
+               AS chars_per_symbol
+    FROM dx JOIN wf{_BPE_ROUNDS} w ON dx.word = w.word
+    GROUP BY dx.doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT the corpus with the merge table text_bpe_train_merges
+    just learned — the apply half of BPE, composed from the trainer's
+    own final folded vocabulary (the oracle reuses the trainer's CTE
+    chain verbatim, so trainer and segmenter cannot drift). Per
+    document: word count, BPE symbol count under the learned merges,
+    character count, and chars-per-symbol (the compression the merges
+    bought — the number a tokenizer-budget planner actually wants; one
+    IEEE division of exact integers).
+
+    Scale: segmentation is a JOIN against the vocab-sized folded word
+    table, never a re-fold per occurrence — the same reason the trainer
+    runs on word frequencies. The corpus contributes one explode +
+    word-keyed join + doc-keyed rollup; AQE broadcasts the vocabulary
+    when it fits."""
+    _, wf = _bpe_train(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    dx = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    out = (
+        dx.join(wf.select("word", F.size("syms").alias("n_syms")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_symbols"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_symbols",
+            "n_chars",
+            (F.col("n_chars").cast("double") / F.col("n_bpe_symbols")).alias(
+                "chars_per_symbol"
+            ),
+        )
     )
+    return out
