@@ -3194,6 +3194,14 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         (flag("view") + 2 * flag("click") + 4 * flag("signup")).alias("mask"),
         flag("purchase").alias("converted"),
     )
+    return shapley_from_user_state(spark, per_user)
+
+
+def shapley_from_user_state(spark: SparkSession, per_user: DataFrame) -> DataFrame:
+    """The exact-integer coalition walk shared by the lane above and the
+    maintained touch store (operators/touch_store.py) — per_user carries
+    (user_id or any identity, mask, converted); everything after the
+    coalition rollup is constant-size."""
     coal = per_user.groupBy("mask").agg(
         F.count("*").alias("n_users"),
         F.sum("converted").cast("long").alias("n_conv"),
