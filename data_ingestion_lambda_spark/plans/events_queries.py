@@ -3478,8 +3478,14 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit(0).alias("src"), end_state.alias("dst"))
     cnt_rows = edges.unionAll(touchless).groupBy("src", "dst").count().collect()
     touches.unpersist()
+    return markov_from_transition_counts(spark, cnt_rows)
 
-    # --- channel-bounded exact-integer solve (mirrors the oracle CTEs) ---
+
+def markov_from_transition_counts(spark: SparkSession, cnt_rows) -> DataFrame:
+    """The channel-bounded exact-integer removal-effect solve shared by
+    the lane above and the maintained Markov store
+    (operators/markov_store.py): cnt_rows carries (src, dst, count)
+    rows — at most (n_channels+3)^2 of them. Mirrors the oracle CTEs."""
     PPB = 10**9
     cnts: dict[int, dict[int, int]] = {}
     for r in cnt_rows:
