@@ -563,6 +563,47 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_stream_args(dsr, "document")
 
+    tch = sub.add_parser(
+        "touch-store",
+        help="maintained user touch-state store (OR-semigroup ledger): "
+        "land per-user coalition masks and/or read Shapley data-driven "
+        "attribution from state (the production form of "
+        "events_attribution_shapley)",
+    )
+    tch.add_argument("--index", required=True, help="touch-state ledger directory")
+    tch.add_argument(
+        "--batch", default=None, help="parquet of events (any split is fine)"
+    )
+    tch.add_argument(
+        "--date", default=None, help="batch date (the ledger partition key)"
+    )
+    tch.add_argument(
+        "--shapley",
+        action="store_true",
+        help="print Shapley credit per channel from the folded state",
+    )
+    _add_stream_args(tch, "event")
+
+    mkv = sub.add_parser(
+        "markov-store",
+        help="maintained Markov-attribution store (day-decomposed journey "
+        "summaries, seam-exact reconstruction): land a day-pure batch "
+        "and/or read removal-effect attribution from state (the "
+        "production form of events_attribution_markov)",
+    )
+    mkv.add_argument("--index", required=True, help="journey-summary ledger directory")
+    mkv.add_argument(
+        "--batch", default=None, help="parquet of ONE day's events (day-pure)"
+    )
+    mkv.add_argument(
+        "--date", default=None, help="batch date (must own all batch events)"
+    )
+    mkv.add_argument(
+        "--credit",
+        action="store_true",
+        help="print removal-effect credit per channel from the ledger",
+    )
+
     ses = sub.add_parser(
         "session-store",
         help="maintained incremental sessionization: land a day-pure "
@@ -1188,6 +1229,72 @@ def main(argv: list[str] | None = None) -> int:
                 scores = spark.read.parquet(args.scores_out)
             report["scored"] = scores.count()
             report["target_like"] = scores.filter(F.col("logw_bits") > 0).count()
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "touch-store":
+        from data_ingestion_lambda_spark.operators.touch_store import (
+            apply_touch_batch,
+            read_attribution_shapley,
+        )
+
+        if (args.batch is None) != (args.date is None):
+            raise SystemExit("touch-store: --batch and --date go together")
+        if args.stream_source is not None and args.checkpoint is None:
+            raise SystemExit("touch-store: --stream-source requires --checkpoint")
+        if args.stream_source is not None and args.batch is not None:
+            raise SystemExit("touch-store: --stream-source and --batch are exclusive")
+        if args.batch is None and args.stream_source is None and not args.shapley:
+            raise SystemExit(
+                "touch-store: need --batch/--date, --stream-source and/or --shapley"
+            )
+        spark = get_spark("data-ingestion-cli")
+        report = {}
+        if args.stream_source is not None:
+            from data_ingestion_lambda_spark.streaming.index_streams import (
+                run_touch_update_available_now,
+            )
+
+            report["batches"] = run_touch_update_available_now(
+                spark,
+                args.stream_source,
+                args.index,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch)
+            report.update(apply_touch_batch(spark, args.index, batch, args.date))
+        if args.shapley:
+            report["shapley"] = [
+                r.asDict() for r in read_attribution_shapley(spark, args.index)
+                .orderBy("channel")
+                .collect()
+            ]
+        print(json.dumps({"statusCode": 200, **report}))
+        return 0
+
+    if args.cmd == "markov-store":
+        from data_ingestion_lambda_spark.operators.markov_store import (
+            apply_markov_batch,
+            read_attribution_markov,
+        )
+
+        if (args.batch is None) != (args.date is None):
+            raise SystemExit("markov-store: --batch and --date go together")
+        if args.batch is None and not args.credit:
+            raise SystemExit("markov-store: need --batch/--date and/or --credit")
+        spark = get_spark("data-ingestion-cli")
+        report = {}
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch)
+            report.update(apply_markov_batch(spark, args.index, batch, args.date))
+        if args.credit:
+            report["credit"] = [
+                r.asDict() for r in read_attribution_markov(spark, args.index)
+                .orderBy("channel")
+                .collect()
+            ]
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 

@@ -387,3 +387,42 @@ def run_dsir_update_available_now(
         _body,
         max_files_per_trigger,
     )
+
+
+TOUCH_EVENTS_SCHEMA = "event_id bigint, user_id bigint, event_type string"
+
+
+def run_touch_update_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> list[dict]:
+    """Drain new event files into the maintained touch-state store: each
+    micro-batch's per-user (mask, conv) rows land in their own
+    ``ingest_batch=<id>`` partition; the fold is bit_or/max — idempotent
+    AND split-agnostic, so the read equals the one-shot state under ANY
+    trigger split, even with re-delivered events. The strongest ledger
+    semantics of any maintained store here."""
+    from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
+    from data_ingestion_lambda_spark.operators.touch_store import _user_state
+
+    check_keying_marker(spark, index_dir, "ingest_batch")
+
+    def _body(batch: DataFrame, key: str) -> dict:
+        (
+            _user_state(batch)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/ingest_batch={key}")
+        )
+        return {"key": key}
+
+    return _drain(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        TOUCH_EVENTS_SCHEMA,
+        _body,
+        max_files_per_trigger,
+    )

@@ -417,3 +417,30 @@ def test_cli_bloom_and_dsir_stores(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["statusCode"] == 200 and rep["scored"] > 0
+
+
+def test_touch_stream_equals_oneshot_any_split(spark, tmp_path):
+    from data_ingestion_lambda_spark.operators.touch_store import (
+        _user_state,
+        read_touch_state,
+    )
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        run_touch_update_available_now,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "touch"))
+    drop2 = _two_drops(events, src, F.col("event_id") % 2 == 0)
+    assert len(run_touch_update_available_now(spark, src, idx, ckpt)) >= 1
+    drop2()
+    assert len(run_touch_update_available_now(spark, src, idx, ckpt)) >= 1
+
+    def rows():
+        return sorted(map(tuple, read_touch_state(spark, idx).collect()))
+
+    got = rows()
+    assert got == sorted(map(tuple, _user_state(events).collect()))
+    assert run_touch_update_available_now(spark, src, idx, ckpt) == []
+    assert rows() == got

@@ -67,3 +67,33 @@ def test_shapley_read_equals_lane(spark, tmp_path):
         map(tuple, REGISTRY["events_attribution_shapley"].builder(spark, SF).collect())
     )
     assert got == want
+
+
+def test_cli_touch_and_markov_stores(spark, tmp_path, capsys):
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+
+    ev = load_table(spark, SF, "events")
+    day = str(ev.select(F.to_date("ts").alias("d")).orderBy("d").first().d)
+    day_events = ev.filter(F.to_date("ts") == day)
+    epath = str(tmp_path / "events.parquet")
+    day_events.write.parquet(epath)
+
+    rc = main(
+        ["touch-store", "--index", str(tmp_path / "tidx"),
+         "--batch", epath, "--date", day, "--shapley"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200
+    assert {c["channel"] for c in rep["shapley"]} == {"view", "click", "signup"}
+
+    rc = main(
+        ["markov-store", "--index", str(tmp_path / "midx"),
+         "--batch", epath, "--date", day, "--credit"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200
+    assert {c["channel"] for c in rep["credit"]} == {"view", "click", "signup"}
