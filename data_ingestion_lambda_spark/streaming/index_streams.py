@@ -34,7 +34,15 @@ inherited from its operator module, not re-proved:
   window state to a date-pruned read-side join, exact for any split
   (operators/attribution_store.py::land_attribution_batch — the
   calendar attribution store's day-pure apply REFUSES split days, so
-  this front gets its own representation).
+  this front gets its own representation);
+- Bloom filter words fold by bit_or — idempotent as well as
+  associative, so even OVERLAPPING batches are safe
+  (operators/bloom_store.py);
+- DSIR bucket counts are additive, with the _target= marker checked
+  per run (operators/dsir_store.py);
+- touch-state masks fold by bit_or/max per user — idempotent AND
+  split-agnostic (operators/touch_store.py; the Markov journey store
+  stays day-pure by design, like the calendar attribution store).
 
 All are pinned (tests/test_index_streams.py,
 tests/test_attribution_stream.py): streamed N-trigger state == the
