@@ -86,3 +86,46 @@ def test_markov_rollup_is_user_keyed(spark):
     assert re.search(r"Window \[lag\(.*\bwindowspecdefinition\(user_id", plan), (
         f"journey window must partition by user:\n{plan[:2000]}"
     )
+
+
+def test_runtime_bloom_filter_join_pruning_available(spark):
+    """Catalyst's runtime bloom-filter injection (InjectRuntimeFilter)
+    works on this engine's join shapes: a selective dimension filter
+    sprouts a might_contain probe on the fact side, pruning fact rows
+    BEFORE the shuffle. At toy scale the size thresholds suppress it
+    (rightly — the filter costs more than it saves), so the test
+    lowers the application-side threshold to prove the capability; at
+    100 TB the DEFAULT thresholds enable it on exactly this shape."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_lambda_spark.plans._util import t
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = t(spark, SF_SMOKE, "lineitem")
+        o = t(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, (
+            f"runtime bloom filter not injected:\n{plan[:3000]}"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
