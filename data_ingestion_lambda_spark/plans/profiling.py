@@ -1318,3 +1318,103 @@ def profile_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("orders.o_orderdate is not null", null_odate))
         .unionAll(row("events.event_type in catalog", bad_types))
     )
+
+
+@register(
+    "eval_binary_auc",
+    oracle="""
+    WITH scored AS (
+        SELECT n_chars AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    by_score AS (
+        SELECT score,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - label) AS BIGINT) AS n_neg
+        FROM scored GROUP BY score
+    ),
+    walked AS (
+        SELECT n_pos, n_neg,
+               CAST(COALESCE(SUM(n_neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_neg_below
+        FROM by_score
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+               CAST(SUM(n_neg) AS BIGINT) AS n,
+               CAST(SUM(n_pos * (2 * cum_neg_below + n_neg)) AS BIGINT)
+                   AS auc_num_x2
+        FROM walked
+    )
+    SELECT p AS n_pos, n AS n_neg, auc_num_x2,
+           (2 * p * n) AS auc_den_x2,
+           CASE WHEN p > 0 AND n > 0
+                THEN CAST(auc_num_x2 AS DOUBLE) / (2.0 * p * n)
+           END AS auc
+    FROM tot
+    """,
+    tags=("profiling", "eval"),
+)
+def eval_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC WITHOUT a global sort — the evaluation
+    metric every scored-corpus pipeline reports (is the quality/dedup/
+    importance score actually separating the classes?), computed by the
+    rank-sum identity aggregated over DISTINCT SCORE VALUES:
+
+        AUC = [ sum over score s of n_pos(s) * (neg_below(s) + n_neg(s)/2) ]
+              / (n_pos * n_neg)
+
+    i.e. P(score_pos > score_neg) + P(tie)/2, with ties handled exactly
+    (the n_neg(s)/2 mid-rank term — scaled x2 so everything stays
+    INTEGER until the one final IEEE division; the exact numerator and
+    denominator are also emitted, so a consumer can compose AUCs or
+    verify the division). Demo scoring: n_chars as the score, lang='en'
+    as the label — the metric machinery is what's under test, not the
+    toy scorer.
+
+    Scale: rows collapse to one (score, n_pos, n_neg) row per DISTINCT
+    score in a map-side-combinable aggregate; the cumulative walk runs
+    over those score-domain-bounded rows (the repo's histogram-quantile
+    discipline — a continuous score would be bucketed first, same as
+    profile_numeric_quantiles), and the final fold is one scalar row.
+    Never sorts, shuffles or ranks the raw corpus."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    by_score = d.groupBy("score").agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    walked = by_score.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("long").alias(
+            "cum_neg_below"
+        ),
+    )
+    return (
+        walked.agg(
+            F.sum("n_pos").cast("long").alias("p"),
+            F.sum("n_neg").cast("long").alias("n"),
+            F.sum(
+                F.col("n_pos") * (2 * F.col("cum_neg_below") + F.col("n_neg"))
+            )
+            .cast("long")
+            .alias("auc_num_x2"),
+        )
+        .select(
+            F.col("p").alias("n_pos"),
+            F.col("n").alias("n_neg"),
+            "auc_num_x2",
+            (2 * F.col("p") * F.col("n")).alias("auc_den_x2"),
+            F.when(
+                (F.col("p") > 0) & (F.col("n") > 0),
+                F.col("auc_num_x2").cast("double")
+                / (F.lit(2.0) * F.col("p") * F.col("n")),
+            ).alias("auc"),
+        )
+    )

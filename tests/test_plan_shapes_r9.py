@@ -41,6 +41,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     # calendar-bounded (input rows = days)
     "events_cumulative_reach": "running union over calendar days",
     "profile_null_drift_daily": "day-over-day lag over calendar days",
+    # score-domain-bounded (input rows = distinct score values; a
+    # continuous score would be bucketed first, as the quantile lanes do)
+    "eval_binary_auc": "neg-below cumsum over the distinct-score aggregate",
     # dim-bounded window-family DEMO lanes (suppliers; documented in
     # plans/windows.py's module discipline)
     "win_rank_dense_ntile": "supplier dim demo",
