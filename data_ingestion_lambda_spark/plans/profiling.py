@@ -1418,3 +1418,81 @@ def eval_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+@register(
+    "eval_precision_recall_curve",
+    oracle="""
+    WITH scored AS (
+        SELECT n_chars AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    by_score AS (
+        SELECT score,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - label) AS BIGINT) AS n_neg
+        FROM scored GROUP BY score
+    ),
+    tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p FROM by_score),
+    walked AS (
+        SELECT score AS threshold,
+               CAST(SUM(n_pos) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tp,
+               CAST(SUM(n_neg) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS fp
+        FROM by_score
+    )
+    SELECT threshold, tp, fp, (p - tp) AS fn,
+           (tp * 1000000000) // (tp + fp) AS precision_ppb,
+           (tp * 1000000000) // p AS recall_ppb,
+           (2 * tp * 1000000000) // (2 * tp + fp + (p - tp)) AS f1_ppb
+    FROM walked CROSS JOIN tot
+    """,
+    tags=("profiling", "eval"),
+)
+def eval_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full precision/recall/F1 curve — one row per DISTINCT score
+    threshold (predict positive when score >= threshold), the table a
+    filter-tuning pass reads to pick its operating point. Counts come
+    from ONE cumulative walk over the distinct-score aggregate (ordered
+    high-to-low: tp/fp at threshold t are the positives/negatives at or
+    above t); precision, recall and F1 quantize to integer ppb with
+    single integer divisions (F1's 2PR/(P+R) reduces to the integer
+    ratio 2tp/(2tp+fp+fn) — no rational-of-rationals). tp >= 1 on every
+    row (the row's own score contributes), so no division guard is
+    needed on precision; p > 0 whenever any positive exists.
+
+    Scale: the same distinct-score discipline as eval_binary_auc — raw
+    rows collapse map-side to score-domain rows, the walk and output
+    are score-domain-bounded, nothing global touches the corpus."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    by_score = d.groupBy("score").agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
+    ).persist()
+    p = int(by_score.agg(F.sum("n_pos")).collect()[0][0])
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walked = by_score.select(
+        F.col("score").alias("threshold"),
+        F.sum("n_pos").over(w).cast("long").alias("tp"),
+        F.sum("n_neg").over(w).cast("long").alias("fp"),
+    )
+    return walked.select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.lit(p) - F.col("tp")).alias("fn"),
+        F.expr("(tp * 1000000000) div (tp + fp)").alias("precision_ppb"),
+        F.expr(f"(tp * 1000000000) div {p}").alias("recall_ppb"),
+        F.expr(
+            f"(2 * tp * 1000000000) div (2 * tp + fp + ({p} - tp))"
+        ).alias("f1_ppb"),
+    )
