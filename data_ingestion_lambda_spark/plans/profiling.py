@@ -1496,3 +1496,76 @@ def eval_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(2 * tp * 1000000000) div (2 * tp + fp + ({p} - tp))"
         ).alias("f1_ppb"),
     )
+
+
+_CAL_BUCKETS = 10  # reliability-diagram deciles over the score range
+
+
+@register(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+        SELECT n_chars AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    rng AS (
+        SELECT MIN(score) AS lo, MAX(score) AS hi FROM scored
+    ),
+    binned AS (
+        SELECT LEAST(CAST(((score - lo) * {_CAL_BUCKETS}) // (hi - lo + 1)
+                     AS BIGINT), {_CAL_BUCKETS - 1}) AS bin,
+               label, score
+        FROM scored CROSS JOIN rng
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST((SUM(label) * 1000000000) // COUNT(*) AS BIGINT)
+               AS observed_rate_ppb,
+           CAST(SUM(score) AS BIGINT) AS score_sum,
+           CAST(SUM(score) AS DOUBLE) / COUNT(*) AS mean_score
+    FROM binned GROUP BY bin
+    """,
+    tags=("profiling", "eval"),
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram — the third leg of the eval family (AUC
+    measures ranking, the PR curve measures the operating point, this
+    measures CALIBRATION): equal-width score bins with observed
+    positive rate vs mean score per bin; a calibrated scorer's bins lie
+    on the diagonal. Bin assignment is pure integer arithmetic over the
+    [min, max] range collected as TWO scalars (hi−lo+1 in the divisor
+    keeps the max in the last bin without a float epsilon); the
+    observed rate quantizes to ppb by one integer division; mean score
+    is one IEEE division of exact integer sums.
+
+    Scale: one scalar-range pass, then one map-side-combinable
+    {_CAL_BUCKETS}-row aggregate — scan-bounded, output constant."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    lo, hi = (int(x) for x in d.agg(F.min("score"), F.max("score")).collect()[0])
+    return (
+        d.select(
+            F.least(
+                F.expr(
+                    f"((score - {lo}) * {_CAL_BUCKETS}) div ({hi} - {lo} + 1)"
+                ),
+                F.lit(_CAL_BUCKETS - 1).cast("long"),
+            ).alias("bin"),
+            "label",
+            "score",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.expr("(sum(label) * 1000000000) div count(*)").alias(
+                "observed_rate_ppb"
+            ),
+            F.sum("score").cast("long").alias("score_sum"),
+            (F.sum("score").cast("double") / F.count("*")).alias("mean_score"),
+        )
+    )
