@@ -173,6 +173,8 @@ QUERIES = [
     "events_attribution_markov",
     "text_bpe_train_merges",
     "profile_contract_violations",
+    "eval_binary_auc",
+    "eval_precision_recall_curve",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
