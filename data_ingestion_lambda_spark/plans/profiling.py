@@ -1569,3 +1569,67 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("score").cast("double") / F.count("*")).alias("mean_score"),
         )
     )
+
+
+@register(
+    "profile_freshness_daily",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(ts AS DATE) AS day,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(ts_us) AS BIGINT) AS last_event_us,
+           CAST((epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP)) - 1)
+                - MAX(ts_us) AS BIGINT) AS tail_gap_us,
+           CAST(MIN(ts_us) - epoch_us(CAST(day AS TIMESTAMP)) AS BIGINT)
+               AS head_gap_us,
+           ((epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP)) - 1)
+                - MAX(ts_us)) >= 3600000000 AS tail_gap_over_1h
+    FROM days GROUP BY day
+    """,
+    tags=("profiling", "monitoring"),
+)
+def profile_freshness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness / delivery-lag monitor — the operational check a
+    scheduled ingest runs before declaring a day complete: per day, the
+    last event's distance from day end (a large tail gap on a CLOSED
+    day means the producer stopped early or a late file is still
+    missing — the reference's missing-dates backfill exists for exactly
+    this) and the first event's distance from day start (a large head
+    gap on the CURRENT day means delivery is behind). Pure integer
+    epoch-µs arithmetic; the boolean flags a tail gap over an hour.
+
+    Scale: one map-side-combinable day rollup — calendar-bounded
+    output, scan-bounded cost, no window at all."""
+    day = F.to_date("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day_start = F.unix_micros(day.cast("timestamp"))
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(day.alias("day"), us.alias("ts_us"), day_start.alias("day_us"))
+    )
+    day_end = F.col("day_us") + F.lit(86_400_000_000 - 1)
+    return (
+        e.groupBy("day", "day_us")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("ts_us").cast("long").alias("last_event_us"),
+            F.min("ts_us").cast("long").alias("first_event_us"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "last_event_us",
+            (day_end - F.col("last_event_us")).cast("long").alias("tail_gap_us"),
+            (F.col("first_event_us") - F.col("day_us"))
+            .cast("long")
+            .alias("head_gap_us"),
+            ((day_end - F.col("last_event_us")) >= 3_600_000_000).alias(
+                "tail_gap_over_1h"
+            ),
+        )
+    )
