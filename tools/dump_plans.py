@@ -63,6 +63,7 @@ FLAGSHIPS = [
     ("events_attribution_shapley", "one cached user-keyed rollup (single events scan) feeds the constant 8-row coalition walk (r9)"),
     ("dedup_bloom_screen", "corpus probes join the broadcast 128-word filter in the scan stage; no sort-merge anywhere (r9)"),
     ("text_dsir_weights", "doc-keyed feature aggregate; the 1024-row bits model broadcasts into the scoring join (r9)"),
+    ("eval_binary_auc", "rank-sum AUC: corpus collapses to distinct-score rows before the only ordered walk (r9)"),
 ]
 
 
