@@ -1633,3 +1633,55 @@ def profile_freshness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "profile_json_keys",
+    oracle="""
+    WITH nn AS (SELECT props FROM events WHERE props IS NOT NULL),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM nn),
+    ex AS (SELECT props, UNNEST(json_keys(props)) AS k FROM nn)
+    SELECT k AS json_key,
+           CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST(COUNT(DISTINCT json_extract_string(props, '$.' || k))
+                AS BIGINT) AS n_distinct_values,
+           CAST((COUNT(*) * 1000000000) // n_rows AS BIGINT)
+               AS presence_ppb
+    FROM ex CROSS JOIN tot
+    GROUP BY k, n_rows
+    """,
+    tags=("profiling", "semistructured"),
+)
+def profile_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema DISCOVERY over the ``props`` JSON column —
+    the first question against an untyped payload column: which keys
+    exist, in what share of rows, with how many distinct values (the
+    input to promoting a key to a real column, the reverse of
+    scalar_variant's fixed-path extraction). Keys explode via
+    json_object_keys and values extract through a DYNAMIC path
+    (concat('$.', k)) — no schema declared anywhere, which is the
+    point. Presence share quantizes to ppb by one integer division.
+
+    Scale: one map-side-combinable (key)-keyed aggregate over the
+    exploded keys; output is key-vocabulary-bounded. The distinct-value
+    count shuffles (key, value-string) pairs — swap for
+    approx_count_distinct at 100 TB if the value domain explodes, the
+    profile_table discipline."""
+    nn = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    n_rows = nn.count()
+    ex = nn.select(
+        "props", F.explode(F.json_object_keys("props")).alias("k")
+    ).select(
+        "k",
+        F.expr("get_json_object(props, concat('$.', k))").alias("v"),
+    )
+    return ex.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.countDistinct("v").cast("long").alias("n_distinct_values"),
+        F.expr(f"(count(*) * 1000000000) div {n_rows}").alias("presence_ppb"),
+    ).select(
+        F.col("k").alias("json_key"),
+        "n_present",
+        "n_distinct_values",
+        "presence_ppb",
+    )
