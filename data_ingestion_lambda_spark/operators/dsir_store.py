@@ -123,7 +123,23 @@ def score_docs(
     n_s, n_t = (
         int(x) for x in stats.agg(F.sum("cnt_s"), F.sum("cnt_t")).collect()[0]
     )
+    # DENSIFY to all buckets before computing bits: a NEW batch hashes
+    # into buckets the ledger has never seen, and dsir_score's inner
+    # join would silently drop those features (review r9) — the add-1
+    # smoothing exists precisely so absent buckets score as cnt=0 rows.
+    from data_ingestion_lambda_spark.plans.llm_ops import _DSIR_B
+
+    dense = (
+        spark.range(_DSIR_B)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(stats, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cnt_s", F.lit(0)).cast("long").alias("cnt_s"),
+            F.coalesce("cnt_t", F.lit(0)).cast("long").alias("cnt_t"),
+        )
+    )
     return dsir_score(
         dsir_features(_with_is_t(docs, target_lang)),
-        dsir_bits(stats, n_s, n_t),
+        dsir_bits(dense, n_s, n_t),
     )

@@ -63,7 +63,10 @@ def erase_keys(
         for st in fs.listStatus(path_cls(table_dir))
     )
     if not has_data:  # a fully-erased (or empty) table: nothing to scan
-        _land_tombstones(keyset, key_col, 0, table_dir, tombstone_dir, request_id)
+        _land_tombstones(
+            keyset, key_col, 0, table_dir, tombstone_dir, request_id,
+            rows_erased=0,
+        )
         return {
             "request_id": request_id,
             "affected_dates": [],
@@ -115,7 +118,13 @@ def erase_keys(
         report["partitions_deleted"] = len(drop)
 
     _land_tombstones(
-        keyset, key_col, len(affected), table_dir, tombstone_dir, request_id
+        keyset,
+        key_col,
+        len(affected),
+        table_dir,
+        tombstone_dir,
+        request_id,
+        rows_erased=report["rows_erased"],
     )
     return report
 
@@ -127,8 +136,19 @@ def _land_tombstones(
     table_dir: str,
     tombstone_dir: str | None,
     request_id: str,
+    rows_erased: int,
 ) -> None:
+    """Write the request's audit record — UNLESS this run erased nothing
+    and the record already exists: a replay of an already-served request
+    must not overwrite the original evidence with a no-op record (review
+    r9 — an auditor reading n_affected_dates=0 would conclude no
+    deletion ever happened)."""
     tomb = tombstone_dir or f"{table_dir}/_tombstones"
+    target = f"{tomb}/request_id={request_id}"
+    spark = keyset.sparkSession
+    fs, path_cls = _hadoop_fs(spark, tomb)
+    if rows_erased == 0 and fs.exists(path_cls(target)):
+        return  # replay after success: keep the original audit record
     (
         keyset.select(
             F.col(key_col).cast("string").alias("subject_key"),
@@ -137,7 +157,7 @@ def _land_tombstones(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{tomb}/request_id={request_id}")
+        .parquet(target)
     )
 
 
@@ -145,7 +165,15 @@ def verify_erasure(
     spark: SparkSession, table_dir: str, keys: DataFrame, key_col: str = "user_id"
 ) -> int:
     """Residual row count for the requested keys — MUST be 0 after
-    erase_keys; runnable standalone as a compliance audit."""
+    erase_keys; runnable standalone as a compliance audit. A table with
+    no data partitions left (every day erased) verifies clean rather
+    than failing schema inference (review r9)."""
+    fs, path_cls = _hadoop_fs(spark, table_dir)
+    if not fs.exists(path_cls(table_dir)) or not any(
+        st.getPath().getName().startswith(f"{PARTITION_COL}=")
+        for st in fs.listStatus(path_cls(table_dir))
+    ):
+        return 0
     keyset = keys.select(F.col(key_col)).distinct()
     return (
         spark.read.parquet(table_dir)

@@ -81,3 +81,27 @@ def test_target_marker_refuses_mixed_targets(spark, tmp_path):
         apply_dsir_batch(spark, idx, docs, "2025-07-02", target_lang="de")
     # same target still lands
     apply_dsir_batch(spark, idx, docs, "2025-07-02", target_lang="en")
+
+
+def test_scoring_unseen_buckets_uses_smoothing_not_drop(spark, tmp_path):
+    """Review r9: a NEW batch hashes into buckets the ledger never saw;
+    those features must score through the add-1 smoothing, not silently
+    drop out of the inner join. Pin: every scored doc keeps its FULL
+    feature count, even when the ledger was built from a third of the
+    corpus."""
+    idx = str(tmp_path / "dsir_idx")
+    docs = _docs(spark)
+    apply_dsir_batch(  # a deliberately partial ledger
+        spark, idx, docs.filter(F.col("doc_id") % 3 == 0), "2025-07-01"
+    )
+    scored = {r.doc_id: r.n_feats for r in score_docs(spark, idx, docs).collect()}
+    want = {
+        r.doc_id: r.n
+        for r in dsir_features(
+            docs.select("doc_id", (F.col("lang") == "en").alias("is_t"), "text")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n"))
+        .collect()
+    }
+    assert scored == want, "unseen-bucket features were dropped"

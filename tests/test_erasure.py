@@ -137,3 +137,35 @@ def test_erase_on_empty_table_is_graceful(spark, tmp_path):
     assert report["affected_dates"] == [] and report["rows_erased"] == 0
     tombs = read_tombstones(spark, path)
     assert tombs.filter(F.col("request_id") == "req-again").count() == 7
+
+
+def test_replay_preserves_original_tombstone_and_verify_empty_table(spark, tmp_path):
+    """Review r9: a replay of an already-served request must not
+    overwrite the audit record with a no-op one, and verify_erasure on
+    a fully-emptied table reports 0 instead of failing schema
+    inference."""
+    path = str(tmp_path / "ledger")
+    _ledger(spark, path)
+    keys = _keys(spark, 1, 2)
+    first = erase_keys(spark, path, keys, request_id="req-keep")
+    assert first["rows_erased"] > 0
+    orig = sorted(
+        (r.subject_key, r.n_affected_dates)
+        for r in read_tombstones(spark, path)
+        .filter(F.col("request_id") == "req-keep")
+        .collect()
+    )
+    assert all(n > 0 for _, n in orig)
+
+    erase_keys(spark, path, keys, request_id="req-keep")  # replay
+    after = sorted(
+        (r.subject_key, r.n_affected_dates)
+        for r in read_tombstones(spark, path)
+        .filter(F.col("request_id") == "req-keep")
+        .collect()
+    )
+    assert after == orig, "replay must not rewrite the audit evidence"
+
+    everyone = _keys(spark, *range(1, 7), 99)
+    erase_keys(spark, path, everyone, request_id="req-all")
+    assert verify_erasure(spark, path, everyone) == 0
