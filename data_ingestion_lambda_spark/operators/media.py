@@ -505,15 +505,22 @@ def parse_image_headers(media: DataFrame, content_col: str = "content") -> DataF
         .when(gif & (F.length(c) >= 10), F.lit("gif"))
         .when(bmp & long_enough, F.lit("bmp"))
     )
+    def le32_signed(off: int) -> Column:
+        # BITMAPINFOHEADER width/height are SIGNED int32; a negative
+        # biHeight means top-down row order — the pixel dimension is the
+        # magnitude (review r9: the unsigned read turned -600 into ~4.29e9)
+        u = le32(off)
+        return F.when(u >= 2_147_483_648, F.lit(4_294_967_296) - u).otherwise(u)
+
     width = (
         F.when(fmt == "png", be32(17))
         .when(fmt == "gif", le16(7))
-        .when(fmt == "bmp", le32(19))
+        .when(fmt == "bmp", le32_signed(19))
     )
     height = (
         F.when(fmt == "png", be32(21))
         .when(fmt == "gif", le16(9))
-        .when(fmt == "bmp", le32(23))
+        .when(fmt == "bmp", le32_signed(23))
     )
     return media.select(
         "*", fmt.alias("format"), width.alias("width"), height.alias("height")

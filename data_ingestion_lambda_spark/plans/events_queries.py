@@ -3202,30 +3202,33 @@ def shapley_from_user_state(spark: SparkSession, per_user: DataFrame) -> DataFra
     maintained touch store (operators/touch_store.py) — per_user carries
     (user_id or any identity, mask, converted); everything after the
     coalition rollup is constant-size."""
-    coal = per_user.groupBy("mask").agg(
-        F.count("*").alias("n_users"),
-        F.sum("converted").cast("long").alias("n_conv"),
-    )
-    full8 = (
-        spark.range(8)
-        .select(F.col("id").cast("int").alias("mask"))
-        .join(coal, "mask", "left")
-        .select(
-            "mask",
-            F.coalesce("n_users", F.lit(0)).alias("n_users"),
-            F.coalesce("n_conv", F.lit(0)).cast("long").alias("n_conv"),
+    coal = {
+        int(r.mask): (int(r.n_users), int(r.n_conv))
+        for r in per_user.groupBy("mask")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_conv"),
         )
-        .withColumn(
-            "rate_ppb",
-            F.when(
-                F.col("n_users") > 0,
-                F.expr("(n_conv * 1000000000) div n_users"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        # referenced THREE times below (S side, T side, touched rollup):
-        # without this the events scan + user rollup would run three
-        # times; persisted it is 8 cached rows behind one scan
-        .persist()
+        .collect()  # <= 2^n coalition rows — channel-bounded, ONE scan
+    }
+    # the coalition table is referenced three times below (S side, T
+    # side, touched rollup); rebuilding it as a local relation keeps the
+    # events scan single without pinning anything in the block cache
+    # (review r9 — a persisted plan here leaked one InMemoryRelation per
+    # store read). Rates use the same integer arithmetic as the oracle.
+    full8 = spark.createDataFrame(
+        [
+            (
+                m,
+                coal.get(m, (0, 0))[0],
+                coal.get(m, (0, 0))[1],
+                (coal[m][1] * 1_000_000_000) // coal[m][0]
+                if coal.get(m, (0, 0))[0] > 0
+                else 0,
+            )
+            for m in range(8)
+        ],
+        "mask int, n_users long, n_conv long, rate_ppb long",
     )
     chan = spark.createDataFrame(
         [("view", 1), ("click", 2), ("signup", 4)], "channel string, bit int"

@@ -1447,8 +1447,10 @@ def eval_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT threshold, tp, fp, (p - tp) AS fn,
            (tp * 1000000000) // (tp + fp) AS precision_ppb,
-           (tp * 1000000000) // p AS recall_ppb,
-           (2 * tp * 1000000000) // (2 * tp + fp + (p - tp)) AS f1_ppb
+           CASE WHEN p > 0 THEN (tp * 1000000000) // p END AS recall_ppb,
+           CASE WHEN 2 * tp + fp + (p - tp) > 0
+                THEN (2 * tp * 1000000000) // (2 * tp + fp + (p - tp))
+           END AS f1_ppb
     FROM walked CROSS JOIN tot
     """,
     tags=("profiling", "eval"),
@@ -1476,7 +1478,7 @@ def eval_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("label").cast("long").alias("n_pos"),
         F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
     ).persist()
-    p = int(by_score.agg(F.sum("n_pos")).collect()[0][0])
+    p = int(by_score.agg(F.sum("n_pos")).collect()[0][0] or 0)  # empty-safe
     w = Window.orderBy(F.desc("score")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1491,9 +1493,12 @@ def eval_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         (F.lit(p) - F.col("tp")).alias("fn"),
         F.expr("(tp * 1000000000) div (tp + fp)").alias("precision_ppb"),
-        F.expr(f"(tp * 1000000000) div {p}").alias("recall_ppb"),
         F.expr(
-            f"(2 * tp * 1000000000) div (2 * tp + fp + ({p} - tp))"
+            f"IF({p} > 0, (tp * 1000000000) div {p}, NULL)"
+        ).alias("recall_ppb"),
+        F.expr(
+            f"IF(2 * tp + fp + ({p} - tp) > 0,"
+            f" (2 * tp * 1000000000) div (2 * tp + fp + ({p} - tp)), NULL)"
         ).alias("f1_ppb"),
     )
 

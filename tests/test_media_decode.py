@@ -171,6 +171,7 @@ def test_parse_image_headers_real_bytes(spark):
         (3, _bmp_bytes(1920, 1080)),
         (4, b"not an image at all, but long enough to pass length"),
         (5, b"\x89PNG\r\n\x1a\n short"),  # truncated PNG
+        (6, _bmp_bytes(800, -600)),  # top-down BMP: signed biHeight
     ]
     df = spark.createDataFrame(rows, "media_id int, content binary")
     got = {
@@ -180,5 +181,6 @@ def test_parse_image_headers_real_bytes(spark):
     assert got[1] == ("png", 640, 480)
     assert got[2] == ("gif", 320, 200)
     assert got[3] == ("bmp", 1920, 1080)
+    assert got[6] == ("bmp", 800, 600), "top-down BMP (negative biHeight)"
     assert got[4] == (None, None, None)
     assert got[5] == (None, None, None)
