@@ -74,7 +74,11 @@ from data_ingestion_lambda_spark.operators.upsert import (
     _hadoop_fs,
     replace_partitions,
 )
-from data_ingestion_lambda_spark.plans.events_queries import _ATTR_WINDOW_US
+from data_ingestion_lambda_spark.plans.events_queries import (
+    _ATTR_WINDOW_US,
+    _DAY_US,
+    _DECAY_BUCKETS,
+)
 
 _LOOKBACK_DAYS = 7  # matches _ATTR_WINDOW_US = 7 days
 
@@ -771,9 +775,6 @@ def read_attribution_position_stream(
         hit.alias("attributed"),
     )
 
-
-_DAY_US = 86400 * 1_000_000
-_DECAY_BUCKETS = 7  # whole-day ages 0..6 inside the 7-day window
 
 
 def read_attribution_time_decay(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -2995,7 +2995,9 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DAY_US = 86400 * 1_000_000
+# _DAY_US is defined once near the resample lanes (line ~1908); the decay
+# bucket count lives here and is IMPORTED by operators/attribution_store —
+# one definition, so the store/lane bit-parity cannot drift (review r9)
 _DECAY_BUCKETS = 7  # ages 0..6 whole days inside the 7-day window
 
 
