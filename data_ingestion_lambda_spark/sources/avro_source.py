@@ -31,8 +31,11 @@ Format coverage (the OCF spec is public and small):
 
 Error stance mirrors the XML source: ``mode=failfast`` (default here —
 binary corruption should not yield silent nulls) raises naming the file
-and offset; ``mode=permissive`` skips undecodable BLOCKS (the sync
-marker makes block boundaries recoverable) and counts them.
+and offset; ``mode=permissive`` recovers: a corrupt PAYLOAD skips that
+block exactly; a clean frame with a wrong sync marker drops only the
+unverified block and continues in place; truncation/varint damage
+rescans for the next sync marker (counting resync EVENTS — exact block
+counts need boundaries) and a markerless tail ends the file.
 
 Scale: ``partitions()`` lists the glob once on the driver (planning
 metadata only) and returns one InputPartition per FILE — a
@@ -306,23 +309,49 @@ def read_ocf(
     rows: list[tuple] = []
     skipped = 0
     while not cur.eof():
+        block_start = cur.pos
         try:
             count = cur.read_long()
         except (EOFError, IndexError):
             break  # trailing bytes short of a block — EOF
-        size = cur.read_long()
-        payload = cur.take(size)
-        marker = cur.take(16)
-        if marker != sync:
-            raise ValueError(
-                f"avroocf: sync marker mismatch in {path} at offset {cur.pos}"
-            )
+        try:
+            size = cur.read_long()
+            payload = cur.take(size)
+            marker = cur.take(16)
+            if marker != sync:
+                raise ValueError(
+                    f"avroocf: sync marker mismatch in {path} at offset {cur.pos}"
+                )
+        except Exception as exc:  # noqa: BLE001 — FRAMING corruption
+            if failfast:
+                raise ValueError(
+                    f"avroocf: unreadable block framing in {path} at "
+                    f"offset {block_start}: {exc}"
+                ) from exc
+            # permissive resync (review r9): the sync marker exists so a
+            # reader can recover block BOUNDARIES after corruption.
+            skipped += 1
+            if isinstance(exc, ValueError) and "sync marker mismatch" in str(exc):
+                # the block FRAMED cleanly and only its marker is wrong:
+                # cur.pos already sits at the next block's start, so the
+                # following blocks are recoverable in place (only this
+                # unverified block is dropped)
+                continue
+            # truncation / varint damage: the boundary itself is lost —
+            # scan the remaining bytes for the next marker and resume
+            # past it; no further marker ends the file. skipped counts
+            # RESYNC EVENTS here (exact block counts need boundaries).
+            nxt = cur.buf.find(sync, block_start + 1)
+            if nxt < 0:
+                break
+            cur.pos = nxt + 16
+            continue
         try:
             if codec == "deflate":
                 payload = zlib.decompress(payload, -15)
             block = _Cursor(payload)
             block_rows = [decode(block) for _ in range(count)]
-        except Exception as exc:  # noqa: BLE001 — corruption path
+        except Exception as exc:  # noqa: BLE001 — payload corruption
             if failfast:
                 raise ValueError(
                     f"avroocf: undecodable block in {path} "
@@ -488,15 +517,16 @@ class _AvroOcfReader(DataSourceReader):
         file_schema, rows, _skipped = read_ocf(
             partition.path, failfast=self._failfast, logical=self._logical
         )
-        # Field-name validation: the planned schema (embedded-or-explicit)
-        # must match this file's embedded record, else a silent positional
-        # mismatch would mislabel columns.
-        want = [f.name for f in self._schema.fields]
-        have = [f.name for f in file_schema.fields]
+        # Field validation, names AND types (review r9 — names alone let
+        # a type-mismatched explicit .schema() surface later as an opaque
+        # executor-side conversion error): the planned schema must match
+        # what this file's embedded record decodes to.
+        want = [(f.name, f.dataType.simpleString()) for f in self._schema.fields]
+        have = [(f.name, f.dataType.simpleString()) for f in file_schema.fields]
         if want != have:
             raise ValueError(
                 f"avroocf: field mismatch in {partition.path}: "
-                f"file has {have}, plan expects {want}"
+                f"file decodes to {have}, plan expects {want}"
             )
         yield from rows
 

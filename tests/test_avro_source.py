@@ -243,3 +243,59 @@ def test_logical_types_raw_vs_native(spark, tmp_path):
             .option("logicalTypes", "bogus")
             .load()
         )
+
+
+def test_permissive_resyncs_past_framing_corruption(tmp_path):
+    """Review r9: permissive mode must survive FRAMING damage, not just
+    payload damage — a mangled sync marker mid-file resyncs to the next
+    marker (skipping one block), and a truncated tail ends the read
+    instead of raising."""
+    small = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    path = str(tmp_path / "f.avro")
+    write_ocf(path, small, [(1,), (2,), (3,)], rows_per_block=1)
+    raw = bytearray(open(path, "rb").read())
+    # three 1-row blocks, each ending in the 16-byte sync; occurrence 0
+    # is the HEADER's copy, so mangle occurrence 1 (the first block's
+    # marker) — the reader must resync at the second block's marker and
+    # still deliver rows 2 and 3
+    header_sync = raw.find(b"\x00dils-avro-sync\x00")
+    first_block_sync = raw.find(b"\x00dils-avro-sync\x00", header_sync + 16)
+    raw[first_block_sync : first_block_sync + 4] = b"\xde\xad\xbe\xef"
+    open(path, "wb").write(bytes(raw))
+    _schema, rows, skipped = read_ocf(path, failfast=False)
+    assert rows == [(2,), (3,)] and skipped == 1
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        read_ocf(path, failfast=True)
+
+    # truncation mid-block: permissive stops cleanly, failfast raises
+    write_ocf(path, small, [(1,), (2,)], rows_per_block=1)
+    raw = open(path, "rb").read()
+    open(path, "wb").write(raw[:-10])  # cut into the last block
+    _schema, rows, skipped = read_ocf(path, failfast=False)
+    assert rows == [(1,)] and skipped == 1
+    with pytest.raises(ValueError, match="unreadable block framing"):
+        read_ocf(path, failfast=True)
+
+
+def test_explicit_schema_type_mismatch_refused(spark, tmp_path):
+    """Review r9: an explicit .schema() with matching NAMES but wrong
+    TYPES must be refused at the source, not surface as an opaque
+    executor-side conversion error."""
+    small = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    write_ocf(str(tmp_path / "a.avro"), small, [(1,), (2,)])
+    register_avro_source(spark)
+    df = (
+        spark.read.format("avroocf")
+        .schema("x string")  # right name, wrong type
+        .load(str(tmp_path))
+    )
+    with pytest.raises(Exception, match="field mismatch"):
+        df.collect()
