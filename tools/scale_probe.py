@@ -175,6 +175,7 @@ QUERIES = [
     "profile_contract_violations",
     "eval_binary_auc",
     "eval_precision_recall_curve",
+    "agg_pareto_abc",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or
