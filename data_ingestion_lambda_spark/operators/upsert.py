@@ -394,6 +394,15 @@ def replace_partitions(
     ``date=D`` directories (sub-partitions ride along atomically), so the
     idempotence and failure contracts below hold regardless.
 
+    Empty partitions REPLACE too (ADVICE r9): a listed date for which
+    ``df`` stages no rows means "this partition's new content is
+    empty" — the old partition is deleted outright, mirroring the
+    fully-erased-partition handling in ``erasure.erase_keys``. Without
+    this, re-applying a corrected store batch that now produces zero
+    rows would silently leave the stale partition in place. (Callers
+    that want "empty recompute keeps the old partition" — the CDC
+    feed's replay guard — must skip the call, as that caller does.)
+
     Stage 1 fully consumes any snapshot reads of the live partitions
     before stage 2 touches them; rename is atomic on HDFS-like stores, so
     the non-atomic window is one partition's delete→rename instant.
@@ -421,6 +430,10 @@ def replace_partitions(
                     f"partition swap failed: rename {src} -> {dst} returned false; "
                     f"staged data preserved under {staging_dir}"
                 )
+        elif fs.exists(dst):
+            # df staged nothing for this listed date: its new content is
+            # empty — replace means delete, not keep (ADVICE r9).
+            fs.delete(dst, True)
     # All swaps succeeded — only now discard staging. (On failure the
     # staging dir is deliberately left in place; it is dot-prefixed, so
     # readers never see it.)

@@ -3000,17 +3000,29 @@ def dsir_stats(tf: DataFrame) -> DataFrame:
     )
 
 
+def _dsir_bits_from_cols(stats_with_totals: DataFrame) -> DataFrame:
+    """Shared bits arithmetic over (bucket, cnt_s, cnt_t, n_s, n_t)
+    rows — the single definition both entry points below reduce to, so
+    the lane's in-plan totals and the store's collected totals cannot
+    drift."""
+    return stats_with_totals.select(
+        "bucket",
+        F.length(
+            F.bin(F.expr(f"(n_s + {_DSIR_B}) DIV (cnt_s + 1)"))
+        ).cast("long").alias("bits_s"),
+        F.length(
+            F.bin(F.expr(f"(n_t + {_DSIR_B}) DIV (cnt_t + 1)"))
+        ).cast("long").alias("bits_t"),
+    )
+
+
 def dsir_bits(stats: DataFrame, n_s: int, n_t: int) -> DataFrame:
     """(bucket, bits_s, bits_t) integer-bits models with add-1 smoothing
     (argument >= 1 even for target-absent buckets)."""
-    return stats.select(
-        "bucket",
-        F.length(
-            F.bin(F.expr(f"CAST({n_s + _DSIR_B} AS BIGINT) DIV (cnt_s + 1)"))
-        ).cast("long").alias("bits_s"),
-        F.length(
-            F.bin(F.expr(f"CAST({n_t + _DSIR_B} AS BIGINT) DIV (cnt_t + 1)"))
-        ).cast("long").alias("bits_t"),
+    return _dsir_bits_from_cols(
+        stats.withColumn("n_s", F.lit(int(n_s)).cast("long")).withColumn(
+            "n_t", F.lit(int(n_t)).cast("long")
+        )
     )
 
 
@@ -3101,17 +3113,26 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, bucket, tf) aggregate with a FIXED {_DSIR_B}-bucket feature
     space (the hash bounds state regardless of vocabulary growth — the
     reason DSIR hashes at all), bucket stats roll up to {_DSIR_B} rows,
-    the two totals are ONE two-scalar collect, and the scoring join is
-    against a {_DSIR_B}-row broadcast. tf persists so the corpus
-    tokenizes once. At 100 TB the cost is the documents scan plus one
-    doc-keyed exchange; everything model-sized is constant."""
+    the two totals are a cross-joined 1-row broadcast computed IN-PLAN
+    (the oracle's ``tot`` CTE shape — no driver collect, and no
+    corpus-sized ``tf`` InMemoryRelation pinned past return, ADVICE
+    r9; at 100 TB caching tf would cost more than the one extra
+    tokenization pass, and exchange reuse can share the tf shuffle
+    between the stats and scoring branches), and the scoring join is
+    against a {_DSIR_B}-row broadcast. At 100 TB the cost is the
+    documents scan plus one doc-keyed exchange; everything model-sized
+    is constant."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", (F.col("lang") == "en").alias("is_t"), "text"
     )
-    tf = dsir_features(d).persist()
+    tf = dsir_features(d)
     stats = dsir_stats(tf)
-    n_s, n_t = (int(x) for x in stats.agg(F.sum("cnt_s"), F.sum("cnt_t")).collect()[0])
-    return dsir_score(tf, dsir_bits(stats, n_s, n_t))
+    tot = stats.agg(
+        F.sum("cnt_s").cast("long").alias("n_s"),
+        F.sum("cnt_t").cast("long").alias("n_t"),
+    )
+    bits = _dsir_bits_from_cols(stats.crossJoin(F.broadcast(tot)))
+    return dsir_score(tf, bits)
 
 
 _BLOOM_M = 4096  # filter bits, packed 32 per BIGINT word -> 128 words

@@ -1469,7 +1469,13 @@ def eval_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the same distinct-score discipline as eval_binary_auc — raw
     rows collapse map-side to score-domain rows, the walk and output
-    are score-domain-bounded, nothing global touches the corpus."""
+    are score-domain-bounded, nothing global touches the corpus. The
+    total-positives scalar is computed IN-PLAN as a cross-joined 1-row
+    broadcast (the oracle's own ``tot`` CTE shape) rather than a
+    driver collect over a persisted aggregate — no action before
+    return, no InMemoryRelation pinned past it (ADVICE r9), and
+    Spark's exchange reuse shares the one ``by_score`` shuffle between
+    the walk and the total."""
     d = t(spark, sf_dir, "documents").select(
         F.col("n_chars").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
@@ -1477,8 +1483,8 @@ def eval_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_score = d.groupBy("score").agg(
         F.sum("label").cast("long").alias("n_pos"),
         F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
-    ).persist()
-    p = int(by_score.agg(F.sum("n_pos")).collect()[0][0] or 0)  # empty-safe
+    )
+    tot = by_score.agg(F.sum("n_pos").cast("long").alias("p"))
     w = Window.orderBy(F.desc("score")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1487,18 +1493,16 @@ def eval_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos").over(w).cast("long").alias("tp"),
         F.sum("n_neg").over(w).cast("long").alias("fp"),
     )
-    return walked.select(
+    return walked.crossJoin(F.broadcast(tot)).select(
         "threshold",
         "tp",
         "fp",
-        (F.lit(p) - F.col("tp")).alias("fn"),
+        (F.col("p") - F.col("tp")).alias("fn"),
         F.expr("(tp * 1000000000) div (tp + fp)").alias("precision_ppb"),
+        F.expr("IF(p > 0, (tp * 1000000000) div p, NULL)").alias("recall_ppb"),
         F.expr(
-            f"IF({p} > 0, (tp * 1000000000) div {p}, NULL)"
-        ).alias("recall_ppb"),
-        F.expr(
-            f"IF(2 * tp + fp + ({p} - tp) > 0,"
-            f" (2 * tp * 1000000000) div (2 * tp + fp + ({p} - tp)), NULL)"
+            "IF(2 * tp + fp + (p - tp) > 0,"
+            " (2 * tp * 1000000000) div (2 * tp + fp + (p - tp)), NULL)"
         ).alias("f1_ppb"),
     )
 

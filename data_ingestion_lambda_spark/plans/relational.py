@@ -1396,8 +1396,12 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     by_bucket = bucketed.groupBy("bucket").agg(
         F.sum("revenue_cx100").cast("long").alias("brev")
-    ).persist()
-    total = int(by_bucket.agg(F.sum("brev")).collect()[0][0])
+    )
+    # The grand total is computed IN-PLAN as a cross-joined 1-row
+    # broadcast (the oracle's own ``tot`` CTE shape) — no driver
+    # collect, no InMemoryRelation pinned past return (ADVICE r9);
+    # exchange reuse shares the one by_bucket shuffle.
+    tot = by_bucket.agg(F.sum("brev").cast("long").alias("total"))
     w = Window.orderBy(F.desc("bucket")).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1406,10 +1410,10 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("brev").over(w), F.lit(0)).cast("long").alias(
             "cum_above"
         ),
-    ).select(
+    ).crossJoin(F.broadcast(tot)).select(
         "bucket",
-        F.when(F.col("cum_above") * 100 < 80 * total, "A")
-        .when(F.col("cum_above") * 100 < 95 * total, "B")
+        F.when(F.col("cum_above") * 100 < 80 * F.col("total"), "A")
+        .when(F.col("cum_above") * 100 < 95 * F.col("total"), "B")
         .otherwise("C")
         .alias("abc_class"),
     )

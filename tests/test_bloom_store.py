@@ -72,3 +72,25 @@ def test_store_verdicts_match_lane(spark, tmp_path):
     lane = REGISTRY["dedup_bloom_screen"].builder(spark, SF)
     want = {r.doc_id: r.bloom_hit for r in lane.collect()}
     assert got == want
+
+
+def test_corrected_empty_batch_overwrites_partition(spark, tmp_path):
+    """ADVICE r9: re-applying a corrected batch that now produces ZERO
+    rows must REPLACE (delete) the old partition, not silently keep the
+    stale words — replace_partitions now deletes a listed date whose
+    staged content is empty, so the store's fold forgets the retracted
+    members."""
+    idx = str(tmp_path / "bloom_idx")
+    members = _members(spark)
+    day1 = members.filter(F.col("doc_id") % 2 == 0)
+    day2 = members.filter(F.col("doc_id") % 2 == 1)
+    apply_bloom_batch(spark, idx, day1, "2025-07-01")
+    apply_bloom_batch(spark, idx, day2, "2025-07-02")
+    # corrected re-delivery of day 2: nothing belongs in it after all
+    apply_bloom_batch(spark, idx, day2.limit(0), "2025-07-02")
+    oneshot_day1 = bloom_words(
+        day1.select(polyhash(F.col("text")).alias("fp")).distinct()
+    )
+    assert _words_rows(read_bloom(spark, idx)) == _words_rows(oneshot_day1), (
+        "empty corrected batch must overwrite the stale day partition"
+    )
