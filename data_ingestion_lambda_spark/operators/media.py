@@ -456,27 +456,83 @@ def frame_diff_stats(media: DataFrame) -> DataFrame:
     )
 
 
+_JPEG_SCAN_CAP = 65536  # bounded SOF scan: dims past 64 KiB -> quarantine NULL
+# SOF0..SOF15 carry frame dimensions, EXCEPT the non-frame markers that
+# share the range: DHT (C4), JPG (C8), DAC (CC). (ITU T.81 table B.1)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_sof_dims(b) -> tuple:
+    """(width, height) from a JPEG payload's SOF marker, or (None, None)
+    for non-JPEG / truncated / desynced / over-cap payloads. Stdlib byte
+    walk, bounded by ``_JPEG_SCAN_CAP`` — markers are (0xFF, type,
+    2-byte big-endian length) segments; dimensions live in the first
+    start-of-frame segment, which the spec puts before the entropy-coded
+    scan data (SOS)."""
+    if b is None:
+        return (None, None)
+    b = bytes(b)
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return (None, None)
+    cap = min(len(b), _JPEG_SCAN_CAP)
+    pos = 2
+    while pos + 1 < cap:
+        if b[pos] != 0xFF:
+            return (None, None)  # desynced: quarantine, don't guess
+        marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF: no dims
+            return (None, None)
+        if pos + 4 > cap:
+            return (None, None)  # truncated segment header
+        seglen = (b[pos + 2] << 8) | b[pos + 3]
+        if seglen < 2:
+            return (None, None)
+        if marker in _JPEG_SOF:
+            # segment: len(2) precision(1) height(2) width(2) ...
+            if seglen < 7 or pos + 9 > len(b):
+                return (None, None)
+            height = (b[pos + 5] << 8) | b[pos + 6]
+            width = (b[pos + 7] << 8) | b[pos + 8]
+            return (width, height)
+        pos += 2 + seglen
+    return (None, None)  # scan cap or clean end without a SOF
+
+
 def parse_image_headers(media: DataFrame, content_col: str = "content") -> DataFrame:
     """Container-level image metadata WITHOUT any codec — the one image
     operation that is fully real in this container, because image
-    dimensions live at fixed byte offsets in the container header, not
-    in the compressed payload:
+    dimensions live in the container header, not in the compressed
+    payload:
 
     - PNG: 8-byte signature, then the IHDR chunk — width/height are
       big-endian uint32 at offsets 16 and 20 (PNG spec §11.2.2);
     - GIF: 6-byte signature (GIF87a/GIF89a), then LITTLE-endian uint16
       width/height at offsets 6 and 8;
-    - BMP: 'BM' + file size, then BITMAPINFOHEADER int32 width/height
-      at offsets 18 and 22 (little-endian).
+    - BMP: 'BM' + file size, then a DIB header whose SIZE field (bytes
+      14-17 LE) is gated explicitly (ADVICE r9: a 'BM' signature alone
+      says nothing about layout): BITMAPINFOHEADER-family sizes
+      (40/52/56/64/108/124) carry SIGNED int32 width/height at offsets
+      18 and 22; the 12-byte BITMAPCOREHEADER carries uint16 dims at
+      offsets 18 and 20; any other DIB size quarantines to NULL;
+    - JPEG (r10): dimensions hide in a variable-offset SOF marker, so
+      this one format goes through the Arrow-batched pandas path
+      (``_jpeg_sof_dims`` — stdlib byte walk per payload, scan capped
+      at ``_JPEG_SCAN_CAP`` bytes, NULL on truncation/desync/overrun).
+      Full pixel decode stays behind the loud ``decode_image`` gate.
 
-    Everything runs as codegen byte arithmetic over the binary column
-    (substring slices the BINARY, hex + conv() turn the slice into an
-    integer, little-endian orders recompose per byte), so a 100 TB
-    binaryFile scan sniffs
-    formats and dimensions in the scan stage with zero Python. JPEG is
-    deliberately ABSENT: its dimensions hide in a variable-offset SOF
-    marker that needs a real scan-parse — that path stays behind the
-    loud decode_image gate rather than shipping a half-right parser.
+    The fixed-offset formats run as codegen byte arithmetic over the
+    binary column (substring slices the BINARY, hex + conv() turn the
+    slice into an integer, little-endian orders recompose per byte), so
+    a 100 TB binaryFile scan sniffs formats and dimensions in the scan
+    stage with zero Python; only the JPEG branch pays one vectorized
+    Arrow round-trip, and its Python body exits on the first two bytes
+    for every non-JPEG payload.
 
     Returns (•, format, width, height) with NULLs for unrecognized or
     truncated payloads — a quarantine filter downstream, same contract
@@ -497,13 +553,38 @@ def parse_image_headers(media: DataFrame, content_col: str = "content") -> DataF
 
     png = F.hex(F.expr(f"substring({content_col}, 1, 8)")) == "89504E470D0A1A0A"
     gif = F.expr(f"substring({content_col}, 1, 4)").cast("string").startswith("GIF8")
-    bmp = F.hex(F.expr(f"substring({content_col}, 1, 2)")) == "424D"
+    jpeg = F.hex(F.expr(f"substring({content_col}, 1, 2)")) == "FFD8"
     long_enough = F.length(c) >= 26
+    # DIB header size field (1-based offset 15, little-endian uint32)
+    # distinguishes the BMP layouts; unknown sizes -> NULL quarantine.
+    dib = le32(15)
+    bmp_info = (
+        (F.hex(F.expr(f"substring({content_col}, 1, 2)")) == "424D")
+        & long_enough
+        & dib.isin(40, 52, 56, 64, 108, 124)
+    )
+    bmp_core = (
+        (F.hex(F.expr(f"substring({content_col}, 1, 2)")) == "424D")
+        & (F.length(c) >= 22)
+        & (dib == 12)
+    )
+
+    jpeg_dims = F.pandas_udf(
+        lambda s: pd.DataFrame(
+            [_jpeg_sof_dims(v) for v in s], columns=["width", "height"]
+        ),
+        "width long, height long",
+    )
+    # One select materializes the struct so the UDF is planned exactly
+    # once (referencing the call twice would duplicate the Arrow stage).
+    staged = media.select("*", jpeg_dims(c).alias("_jpeg"))
+    jw, jh = F.col("_jpeg.width"), F.col("_jpeg.height")
 
     fmt = (
         F.when(png & long_enough, F.lit("png"))
         .when(gif & (F.length(c) >= 10), F.lit("gif"))
-        .when(bmp & long_enough, F.lit("bmp"))
+        .when(bmp_info | bmp_core, F.lit("bmp"))
+        .when(jpeg & jw.isNotNull(), F.lit("jpeg"))
     )
     def le32_signed(off: int) -> Column:
         # BITMAPINFOHEADER width/height are SIGNED int32; a negative
@@ -513,15 +594,22 @@ def parse_image_headers(media: DataFrame, content_col: str = "content") -> DataF
         return F.when(u >= 2_147_483_648, F.lit(4_294_967_296) - u).otherwise(u)
 
     width = (
-        F.when(fmt == "png", be32(17))
-        .when(fmt == "gif", le16(7))
-        .when(fmt == "bmp", le32_signed(19))
+        F.when(png & long_enough, be32(17))
+        .when(gif & (F.length(c) >= 10), le16(7))
+        .when(bmp_info, le32_signed(19))
+        .when(bmp_core, le16(19))
+        .when(jpeg, jw)
     )
     height = (
-        F.when(fmt == "png", be32(21))
-        .when(fmt == "gif", le16(9))
-        .when(fmt == "bmp", le32_signed(23))
+        F.when(png & long_enough, be32(21))
+        .when(gif & (F.length(c) >= 10), le16(9))
+        .when(bmp_info, le32_signed(23))
+        .when(bmp_core, le16(21))
+        .when(jpeg, jh)
     )
-    return media.select(
-        "*", fmt.alias("format"), width.alias("width"), height.alias("height")
+    return staged.select(
+        *media.columns,
+        fmt.alias("format"),
+        width.alias("width"),
+        height.alias("height"),
     )

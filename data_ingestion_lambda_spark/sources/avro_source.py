@@ -293,6 +293,28 @@ def _read_header(fh) -> tuple[dict, str, bytes, _Cursor]:
     return schema, codec, sync, cur
 
 
+def _frame_plausible(buf: bytes, pos: int, sync: bytes) -> bool:
+    """True iff ``pos`` sits at a clean block boundary: exact EOF, or a
+    frame (count, size, payload) whose end is immediately followed by
+    the file's sync marker. Used to decide whether an in-place resume
+    after a marker mismatch is trustworthy (ADVICE r9: a corrupted SIZE
+    varint that still lands in-bounds produces the same mismatch with
+    the cursor at a garbage offset — resuming there would cascade)."""
+    if pos >= len(buf):
+        return True
+    probe = _Cursor(buf)
+    probe.pos = pos
+    try:
+        count = probe.read_long()
+        size = probe.read_long()
+    except Exception:  # noqa: BLE001 — any decode failure = implausible
+        return False
+    if count < 0 or size < 0:
+        return False
+    end = probe.pos + size
+    return end + 16 <= len(buf) and buf[end : end + 16] == sync
+
+
 def read_ocf(
     path: str, *, failfast: bool = True, logical: str = "raw"
 ) -> tuple[StructType, list[tuple], int]:
@@ -311,10 +333,10 @@ def read_ocf(
     while not cur.eof():
         block_start = cur.pos
         try:
-            count = cur.read_long()
-        except (EOFError, IndexError):
-            break  # trailing bytes short of a block — EOF
-        try:
+            try:
+                count = cur.read_long()
+            except (EOFError, IndexError):
+                break  # trailing bytes short of a block's count — EOF
             size = cur.read_long()
             payload = cur.take(size)
             marker = cur.take(16)
@@ -323,6 +345,9 @@ def read_ocf(
                     f"avroocf: sync marker mismatch in {path} at offset {cur.pos}"
                 )
         except Exception as exc:  # noqa: BLE001 — FRAMING corruption
+            # (the count read is inside this handler too, ADVICE r9: a
+            # corrupt count varint — e.g. ValueError('varint overflow')
+            # — is framing damage like any other, not a whole-file abort)
             if failfast:
                 raise ValueError(
                     f"avroocf: unreadable block framing in {path} at "
@@ -331,16 +356,23 @@ def read_ocf(
             # permissive resync (review r9): the sync marker exists so a
             # reader can recover block BOUNDARIES after corruption.
             skipped += 1
-            if isinstance(exc, ValueError) and "sync marker mismatch" in str(exc):
+            if (
+                isinstance(exc, ValueError)
+                and "sync marker mismatch" in str(exc)
+                and _frame_plausible(cur.buf, cur.pos, sync)
+            ):
                 # the block FRAMED cleanly and only its marker is wrong:
-                # cur.pos already sits at the next block's start, so the
-                # following blocks are recoverable in place (only this
-                # unverified block is dropped)
+                # cur.pos sits at a VERIFIED next-block boundary (the
+                # plausibility probe — ADVICE r9 — distinguishes a
+                # damaged marker from a damaged size varint that merely
+                # LOOKS like one), so the following blocks are
+                # recoverable in place (only this unverified block drops)
                 continue
-            # truncation / varint damage: the boundary itself is lost —
-            # scan the remaining bytes for the next marker and resume
-            # past it; no further marker ends the file. skipped counts
-            # RESYNC EVENTS here (exact block counts need boundaries).
+            # truncation / varint damage / implausible resume: the
+            # boundary itself is lost — scan the remaining bytes for the
+            # next marker and resume past it; no further marker ends the
+            # file. skipped counts RESYNC EVENTS here (exact block
+            # counts need boundaries).
             nxt = cur.buf.find(sync, block_start + 1)
             if nxt < 0:
                 break

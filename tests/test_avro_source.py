@@ -281,6 +281,56 @@ def test_permissive_resyncs_past_framing_corruption(tmp_path):
         read_ocf(path, failfast=True)
 
 
+def _three_block_file(tmp_path) -> tuple[str, int]:
+    """One long-field row per block, three blocks; returns (path, offset
+    of the first block) for byte surgery. Block layout at offset b:
+    count varint (1B), size varint (1B), payload (1B), sync (16B)."""
+    small = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    path = str(tmp_path / "g.avro")
+    write_ocf(path, small, [(1,), (2,), (3,)], rows_per_block=1)
+    raw = open(path, "rb").read()
+    from data_ingestion_lambda_spark.sources.avro_source import _SYNC
+
+    return path, raw.find(_SYNC) + 16
+
+
+def test_permissive_corrupt_size_varint_rescans(tmp_path):
+    """ADVICE r9 #4: a corrupted SIZE varint that still lands in-bounds
+    produces a sync-marker mismatch with the cursor at a GARBAGE offset.
+    The in-place resume must be refused (frame-plausibility probe) and
+    recovery must go through the sync-marker rescan — one resync event,
+    blocks 2 and 3 delivered."""
+    path, b1 = _three_block_file(tmp_path)
+    raw = bytearray(open(path, "rb").read())
+    raw[b1 + 1] = 0x14  # size 1 -> 10 (zigzag): frame overlaps the sync
+    open(path, "wb").write(bytes(raw))
+    _schema, rows, skipped = read_ocf(path, failfast=False)
+    assert rows == [(2,), (3,)] and skipped == 1
+    with pytest.raises(ValueError, match="unreadable block framing"):
+        read_ocf(path, failfast=True)
+
+
+def test_permissive_corrupt_count_varint_rescans(tmp_path):
+    """ADVICE r9 #1: a corrupt COUNT varint (overflowing continuation
+    bytes) is framing damage like any other — permissive mode rescans
+    for the next sync marker instead of aborting the whole file read."""
+    path, b1 = _three_block_file(tmp_path)
+    raw = bytearray(open(path, "rb").read())
+    b2 = b1 + 19  # second block's count byte
+    raw[b2:b2] = b"\xff" * 11  # unterminated varint -> overflow
+    open(path, "wb").write(bytes(raw))
+    _schema, rows, skipped = read_ocf(path, failfast=False)
+    # block 2's boundary is lost (resync lands past its sync marker);
+    # blocks 1 and 3 survive, one resync event counted
+    assert rows == [(1,), (3,)] and skipped == 1
+    with pytest.raises(ValueError, match="varint overflow"):
+        read_ocf(path, failfast=True)
+
+
 def test_explicit_schema_type_mismatch_refused(spark, tmp_path):
     """Review r9: an explicit .schema() with matching NAMES but wrong
     TYPES must be refused at the source, not surface as an opaque

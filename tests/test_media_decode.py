@@ -159,10 +159,40 @@ def _bmp_bytes(w: int, h: int) -> bytes:
     )
 
 
+def _bmp_core_bytes(w: int, h: int) -> bytes:
+    """12-byte BITMAPCOREHEADER (OS/2 1.x): uint16 dims at offsets 18/20."""
+    import struct
+
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 40, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, w, h, 1, 24)
+        + b"\x00" * 12
+    )
+
+
+def _jpeg_bytes(w: int, h: int, *, junk_before_sof: int = 0) -> bytes:
+    """Minimal spec-conformant JPEG prefix: SOI, APP0 (JFIF), optional
+    COM padding segments to push SOF0 to a variable offset, SOF0."""
+    import struct
+
+    app0_body = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", len(app0_body) + 2) + app0_body
+    remaining = junk_before_sof
+    while remaining > 0:  # COM bodies cap at uint16 length: chunk them
+        com = b"x" * min(remaining, 60000)
+        out += b"\xff\xfe" + struct.pack(">H", len(com) + 2) + com
+        remaining -= len(com)
+    sof_body = struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    out += b"\xff\xc0" + struct.pack(">H", len(sof_body) + 2) + sof_body
+    return out + b"\xff\xd9"
+
+
 def test_parse_image_headers_real_bytes(spark):
     """parse_image_headers reads REAL container headers (spec-conformant
-    PNG/GIF/BMP byte layouts built in-test) with pure byte arithmetic —
-    no codec anywhere; junk and truncated payloads yield NULLs."""
+    PNG/GIF/BMP byte layouts built in-test) with pure byte arithmetic,
+    and JPEG via the bounded Arrow-batched SOF scan — no codec anywhere;
+    junk, truncated and unknown-DIB payloads yield NULLs."""
     from data_ingestion_lambda_spark.operators.media import parse_image_headers
 
     rows = [
@@ -172,6 +202,14 @@ def test_parse_image_headers_real_bytes(spark):
         (4, b"not an image at all, but long enough to pass length"),
         (5, b"\x89PNG\r\n\x1a\n short"),  # truncated PNG
         (6, _bmp_bytes(800, -600)),  # top-down BMP: signed biHeight
+        (7, _bmp_core_bytes(1024, 768)),  # 12-byte BITMAPCOREHEADER
+        # 'BM' + unknown DIB size (ADVICE r9): must quarantine, not
+        # misread BITMAPINFOHEADER offsets
+        (8, b"BM" + b"\x00" * 12 + (99).to_bytes(4, "little") + b"\x00" * 24),
+        (9, _jpeg_bytes(2048, 1536)),
+        (10, _jpeg_bytes(33, 44, junk_before_sof=300)),  # variable offset
+        (11, b"\xff\xd8\xff\xe0\x00\x10JF"),  # truncated mid-APP0
+        (12, b"\xff\xd8" + b"\xff\xda\x00\x04\x01\x00"),  # SOS before SOF
     ]
     df = spark.createDataFrame(rows, "media_id int, content binary")
     got = {
@@ -182,5 +220,29 @@ def test_parse_image_headers_real_bytes(spark):
     assert got[2] == ("gif", 320, 200)
     assert got[3] == ("bmp", 1920, 1080)
     assert got[6] == ("bmp", 800, 600), "top-down BMP (negative biHeight)"
+    assert got[7] == ("bmp", 1024, 768), "BITMAPCOREHEADER 16-bit dims"
+    assert got[8] == (None, None, None), "unknown DIB header size"
+    assert got[9] == ("jpeg", 2048, 1536)
+    assert got[10] == ("jpeg", 33, 44), "SOF behind COM padding"
     assert got[4] == (None, None, None)
     assert got[5] == (None, None, None)
+    assert got[11] == (None, None, None), "truncated JPEG"
+    assert got[12] == (None, None, None), "SOS before any SOF"
+
+
+def test_jpeg_sof_scan_cap_and_desync():
+    """The SOF scan is BOUNDED: dimensions hiding past _JPEG_SCAN_CAP
+    quarantine to NULL (overrun), and a desynced marker stream (segment
+    length pointing into garbage) returns NULL rather than guessing."""
+    from data_ingestion_lambda_spark.operators.media import (
+        _JPEG_SCAN_CAP,
+        _jpeg_sof_dims,
+    )
+
+    assert _jpeg_sof_dims(_jpeg_bytes(12, 34)) == (12, 34)
+    over_cap = _jpeg_bytes(12, 34, junk_before_sof=_JPEG_SCAN_CAP + 100)
+    assert _jpeg_sof_dims(over_cap) == (None, None), "over-cap must NULL"
+    desynced = b"\xff\xd8" + b"\xff\xe0\x00\x05xxx" + b"zz\xff\xc0"
+    assert _jpeg_sof_dims(desynced) == (None, None)
+    assert _jpeg_sof_dims(None) == (None, None)
+    assert _jpeg_sof_dims(b"\xff") == (None, None)
