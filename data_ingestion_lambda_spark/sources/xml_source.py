@@ -20,17 +20,16 @@ Semantics (the useful subset of spark-xml's rowTag mode):
   reference's dtype-guessing wart (SURVEY §1.3).
 
 Scale: ``partitions()`` returns one InputPartition per FILE (the
-driver lists the glob once — planning metadata, not data), so a
+driver lists the path once — planning metadata, not data), so a
 many-executor cluster parses many files concurrently; each reader
-streams one document through ElementTree and yields plain tuples.
-Path constraint (deliberate, ADVICE r8): listing and reads use plain
-OS paths (``glob``/``open``), so the source covers local and
-NFS-shared layouts — the ones row-oriented XML drops actually land
-on in this repo's ingest contract. ``hdfs://``/``s3a://`` targets
-are refused up front with a clear error rather than failing inside
-an executor; routing XML through the Hadoop FS API is not worth the
-JVM round-trips when the JVM side would then be better served by a
-proper spark-xml jar anyway.
+parses one document through ElementTree and yields plain tuples.
+Paths (r10, VERDICT r9 #1): listing and byte reads route through
+``sources/fsio.py`` — plain OS paths stay on ``glob``/``open`` (the
+local/NFS fast path), and ``scheme://`` URIs (the reference's own S3
+layout, src/s3_processor.py:87) resolve via pyarrow.fs, which works
+in executor-side Python workers where the JVM Hadoop FS API does not
+exist; unsupported schemes fail loudly naming the JVM-side spark-xml
+alternative.
 ElementTree is a full-document parser, so per-FILE memory is
 document-sized — row-oriented XML drops are many small files, which is
 exactly this layout; for one giant document, split upstream (the same
@@ -39,10 +38,10 @@ guidance spark-xml gives).
 
 from __future__ import annotations
 
-import glob as _glob
-import os
 import xml.etree.ElementTree as _ET
 from collections.abc import Iterator
+
+from data_ingestion_lambda_spark.sources import fsio
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import (
@@ -95,28 +94,19 @@ class _XmlRowsReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("xmlrows: the `path` option is required")
-        if "://" in path and not path.startswith("file://"):
-            raise ValueError(
-                f"xmlrows: {path!r} — this source reads plain OS paths "
-                "(local/NFS); remote filesystems need the JVM-side "
-                "spark-xml package"
-            )
-        path = path.removeprefix("file://")
-        self._pattern = (
-            os.path.join(path, "*.xml") if os.path.isdir(path) else path
-        )
+        self._path = path
         self._row_tag = options.get("rowTag", "row")
         self._failfast = options.get("mode", "permissive").lower() == "failfast"
         self._fields = [(f.name, f.dataType) for f in schema.fields]
 
     def partitions(self):
-        files = sorted(_glob.glob(self._pattern))
-        if not files:
-            raise ValueError(f"xmlrows: no files match {self._pattern}")
-        return [_XmlFilePartition(p) for p in files]
+        # fsio routes plain paths via glob and scheme'd URIs via
+        # pyarrow.fs; entries come back fully qualified so read()
+        # re-resolves them executor-side with no driver context.
+        return [_XmlFilePartition(p) for p in fsio.list_files(self._path, "xml")]
 
     def read(self, partition: _XmlFilePartition) -> Iterator[tuple]:
-        root = _ET.parse(partition.path).getroot()
+        root = _ET.fromstring(fsio.read_bytes(partition.path))
         elems = [root] if root.tag == self._row_tag else root.iter(self._row_tag)
         for elem in elems:
             row = []
