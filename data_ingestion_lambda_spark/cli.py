@@ -521,6 +521,19 @@ def build_parser() -> argparse.ArgumentParser:
         "folded filter",
     )
     blm.add_argument(
+        "--bloom-m",
+        type=int,
+        default=None,
+        help="filter bits (multiple of 32; default 4096) — recorded in "
+        "the store's _sizing marker; mismatched applies are refused",
+    )
+    blm.add_argument(
+        "--bloom-k",
+        type=int,
+        default=None,
+        help="probe count (1..8 from the fixed affine pool; default 3)",
+    )
+    blm.add_argument(
         "--verdicts-out",
         default=None,
         help="persist the (doc_id, bloom_hit) verdicts here (overwrite); "
@@ -1157,10 +1170,26 @@ def main(argv: list[str] | None = None) -> int:
                 args.index,
                 args.checkpoint,
                 max_files_per_trigger=args.max_files_per_trigger,
+                m=args.bloom_m,
+                k=args.bloom_k,
             )
         if args.batch is not None:
+            from data_ingestion_lambda_spark.plans.llm_ops import (
+                _BLOOM_K,
+                _BLOOM_M,
+            )
+
             batch = spark.read.parquet(args.batch)
-            report.update(apply_bloom_batch(spark, args.index, batch, args.date))
+            report.update(
+                apply_bloom_batch(
+                    spark,
+                    args.index,
+                    batch,
+                    args.date,
+                    m=args.bloom_m if args.bloom_m is not None else _BLOOM_M,
+                    k=args.bloom_k if args.bloom_k is not None else _BLOOM_K,
+                )
+            )
         if args.screen is not None:
             verdicts = screen_docs(
                 spark,

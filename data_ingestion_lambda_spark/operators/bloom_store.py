@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
 from data_ingestion_lambda_spark.operators.upsert import replace_partitions
 from data_ingestion_lambda_spark.plans.llm_ops import (
+    _BLOOM_K,
+    _BLOOM_M,
+    bloom_check_sizing,
     bloom_screen,
     bloom_words,
     polyhash,
@@ -46,17 +49,70 @@ def _fps(members: DataFrame) -> DataFrame:
     return members.select(polyhash(F.col("text")).alias("fp")).distinct()
 
 
+def _check_sizing_marker(
+    spark: SparkSession, index_dir: str, m: int, k: int
+) -> None:
+    """The (m, k) sizing is part of the filter's identity: bit_or folds
+    of words built under different m silently corrupt (positions mod
+    4096 OR'd into a 65536-bit layout hit the wrong words), so the
+    sizing is recorded as an empty ``_sizing=m<m>-k<k>`` marker
+    directory (the vocab ``_order=`` / dsir ``_target=`` idiom) and
+    checked on every apply. VERDICT r9 #2."""
+    from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+    want = f"_sizing=m{m}-k{k}"
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    if fs.exists(path_cls(index_dir)):
+        found = [
+            st.getPath().getName()
+            for st in fs.listStatus(path_cls(index_dir))
+            if st.isDirectory() and st.getPath().getName().startswith("_sizing=")
+        ]
+        if found and found[0] != want:
+            raise ValueError(
+                f"bloom store at {index_dir} is sized {found[0]!r}; "
+                f"refusing a {want!r} apply — folding words of mismatched "
+                "sizings silently corrupts the filter"
+            )
+        if found:
+            return
+    fs.mkdirs(path_cls(f"{index_dir}/{want}"))
+
+
+def read_sizing(spark: SparkSession, index_dir: str) -> tuple[int, int]:
+    """(m, k) recorded in the store's sizing marker; stores written
+    before the marker existed default to the original (4096, 3)."""
+    from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    if fs.exists(path_cls(index_dir)):
+        for st in fs.listStatus(path_cls(index_dir)):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("_sizing=m"):
+                m_part, k_part = name.removeprefix("_sizing=m").split("-k", 1)
+                return int(m_part), int(k_part)
+    return _BLOOM_M, _BLOOM_K
+
+
 def apply_bloom_batch(
-    spark: SparkSession, index_dir: str, members: DataFrame, batch_date: str
+    spark: SparkSession,
+    index_dir: str,
+    members: DataFrame,
+    batch_date: str,
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
 ) -> dict:
     """Hash one member batch's texts into filter words and land them
     under ``date=<batch_date>``. Idempotent per (batch, date); refuses
-    an index keyed by the streaming front's ``ingest_batch=``."""
+    an index keyed by the streaming front's ``ingest_batch=`` and an
+    index sized differently from (m, k) — one directory, one sizing."""
     _dt.date.fromisoformat(batch_date)
+    bloom_check_sizing(m, k)
     check_keying_marker(spark, index_dir, "date")
-    words = bloom_words(_fps(members)).withColumn("date", F.lit(batch_date))
+    _check_sizing_marker(spark, index_dir, m, k)
+    words = bloom_words(_fps(members), m, k).withColumn("date", F.lit(batch_date))
     replace_partitions(spark, index_dir, words, [batch_date])
-    return {"index": index_dir, "date": batch_date}
+    return {"index": index_dir, "date": batch_date, "m": m, "k": k}
 
 
 def read_bloom(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -76,7 +132,10 @@ def screen_docs(
     spark: SparkSession, index_dir: str, docs: DataFrame
 ) -> DataFrame:
     """(doc_id, bloom_hit) for probe docs (doc_id, text) against the
-    folded filter — the lane's own probe path, so store and lane cannot
-    diverge. No false negatives over every member ever applied."""
+    folded filter — the lane's own probe path at the store's RECORDED
+    sizing (probing with the wrong m/k would be silent garbage), so
+    store and lane cannot diverge. No false negatives over every member
+    ever applied."""
+    m, k = read_sizing(spark, index_dir)
     probes = docs.select("doc_id", polyhash(F.col("text")).alias("fp"))
-    return bloom_screen(probes, read_bloom(spark, index_dir))
+    return bloom_screen(probes, read_bloom(spark, index_dir), m, k)

@@ -36,15 +36,35 @@ equality is by construction. Pinned in tests/test_postings_index.py:
 N-day maintained search == one-shot ``search_bm25_topk`` to the last
 bit, postings/doclen row-equal the one-shot aggregates, replays are
 no-ops, and the probe's postings scan partition-prunes on bucket.
+
+Compaction (r10, VERDICT r9 #3): the per-day layout adds 64 bucket dirs
+per day under ``postings`` (+1 each under doclen/stats) — ~70k dirs in
+three years. Reads are flat in ROWS, but object-store LIST and Spark's
+file-index build grow with directory count, so
+``compact_postings_index`` folds every date partition strictly before a
+``keep_from`` horizon into the reserved base partition
+``date=0000-00-00`` (the feature store's crash-guarded base-fold:
+``_horizon=`` marker recorded BEFORE staging, stranded-staging refusal,
+stage→drop→rename through the Hadoop FS API). The fold is exact by the
+one-batch-per-doc contract: postings/doclen rows are DISJOINT across
+dates (plain concatenation), stats rows are additive (one summed row) —
+so post-compaction search is row-equal to pre-compaction search, pinned
+by re-running the one-shot equality after a fold. Folding SPENDS the
+replay keys of folded dates; ``update_postings`` refuses a batch_date
+below the horizon (its original rows are merged into the base, so a
+replay would double-count instead of overwriting itself).
 """
 
 from __future__ import annotations
+
+import datetime as _dt
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.operators.upsert import (
     PARTITION_COL,
+    _hadoop_fs,
     replace_partitions,
 )
 from data_ingestion_lambda_spark.plans.llm_ops import tokens
@@ -55,10 +75,26 @@ from data_ingestion_lambda_spark.plans.retrieval import (
 )
 
 N_BUCKETS = 64
+BASE_DATE = "0000-00-00"  # reserved fold target (feature store's idiom)
+_SUBTABLES = ("postings", "doclen", "stats")
 
 
 def _bucket(tok_col) -> Column:
     return F.pmod(F.xxhash64(tok_col), F.lit(N_BUCKETS)).cast("int")
+
+
+def _fold_horizon(fs, path_cls, index_dir: str) -> str | None:
+    """MAX over ``_horizon=`` markers at the index root (the feature
+    store's rule: the crash window where old+new markers coexist, and
+    a re-run with an earlier keep_from, both resolve to the later)."""
+    if not fs.exists(path_cls(index_dir)):
+        return None
+    hs = [
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(path_cls(index_dir))
+        if st.isDirectory() and st.getPath().getName().startswith("_horizon=")
+    ]
+    return max(hs) if hs else None
 
 
 def _tf_dl(batch_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -75,7 +111,21 @@ def update_postings(
     spark: SparkSession, index_dir: str, batch_docs: DataFrame, batch_date: str
 ) -> dict:
     """Tokenize ONE batch (the only tokenization its documents ever get)
-    and land its postings/doclen/stats rows under ``date=<batch_date>``."""
+    and land its postings/doclen/stats rows under ``date=<batch_date>``.
+    Refuses a batch_date below the compaction horizon: those dates'
+    replay keys are SPENT — their original rows were folded into the
+    base, so a re-delivery would double-count instead of overwriting
+    its own partition."""
+    _dt.date.fromisoformat(batch_date)
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    horizon = _fold_horizon(fs, path_cls, index_dir)
+    if horizon is not None and batch_date < horizon:
+        raise ValueError(
+            f"update_postings: batch_date {batch_date} is below the "
+            f"compaction horizon {horizon} — that date was folded into "
+            f"the base partition and its replay key is spent; re-deliver "
+            "under a current date or rebuild the index"
+        )
     tf, dl = _tf_dl(batch_docs)
     tf = tf.persist()
     try:
@@ -171,3 +221,137 @@ def search_topk(
             "rank",
         )
     )
+
+
+def count_partition_dirs(spark: SparkSession, index_dir: str) -> int:
+    """Total leaf partition directories across the three sub-tables —
+    the LIST-cost number compaction exists to collapse (bucket dirs
+    count individually under postings)."""
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    total = 0
+    for sub in _SUBTABLES:
+        root = path_cls(f"{index_dir}/{sub}")
+        if not fs.exists(root):
+            continue
+        for st in fs.listStatus(root):
+            if not (
+                st.isDirectory() and st.getPath().getName().startswith("date=")
+            ):
+                continue
+            kids = [
+                k
+                for k in fs.listStatus(st.getPath())
+                if k.isDirectory() and "=" in k.getPath().getName()
+            ]
+            total += len(kids) if kids else 1
+    return total
+
+
+def compact_postings_index(
+    spark: SparkSession, index_dir: str, keep_from: str
+) -> dict:
+    """Fold every date partition STRICTLY BEFORE ``keep_from`` (plus any
+    existing base) of all three sub-tables into the reserved base
+    partition ``date=0000-00-00``; returns per-sub-table folded-dir
+    counts. Exact by construction: postings/doclen rows are disjoint
+    across dates under the one-batch-per-doc contract (the fold is a
+    concatenation), and stats rows sum to one base row — read-side
+    N/T and every BM25 score are unchanged (pinned by re-running the
+    one-shot equality test after a fold).
+
+    Crash-safety is the feature store's ledger discipline, per
+    sub-table: the ``_horizon=`` marker is advanced FIRST (a too-high
+    horizon after a crash only refuses applies it could have accepted,
+    never double-counts one); each sub-table then stages its full
+    merged base in a dot-prefixed dir, drops its folded ``date=`` dirs,
+    and renames staging into place — a stranded staging dir makes the
+    next run REFUSE with the recovery path rather than recompact a
+    partial table. A crash between sub-tables leaves the finished ones
+    folded and the rest still date-keyed; a re-run folds the remainder
+    (the fold set always includes the existing base)."""
+    _dt.date.fromisoformat(keep_from)
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    for sub in _SUBTABLES:
+        staging = path_cls(f"{index_dir}/{sub}/.compact-staging")
+        if fs.exists(staging):
+            raise RuntimeError(
+                f"compact_postings_index: stranded {staging} from a "
+                "crashed compaction — it holds that sub-table's full "
+                "pre-crash base; remove any leftover folded date=* dirs "
+                f"under {index_dir}/{sub} and rename it to "
+                f"date={BASE_DATE}. The _horizon marker was advanced "
+                "before staging, so apply-refusal stays safe throughout"
+            )
+
+    # Horizon first (the understatement-proof order — feature store r9).
+    prior = _fold_horizon(fs, path_cls, index_dir)
+    new_horizon = max(prior or "", keep_from)
+    if not fs.mkdirs(path_cls(f"{index_dir}/_horizon={new_horizon}")):
+        raise IOError(
+            f"compact_postings_index: mkdirs _horizon={new_horizon} "
+            "returned false; nothing staged or dropped yet — safe to re-run"
+        )
+    if prior is not None and prior != new_horizon:
+        old_marker = path_cls(f"{index_dir}/_horizon={prior}")
+        if fs.exists(old_marker) and not fs.delete(old_marker, True):
+            raise IOError(
+                f"compact_postings_index: delete of stale {old_marker} "
+                "returned false; the new marker exists and wins by the "
+                "MAX rule — remove the stale one manually, nothing dropped"
+            )
+
+    folded = {}
+    for sub in _SUBTABLES:
+        sub_dir = f"{index_dir}/{sub}"
+        if not fs.exists(path_cls(sub_dir)):
+            folded[sub] = 0
+            continue
+        parts = [
+            st.getPath().getName()
+            for st in fs.listStatus(path_cls(sub_dir))
+            if st.isDirectory() and st.getPath().getName().startswith("date=")
+        ]
+        fold = [
+            p
+            for p in parts
+            if p == f"date={BASE_DATE}" or p.split("=", 1)[1] < keep_from
+        ]
+        if not fold or fold == [f"date={BASE_DATE}"]:
+            folded[sub] = 0
+            continue
+        src = spark.read.option("basePath", sub_dir).parquet(
+            *[f"{sub_dir}/{p}" for p in fold]
+        )
+        if sub == "postings":
+            base = src.select("tok", "doc_id", "tf", "bucket")
+            writer = base.write.mode("overwrite").partitionBy("bucket")
+        elif sub == "doclen":
+            base = src.select("doc_id", "dl")
+            writer = base.write.mode("overwrite")
+        else:  # stats: additive scalars -> one base row
+            base = src.agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("t_tokens").cast("long").alias("t_tokens"),
+            )
+            writer = base.write.mode("overwrite")
+        staging = f"{sub_dir}/.compact-staging"
+        writer.parquet(staging)
+        for p in fold:
+            full = path_cls(f"{sub_dir}/{p}")
+            if fs.exists(full) and not fs.delete(full, True):
+                raise IOError(
+                    f"compact_postings_index: delete of {full} returned "
+                    f"false; full compacted base preserved at {staging} — "
+                    "finish by removing remaining folded date=* dirs and "
+                    f"renaming it to date={BASE_DATE}"
+                )
+        if not fs.rename(
+            path_cls(staging), path_cls(f"{sub_dir}/date={BASE_DATE}")
+        ):
+            raise IOError(
+                f"compact_postings_index: rename {staging} -> "
+                f"date={BASE_DATE} returned false; the compacted base is "
+                f"intact at {staging} — rename it manually to finish"
+            )
+        folded[sub] = len(fold)
+    return {"horizon": new_horizon, "folded": folded}

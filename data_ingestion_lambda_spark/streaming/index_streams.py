@@ -324,24 +324,40 @@ def run_bloom_update_available_now(
     index_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    m: int | None = None,
+    k: int | None = None,
 ) -> list[dict]:
     """Drain new member-document files into the maintained Bloom store:
-    each micro-batch's <=128 filter words land in their own
+    each micro-batch's filter words land in their own
     ``ingest_batch=<id>`` partition; bit_or is associative, commutative
     and IDEMPOTENT, so the read (operators/bloom_store.py::read_bloom)
     equals the one-shot filter over everything ingested under ANY
     trigger split — even overlapping batches cannot corrupt it (a set
     bit set again is the same bit). Replays overwrite only their own
-    partition."""
-    from data_ingestion_lambda_spark.operators.bloom_store import _fps
+    partition. The (m, k) sizing defaults to the lane's and is recorded
+    in / checked against the store's ``_sizing=`` marker (r10) — a
+    restart with a different sizing refuses rather than corrupting."""
+    from data_ingestion_lambda_spark.operators.bloom_store import (
+        _check_sizing_marker,
+        _fps,
+    )
     from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
-    from data_ingestion_lambda_spark.plans.llm_ops import bloom_words
+    from data_ingestion_lambda_spark.plans.llm_ops import (
+        _BLOOM_K,
+        _BLOOM_M,
+        bloom_check_sizing,
+        bloom_words,
+    )
 
+    m = _BLOOM_M if m is None else m
+    k = _BLOOM_K if k is None else k
+    bloom_check_sizing(m, k)
     check_keying_marker(spark, index_dir, "ingest_batch")
+    _check_sizing_marker(spark, index_dir, m, k)
 
     def _body(batch: DataFrame, key: str) -> dict:
         (
-            bloom_words(_fps(batch))
+            bloom_words(_fps(batch), m, k)
             .write.mode("overwrite")
             .parquet(f"{index_dir}/ingest_batch={key}")
         )

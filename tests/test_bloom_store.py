@@ -74,6 +74,37 @@ def test_store_verdicts_match_lane(spark, tmp_path):
     assert got == want
 
 
+def test_sized_store_folds_screens_and_refuses_mismatch(spark, tmp_path):
+    """VERDICT r9 #2: (m, k) are real parameters. A store built at a
+    production sizing must (a) fold day batches to the one-shot sized
+    filter exactly, (b) screen through the recorded sizing with no
+    false negatives, and (c) REFUSE an apply at any other sizing —
+    bit_or across mismatched m silently corrupts."""
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.bloom_store import read_sizing
+
+    idx = str(tmp_path / "bloom_idx")
+    members = _members(spark)
+    m, k = 65536, 5
+    for day in range(_N_DAYS):
+        batch = members.filter(F.col("doc_id") % _N_DAYS == day)
+        apply_bloom_batch(spark, idx, batch, f"2025-07-0{day + 1}", m=m, k=k)
+    assert read_sizing(spark, idx) == (m, k)
+    oneshot = bloom_words(
+        members.select(polyhash(F.col("text")).alias("fp")).distinct(), m, k
+    )
+    assert _words_rows(read_bloom(spark, idx)) == _words_rows(oneshot)
+    verdicts = screen_docs(spark, idx, members.select("doc_id", "text"))
+    assert verdicts.filter(~F.col("bloom_hit")).count() == 0, "member missed"
+    with pytest.raises(ValueError, match="sized"):
+        apply_bloom_batch(spark, idx, members, "2025-07-09")  # default sizing
+    with pytest.raises(ValueError, match="multiple of 32"):
+        apply_bloom_batch(spark, idx, members, "2025-07-09", m=1000, k=k)
+    with pytest.raises(ValueError, match="out of range"):
+        apply_bloom_batch(spark, idx, members, "2025-07-09", m=m, k=99)
+
+
 def test_corrected_empty_batch_overwrites_partition(spark, tmp_path):
     """ADVICE r9: re-applying a corrected batch that now produces ZERO
     rows must REPLACE (delete) the old partition, not silently keep the

@@ -158,6 +158,77 @@ def test_cli_search_index_roundtrip(spark, tmp_path, capsys):
     )
 
 
+def test_compaction_preserves_search_and_collapses_dirs(spark, tmp_path):
+    """VERDICT r9 #3: folding old date partitions into the base must
+    leave every BM25 score bit-identical (postings/doclen rows are
+    disjoint across dates, stats are additive), collapse the directory
+    count, keep read_stats exact, and be idempotent on re-run."""
+    from data_ingestion_lambda_spark.operators.postings import (
+        compact_postings_index,
+        count_partition_dirs,
+        read_stats,
+    )
+
+    docs = _docs(spark)
+    idx = tmp_path / "idx"
+    _build(spark, docs, idx)
+    want = _rows(search_bm25_topk(spark, SF_SMOKE))
+    stats_before = read_stats(spark, str(idx))
+    dirs_before = count_partition_dirs(spark, str(idx))
+
+    report = compact_postings_index(spark, str(idx), "2025-07-03")  # folds days 1-2
+    assert report["folded"]["postings"] == 2
+    dirs_mid = count_partition_dirs(spark, str(idx))
+    assert dirs_mid < dirs_before
+    assert read_stats(spark, str(idx)) == stats_before
+    assert _rows(search_topk(spark, str(idx), _queries(docs))) == want
+
+    # second fold takes the remaining day INTO the existing base
+    compact_postings_index(spark, str(idx), "2025-07-09")
+    assert count_partition_dirs(spark, str(idx)) < dirs_mid
+    assert read_stats(spark, str(idx)) == stats_before
+    assert _rows(search_topk(spark, str(idx), _queries(docs))) == want
+
+    # re-run with nothing left to fold: no-op, state unchanged
+    assert compact_postings_index(spark, str(idx), "2025-07-09")["folded"] == {
+        "postings": 0,
+        "doclen": 0,
+        "stats": 0,
+    }
+    assert _rows(search_topk(spark, str(idx), _queries(docs))) == want
+
+
+def test_compaction_spends_replay_keys_and_guards_staging(spark, tmp_path):
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.postings import (
+        compact_postings_index,
+    )
+
+    docs = _docs(spark)
+    idx = tmp_path / "idx"
+    _build(spark, docs, idx)
+    compact_postings_index(spark, str(idx), "2025-07-03")
+    # replaying a folded day must refuse (its rows live in the base now)
+    with pytest.raises(ValueError, match="replay key is spent"):
+        update_postings(
+            spark,
+            str(idx),
+            docs.filter(F.col("doc_id") % _N_DAYS == 0),
+            "2025-07-01",
+        )
+    # a NEW day at/after the horizon still lands
+    update_postings(spark, str(idx), docs.limit(0), "2025-07-04")
+    # an EARLIER keep_from on a later re-run cannot lower the horizon
+    compact_postings_index(spark, str(idx), "2025-07-02")
+    with pytest.raises(ValueError, match="replay key is spent"):
+        update_postings(spark, str(idx), docs.limit(5), "2025-07-02")
+    # stranded staging refuses loudly
+    (idx / "postings" / ".compact-staging").mkdir()
+    with pytest.raises(RuntimeError, match="stranded"):
+        compact_postings_index(spark, str(idx), "2025-07-09")
+
+
 def test_search_scan_partition_prunes_on_bucket(spark, tmp_path):
     docs = _docs(spark)
     idx = tmp_path / "idx"

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Store-read economics probe for the round-9 maintained stores:
+"""Store-read economics probe for the maintained stores:
 does the READ cost stay flat as the ledger grows?
 
-Three claims, each measured rather than asserted:
+Claims, each measured rather than asserted:
 
 - bloom / dsir: read cost is flat in LEDGER AGE (the fold aggregates
   <=128*B / <=1024*B calendar-bounded rows) — measured as screen/score
@@ -10,14 +10,24 @@ Three claims, each measured rather than asserted:
 - markov: read cost is flat in EVENT VOLUME (the read aggregates
   user x day summary structs and a <=36-integer grid, never raw
   events) — measured as credit-read wall over 1x vs Nx replicated
-  events (shifted user keys, the scale_probe fact isometry).
+  events (shifted user keys, the scale_probe fact isometry);
+- touch (r10): the Shapley coalition read is flat in event volume —
+  the fold is user-bounded (bit_or/max per user), the walk <=2^n rows;
+- attrib_age (r10): the ANY-SPLIT attribution ledger read vs LEDGER
+  AGE, its unbounded axis — same events landed as 3 vs 300 hash-split
+  batches, last-touch + linear reads measured over both;
+- postings (r10): what compaction buys — partition-dir count and
+  search wall on a 30-day index BEFORE vs AFTER
+  ``compact_postings_index`` (scores are equality-pinned in tests; the
+  probe prices the LIST/file-index side).
 
 Ledgers land under /tmp (never in the read-only testdata tree) and are
 rebuilt per run. Output: one JSON line per measurement (stdout).
 
 Usage:
   python tools/store_econ_probe.py [--sf /root/testdata/sf0.01]
-      [--modes bloom,dsir,markov] [--mult 10] [--reps 3]
+      [--modes bloom,dsir,markov,touch,attrib_age,postings]
+      [--mult 10] [--reps 3]
 """
 
 from __future__ import annotations
@@ -93,20 +103,7 @@ def probe_markov(spark, sf, mult, reps):
 
     ev = load_table(spark, sf, "events")
     for m in (1, mult):
-        data = (
-            ev
-            if m == 1
-            else ev.crossJoin(
-                spark.range(m).withColumnRenamed("id", "copy")
-            ).select(
-                (F.col("event_id") + F.col("copy") * ID_STRIDE).alias("event_id"),
-                (F.col("user_id") + F.col("copy") * ID_STRIDE).alias("user_id"),
-                "ts",
-                "event_type",
-                "value",
-                "props",
-            )
-        ).persist()
+        data = _replicate_events(spark, ev, m).persist()
         data.count()
         idx = f"/tmp/econ_markov_{m}"
         shutil.rmtree(idx, ignore_errors=True)
@@ -134,6 +131,131 @@ def probe_markov(spark, sf, mult, reps):
         data.unpersist()
 
 
+def _replicate_events(spark, ev, m: int):
+    if m == 1:
+        return ev
+    return ev.crossJoin(spark.range(m).withColumnRenamed("id", "copy")).select(
+        (F.col("event_id") + F.col("copy") * ID_STRIDE).alias("event_id"),
+        (F.col("user_id") + F.col("copy") * ID_STRIDE).alias("user_id"),
+        "ts",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def probe_touch(spark, sf, mult, reps):
+    from data_ingestion_lambda_spark.operators.touch_store import (
+        apply_touch_batch,
+        read_attribution_shapley,
+    )
+
+    ev = load_table(spark, sf, "events")
+    for m in (1, mult):
+        data = _replicate_events(spark, ev, m).persist()
+        data.count()
+        idx = f"/tmp/econ_touch_{m}"
+        shutil.rmtree(idx, ignore_errors=True)
+        dates = sorted(
+            str(r.d)
+            for r in data.select(F.to_date("ts").alias("d")).distinct().collect()
+        )
+        t0 = time.time()
+        for d in dates:
+            apply_touch_batch(spark, idx, data.filter(F.to_date("ts") == d), d)
+        apply_total = round(time.time() - t0, 2)
+        wall = _median_wall(
+            lambda: read_attribution_shapley(spark, idx).collect(), reps
+        )
+        print(
+            json.dumps(
+                {
+                    "store": "touch",
+                    "mult": m,
+                    "apply_total_sec": apply_total,
+                    "read_sec": wall,
+                }
+            )
+        )
+        data.unpersist()
+
+
+def probe_attrib_age(spark, sf, reps, ages=(3, 300)):
+    """Ledger-AGE economics for the any-split attribution ledger: the
+    same events landed as N hash-split batches (N = the trigger count a
+    long-running stream accumulates), reads measured at both ages."""
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        land_attribution_batch,
+        read_attribution_linear_stream,
+        read_attribution_stream,
+    )
+
+    ev = load_table(spark, sf, "events").persist()
+    ev.count()
+    for nb in ages:
+        idx = f"/tmp/econ_attrib_age_{nb}"
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        for b in range(nb):
+            batch = ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(nb)) == b)
+            land_attribution_batch(spark, idx, batch, f"b{b:04d}")
+        apply_total = round(time.time() - t0, 2)
+        last = _median_wall(
+            lambda: read_attribution_stream(spark, idx).count(), reps
+        )
+        linear = _median_wall(
+            lambda: read_attribution_linear_stream(spark, idx).count(), reps
+        )
+        print(
+            json.dumps(
+                {
+                    "store": "attrib_age",
+                    "batches": nb,
+                    "apply_total_sec": apply_total,
+                    "read_last_touch_sec": last,
+                    "read_linear_sec": linear,
+                }
+            )
+        )
+    ev.unpersist()
+
+
+def probe_postings(spark, sf, reps, n_days=30):
+    from data_ingestion_lambda_spark.operators.postings import (
+        compact_postings_index,
+        count_partition_dirs,
+        search_topk,
+        update_postings,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    idx = "/tmp/econ_postings"
+    _build_split(spark, idx, docs, n_days, update_postings)
+
+    def _measure(stage: str) -> None:
+        wall = _median_wall(
+            lambda: search_topk(spark, idx, queries).count(), reps
+        )
+        print(
+            json.dumps(
+                {
+                    "store": "postings",
+                    "stage": stage,
+                    "partition_dirs": count_partition_dirs(spark, idx),
+                    "search_sec": wall,
+                }
+            )
+        )
+
+    _measure("before_compaction")
+    # fold all of January's 28 batches, keep February's
+    compact_postings_index(spark, idx, "2025-02-01")
+    _measure("after_compaction")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -149,6 +271,12 @@ def main() -> None:
         probe_dsir(spark, args.sf, args.reps)
     if "markov" in modes:
         probe_markov(spark, args.sf, args.mult, args.reps)
+    if "touch" in modes:
+        probe_touch(spark, args.sf, args.mult, args.reps)
+    if "attrib_age" in modes:
+        probe_attrib_age(spark, args.sf, args.reps)
+    if "postings" in modes:
+        probe_postings(spark, args.sf, args.reps)
 
 
 if __name__ == "__main__":
