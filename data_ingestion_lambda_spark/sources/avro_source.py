@@ -25,9 +25,15 @@ Format coverage (the OCF spec is public and small):
   ts-normalization discipline); ``option("logicalTypes", "native")``
   opts into date → DateType and timestamp-micros/-millis →
   TimestampType (tz-aware UTC, per the Avro spec's UTC adjustment).
-- Multi-branch non-null unions are refused loudly (no Spark analogue
-  short of a variant column; PERMISSIVE nulling them would silently
-  drop data).
+- Multi-branch non-null unions are refused loudly BY DEFAULT
+  (PERMISSIVE nulling them would silently drop data);
+  ``option("unions", "variant")`` (r10, VERDICT r9 #5) opts into
+  decoding them as Spark VARIANT columns carrying the AVRO JSON
+  ENCODING of the union value (spec §JSON Encoding: ``null`` for the
+  null branch, ``{"<type-or-name>": value}`` otherwise — bytes/fixed
+  hex-encoded, records as field-name objects), so a real-world Kafka
+  schema with ``["null","string","long"]`` fields ingests with values
+  extractable via ``variant_get(col, '$.long', 'long')`` etc.
 
 Error stance mirrors the XML source: ``mode=failfast`` (default here —
 binary corruption should not yield silent nulls) raises naming the file
@@ -86,6 +92,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampType,
+    VariantType,
+    VariantVal,
 )
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
@@ -170,7 +178,58 @@ def _skip_blocks_read(cur: _Cursor, read_item) -> list:
 # ---------------------------------------------------------------------------
 
 
-def _plan(schema, *, logical: str = "raw") -> tuple:
+def _json_default(v):
+    """json.dumps fallback for decoded values that aren't JSON-native:
+    bytes/fixed hex-encode, temporal values (logicalTypes=native inside
+    a union branch) ISO-format."""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    raise TypeError(f"avroocf: cannot JSON-encode {type(v).__name__}")
+
+
+def _branch_tag(schema) -> str:
+    """The Avro JSON-encoding tag for a union branch: the type name for
+    primitives/array/map, the declared name for named types."""
+    if isinstance(schema, str):
+        return schema
+    return schema.get("name") or schema["type"]
+
+
+def _json_encoder(schema):
+    """decoded-value → JSON-encodable, following the shape the decoder
+    produces for ``schema`` (records decode as TUPLES, so the encoder
+    restores field names; maps/arrays recurse; bytes hex-encode)."""
+    if isinstance(schema, str):
+        return lambda v: v
+    if isinstance(schema, list):
+        branches = [b for b in schema if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(
+                "avroocf: a multi-branch union NESTED inside another "
+                "union branch is not supported by unions=variant"
+            )
+        enc = _json_encoder(branches[0])
+        return lambda v: None if v is None else enc(v)
+    t = schema["type"]
+    if t == "record":
+        field_encs = [(f["name"], _json_encoder(f["type"])) for f in schema["fields"]]
+
+        def enc_record(v, _fe=field_encs):
+            return {name: e(x) for (name, e), x in zip(_fe, v)}
+
+        return enc_record
+    if t == "array":
+        item = _json_encoder(schema["items"])
+        return lambda v, _e=item: [_e(x) for x in v]
+    if t == "map":
+        val = _json_encoder(schema["values"])
+        return lambda v, _e=val: {k: _e(x) for k, x in v.items()}
+    return lambda v: v  # enum (str), fixed/bytes via _json_default, primitives
+
+
+def _plan(schema, *, logical: str = "raw", unions: str = "refuse") -> tuple:
     """Returns (decode(cursor) -> python value, spark DataType).
 
     ``logical="raw"`` (default) decodes logical types as their
@@ -196,19 +255,46 @@ def _plan(schema, *, logical: str = "raw") -> tuple:
         return prim[schema]
     if isinstance(schema, list):  # union
         branches = [b for b in schema if b != "null"]
-        if len(branches) != 1 or "null" not in schema:
+        if len(branches) == 1 and "null" in schema:
+            null_idx = schema.index("null")
+            dec, typ = _plan(branches[0], logical=logical, unions=unions)
+
+            def read_union(cur, _null_idx=null_idx, _dec=dec):
+                return None if cur.read_long() == _null_idx else _dec(cur)
+
+            return read_union, typ
+        if unions != "variant":
             raise ValueError(
-                "avroocf: only ['null', T] unions are supported "
-                f"(got {schema!r}) — multi-branch unions have no Spark "
-                "column type and silently nulling them would drop data"
+                "avroocf: only ['null', T] unions are supported by "
+                f"default (got {schema!r}) — silently nulling a "
+                "multi-branch union would drop data; opt into "
+                "option('unions', 'variant') to decode it as a Spark "
+                "VARIANT column carrying the Avro JSON encoding"
             )
-        null_idx = schema.index("null")
-        dec, typ = _plan(branches[0], logical=logical)
+        # unions=variant: decode the taken branch, wrap it in the Avro
+        # JSON encoding ({"<tag>": value}; null branch -> NULL), parse
+        # into a Spark VARIANT value.
+        decs = []
+        for b in schema:
+            if b == "null":
+                decs.append(None)
+            else:
+                dec, _typ = _plan(b, logical=logical, unions=unions)
+                decs.append((dec, _branch_tag(b), _json_encoder(b)))
 
-        def read_union(cur, _null_idx=null_idx, _dec=dec):
-            return None if cur.read_long() == _null_idx else _dec(cur)
+        def read_union_variant(cur, _decs=decs):
+            i = cur.read_long()
+            if not 0 <= i < len(_decs):
+                raise ValueError(f"avroocf: union index {i} out of range")
+            entry = _decs[i]
+            if entry is None:
+                return None
+            dec, tag, enc = entry
+            return VariantVal.parseJson(
+                json.dumps({tag: enc(dec(cur))}, default=_json_default)
+            )
 
-        return read_union, typ
+        return read_union_variant, VariantType()
     # dict-typed schemas
     t = schema["type"]
     if t in ("null", "boolean", "int", "long", "float", "double", "string", "bytes"):
@@ -240,13 +326,13 @@ def _plan(schema, *, logical: str = "raw") -> tuple:
         size = int(schema["size"])
         return (lambda cur, _n=size: cur.take(_n)), BinaryType()
     if t == "array":
-        item_dec, item_typ = _plan(schema["items"], logical=logical)
+        item_dec, item_typ = _plan(schema["items"], logical=logical, unions=unions)
         return (
             lambda cur, _d=item_dec: _skip_blocks_read(cur, _d),
             ArrayType(item_typ),
         )
     if t == "map":
-        val_dec, val_typ = _plan(schema["values"], logical=logical)
+        val_dec, val_typ = _plan(schema["values"], logical=logical, unions=unions)
 
         def read_map(cur, _d=val_dec):
             return dict(
@@ -256,7 +342,7 @@ def _plan(schema, *, logical: str = "raw") -> tuple:
         return read_map, MapType(StringType(), val_typ)
     if t == "record":
         fields = [
-            (f["name"], *_plan(f["type"], logical=logical))
+            (f["name"], *_plan(f["type"], logical=logical, unions=unions))
             for f in schema["fields"]
         ]
 
@@ -319,7 +405,11 @@ def _frame_plausible(buf: bytes, pos: int, sync: bytes) -> bool:
 
 
 def read_ocf(
-    path: str, *, failfast: bool = True, logical: str = "raw"
+    path: str,
+    *,
+    failfast: bool = True,
+    logical: str = "raw",
+    unions: str = "refuse",
 ) -> tuple[StructType, list[tuple], int]:
     """Decode one OCF file → (spark schema, rows, skipped_block_count).
 
@@ -329,7 +419,7 @@ def read_ocf(
     schema, codec, sync, cur = _read_header(io.BytesIO(fsio.read_bytes(path)))
     if not (isinstance(schema, dict) and schema.get("type") == "record"):
         raise ValueError("avroocf: top-level schema must be a record")
-    decode, spark_type = _plan(schema, logical=logical)
+    decode, spark_type = _plan(schema, logical=logical, unions=unions)
     rows: list[tuple] = []
     skipped = 0
     while not cur.eof():
@@ -433,11 +523,36 @@ def _encode(value, schema) -> bytes:
         if schema == "bytes":
             return _zigzag(len(value)) + bytes(value)
         raise ValueError(f"write_ocf: unsupported type {schema!r}")
-    if isinstance(schema, list):  # ['null', T] union
+    if isinstance(schema, list):  # union
         branches = [b for b in schema if b != "null"]
         if value is None:
             return _zigzag(schema.index("null"))
-        return _zigzag(schema.index(branches[0])) + _encode(value, branches[0])
+        if len(branches) == 1:
+            return _zigzag(schema.index(branches[0])) + _encode(value, branches[0])
+        # multi-branch (fixture writer for the unions=variant tests):
+        # pick the first branch matching the python value's type
+        def _matches(b) -> bool:
+            if isinstance(b, dict):
+                b = b["type"]
+            return (
+                (b == "boolean" and isinstance(value, bool))
+                or (b in ("long", "int") and isinstance(value, int)
+                    and not isinstance(value, bool))
+                or (b in ("double", "float") and isinstance(value, float))
+                or (b in ("string", "enum") and isinstance(value, str))
+                or (b in ("bytes", "fixed") and isinstance(value, (bytes, bytearray)))
+                or (b == "array" and isinstance(value, list))
+                or (b == "map" and isinstance(value, dict))
+                or (b == "record" and isinstance(value, tuple))
+            )
+
+        for b in schema:
+            if b != "null" and _matches(b):
+                return _zigzag(schema.index(b)) + _encode(value, b)
+        raise ValueError(
+            f"write_ocf: no union branch in {schema!r} matches "
+            f"{type(value).__name__}"
+        )
     t = schema["type"]
     if t in ("null", "boolean", "int", "long", "float", "double", "string", "bytes"):
         return _encode(value, t)
@@ -510,6 +625,17 @@ class _AvroFilePartition(InputPartition):
         self.path = path
 
 
+def _unions_option(options) -> str:
+    v = options.get("unions", "refuse").lower()
+    if v not in ("refuse", "variant"):
+        raise ValueError(
+            f"avroocf: unions={v!r} (refuse = only ['null', T] unions; "
+            "variant = multi-branch unions as VARIANT of the Avro JSON "
+            "encoding)"
+        )
+    return v
+
+
 def _logical_option(options) -> str:
     v = options.get("logicalTypes", "raw").lower()
     if v not in ("raw", "native"):
@@ -532,6 +658,7 @@ class _AvroOcfReader(DataSourceReader):
         self._path = _resolve_path(options)
         self._failfast = options.get("mode", "failfast").lower() != "permissive"
         self._logical = _logical_option(options)
+        self._unions = _unions_option(options)
         self._schema = schema
 
     def partitions(self):
@@ -542,7 +669,10 @@ class _AvroOcfReader(DataSourceReader):
 
     def read(self, partition: _AvroFilePartition) -> Iterator[tuple]:
         file_schema, rows, _skipped = read_ocf(
-            partition.path, failfast=self._failfast, logical=self._logical
+            partition.path,
+            failfast=self._failfast,
+            logical=self._logical,
+            unions=self._unions,
         )
         # Field validation, names AND types (review r9 — names alone let
         # a type-mismatched explicit .schema() surface later as an opaque
@@ -574,7 +704,11 @@ class AvroOcfDataSource(DataSource):
         avro_schema, _codec, _sync, _cur = _read_header(
             io.BytesIO(fsio.read_bytes(files[0]))
         )
-        _decode, spark_type = _plan(avro_schema, logical=_logical_option(self.options))
+        _decode, spark_type = _plan(
+            avro_schema,
+            logical=_logical_option(self.options),
+            unions=_unions_option(self.options),
+        )
         if not isinstance(spark_type, StructType):
             raise ValueError("avroocf: top-level schema must be a record")
         return spark_type
