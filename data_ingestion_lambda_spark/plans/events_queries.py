@@ -3240,9 +3240,16 @@ def shapley_from_user_state(spark: SparkSession, per_user: DataFrame) -> DataFra
         "CASE (s.mask % 2) + ((s.mask div 2) % 2) + ((s.mask div 4) % 2)"
         " WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END"
     )
+    # Explicit broadcast hints on the non-equi joins (r10): local
+    # relations carry no size statistics, so without the hint Spark
+    # plans these 3x8-row joins as a CartesianProduct whose partition
+    # count is the PRODUCT of the sides' (default-parallelism-sized)
+    # partitioning — ~1000 task launches, measured ~10 s each on
+    # local[32], for 24 rows. Hinted, each is one sub-second
+    # BroadcastNestedLoopJoin.
     contrib = (
-        chan.join(s, F.expr("(s.mask div bit) % 2 = 0"))
-        .join(tt, F.expr("tt.mask = s.mask + bit"))
+        chan.join(F.broadcast(s), F.expr("(s.mask div bit) % 2 = 0"))
+        .join(F.broadcast(tt), F.expr("tt.mask = s.mask + bit"))
         .select(
             "channel",
             (w6 * (F.col("tt.rate_ppb") - F.col("s.rate_ppb"))).alias("c_ppb_x6"),
@@ -3251,7 +3258,7 @@ def shapley_from_user_state(spark: SparkSession, per_user: DataFrame) -> DataFra
         .agg(F.sum("c_ppb_x6").cast("long").alias("shapley_ppb_x6"))
     )
     touched = (
-        chan.join(full8, F.expr("(mask div bit) % 2 = 1"))
+        chan.join(F.broadcast(full8), F.expr("(mask div bit) % 2 = 1"))
         .groupBy("channel")
         .agg(
             F.sum("n_users").cast("long").alias("users_touched"),

@@ -68,14 +68,17 @@ def bm25_contribution(n_docs: int, t_tokens: int) -> Column:
     ).cast("long")
 
 
-@register(
-    "search_bm25_topk",
-    oracle=f"""
-    WITH ex AS (SELECT doc_id, UNNEST({SQL_TOKENS}) AS tok FROM documents),
+def _bm25_sql(docs_rel: str) -> str:
+    """The BM25 top-k pipeline SQL over any (doc_id, text) relation —
+    the registered lane runs it over ``documents``; the ranking gauges
+    run the SAME text over their planted-augmented corpus, so lane and
+    gauge cannot drift."""
+    return f"""
+    WITH ex AS (SELECT doc_id, UNNEST({SQL_TOKENS}) AS tok FROM {docs_rel}),
     tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY doc_id, tok),
     dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
     dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-    nn AS (SELECT COUNT(*) AS n FROM documents),
+    nn AS (SELECT COUNT(*) AS n FROM {docs_rel}),
     tt AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl),
     q AS (SELECT DISTINCT doc_id AS query_id, tok FROM tf WHERE doc_id < {N_QUERIES}),
     cand AS (
@@ -101,25 +104,12 @@ def bm25_contribution(n_docs: int, t_tokens: int) -> Column:
                                        ORDER BY score_n DESC, doc_id) AS rank
           FROM scored)
     WHERE rank <= {TOP_K}
-    """,
-    tags=("llm", "search"),
-)
-def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc-as-query BM25 top-{TOP_K}: each demo query document's token
-    bag retrieves the corpus documents that share its rarest terms,
-    weighted by the classic saturating tf and (rational) idf — the
-    lexical decontamination/triage sweep.
+    """
 
-    Scale: pure inverted-index shape — tf/df/dl are token- or doc-keyed
-    aggregates off one exploded scan; candidates are an equi-join of
-    the (tiny, broadcast) query term bag against the postings, so the
-    work is sum-of-df over query terms, linear in the corpus for a
-    fixed query set. Contributions are exact longs, so the score
-    aggregate partially combines map-side. The production levers are
-    the standard ones this shape admits: impact-ordered postings /
-    WAND-style upper-bound pruning drop low-idf terms before the join
-    (documented, not needed at test scale)."""
-    d = t(spark, sf_dir, "documents")
+
+def _bm25_topk_over(d: DataFrame) -> DataFrame:
+    """The BM25 top-k plan over any (doc_id, text, ...) DataFrame — the
+    Spark twin of ``_bm25_sql``, shared by the lane and the gauges."""
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -159,14 +149,38 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_bm25_topk",
+    oracle=_bm25_sql("documents"),
+    tags=("llm", "search"),
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-as-query BM25 top-{TOP_K}: each demo query document's token
+    bag retrieves the corpus documents that share its rarest terms,
+    weighted by the classic saturating tf and (rational) idf — the
+    lexical decontamination/triage sweep.
+
+    Scale: pure inverted-index shape — tf/df/dl are token- or doc-keyed
+    aggregates off one exploded scan; candidates are an equi-join of
+    the (tiny, broadcast) query term bag against the postings, so the
+    work is sum-of-df over query terms, linear in the corpus for a
+    fixed query set. Contributions are exact longs, so the score
+    aggregate partially combines map-side. The production levers are
+    the standard ones this shape admits: impact-ordered postings /
+    WAND-style upper-bound pruning drop low-idf terms before the join
+    (documented, not needed at test scale)."""
+    return _bm25_topk_over(t(spark, sf_dir, "documents"))
+
+
 _BM25_SQL = _REG["search_bm25_topk"].oracle
 _COS_SQL = _REG["ann_cosine_topk"].oracle
 
 
-@register(
-    "search_hybrid_rrf",
-    oracle=f"""
-    WITH bm AS (SELECT query_id, match_id, rank FROM ({_BM25_SQL}) tb),
+def _rrf_sql(bm_sql: str) -> str:
+    """RRF fusion SQL over any BM25 top-k SQL (the dense list is always
+    the brute-cosine oracle) — shared by the lane and the hybrid gauge."""
+    return f"""
+    WITH bm AS (SELECT query_id, match_id, rank FROM ({bm_sql}) tb),
     dn AS (SELECT query_id, neighbor_id AS match_id, rank FROM ({_COS_SQL}) td),
     u AS (SELECT query_id, match_id, {_RRF_SCALE} // ({_RRF_K} + rank) AS c FROM bm
           UNION ALL
@@ -180,7 +194,29 @@ _COS_SQL = _REG["ann_cosine_topk"].oracle
                                        ORDER BY rrf_n DESC, match_id) AS rank
           FROM fused)
     WHERE rank <= {TOP_K}
-    """,
+    """
+
+
+def _rrf_fuse(bm: DataFrame, dn: DataFrame) -> DataFrame:
+    """Spark twin of ``_rrf_sql`` over two (query_id, match_id, rank)
+    lists — shared by the lane and the hybrid gauge."""
+    u = bm.unionByName(dn).withColumn(
+        "c", F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rank)")
+    )
+    fused = u.groupBy("query_id", "match_id").agg(
+        F.sum("c").alias("rrf_n"), F.count("*").alias("n_lists")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_n"), F.asc("match_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "match_id", "rrf_n", "n_lists", "rank")
+    )
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=_rrf_sql(_BM25_SQL),
     tags=("llm", "search"),
 )
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,15 +235,205 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dn = ann_cosine_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("match_id"), "rank"
     )
-    u = bm.unionByName(dn).withColumn(
-        "c", F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rank)")
+    return _rrf_fuse(bm, dn)
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality gauges: MRR + NDCG@k on PLANTED graded relevance (r10,
+# VERDICT r9 #6) — the dedup/ANN stacks self-measure with recall gauges;
+# these are the retrieval twins. The corpus is augmented with 3 planted
+# documents per demo query at graded token overlap (the recall-curve
+# planting idiom, adapted to BM25: the plant is the query's kept-prefix
+# — 19/20, 16/20, 11/20 of its tokens — REPEATED TWICE; the doubling
+# drives the saturating tf toward its cap on exactly the covered terms,
+# which is what separates a genuinely relevant doc in this synthetic
+# corpus, whose tiny vocabulary makes mere bag overlap non-
+# discriminative — measured: with junk-padded single copies the plants
+# rank below ordinary corpus docs, with the doubled prefix grade 3
+# ranks #1 for 7 of 8 queries), grade := 3/2/1, everything else grade
+# 0. Relevance is ARITHMETIC (planted doc_id = 10^9 + query_id*10 +
+# grade), so no judgment table is carried.
+#
+# Determinism: MRR's reciprocal rank is the exact integer 10^9 div rank;
+# NDCG's 1/log2(rank+1) discounts are a k-row LITERAL integer-ppb table
+# (the Benford e0-literal discipline — no transcendental evaluated in
+# either engine), so DCG is an exact BIGINT sum and NDCG is ONE IEEE
+# division by the constant ideal DCG (planting fixes the grade multiset
+# per query at {3,2,1}, so IDCG is the same literal for every query).
+# ---------------------------------------------------------------------------
+
+_PLANT_BASE = 1_000_000_000
+_PLANT_GRADES = ((1, 11), (2, 16), (3, 19))  # (grade, kept twentieths)
+# floor(1e9 / log2(rank + 1)) for rank 1..TOP_K
+_NDCG_DISC_PPB = (1_000_000_000, 630_929_753, 500_000_000, 430_676_558, 386_852_807)
+assert len(_NDCG_DISC_PPB) == TOP_K
+# ideal DCG numerator: gains (2^g - 1) for grades 3,2,1 at ranks 1,2,3
+_IDCG_N = 7 * _NDCG_DISC_PPB[0] + 3 * _NDCG_DISC_PPB[1] + 1 * _NDCG_DISC_PPB[2]
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ 3 planted docs per demo query at graded overlap."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = d.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("qid"), tokens("text").alias("toks")
     )
-    fused = u.groupBy("query_id", "match_id").agg(
-        F.sum("c").alias("rrf_n"), F.count("*").alias("n_lists")
+    grades = spark.createDataFrame(list(_PLANT_GRADES), "grade int, keep int")
+    planted = (
+        q.crossJoin(F.broadcast(grades))
+        .withColumn("pid", F.lit(_PLANT_BASE) + F.col("qid") * 10 + F.col("grade"))
+        .withColumn("n_keep", F.expr("CAST((size(toks) * keep) div 20 AS INT)"))
+        .select(
+            F.col("pid").alias("doc_id"),
+            F.array_join(
+                F.expr("concat(slice(toks, 1, n_keep), slice(toks, 1, n_keep))"),
+                " ",
+            ).alias("text"),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_n"), F.asc("match_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "match_id", "rrf_n", "n_lists", "rank")
+    return d.unionByName(planted)
+
+
+_PLANTED_SQL = f"""
+    planted AS (
+        SELECT {_PLANT_BASE} + qid * 10 + grade AS doc_id,
+               array_to_string(
+                   list_concat(toks[1:(len(toks) * keep) // 20],
+                               toks[1:(len(toks) * keep) // 20]),
+                   ' ') AS text
+        FROM (SELECT doc_id AS qid, {SQL_TOKENS} AS toks
+              FROM documents WHERE doc_id < {N_QUERIES}) q
+        CROSS JOIN (VALUES {", ".join(f"({g}, {k})" for g, k in _PLANT_GRADES)})
+                   AS gr(grade, keep)
+    ),
+    docs_aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM planted
+    )"""
+
+
+def _ranking_gauge_sql(topk_sql: str) -> str:
+    """Wrap a (query_id, match_id, rank) top-k SQL over ``docs_aug``
+    with the planted corpus and the MRR/NDCG arithmetic."""
+    disc_rows = ", ".join(
+        f"({r + 1}, {d})" for r, d in enumerate(_NDCG_DISC_PPB)
+    )
+    return f"""
+    WITH {_PLANTED_SQL.lstrip()},
+    topk AS (SELECT query_id, match_id, rank FROM ({topk_sql}) tk),
+    graded AS (
+        SELECT query_id, rank,
+               CASE WHEN match_id >= {_PLANT_BASE}
+                         AND (match_id - {_PLANT_BASE}) // 10 = query_id
+                         AND (match_id - {_PLANT_BASE}) % 10 BETWEEN 1 AND 3
+                    THEN (match_id - {_PLANT_BASE}) % 10 ELSE 0 END AS grade
+        FROM topk
+    ),
+    disc(rank, d_ppb) AS (VALUES {disc_rows}),
+    perq AS (
+        SELECT query_id,
+               MIN(CASE WHEN grade > 0 THEN rank END) AS frr,
+               CAST(SUM(((1 << grade) - 1) * d_ppb) AS BIGINT) AS dcg_n
+        FROM graded JOIN disc USING (rank)
+        GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST(frr AS BIGINT) AS first_rel_rank,
+           CAST(COALESCE({_PLANT_BASE} // frr, 0) AS BIGINT) AS rr_ppb,
+           dcg_n,
+           CAST(dcg_n AS DOUBLE) / {_IDCG_N}.0 AS ndcg{TOP_K}
+    FROM perq
+    """
+
+
+def _ranking_metrics(topk: DataFrame) -> DataFrame:
+    """Per-query MRR/NDCG components from a (query_id, match_id, rank)
+    top-k frame — the Spark twin of ``_ranking_gauge_sql``'s wrapper."""
+    rel = (F.col("match_id") - _PLANT_BASE) % 10
+    owner = F.expr(f"(match_id - {_PLANT_BASE}) div 10")
+    grade = (
+        F.when(
+            (F.col("match_id") >= _PLANT_BASE)
+            & (owner == F.col("query_id"))
+            & rel.between(1, 3),
+            rel,
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC_PPB]), F.col("rank").cast("int")
+    ).cast("long")
+    # 2^grade - 1 via a literal lookup (F.shiftleft needs a python-int
+    # bit count): grades 0..3 -> gains 0,1,3,7
+    gain = F.element_at(
+        F.array(F.lit(0), F.lit(1), F.lit(3), F.lit(7)), grade + 1
+    ).cast("long")
+    scored = topk.select(
+        "query_id", "rank", grade.alias("grade"), (gain * disc).alias("dg_n")
+    )
+    perq = scored.groupBy("query_id").agg(
+        F.min(F.when(F.col("grade") > 0, F.col("rank")))
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.sum("dg_n").cast("long").alias("dcg_n"),
+    )
+    return perq.select(
+        "query_id",
+        "first_rel_rank",
+        F.coalesce(
+            F.expr(f"CAST({_PLANT_BASE} div first_rel_rank AS BIGINT)"),
+            F.lit(0).cast("long"),
+        ).alias("rr_ppb"),
+        "dcg_n",
+        (F.col("dcg_n").cast("double") / F.lit(float(_IDCG_N))).alias(
+            f"ndcg{TOP_K}"
+        ),
+    )
+
+
+@register(
+    "search_mrr_ndcg_bm25",
+    oracle=_ranking_gauge_sql(_bm25_sql("docs_aug")),
+    tags=("llm", "search", "quality"),
+)
+def search_mrr_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR + NDCG@{TOP_K} of ``search_bm25_topk`` on planted graded
+    relevance — one row per demo query with the first relevant rank,
+    the exact integer reciprocal rank (ppb), the exact integer DCG
+    numerator, and NDCG as one IEEE division by the constant ideal.
+    The lexical ranker should place the 19/20-overlap plant at or near
+    rank 1; the gauge is what a pipeline owner watches when tuning
+    tokenization or k1/b.
+
+    Scale: the plant adds 3·|queries| docs (constant); the pipeline is
+    the lane's own inverted-index shape; the metric wrapper runs on
+    |queries|·k rows."""
+    return _ranking_metrics(
+        _bm25_topk_over(_augmented_docs(spark, sf_dir)).select(
+            "query_id", "match_id", "rank"
+        )
+    )
+
+
+@register(
+    "search_mrr_ndcg_hybrid",
+    oracle=_ranking_gauge_sql(_rrf_sql(_bm25_sql("docs_aug"))),
+    tags=("llm", "search", "quality"),
+)
+def search_mrr_ndcg_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR + NDCG@{TOP_K} of the HYBRID fusion on the same planted
+    relevance: the dense list (brute cosine over the unmodified
+    embeddings — planted docs carry no vectors, exactly like fresh
+    crawl text before an embedding pass) competes with the lexical
+    list inside RRF, so this gauge prices what fusion costs/buys on
+    lexically-judged relevance relative to ``search_mrr_ndcg_bm25``.
+    Same exact-integer discipline, same constant ideal."""
+    bm = _bm25_topk_over(_augmented_docs(spark, sf_dir)).select(
+        "query_id", "match_id", "rank"
+    )
+    dn = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("match_id"), "rank"
+    )
+    return _ranking_metrics(
+        _rrf_fuse(bm, dn).select("query_id", "match_id", "rank")
     )
