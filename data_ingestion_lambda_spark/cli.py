@@ -365,6 +365,13 @@ def build_parser() -> argparse.ArgumentParser:
     sidx.add_argument(
         "--out", default=None, help="persist the top-k result here (overwrite)"
     )
+    sidx.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold date partitions strictly before this ISO date into the "
+        "base partition (crash-guarded; spends the folded dates' replay "
+        "keys — scores are unchanged)",
+    )
     _add_stream_args(sidx, "document")
 
     drf = sub.add_parser(
@@ -685,6 +692,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="persist the ANY-SPLIT streamed attribution table here "
         "(reads stream_purchases/stream_clicks, not the day-pure "
         "ledger; honors --read-mode)",
+    )
+    att.add_argument(
+        "--compact-keep-from-key",
+        default=None,
+        help="fold the any-split ledger's ingest_batch partitions with "
+        "keys strictly below this one into the base partition "
+        "(crash-guarded; spends the folded keys — reads are unchanged)",
     )
 
     qry = sub.add_parser("query", help="run a registered analytics query by name")
@@ -1023,11 +1037,13 @@ def main(argv: list[str] | None = None) -> int:
                 args.expire_keep_days,
                 args.stream_source,
                 args.stream_out,
+                args.compact_keep_from_key,
             )
         ):
             raise SystemExit(
                 "attribution-store: need --batch/--date, --out, "
-                "--expire-keep-days, --stream-source, and/or --stream-out"
+                "--expire-keep-days, --stream-source, --stream-out "
+                "and/or --compact-keep-from-key"
             )
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
@@ -1043,6 +1059,19 @@ def main(argv: list[str] | None = None) -> int:
                 args.checkpoint,
                 max_files_per_trigger=args.max_files_per_trigger,
             )
+        if args.compact_keep_from_key is not None:
+            from data_ingestion_lambda_spark.operators.attribution_store import (
+                compact_attribution_ledger,
+            )
+
+            try:
+                report.update(
+                    compact_attribution_ledger(
+                        spark, args.index, args.compact_keep_from_key
+                    )
+                )
+            except (ValueError, RuntimeError) as exc:
+                raise SystemExit(f"attribution-store: {exc}") from exc
         if args.stream_out is not None:
             reader = {
                 "last_touch": read_attribution_stream,
@@ -1526,13 +1555,22 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "search-index":
         from data_ingestion_lambda_spark.operators.postings import (
+            compact_postings_index,
             search_topk,
             update_postings,
         )
         from pyspark.sql import functions as F
 
-        if args.batch is None and args.query is None and args.stream_source is None:
-            raise SystemExit("search-index: need --batch, --stream-source and/or --query")
+        if (
+            args.batch is None
+            and args.query is None
+            and args.stream_source is None
+            and args.compact_keep_from is None
+        ):
+            raise SystemExit(
+                "search-index: need --batch, --stream-source, "
+                "--compact-keep-from and/or --query"
+            )
         if args.batch is not None and args.date is None:
             raise SystemExit("search-index: --batch requires --date")
         if args.stream_source is not None and args.checkpoint is None:
@@ -1556,6 +1594,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.batch is not None:
             batch = spark.read.parquet(args.batch).select("doc_id", "text")
             report.update(update_postings(spark, args.index, batch, args.date))
+        if args.compact_keep_from is not None:
+            try:
+                report.update(
+                    compact_postings_index(
+                        spark, args.index, args.compact_keep_from
+                    )
+                )
+            except (ValueError, RuntimeError) as exc:
+                raise SystemExit(f"search-index: {exc}") from exc
         if args.query is not None:
             raw = spark.read.parquet(args.query)
             key = "query_id" if "query_id" in raw.columns else "doc_id"

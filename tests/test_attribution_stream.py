@@ -260,3 +260,101 @@ def test_time_decay_stream_read_equals_oneshot(spark, tmp_path):
         all_specs()["events_attribution_time_decay"].builder(spark, SF_SMOKE)
     )
     assert got == want and len(got) > 0
+
+
+def test_ledger_compaction_preserves_reads_and_spends_keys(spark, tmp_path):
+    """r10: folding old ingest_batch partitions into the base must leave
+    all three reads row-identical (rows are disjoint across triggers so
+    the fold is a concatenation), collapse the directory count, refuse
+    re-landing folded keys, accept keys at/after the horizon, never
+    lower the horizon on a later earlier-keyed re-run, and guard
+    stranded staging."""
+    import os
+
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        LEDGER_BASE_KEY,
+        compact_attribution_ledger,
+    )
+
+    events = _events(spark)
+    idx = str(tmp_path / "idx")
+    n_batches = 6
+    for k in range(n_batches):
+        batch = events.filter(F.col("event_id") % n_batches == k)
+        land_attribution_batch(spark, idx, batch, f"b{k:09d}")
+
+    def dirs(sub):
+        return sorted(
+            d
+            for d in os.listdir(f"{idx}/{sub}")
+            if d.startswith("ingest_batch=")
+        )
+
+    lt_before = _lt_rows(read_attribution_stream(spark, idx))
+    lin_before = _lin_rows(read_attribution_linear_stream(spark, idx))
+    pos_before = _pos_rows(read_attribution_position_stream(spark, idx))
+    assert len(dirs("stream_purchases")) == n_batches
+
+    report = compact_attribution_ledger(spark, idx, "b000000004")  # folds 0-3
+    assert report["folded"]["stream_purchases"] == 4
+    assert dirs("stream_purchases") == [
+        f"ingest_batch={LEDGER_BASE_KEY}",
+        "ingest_batch=b000000004",
+        "ingest_batch=b000000005",
+    ]
+    assert _lt_rows(read_attribution_stream(spark, idx)) == lt_before
+    assert _lin_rows(read_attribution_linear_stream(spark, idx)) == lin_before
+    assert _pos_rows(read_attribution_position_stream(spark, idx)) == pos_before
+
+    # second fold takes the remaining batches INTO the existing base
+    compact_attribution_ledger(spark, idx, "b999999999")
+    assert dirs("stream_purchases") == [f"ingest_batch={LEDGER_BASE_KEY}"]
+    assert _lt_rows(read_attribution_stream(spark, idx)) == lt_before
+
+    # spent replay keys refuse; the reserved base key always refuses
+    with pytest.raises(ValueError, match="replay key is spent"):
+        land_attribution_batch(spark, idx, events.limit(0), "b000000002")
+    with pytest.raises(ValueError, match="reserved"):
+        land_attribution_batch(spark, idx, events.limit(0), LEDGER_BASE_KEY)
+    # a current key still lands (and reads keep working alongside base)
+    land_attribution_batch(
+        spark, idx, events.filter(F.col("event_id") % 97 == 0), "b999999999"
+    )
+    # an earlier keep_from on a later re-run cannot lower the horizon
+    compact_attribution_ledger(spark, idx, "b000000001")
+    with pytest.raises(ValueError, match="replay key is spent"):
+        land_attribution_batch(spark, idx, events.limit(0), "b000000003")
+
+    # stranded staging refuses loudly
+    os.makedirs(f"{idx}/stream_clicks/.compact-staging")
+    with pytest.raises(RuntimeError, match="stranded"):
+        compact_attribution_ledger(spark, idx, "c000000000")
+
+
+def test_cli_ledger_compaction_roundtrip(spark, tmp_path, capsys):
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+
+    events = _events(spark)
+    idx = str(tmp_path / "idx")
+    for k in range(3):
+        land_attribution_batch(
+            spark, idx, events.filter(F.col("event_id") % 3 == k), f"b{k:09d}"
+        )
+    before = _lt_rows(read_attribution_stream(spark, idx))
+    assert (
+        main(
+            [
+                "attribution-store",
+                "--index",
+                idx,
+                "--compact-keep-from-key",
+                "b000000002",
+            ]
+        )
+        == 0
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["folded"]["stream_purchases"] == 2
+    assert _lt_rows(read_attribution_stream(spark, idx)) == before

@@ -240,3 +240,21 @@ def test_search_scan_partition_prunes_on_bucket(spark, tmp_path):
         .toString()
     )
     assert re.search(r"PartitionFilters: \[bucket#\d+ IN", plan), plan
+
+
+def test_cli_compaction_roundtrip(spark, tmp_path, capsys):
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+
+    docs = _docs(spark)
+    idx = tmp_path / "idx"
+    _build(spark, docs, idx)
+    want = _rows(search_topk(spark, str(idx), _queries(docs)))
+    assert (
+        main(["search-index", "--index", str(idx), "--compact-keep-from", "2025-07-03"])
+        == 0
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["folded"]["postings"] == 2
+    assert _rows(search_topk(spark, str(idx), _queries(docs))) == want

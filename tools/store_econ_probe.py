@@ -217,6 +217,28 @@ def probe_attrib_age(spark, sf, reps, ages=(3, 300)):
                 }
             )
         )
+    # r10: the residual age growth is the per-trigger dir listing —
+    # price what the base-fold buys on the oldest ledger
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        compact_attribution_ledger,
+    )
+
+    idx = f"/tmp/econ_attrib_age_{ages[-1]}"
+    compact_attribution_ledger(spark, idx, "b9999")
+    last = _median_wall(lambda: read_attribution_stream(spark, idx).count(), reps)
+    linear = _median_wall(
+        lambda: read_attribution_linear_stream(spark, idx).count(), reps
+    )
+    print(
+        json.dumps(
+            {
+                "store": "attrib_age",
+                "batches": f"{ages[-1]}_compacted",
+                "read_last_touch_sec": last,
+                "read_linear_sec": linear,
+            }
+        )
+    )
     ev.unpersist()
 
 
