@@ -1694,3 +1694,219 @@ def profile_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_values",
         "presence_ppb",
     )
+
+
+@register(
+    "eval_regression_metrics",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority AS grp,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    gm AS (
+        SELECT grp,
+               CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                   AS pred_cents
+        FROM o GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                   AS mean_cents
+        FROM o
+    ),
+    e AS (
+        SELECT o.cents - gm.pred_cents AS err,
+               o.cents - tot.mean_cents AS dev
+        FROM o JOIN gm USING (grp) CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ABS(err)) AS BIGINT) AS sae_cents,
+               SUM(CAST(err AS HUGEINT) * err) AS ssres,
+               SUM(CAST(dev AS HUGEINT) * dev) AS sstot
+        FROM e
+    )
+    SELECT n, sae_cents,
+           CAST(sae_cents AS DOUBLE) / n AS mae_cents,
+           CAST(ssres AS DOUBLE) / n AS mse_cents2,
+           SQRT(CAST(ssres AS DOUBLE) / n) AS rmse_cents,
+           CASE WHEN sstot > 0
+                THEN 1.0 - CAST(ssres AS DOUBLE) / CAST(sstot AS DOUBLE)
+           END AS r2
+    FROM agg
+    """,
+    tags=("profiling", "eval"),
+)
+def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-error metrics (MAE / MSE / RMSE / R²) — completing the
+    eval family (r10): classification has AUC/PR/calibration, a scored
+    REGRESSOR reports these. Demo model: the per-o_orderpriority GROUP
+    MEAN of order value (the simplest predictor — R² is then exactly
+    ANOVA's between-groups explained variance); the metric machinery is
+    what's under test, the predictor is a stand-in for any upstream
+    model's prediction column.
+
+    Determinism discipline: values are exact integer cents, group and
+    global means are floored integer divisions, |err| sums to BIGINT,
+    and the squared sums use decimal(38,0)/HUGEINT (the drift monitor's
+    wide-integer idiom — err² × 1e12 rows passes 2^63). Every exported
+    double is produced by the IDENTICAL IEEE sequence in both engines:
+    integer → double casts (round-to-nearest of the same integer), one
+    division, and sqrt (correctly rounded per IEEE-754). No float
+    accumulation anywhere.
+
+    Scale: one groupBy over the priority dim (≤5 rows, broadcast back),
+    the global mean as a cross-joined 1-row broadcast (no driver
+    collect), one map-side-combinable final aggregate; output is ONE
+    row."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    gm = o.groupBy("grp").agg(
+        F.expr("CAST(SUM(cents) AS BIGINT) div COUNT(*)").alias("pred_cents")
+    )
+    tot = o.agg(
+        F.expr("CAST(SUM(cents) AS BIGINT) div COUNT(*)").alias("mean_cents")
+    )
+    e = (
+        o.join(F.broadcast(gm), "grp")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("cents") - F.col("pred_cents")).alias("err"),
+            (F.col("cents") - F.col("mean_cents")).alias("dev"),
+        )
+    )
+    agg = e.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.abs(F.col("err"))).cast("long").alias("sae_cents"),
+        F.sum(F.expr("CAST(err AS DECIMAL(19,0)) * err")).alias("ssres"),
+        F.sum(F.expr("CAST(dev AS DECIMAL(19,0)) * dev")).alias("sstot"),
+    )
+    return agg.select(
+        "n",
+        "sae_cents",
+        (F.col("sae_cents").cast("double") / F.col("n")).alias("mae_cents"),
+        (F.col("ssres").cast("double") / F.col("n")).alias("mse_cents2"),
+        F.sqrt(F.col("ssres").cast("double") / F.col("n")).alias("rmse_cents"),
+        F.when(
+            F.col("sstot") > 0,
+            F.lit(1.0) - F.col("ssres").cast("double") / F.col("sstot").cast("double"),
+        ).alias("r2"),
+    )
+
+
+@register(
+    "eval_rank_correlation",
+    oracle="""
+    WITH s AS (
+        SELECT n_chars AS a,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS b
+        FROM documents
+    ),
+    ra AS (
+        SELECT a,
+               2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY a
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) + cnt + 1 AS r2x
+        FROM (SELECT a, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY a) t
+    ),
+    rb AS (
+        SELECT b,
+               2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) + cnt + 1 AS r2y
+        FROM (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY b) t
+    ),
+    j AS (SELECT r2x, r2y FROM s JOIN ra USING (a) JOIN rb USING (b)),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r2x) AS BIGINT) AS sx,
+               CAST(SUM(r2y) AS BIGINT) AS sy,
+               SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+               SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+               SUM(CAST(r2y AS HUGEINT) * r2y) AS syy
+        FROM j
+    )
+    SELECT n, sx AS rank_sum_a_x2, sy AS rank_sum_b_x2,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS spearman_rho
+    FROM agg
+    """,
+    tags=("profiling", "eval"),
+)
+def eval_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two document scorers (demo:
+    n_chars vs whitespace token count) — the scorer-agreement check a
+    curation pipeline runs before swapping one quality signal for a
+    cheaper one. Tie handling is EXACT: average ranks over distinct
+    values, kept integer by the ×2 scaling (avg rank of a tie group =
+    cum_below + (cnt+1)/2, so 2·rank = 2·cum_below + cnt + 1), and
+    Spearman is computed as Pearson over the scaled ranks (the 6Σd²
+    shortcut is biased under ties; scaling both variables by 2 leaves
+    the correlation unchanged). Rank-sum invariant Σ(2·rank) = n(n+1)
+    is emitted for both scorers as an in-row audit.
+
+    Determinism: the five co-moment sums are exact integers in
+    decimal(38,0)/HUGEINT (rank ≤ 2n, products ≤ 4n² — wide-integer
+    territory at 1e12 rows); the final rho is the identical IEEE
+    sequence in both engines (integer→double casts, multiplies,
+    subtracts, two correctly-rounded sqrts, one division).
+
+    Scale: ranks come from cumulative counts over the DISTINCT-VALUE
+    aggregates (score-domain-bounded, the eval_binary_auc discipline —
+    gate-allowlisted with that bound); docs join the two rank tables by
+    value (broadcast at any realistic score domain) and everything else
+    is one map-side-combinable aggregate to ONE row."""
+    s = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("a"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("b"),
+    )
+
+    def ranks(col: str, out: str) -> DataFrame:
+        cnts = s.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return cnts.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).cast("long").alias(out),
+        )
+
+    j = s.join(F.broadcast(ranks("a", "r2x")), "a").join(
+        F.broadcast(ranks("b", "r2y")), "b"
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r2x").cast("long").alias("sx"),
+        F.sum("r2y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(r2x AS DECIMAL(19,0)) * r2y")).alias("sxy"),
+        F.sum(F.expr("CAST(r2x AS DECIMAL(19,0)) * r2x")).alias("sxx"),
+        F.sum(F.expr("CAST(r2y AS DECIMAL(19,0)) * r2y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    varx = nd * F.col("sxx").cast("double") - sxd * sxd
+    vary = nd * F.col("syy").cast("double") - syd * syd
+    return agg.select(
+        "n",
+        F.col("sx").alias("rank_sum_a_x2"),
+        F.col("sy").alias("rank_sum_b_x2"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            (nd * F.col("sxy").cast("double") - sxd * syd)
+            / (F.sqrt(varx) * F.sqrt(vary)),
+        ).alias("spearman_rho"),
+    )

@@ -45,6 +45,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     # continuous score would be bucketed first, as the quantile lanes do)
     "eval_binary_auc": "neg-below cumsum over the distinct-score aggregate",
     "eval_precision_recall_curve": "tp/fp cumsum over the distinct-score aggregate",
+    "eval_rank_correlation": "avg-rank cumsum over the two distinct-score aggregates",
     "agg_pareto_abc": "cum-revenue walk over coarse revenue buckets (value-domain)",
     # dim-bounded window-family DEMO lanes (suppliers; documented in
     # plans/windows.py's module discipline)
