@@ -570,3 +570,54 @@ def corpus_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn("blended_rank", blended.cast("long")).withColumn(
         "selected", F.col("blended_rank") <= _BLEND_K
     )
+
+
+@register(
+    "corpus_split_assign",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) % 10 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+    FROM h
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) — the holdout
+    split every training pipeline needs, done the only way that is safe
+    at 100 TB: a PURE FUNCTION of the document's identity (the repo's
+    polynomial hash of the id string, mod 10), so the assignment is
+    reproducible across runs, engines and re-partitions, needs no
+    stored split table, never shuffles (codegen in the scan stage), and
+    stays STABLE under corpus growth — a doc's split never changes when
+    neighbors arrive, the property a random() split lacks and the
+    reason eval contamination creeps into retrained models. The bucket
+    is emitted so downstream can re-cut ratios without re-hashing;
+    stratification quality is auditable by grouping this lane's output
+    by (source, split) — hash uniformity makes per-stratum ratios
+    concentrate tightly (and systematic per-source skew would indicate
+    id structure leaking into the hash, worth knowing)."""
+    from data_ingestion_lambda_spark.plans.llm_ops import polyhash
+
+    h = (polyhash(F.col("doc_id").cast("string")) % 10).cast("long")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", h.alias("bucket"))
+        .select(
+            "doc_id",
+            "source",
+            "bucket",
+            F.when(F.col("bucket") < 8, "train")
+            .when(F.col("bucket") == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

@@ -1910,3 +1910,190 @@ def eval_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(varx) * F.sqrt(vary)),
         ).alias("spearman_rho"),
     )
+
+
+from data_ingestion_lambda_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle="",  # composed below from text_language_id's registered SQL
+    tags=("profiling", "eval"),
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the corpus's lang labels and the
+    ``text_language_id`` classifier — chance-corrected agreement, the
+    honest upgrade of raw accuracy when classes are imbalanced (the
+    confusion-matrix lane ``text_lang_confusion`` shows WHERE they
+    disagree; kappa says whether the agreement beats chance at all).
+
+    Exact arithmetic: with confusion counts n_ij, kappa =
+    (n·Σdiag − Σ_k row_k·col_k) / (n² − Σ_k row_k·col_k) — numerator
+    and denominator are exact wide integers (decimal(38,0)/HUGEINT: n²
+    passes 2^63 at 1e12 docs), observed agreement quantizes to ppb by
+    one integer division, and kappa is one IEEE division of the two
+    integer-derived doubles — identical in both engines.
+
+    Scale: predictions come from the classifier's own expression
+    (oracle composed from its REGISTERED SQL, no drift); everything
+    reduces to the ≤|langs|² confusion cells, then constant-size
+    arithmetic to ONE row."""
+    from data_ingestion_lambda_spark.plans.llm_ops import text_language_id
+
+    scored = text_language_id(spark, sf_dir).select("lang", "pred_lang")
+    cells = scored.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    rows_ = cells.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("row_n"))
+    cols_ = cells.groupBy("pred_lang").agg(
+        F.sum("n_docs").cast("long").alias("col_n")
+    )
+    pe = (
+        rows_.join(cols_, rows_["lang"] == cols_["pred_lang"])
+        .agg(
+            F.sum(F.expr("CAST(row_n AS DECIMAL(19,0)) * col_n")).alias("pe_num")
+        )
+    )
+    agg = (
+        cells.agg(
+            F.sum("n_docs").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("lang") == F.col("pred_lang"), F.col("n_docs"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .crossJoin(F.broadcast(pe))
+    )
+    nd = F.col("n").cast("double")
+    ped = F.col("pe_num").cast("double")
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        "n_agree",
+        F.expr("(n_agree * 1000000000) div n").alias("po_ppb"),
+        F.when(
+            nd * nd - ped != 0,
+            (nd * F.col("n_agree").cast("double") - ped) / (nd * nd - ped),
+        ).alias("kappa"),
+    )
+
+
+def _kappa_oracle() -> str:
+    lid = _REG["text_language_id"].oracle
+    return f"""
+    WITH scored AS (SELECT lang, pred_lang FROM ({lid}) t),
+    cells AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM scored GROUP BY lang, pred_lang),
+    rw AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS row_n
+           FROM cells GROUP BY lang),
+    cl AS (SELECT pred_lang, CAST(SUM(n_docs) AS BIGINT) AS col_n
+           FROM cells GROUP BY pred_lang),
+    pe AS (SELECT SUM(CAST(row_n AS HUGEINT) * col_n) AS pe_num
+           FROM rw JOIN cl ON rw.lang = cl.pred_lang),
+    agg AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN lang = pred_lang THEN n_docs
+                                 ELSE 0 END) AS BIGINT) AS n_agree
+            FROM cells)
+    SELECT n AS n_docs, n_agree,
+           (n_agree * 1000000000) // n AS po_ppb,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(pe_num AS DOUBLE) <> 0
+                THEN (CAST(n AS DOUBLE) * CAST(n_agree AS DOUBLE)
+                      - CAST(pe_num AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        - CAST(pe_num AS DOUBLE))
+           END AS kappa
+    FROM agg CROSS JOIN pe
+    """
+
+
+from dataclasses import replace as _replace  # noqa: E402
+
+_REG["eval_cohens_kappa"] = _replace(
+    _REG["eval_cohens_kappa"], oracle=_kappa_oracle()
+)
+
+
+@register(
+    "profile_ks_statistic",
+    oracle="""
+    WITH a AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS ca
+               FROM documents WHERE lang = 'en' GROUP BY v),
+    b AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cb
+          FROM documents WHERE lang <> 'en' GROUP BY v),
+    m AS (SELECT COALESCE(a.v, b.v) AS v,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM a FULL OUTER JOIN b ON a.v = b.v),
+    na AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a FROM m),
+    nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_b FROM m),
+    walked AS (
+        SELECT CAST(SUM(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cumb
+        FROM m
+    )
+    SELECT n_a, n_b,
+           CAST(MAX(ABS(CAST(cuma AS HUGEINT) * n_b
+                        - CAST(cumb AS HUGEINT) * n_a)) AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_d
+    FROM walked CROSS JOIN na CROSS JOIN nb
+    GROUP BY n_a, n_b
+    """,
+    tags=("profiling", "eval"),
+)
+def profile_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the length
+    distributions of the lang='en' slice and the rest — the
+    distribution-shift gate a curation pipeline runs between a training
+    slice and a holdout (or yesterday's corpus and today's): D =
+    max_v |F_a(v) − F_b(v)|, the strongest simple test that two samples
+    came from the same distribution.
+
+    Exact arithmetic: per-value counts full-outer-merge on the value,
+    cumulative counts walk the DISTINCT-VALUE rows, and the supremum is
+    computed on the CROSS-SCALED integers |cum_a·n_b − cum_b·n_a|
+    (exact in decimal(38,0)/HUGEINT — the products pass 2^63 at 1e12
+    rows per side), so the max is decided on integers; D is ONE IEEE
+    division of the exact max by n_a·n_b. Sample totals are cross-joined
+    1-row broadcasts — no driver collect.
+
+    Scale: everything after the two map-side-combinable per-value
+    aggregates is value-domain-bounded (the eval_binary_auc discipline
+    — a continuous score would bucket first); gate-allowlisted with
+    that bound."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"), (F.col("lang") == "en").alias("is_a")
+    )
+    m = d.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    tot = m.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walked = m.select(
+        F.sum("ca").over(w).cast("long").alias("cuma"),
+        F.sum("cb").over(w).cast("long").alias("cumb"),
+    )
+    return (
+        walked.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            (
+                F.max(
+                    F.abs(
+                        F.expr("CAST(cuma AS DECIMAL(19,0)) * n_b")
+                        - F.expr("CAST(cumb AS DECIMAL(19,0)) * n_a")
+                    )
+                ).cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("ks_d")
+        )
+        .select("n_a", "n_b", "ks_d")
+    )

@@ -46,6 +46,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "eval_binary_auc": "neg-below cumsum over the distinct-score aggregate",
     "eval_precision_recall_curve": "tp/fp cumsum over the distinct-score aggregate",
     "eval_rank_correlation": "avg-rank cumsum over the two distinct-score aggregates",
+    "profile_ks_statistic": "CDF cumsum over the merged distinct-value aggregate",
     "agg_pareto_abc": "cum-revenue walk over coarse revenue buckets (value-domain)",
     # dim-bounded window-family DEMO lanes (suppliers; documented in
     # plans/windows.py's module discipline)
