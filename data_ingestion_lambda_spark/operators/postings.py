@@ -57,7 +57,6 @@ replay would double-count instead of overwriting itself).
 
 from __future__ import annotations
 
-import datetime as _dt
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -115,8 +114,13 @@ def update_postings(
     Refuses a batch_date below the compaction horizon: those dates'
     replay keys are SPENT — their original rows were folded into the
     base, so a re-delivery would double-count instead of overwriting
-    its own partition."""
-    _dt.date.fromisoformat(batch_date)
+    its own partition. The partition key is an ISO date from the CLI
+    path or a zero-padded ``b<id>`` batch key from the streaming front
+    (``run_postings_update_available_now``) — both order
+    lexicographically within their scheme, which is what the horizon
+    compare needs; one index sticks to one scheme."""
+    if not batch_date or "/" in batch_date or "=" in batch_date:
+        raise ValueError(f"update_postings: bad batch key {batch_date!r}")
     fs, path_cls = _hadoop_fs(spark, index_dir)
     horizon = _fold_horizon(fs, path_cls, index_dir)
     if horizon is not None and batch_date < horizon:
@@ -268,8 +272,13 @@ def compact_postings_index(
     next run REFUSE with the recovery path rather than recompact a
     partial table. A crash between sub-tables leaves the finished ones
     folded and the rest still date-keyed; a re-run folds the remainder
-    (the fold set always includes the existing base)."""
-    _dt.date.fromisoformat(keep_from)
+    (the fold set always includes the existing base). ``keep_from`` is
+    an ISO date for a CLI-keyed index or a ``b<id>`` key for a streamed
+    one — lexicographic within one scheme, like the apply check."""
+    if not keep_from or "/" in keep_from or "=" in keep_from:
+        raise ValueError(
+            f"compact_postings_index: bad keep_from key {keep_from!r}"
+        )
     fs, path_cls = _hadoop_fs(spark, index_dir)
     for sub in _SUBTABLES:
         staging = path_cls(f"{index_dir}/{sub}/.compact-staging")
