@@ -60,10 +60,13 @@ FLAGSHIPS = [
     ("agg_market_basket", "pair candidates bounded by within-order self-join; marginals one part-keyed agg; top-k after support filter (r8)"),
     ("events_user_lorenz", "cumulative window runs over the count-of-counts spectrum, never a global user sort (r8)"),
     ("profile_heavy_hitters_cms", "d x w grid aggregates map-side; probes join the broadcast grid (r8)"),
-    ("events_attribution_shapley", "one cached user-keyed rollup (single events scan) feeds the constant 8-row coalition walk (r9)"),
+    ("events_attribution_shapley", "one cached user-keyed rollup (single events scan) feeds the constant 8-row coalition walk; coalition joins are hinted BroadcastNestedLoop, never CartesianProduct (r9, hint r10)"),
     ("dedup_bloom_screen", "corpus probes join the broadcast 128-word filter in the scan stage; no sort-merge anywhere (r9)"),
-    ("text_dsir_weights", "doc-keyed feature aggregate; the 1024-row bits model broadcasts into the scoring join (r9)"),
+    ("text_dsir_weights", "doc-keyed feature aggregate; the 1024-row bits model broadcasts into the scoring join; totals in-plan via a 1-row broadcast, no collect (r9, r10)"),
     ("eval_binary_auc", "rank-sum AUC: corpus collapses to distinct-score rows before the only ordered walk (r9)"),
+    ("search_mrr_ndcg_bm25", "planted docs union into the scan; the metric wrapper runs on |queries|*k rows after the retriever's own plan (r10)"),
+    ("profile_ks_statistic", "two per-value partial aggregates merge full-outer; the CDF walk and supremum see value-domain rows only (r10)"),
+    ("eval_regression_metrics", "group means (<=5 rows) and the global mean (1 row) broadcast back over the scan; one map-side-combinable final aggregate (r10)"),
 ]
 
 
