@@ -70,6 +70,11 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    base_fold,
+    dir_has_parquet,
+    fold_horizon,
+)
 from data_ingestion_lambda_spark.operators.upsert import (
     _hadoop_fs,
     replace_partitions,
@@ -903,37 +908,11 @@ LEDGER_BASE_KEY = "0000-base"  # reserved fold target; sorts below b<id> keys
 _LEDGER_SUBTABLES = ("stream_purchases", "stream_clicks")
 
 
-def _ledger_horizon(fs, path_cls, index_dir: str) -> str | None:
-    """MAX over ``_horizon=`` markers at the ledger root (the feature
-    store's rule: crash windows where old+new markers coexist, and a
-    re-run with an earlier keep_from, both resolve to the later)."""
-    if not fs.exists(path_cls(index_dir)):
-        return None
-    hs = [
-        st.getPath().getName().split("=", 1)[1]
-        for st in fs.listStatus(path_cls(index_dir))
-        if st.isDirectory() and st.getPath().getName().startswith("_horizon=")
-    ]
-    return max(hs) if hs else None
-
-
-def _dir_has_parquet(fs, path_cls, path: str) -> bool:
-    """Does any .parquet file live under ``path`` (one level of date
-    subdirs)? A batch with no purchases (or no clicks) writes an empty
-    partition dir — schema inference over an all-empty fold set fails,
-    so such dirs are deleted outright instead of read."""
-    root = path_cls(path)
-    if not fs.exists(root):
-        return False
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if st.isFile() and name.endswith(".parquet"):
-            return True
-        if st.isDirectory() and not name.startswith((".", "_")):
-            for kid in fs.listStatus(st.getPath()):
-                if kid.isFile() and kid.getPath().getName().endswith(".parquet"):
-                    return True
-    return False
+# Shared base-fold discipline (review r10: per-store copies collapsed
+# into operators/base_fold.py — the empty-partition guard now protects
+# every store, not just this one).
+_ledger_horizon = fold_horizon
+_dir_has_parquet = dir_has_parquet
 
 
 def compact_attribution_ledger(
@@ -962,102 +941,34 @@ def compact_attribution_ledger(
     ``land_attribution_batch`` refuses keys below the horizon (keys
     compare lexicographically — the streaming front's zero-padded
     ``b<id>`` keys order correctly; replays from a checkpoint rebuilt
-    past the horizon must re-land under current keys)."""
-    if not keep_from_key or "/" in keep_from_key or "=" in keep_from_key:
-        raise ValueError(
-            f"compact_attribution_ledger: bad keep_from key {keep_from_key!r}"
-        )
-    fs, path_cls = _hadoop_fs(spark, index_dir)
-    for sub in _LEDGER_SUBTABLES:
-        staging = path_cls(f"{index_dir}/{sub}/.compact-staging")
-        if fs.exists(staging):
-            raise RuntimeError(
-                f"compact_attribution_ledger: stranded {staging} from a "
-                "crashed compaction — it holds that sub-table's full "
-                "pre-crash base; remove any leftover folded "
-                f"ingest_batch=* dirs under {index_dir}/{sub} and rename "
-                f"it to ingest_batch={LEDGER_BASE_KEY}. The _horizon "
-                "marker was advanced before staging, so land-refusal "
-                "stays safe throughout"
+    past the horizon must re-land under current keys).
+
+    Delegates to the shared ``base_fold`` (operators/base_fold.py,
+    review r10) — rows across batches are disjoint (each event lands in
+    exactly one trigger), so the fold is a plain concatenation; the
+    ``date=`` slicing is preserved INSIDE the base so reads keep their
+    8-day partition pruning."""
+
+    def _merge(cols):
+        def merge(src):
+            return (
+                src.select(*cols, F.col("date").cast("string").alias("date")),
+                ["date"],
             )
 
-    prior = _ledger_horizon(fs, path_cls, index_dir)
-    new_horizon = max(prior or "", keep_from_key)
-    if not fs.mkdirs(path_cls(f"{index_dir}/_horizon={new_horizon}")):
-        raise IOError(
-            f"compact_attribution_ledger: mkdirs _horizon={new_horizon} "
-            "returned false; nothing staged or dropped yet — safe to re-run"
-        )
-    if prior is not None and prior != new_horizon:
-        old_marker = path_cls(f"{index_dir}/_horizon={prior}")
-        if fs.exists(old_marker) and not fs.delete(old_marker, True):
-            raise IOError(
-                f"compact_attribution_ledger: delete of stale {old_marker} "
-                "returned false; the new marker exists and wins by the MAX "
-                "rule — remove the stale one manually, nothing dropped"
-            )
+        return merge
 
-    folded = {}
-    for sub in _LEDGER_SUBTABLES:
-        sub_dir = f"{index_dir}/{sub}"
-        if not fs.exists(path_cls(sub_dir)):
-            folded[sub] = 0
-            continue
-        parts = [
-            st.getPath().getName()
-            for st in fs.listStatus(path_cls(sub_dir))
-            if st.isDirectory()
-            and st.getPath().getName().startswith("ingest_batch=")
-        ]
-        fold = [
-            p
-            for p in parts
-            if p == f"ingest_batch={LEDGER_BASE_KEY}"
-            or p.split("=", 1)[1] < keep_from_key
-        ]
-        if not fold or fold == [f"ingest_batch={LEDGER_BASE_KEY}"]:
-            folded[sub] = 0
-            continue
-        nonempty = [
-            p for p in fold if _dir_has_parquet(fs, path_cls, f"{sub_dir}/{p}")
-        ]
-        if nonempty:
-            cols = (
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from_key,
+        op_name="compact_attribution_ledger",
+        part_key="ingest_batch",
+        base_key=LEDGER_BASE_KEY,
+        subtables={
+            "stream_purchases": _merge(
                 ["purchase_id", "user_id", "ts_us", "cents"]
-                if sub == "stream_purchases"
-                else ["user_id", "cts", "cid"]
-            )
-            base = (
-                spark.read.option("basePath", sub_dir)
-                .parquet(*[f"{sub_dir}/{p}" for p in nonempty])
-                .select(*cols, F.col("date").cast("string").alias("date"))
-            )
-            staging = f"{sub_dir}/.compact-staging"
-            base.write.mode("overwrite").partitionBy("date").parquet(staging)
-        for p in fold:
-            full = path_cls(f"{sub_dir}/{p}")
-            if fs.exists(full) and not fs.delete(full, True):
-                raise IOError(
-                    f"compact_attribution_ledger: delete of {full} returned "
-                    "false; "
-                    + (
-                        f"full compacted base preserved at {sub_dir}/"
-                        ".compact-staging — finish by removing remaining "
-                        "folded ingest_batch=* dirs and renaming it to "
-                        f"ingest_batch={LEDGER_BASE_KEY}"
-                        if nonempty
-                        else "the folded dirs were empty; remove manually"
-                    )
-                )
-        if nonempty and not fs.rename(
-            path_cls(f"{sub_dir}/.compact-staging"),
-            path_cls(f"{sub_dir}/ingest_batch={LEDGER_BASE_KEY}"),
-        ):
-            raise IOError(
-                f"compact_attribution_ledger: rename .compact-staging -> "
-                f"ingest_batch={LEDGER_BASE_KEY} under {sub_dir} returned "
-                "false; the compacted base is intact in staging — rename "
-                "it manually to finish"
-            )
-        folded[sub] = len(fold)
-    return {"horizon": new_horizon, "folded": folded}
+            ),
+            "stream_clicks": _merge(["user_id", "cts", "cid"]),
+        },
+    )

@@ -1,0 +1,184 @@
+"""Crash-guarded base-fold compaction, shared by every date/batch-keyed
+maintained store.
+
+Maintained stores land one partition dir per batch (``date=<d>`` from
+the CLI path, ``ingest_batch=b<id>`` from a streaming front). Reads are
+flat in ledger ROWS, but object-store LIST cost and Spark's file-index
+build grow with partition COUNT — the axis the r9/r10 economics probes
+measured (SCALE.md: postings 708 dirs → 72 cut the 8-query search wall
+7.30 s → 2.10 s). ``base_fold`` collapses every partition strictly
+below a caller-chosen horizon into one reserved base partition, with
+the feature store's ledger discipline (operators/feature_store.py:
+365-426) so a crash at ANY point never double-counts a batch:
+
+1. the ``_horizon=<key>`` marker advances FIRST (MAX rule across
+   coexisting markers — a too-high horizon after a crash only refuses
+   lands it could have accepted, never double-counts one);
+2. each sub-table stages its full merged base in a dot-prefixed dir,
+   drops its folded partition dirs, then renames staging into place;
+3. a stranded staging dir makes the next run REFUSE with the manual
+   recovery path rather than recompact a partially-dropped table;
+4. partition dirs holding no parquet footer (a batch with zero rows
+   for one sub-table) are dropped without being read — schema
+   inference over an all-empty fold set fails (review r9/r10: the
+   guard existed only in the attribution copy; sharing the body
+   carries it to every store).
+
+The fold must be EXACT by construction on the caller's side: rows
+disjoint across batches (concatenation) or additive scalars (sum) —
+each caller's ``merge`` callback states which and the caller's
+equality pin proves it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+
+def fold_horizon(fs, path_cls, index_dir: str) -> str | None:
+    """MAX over ``_horizon=`` markers at the store root (the feature
+    store's rule: the crash window where old+new markers coexist, and
+    a re-run with an earlier keep_from, both resolve to the later)."""
+    if not fs.exists(path_cls(index_dir)):
+        return None
+    hs = [
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(path_cls(index_dir))
+        if st.isDirectory() and st.getPath().getName().startswith("_horizon=")
+    ]
+    return max(hs) if hs else None
+
+
+def dir_has_parquet(fs, path_cls, path: str) -> bool:
+    """Does any .parquet file live under ``path`` (one level of
+    partition subdirs)? Empty partition dirs are deleted outright
+    instead of read — see module docstring point 4."""
+    root = path_cls(path)
+    if not fs.exists(root):
+        return False
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            return True
+        if st.isDirectory() and not name.startswith((".", "_")):
+            for kid in fs.listStatus(st.getPath()):
+                if kid.isFile() and kid.getPath().getName().endswith(".parquet"):
+                    return True
+    return False
+
+
+def base_fold(
+    spark: SparkSession,
+    index_dir: str,
+    keep_from: str,
+    *,
+    op_name: str,
+    part_key: str,
+    base_key: str,
+    subtables: dict[str, Callable[[DataFrame], tuple[DataFrame, list[str]]]],
+) -> dict:
+    """Fold every ``<part_key>=`` partition with key STRICTLY BELOW
+    ``keep_from`` (plus any existing base) of each sub-table into the
+    reserved ``<part_key>=<base_key>`` partition.
+
+    ``subtables`` maps sub-table name → merge callback taking the
+    basePath-read union of the folded partitions and returning the
+    merged base frame plus its ``partitionBy`` columns (``[]`` for an
+    unpartitioned base). Returns ``{"horizon", "folded": {sub: n}}``.
+    Folding SPENDS the folded keys — the store's land/apply path must
+    refuse keys below ``fold_horizon``.
+    """
+    if not keep_from or "/" in keep_from or "=" in keep_from:
+        raise ValueError(f"{op_name}: bad keep_from key {keep_from!r}")
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    for sub in subtables:
+        staging = path_cls(f"{index_dir}/{sub}/.compact-staging")
+        if fs.exists(staging):
+            raise RuntimeError(
+                f"{op_name}: stranded {staging} from a crashed compaction "
+                "— it holds that sub-table's full pre-crash base; remove "
+                f"any leftover folded {part_key}=* dirs under "
+                f"{index_dir}/{sub} and rename it to {part_key}={base_key}. "
+                "The _horizon marker was advanced before staging, so "
+                "land-refusal stays safe throughout"
+            )
+
+    # Horizon first (the understatement-proof order — feature store r9).
+    prior = fold_horizon(fs, path_cls, index_dir)
+    new_horizon = max(prior or "", keep_from)
+    if not fs.mkdirs(path_cls(f"{index_dir}/_horizon={new_horizon}")):
+        raise IOError(
+            f"{op_name}: mkdirs _horizon={new_horizon} returned false; "
+            "nothing staged or dropped yet — safe to re-run"
+        )
+    if prior is not None and prior != new_horizon:
+        old_marker = path_cls(f"{index_dir}/_horizon={prior}")
+        if fs.exists(old_marker) and not fs.delete(old_marker, True):
+            raise IOError(
+                f"{op_name}: delete of stale {old_marker} returned false; "
+                "the new marker exists and wins by the MAX rule — remove "
+                "the stale one manually, nothing dropped"
+            )
+
+    folded: dict[str, int] = {}
+    for sub, merge in subtables.items():
+        sub_dir = f"{index_dir}/{sub}"
+        if not fs.exists(path_cls(sub_dir)):
+            folded[sub] = 0
+            continue
+        parts = [
+            st.getPath().getName()
+            for st in fs.listStatus(path_cls(sub_dir))
+            if st.isDirectory()
+            and st.getPath().getName().startswith(f"{part_key}=")
+        ]
+        fold = [
+            p
+            for p in parts
+            if p == f"{part_key}={base_key}" or p.split("=", 1)[1] < keep_from
+        ]
+        if not fold or fold == [f"{part_key}={base_key}"]:
+            folded[sub] = 0
+            continue
+        nonempty = [
+            p for p in fold if dir_has_parquet(fs, path_cls, f"{sub_dir}/{p}")
+        ]
+        if nonempty:
+            src = spark.read.option("basePath", sub_dir).parquet(
+                *[f"{sub_dir}/{p}" for p in nonempty]
+            )
+            base, part_cols = merge(src)
+            writer = base.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(f"{sub_dir}/.compact-staging")
+        for p in fold:
+            full = path_cls(f"{sub_dir}/{p}")
+            if fs.exists(full) and not fs.delete(full, True):
+                raise IOError(
+                    f"{op_name}: delete of {full} returned false; "
+                    + (
+                        f"full compacted base preserved at {sub_dir}/"
+                        ".compact-staging — finish by removing remaining "
+                        f"folded {part_key}=* dirs and renaming it to "
+                        f"{part_key}={base_key}"
+                        if nonempty
+                        else "the folded dirs were empty; remove manually"
+                    )
+                )
+        if nonempty and not fs.rename(
+            path_cls(f"{sub_dir}/.compact-staging"),
+            path_cls(f"{sub_dir}/{part_key}={base_key}"),
+        ):
+            raise IOError(
+                f"{op_name}: rename .compact-staging -> "
+                f"{part_key}={base_key} under {sub_dir} returned false; "
+                "the compacted base is intact in staging — rename it "
+                "manually to finish"
+            )
+        folded[sub] = len(fold)
+    return {"horizon": new_horizon, "folded": folded}

@@ -76,6 +76,24 @@ def _check_sizing_marker(
             )
         if found:
             return
+        # No marker but existing data partitions: a legacy (pre-marker)
+        # store is implicitly (4096, 3) — read_sizing documents exactly
+        # that — so stamping ANY other sizing onto it would land
+        # mixed-m words the marker exists to forbid (review r10).
+        has_data = any(
+            st.isDirectory()
+            and (
+                st.getPath().getName().startswith("date=")
+                or st.getPath().getName().startswith("ingest_batch=")
+            )
+            for st in fs.listStatus(path_cls(index_dir))
+        )
+        if has_data and (m, k) != (_BLOOM_M, _BLOOM_K):
+            raise ValueError(
+                f"bloom store at {index_dir} predates the sizing marker "
+                f"and is implicitly sized m{_BLOOM_M}-k{_BLOOM_K}; "
+                f"refusing a {want!r} apply — rebuild the store to resize"
+            )
     fs.mkdirs(path_cls(f"{index_dir}/{want}"))
 
 

@@ -46,6 +46,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import fold_horizon
 from data_ingestion_lambda_spark.operators.upsert import (
     _hadoop_fs,
     replace_partitions,
@@ -284,22 +285,14 @@ def read_user_features(
     )
 
 
-def _fold_horizon(fs, path_cls, index_dir: str) -> str | None:
-    """The compaction horizon: dates strictly below it have been folded
-    into the base partition and are no longer separable for as-of reads.
-    Recorded as an empty ``_horizon=<date>`` marker DIRECTORY (a mkdir is
-    atomic on every Hadoop FS and needs no stream I/O to read back; the
-    underscore prefix hides it from Spark's file index). A crash between
-    creating the new marker and deleting the old one leaves both — the
-    MAX rule keeps that safe (refusing slightly more than necessary)."""
-    if not fs.exists(path_cls(index_dir)):
-        return None
-    hs = [
-        st.getPath().getName().split("=", 1)[1]
-        for st in fs.listStatus(path_cls(index_dir))
-        if st.isDirectory() and st.getPath().getName().startswith("_horizon=")
-    ]
-    return max(hs) if hs else None
+# The compaction horizon: dates strictly below it have been folded into
+# the base partition and are no longer separable for as-of reads.
+# Recorded as an empty ``_horizon=<date>`` marker DIRECTORY (a mkdir is
+# atomic on every Hadoop FS and needs no stream I/O to read back; the
+# underscore prefix hides it from Spark's file index). Shared base-fold
+# discipline (review r10: three per-store copies collapsed into
+# operators/base_fold.py).
+_fold_horizon = fold_horizon
 
 
 def read_user_features_asof(

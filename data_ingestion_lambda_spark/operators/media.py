@@ -577,7 +577,12 @@ def parse_image_headers(media: DataFrame, content_col: str = "content") -> DataF
     )
     # One select materializes the struct so the UDF is planned exactly
     # once (referencing the call twice would duplicate the Arrow stage).
-    staged = media.select("*", jpeg_dims(c).alias("_jpeg"))
+    # Only the SOF-scan window crosses into Python: _jpeg_sof_dims never
+    # reads past _JPEG_SCAN_CAP (+9 bytes of trailing segment header),
+    # so shipping full multi-MB payloads through Arrow would be pure
+    # transfer waste at the 100 TB binaryFile scan (review r10).
+    scan_window = F.expr(f"substring({content_col}, 1, {_JPEG_SCAN_CAP + 16})")
+    staged = media.select("*", jpeg_dims(scan_window).alias("_jpeg"))
     jw, jh = F.col("_jpeg.width"), F.col("_jpeg.height")
 
     fmt = (

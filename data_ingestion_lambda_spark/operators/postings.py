@@ -61,6 +61,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import base_fold, fold_horizon
 from data_ingestion_lambda_spark.operators.upsert import (
     PARTITION_COL,
     _hadoop_fs,
@@ -82,18 +83,9 @@ def _bucket(tok_col) -> Column:
     return F.pmod(F.xxhash64(tok_col), F.lit(N_BUCKETS)).cast("int")
 
 
-def _fold_horizon(fs, path_cls, index_dir: str) -> str | None:
-    """MAX over ``_horizon=`` markers at the index root (the feature
-    store's rule: the crash window where old+new markers coexist, and
-    a re-run with an earlier keep_from, both resolve to the later)."""
-    if not fs.exists(path_cls(index_dir)):
-        return None
-    hs = [
-        st.getPath().getName().split("=", 1)[1]
-        for st in fs.listStatus(path_cls(index_dir))
-        if st.isDirectory() and st.getPath().getName().startswith("_horizon=")
-    ]
-    return max(hs) if hs else None
+# MAX over _horizon= markers — shared base-fold discipline (review r10:
+# three per-store copies collapsed into operators/base_fold.py).
+_fold_horizon = fold_horizon
 
 
 def _tf_dl(batch_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -274,93 +266,34 @@ def compact_postings_index(
     folded and the rest still date-keyed; a re-run folds the remainder
     (the fold set always includes the existing base). ``keep_from`` is
     an ISO date for a CLI-keyed index or a ``b<id>`` key for a streamed
-    one — lexicographic within one scheme, like the apply check."""
-    if not keep_from or "/" in keep_from or "=" in keep_from:
-        raise ValueError(
-            f"compact_postings_index: bad keep_from key {keep_from!r}"
-        )
-    fs, path_cls = _hadoop_fs(spark, index_dir)
-    for sub in _SUBTABLES:
-        staging = path_cls(f"{index_dir}/{sub}/.compact-staging")
-        if fs.exists(staging):
-            raise RuntimeError(
-                f"compact_postings_index: stranded {staging} from a "
-                "crashed compaction — it holds that sub-table's full "
-                "pre-crash base; remove any leftover folded date=* dirs "
-                f"under {index_dir}/{sub} and rename it to "
-                f"date={BASE_DATE}. The _horizon marker was advanced "
-                "before staging, so apply-refusal stays safe throughout"
-            )
+    one — lexicographic within one scheme, like the apply check.
 
-    # Horizon first (the understatement-proof order — feature store r9).
-    prior = _fold_horizon(fs, path_cls, index_dir)
-    new_horizon = max(prior or "", keep_from)
-    if not fs.mkdirs(path_cls(f"{index_dir}/_horizon={new_horizon}")):
-        raise IOError(
-            f"compact_postings_index: mkdirs _horizon={new_horizon} "
-            "returned false; nothing staged or dropped yet — safe to re-run"
-        )
-    if prior is not None and prior != new_horizon:
-        old_marker = path_cls(f"{index_dir}/_horizon={prior}")
-        if fs.exists(old_marker) and not fs.delete(old_marker, True):
-            raise IOError(
-                f"compact_postings_index: delete of stale {old_marker} "
-                "returned false; the new marker exists and wins by the "
-                "MAX rule — remove the stale one manually, nothing dropped"
-            )
-
-    folded = {}
-    for sub in _SUBTABLES:
-        sub_dir = f"{index_dir}/{sub}"
-        if not fs.exists(path_cls(sub_dir)):
-            folded[sub] = 0
-            continue
-        parts = [
-            st.getPath().getName()
-            for st in fs.listStatus(path_cls(sub_dir))
-            if st.isDirectory() and st.getPath().getName().startswith("date=")
-        ]
-        fold = [
-            p
-            for p in parts
-            if p == f"date={BASE_DATE}" or p.split("=", 1)[1] < keep_from
-        ]
-        if not fold or fold == [f"date={BASE_DATE}"]:
-            folded[sub] = 0
-            continue
-        src = spark.read.option("basePath", sub_dir).parquet(
-            *[f"{sub_dir}/{p}" for p in fold]
-        )
-        if sub == "postings":
-            base = src.select("tok", "doc_id", "tf", "bucket")
-            writer = base.write.mode("overwrite").partitionBy("bucket")
-        elif sub == "doclen":
-            base = src.select("doc_id", "dl")
-            writer = base.write.mode("overwrite")
-        else:  # stats: additive scalars -> one base row
-            base = src.agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("t_tokens").cast("long").alias("t_tokens"),
-            )
-            writer = base.write.mode("overwrite")
-        staging = f"{sub_dir}/.compact-staging"
-        writer.parquet(staging)
-        for p in fold:
-            full = path_cls(f"{sub_dir}/{p}")
-            if fs.exists(full) and not fs.delete(full, True):
-                raise IOError(
-                    f"compact_postings_index: delete of {full} returned "
-                    f"false; full compacted base preserved at {staging} — "
-                    "finish by removing remaining folded date=* dirs and "
-                    f"renaming it to date={BASE_DATE}"
-                )
-        if not fs.rename(
-            path_cls(staging), path_cls(f"{sub_dir}/date={BASE_DATE}")
-        ):
-            raise IOError(
-                f"compact_postings_index: rename {staging} -> "
-                f"date={BASE_DATE} returned false; the compacted base is "
-                f"intact at {staging} — rename it manually to finish"
-            )
-        folded[sub] = len(fold)
-    return {"horizon": new_horizon, "folded": folded}
+    Delegates to the shared ``base_fold`` (operators/base_fold.py) —
+    review r10 collapsed the per-store compaction copies, which had
+    already drifted (the empty-partition guard lived only in the
+    attribution copy)."""
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="compact_postings_index",
+        part_key="date",
+        base_key=BASE_DATE,
+        subtables={
+            # postings/doclen rows are disjoint across dates (one batch
+            # per doc) — the fold is a concatenation; stats rows are
+            # additive scalars -> one base row.
+            "postings": lambda src: (
+                src.select("tok", "doc_id", "tf", "bucket"),
+                ["bucket"],
+            ),
+            "doclen": lambda src: (src.select("doc_id", "dl"), []),
+            "stats": lambda src: (
+                src.agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("t_tokens").cast("long").alias("t_tokens"),
+                ),
+                [],
+            ),
+        },
+    )

@@ -423,8 +423,11 @@ def replace_partitions(
         src = path_cls(f"{staging_dir}/{part}")
         dst = path_cls(f"{target_dir}/{part}")
         if fs.exists(src):
-            if fs.exists(dst):
-                fs.delete(dst, True)
+            if fs.exists(dst) and not fs.delete(dst, True):
+                raise IOError(
+                    f"partition swap failed: delete {dst} returned false; "
+                    f"staged data preserved under {staging_dir}"
+                )
             if not fs.rename(src, dst):
                 raise IOError(
                     f"partition swap failed: rename {src} -> {dst} returned false; "
@@ -432,8 +435,14 @@ def replace_partitions(
                 )
         elif fs.exists(dst):
             # df staged nothing for this listed date: its new content is
-            # empty — replace means delete, not keep (ADVICE r9).
-            fs.delete(dst, True)
+            # empty — replace means delete, not keep (ADVICE r9). Hadoop
+            # FS reports most failures by RETURNING FALSE, not raising —
+            # a swallowed false here would keep serving the stale rows
+            # this branch exists to remove (review r10).
+            if not fs.delete(dst, True):
+                raise IOError(
+                    f"empty-partition replace failed: delete {dst} returned false"
+                )
     # All swaps succeeded — only now discard staging. (On failure the
     # staging dir is deliberately left in place; it is dot-prefixed, so
     # readers never see it.)

@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 from data_ingestion_lambda_spark.plans.registry import register
 from data_ingestion_lambda_spark.plans._util import t
 
+# Ordering-safe: plans/__init__.py imports llm_ops BEFORE curation, so
+# this import never changes the registry's registration order.
+from data_ingestion_lambda_spark.plans.llm_ops import SQL_POLYHASH
+
 # Patterns chosen for identical semantics under Java regex (Spark) and
 # RE2 (DuckDB): no backreferences, no lookaround, unambiguous greedy runs.
 _RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -574,13 +578,13 @@ def corpus_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_split_assign",
-    oracle="""
+    # The oracle's hash is the canonical SQL_POLYHASH (llm_ops.py), not
+    # an inline copy — a second definition would silently diverge from
+    # the Spark side's polyhash() on any future change (review r10).
+    oracle=f"""
     WITH h AS (
         SELECT doc_id, source,
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
-                                  c -> CAST(ascii(c) AS BIGINT))),
-                   (a, b) -> (a * 31 + b) % 1000000007) % 10 AS bucket
+               {SQL_POLYHASH.format(s="CAST(doc_id AS VARCHAR)")} % 10 AS bucket
         FROM documents
     )
     SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,

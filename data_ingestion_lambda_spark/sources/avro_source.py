@@ -191,10 +191,17 @@ def _json_default(v):
 
 def _branch_tag(schema) -> str:
     """The Avro JSON-encoding tag for a union branch: the type name for
-    primitives/array/map, the declared name for named types."""
+    primitives/array/map, the FULLNAME (namespace.name, spec §Names)
+    for named types — the JSON encoding tags named branches by
+    fullname, and two same-named records in different namespaces must
+    not collide into one tag (review r10)."""
     if isinstance(schema, str):
         return schema
-    return schema.get("name") or schema["type"]
+    name = schema.get("name")
+    if name is None:
+        return schema["type"]
+    ns = schema.get("namespace")
+    return f"{ns}.{name}" if ns and "." not in name else name
 
 
 def _json_encoder(schema):

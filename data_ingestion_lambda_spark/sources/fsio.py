@@ -88,7 +88,7 @@ def _arrow_resolve(uri: str):
 
 def _requalify(scheme: str, netloc: str, inner_path: str) -> str:
     """Rebuild a caller-scheme URI from a pyarrow-internal path."""
-    if scheme in ("s3", "s3a", "gs"):
+    if scheme in ("s3", "s3a", "gs", "gcs"):
         # bucket stores: pyarrow folds the bucket into the path
         return f"{scheme}://{inner_path.lstrip('/')}"
     sep = inner_path if inner_path.startswith("/") else "/" + inner_path

@@ -447,3 +447,50 @@ def test_explicit_schema_type_mismatch_refused(spark, tmp_path):
     )
     with pytest.raises(Exception, match="field mismatch"):
         df.collect()
+
+
+def test_union_named_branch_tagged_by_fullname(tmp_path):
+    """Review r10: the Avro JSON encoding tags named union branches by
+    FULLNAME (spec §Names) — a namespaced record must encode as
+    {"com.x.R": ...}, not {"R": ...}, and a name that is already a
+    fullname must not be double-prefixed."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "u",
+                "type": [
+                    "null",
+                    {
+                        "type": "record",
+                        "name": "R",
+                        "namespace": "com.x",
+                        "fields": [{"name": "v", "type": "long"}],
+                    },
+                    "string",
+                ],
+            },
+            {
+                "name": "e",
+                "type": [
+                    "null",
+                    {
+                        "type": "enum",
+                        "name": "com.y.E",  # fullname in name, no namespace key
+                        "symbols": ["A", "B"],
+                    },
+                ],
+            },
+        ],
+    }
+    rows = [((5,), "A"), (None, None), ("plain", "B")]
+    path = str(tmp_path / "named.avro")
+    write_ocf(path, schema, rows)
+    _, got, skipped = read_ocf(path, unions="variant")
+    assert skipped == 0
+    assert str(got[0][0]) == '{"com.x.R":{"v":5}}'
+    assert got[1][0] is None and got[1][1] is None
+    assert str(got[2][0]) == '{"string":"plain"}'
+    # 2-branch ['null', named] stays a plain typed column, not variant
+    assert got[0][1] == "A" and got[2][1] == "B"

@@ -125,3 +125,28 @@ def test_corrected_empty_batch_overwrites_partition(spark, tmp_path):
     assert _words_rows(read_bloom(spark, idx)) == _words_rows(oneshot_day1), (
         "empty corrected batch must overwrite the stale day partition"
     )
+
+
+def test_legacy_markerless_store_refuses_resize(spark, tmp_path):
+    """Review r10: a store written before the sizing marker existed is
+    implicitly (4096, 3) — read_sizing says so. Stamping a DIFFERENT
+    sizing's marker onto its existing data would land mixed-m words
+    (the corruption the marker forbids), so a non-default apply must
+    refuse; a default-sized apply adopts the marker and proceeds."""
+    import shutil
+
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.bloom_store import read_sizing
+
+    idx = str(tmp_path / "bloom_idx")
+    members = _members(spark)
+    apply_bloom_batch(spark, idx, members, "2025-07-01")
+    shutil.rmtree(f"{idx}/_sizing=m4096-k3")  # simulate a pre-r10 store
+    with pytest.raises(ValueError, match="predates the sizing marker"):
+        apply_bloom_batch(spark, idx, members, "2025-07-02", m=65536, k=5)
+    assert read_sizing(spark, idx) == (4096, 3)
+    before = _words_rows(read_bloom(spark, idx))
+    apply_bloom_batch(spark, idx, members, "2025-07-02")  # default adopts
+    assert read_sizing(spark, idx) == (4096, 3)
+    assert _words_rows(read_bloom(spark, idx)) == before  # same members
