@@ -18,6 +18,10 @@ from data_ingestion_lambda_spark.plans.decimals import dsum
 from data_ingestion_lambda_spark.plans.registry import register
 from data_ingestion_lambda_spark.plans._util import t
 
+# Ordering-safe: plans/__init__.py imports llm_ops BEFORE events_queries,
+# so this import never changes the registry's registration order.
+from data_ingestion_lambda_spark.plans.llm_ops import SQL_POLYHASH, polyhash
+
 
 @register(
     "events_tumbling_window",
@@ -3551,4 +3555,132 @@ def markov_from_transition_counts(spark: SparkSession, cnt_rows) -> DataFrame:
         rows,
         "channel string, reach_full_ppb long, reach_removed_ppb long, "
         "removal_effect_ppb long, credit_share double",
+    )
+
+
+@register(
+    "events_ab_cuped",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               CAST(ts AS DATE) < DATE '2024-01-16' AS pre
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(cents) FILTER (WHERE pre), 0) AS BIGINT) AS x,
+               CAST(COALESCE(SUM(cents) FILTER (WHERE NOT pre), 0) AS BIGINT)
+                   AS y,
+               {SQL_POLYHASH.format(s="CAST(user_id AS VARCHAR)")} % 2 AS variant
+        FROM e GROUP BY user_id
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
+        FROM u
+    ),
+    th AS (
+        SELECT n, sx,
+               CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx > 0
+                    THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                         / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    ELSE 0.0 END AS theta
+        FROM mom
+    )
+    SELECT u.variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(u.x) AS BIGINT) AS sum_x_cents,
+           CAST(SUM(u.y) AS BIGINT) AS sum_y_cents,
+           CAST(SUM(u.y) AS DOUBLE) / COUNT(*) AS mean_y_cents,
+           CAST(SUM(u.y) AS DOUBLE) / COUNT(*)
+             - th.theta * (CAST(SUM(u.x) AS DOUBLE) / COUNT(*)
+                           - CAST(th.sx AS DOUBLE) / th.n)
+               AS adj_mean_y_cents,
+           th.theta AS theta
+    FROM u CROSS JOIN th
+    GROUP BY u.variant, th.theta, th.sx, th.n
+    """,
+    tags=("events", "experiment"),
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013 —
+    public method, used by every large experimentation platform): the
+    post-period metric Y per user is adjusted by the PRE-period
+    covariate X, Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), shrinking
+    variance by the X–Y correlation² without biasing the treatment
+    contrast. Variant assignment is the deterministic identity-hash
+    split (corpus_split_assign's polyhash % 2): reproducible across
+    engines and re-runs, no stored assignment table.
+
+    Determinism discipline: per-user X/Y are exact integer cents;
+    the θ co-moments n·Σxy − Σx·Σy and n·Σx² − (Σx)² accumulate in
+    decimal(38,0)/HUGEINT (order-independent integer sums — per-user
+    cents ~1e7 squared ×1e8 users stays inside 38 digits); θ and the
+    adjusted means are then produced by the IDENTICAL IEEE sequence in
+    both engines (integer→double casts, one division each, one
+    multiply-subtract). No float accumulation anywhere.
+
+    Scale: one groupBy(user_id) over the scan (the per-user ledger),
+    one single-row co-moment agg cross-joined back (broadcast), one
+    two-row groupBy(variant). Output is ≤2 rows."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        (F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")).alias("pre"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("pre"), F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(~F.col("pre"), F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        "x",
+        "y",
+        (polyhash(F.col("user_id").cast("string")) % 2).cast("long").alias("variant"),
+    )
+    mom = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    th = mom.select(
+        "n",
+        "sx",
+        F.when(
+            F.expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx") > 0,
+            F.expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)")
+            / F.expr("CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+    )
+    g = u.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sum_x_cents"),
+        F.sum("y").cast("long").alias("sum_y_cents"),
+    )
+    return g.crossJoin(F.broadcast(th)).select(
+        "variant",
+        "n_users",
+        "sum_x_cents",
+        "sum_y_cents",
+        (F.col("sum_y_cents").cast("double") / F.col("n_users")).alias(
+            "mean_y_cents"
+        ),
+        (
+            F.col("sum_y_cents").cast("double") / F.col("n_users")
+            - F.col("theta")
+            * (
+                F.col("sum_x_cents").cast("double") / F.col("n_users")
+                - F.col("sx").cast("double") / F.col("n")
+            )
+        ).alias("adj_mean_y_cents"),
+        "theta",
     )

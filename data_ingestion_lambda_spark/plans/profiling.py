@@ -2097,3 +2097,488 @@ def profile_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_a", "n_b", "ks_d")
     )
+
+
+@register(
+    "profile_chi_square",
+    oracle="""
+    WITH e AS (
+        SELECT event_type AS a,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) % 7 AS b
+        FROM events
+    ),
+    cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM e GROUP BY a, b),
+    rows_ AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+    cols_ AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+    tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS nc
+        FROM cells
+    ),
+    contrib AS (
+        SELECT (CAST(c.o AS HUGEINT) * t.n - CAST(r.r AS HUGEINT) * cl.c)
+               * (CAST(c.o AS HUGEINT) * t.n - CAST(r.r AS HUGEINT) * cl.c)
+               * 1000000000
+               // (CAST(t.n AS HUGEINT) * r.r * cl.c) AS ppb
+        FROM cells c
+        JOIN rows_ r USING (a) JOIN cols_ cl USING (b) CROSS JOIN tot t
+    )
+    SELECT t.n,
+           CAST((t.nr - 1) * (t.nc - 1) AS BIGINT) AS dof,
+           CAST(SUM(ppb) AS BIGINT) AS chi2_ppb,
+           SQRT(CAST(SUM(ppb) AS DOUBLE)
+                / CAST(1000000000 * t.n
+                       * CASE WHEN t.nr < t.nc THEN t.nr - 1 ELSE t.nc - 1 END
+                       AS DOUBLE)) AS cramers_v
+    FROM contrib CROSS JOIN tot t
+    GROUP BY t.n, t.nr, t.nc
+    """,
+    tags=("profiling", "stats"),
+)
+def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence + Cramér's V between two
+    categorical columns (event_type × day-of-week) — the categorical
+    drift/association monitor beside the numeric KS statistic
+    (profile_ks_statistic): "did the traffic mix change across
+    weekdays?" is the first question a pipeline owner asks when a
+    distribution gate trips. The day-of-week is derived portably as
+    days-since-epoch mod 7 (engine DAYOFWEEK conventions differ).
+
+    Determinism discipline: chi² = Σ (O·N − R·C)² / (N·R·C) over the
+    CONTINGENCY TABLE — each cell's contribution is floor-quantized to
+    integer ppb (decimal(38,0) / HUGEINT intermediates) and SUMMED AS
+    INTEGERS, so the statistic is order-independent and hash-matches
+    across engines; Cramér's V is then ONE double division + sqrt of
+    exact integers (the eval_regression_metrics IEEE discipline). The
+    wide arithmetic runs on the r×c cell table (≤ |types|×7 rows), not
+    the events scan — (O·N−R·C)² stays inside 38 digits for N up to
+    ~3·10⁹ per profiled slice; beyond that, profile per partition-slice
+    (the ppb quantization note in the module docstring).
+
+    Scale: one map-side-combinable groupBy(a, b) over the scan; row /
+    column marginals and the total are re-aggregations of the tiny cell
+    table; output is ONE row."""
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.pmod(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    cells = e.groupBy("a", "b").agg(F.count("*").cast("long").alias("o"))
+    rows_ = cells.groupBy("a").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cells.groupBy("b").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("a").cast("long").alias("nr"),
+        F.count_distinct("b").cast("long").alias("nc"),
+    )
+    contrib = (
+        cells.join(F.broadcast(rows_), "a")
+        .join(F.broadcast(cols_), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+                " * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+                " * 1000000000"
+                " div (CAST(n AS DECIMAL(38,0)) * r * c)"
+            ).alias("ppb"),
+            "n",
+            "nr",
+            "nc",
+        )
+    )
+    return contrib.groupBy("n", "nr", "nc").agg(
+        F.sum("ppb").cast("long").alias("chi2_ppb")
+    ).select(
+        "n",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        "chi2_ppb",
+        F.sqrt(
+            F.col("chi2_ppb").cast("double")
+            / (
+                F.lit(1000000000).cast("decimal(38,0)")
+                * F.col("n")
+                * F.when(F.col("nr") < F.col("nc"), F.col("nr") - 1).otherwise(
+                    F.col("nc") - 1
+                )
+            ).cast("double")
+        ).alias("cramers_v"),
+    )
+
+
+_BT_K = 8  # MM iterations (Hunter 2004); convergence is geometric
+
+
+def _bt_iter_ctes() -> str:
+    """Unrolled K-round Bradley-Terry MM iteration (three CTEs per
+    round) — the DuckDB twin of the builder's integer iteration,
+    generated from the same K so the two cannot drift. All arithmetic
+    is integer floor-division at 1e18 scale (HUGEINT in DuckDB, exact
+    ints in the builder's driver loop)."""
+    steps = []
+    for r in range(1, _BT_K + 1):
+        steps.append(f"""
+    d{r} AS (
+        SELECT m.a AS item,
+               SUM(CAST(m.n AS HUGEINT) * 1000000000000000000
+                   // (pa.p + pb.p)) AS dd
+        FROM mat m
+        JOIN p{r - 1} pa ON pa.item = m.a
+        JOIN p{r - 1} pb ON pb.item = m.b
+        WHERE m.n > 0 AND pa.p + pb.p > 0
+        GROUP BY m.a
+    ),
+    r{r} AS MATERIALIZED (
+        SELECT w.item,
+               CASE WHEN COALESCE(d.dd, 0) > 0 AND w.w > 0
+                    THEN CAST(w.w AS HUGEINT) * 1000000000000000000 // d.dd
+                    ELSE CAST(0 AS HUGEINT) END AS raw
+        FROM wtot w LEFT JOIN d{r} d ON d.item = w.item
+    ),
+    p{r} AS MATERIALIZED (
+        SELECT item,
+               CAST(raw * 1000000000 // (SELECT SUM(raw) FROM r{r})
+                   AS BIGINT) AS p
+        FROM r{r}
+    )""")
+    return ",".join(steps)
+
+
+@register(
+    "eval_bradley_terry",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    ud AS MATERIALIZED (
+        SELECT user_id, d, event_type, CAST(SUM(cents) AS BIGINT) AS c
+        FROM e GROUP BY user_id, d, event_type
+    ),
+    wins AS MATERIALIZED (
+        SELECT a.event_type AS w, b.event_type AS l,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ud a
+        JOIN ud b ON a.user_id = b.user_id AND a.d = b.d
+                 AND a.event_type <> b.event_type AND a.c > b.c
+        GROUP BY a.event_type, b.event_type
+    ),
+    items AS MATERIALIZED (SELECT DISTINCT event_type AS item FROM e),
+    mat AS MATERIALIZED (
+        SELECT i.item AS a, j.item AS b,
+               CAST(COALESCE(wab.cnt, 0) + COALESCE(wba.cnt, 0) AS BIGINT)
+                   AS n
+        FROM items i JOIN items j ON i.item <> j.item
+        LEFT JOIN wins wab ON wab.w = i.item AND wab.l = j.item
+        LEFT JOIN wins wba ON wba.w = j.item AND wba.l = i.item
+    ),
+    wtot AS MATERIALIZED (
+        SELECT i.item, CAST(COALESCE(SUM(wins.cnt), 0) AS BIGINT) AS w
+        FROM items i LEFT JOIN wins ON wins.w = i.item
+        GROUP BY i.item
+    ),
+    nit AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM items),
+    p0 AS MATERIALIZED (
+        SELECT item, CAST(1000000000 // k AS BIGINT) AS p
+        FROM items CROSS JOIN nit
+    ),
+    {_bt_iter_ctes()},
+    ncomp AS (
+        SELECT a AS item, CAST(SUM(n) AS BIGINT) AS comparisons
+        FROM mat GROUP BY a
+    )
+    SELECT w.item, w.w AS wins, nc.comparisons,
+           p.p AS strength_ppb,
+           CAST(ROW_NUMBER() OVER (ORDER BY p.p DESC, w.item ASC) AS BIGINT)
+               AS rank
+    FROM wtot w
+    JOIN p{_BT_K} p ON p.item = w.item
+    JOIN ncomp nc ON nc.item = w.item
+    """,
+    tags=("profiling", "eval"),
+)
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fit via Hunter's MM algorithm
+    (Hunter, Annals of Statistics 2004 — the standard pairwise-
+    preference model behind RLHF reward-data analysis, Elo-style
+    leaderboards and LMSYS-style arena ratings). Demo comparisons: per
+    (user, day), event type A "beats" B when A's summed value is
+    strictly larger — a stand-in for any (winner, loser) preference
+    pair such as A/B human judgments over model responses; the fit
+    machinery is what's under test.
+
+    Algorithm: p_i ← W_i / Σ_j n_ij/(p_i + p_j), normalized each round
+    (K = _BT_K rounds, geometric convergence). Determinism discipline:
+    the iteration runs on the ≤|items|² win matrix in EXACT INTEGER
+    arithmetic at 1e18 scale with floor divisions and a 1e9-ppb
+    normalize — the builder iterates Python bigints on the collected
+    grid (the Shapley/Markov driver-constant pattern), the oracle runs
+    the IDENTICAL unrolled arithmetic as _BT_K generated CTE rounds
+    (``_bt_iter_ctes``), so the strengths hash-match bit-for-bit.
+
+    Scale: the heavy work is one groupBy(user, day, type) over the
+    events scan plus a per-user-day self-join bounded by |types|² rows
+    per user-day; everything after aggregates to ≤|items|² integers —
+    collected and iterated driver-side in microseconds (the .collect()
+    is a constant-size grid, never data)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    ud = e.groupBy("user_id", "d", "event_type").agg(
+        F.sum("cents").cast("long").alias("c")
+    )
+    a, b = ud.alias("a"), ud.alias("b")
+    wins = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.c") > F.col("b.c")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("w"), F.col("b.event_type").alias("l")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cnt = {(r.w, r.l): r.cnt for r in wins.collect()}  # <=|items|^2 grid
+    items = sorted({i for pair in cnt for i in pair})
+    wtot = {i: sum(c for (w, _), c in cnt.items() if w == i) for i in items}
+    n = {
+        (i, j): cnt.get((i, j), 0) + cnt.get((j, i), 0)
+        for i in items
+        for j in items
+        if i != j
+    }
+    k = len(items)
+    p = {i: 10**9 // k for i in items}
+    for _ in range(_BT_K):
+        dd: dict[str, int] = {}
+        for (i, j), nv in n.items():
+            if nv > 0 and p[i] + p[j] > 0:
+                dd[i] = dd.get(i, 0) + nv * 10**18 // (p[i] + p[j])
+        raw = {
+            i: (wtot[i] * 10**18 // dd[i]) if dd.get(i, 0) > 0 and wtot[i] > 0 else 0
+            for i in items
+        }
+        s = sum(raw.values())
+        p = {i: raw[i] * 10**9 // s for i in items}
+    comparisons = {i: sum(nv for (a_, _), nv in n.items() if a_ == i) for i in items}
+    ranked = sorted(items, key=lambda i: (-p[i], i))
+    rows = [
+        (i, wtot[i], comparisons[i], p[i], ranked.index(i) + 1) for i in items
+    ]
+    return spark.createDataFrame(
+        rows,
+        "item string, wins long, comparisons long, strength_ppb long, rank long",
+    )
+
+
+@register(
+    "eval_confusion_multiclass",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   e -> CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, label, CAST(t.i AS BIGINT) AS dim, qv[t.i] AS v
+        FROM q CROSS JOIN
+             (SELECT UNNEST(generate_series(1, 64)) AS i) t
+    ),
+    cent AS (
+        SELECT label AS cand, dim,
+               CAST(SUM(v) // COUNT(*) AS BIGINT) AS c
+        FROM ex GROUP BY label, dim
+    ),
+    dist AS (
+        SELECT e.vec_id, e.label, c.cand,
+               CAST(SUM((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS d2
+        FROM ex e JOIN cent c ON c.dim = e.dim
+        GROUP BY e.vec_id, e.label, c.cand
+    ),
+    ranked AS (
+        SELECT vec_id, label, cand,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cand ASC) AS rn
+        FROM dist
+    ),
+    conf AS (SELECT label AS actual, cand AS pred FROM ranked WHERE rn = 1),
+    classes AS (SELECT DISTINCT label AS cls FROM embeddings),
+    per AS (
+        SELECT c.cls,
+               CAST(COALESCE(nt.n_true, 0) AS BIGINT) AS n_true,
+               CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp
+        FROM classes c
+        LEFT JOIN (SELECT actual AS cls, COUNT(*) AS n_true
+                   FROM conf GROUP BY actual) nt ON nt.cls = c.cls
+        LEFT JOIN (SELECT pred AS cls, COUNT(*) AS n_pred
+                   FROM conf GROUP BY pred) np ON np.cls = c.cls
+        LEFT JOIN (SELECT actual AS cls, COUNT(*) AS tp
+                   FROM conf WHERE actual = pred GROUP BY actual) tp
+               ON tp.cls = c.cls
+    ),
+    m AS (
+        SELECT cls, n_true, n_pred, tp,
+               CASE WHEN n_pred > 0
+                    THEN tp * 1000000000 // n_pred ELSE 0 END AS precision_ppb,
+               CASE WHEN n_true > 0
+                    THEN tp * 1000000000 // n_true ELSE 0 END AS recall_ppb
+        FROM per
+    ),
+    f AS (
+        SELECT *,
+               CASE WHEN precision_ppb + recall_ppb > 0
+                    THEN 2 * precision_ppb * recall_ppb
+                         // (precision_ppb + recall_ppb)
+                    ELSE 0 END AS f1_ppb
+        FROM m
+    )
+    SELECT cls AS label, n_true, n_pred, tp,
+           CAST(precision_ppb AS BIGINT) AS precision_ppb,
+           CAST(recall_ppb AS BIGINT) AS recall_ppb,
+           CAST(f1_ppb AS BIGINT) AS f1_ppb,
+           CAST(SUM(f1_ppb) OVER () // COUNT(*) OVER () AS BIGINT)
+               AS macro_f1_ppb,
+           CAST(SUM(tp) OVER () * 1000000000 // SUM(n_true) OVER () AS BIGINT)
+               AS micro_accuracy_ppb
+    FROM f
+    """,
+    tags=("profiling", "eval"),
+)
+def eval_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion-matrix metrics — per-class precision /
+    recall / F1 plus macro-F1 and micro accuracy — completing the eval
+    family's classification side (AUC/PR/calibration are binary-score
+    metrics; a LABELED corpus reports these). Demo model: quantized
+    nearest-label-centroid over the embeddings table (the simplest
+    classifier whose per-class quality is non-trivial); the metric
+    machinery is what's under test, the predictor stands in for any
+    upstream model's predicted-label column.
+
+    Determinism discipline: embeddings are quantized to exact integers
+    (floor(e·1e6 + 0.5) — float→double is exact, so the quantization is
+    engine-identical), centroids are floored integer means per
+    dimension, distances are exact integer Σ(q−c)², argmin tie-breaks
+    by (distance, label), and every exported metric is an integer-ppb
+    ratio — no float accumulation anywhere, the lane hash-matches.
+
+    Scale: centroids come from a narrow posexplode + groupBy(label,
+    dim) — |labels|×64 cells, re-assembled into per-label arrays and
+    BROADCAST; classification is then one scan with a JVM-codegen
+    zip_with/aggregate distance per (vector, label) — linear in
+    |vectors|·|labels|, no shuffle of the vectors; the confusion matrix
+    and class metrics aggregate |labels|²-bounded frames."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " e -> CAST(FLOOR(e * 1000000.0D + 0.5D) AS BIGINT))"
+        ).alias("qv"),
+    )
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("qv").alias("dim", "v")
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("cand"), "dim")
+        .agg(F.expr("CAST(SUM(v) div COUNT(*) AS BIGINT)").alias("c"))
+        .groupBy("cand")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+            ).alias("cvec")
+        )
+    )
+    dist = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cand",
+        F.expr(
+            "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("d2"),
+    )
+    conf = dist.groupBy("vec_id", F.col("label").alias("actual")).agg(
+        F.min(F.struct("d2", "cand")).getField("cand").alias("pred")
+    )
+    classes = emb.select(F.col("label").alias("cls")).distinct()
+    nt = conf.groupBy(F.col("actual").alias("cls")).agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    np_ = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.count("*").cast("long").alias("n_pred")
+    )
+    tp = (
+        conf.filter(F.col("actual") == F.col("pred"))
+        .groupBy(F.col("actual").alias("cls"))
+        .agg(F.count("*").cast("long").alias("tp"))
+    )
+    per = (
+        classes.join(nt, "cls", "left")
+        .join(np_, "cls", "left")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    m = per.select(
+        "*",
+        F.when(
+            F.col("n_pred") > 0,
+            F.expr("tp * 1000000000 div n_pred"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("precision_ppb"),
+        F.when(
+            F.col("n_true") > 0,
+            F.expr("tp * 1000000000 div n_true"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_ppb"),
+    )
+    f = m.select(
+        "*",
+        F.when(
+            F.col("precision_ppb") + F.col("recall_ppb") > 0,
+            F.expr(
+                "2 * precision_ppb * recall_ppb"
+                " div (precision_ppb + recall_ppb)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("f1_ppb"),
+    )
+    return f.select(
+        F.col("cls").alias("label"),
+        "n_true",
+        "n_pred",
+        "tp",
+        "precision_ppb",
+        "recall_ppb",
+        "f1_ppb",
+        F.expr("SUM(f1_ppb) OVER () div COUNT(*) OVER ()")
+        .cast("long")
+        .alias("macro_f1_ppb"),
+        F.expr("SUM(tp) OVER () * 1000000000 div SUM(n_true) OVER ()")
+        .cast("long")
+        .alias("micro_accuracy_ppb"),
+    )

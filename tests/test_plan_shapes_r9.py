@@ -52,6 +52,8 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     # plans/windows.py's module discipline)
     "win_rank_dense_ntile": "supplier dim demo",
     "win_range_frame": "supplier dim demo",
+    # label-domain-bounded (input rows = distinct class labels)
+    "eval_confusion_multiclass": "macro/micro totals over the per-CLASS aggregate",
 }
 
 
