@@ -2756,6 +2756,100 @@ def corpus_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    s AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                   AS BIGINT) AS sqrt_micro
+        FROM per_source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(sqrt_micro) AS BIGINT) AS z
+        FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(CAST(sqrt_micro AS HUGEINT) * 1000000000 // z AS BIGINT)
+               AS weight_ppb,
+           CAST((CAST(sqrt_micro AS HUGEINT) * 1000000000 // z)
+                * total_tokens // 1000000000 AS BIGINT) AS tokens_at_budget,
+           CAST(((CAST(sqrt_micro AS HUGEINT) * 1000000000 // z)
+                * total_tokens // 1000000000) * 1000000000 // n_tokens
+               AS BIGINT) AS epochs_ppb
+    FROM s, tot
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights, w_s ∝ n_s^τ at τ = 0.5 — the
+    multilingual/multi-source rebalancing recipe (mT5 / XLM-R style:
+    τ < 1 upsamples small sources and damps head sources, τ = 1 is
+    proportional, τ = 0 is corpus_mixture_rates' uniform flattening).
+    Emits per source the normalized weight, the token draw at a budget
+    equal to the current corpus size, and the implied repetition factor
+    (epochs_ppb > 1e9 means the source repeats — the explicit
+    upsampling decision corpus_mixture_rates deliberately refuses to
+    make; surfacing it IS this lane's job, over-repetition being a
+    known memorization risk the scheduler must see).
+
+    Determinism discipline: τ = 0.5 is computed as FLOOR(SQRT(n)·1e6)
+    — int→double is exact below 2^53, SQRT is correctly rounded per
+    IEEE-754 and the one multiply is a single IEEE op, so the
+    micro-quantized weight is engine-identical (a general τ would need
+    pow(), whose rounding ISN'T pinned by the standard — the τ = 0.5
+    literal is the hash-matchable point on the knob); everything after
+    is exact integer ppb arithmetic.
+
+    Scale: identical shape to corpus_mixture_rates — one source-keyed
+    token aggregation + a broadcast 1-row total; output is #sources
+    rows."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    ).select(
+        "*",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("sqrt_micro"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("sqrt_micro").cast("long").alias("z"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        # decimal(38,0) intermediates: weight x token-count products pass
+        # 2^63 at 100 TB corpus sizes (HUGEINT on the oracle side)
+        F.expr("CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000000 div z")
+        .cast("long")
+        .alias("weight_ppb"),
+        F.expr(
+            "(CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000000 div z)"
+            " * total_tokens div 1000000000"
+        )
+        .cast("long")
+        .alias("tokens_at_budget"),
+        F.expr(
+            "((CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000000 div z)"
+            " * total_tokens div 1000000000) * 1000000000 div n_tokens"
+        )
+        .cast("long")
+        .alias("epochs_ppb"),
+    )
+
+
 # --- language-ID quality gauge ----------------------------------------------
 
 
