@@ -1935,47 +1935,38 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-derived doubles — identical in both engines.
 
     Scale: predictions come from the classifier's own expression
-    (oracle composed from its REGISTERED SQL, no drift); everything
-    reduces to the ≤|langs|² confusion cells, then constant-size
-    arithmetic to ONE row."""
+    (oracle composed from its REGISTERED SQL, no drift); ONE classifier
+    scan reduces to the ≤|langs|² confusion cells, which are collected
+    and finished in exact driver arithmetic (the Shapley/Markov/BT
+    constant-grid pattern — the earlier three-branch DataFrame plan
+    re-ran the classifier scan per branch, measured 3 FileScans with
+    zero ReusedExchange; review r10)."""
     from data_ingestion_lambda_spark.plans.llm_ops import text_language_id
 
     scored = text_language_id(spark, sf_dir).select("lang", "pred_lang")
-    cells = scored.groupBy("lang", "pred_lang").agg(
-        F.count("*").cast("long").alias("n_docs")
+    cells = [
+        (r.lang, r.pred_lang, r.n_docs)
+        for r in scored.groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .collect()  # <=|langs|^2 grid
+    ]
+    n = sum(c for _, _, c in cells)
+    n_agree = sum(c for a, p, c in cells if a == p)
+    row_n: dict[str, int] = {}
+    col_n: dict[str, int] = {}
+    for a, p, c in cells:
+        row_n[a] = row_n.get(a, 0) + c
+        col_n[p] = col_n.get(p, 0) + c
+    pe = sum(rn * col_n.get(lang, 0) for lang, rn in row_n.items())
+    # the identical IEEE sequence as the oracle: integer->double casts,
+    # one multiply-subtract each side, one division
+    denom = float(n) * float(n) - float(pe)
+    kappa = (
+        (float(n) * float(n_agree) - float(pe)) / denom if denom != 0 else None
     )
-    rows_ = cells.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("row_n"))
-    cols_ = cells.groupBy("pred_lang").agg(
-        F.sum("n_docs").cast("long").alias("col_n")
-    )
-    pe = (
-        rows_.join(cols_, rows_["lang"] == cols_["pred_lang"])
-        .agg(
-            F.sum(F.expr("CAST(row_n AS DECIMAL(19,0)) * col_n")).alias("pe_num")
-        )
-    )
-    agg = (
-        cells.agg(
-            F.sum("n_docs").cast("long").alias("n"),
-            F.sum(
-                F.when(F.col("lang") == F.col("pred_lang"), F.col("n_docs"))
-                .otherwise(0)
-            )
-            .cast("long")
-            .alias("n_agree"),
-        )
-        .crossJoin(F.broadcast(pe))
-    )
-    nd = F.col("n").cast("double")
-    ped = F.col("pe_num").cast("double")
-    return agg.select(
-        F.col("n").alias("n_docs"),
-        "n_agree",
-        F.expr("(n_agree * 1000000000) div n").alias("po_ppb"),
-        F.when(
-            nd * nd - ped != 0,
-            (nd * F.col("n_agree").cast("double") - ped) / (nd * nd - ped),
-        ).alias("kappa"),
+    return spark.createDataFrame(
+        [(n, n_agree, n_agree * 10**9 // n if n else None, kappa)],
+        "n_docs long, n_agree long, po_ppb long, kappa double",
     )
 
 
@@ -2351,7 +2342,21 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     cnt = {(r.w, r.l): r.cnt for r in wins.collect()}  # <=|items|^2 grid
+    return spark.createDataFrame(
+        bt_fit(cnt),
+        "item string, wins long, comparisons long, strength_ppb long, rank long",
+    )
+
+
+def bt_fit(cnt: dict[tuple[str, str], int]) -> list[tuple]:
+    """The driver-side MM iteration on the collected (winner, loser) →
+    count grid — factored out so the integer arithmetic is unit-testable
+    without a corpus (zero-win items, missing pairs, tie ranks). Exact
+    Python bigints; mirrors the oracle's generated CTE rounds
+    term-for-term (same floor divisions, same order-independent sums)."""
     items = sorted({i for pair in cnt for i in pair})
+    if not items:
+        return []
     wtot = {i: sum(c for (w, _), c in cnt.items() if w == i) for i in items}
     n = {
         (i, j): cnt.get((i, j), 0) + cnt.get((j, i), 0)
@@ -2374,13 +2379,9 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = {i: raw[i] * 10**9 // s for i in items}
     comparisons = {i: sum(nv for (a_, _), nv in n.items() if a_ == i) for i in items}
     ranked = sorted(items, key=lambda i: (-p[i], i))
-    rows = [
+    return [
         (i, wtot[i], comparisons[i], p[i], ranked.index(i) + 1) for i in items
     ]
-    return spark.createDataFrame(
-        rows,
-        "item string, wins long, comparisons long, strength_ppb long, rank long",
-    )
 
 
 @register(
