@@ -958,6 +958,10 @@ def compact_attribution_ledger(
 
         return merge
 
+    merge_cols = {
+        "stream_purchases": ["purchase_id", "user_id", "ts_us", "cents"],
+        "stream_clicks": ["user_id", "cts", "cid"],
+    }
     return base_fold(
         spark,
         index_dir,
@@ -965,10 +969,5 @@ def compact_attribution_ledger(
         op_name="compact_attribution_ledger",
         part_key="ingest_batch",
         base_key=LEDGER_BASE_KEY,
-        subtables={
-            "stream_purchases": _merge(
-                ["purchase_id", "user_id", "ts_us", "cents"]
-            ),
-            "stream_clicks": _merge(["user_id", "cts", "cid"]),
-        },
+        subtables={sub: _merge(merge_cols[sub]) for sub in _LEDGER_SUBTABLES},
     )

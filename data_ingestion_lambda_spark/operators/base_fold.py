@@ -88,21 +88,27 @@ def base_fold(
     ``subtables`` maps sub-table name → merge callback taking the
     basePath-read union of the folded partitions and returning the
     merged base frame plus its ``partitionBy`` columns (``[]`` for an
-    unpartitioned base). Returns ``{"horizon", "folded": {sub: n}}``.
-    Folding SPENDS the folded keys — the store's land/apply path must
-    refuse keys below ``fold_horizon``.
+    unpartitioned base). The empty-string sub name means the table's
+    partitions live at the INDEX ROOT (the feature store's single-table
+    layout). Returns ``{"horizon", "folded": {sub: n}}``. Folding
+    SPENDS the folded keys — the store's land/apply path must refuse
+    keys below ``fold_horizon``.
     """
     if not keep_from or "/" in keep_from or "=" in keep_from:
         raise ValueError(f"{op_name}: bad keep_from key {keep_from!r}")
     fs, path_cls = _hadoop_fs(spark, index_dir)
+
+    def _sub_dir(sub: str) -> str:
+        return f"{index_dir}/{sub}" if sub else index_dir
+
     for sub in subtables:
-        staging = path_cls(f"{index_dir}/{sub}/.compact-staging")
+        staging = path_cls(f"{_sub_dir(sub)}/.compact-staging")
         if fs.exists(staging):
             raise RuntimeError(
                 f"{op_name}: stranded {staging} from a crashed compaction "
                 "— it holds that sub-table's full pre-crash base; remove "
                 f"any leftover folded {part_key}=* dirs under "
-                f"{index_dir}/{sub} and rename it to {part_key}={base_key}. "
+                f"{_sub_dir(sub)} and rename it to {part_key}={base_key}. "
                 "The _horizon marker was advanced before staging, so "
                 "land-refusal stays safe throughout"
             )
@@ -126,7 +132,7 @@ def base_fold(
 
     folded: dict[str, int] = {}
     for sub, merge in subtables.items():
-        sub_dir = f"{index_dir}/{sub}"
+        sub_dir = _sub_dir(sub)
         if not fs.exists(path_cls(sub_dir)):
             folded[sub] = 0
             continue

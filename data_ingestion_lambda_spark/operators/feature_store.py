@@ -46,7 +46,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_lambda_spark.operators.base_fold import fold_horizon
+from data_ingestion_lambda_spark.operators.base_fold import base_fold, fold_horizon
 from data_ingestion_lambda_spark.operators.upsert import (
     _hadoop_fs,
     replace_partitions,
@@ -416,51 +416,23 @@ def compact_feature_ledger(spark: SparkSession, index_dir: str, keep_from: str) 
         return 0
     if not fold:
         return 0
-    # Record the new fold horizon FIRST — before staging, before any
-    # partition drop: every date about to become non-separable is <
-    # keep_from, and a too-high horizon after a crash only refuses as-of
-    # reads it could have served (safe), never serves one it shouldn't.
-    # Writing it first means NO crash window leaves a folded base without
-    # a marker, so the restore-from-caller-input path (the r8 advice's
-    # understatement hazard) no longer exists. Old markers are removed
-    # after the new one exists — the MAX rule in _fold_horizon covers the
-    # crash window where both remain, and also clamps a re-run that
-    # passes an earlier keep_from than a surviving marker.
-    prior = _fold_horizon(fs, path_cls, index_dir)
-    new_horizon = max(prior or "", keep_from)
-    if not fs.mkdirs(path_cls(f"{index_dir}/_horizon={new_horizon}")):
-        raise IOError(
-            f"compact_feature_ledger: mkdirs _horizon={new_horizon} returned "
-            "false; nothing staged or dropped yet — safe to re-run"
-        )
-    if prior is not None and prior != new_horizon:
-        old_marker = path_cls(f"{index_dir}/_horizon={prior}")
-        if fs.exists(old_marker) and not fs.delete(old_marker, True):
-            raise IOError(
-                f"compact_feature_ledger: delete of stale {old_marker} "
-                "returned false; the new marker exists and wins by the MAX "
-                "rule — remove the stale one manually, nothing dropped yet"
-            )
-    base = merge_moments(
-        spark.read.parquet(*[f"{index_dir}/{p}" for p in fold])
+    # Delegate the horizon-first marker, stage→drop→rename loop and the
+    # empty-partition guard to the shared base_fold (operators/
+    # base_fold.py, review r10 — this was the third drifted copy); the
+    # feature-specific pre-checks above (marker-less-base refusal, the
+    # no-op early returns that leave the horizon untouched) stay here.
+    # The root-mode ("" sub) read carries the basePath `date` column,
+    # which merge_moments must not see.
+    res = base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="compact_feature_ledger",
+        part_key="date",
+        base_key=BASE_DATE,
+        subtables={"": lambda src: (merge_moments(src.drop("date")), [])},
     )
-    base.write.mode("overwrite").parquet(staging)
-    for p in fold:
-        full = path_cls(f"{index_dir}/{p}")
-        if fs.exists(full) and not fs.delete(full, True):
-            raise IOError(
-                f"compact_feature_ledger: delete of {full} returned false; "
-                f"full compacted base preserved at {staging} — finish by "
-                "removing remaining folded date=* dirs and renaming it to "
-                f"date={BASE_DATE}"
-            )
-    if not fs.rename(path_cls(staging), path_cls(f"{index_dir}/date={BASE_DATE}")):
-        raise IOError(
-            f"compact_feature_ledger: rename {staging} -> date={BASE_DATE} "
-            f"returned false; the compacted base is intact at {staging} — "
-            "rename it manually to finish"
-        )
-    return len(fold)
+    return res["folded"][""]
 
 
 def read_user_decayed_activity(

@@ -2831,19 +2831,24 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         # decimal(38,0) intermediates: weight x token-count products pass
-        # 2^63 at 100 TB corpus sizes (HUGEINT on the oracle side)
+        # 2^63 at 100 TB corpus sizes (HUGEINT on the oracle side).
+        # Spark's `div` on decimal operands returns LONG (review r10),
+        # so each quotient is re-CAST to DECIMAL(38,0) before the next
+        # multiply — the quotients themselves fit (weight <= 1e9,
+        # tokens_at_budget <= total_tokens), only the products are wide
         F.expr("CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000000 div z")
         .cast("long")
         .alias("weight_ppb"),
         F.expr(
-            "(CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000000 div z)"
-            " * total_tokens div 1000000000"
+            "CAST(CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000000 div z"
+            " AS DECIMAL(38,0)) * total_tokens div 1000000000"
         )
         .cast("long")
         .alias("tokens_at_budget"),
         F.expr(
-            "((CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000000 div z)"
-            " * total_tokens div 1000000000) * 1000000000 div n_tokens"
+            "CAST(CAST(CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000000 div z"
+            " AS DECIMAL(38,0)) * total_tokens div 1000000000"
+            " AS DECIMAL(38,0)) * 1000000000 div n_tokens"
         )
         .cast("long")
         .alias("epochs_ppb"),

@@ -1951,13 +1951,26 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # <=|langs|^2 grid
     ]
     n = sum(c for _, _, c in cells)
-    n_agree = sum(c for a, p, c in cells if a == p)
     row_n: dict[str, int] = {}
     col_n: dict[str, int] = {}
     for a, p, c in cells:
         row_n[a] = row_n.get(a, 0) + c
         col_n[p] = col_n.get(p, 0) + c
-    pe = sum(rn * col_n.get(lang, 0) for lang, rn in row_n.items())
+    # SQL semantics exactly (review r10): an empty slice aggregates to
+    # one all-NULL row, and NULL labels never satisfy `lang =
+    # pred_lang` nor the pe marginal join — Python's None == None and
+    # dict lookup by None would both silently COUNT them
+    if not cells:
+        return spark.createDataFrame(
+            [(None, None, None, None)],
+            "n_docs long, n_agree long, po_ppb long, kappa double",
+        )
+    n_agree = sum(c for a, p, c in cells if a is not None and a == p)
+    pe = sum(
+        rn * col_n.get(lang, 0)
+        for lang, rn in row_n.items()
+        if lang is not None
+    )
     # the identical IEEE sequence as the oracle: integer->double casts,
     # one multiply-subtract each side, one division
     denom = float(n) * float(n) - float(pe)
@@ -1965,7 +1978,7 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (float(n) * float(n_agree) - float(pe)) / denom if denom != 0 else None
     )
     return spark.createDataFrame(
-        [(n, n_agree, n_agree * 10**9 // n if n else None, kappa)],
+        [(n, n_agree, n_agree * 10**9 // n, kappa)],
         "n_docs long, n_agree long, po_ppb long, kappa double",
     )
 
@@ -2098,22 +2111,31 @@ def profile_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) % 7 AS b
         FROM events
     ),
-    cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM e GROUP BY a, b),
-    rows_ AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
-    cols_ AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+    obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM e GROUP BY a, b),
+    rows_ AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY a),
+    cols_ AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY b),
+    cells AS (
+        SELECT r.a, cl.b, r.r, cl.c, CAST(COALESCE(obs.o, 0) AS BIGINT) AS o
+        FROM rows_ r CROSS JOIN cols_ cl
+        LEFT JOIN obs ON obs.a = r.a AND obs.b = cl.b
+    ),
     tot AS (
         SELECT CAST(SUM(o) AS BIGINT) AS n,
                CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
                CAST(COUNT(DISTINCT b) AS BIGINT) AS nc
-        FROM cells
+        FROM obs
+    ),
+    nd AS (
+        SELECT (CAST(c.o AS HUGEINT) * t.n - CAST(c.r AS HUGEINT) * c.c)
+               * (CAST(c.o AS HUGEINT) * t.n - CAST(c.r AS HUGEINT) * c.c)
+                   AS num,
+               CAST(t.n AS HUGEINT) * c.r * c.c AS den
+        FROM cells c CROSS JOIN tot t
     ),
     contrib AS (
-        SELECT (CAST(c.o AS HUGEINT) * t.n - CAST(r.r AS HUGEINT) * cl.c)
-               * (CAST(c.o AS HUGEINT) * t.n - CAST(r.r AS HUGEINT) * cl.c)
-               * 1000000000
-               // (CAST(t.n AS HUGEINT) * r.r * cl.c) AS ppb
-        FROM cells c
-        JOIN rows_ r USING (a) JOIN cols_ cl USING (b) CROSS JOIN tot t
+        SELECT num // den * 1000000000 + num % den * 1000000000 // den
+                   AS ppb
+        FROM nd
     )
     SELECT t.n,
            CAST((t.nr - 1) * (t.nc - 1) AS BIGINT) AS dof,
@@ -2137,19 +2159,24 @@ def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     days-since-epoch mod 7 (engine DAYOFWEEK conventions differ).
 
     Determinism discipline: chi² = Σ (O·N − R·C)² / (N·R·C) over the
-    CONTINGENCY TABLE — each cell's contribution is floor-quantized to
-    integer ppb (decimal(38,0) / HUGEINT intermediates) and SUMMED AS
-    INTEGERS, so the statistic is order-independent and hash-matches
-    across engines; Cramér's V is then ONE double division + sqrt of
-    exact integers (the eval_regression_metrics IEEE discipline). The
-    wide arithmetic runs on the r×c cell table (≤ |types|×7 rows), not
-    the events scan — (O·N−R·C)² stays inside 38 digits for N up to
-    ~3·10⁹ per profiled slice; beyond that, profile per partition-slice
-    (the ppb quantization note in the module docstring).
+    FULL r×c grid — the contingency table is completed with O = 0 cells
+    (rows_ × cols_ left-joined with the observed counts; review r10: a
+    category that vanishes from part of the domain contributes E =
+    R·C/N per missing cell, exactly the signal an independence test
+    exists to catch). Each cell's contribution is floor-quantized to
+    integer ppb via the split division num div den · 1e9 + (num mod
+    den) · 1e9 div den — algebraically floor(num·1e9/den) but every
+    intermediate stays inside decimal(38,0)/HUGEINT up to N ≈ 3·10⁹
+    per profiled slice (the naive num·1e9 overflows at N ≈ 2·10⁷);
+    integer sums are order-independent, so the statistic hash-matches
+    across engines. Spark's `div` on decimal operands returns LONG —
+    safe here because both quotients are ≤ N·1e9 < 2⁶³. Cramér's V is
+    then ONE double division + sqrt of exact integers (the
+    eval_regression_metrics IEEE discipline).
 
-    Scale: one map-side-combinable groupBy(a, b) over the scan; row /
-    column marginals and the total are re-aggregations of the tiny cell
-    table; output is ONE row."""
+    Scale: one map-side-combinable groupBy(a, b) over the scan; the
+    grid completion, marginals and wide arithmetic run on the ≤
+    |types|×7 cell table; output is ONE row."""
     e = t(spark, sf_dir, "events").select(
         F.col("event_type").alias("a"),
         F.pmod(
@@ -2159,24 +2186,36 @@ def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("b"),
     )
-    cells = e.groupBy("a", "b").agg(F.count("*").cast("long").alias("o"))
-    rows_ = cells.groupBy("a").agg(F.sum("o").cast("long").alias("r"))
-    cols_ = cells.groupBy("b").agg(F.sum("o").cast("long").alias("c"))
-    tot = cells.agg(
+    obs = e.groupBy("a", "b").agg(F.count("*").cast("long").alias("o"))
+    rows_ = obs.groupBy("a").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = obs.groupBy("b").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(
         F.sum("o").cast("long").alias("n"),
         F.count_distinct("a").cast("long").alias("nr"),
         F.count_distinct("b").cast("long").alias("nc"),
     )
+    grid = (
+        rows_.crossJoin(cols_)
+        .join(F.broadcast(obs), ["a", "b"], "left")
+        .select(
+            "r", "c", F.coalesce("o", F.lit(0)).cast("long").alias("o")
+        )
+    )
     contrib = (
-        cells.join(F.broadcast(rows_), "a")
-        .join(F.broadcast(cols_), "b")
-        .crossJoin(F.broadcast(tot))
+        grid.crossJoin(F.broadcast(tot))
         .select(
             F.expr(
                 "(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
                 " * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
-                " * 1000000000"
-                " div (CAST(n AS DECIMAL(38,0)) * r * c)"
+            ).alias("num"),
+            F.expr("CAST(n AS DECIMAL(38,0)) * r * c").alias("den"),
+            "n",
+            "nr",
+            "nc",
+        )
+        .select(
+            F.expr(
+                "num div den * 1000000000 + num % den * 1000000000 div den"
             ).alias("ppb"),
             "n",
             "nr",
@@ -2342,19 +2381,32 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     cnt = {(r.w, r.l): r.cnt for r in wins.collect()}  # <=|items|^2 grid
+    # items = ALL distinct event types, not just those forming win
+    # pairs — the oracle's items CTE includes comparison-less types
+    # (strength 0 rows), and k = |items| enters p0's floor division,
+    # so a mismatched item set would perturb EVERY strength (review
+    # r10; latent at this SF where every type forms pairs)
+    all_items = [r.item for r in e.select(F.col("event_type").alias("item")).distinct().collect()]
     return spark.createDataFrame(
-        bt_fit(cnt),
+        bt_fit(cnt, items=all_items),
         "item string, wins long, comparisons long, strength_ppb long, rank long",
     )
 
 
-def bt_fit(cnt: dict[tuple[str, str], int]) -> list[tuple]:
+def bt_fit(
+    cnt: dict[tuple[str, str], int], items: list[str] | None = None
+) -> list[tuple]:
     """The driver-side MM iteration on the collected (winner, loser) →
     count grid — factored out so the integer arithmetic is unit-testable
     without a corpus (zero-win items, missing pairs, tie ranks). Exact
     Python bigints; mirrors the oracle's generated CTE rounds
-    term-for-term (same floor divisions, same order-independent sums)."""
-    items = sorted({i for pair in cnt for i in pair})
+    term-for-term (same floor divisions, same order-independent sums).
+    ``items`` is the FULL item universe (comparison-less items get
+    strength 0 and still count toward k); defaults to the items seen in
+    ``cnt``."""
+    items = sorted(items) if items is not None else sorted(
+        {i for pair in cnt for i in pair}
+    )
     if not items:
         return []
     wtot = {i: sum(c for (w, _), c in cnt.items() if w == i) for i in items}
@@ -2376,6 +2428,9 @@ def bt_fit(cnt: dict[tuple[str, str], int]) -> list[tuple]:
             for i in items
         }
         s = sum(raw.values())
+        if s == 0:  # no comparisons anywhere -> all strengths 0
+            p = {i: 0 for i in items}
+            break
         p = {i: raw[i] * 10**9 // s for i in items}
     comparisons = {i: sum(nv for (a_, _), nv in n.items() if a_ == i) for i in items}
     ranked = sorted(items, key=lambda i: (-p[i], i))

@@ -189,19 +189,31 @@ def _json_default(v):
     raise TypeError(f"avroocf: cannot JSON-encode {type(v).__name__}")
 
 
-def _branch_tag(schema) -> str:
+def _fullname(schema: dict, enclosing_ns: str | None) -> str:
+    """Spec §Names fullname resolution for a named type: a dotted name
+    IS the fullname; otherwise the explicit ``namespace`` attribute
+    applies, and failing that the namespace is INHERITED from the
+    most-tightly-enclosing named schema (review r10: a bare-named
+    record nested inside a namespaced one has the enclosing
+    namespace's fullname)."""
+    name = schema["name"]
+    if "." in name:
+        return name
+    ns = schema.get("namespace", enclosing_ns)
+    return f"{ns}.{name}" if ns else name
+
+
+def _branch_tag(schema, enclosing_ns: str | None = None) -> str:
     """The Avro JSON-encoding tag for a union branch: the type name for
-    primitives/array/map, the FULLNAME (namespace.name, spec §Names)
-    for named types — the JSON encoding tags named branches by
-    fullname, and two same-named records in different namespaces must
-    not collide into one tag (review r10)."""
+    primitives/array/map, the FULLNAME (namespace.name, spec §Names,
+    incl. namespace inheritance) for named types — the JSON encoding
+    tags named branches by fullname, and two same-named records in
+    different namespaces must not collide into one tag (review r10)."""
     if isinstance(schema, str):
         return schema
-    name = schema.get("name")
-    if name is None:
+    if schema.get("name") is None:
         return schema["type"]
-    ns = schema.get("namespace")
-    return f"{ns}.{name}" if ns and "." not in name else name
+    return _fullname(schema, enclosing_ns)
 
 
 def _json_encoder(schema):
@@ -236,7 +248,9 @@ def _json_encoder(schema):
     return lambda v: v  # enum (str), fixed/bytes via _json_default, primitives
 
 
-def _plan(schema, *, logical: str = "raw", unions: str = "refuse") -> tuple:
+def _plan(
+    schema, *, logical: str = "raw", unions: str = "refuse", ns: str | None = None
+) -> tuple:
     """Returns (decode(cursor) -> python value, spark DataType).
 
     ``logical="raw"`` (default) decodes logical types as their
@@ -264,7 +278,7 @@ def _plan(schema, *, logical: str = "raw", unions: str = "refuse") -> tuple:
         branches = [b for b in schema if b != "null"]
         if len(branches) == 1 and "null" in schema:
             null_idx = schema.index("null")
-            dec, typ = _plan(branches[0], logical=logical, unions=unions)
+            dec, typ = _plan(branches[0], logical=logical, unions=unions, ns=ns)
 
             def read_union(cur, _null_idx=null_idx, _dec=dec):
                 return None if cur.read_long() == _null_idx else _dec(cur)
@@ -286,8 +300,8 @@ def _plan(schema, *, logical: str = "raw", unions: str = "refuse") -> tuple:
             if b == "null":
                 decs.append(None)
             else:
-                dec, _typ = _plan(b, logical=logical, unions=unions)
-                decs.append((dec, _branch_tag(b), _json_encoder(b)))
+                dec, _typ = _plan(b, logical=logical, unions=unions, ns=ns)
+                decs.append((dec, _branch_tag(b, ns), _json_encoder(b)))
 
         def read_union_variant(cur, _decs=decs):
             i = cur.read_long()
@@ -333,13 +347,17 @@ def _plan(schema, *, logical: str = "raw", unions: str = "refuse") -> tuple:
         size = int(schema["size"])
         return (lambda cur, _n=size: cur.take(_n)), BinaryType()
     if t == "array":
-        item_dec, item_typ = _plan(schema["items"], logical=logical, unions=unions)
+        item_dec, item_typ = _plan(
+            schema["items"], logical=logical, unions=unions, ns=ns
+        )
         return (
             lambda cur, _d=item_dec: _skip_blocks_read(cur, _d),
             ArrayType(item_typ),
         )
     if t == "map":
-        val_dec, val_typ = _plan(schema["values"], logical=logical, unions=unions)
+        val_dec, val_typ = _plan(
+            schema["values"], logical=logical, unions=unions, ns=ns
+        )
 
         def read_map(cur, _d=val_dec):
             return dict(
@@ -348,8 +366,10 @@ def _plan(schema, *, logical: str = "raw", unions: str = "refuse") -> tuple:
 
         return read_map, MapType(StringType(), val_typ)
     if t == "record":
+        # children inherit this record's namespace (spec §Names)
+        child_ns = _fullname(schema, ns).rsplit(".", 1)[0] if "." in _fullname(schema, ns) else None
         fields = [
-            (f["name"], *_plan(f["type"], logical=logical, unions=unions))
+            (f["name"], *_plan(f["type"], logical=logical, unions=unions, ns=child_ns))
             for f in schema["fields"]
         ]
 

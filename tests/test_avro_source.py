@@ -494,3 +494,36 @@ def test_union_named_branch_tagged_by_fullname(tmp_path):
     assert str(got[2][0]) == '{"string":"plain"}'
     # 2-branch ['null', named] stays a plain typed column, not variant
     assert got[0][1] == "A" and got[2][1] == "B"
+
+
+def test_union_branch_inherits_enclosing_namespace(tmp_path):
+    """Review r10: a bare-named record inside a namespaced record has
+    fullname <enclosing-ns>.<name> per spec §Names — the variant tag
+    must inherit, not fall back to the bare name."""
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "namespace": "com.x",
+        "fields": [
+            {
+                "name": "u",
+                "type": [
+                    "null",
+                    {
+                        "type": "record",
+                        "name": "Inner",  # no namespace key: inherits com.x
+                        "fields": [{"name": "v", "type": "long"}],
+                    },
+                    "string",
+                ],
+            }
+        ],
+    }
+    rows = [((7,),), (None,), ("s",)]
+    path = str(tmp_path / "inherit.avro")
+    write_ocf(path, schema, rows)
+    _, got, skipped = read_ocf(path, unions="variant")
+    assert skipped == 0
+    assert str(got[0][0]) == '{"com.x.Inner":{"v":7}}'
+    assert got[1][0] is None
+    assert str(got[2][0]) == '{"string":"s"}'

@@ -43,3 +43,19 @@ def test_bt_symmetric_record_is_uniform():
 def test_bt_empty_grid():
     assert bt_fit({}) == []
     assert _BT_K >= 1
+
+
+def test_bt_explicit_universe_includes_comparisonless_item():
+    # 'd' never meets anyone: strength 0, still counted in k (the
+    # oracle's items CTE shape — review r10)
+    rows = {r[0]: r for r in map(tuple,
+            bt_fit({("a", "b"): 9, ("b", "a"): 1}, items=["a", "b", "d"]))}
+    assert set(rows) == {"a", "b", "d"}
+    assert rows["d"][1] == rows["d"][2] == rows["d"][3] == 0
+    assert rows["d"][4] == 3
+    assert rows["a"][4] == 1
+
+
+def test_bt_all_ties_universe_yields_zero_strengths():
+    rows = [tuple(r) for r in bt_fit({}, items=["a", "b"])]
+    assert [(r[3], r[4]) for r in rows] == [(0, 1), (0, 2)]

@@ -67,6 +67,10 @@ FLAGSHIPS = [
     ("search_mrr_ndcg_bm25", "planted docs union into the scan; the metric wrapper runs on |queries|*k rows after the retriever's own plan (r10)"),
     ("profile_ks_statistic", "two per-value partial aggregates merge full-outer; the CDF walk and supremum see value-domain rows only (r10)"),
     ("eval_regression_metrics", "group means (<=5 rows) and the global mean (1 row) broadcast back over the scan; one map-side-combinable final aggregate (r10)"),
+    ("profile_chi_square", "one (a, b) rollup off the scan; grid completion, marginals and the wide divmod arithmetic all run on contingency-cell rows (r10)"),
+    ("events_ab_cuped", "one user groupBy ledger; theta's co-moment agg and the variant rollup are re-aggregations of it, broadcast back (r10)"),
+    ("eval_confusion_multiclass", "centroids from a posexplode rollup re-assembled and BROADCAST; classification is one codegen zip_with scan, no vector shuffle (r10)"),
+    ("corpus_temperature_mix", "source-keyed token aggregate + 1-row broadcast total; weights/epochs are row-local decimal arithmetic (r10)"),
 ]
 
 
