@@ -2439,9 +2439,54 @@ def bt_fit(
     ]
 
 
-@register(
-    "eval_confusion_multiclass",
-    oracle="""
+def _centroid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized nearest-centroid classifier over embeddings as a
+    (vec_id, actual, pred) frame — the Spark twin of
+    ``_CENTROID_PRED_SQL``, shared by eval_confusion_multiclass and
+    eval_mcnemar. Centroids: floored integer means per dimension from a
+    narrow posexplode rollup, re-assembled per label and BROADCAST;
+    classification: one codegen zip_with/aggregate scan; argmin
+    tie-breaks (distance, label)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " e -> CAST(FLOOR(e * 1000000.0D + 0.5D) AS BIGINT))"
+        ).alias("qv"),
+    )
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("qv").alias("dim", "v")
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("cand"), "dim")
+        .agg(F.expr("CAST(SUM(v) div COUNT(*) AS BIGINT)").alias("c"))
+        .groupBy("cand")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+            ).alias("cvec")
+        )
+    )
+    dist = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cand",
+        F.expr(
+            "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("d2"),
+    )
+    return dist.groupBy("vec_id", F.col("label").alias("actual")).agg(
+        F.min(F.struct("d2", "cand")).getField("cand").alias("pred")
+    )
+
+
+# The quantized nearest-centroid classifier over embeddings, as a
+# standalone (vec_id, actual, pred) SELECT — shared by
+# eval_confusion_multiclass and eval_mcnemar so the predictor cannot
+# drift between the metric lanes that grade it.
+_CENTROID_PRED_SQL = """
     WITH q AS (
         SELECT vec_id, label,
                list_transform(embedding,
@@ -2469,8 +2514,15 @@ def bt_fit(
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY d2 ASC, cand ASC) AS rn
         FROM dist
-    ),
-    conf AS (SELECT label AS actual, cand AS pred FROM ranked WHERE rn = 1),
+    )
+    SELECT vec_id, label AS actual, cand AS pred FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "eval_confusion_multiclass",
+    oracle=f"""
+    WITH conf AS ({_CENTROID_PRED_SQL}),
     classes AS (SELECT DISTINCT label AS cls FROM embeddings),
     per AS (
         SELECT c.cls,
@@ -2537,40 +2589,12 @@ def eval_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate distance per (vector, label) — linear in
     |vectors|·|labels|, no shuffle of the vectors; the confusion matrix
     and class metrics aggregate |labels|²-bounded frames."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr(
-            "transform(embedding,"
-            " e -> CAST(FLOOR(e * 1000000.0D + 0.5D) AS BIGINT))"
-        ).alias("qv"),
+    conf = _centroid_predictions(spark, sf_dir)
+    classes = (
+        t(spark, sf_dir, "embeddings")
+        .select(F.col("label").alias("cls"))
+        .distinct()
     )
-    ex = emb.select(
-        "vec_id", "label", F.posexplode("qv").alias("dim", "v")
-    )
-    cent = (
-        ex.groupBy(F.col("label").alias("cand"), "dim")
-        .agg(F.expr("CAST(SUM(v) div COUNT(*) AS BIGINT)").alias("c"))
-        .groupBy("cand")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
-            ).alias("cvec")
-        )
-    )
-    dist = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "label",
-        "cand",
-        F.expr(
-            "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)),"
-            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        ).alias("d2"),
-    )
-    conf = dist.groupBy("vec_id", F.col("label").alias("actual")).agg(
-        F.min(F.struct("d2", "cand")).getField("cand").alias("pred")
-    )
-    classes = emb.select(F.col("label").alias("cls")).distinct()
     nt = conf.groupBy(F.col("actual").alias("cls")).agg(
         F.count("*").cast("long").alias("n_true")
     )
@@ -2637,4 +2661,122 @@ def eval_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(tp) OVER () * 1000000000 div SUM(n_true) OVER ()")
         .cast("long")
         .alias("micro_accuracy_ppb"),
+    )
+
+
+@register(
+    "eval_mcnemar",
+    oracle=f"""
+    WITH conf AS ({_CENTROID_PRED_SQL}),
+    maj AS (
+        SELECT label AS maj_label FROM
+            (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label)
+        ORDER BY cnt DESC, label ASC LIMIT 1
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN pred = actual THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a_correct,
+               CAST(SUM(CASE WHEN actual = maj_label THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b_correct,
+               CAST(SUM(CASE WHEN pred = actual AND actual <> maj_label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b_disc,
+               CAST(SUM(CASE WHEN pred <> actual AND actual = maj_label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c_disc,
+               CAST(MAX(maj_label) AS BIGINT) AS maj_label
+        FROM conf CROSS JOIN maj
+    )
+    SELECT n_vecs, a_correct, b_correct, b_disc, c_disc, maj_label,
+           CASE WHEN b_disc + c_disc > 0
+                THEN CAST(CAST(b_disc - c_disc AS HUGEINT)
+                          * (b_disc - c_disc) * 1000000000
+                          // (b_disc + c_disc) AS BIGINT)
+           END AS mcnemar_ppb
+    FROM agg
+    """,
+    tags=("profiling", "eval"),
+)
+def eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired classifier decisions — "is classifier A
+    actually better than classifier B on the SAME items?", the question
+    raw accuracy deltas can't answer because the two error sets
+    overlap. Pairs the quantized nearest-centroid embedding classifier
+    (``_centroid_predictions`` — the same predictor
+    eval_confusion_multiclass grades, composed so it cannot drift)
+    against the majority-label baseline (predict the most common label
+    — the floor any classifier must beat). Only the DISCORDANT pairs
+    carry signal: b = A right where B wrong, c = A wrong where B right,
+    statistic = (b − c)²/(b + c) (~χ²₁ under H0, no continuity
+    correction — stated, not hidden). A text-classifier pairing was
+    tried first and measured ZERO discordance on this corpus (the
+    synthetic non-en documents carry no foreign marker words, so every
+    text classifier degenerates to the majority class) — a McNemar
+    demo needs classifiers that actually disagree, and the centroid
+    classifier beats majority ~41% vs ~12%.
+
+    Determinism discipline: the majority label is picked by (count
+    DESC, label ASC) — a total order, no arbitrary tie; b, c are exact
+    integer counts and the statistic is floor-quantized to integer ppb
+    with a decimal(38,0)/HUGEINT square ((b−c)²·1e9 ≤ n²·1e9, inside 38
+    digits to n ~ 3·10⁹ per slice).
+
+    Scale: the classifier is the confusion lane's broadcast-centroid
+    scan; the majority pick is a |labels|-row aggregate broadcast back
+    as one row; b/c/n are one map-side-combinable aggregate; output is
+    ONE row."""
+    conf = _centroid_predictions(spark, sf_dir)
+    maj = (
+        t(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("label"))
+        .limit(1)
+        .select(F.col("label").alias("maj_label"))
+    )
+    flags = conf.crossJoin(F.broadcast(maj))
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("pred") == F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("a_correct"),
+        F.sum(F.when(F.col("actual") == F.col("maj_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("b_correct"),
+        F.sum(
+            F.when(
+                (F.col("pred") == F.col("actual"))
+                & (F.col("actual") != F.col("maj_label")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("b_disc"),
+        F.sum(
+            F.when(
+                (F.col("pred") != F.col("actual"))
+                & (F.col("actual") == F.col("maj_label")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_disc"),
+        F.max("maj_label").cast("long").alias("maj_label"),
+    )
+    return agg.select(
+        "n_vecs",
+        "a_correct",
+        "b_correct",
+        "b_disc",
+        "c_disc",
+        "maj_label",
+        F.when(
+            F.col("b_disc") + F.col("c_disc") > 0,
+            F.expr(
+                "CAST(b_disc - c_disc AS DECIMAL(38,0))"
+                " * (b_disc - c_disc) * 1000000000"
+                " div (b_disc + c_disc)"
+            ),
+        )
+        .cast("long")
+        .alias("mcnemar_ppb"),
     )
