@@ -104,6 +104,35 @@ HEADLINE_V2 = [
 ]
 
 
+# v3 headliners (round 10): the r8-r10 analytics surface the v1/v2 sets
+# predate — attribution models, the LLM-data-selection and sketch lanes,
+# the eval family, and this round's stats/experimentation additions.
+# v1/v2 stay FROZEN for cross-round comparability; this list gets its own
+# metric. BENCH_r10 is the v3 baseline.
+HEADLINE_V3 = [
+    "events_attribution_shapley",
+    "events_attribution_markov",
+    "events_attribution_time_decay",
+    "text_dsir_weights",
+    "text_bpe_train_merges",
+    "dedup_bloom_screen_sized",
+    "agg_pareto_abc",
+    "eval_binary_auc",
+    "eval_precision_recall_curve",
+    "eval_regression_metrics",
+    "eval_rank_correlation",
+    "eval_bradley_terry",
+    "eval_confusion_multiclass",
+    "eval_mcnemar",
+    "events_ab_cuped",
+    "profile_chi_square",
+    "profile_ks_statistic",
+    "corpus_split_assign",
+    "corpus_temperature_mix",
+    "search_mrr_ndcg_hybrid",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -148,7 +177,7 @@ def main() -> None:
     for _pass in range(n_passes):
         if _pass > 0:
             calib_samples.append(_calib_once())
-        for name in HEADLINE + HEADLINE_V2:
+        for name in HEADLINE + HEADLINE_V2 + HEADLINE_V3:
             spec = specs[name]
             t0 = time.time()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -169,8 +198,10 @@ def main() -> None:
 
     v1_times = {n: times[n] for n in HEADLINE}
     v2_times = {n: times[n] for n in HEADLINE_V2}
+    v3_times = {n: times[n] for n in HEADLINE_V3}
     total = round(sum(v1_times.values()), 3)
     total_v2 = round(sum(v2_times.values()), 3)
+    total_v3 = round(sum(v3_times.values()), 3)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -180,6 +211,10 @@ def main() -> None:
         "value_v2": total_v2,
         "queries_v2": v2_times,
         "value_v2_normalized": round(total_v2 / calib, 1) if calib else None,
+        "metric_v3": "headline_queries_v3_total_wall",
+        "value_v3": total_v3,
+        "queries_v3": v3_times,
+        "value_v3_normalized": round(total_v3 / calib, 1) if calib else None,
         "passes": n_passes,
         "estimator": "min",
         "calib_sec": calib,
@@ -212,6 +247,9 @@ def main() -> None:
         "calib_minmax": calib_spread,
         "value_normalized": round(total / calib, 1) if calib else None,
         "value_v2_normalized": round(total_v2 / calib, 1) if calib else None,
+        "metric_v3": "headline_queries_v3_total_wall",
+        "value_v3": total_v3,
+        "value_v3_normalized": round(total_v3 / calib, 1) if calib else None,
         "sf": sf,
         "detail": "BENCH_local.json",
     }

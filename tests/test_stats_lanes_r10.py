@@ -59,3 +59,44 @@ def test_bt_explicit_universe_includes_comparisonless_item():
 def test_bt_all_ties_universe_yields_zero_strengths():
     rows = [tuple(r) for r in bt_fit({}, items=["a", "b"])]
     assert [(r[3], r[4]) for r in rows] == [(0, 1), (0, 2)]
+
+
+# --- property pins (hypothesis) --------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_items = st.sampled_from(["a", "b", "c", "d"])
+_grids = st.dictionaries(
+    st.tuples(_items, _items).filter(lambda p: p[0] != p[1]),
+    st.integers(min_value=1, max_value=500),
+    max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_grids)
+def test_bt_strengths_normalize_and_conserve(cnt):
+    rows = [tuple(r) for r in bt_fit(cnt)]
+    if not rows:
+        assert cnt == {}
+        return
+    k = len(rows)
+    total_strength = sum(r[3] for r in rows)
+    # normalized to 1e9 up to one floor-loss unit per item
+    assert 10**9 - k <= total_strength <= 10**9
+    assert sum(r[1] for r in rows) == sum(cnt.values())  # wins conserve
+    for item, wins, comps, _s, _rk in rows:
+        assert 0 <= wins <= comps
+    assert sorted(r[4] for r in rows) == list(range(1, k + 1))  # dense ranks
+
+
+@settings(max_examples=200, deadline=None)
+@given(_grids)
+def test_bt_label_permutation_equivariance(cnt):
+    ren = {"a": "w", "b": "x", "c": "y", "d": "z"}
+    mapped = {(ren[i], ren[j]): c for (i, j), c in cnt.items()}
+    base = {r[0]: tuple(r)[1:4] for r in bt_fit(cnt)}
+    perm = {r[0]: tuple(r)[1:4] for r in bt_fit(mapped)}
+    # a→w … is order-preserving, so ranks AND strengths carry over exactly
+    assert {ren[i]: v for i, v in base.items()} == perm
