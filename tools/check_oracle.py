@@ -99,6 +99,71 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def check_one(name, spec, spark, cur, sf: str, schema_only: bool) -> tuple[str, str]:
+    """One query's full comparison → (status in pass/fail/rows, message).
+    ``cur`` is a per-caller duckdb cursor (cursors share the connection's
+    catalog but are independently usable — the unit of thread safety)."""
+    t0 = time.time()
+    try:
+        sdf = spec.builder(spark, sf)
+        scols = sdf.columns
+        srows = [] if schema_only else [tuple(r) for r in sdf.collect()]
+        # Arrow schema via LIMIT 0 — Catalyst collapses the plan, so
+        # this costs ~nothing and carries the exact result dtypes.
+        s_schema = sdf.limit(0).toArrow().schema
+    except Exception as e:
+        return "fail", f"FAIL  {name}: spark error: {e}"
+    t_spark = time.time() - t0
+    if spec.oracle is None:
+        if schema_only:
+            return "rows", f"skip  {name}: no oracle"
+        return "rows", f"rows  {name}: {len(srows)} rows (no oracle) [{t_spark:.1f}s]"
+    t1 = time.time()
+    try:
+        o_schema = cur.execute(
+            f"SELECT * FROM ({spec.oracle}) __o LIMIT 0"
+        ).arrow().schema
+        if schema_only:
+            ocols = list(o_schema.names)
+            orows = []
+        else:
+            res = cur.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+    except Exception as e:
+        return "fail", f"FAIL  {name}: duckdb error: {e}"
+    t_duck = time.time() - t1
+
+    problems = []
+    if not schema_only and len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if sorted(scols) != sorted(o_schema.names):
+        problems.append(f"cols spark={sorted(scols)} oracle={sorted(o_schema.names)}")
+    else:
+        problems.extend(dtype_problems(s_schema, o_schema))
+    if schema_only:
+        pass
+    elif not problems:
+        sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
+        if sh != oh:
+            problems.append(f"hash spark={sh} oracle={oh}")
+            # print the first differing canonical row for debugging
+            so = sorted(range(len(scols)), key=lambda i: scols[i])
+            oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            s_set = sorted("|".join(canon(r[i]) for i in so) for r in srows)
+            o_set = sorted("|".join(canon(r[i]) for i in oo) for r in orows)
+            for a, b in zip(s_set, o_set):
+                if a != b:
+                    problems.append(f"  first diff:\n    spark  {a[:300]}\n    oracle {b[:300]}")
+                    break
+    if problems:
+        return "fail", f"FAIL  {name}: " + "; ".join(problems)
+    return "pass", (
+        f"PASS  {name}: {len(srows)} rows "
+        f"[spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -107,6 +172,15 @@ def main() -> int:
         "--schema-only",
         action="store_true",
         help="compare dtypes only, via LIMIT-0 plans (fast hazard sweep)",
+    )
+    ap.add_argument(
+        "--jobs",
+        type=int,
+        default=1,
+        help="concurrent queries (opt-in; Spark actions are thread-safe "
+        "on one session and each worker gets its own duckdb cursor — "
+        "per-query walls overlap under contention, so keep the default "
+        "when the printed timings matter)",
     )
     args = ap.parse_args()
 
@@ -122,83 +196,30 @@ def main() -> int:
         wanted = args.only.split(",")
         specs = {k: v for k, v in specs.items() if k in wanted}
 
-    n_pass = n_fail = n_rows_only = 0
-    for name, spec in sorted(specs.items()):
-        t0 = time.time()
-        try:
-            sdf = spec.builder(spark, args.sf)
-            scols = sdf.columns
-            if args.schema_only:
-                srows = []
-            else:
-                srows = [tuple(r) for r in sdf.collect()]
-            # Arrow schema via LIMIT 0 — Catalyst collapses the plan, so
-            # this costs ~nothing and carries the exact result dtypes.
-            s_schema = sdf.limit(0).toArrow().schema
-        except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
-            n_fail += 1
-            continue
-        t_spark = time.time() - t0
-        if spec.oracle is None:
-            if args.schema_only:
-                print(f"skip  {name}: no oracle")
-            else:
-                print(f"rows  {name}: {len(srows)} rows (no oracle) [{t_spark:.1f}s]")
-            n_rows_only += 1
-            continue
-        t1 = time.time()
-        try:
-            o_schema = con.execute(
-                f"SELECT * FROM ({spec.oracle}) __o LIMIT 0"
-            ).arrow().schema
-            if args.schema_only:
-                ocols = list(o_schema.names)
-                orows = []
-            else:
-                res = con.execute(spec.oracle)
-                ocols = [d[0] for d in res.description]
-                orows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
-        t_duck = time.time() - t1
+    ordered = sorted(specs.items())
+    if args.jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
 
-        problems = []
-        if not args.schema_only and len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(o_schema.names):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(o_schema.names)}")
-        else:
-            problems.extend(dtype_problems(s_schema, o_schema))
-        if args.schema_only:
-            pass
-        elif not problems:
-            sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
-            if sh != oh:
-                problems.append(f"hash spark={sh} oracle={oh}")
-                # print the first differing canonical row for debugging
-                so = sorted(range(len(scols)), key=lambda i: scols[i])
-                oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                s_set = sorted("|".join(canon(r[i]) for i in so) for r in srows)
-                o_set = sorted("|".join(canon(r[i]) for i in oo) for r in orows)
-                for a, b in zip(s_set, o_set):
-                    if a != b:
-                        problems.append(f"  first diff:\n    spark  {a[:300]}\n    oracle {b[:300]}")
-                        break
-        if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems))
-            n_fail += 1
-        else:
-            print(
-                f"PASS  {name}: {len(srows)} rows "
-                f"[spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
-            )
-            n_pass += 1
+        pool = ThreadPoolExecutor(max_workers=args.jobs)
+        results = pool.map(
+            lambda kv: check_one(
+                kv[0], kv[1], spark, con.cursor(), args.sf, args.schema_only
+            ),
+            ordered,
+        )
+    else:
+        results = (
+            check_one(name, spec, spark, con.cursor(), args.sf, args.schema_only)
+            for name, spec in ordered
+        )
 
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
-    return 1 if n_fail else 0
+    n = {"pass": 0, "fail": 0, "rows": 0}
+    for status, msg in results:  # deterministic name order; prints as ready
+        print(msg, flush=True)
+        n[status] += 1
+
+    print(f"\n{n['pass']} pass, {n['fail']} fail, {n['rows']} rows-only")
+    return 1 if n["fail"] else 0
 
 
 if __name__ == "__main__":
