@@ -2780,3 +2780,75 @@ def eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mcnemar_ppb"),
     )
+
+
+_K_ANON = 5  # the audit threshold; a knob in production
+
+
+@register(
+    "profile_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_nationkey AS qi1, c_mktsegment AS qi2,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS qi3
+        FROM customer
+    ),
+    g AS (SELECT qi1, qi2, qi3, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM q GROUP BY qi1, qi2, qi3)
+    SELECT CAST({_K_ANON} AS BIGINT) AS k,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(MIN(sz) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END)
+                * 1000000000 // SUM(sz) AS BIGINT) AS risk_ppb
+    FROM g
+    """,
+    tags=("profiling", "governance"),
+)
+def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the governance
+    measurement BEFORE a release decision, completing the privacy
+    surface beside the PII scrub (redact direct identifiers) and
+    right-to-be-forgotten erasure (delete on request): a row is
+    re-identifiable when its quasi-identifier combination (here nation
+    × market segment × $1000 balance bucket) is shared by fewer than k
+    individuals. Emits the violating-group count, rows at risk and the
+    risk fraction (integer ppb) — the numbers a reviewer checks against
+    policy, not a pass/fail the engine decides.
+
+    Determinism discipline: the balance bucket is FLOOR(x/1000) on the
+    exact double (one IEEE division, identical both engines); all
+    counts exact integers; risk_ppb one integer floor-division.
+
+    Scale: ONE map-side-combinable groupBy over the quasi-identifier
+    tuple (the same shape as any distinct-count profile), then a
+    single-row aggregate over group sizes — group count is bounded by
+    the QI domain, never row count; output is ONE row."""
+    q = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("qi1"),
+        F.col("c_mktsegment").alias("qi2"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("qi3"),
+    )
+    g = q.groupBy("qi1", "qi2", "qi3").agg(F.count("*").cast("long").alias("sz"))
+    return g.agg(
+        F.lit(_K_ANON).cast("long").alias("k"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("sz") < _K_ANON, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("sz") < _K_ANON, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("sz").cast("long").alias("min_group_size"),
+        F.expr(
+            f"SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END)"
+            " * 1000000000 div SUM(sz)"
+        )
+        .cast("long")
+        .alias("risk_ppb"),
+    )
