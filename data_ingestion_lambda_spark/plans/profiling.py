@@ -2852,3 +2852,84 @@ def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("risk_ppb"),
     )
+
+
+_L_DIV = 3  # the audit threshold; a knob in production
+
+
+@register(
+    "profile_l_diversity",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_nationkey AS qi1,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS qi2,
+               c_mktsegment AS sens
+        FROM customer
+    ),
+    g AS (
+        SELECT qi1, qi2,
+               CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct
+        FROM q GROUP BY qi1, qi2
+    )
+    SELECT CAST({_L_DIV} AS BIGINT) AS l,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN l_distinct < {_L_DIV} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_homogeneous_groups,
+           CAST(SUM(CASE WHEN l_distinct < {_L_DIV} THEN sz ELSE 0 END)
+               AS BIGINT) AS rows_at_risk,
+           CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l_distinct < {_L_DIV} THEN sz ELSE 0 END)
+                * 1000000000 // SUM(sz) AS BIGINT) AS risk_ppb
+    FROM g
+    """,
+    tags=("profiling", "governance"),
+)
+def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary companion
+    (Machanavajjhala et al. 2007): a group can satisfy k-anonymity yet
+    still leak its SENSITIVE attribute when every member shares one
+    value (the homogeneity attack — "all five patients in that QI group
+    have the same diagnosis"). Per quasi-identifier group (nation ×
+    $1000 balance bucket) the audit counts DISTINCT sensitive values
+    (market segment as the stand-in sensitive column) and flags groups
+    below l; emits group/row exposure and the integer-ppb risk fraction
+    alongside ``profile_k_anonymity``'s re-identification numbers.
+
+    Determinism discipline: identical to the k-anonymity lane — one
+    IEEE division for the bucket, exact integer counts (COUNT DISTINCT
+    is exact, not a sketch), one floor-division ppb.
+
+    Scale: ONE groupBy over the QI tuple with a distinct-count
+    aggregate (Catalyst plans the Expand — at 100 TB swap to
+    approx_count_distinct per the profile_table note, trading exactness
+    the audit may not be allowed to trade), then a single-row rollup
+    over the QI-domain-bounded group table; output is ONE row."""
+    q = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("qi1"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("qi2"),
+        F.col("c_mktsegment").alias("sens"),
+    )
+    g = q.groupBy("qi1", "qi2").agg(
+        F.count("*").cast("long").alias("sz"),
+        F.count_distinct("sens").cast("long").alias("l_distinct"),
+    )
+    return g.agg(
+        F.lit(_L_DIV).cast("long").alias("l"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("l_distinct") < _L_DIV, 1).otherwise(0))
+        .cast("long")
+        .alias("n_homogeneous_groups"),
+        F.sum(F.when(F.col("l_distinct") < _L_DIV, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.expr(
+            f"SUM(CASE WHEN l_distinct < {_L_DIV} THEN sz ELSE 0 END)"
+            " * 1000000000 div SUM(sz)"
+        )
+        .cast("long")
+        .alias("risk_ppb"),
+    )
