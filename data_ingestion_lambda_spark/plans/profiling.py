@@ -2782,31 +2782,83 @@ def eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_K_ANON = 5  # the audit threshold; a knob in production
+_K_ANON = 5  # the k-anonymity audit threshold; a knob in production
+_L_DIV = 3  # the l-diversity audit threshold; a knob in production
+
+
+def _privacy_audit_rollup(
+    g, threshold: int, thr_name: str, measure: str, ngroups_name: str, min_name: str
+):
+    """One-row privacy audit over a per-QI-group frame ``g`` carrying
+    ``sz`` (group size) and ``measure`` (the flagged statistic: ``sz``
+    itself for k-anonymity, distinct-sensitive count for l-diversity) —
+    shared by both lanes so threshold/overflow fixes cannot drift
+    (review r10). The row-count products route through decimal(38,0) —
+    rows_at_risk·1e9 passes 2^63 inside the 100 TB envelope (the
+    sibling-lane wide-integer discipline; the oracles use HUGEINT)."""
+    return g.agg(
+        F.lit(threshold).cast("long").alias(thr_name),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col(measure) < threshold, 1).otherwise(0))
+        .cast("long")
+        .alias(ngroups_name),
+        F.sum(F.when(F.col(measure) < threshold, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min(measure).cast("long").alias(min_name),
+        F.expr(
+            f"CAST(SUM(CASE WHEN {measure} < {threshold} THEN sz ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000000 div SUM(sz)"
+        )
+        .cast("long")
+        .alias("risk_ppb"),
+    )
+
+
+def _privacy_audit_sql(
+    qi_select: str, threshold: int, thr_name: str, measure_sql: str,
+    measure: str, ngroups_name: str, min_name: str,
+) -> str:
+    """The DuckDB twin of ``_privacy_audit_rollup`` — generated from the
+    same parameters so the two lanes' oracles share one definition."""
+    return f"""
+    WITH q AS ({qi_select}),
+    g AS ({measure_sql}),
+    a AS (
+        SELECT CAST({threshold} AS BIGINT) AS {thr_name},
+               CAST(SUM(sz) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN {measure} < {threshold} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS {ngroups_name},
+               CAST(SUM(CASE WHEN {measure} < {threshold} THEN sz ELSE 0 END)
+                   AS BIGINT) AS rows_at_risk,
+               CAST(MIN({measure}) AS BIGINT) AS {min_name},
+               CAST(CAST(SUM(CASE WHEN {measure} < {threshold} THEN sz
+                                  ELSE 0 END) AS HUGEINT)
+                    * 1000000000 // SUM(sz) AS BIGINT) AS risk_ppb
+        FROM g
+    )
+    SELECT * FROM a
+    """
 
 
 @register(
     "profile_k_anonymity",
-    oracle=f"""
-    WITH q AS (
+    oracle=_privacy_audit_sql(
+        qi_select="""
         SELECT c_nationkey AS qi1, c_mktsegment AS qi2,
                CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS qi3
-        FROM customer
+        FROM customer""",
+        threshold=_K_ANON,
+        thr_name="k",
+        measure_sql="""
+        SELECT qi1, qi2, qi3, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM q GROUP BY qi1, qi2, qi3""",
+        measure="sz",
+        ngroups_name="n_violating_groups",
+        min_name="min_group_size",
     ),
-    g AS (SELECT qi1, qi2, qi3, CAST(COUNT(*) AS BIGINT) AS sz
-          FROM q GROUP BY qi1, qi2, qi3)
-    SELECT CAST({_K_ANON} AS BIGINT) AS k,
-           CAST(SUM(sz) AS BIGINT) AS n_rows,
-           CAST(COUNT(*) AS BIGINT) AS n_groups,
-           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_violating_groups,
-           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END) AS BIGINT)
-               AS rows_at_risk,
-           CAST(MIN(sz) AS BIGINT) AS min_group_size,
-           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END)
-                * 1000000000 // SUM(sz) AS BIGINT) AS risk_ppb
-    FROM g
-    """,
     tags=("profiling", "governance"),
 )
 def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2822,7 +2874,10 @@ def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism discipline: the balance bucket is FLOOR(x/1000) on the
     exact double (one IEEE division, identical both engines); all
-    counts exact integers; risk_ppb one integer floor-division.
+    counts exact integers; risk_ppb one integer floor-division in
+    decimal(38,0)/HUGEINT (rows_at_risk·1e9 passes 2^63 at the 100 TB
+    envelope). The rollup and its SQL twin come from ONE parameterized
+    pair of helpers shared with profile_l_diversity.
 
     Scale: ONE map-side-combinable groupBy over the quasi-identifier
     tuple (the same shape as any distinct-count profile), then a
@@ -2833,57 +2888,33 @@ def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("qi2"),
         F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("qi3"),
     )
-    g = q.groupBy("qi1", "qi2", "qi3").agg(F.count("*").cast("long").alias("sz"))
-    return g.agg(
-        F.lit(_K_ANON).cast("long").alias("k"),
-        F.sum("sz").cast("long").alias("n_rows"),
-        F.count("*").cast("long").alias("n_groups"),
-        F.sum(F.when(F.col("sz") < _K_ANON, 1).otherwise(0))
-        .cast("long")
-        .alias("n_violating_groups"),
-        F.sum(F.when(F.col("sz") < _K_ANON, F.col("sz")).otherwise(0))
-        .cast("long")
-        .alias("rows_at_risk"),
-        F.min("sz").cast("long").alias("min_group_size"),
-        F.expr(
-            f"SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END)"
-            " * 1000000000 div SUM(sz)"
-        )
-        .cast("long")
-        .alias("risk_ppb"),
+    g = q.groupBy("qi1", "qi2", "qi3").agg(
+        F.count("*").cast("long").alias("sz")
     )
-
-
-_L_DIV = 3  # the audit threshold; a knob in production
+    return _privacy_audit_rollup(
+        g, _K_ANON, "k", "sz", "n_violating_groups", "min_group_size"
+    )
 
 
 @register(
     "profile_l_diversity",
-    oracle=f"""
-    WITH q AS (
+    oracle=_privacy_audit_sql(
+        qi_select="""
         SELECT c_nationkey AS qi1,
                CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS qi2,
                c_mktsegment AS sens
-        FROM customer
-    ),
-    g AS (
+        FROM customer""",
+        threshold=_L_DIV,
+        thr_name="l",
+        measure_sql="""
         SELECT qi1, qi2,
                CAST(COUNT(*) AS BIGINT) AS sz,
                CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct
-        FROM q GROUP BY qi1, qi2
-    )
-    SELECT CAST({_L_DIV} AS BIGINT) AS l,
-           CAST(SUM(sz) AS BIGINT) AS n_rows,
-           CAST(COUNT(*) AS BIGINT) AS n_groups,
-           CAST(SUM(CASE WHEN l_distinct < {_L_DIV} THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_homogeneous_groups,
-           CAST(SUM(CASE WHEN l_distinct < {_L_DIV} THEN sz ELSE 0 END)
-               AS BIGINT) AS rows_at_risk,
-           CAST(MIN(l_distinct) AS BIGINT) AS min_l,
-           CAST(SUM(CASE WHEN l_distinct < {_L_DIV} THEN sz ELSE 0 END)
-                * 1000000000 // SUM(sz) AS BIGINT) AS risk_ppb
-    FROM g
-    """,
+        FROM q GROUP BY qi1, qi2""",
+        measure="l_distinct",
+        ngroups_name="n_homogeneous_groups",
+        min_name="min_l",
+    ),
     tags=("profiling", "governance"),
 )
 def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2895,11 +2926,13 @@ def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     $1000 balance bucket) the audit counts DISTINCT sensitive values
     (market segment as the stand-in sensitive column) and flags groups
     below l; emits group/row exposure and the integer-ppb risk fraction
-    alongside ``profile_k_anonymity``'s re-identification numbers.
+    alongside ``profile_k_anonymity``'s re-identification numbers. Both
+    lanes share ONE parameterized rollup + oracle-template pair.
 
     Determinism discipline: identical to the k-anonymity lane — one
     IEEE division for the bucket, exact integer counts (COUNT DISTINCT
-    is exact, not a sketch), one floor-division ppb.
+    is exact, not a sketch), the ppb floor-division in
+    decimal(38,0)/HUGEINT.
 
     Scale: ONE groupBy over the QI tuple with a distinct-count
     aggregate (Catalyst plans the Expand — at 100 TB swap to
@@ -2915,21 +2948,6 @@ def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("sz"),
         F.count_distinct("sens").cast("long").alias("l_distinct"),
     )
-    return g.agg(
-        F.lit(_L_DIV).cast("long").alias("l"),
-        F.sum("sz").cast("long").alias("n_rows"),
-        F.count("*").cast("long").alias("n_groups"),
-        F.sum(F.when(F.col("l_distinct") < _L_DIV, 1).otherwise(0))
-        .cast("long")
-        .alias("n_homogeneous_groups"),
-        F.sum(F.when(F.col("l_distinct") < _L_DIV, F.col("sz")).otherwise(0))
-        .cast("long")
-        .alias("rows_at_risk"),
-        F.min("l_distinct").cast("long").alias("min_l"),
-        F.expr(
-            f"SUM(CASE WHEN l_distinct < {_L_DIV} THEN sz ELSE 0 END)"
-            " * 1000000000 div SUM(sz)"
-        )
-        .cast("long")
-        .alias("risk_ppb"),
+    return _privacy_audit_rollup(
+        g, _L_DIV, "l", "l_distinct", "n_homogeneous_groups", "min_l"
     )

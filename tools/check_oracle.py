@@ -200,21 +200,29 @@ def main() -> int:
     if args.jobs > 1:
         from concurrent.futures import ThreadPoolExecutor
 
+        def _job(kv):
+            # one cursor per TASK, closed when done (a duckdb cursor is a
+            # connection clone — leaving 270+ open for the sweep's
+            # lifetime holds catalog/allocator state for nothing)
+            cur = con.cursor()
+            try:
+                return check_one(kv[0], kv[1], spark, cur, args.sf, args.schema_only)
+            finally:
+                cur.close()
+
         pool = ThreadPoolExecutor(max_workers=args.jobs)
-        results = pool.map(
-            lambda kv: check_one(
-                kv[0], kv[1], spark, con.cursor(), args.sf, args.schema_only
-            ),
-            ordered,
-        )
+        results = pool.map(_job, ordered)
     else:
         results = (
-            check_one(name, spec, spark, con.cursor(), args.sf, args.schema_only)
+            check_one(name, spec, spark, con, args.sf, args.schema_only)
             for name, spec in ordered
         )
 
     n = {"pass": 0, "fail": 0, "rows": 0}
-    for status, msg in results:  # deterministic name order; prints as ready
+    # NAME order in both modes (pool.map yields in submission order, so
+    # a slow early query holds back later lines — deterministic logs
+    # were chosen over print-as-completed; failures still count the same)
+    for status, msg in results:
         print(msg, flush=True)
         n[status] += 1
 
