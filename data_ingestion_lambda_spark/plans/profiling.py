@@ -2951,3 +2951,140 @@ def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _privacy_audit_rollup(
         g, _L_DIV, "l", "l_distinct", "n_homogeneous_groups", "min_l"
     )
+
+
+_T_CLOSE_PPB = 200_000_000  # t = 0.20; a knob in production
+
+
+@register(
+    "profile_t_closeness",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_nationkey AS qi1,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS qi2,
+               c_mktsegment AS sens
+        FROM customer
+    ),
+    cells AS (
+        SELECT qi1, qi2, sens, CAST(COUNT(*) AS BIGINT) AS n_gs
+        FROM q GROUP BY qi1, qi2, sens
+    ),
+    gtot AS (SELECT qi1, qi2, CAST(SUM(n_gs) AS BIGINT) AS n_g
+             FROM cells GROUP BY qi1, qi2),
+    stot AS (SELECT sens, CAST(SUM(n_gs) AS BIGINT) AS n_s
+             FROM cells GROUP BY sens),
+    tot AS (SELECT CAST(SUM(n_gs) AS BIGINT) AS n FROM cells),
+    grid AS (
+        SELECT g.qi1, g.qi2, g.n_g, s.sens, s.n_s,
+               CAST(COALESCE(c.n_gs, 0) AS BIGINT) AS n_gs
+        FROM gtot g CROSS JOIN stot s
+        LEFT JOIN cells c ON c.qi1 = g.qi1 AND c.qi2 = g.qi2
+                         AND c.sens = s.sens
+    ),
+    per_group AS (
+        SELECT qi1, qi2, n_g,
+               CAST(SUM(ABS(CAST(n_gs AS HUGEINT) * t.n
+                            - CAST(n_g AS HUGEINT) * n_s))
+                    * 1000000000
+                    // (2 * CAST(n_g AS HUGEINT) * t.n) AS BIGINT)
+                   AS dist_ppb
+        FROM grid CROSS JOIN tot t
+        GROUP BY qi1, qi2, n_g, t.n
+    )
+    SELECT CAST({_T_CLOSE_PPB} AS BIGINT) AS t_ppb,
+           CAST(SUM(n_g) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MAX(dist_ppb) AS BIGINT) AS max_dist_ppb,
+           CAST(SUM(CASE WHEN dist_ppb > {_T_CLOSE_PPB} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_groups_over_t,
+           CAST(SUM(CASE WHEN dist_ppb > {_T_CLOSE_PPB} THEN n_g ELSE 0 END)
+               AS BIGINT) AS rows_at_risk,
+           CAST(CAST(SUM(CASE WHEN dist_ppb > {_T_CLOSE_PPB} THEN n_g
+                              ELSE 0 END) AS HUGEINT)
+                * 1000000000 // SUM(n_g) AS BIGINT) AS risk_ppb
+    FROM per_group
+    """,
+    tags=("profiling", "governance"),
+)
+def profile_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third of the classic release-audit trio
+    (Li, Li & Venkatasubramanian 2007): l-diversity can be satisfied by
+    a group whose sensitive DISTRIBUTION still differs sharply from the
+    corpus (skewness attack — "that QI group is 90% one segment where
+    the corpus is 20%"), so this lane measures each quasi-identifier
+    group's distance to the GLOBAL sensitive distribution and flags
+    groups beyond t. The sensitive attribute is categorical, so the
+    distance is total variational (½ Σ|p_group − p_global| — the
+    t-closeness metric for unordered domains; EMD over an ordered
+    domain is its generalization).
+
+    Determinism discipline: the distance is exact rational arithmetic
+    on the common denominator — per group Σ_s |n_gs·N − n_g·n_s| is an
+    exact decimal(38,0)/HUGEINT integer (≤ 2·N² ~ 2·10²⁴ at 10¹² rows),
+    divided ONCE by 2·n_g·N into integer ppb (floor) — so max/threshold
+    comparisons hash-match; the audit row reuses the k-anonymity ppb
+    shape.
+
+    Scale: one (QI, sens) rollup off the scan; the grid completion is
+    groups × |sensitive domain| (both domain-bounded — never rows) via
+    a broadcast-sized cross join; one per-group aggregate; output ONE
+    row."""
+    q = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("qi1"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("qi2"),
+        F.col("c_mktsegment").alias("sens"),
+    )
+    cells = q.groupBy("qi1", "qi2", "sens").agg(
+        F.count("*").cast("long").alias("n_gs")
+    )
+    gtot = cells.groupBy("qi1", "qi2").agg(F.sum("n_gs").cast("long").alias("n_g"))
+    stot = cells.groupBy("sens").agg(F.sum("n_gs").cast("long").alias("n_s"))
+    tot = cells.agg(F.sum("n_gs").cast("long").alias("n"))
+    grid = (
+        gtot.crossJoin(F.broadcast(stot))
+        .join(F.broadcast(cells), ["qi1", "qi2", "sens"], "left")
+        .select(
+            "qi1",
+            "qi2",
+            "n_g",
+            "n_s",
+            F.coalesce("n_gs", F.lit(0)).cast("long").alias("n_gs"),
+        )
+    )
+    per_group = (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("qi1", "qi2", "n_g", "n")
+        .agg(
+            F.sum(
+                F.expr(
+                    "ABS(CAST(n_gs AS DECIMAL(38,0)) * n"
+                    " - CAST(n_g AS DECIMAL(38,0)) * n_s)"
+                )
+            ).alias("num")
+        )
+        .select(
+            "n_g",
+            F.expr(
+                "CAST(num * 1000000000"
+                " div (2 * CAST(n_g AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ).alias("dist_ppb"),
+        )
+    )
+    return per_group.agg(
+        F.lit(_T_CLOSE_PPB).cast("long").alias("t_ppb"),
+        F.sum("n_g").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.max("dist_ppb").cast("long").alias("max_dist_ppb"),
+        F.sum(F.when(F.col("dist_ppb") > _T_CLOSE_PPB, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_over_t"),
+        F.sum(F.when(F.col("dist_ppb") > _T_CLOSE_PPB, F.col("n_g")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN dist_ppb > {_T_CLOSE_PPB} THEN n_g ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000000 div SUM(n_g)"
+        )
+        .cast("long")
+        .alias("risk_ppb"),
+    )
