@@ -100,3 +100,25 @@ def test_bt_label_permutation_equivariance(cnt):
     perm = {r[0]: tuple(r)[1:4] for r in bt_fit(mapped)}
     # a→w … is order-preserving, so ranks AND strengths carry over exactly
     assert {ren[i]: v for i, v in base.items()} == perm
+
+
+def test_privacy_audit_rollup_planted(spark):
+    """The shared k-anonymity/l-diversity rollup on a planted group
+    table: 3 groups sized (2, 5, 10) at k=5 -> one violating group,
+    2 rows at risk, risk 2/17 in floor ppb."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_lambda_spark.plans.profiling import (
+        _privacy_audit_rollup,
+    )
+
+    g = spark.createDataFrame(
+        [(1, 2), (2, 5), (3, 10)], "grp long, sz long"
+    ).select("grp", "sz", F.col("sz").alias("m"))
+    row = _privacy_audit_rollup(
+        g, 5, "k", "m", "n_violating_groups", "min_group_size"
+    ).collect()[0]
+    assert (row.k, row.n_rows, row.n_groups) == (5, 17, 3)
+    assert row.n_violating_groups == 1 and row.rows_at_risk == 2
+    assert row.min_group_size == 2
+    assert row.risk_ppb == 2 * 10**9 // 17
