@@ -3020,71 +3020,63 @@ def profile_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism discipline: the distance is exact rational arithmetic
     on the common denominator — per group Σ_s |n_gs·N − n_g·n_s| is an
-    exact decimal(38,0)/HUGEINT integer (≤ 2·N² ~ 2·10²⁴ at 10¹² rows),
+    exact integer (Python bigints driver-side, HUGEINT in the oracle),
     divided ONCE by 2·n_g·N into integer ppb (floor) — so max/threshold
-    comparisons hash-match; the audit row reuses the k-anonymity ppb
-    shape.
+    comparisons hash-match; the audit row uses the same exact floor
+    arithmetic.
 
-    Scale: one (QI, sens) rollup off the scan; the grid completion is
-    groups × |sensitive domain| (both domain-bounded — never rows) via
-    a broadcast-sized cross join; one per-group aggregate; output ONE
-    row."""
+    Scale: ONE (QI, sens) rollup off the scan — the first DataFrame
+    plan recomputed it per marginal branch (measured: 4 FileScans, zero
+    ReusedExchange — the eval_cohens_kappa defect class; review r10) —
+    collected and finished in exact driver arithmetic (the
+    Shapley/Markov/kappa constant-grid pattern): the grid is bounded by
+    |QI domain| × |sensitive domain| (value-domain buckets × nations ×
+    segments — never rows), so the collect is a domain-sized constant,
+    and the marginals/distances/audit are integer walks over it. The
+    shared ``_privacy_audit_rollup`` is a DataFrame-side helper; this
+    lane's audit row is driver-side by design, with the SAME floor
+    arithmetic the oracle template uses."""
     q = t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("qi1"),
         F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("qi2"),
         F.col("c_mktsegment").alias("sens"),
     )
-    cells = q.groupBy("qi1", "qi2", "sens").agg(
-        F.count("*").cast("long").alias("n_gs")
-    )
-    gtot = cells.groupBy("qi1", "qi2").agg(F.sum("n_gs").cast("long").alias("n_g"))
-    stot = cells.groupBy("sens").agg(F.sum("n_gs").cast("long").alias("n_s"))
-    tot = cells.agg(F.sum("n_gs").cast("long").alias("n"))
-    grid = (
-        gtot.crossJoin(F.broadcast(stot))
-        .join(F.broadcast(cells), ["qi1", "qi2", "sens"], "left")
-        .select(
-            "qi1",
-            "qi2",
-            "n_g",
-            "n_s",
-            F.coalesce("n_gs", F.lit(0)).cast("long").alias("n_gs"),
+    cells = [
+        ((r.qi1, r.qi2), r.sens, r.n_gs)
+        for r in q.groupBy("qi1", "qi2", "sens")
+        .agg(F.count("*").cast("long").alias("n_gs"))
+        .collect()  # |QI domain| x |sens| grid — domain-bounded
+    ]
+    n_g: dict[tuple, int] = {}
+    n_s: dict[str, int] = {}
+    grid: dict[tuple, dict[str, int]] = {}
+    for g_, s_, c_ in cells:
+        n_g[g_] = n_g.get(g_, 0) + c_
+        n_s[s_] = n_s.get(s_, 0) + c_
+        grid.setdefault(g_, {})[s_] = c_
+    n = sum(n_s.values())
+    dist_ppb = {
+        g_: sum(
+            abs(grid[g_].get(s_, 0) * n - n_g[g_] * ns) for s_, ns in n_s.items()
         )
-    )
-    per_group = (
-        grid.crossJoin(F.broadcast(tot))
-        .groupBy("qi1", "qi2", "n_g", "n")
-        .agg(
-            F.sum(
-                F.expr(
-                    "ABS(CAST(n_gs AS DECIMAL(38,0)) * n"
-                    " - CAST(n_g AS DECIMAL(38,0)) * n_s)"
-                )
-            ).alias("num")
-        )
-        .select(
-            "n_g",
-            F.expr(
-                "CAST(num * 1000000000"
-                " div (2 * CAST(n_g AS DECIMAL(38,0)) * n) AS BIGINT)"
-            ).alias("dist_ppb"),
-        )
-    )
-    return per_group.agg(
-        F.lit(_T_CLOSE_PPB).cast("long").alias("t_ppb"),
-        F.sum("n_g").cast("long").alias("n_rows"),
-        F.count("*").cast("long").alias("n_groups"),
-        F.max("dist_ppb").cast("long").alias("max_dist_ppb"),
-        F.sum(F.when(F.col("dist_ppb") > _T_CLOSE_PPB, 1).otherwise(0))
-        .cast("long")
-        .alias("n_groups_over_t"),
-        F.sum(F.when(F.col("dist_ppb") > _T_CLOSE_PPB, F.col("n_g")).otherwise(0))
-        .cast("long")
-        .alias("rows_at_risk"),
-        F.expr(
-            f"CAST(SUM(CASE WHEN dist_ppb > {_T_CLOSE_PPB} THEN n_g ELSE 0 END)"
-            " AS DECIMAL(38,0)) * 1000000000 div SUM(n_g)"
-        )
-        .cast("long")
-        .alias("risk_ppb"),
+        * 10**9
+        // (2 * n_g[g_] * n)
+        for g_ in n_g
+    }
+    over = [g_ for g_, d in dist_ppb.items() if d > _T_CLOSE_PPB]
+    rows_at_risk = sum(n_g[g_] for g_ in over)
+    return spark.createDataFrame(
+        [
+            (
+                _T_CLOSE_PPB,
+                n,
+                len(n_g),
+                max(dist_ppb.values()) if dist_ppb else None,
+                len(over),
+                rows_at_risk,
+                rows_at_risk * 10**9 // n if n else None,
+            )
+        ],
+        "t_ppb long, n_rows long, n_groups long, max_dist_ppb long,"
+        " n_groups_over_t long, rows_at_risk long, risk_ppb long",
     )
