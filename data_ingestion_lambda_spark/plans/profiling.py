@@ -3047,6 +3047,20 @@ def profile_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_gs"))
         .collect()  # |QI domain| x |sens| grid — domain-bounded
     ]
+    return spark.createDataFrame(
+        [t_closeness_audit(cells, _T_CLOSE_PPB)],
+        "t_ppb long, n_rows long, n_groups long, max_dist_ppb long,"
+        " n_groups_over_t long, rows_at_risk long, risk_ppb long",
+    )
+
+
+def t_closeness_audit(
+    cells: list[tuple], t_ppb: int
+) -> tuple:
+    """Driver-side t-closeness arithmetic on the collected (group, sens,
+    count) grid — factored out so the exact bigint walk is unit-testable
+    on planted distributions (mirrors the oracle's floor arithmetic
+    term-for-term)."""
     n_g: dict[tuple, int] = {}
     n_s: dict[str, int] = {}
     grid: dict[tuple, dict[str, int]] = {}
@@ -3063,20 +3077,14 @@ def profile_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         // (2 * n_g[g_] * n)
         for g_ in n_g
     }
-    over = [g_ for g_, d in dist_ppb.items() if d > _T_CLOSE_PPB]
+    over = [g_ for g_, d in dist_ppb.items() if d > t_ppb]
     rows_at_risk = sum(n_g[g_] for g_ in over)
-    return spark.createDataFrame(
-        [
-            (
-                _T_CLOSE_PPB,
-                n,
-                len(n_g),
-                max(dist_ppb.values()) if dist_ppb else None,
-                len(over),
-                rows_at_risk,
-                rows_at_risk * 10**9 // n if n else None,
-            )
-        ],
-        "t_ppb long, n_rows long, n_groups long, max_dist_ppb long,"
-        " n_groups_over_t long, rows_at_risk long, risk_ppb long",
+    return (
+        t_ppb,
+        n,
+        len(n_g),
+        max(dist_ppb.values()) if dist_ppb else None,
+        len(over),
+        rows_at_risk,
+        rows_at_risk * 10**9 // n if n else None,
     )

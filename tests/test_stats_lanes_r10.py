@@ -122,3 +122,23 @@ def test_privacy_audit_rollup_planted(spark):
     assert row.n_violating_groups == 1 and row.rows_at_risk == 2
     assert row.min_group_size == 2
     assert row.risk_ppb == 2 * 10**9 // 17
+
+
+def test_t_closeness_audit_planted():
+    """Planted grid: global sens split 6A/2B over two groups — an
+    all-A group of 4 and a 2A/2B group both sit at exactly 0.25
+    variational distance (hand-computed), so t=0.2 flags both and
+    t=0.3 flags none."""
+    from data_ingestion_lambda_spark.plans.profiling import t_closeness_audit
+
+    cells = [(("g1",), "A", 4), (("g2",), "A", 2), (("g2",), "B", 2)]
+    t, n, ngroups, maxd, nover, risk_rows, risk_ppb = t_closeness_audit(
+        cells, 200_000_000
+    )
+    assert (n, ngroups) == (8, 2)
+    assert maxd == 250_000_000  # 0.25 exactly, both groups
+    assert nover == 2 and risk_rows == 8 and risk_ppb == 10**9
+    assert t_closeness_audit(cells, 300_000_000)[4] == 0  # t=0.3: none over
+    assert t_closeness_audit([], 200_000_000) == (
+        200_000_000, 0, 0, None, 0, 0, None,
+    )
