@@ -25,18 +25,36 @@ from pyspark.sql import DataFrame
 from data_ingestion_lambda_spark.schemas import UPSERT_KEYS
 
 
+def _q(col: str, ident_quote: str | None) -> str:
+    """Column identifier, optionally delimited. Spark's JDBC writer
+    CREATEs staging tables with QUOTED (case-exact) column names, so a
+    dialect that uppercases unquoted identifiers (Derby, Oracle, DB2)
+    cannot resolve ``s.client_name`` against a Spark-written staging
+    table — the MERGE must quote too (measured on embedded Derby
+    10.16: unquoted names raise 42X04). PostgreSQL folds unquoted
+    identifiers to lowercase so it works either way; quoting is
+    therefore safe for both and opt-in for back-compat."""
+    return f"{ident_quote}{col}{ident_quote}" if ident_quote else col
+
+
 def build_merge_sql(
     target: str,
     staging: str,
     keys: list[str],
     update_cols: list[str],
     insert_cols: list[str],
+    ident_quote: str | None = None,
 ) -> str:
-    """ANSI MERGE statement (SQL:2003; Postgres 15+, most warehouses)."""
-    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    sets = ", ".join(f"{c} = s.{c}" for c in update_cols)
-    cols = ", ".join(insert_cols)
-    vals = ", ".join(f"s.{c}" for c in insert_cols)
+    """ANSI MERGE statement (SQL:2003; Postgres 15+, Derby 10.11+,
+    most warehouses)."""
+    on = " AND ".join(
+        f"t.{_q(k, ident_quote)} = s.{_q(k, ident_quote)}" for k in keys
+    )
+    sets = ", ".join(
+        f"{_q(c, ident_quote)} = s.{_q(c, ident_quote)}" for c in update_cols
+    )
+    cols = ", ".join(_q(c, ident_quote) for c in insert_cols)
+    vals = ", ".join(f"s.{_q(c, ident_quote)}" for c in insert_cols)
     return (
         f"MERGE INTO {target} t USING {staging} s ON ({on}) "
         f"WHEN MATCHED THEN UPDATE SET {sets} "
@@ -87,24 +105,38 @@ def upsert_via_jdbc(
     keys: list[str] | None = None,
     properties: dict[str, str] | None = None,
     batchsize: int = 10_000,
+    update_cols: list[str] | None = None,
+    insert_cols: list[str] | None = None,
+    ident_quote: str | None = None,
+    staging_column_types: str | None = None,
 ) -> None:
     """foreachBatch body for a JDBC target. Requires a JDBC driver jar on
-    the Spark classpath; raises RuntimeError with guidance if absent."""
+    the Spark classpath; raises RuntimeError with guidance if absent.
+
+    ``staging_column_types`` is passed through as the writer's
+    ``createTableColumnTypes`` — needed on dialects whose default
+    StringType mapping is a LOB (Derby maps string→CLOB, and LOBs are
+    not comparable, so a string MERGE key must be forced to VARCHAR).
+    ``ident_quote`` quotes column identifiers in the MERGE (see _q)."""
     keys = keys or UPSERT_KEYS
     props = dict(properties or {})
     props.setdefault("batchsize", str(batchsize))
 
     spark = batch.sparkSession
     # 1. parallel batched write to staging
-    batch.write.mode("overwrite").options(**props).jdbc(jdbc_url, staging_table)
+    writer = batch.write.mode("overwrite").options(**props)
+    if staging_column_types:
+        writer = writer.option("createTableColumnTypes", staging_column_types)
+    writer.jdbc(jdbc_url, staging_table)
 
     # 2. one set-based MERGE over a single driver-side connection
     merge = build_merge_sql(
         target_table,
         staging_table,
         keys,
-        CONSUMPTION_UPDATE_COLS,
-        CONSUMPTION_INSERT_COLS,
+        update_cols if update_cols is not None else CONSUMPTION_UPDATE_COLS,
+        insert_cols if insert_cols is not None else CONSUMPTION_INSERT_COLS,
+        ident_quote=ident_quote,
     )
     jvm = spark._jvm  # driver-side JDBC, same connection pattern as the reference's single conn
     try:

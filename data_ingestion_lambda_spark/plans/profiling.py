@@ -1966,17 +1966,27 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs long, n_agree long, po_ppb long, kappa double",
         )
     n_agree = sum(c for a, p, c in cells if a is not None and a == p)
-    pe = sum(
-        rn * col_n.get(lang, 0)
-        for lang, rn in row_n.items()
-        if lang is not None
-    )
-    # the identical IEEE sequence as the oracle: integer->double casts,
-    # one multiply-subtract each side, one division
-    denom = float(n) * float(n) - float(pe)
-    kappa = (
-        (float(n) * float(n_agree) - float(pe)) / denom if denom != 0 else None
-    )
+    # SUM-over-empty-join semantics (review r11): when no actual label
+    # ever appears as a prediction, the oracle's pe marginal join is
+    # empty and its SUM is NULL, so kappa is NULL — mirror that instead
+    # of computing pe=0 (which would yield kappa 0.0)
+    overlap = [
+        lang
+        for lang in row_n
+        if lang is not None and lang in col_n and col_n[lang] is not None
+    ]
+    if not overlap:
+        kappa = None
+    else:
+        pe = sum(row_n[lang] * col_n[lang] for lang in overlap)
+        # the identical IEEE sequence as the oracle: integer->double
+        # casts, one multiply-subtract each side, one division
+        denom = float(n) * float(n) - float(pe)
+        kappa = (
+            (float(n) * float(n_agree) - float(pe)) / denom
+            if denom != 0
+            else None
+        )
     return spark.createDataFrame(
         [(n, n_agree, n_agree * 10**9 // n, kappa)],
         "n_docs long, n_agree long, po_ppb long, kappa double",
@@ -2108,7 +2118,8 @@ def profile_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT event_type AS a,
-               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) % 7 AS b
+               ((CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) % 7)
+                + 7) % 7 AS b
         FROM events
     ),
     obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM e GROUP BY a, b),
@@ -2156,7 +2167,11 @@ def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     (profile_ks_statistic): "did the traffic mix change across
     weekdays?" is the first question a pipeline owner asks when a
     distribution gate trips. The day-of-week is derived portably as
-    days-since-epoch mod 7 (engine DAYOFWEEK conventions differ).
+    days-since-epoch mod 7 (engine DAYOFWEEK conventions differ); the
+    oracle wraps its `%` as ((d % 7) + 7) % 7 because DuckDB's `%`
+    follows the dividend's sign while Spark's pmod is always
+    non-negative — without the wrap, any event dated before the
+    2024-01-01 anchor would bucket differently per engine.
 
     Determinism discipline: chi² = Σ (O·N − R·C)² / (N·R·C) over the
     FULL r×c grid — the contingency table is completed with O = 0 cells
@@ -2272,8 +2287,10 @@ def _bt_iter_ctes() -> str:
     ),
     p{r} AS MATERIALIZED (
         SELECT item,
-               CAST(raw * 1000000000 // (SELECT SUM(raw) FROM r{r})
-                   AS BIGINT) AS p
+               CAST(CASE WHEN (SELECT SUM(raw) FROM r{r}) > 0
+                         THEN raw * 1000000000
+                              // (SELECT SUM(raw) FROM r{r})
+                         ELSE 0 END AS BIGINT) AS p
         FROM r{r}
     )""")
     return ",".join(steps)
@@ -3079,11 +3096,17 @@ def t_closeness_audit(
     }
     over = [g_ for g_, d in dist_ppb.items() if d > t_ppb]
     rows_at_risk = sum(n_g[g_] for g_ in over)
+    if not cells:
+        # SUM-over-empty SQL semantics (review r11): the oracle's
+        # ungrouped aggregate over an empty per_group yields NULL for
+        # every SUM/MAX and 0 only for COUNT(*) — mirror that rather
+        # than returning zeros
+        return (t_ppb, None, 0, None, None, None, None)
     return (
         t_ppb,
         n,
         len(n_g),
-        max(dist_ppb.values()) if dist_ppb else None,
+        max(dist_ppb.values()),
         len(over),
         rows_at_risk,
         rows_at_risk * 10**9 // n if n else None,

@@ -1,0 +1,139 @@
+"""In-env JDBC staging+MERGE integration over embedded Derby.
+
+This runs the reference's CORE sink behavior (per-row
+``INSERT .. ON CONFLICT`` loop, /root/reference/src/db_operations.py:56-106)
+as the set-based twin — ``df.write.jdbc`` into a staging table, then ONE
+ANSI MERGE over a driver-side connection — against a REAL JDBC database
+in this container: Derby 10.16 ships on the Spark classpath (it backs
+the Hive metastore), supports ANSI MERGE since 10.11, and runs embedded
+in the same JVM, so the whole batch→staging→merge→verify loop executes
+un-skipped here. The live-PostgreSQL test (test_jdbc_merge_integration)
+still covers DSN environments.
+
+Dialect notes proven by these tests (not guessed):
+- Spark's JDBC writer CREATEs staging with QUOTED column names, so the
+  MERGE must quote identifiers on uppercase-folding dialects
+  (``ident_quote='"'``) — unquoted ``s.client_name`` raises 42X04;
+- Derby's default StringType mapping is CLOB, and LOBs are not
+  comparable, so string MERGE keys are forced to VARCHAR via
+  ``staging_column_types`` (the writer's createTableColumnTypes).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from data_ingestion_lambda_spark.operators.jdbc_upsert import (
+    CONSUMPTION_INSERT_COLS,
+    CONSUMPTION_UPDATE_COLS,
+    upsert_via_jdbc,
+)
+from data_ingestion_lambda_spark.schemas import CONSUMPTION_TARGET_SCHEMA, UPSERT_KEYS
+
+_QCOLS = ", ".join(f'"{c}"' for c in UPSERT_KEYS)
+
+_TARGET_DDL = f"""
+CREATE TABLE {{name}} (
+    "date" DATE NOT NULL,
+    "client_id" VARCHAR(32) NOT NULL,
+    "client_name" VARCHAR(64),
+    "service_name" VARCHAR(64),
+    "total_consumed_tokens" BIGINT NOT NULL,
+    "created_at" TIMESTAMP,
+    "updated_at" TIMESTAMP,
+    "is_active" BOOLEAN,
+    PRIMARY KEY ({_QCOLS})
+)
+"""
+
+_STAGING_TYPES = (
+    "date DATE, client_id VARCHAR(32), client_name VARCHAR(64), "
+    "service_name VARCHAR(64), total_consumed_tokens BIGINT"
+)
+
+_T0 = dt.datetime(2025, 6, 1, 0, 0, 0)
+_T1 = dt.datetime(2025, 6, 2, 12, 30, 0)
+_D = dt.date(2025, 6, 1)
+
+
+def _connect(spark, url):
+    jvm = spark._jvm
+    return jvm.java.sql.DriverManager.getConnection(url)
+
+
+@pytest.fixture()
+def derby(spark, tmp_path):
+    """Fresh embedded-Derby database with a seeded consumptions target."""
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    conn = _connect(spark, url)
+    st = conn.createStatement()
+    st.execute(_TARGET_DDL.format(name="consumptions"))
+    st.execute(
+        "INSERT INTO consumptions VALUES "
+        "(DATE('2025-06-01'), 'c1', 'acme', 'chat', 100, "
+        " TIMESTAMP('2025-06-01 00:00:00'), TIMESTAMP('2025-06-01 00:00:00'), true), "
+        "(DATE('2025-06-01'), 'c2', 'globex', 'embed', 50, "
+        " TIMESTAMP('2025-06-01 00:00:00'), TIMESTAMP('2025-06-01 00:00:00'), true)"
+    )
+    st.close()
+    yield url
+    conn.close()
+
+
+def _batch(spark):
+    rows = [
+        # matched on (date, client_id) -> UPDATE path
+        (_D, "c1", "acme corp", "chat-v2", 175, _T0, _T1, True),
+        # new key -> INSERT path
+        (_D, "c3", "initech", "chat", 20, _T1, _T1, True),
+    ]
+    return spark.createDataFrame(rows, CONSUMPTION_TARGET_SCHEMA)
+
+
+def _run_upsert(spark, url):
+    upsert_via_jdbc(
+        _batch(spark),
+        url,
+        "consumptions",
+        keys=UPSERT_KEYS,
+        ident_quote='"',
+        staging_column_types=_STAGING_TYPES,
+    )
+
+
+def _read_target(spark, url):
+    rows = spark.read.jdbc(url, "consumptions").collect()
+    return sorted((tuple(r) for r in rows), key=lambda r: (r[0], r[1]))
+
+
+def test_upsert_via_jdbc_full_loop_on_derby(spark, derby):
+    _run_upsert(spark, derby)
+    got = _read_target(spark, derby)
+    assert got == [
+        # matched: update_cols refreshed, created_at KEPT from the target
+        (_D, "c1", "acme corp", "chat-v2", 175, _T0, _T1, True),
+        # untouched row survives (MERGE, not overwrite)
+        (_D, "c2", "globex", "embed", 50, _T0, _T0, True),
+        # new key inserted with the batch's full column set
+        (_D, "c3", "initech", "chat", 20, _T1, _T1, True),
+    ]
+
+
+def test_upsert_via_jdbc_replay_converges(spark, derby):
+    """Retried micro-batch (same content) is a no-op — the exactly-once
+    argument for the JDBC sink, mirroring the parquet MERGE twin."""
+    _run_upsert(spark, derby)
+    first = _read_target(spark, derby)
+    _run_upsert(spark, derby)
+    assert _read_target(spark, derby) == first
+
+
+def test_upsert_via_jdbc_created_at_not_in_update_set():
+    """The reference keeps created_at on conflict and refreshes
+    updated_at (src/db_operations.py:77-84) — pin that the column lists
+    driving the MERGE preserve that semantic."""
+    assert "created_at" not in CONSUMPTION_UPDATE_COLS
+    assert "updated_at" in CONSUMPTION_UPDATE_COLS
+    assert "created_at" in CONSUMPTION_INSERT_COLS

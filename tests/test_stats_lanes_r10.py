@@ -139,6 +139,7 @@ def test_t_closeness_audit_planted():
     assert maxd == 250_000_000  # 0.25 exactly, both groups
     assert nover == 2 and risk_rows == 8 and risk_ppb == 10**9
     assert t_closeness_audit(cells, 300_000_000)[4] == 0  # t=0.3: none over
+    # SUM-over-empty SQL semantics: every SUM/MAX NULL, COUNT(*) 0
     assert t_closeness_audit([], 200_000_000) == (
-        200_000_000, 0, 0, None, 0, 0, None,
+        200_000_000, None, 0, None, None, None, None,
     )

@@ -22,6 +22,7 @@ import argparse
 import hashlib
 import math
 import sys
+import threading
 import time
 from datetime import date, datetime
 
@@ -99,13 +100,24 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+# Plan BUILDERS are where all session-global mutation happens
+# (createOrReplaceTempView in the SQL lanes and the catalog's t(),
+# spark.conf.set in pandas_udfs/catalog, dedup_gate's conf
+# save-restore) — under --jobs, two builders racing a view replace or
+# interleaving a set/restore pair can produce spurious cross-lane
+# failures (review r11). Serialize the build; the expensive phases
+# (Spark collect, DuckDB execute) stay parallel and are thread-safe.
+_BUILD_LOCK = threading.Lock()
+
+
 def check_one(name, spec, spark, cur, sf: str, schema_only: bool) -> tuple[str, str]:
     """One query's full comparison → (status in pass/fail/rows, message).
     ``cur`` is a per-caller duckdb cursor (cursors share the connection's
     catalog but are independently usable — the unit of thread safety)."""
     t0 = time.time()
     try:
-        sdf = spec.builder(spark, sf)
+        with _BUILD_LOCK:
+            sdf = spec.builder(spark, sf)
         scols = sdf.columns
         srows = [] if schema_only else [tuple(r) for r in sdf.collect()]
         # Arrow schema via LIMIT 0 — Catalyst collapses the plan, so
@@ -180,7 +192,9 @@ def main() -> int:
         help="concurrent queries (opt-in; Spark actions are thread-safe "
         "on one session and each worker gets its own duckdb cursor — "
         "per-query walls overlap under contention, so keep the default "
-        "when the printed timings matter)",
+        "when the printed timings matter). Plan BUILDS are serialized "
+        "under a lock because builders mutate shared session state "
+        "(temp views, session confs); collects/DuckDB stay parallel",
     )
     args = ap.parse_args()
 
