@@ -278,6 +278,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="batch date (the vocab partition key); required unless --score-only",
     )
     voc.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold ledger partitions with keys strictly below this one "
+        "into the base partition (crash-guarded shared base_fold; "
+        "spends the folded keys — reads are unchanged)",
+    )
+    voc.add_argument(
         "--score-out",
         default=None,
         help="persist the per-doc surprisal table here (overwrite)",
@@ -308,6 +315,21 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="parquet of (vec_id, embedding) to train the quantizer on "
         "(writes {index}/centroids; a new model means a new index dir)",
+    )
+    ann.add_argument(
+        "--n-cells",
+        type=int,
+        default=None,
+        help="quantizer cell count for --train (default 16) — recorded "
+        "in the index's _sizing marker; mismatched access refuses",
+    )
+    ann.add_argument(
+        "--retrain-to",
+        default=None,
+        help="blue/green quantizer growth: train an --n-cells quantizer "
+        "on THIS index's stored vectors into the given NEW directory, "
+        "re-assign everything there (--date keys the landing), and "
+        "print side-by-side recall@k for both indexes",
     )
     ann.add_argument(
         "--batch",
@@ -385,6 +407,13 @@ def build_parser() -> argparse.ArgumentParser:
     drf.add_argument("--batch", default=None, help="parquet of the day's events")
     drf.add_argument(
         "--date", default=None, help="batch date (the histogram partition key)"
+    )
+    drf.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold ledger partitions with keys strictly below this one "
+        "into the base partition (crash-guarded shared base_fold; "
+        "spends the folded keys — reads are unchanged)",
     )
     drf.add_argument(
         "--report-out",
@@ -469,6 +498,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--date", default=None, help="batch date (the ledger partition key)"
     )
     hhs.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold ledger partitions with keys strictly below this one "
+        "into the base partition (crash-guarded shared base_fold; "
+        "spends the folded keys — reads are unchanged)",
+    )
+    hhs.add_argument(
         "--report-out",
         default=None,
         help="persist the merged heavy-hitter report here (overwrite); "
@@ -490,6 +526,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cms.add_argument(
         "--date", default=None, help="batch date (the ledger partition key)"
+    )
+    cms.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold ledger partitions with keys strictly below this one "
+        "into the base partition (crash-guarded shared base_fold; "
+        "spends the folded keys — reads are unchanged)",
     )
     cms.add_argument(
         "--query",
@@ -520,6 +563,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     blm.add_argument(
         "--date", default=None, help="batch date (the ledger partition key)"
+    )
+    blm.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold ledger partitions with keys strictly below this one "
+        "into the base partition (crash-guarded shared base_fold; "
+        "spends the folded keys — reads are unchanged)",
     )
     blm.add_argument(
         "--screen",
@@ -565,6 +615,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--date", default=None, help="batch date (the ledger partition key)"
     )
     dsr.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold ledger partitions with keys strictly below this one "
+        "into the base partition (crash-guarded shared base_fold; "
+        "spends the folded keys — reads are unchanged)",
+    )
+    dsr.add_argument(
         "--score",
         default=None,
         help="parquet with (doc_id, lang, text): score each doc under the "
@@ -598,6 +655,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--date", default=None, help="batch date (the ledger partition key)"
     )
     tch.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold ledger partitions with keys strictly below this one "
+        "into the base partition (crash-guarded shared base_fold; "
+        "spends the folded keys — reads are unchanged)",
+    )
+    tch.add_argument(
         "--shapley",
         action="store_true",
         help="print Shapley credit per channel from the folded state",
@@ -619,6 +683,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--date", default=None, help="batch date (must own all batch events)"
     )
     mkv.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold ledger partitions with keys strictly below this one "
+        "into the base partition (crash-guarded shared base_fold; "
+        "spends the folded keys — reads are unchanged)",
+    )
+    mkv.add_argument(
         "--credit",
         action="store_true",
         help="print removal-effect credit per channel from the ledger",
@@ -635,6 +706,13 @@ def build_parser() -> argparse.ArgumentParser:
     ses.add_argument("--batch", default=None, help="parquet of the day's events")
     ses.add_argument(
         "--date", default=None, help="batch date (the partition key; batch must be day-pure)"
+    )
+    ses.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold ledger partitions with keys strictly below this one "
+        "into the base partition (crash-guarded shared base_fold; "
+        "spends the folded keys — reads are unchanged)",
     )
     ses.add_argument(
         "--sessions-out",
@@ -913,36 +991,46 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({"statusCode": 200, "batches": reports}))
             return 0
-        if args.batch is None:
-            raise SystemExit("vocab: need --batch or --stream-source")
-        if not args.score_only and args.date is None:
+        if args.batch is None and args.compact_keep_from is None:
+            raise SystemExit(
+                "vocab: need --batch, --stream-source and/or --compact-keep-from"
+            )
+        if args.batch is not None and not args.score_only and args.date is None:
             raise SystemExit("vocab: --date is required unless --score-only")
         spark = get_spark("data-ingestion-cli")
-        batch = spark.read.parquet(args.batch).select("doc_id", "text")
-        report: dict = {"batch_docs": batch.count()}
-        # Score FIRST, against the model excluding this batch's own
-        # partition — a replayed (batch, date) scores exactly what the
-        # first run scored, never its own earlier write (the dedup gate's
-        # own-partition exclusion).
-        try:
-            scored = score_batch(
-                spark, args.vocab, batch, exclude_date=args.date, order=args.order
-            )
-            if args.score_out is not None:
-                scored.write.mode("overwrite").parquet(args.score_out)
-                report["score_out"] = args.score_out
-            report["scored_docs"] = scored.count()
-        except ValueError as e:
-            # ONLY the empty-model case is benign (first batch: nothing to
-            # score against yet). An order-mismatch refusal must surface —
-            # swallowing it would report success while silently masking
-            # the guard against cross-order scoring.
-            if "no (remaining) partitions" not in str(e):
-                raise
-            report["scored_docs"] = None  # first batch: no model yet
-        if not args.score_only:
-            report.update(
-                update_vocab(spark, args.vocab, batch, args.date, order=args.order)
+        report: dict = {}
+        if args.batch is not None:
+            batch = spark.read.parquet(args.batch).select("doc_id", "text")
+            report["batch_docs"] = batch.count()
+            # Score FIRST, against the model excluding this batch's own
+            # partition — a replayed (batch, date) scores exactly what the
+            # first run scored, never its own earlier write (the dedup gate's
+            # own-partition exclusion).
+            try:
+                scored = score_batch(
+                    spark, args.vocab, batch, exclude_date=args.date, order=args.order
+                )
+                if args.score_out is not None:
+                    scored.write.mode("overwrite").parquet(args.score_out)
+                    report["score_out"] = args.score_out
+                report["scored_docs"] = scored.count()
+            except ValueError as e:
+                # ONLY the empty-model case is benign (first batch: nothing to
+                # score against yet). An order-mismatch refusal must surface —
+                # swallowing it would report success while silently masking
+                # the guard against cross-order scoring.
+                if "no (remaining) partitions" not in str(e):
+                    raise
+                report["scored_docs"] = None  # first batch: no model yet
+            if not args.score_only:
+                report.update(
+                    update_vocab(spark, args.vocab, batch, args.date, order=args.order)
+                )
+        if args.compact_keep_from is not None:
+            from data_ingestion_lambda_spark.operators.vocab import compact_vocab
+
+            report["compaction"] = compact_vocab(
+                spark, args.vocab, args.compact_keep_from
             )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
@@ -960,6 +1048,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.batch is not None:
             batch = _read_event_batch(spark, args.batch)
             report.update(apply_histogram_batch(spark, args.index, batch, args.date))
+        if args.compact_keep_from is not None:
+            from data_ingestion_lambda_spark.operators.drift_monitor import (
+                compact_drift_monitor,
+            )
+
+            report["compaction"] = compact_drift_monitor(
+                spark, args.index, args.compact_keep_from
+            )
         drift = read_drift(spark, args.index)
         if args.report_out is not None:
             drift.write.mode("overwrite").parquet(args.report_out)
@@ -987,6 +1083,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.batch is not None:
             batch = spark.read.parquet(args.batch).select("item")
             report.update(apply_hh_batch(spark, args.index, batch, args.date))
+        if args.compact_keep_from is not None:
+            from data_ingestion_lambda_spark.operators.hh_store import (
+                compact_hh_store,
+            )
+
+            report["compaction"] = compact_hh_store(
+                spark, args.index, args.compact_keep_from
+            )
         hh = read_heavy_hitters(spark, args.index)
         if args.report_out is not None:
             hh.write.mode("overwrite").parquet(args.report_out)
@@ -1130,9 +1234,15 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("cms-store: --stream-source requires --checkpoint")
         if args.stream_source is not None and args.batch is not None:
             raise SystemExit("cms-store: --stream-source and --batch are exclusive")
-        if args.batch is None and args.stream_source is None and args.query is None:
+        if (
+            args.batch is None
+            and args.stream_source is None
+            and args.query is None
+            and args.compact_keep_from is None
+        ):
             raise SystemExit(
-                "cms-store: need --batch/--date, --stream-source and/or --query"
+                "cms-store: need --batch/--date, --stream-source, --query "
+                "and/or --compact-keep-from"
             )
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
@@ -1151,6 +1261,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.batch is not None:
             batch = spark.read.parquet(args.batch).select("item")
             report.update(apply_cms_batch(spark, args.index, batch, args.date))
+        if args.compact_keep_from is not None:
+            from data_ingestion_lambda_spark.operators.cms_store import (
+                compact_cms_store,
+            )
+
+            report["compaction"] = compact_cms_store(
+                spark, args.index, args.compact_keep_from
+            )
         if args.query is not None:
             est = estimate_items(
                 spark, args.index, spark.read.parquet(args.query).select("item")
@@ -1182,9 +1300,15 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("bloom-store: --stream-source requires --checkpoint")
         if args.stream_source is not None and args.batch is not None:
             raise SystemExit("bloom-store: --stream-source and --batch are exclusive")
-        if args.batch is None and args.stream_source is None and args.screen is None:
+        if (
+            args.batch is None
+            and args.stream_source is None
+            and args.screen is None
+            and args.compact_keep_from is None
+        ):
             raise SystemExit(
-                "bloom-store: need --batch/--date, --stream-source and/or --screen"
+                "bloom-store: need --batch/--date, --stream-source, --screen "
+                "and/or --compact-keep-from"
             )
         spark = get_spark("data-ingestion-cli")
         report = {}
@@ -1219,6 +1343,14 @@ def main(argv: list[str] | None = None) -> int:
                     k=args.bloom_k if args.bloom_k is not None else _BLOOM_K,
                 )
             )
+        if args.compact_keep_from is not None:
+            from data_ingestion_lambda_spark.operators.bloom_store import (
+                compact_bloom_store,
+            )
+
+            report["compaction"] = compact_bloom_store(
+                spark, args.index, args.compact_keep_from
+            )
         if args.screen is not None:
             verdicts = screen_docs(
                 spark,
@@ -1248,9 +1380,15 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("dsir-store: --stream-source requires --checkpoint")
         if args.stream_source is not None and args.batch is not None:
             raise SystemExit("dsir-store: --stream-source and --batch are exclusive")
-        if args.batch is None and args.stream_source is None and args.score is None:
+        if (
+            args.batch is None
+            and args.stream_source is None
+            and args.score is None
+            and args.compact_keep_from is None
+        ):
             raise SystemExit(
-                "dsir-store: need --batch/--date, --stream-source and/or --score"
+                "dsir-store: need --batch/--date, --stream-source, --score "
+                "and/or --compact-keep-from"
             )
         spark = get_spark("data-ingestion-cli")
         report = {}
@@ -1273,6 +1411,14 @@ def main(argv: list[str] | None = None) -> int:
                 apply_dsir_batch(
                     spark, args.index, batch, args.date, target_lang=args.target_lang
                 )
+            )
+        if args.compact_keep_from is not None:
+            from data_ingestion_lambda_spark.operators.dsir_store import (
+                compact_dsir_store,
+            )
+
+            report["compaction"] = compact_dsir_store(
+                spark, args.index, args.compact_keep_from
             )
         if args.score is not None:
             scores = score_docs(
@@ -1302,9 +1448,15 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("touch-store: --stream-source requires --checkpoint")
         if args.stream_source is not None and args.batch is not None:
             raise SystemExit("touch-store: --stream-source and --batch are exclusive")
-        if args.batch is None and args.stream_source is None and not args.shapley:
+        if (
+            args.batch is None
+            and args.stream_source is None
+            and not args.shapley
+            and args.compact_keep_from is None
+        ):
             raise SystemExit(
-                "touch-store: need --batch/--date, --stream-source and/or --shapley"
+                "touch-store: need --batch/--date, --stream-source, --shapley "
+                "and/or --compact-keep-from"
             )
         spark = get_spark("data-ingestion-cli")
         report = {}
@@ -1323,6 +1475,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.batch is not None:
             batch = spark.read.parquet(args.batch)
             report.update(apply_touch_batch(spark, args.index, batch, args.date))
+        if args.compact_keep_from is not None:
+            from data_ingestion_lambda_spark.operators.touch_store import (
+                compact_touch_store,
+            )
+
+            report["compaction"] = compact_touch_store(
+                spark, args.index, args.compact_keep_from
+            )
         if args.shapley:
             report["shapley"] = [
                 r.asDict() for r in read_attribution_shapley(spark, args.index)
@@ -1340,13 +1500,24 @@ def main(argv: list[str] | None = None) -> int:
 
         if (args.batch is None) != (args.date is None):
             raise SystemExit("markov-store: --batch and --date go together")
-        if args.batch is None and not args.credit:
-            raise SystemExit("markov-store: need --batch/--date and/or --credit")
+        if args.batch is None and not args.credit and args.compact_keep_from is None:
+            raise SystemExit(
+                "markov-store: need --batch/--date, --credit and/or "
+                "--compact-keep-from"
+            )
         spark = get_spark("data-ingestion-cli")
         report = {}
         if args.batch is not None:
             batch = spark.read.parquet(args.batch)
             report.update(apply_markov_batch(spark, args.index, batch, args.date))
+        if args.compact_keep_from is not None:
+            from data_ingestion_lambda_spark.operators.markov_store import (
+                compact_markov_store,
+            )
+
+            report["compaction"] = compact_markov_store(
+                spark, args.index, args.compact_keep_from
+            )
         if args.credit:
             report["credit"] = [
                 r.asDict() for r in read_attribution_markov(spark, args.index)
@@ -1377,10 +1548,11 @@ def main(argv: list[str] | None = None) -> int:
             and args.stream_source is None
             and args.sessions_out is None
             and args.stats_out is None
+            and args.compact_keep_from is None
         ):
             raise SystemExit(
                 "session-store: need --batch/--date, --stream-source, "
-                "--sessions-out and/or --stats-out"
+                "--sessions-out, --stats-out and/or --compact-keep-from"
             )
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
@@ -1399,6 +1571,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.batch is not None:
             batch = _read_event_batch(spark, args.batch)
             report.update(apply_session_batch(spark, args.index, batch, args.date))
+        if args.compact_keep_from is not None:
+            from data_ingestion_lambda_spark.operators.session_store import (
+                compact_session_store,
+            )
+
+            report["compaction"] = compact_session_store(
+                spark, args.index, args.compact_keep_from
+            )
         if args.sessions_out is not None:
             read_sessions(spark, args.index).write.mode("overwrite").parquet(
                 args.sessions_out
@@ -1629,12 +1809,18 @@ def main(argv: list[str] | None = None) -> int:
             and args.batch is None
             and args.query is None
             and args.stream_source is None
+            and args.retrain_to is None
         ):
             raise SystemExit(
-                "ann-index: need --train, --batch, --stream-source and/or --query"
+                "ann-index: need --train, --batch, --stream-source, "
+                "--retrain-to and/or --query"
             )
         if args.batch is not None and args.date is None:
             raise SystemExit("ann-index: --batch requires --date")
+        if args.retrain_to is not None and (
+            args.n_cells is None or args.date is None
+        ):
+            raise SystemExit("ann-index: --retrain-to requires --n-cells and --date")
         if args.stream_source is not None and args.checkpoint is None:
             raise SystemExit("ann-index: --stream-source requires --checkpoint")
         if args.stream_source is not None and args.batch is not None:
@@ -1643,7 +1829,16 @@ def main(argv: list[str] | None = None) -> int:
         report: dict = {}
         if args.train is not None:
             vecs = spark.read.parquet(args.train).select("vec_id", "embedding")
-            report.update(train_index(spark, args.index, vecs))
+            kw = {} if args.n_cells is None else {"n_cells": args.n_cells}
+            report.update(train_index(spark, args.index, vecs, **kw))
+        if args.retrain_to is not None:
+            from data_ingestion_lambda_spark.operators.ann_index import (
+                retrain_index,
+            )
+
+            report["retrain"] = retrain_index(
+                spark, args.index, args.retrain_to, args.n_cells, args.date
+            )
         if args.stream_source is not None:
             from data_ingestion_lambda_spark.streaming.index_streams import (
                 run_ann_append_available_now,

@@ -38,6 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
 
+# Reserved base-partition key, shared by every folded store. Sorts
+# strictly below both ledger keying schemes (ISO dates and the
+# streaming fronts' zero-padded ``b<id>`` keys — "0" < "b"), so the
+# fold-set compare and the land-refusal compare both treat the base as
+# "older than everything".
+BASE_KEY = "0000-00-00"
+
 
 def fold_horizon(fs, path_cls, index_dir: str) -> str | None:
     """MAX over ``_horizon=`` markers at the store root (the feature
@@ -69,6 +76,49 @@ def dir_has_parquet(fs, path_cls, path: str) -> bool:
                 if kid.isFile() and kid.getPath().getName().endswith(".parquet"):
                     return True
     return False
+
+
+def check_not_below_horizon(
+    spark: SparkSession, index_dir: str, batch_key: str, op_name: str
+) -> None:
+    """Land-refusal shared by every folded store's apply path: a batch
+    key STRICTLY BELOW the compaction horizon is SPENT — its original
+    partition was folded into the base, so a re-delivery would
+    double-count instead of overwriting itself (the postings store's
+    rule, operators/postings.py::update_postings)."""
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    horizon = fold_horizon(fs, path_cls, index_dir)
+    if horizon is not None and batch_key < horizon:
+        raise ValueError(
+            f"{op_name}: batch key {batch_key} is below the compaction "
+            f"horizon {horizon} — that key was folded into the base "
+            "partition and its replay key is spent; re-deliver under a "
+            "current key or rebuild the store"
+        )
+
+
+def resolve_part_key(
+    spark: SparkSession, index_dir: str, default: str = "date"
+) -> str:
+    """The store's ledger partition column, for compaction of a
+    dual-keyed store (CLI ``date=`` vs streaming ``ingest_batch=``):
+    the ``_keyed_by=`` marker when present (cms_store idiom), else
+    inferred from the partition dirs, else ``default``."""
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    if not fs.exists(path_cls(index_dir)):
+        return default
+    names = [
+        st.getPath().getName()
+        for st in fs.listStatus(path_cls(index_dir))
+        if st.isDirectory()
+    ]
+    marked = [n.split("=", 1)[1] for n in names if n.startswith("_keyed_by=")]
+    if marked:
+        return marked[0]
+    for key in ("date", "ingest_batch"):
+        if any(n.startswith(f"{key}=") for n in names):
+            return key
+    return default
 
 
 def base_fold(
@@ -154,8 +204,14 @@ def base_fold(
             p for p in fold if dir_has_parquet(fs, path_cls, f"{sub_dir}/{p}")
         ]
         if nonempty:
-            src = spark.read.option("basePath", sub_dir).parquet(
-                *[f"{sub_dir}/{p}" for p in nonempty]
+            # mergeSchema: a day-preserving store's base partition
+            # carries an extra ``day`` data column the un-folded
+            # partitions lack (markov/drift folds) — the union read
+            # must surface the superset schema, not one file's.
+            src = (
+                spark.read.option("basePath", sub_dir)
+                .option("mergeSchema", "true")
+                .parquet(*[f"{sub_dir}/{p}" for p in nonempty])
             )
             base, part_cols = merge(src)
             writer = base.write.mode("overwrite")

@@ -32,6 +32,12 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    BASE_KEY,
+    base_fold,
+    check_not_below_horizon,
+    resolve_part_key,
+)
 from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
 from data_ingestion_lambda_spark.operators.upsert import replace_partitions
 from data_ingestion_lambda_spark.plans.llm_ops import (
@@ -128,9 +134,36 @@ def apply_bloom_batch(
     bloom_check_sizing(m, k)
     check_keying_marker(spark, index_dir, "date")
     _check_sizing_marker(spark, index_dir, m, k)
+    check_not_below_horizon(spark, index_dir, batch_date, "apply_bloom_batch")
     words = bloom_words(_fps(members), m, k).withColumn("date", F.lit(batch_date))
     replace_partitions(spark, index_dir, words, [batch_date])
     return {"index": index_dir, "date": batch_date, "m": m, "k": k}
+
+
+def compact_bloom_store(
+    spark: SparkSession, index_dir: str, keep_from: str
+) -> dict:
+    """Fold old batch partitions into the reserved base: the filter of
+    a union is the BITWISE OR of the parts' words, so the fold is a
+    (word_idx, bit_or) rollup and ``read_bloom`` / ``screen_docs`` are
+    bit-identical before and after (pinned). The base is ≤ m/32 rows.
+    The sizing marker is untouched (folded words were all built under
+    it — the apply-time refusal guarantees that). Spends the folded
+    keys; both keyings supported via the ``_keyed_by=`` marker."""
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="compact_bloom_store",
+        part_key=resolve_part_key(spark, index_dir),
+        base_key=BASE_KEY,
+        subtables={
+            "": lambda src: (
+                src.groupBy("word_idx").agg(F.bit_or("word").alias("word")),
+                [],
+            )
+        },
+    )
 
 
 def read_bloom(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -34,6 +34,12 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    BASE_KEY,
+    base_fold,
+    check_not_below_horizon,
+    resolve_part_key,
+)
 from data_ingestion_lambda_spark.operators.upsert import (
     _hadoop_fs,
     replace_partitions,
@@ -99,9 +105,36 @@ def apply_cms_batch(
     ``ingest_batch=`` (marker check above)."""
     _dt.date.fromisoformat(batch_date)
     check_keying_marker(spark, index_dir, "date")
+    check_not_below_horizon(spark, index_dir, batch_date, "apply_cms_batch")
     grid = cms_counters(items).withColumn("date", F.lit(batch_date))
     replace_partitions(spark, index_dir, grid, [batch_date])
     return {"index": index_dir, "date": batch_date}
+
+
+def compact_cms_store(spark: SparkSession, index_dir: str, keep_from: str) -> dict:
+    """Fold old batch partitions into the reserved base: the CMS of a
+    union is the CELL-WISE SUM of the parts' grids, so the fold is a
+    (j, bucket) sum and ``read_cms`` — hence every estimate — is
+    unchanged (pinned in tests/test_store_compaction.py). The base is
+    ≤ d×w rows regardless of how many batches folded. Spends the folded
+    keys (apply/streamed-land refuse below the horizon). Works for both
+    keyings; the partition column comes from the ``_keyed_by=`` marker."""
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="compact_cms_store",
+        part_key=resolve_part_key(spark, index_dir),
+        base_key=BASE_KEY,
+        subtables={
+            "": lambda src: (
+                src.groupBy("j", "bucket").agg(
+                    F.sum("cnt").cast("long").alias("cnt")
+                ),
+                [],
+            )
+        },
+    )
 
 
 def read_cms(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -18,8 +18,11 @@ gap ledger:
 
   - a replayed batch overwrites only its own partition
     (``replace_partitions``) — idempotent by construction;
-  - histogram counts are per-day facts (never merged across days), so
-    there is nothing to compact and no double-count hazard;
+  - histogram counts are per-day facts (never merged across days);
+    compaction (``compact_drift_monitor``) therefore CONCATENATES old
+    partitions into the base, preserving each row's day as a ``day``
+    data column — reads are row-equal and folded keys are spent
+    (apply refuses below the ``_horizon=`` marker);
   - the read-side drift runs over |types| x |days| x |value-domain|
     histogram rows — data-volume-free.
 
@@ -34,6 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    BASE_KEY,
+    base_fold,
+    check_not_below_horizon,
+)
 from data_ingestion_lambda_spark.operators.upsert import (
     PARTITION_COL,
     replace_partitions,
@@ -70,6 +78,9 @@ def apply_histogram_batch(
     legitimately split or mix days belong on the streaming ledger
     (streaming/events.py::stream_value_histogram_to_table), which sums
     per-batch deltas read-side."""
+    check_not_below_horizon(
+        spark, index_dir, batch_date, "apply_histogram_batch"
+    )
     # NULL ts counts as a purity violation too — `to_date(NULL) != date`
     # is NULL, which a bare inequality filter drops, silently admitting
     # undateable events into a day-keyed histogram.
@@ -109,14 +120,50 @@ def apply_histogram_batch(
     return {"date": batch_date, "hist_rows": landed}
 
 
+def compact_drift_monitor(
+    spark: SparkSession, index_dir: str, keep_from: str
+) -> dict:
+    """Fold old histogram partitions into the reserved base. The DAY is
+    semantic (the L1 drift is day-over-day), so the fold CONCATENATES
+    rows, preserving each row's day as a ``day`` data column inside the
+    base — per-day histogram cells are disjoint facts, nothing merges,
+    and ``read_drift`` is row-equal before/after (pinned). The fold
+    buys the LIST-cost axis only: one base dir instead of one per day.
+    Spends the folded keys (apply refuses below the horizon)."""
+    def _merge(src: DataFrame):
+        day = (
+            F.coalesce(F.col("day"), F.col(PARTITION_COL).cast("string"))
+            if "day" in src.columns
+            else F.col(PARTITION_COL).cast("string")
+        )
+        return src.select("event_type", day.alias("day"), "bucket", "cnt"), []
+
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="compact_drift_monitor",
+        part_key=PARTITION_COL,
+        base_key=BASE_KEY,
+        subtables={"": _merge},
+    )
+
+
 def read_drift(spark: SparkSession, index_dir: str) -> DataFrame:
     """Day-over-day L1 drift from the persisted histograms — the same
     output schema and arithmetic as events_distribution_drift, computed
     without touching raw events. The partition date string becomes the
-    operator's DATE-typed day column."""
-    h = spark.read.parquet(index_dir).select(
+    operator's DATE-typed day column; folded base rows carry their true
+    day in the ``day`` data column instead (mergeSchema + coalesce)."""
+    raw = spark.read.option("mergeSchema", "true").parquet(index_dir)
+    day_col = (
+        F.coalesce(F.col("day"), F.col(PARTITION_COL).cast("string"))
+        if "day" in raw.columns
+        else F.col(PARTITION_COL).cast("string")
+    )
+    h = raw.select(
         "event_type",
-        F.col(PARTITION_COL).cast("date").alias("day"),
+        day_col.cast("date").alias("day"),
         "bucket",
         "cnt",
     )

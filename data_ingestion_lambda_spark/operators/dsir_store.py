@@ -32,6 +32,12 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    BASE_KEY,
+    base_fold,
+    check_not_below_horizon,
+    resolve_part_key,
+)
 from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
 from data_ingestion_lambda_spark.operators.upsert import replace_partitions
 from data_ingestion_lambda_spark.plans.llm_ops import (
@@ -88,11 +94,40 @@ def apply_dsir_batch(
     _dt.date.fromisoformat(batch_date)
     check_keying_marker(spark, index_dir, "date")
     _check_target_marker(spark, index_dir, target_lang)
+    check_not_below_horizon(spark, index_dir, batch_date, "apply_dsir_batch")
     stats = dsir_stats(dsir_features(_with_is_t(docs, target_lang))).withColumn(
         "date", F.lit(batch_date)
     )
     replace_partitions(spark, index_dir, stats, [batch_date])
     return {"index": index_dir, "date": batch_date}
+
+
+def compact_dsir_store(
+    spark: SparkSession, index_dir: str, keep_from: str
+) -> dict:
+    """Fold old batch partitions into the reserved base: counts of a
+    union are the BUCKET-WISE SUM of the parts' counts, so the fold is
+    a (bucket, Σcnt_s, Σcnt_t) rollup and ``read_dsir_stats`` — hence
+    every score — is unchanged (pinned). The base is ≤1024 rows. The
+    target marker is untouched (apply-time refusal keeps one target per
+    directory). Spends the folded keys; both keyings supported."""
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="compact_dsir_store",
+        part_key=resolve_part_key(spark, index_dir),
+        base_key=BASE_KEY,
+        subtables={
+            "": lambda src: (
+                src.groupBy("bucket").agg(
+                    F.sum("cnt_s").cast("long").alias("cnt_s"),
+                    F.sum("cnt_t").cast("long").alias("cnt_t"),
+                ),
+                [],
+            )
+        },
+    )
 
 
 def read_dsir_stats(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -34,6 +34,12 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    BASE_KEY,
+    base_fold,
+    check_not_below_horizon,
+    resolve_part_key,
+)
 from data_ingestion_lambda_spark.operators.upsert import replace_partitions
 from data_ingestion_lambda_spark.plans.profiling import _HH_K, mg_sketch
 
@@ -49,6 +55,7 @@ def apply_hh_batch(
     _dt.date.fromisoformat(batch_date)
     if items.filter(F.col("item") == N_ROW).limit(1).count() > 0:
         raise ValueError(f"apply_hh_batch: item name {N_ROW!r} is reserved")
+    check_not_below_horizon(spark, index_dir, batch_date, "apply_hh_batch")
     sketch = mg_sketch(items).select("item", F.col("g").alias("cnt"))
     total = items.agg(
         F.lit(N_ROW).alias("item"), F.count("*").cast("long").alias("cnt")
@@ -56,6 +63,34 @@ def apply_hh_batch(
     part = sketch.unionByName(total).withColumn("date", F.lit(batch_date))
     replace_partitions(spark, index_dir, part, [batch_date])
     return {"index": index_dir, "date": batch_date}
+
+
+def compact_hh_store(spark: SparkSession, index_dir: str, keep_from: str) -> dict:
+    """Fold old batch partitions into the reserved base as a plain
+    per-item counter SUM (the ``__n__`` total rows sum alongside).
+    Deliberately NOT the K-counter reduction: ``read_heavy_hitters``
+    starts from per-item sums across partitions, so a summed base makes
+    the read literally the same aggregate over fewer rows — row-equal
+    pre/post (pinned), with the merged-sketch guarantee untouched. The
+    base holds ≤ distinct-counter-items rows (≤ K per folded batch in
+    the worst case, typically far fewer after summing). Spends the
+    folded keys; both keyings supported."""
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="compact_hh_store",
+        part_key=resolve_part_key(spark, index_dir),
+        base_key=BASE_KEY,
+        subtables={
+            "": lambda src: (
+                src.groupBy("item").agg(
+                    F.sum("cnt").cast("long").alias("cnt")
+                ),
+                [],
+            )
+        },
+    )
 
 
 def read_heavy_hitters(spark: SparkSession, index_dir: str) -> DataFrame:

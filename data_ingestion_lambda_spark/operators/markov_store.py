@@ -44,6 +44,11 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    BASE_KEY,
+    base_fold,
+    check_not_below_horizon,
+)
 from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
 from data_ingestion_lambda_spark.operators.upsert import replace_partitions
 
@@ -121,20 +126,69 @@ def apply_markov_batch(
             "day-pure batches — re-apply the other date(s) separately"
         )
     check_keying_marker(spark, index_dir, "date")
+    check_not_below_horizon(
+        spark, index_dir, batch_date, "apply_markov_batch"
+    )
     day = _day_summary(batch_events).withColumn("date", F.lit(batch_date))
     replace_partitions(spark, index_dir, day, [batch_date])
     return {"index": index_dir, "date": batch_date}
 
 
+_MARKOV_COLS = (
+    "p_ts",
+    "full_n", "full_first", "full_last", "full_edges",
+    "trunc_n", "trunc_first", "trunc_last", "trunc_edges",
+)
+
+
+def compact_markov_store(
+    spark: SparkSession, index_dir: str, keep_from: str
+) -> dict:
+    """Fold old date partitions into the reserved base. Unlike the
+    additive grids, the DAY is semantic here (the read orders each
+    user's summaries by day and stitches the seams), so the fold is a
+    CONCATENATION that preserves each row's day as a regular ``day``
+    data column inside the base partition — rows are per (user, day)
+    facts, disjoint across partitions, so nothing merges and the
+    reconstruction is unchanged (pinned row-equal). What the fold buys
+    is exactly the LIST-cost axis: one base dir instead of one per day.
+    Spends the folded keys (apply refuses below the horizon)."""
+    def _merge(src: DataFrame):
+        day = (
+            F.coalesce(F.col("day"), F.col("date").cast("string"))
+            if "day" in src.columns
+            else F.col("date").cast("string")
+        )
+        return src.select("user_id", day.alias("day"), *_MARKOV_COLS), []
+
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="compact_markov_store",
+        part_key="date",
+        base_key=BASE_KEY,
+        subtables={"": _merge},
+    )
+
+
 def read_transition_counts(spark: SparkSession, index_dir: str) -> DataFrame:
     """(src, dst, count) corpus grid reconstructed from the day
-    summaries — exactly the lane's grid over every event applied."""
-    days = spark.read.parquet(index_dir)
+    summaries — exactly the lane's grid over every event applied.
+    ``mergeSchema`` + the coalesce make folded stores read identically:
+    base rows carry their true day in the ``day`` data column while
+    un-folded rows carry it in the partition value."""
+    days = spark.read.option("mergeSchema", "true").parquet(index_dir)
+    day_col = (
+        F.coalesce(F.col("day"), F.col("date").cast("string"))
+        if "day" in days.columns
+        else F.col("date").cast("string")
+    )
     per_user = days.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
-                    F.col("date").cast("string").alias("date"),
+                    day_col.alias("date"),
                     "p_ts",
                     "full_n", "full_first", "full_last", "full_edges",
                     "trunc_n", "trunc_first", "trunc_last", "trunc_edges",

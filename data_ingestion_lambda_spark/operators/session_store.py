@@ -46,6 +46,11 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    BASE_KEY,
+    base_fold,
+    check_not_below_horizon,
+)
 from data_ingestion_lambda_spark.operators.upsert import replace_partitions
 
 GAP_US = 30 * 60 * 1_000_000  # the events_sessionize threshold
@@ -83,6 +88,9 @@ def apply_session_batch(
     slices), so late events for an old date are a BACKFILL re-apply of
     that date, never a mixed batch."""
     _dt.date.fromisoformat(batch_date)
+    check_not_below_horizon(
+        spark, index_dir, batch_date, "apply_session_batch"
+    )
     stray = batch_events.filter(F.to_date("ts") != F.lit(batch_date)).limit(1)
     if stray.count() > 0:
         raise ValueError(
@@ -110,9 +118,42 @@ def land_session_batch(
     the running-max seam merge is exact for arbitrary splits (see
     merge_partial_sessions). Replaying the same (batch, key) overwrites
     only its own partition — idempotent."""
+    check_not_below_horizon(spark, index_dir, key, "land_session_batch")
     part = sessionize_batch(batch_events)
     replace_partitions(
         spark, index_dir, part.withColumn("date", F.lit(key)), [key]
+    )
+
+
+def compact_session_store(
+    spark: SparkSession, index_dir: str, keep_from: str
+) -> dict:
+    """Fold old partial-session partitions into the reserved base by
+    RUNNING THE SEAM MERGE over them and re-emitting the merged
+    sessions as partials (``session_seq`` dropped — the read renumbers
+    from scratch). Exact because the interval-union merge is
+    associative and idempotent on chains, and a merged session IS a
+    chain (it is the one-shot session of the union of its events — see
+    ``merge_partial_sessions``'s proof), so merging {base} ∪ {newer
+    partials} equals merging all original partials — pinned row-equal
+    incl. session_seq in tests/test_store_compaction.py. The base is
+    session-count-bounded. Spends the folded keys (both the day-pure
+    apply and the streaming land refuse below the horizon)."""
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="compact_session_store",
+        part_key="date",
+        base_key=BASE_KEY,
+        subtables={
+            "": lambda src: (
+                merge_partial_sessions(
+                    src.select("user_id", "start_us", "end_us", "n_events")
+                ).select("user_id", "start_us", "end_us", "n_events"),
+                [],
+            )
+        },
     )
 
 

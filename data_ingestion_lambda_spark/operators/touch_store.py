@@ -27,6 +27,12 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    BASE_KEY,
+    base_fold,
+    check_not_below_horizon,
+    resolve_part_key,
+)
 from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
 from data_ingestion_lambda_spark.operators.upsert import replace_partitions
 
@@ -53,9 +59,38 @@ def apply_touch_batch(
     idempotent OR, so even re-delivered events cannot overcount."""
     _dt.date.fromisoformat(batch_date)
     check_keying_marker(spark, index_dir, "date")
+    check_not_below_horizon(spark, index_dir, batch_date, "apply_touch_batch")
     state = _user_state(events).withColumn("date", F.lit(batch_date))
     replace_partitions(spark, index_dir, state, [batch_date])
     return {"index": index_dir, "date": batch_date}
+
+
+def compact_touch_store(
+    spark: SparkSession, index_dir: str, keep_from: str
+) -> dict:
+    """Fold old batch partitions into the reserved base: the fold is
+    the read's own per-user ``bit_or(mask), max(conv)`` — idempotent
+    OR-semigroup, the strongest merge semantics here (even overlapping
+    folded batches cannot corrupt it) — so ``read_touch_state`` and the
+    Shapley credit are unchanged (pinned). The base is user-bounded.
+    Spends the folded keys; both keyings supported."""
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="compact_touch_store",
+        part_key=resolve_part_key(spark, index_dir),
+        base_key=BASE_KEY,
+        subtables={
+            "": lambda src: (
+                src.groupBy("user_id").agg(
+                    F.bit_or("mask").cast("int").alias("mask"),
+                    F.max("conv").cast("int").alias("conv"),
+                ),
+                [],
+            )
+        },
+    )
 
 
 def read_touch_state(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -21,11 +21,14 @@ associative and commutative, so:
     (``replace_partitions``), so the update is idempotent by
     construction — the same batch-id-keyed sink idiom as the dedup
     gate's signature index and the streaming gap ledger;
-  - there is deliberately NO compaction: merging partitions into a base
-    would make a later replay of an old batch double-count (the replayed
-    partition would no longer be addressable). The read-side SUM costs
-    one map-side-combining aggregate over (tok, cnt) rows — partitions
-    are per-batch, i.e. hundreds, not millions.
+  - compaction (``compact_vocab``) folds old partitions into the
+    reserved base via the shared crash-guarded ``base_fold`` — the fold
+    is a (tok, cnt) sum, exact by additivity. Folding SPENDS the folded
+    keys: ``update_vocab`` refuses a batch date below the ``_horizon=``
+    marker (a replayed old batch can no longer overwrite itself — the
+    double-count hazard the refusal exists for), and replay-safe
+    scoring refuses an ``exclude_date`` below the horizon (that date's
+    contribution is no longer separable from the base).
 
 Scoring semantics: ``score_batch`` scores documents against the model
 AS PERSISTED (a frozen model — the scored batch's own tokens do not
@@ -43,8 +46,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    BASE_KEY,
+    base_fold,
+    check_not_below_horizon,
+    fold_horizon,
+)
 from data_ingestion_lambda_spark.operators.upsert import (
     PARTITION_COL,
+    _hadoop_fs,
     list_partition_dates,
     replace_partitions,
 )
@@ -125,12 +135,37 @@ def update_vocab(
     an N-GRAM model (e.g. 2 = the bigram LM of text_bigram_surprisal)
     in the identical layout; the order is recorded in the directory and
     mismatched access refuses."""
+    check_not_below_horizon(spark, vocab_dir, batch_date, "update_vocab")
     _check_order_marker(spark, vocab_dir, order, create=True)
     counts = _batch_counts(batch_docs, order=order).withColumn(
         PARTITION_COL, F.lit(batch_date)
     )
     replace_partitions(spark, vocab_dir, counts, [batch_date])
     return {"date": batch_date, "batch_docs": batch_docs.count(), "order": order}
+
+
+def compact_vocab(spark: SparkSession, vocab_dir: str, keep_from: str) -> dict:
+    """Fold every batch partition strictly before ``keep_from`` (plus
+    any existing base) into the reserved base partition. Exact by
+    additivity: the fold is a (tok, cnt) sum, and ``read_vocab`` /
+    ``score_batch`` read the SAME sum across whatever partitions exist
+    — pinned row-equal pre/post fold in tests/test_store_compaction.py.
+    Spends the folded keys (see ``update_vocab``'s refusal). Works for
+    both keyings (CLI ISO dates, streamed ``b<id>`` keys)."""
+    return base_fold(
+        spark,
+        vocab_dir,
+        keep_from,
+        op_name="compact_vocab",
+        part_key=PARTITION_COL,
+        base_key=BASE_KEY,
+        subtables={
+            "": lambda src: (
+                src.groupBy("tok").agg(F.sum("cnt").cast("long").alias("cnt")),
+                [],
+            )
+        },
+    )
 
 
 def read_vocab(
@@ -141,6 +176,15 @@ def read_vocab(
     like the dedup gate's own-partition exclusion."""
     dates = list_partition_dates(spark, vocab_dir)
     if exclude_date is not None:
+        fs, path_cls = _hadoop_fs(spark, vocab_dir)
+        horizon = fold_horizon(fs, path_cls, vocab_dir)
+        if horizon is not None and exclude_date < horizon:
+            raise ValueError(
+                f"read_vocab: exclude_date {exclude_date} is below the "
+                f"compaction horizon {horizon} — that batch's counts "
+                "were folded into the base partition and can no longer "
+                "be excluded; score without exclusion or rebuild"
+            )
         dates = [d for d in dates if d != exclude_date]
     if not dates:
         raise ValueError(f"vocab at {vocab_dir} has no (remaining) partitions")

@@ -959,10 +959,15 @@ _CENTROID_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 
 
 def _train_ivf_centroids(
-    spark: SparkSession, v: DataFrame, cache_key: str | None = None
+    spark: SparkSession,
+    v: DataFrame,
+    cache_key: str | None = None,
+    n_cells: int = _N_CENTROIDS,
 ) -> DataFrame:
     """Spherical k-means coarse quantizer: seeded by the first
-    _N_CENTROIDS vectors, refined with _KMEANS_ITERS Lloyd iterations
+    ``n_cells`` vectors (default _N_CENTROIDS — production grows the
+    cell count with the corpus, see the sized lanes and the maintained
+    index's retrain flow), refined with _KMEANS_ITERS Lloyd iterations
     (cosine argmax assignment → exact-decimal per-dimension means).
 
     Fixed seed + fixed iteration count ⇒ fully deterministic, so the
@@ -977,10 +982,12 @@ def _train_ivf_centroids(
             pairs, "cent_id bigint, cv array<double>"
         ).select("cent_id", "cv", F.sqrt(dot("cv", "cv")).alias("cnrm"))
 
+    if cache_key is not None:
+        cache_key = f"{cache_key}#c{n_cells}"
     if cache_key is not None and cache_key in _CENTROID_CACHE:
         return _from_rows(_CENTROID_CACHE[cache_key])
 
-    cent = v.filter(F.col("vec_id") < _N_CENTROIDS).select(
+    cent = v.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"),
         F.col("ve").alias("cv"),
         F.col("nrm").alias("cnrm"),
@@ -1024,12 +1031,17 @@ def _train_ivf_centroids(
 # oracle CTE text — shared VERBATIM by ann_ivf_topk and the hard-negative
 # miner below, so the two oracles can never desynchronize on the quantizer
 # or the probe.
-_IVF_SCORED_CTES = f"""
+def _ivf_scored_ctes(n_cells: int = _N_CENTROIDS, n_probe: int = _N_PROBE) -> str:
+    """The whole IVF pipeline up to the per-pair cosine as oracle CTE
+    text, generated from the SAME (n_cells, n_probe) the Spark builder
+    uses — the sized lanes (e.g. ann_ivf_topk_c32) and the default 16/4
+    instance below cannot desynchronize on the quantizer or the probe."""
+    return f"""
     WITH v AS (
         SELECT vec_id, ve, sqrt({_sql_dot('ve', 've')}) AS nrm
         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)),
     cent0 AS (SELECT vec_id AS cent_id, ve AS cv, nrm AS cnrm FROM v
-              WHERE vec_id < {_N_CENTROIDS}),
+              WHERE vec_id < {n_cells}),
     {",".join(_sql_kmeans_iter(f"cent{k}", k + 1) for k in range(_KMEANS_ITERS))},
     cent AS (SELECT * FROM cent{_KMEANS_ITERS}),
     assign AS (
@@ -1047,7 +1059,7 @@ _IVF_SCORED_CTES = f"""
                    ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY ({_sql_dot('qv', 'cv')}) / (qnrm * cnrm) DESC, cent_id) AS rn
             FROM q CROSS JOIN cent)
-        WHERE rn <= {_N_PROBE}),
+        WHERE rn <= {n_probe}),
     cand AS (
         SELECT query_id, vec_id AS neighbor_id, cell
         FROM probe JOIN assign USING (cell)
@@ -1059,7 +1071,15 @@ _IVF_SCORED_CTES = f"""
         FROM cand JOIN q USING (query_id) JOIN nv USING (neighbor_id))"""
 
 
-def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+_IVF_SCORED_CTES = _ivf_scored_ctes()
+
+
+def _ivf_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = _N_CENTROIDS,
+    n_probe: int = _N_PROBE,
+) -> DataFrame:
     """The IVF pipeline up to the per-pair cosine: train/load the frozen
     quantizer, assign the corpus to cells, probe each query's
     {_N_PROBE} closest cells, score only the candidates living there.
@@ -1073,7 +1093,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring pass all re-read (vec_id, ve, nrm); at production scale this
     # is the materialized vector table the quantizer is trained against.
     v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm")).persist()
-    cent = _train_ivf_centroids(spark, v, cache_key=sf_dir)
+    cent = _train_ivf_centroids(spark, v, cache_key=sf_dir, n_cells=n_cells)
     ccos = (dot("ve", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
     # Argmax as max_by (same (ccos DESC, cell ASC) total order as the
     # oracle's ROW_NUMBER): partially aggregates MAP-SIDE inside the
@@ -1096,7 +1116,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cent))
         .select("query_id", F.col("cent_id").alias("cell"), qcos)
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _N_PROBE)
+        .filter(F.col("rn") <= n_probe)
         .select("query_id", "cell")
     )
     cand = probe.join(assign, "cell").filter(
@@ -1336,6 +1356,86 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs two index probes, not an extra all-pairs pass."""
     exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.join(hits, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.max("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.max("n_hits"), F.lit(0)).cast("double") / F.count("*")
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+# Sized-quantizer lanes (VERDICT r10 #4): the cell count is a REAL
+# parameter — "production grows the cell count with the corpus" — so a
+# second instance runs the identical pipeline at 32 cells, its oracle
+# generated from the SAME (n_cells, n_probe) pair. 32 cells halves the
+# per-probe fraction (4/32 vs 4/16 of the corpus scanned); the recall
+# twin below prices what that costs in recall on THIS corpus — the
+# side-by-side a retrain decision reads (operators/ann_index.py::
+# retrain_index runs the same comparison over the maintained index).
+_N_CELLS_32 = 32
+
+
+@register(
+    "ann_ivf_topk_c32",
+    oracle=f"""{_ivf_scored_ctes(_N_CELLS_32, _N_PROBE)}
+    SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("llm", "ann"),
+)
+def ann_ivf_topk_c32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF lane at a 32-cell quantizer — identical pipeline,
+    different sizing knob (see ann_ivf_topk; the oracle is generated
+    from the same constants, so the two engines cannot desynchronize
+    on the quantizer)."""
+    scored = _ivf_scored(spark, sf_dir, n_cells=_N_CELLS_32, n_probe=_N_PROBE)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+_IVF32_SQL = _REG["ann_ivf_topk_c32"].oracle
+
+
+@register(
+    "ann_ivf_recall_c32",
+    oracle=f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_EXACT_SQL}) t1),
+         ivf AS (SELECT query_id, neighbor_id FROM ({_IVF32_SQL}) t2),
+         hits AS (
+             SELECT query_id, COUNT(*) AS n_hits
+             FROM exact JOIN ivf USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           COALESCE(MAX(n_hits), 0) AS n_hits,
+           CAST(COALESCE(MAX(n_hits), 0) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact e LEFT JOIN hits USING (query_id)
+    GROUP BY e.query_id
+    """,
+    tags=("llm", "ann", "quality"),
+)
+def ann_ivf_recall_c32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the 32-cell IVF probe against the exact baseline —
+    the side-by-side with ann_ivf_recall (16 cells, same n_probe) that
+    prices a quantizer-growth decision: scan fraction halves, recall
+    moves by whatever these rows say on the current corpus."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk_c32(spark, sf_dir).select("query_id", "neighbor_id")
     hits = (
         exact.join(ivf, ["query_id", "neighbor_id"])
         .groupBy("query_id")

@@ -245,6 +245,9 @@ def run_cms_update_available_now(
     read (operators/cms_store.py::read_cms) equals the one-shot sketch
     over everything ingested, any trigger split. Replays overwrite only
     their own partition."""
+    from data_ingestion_lambda_spark.operators.base_fold import (
+        check_not_below_horizon,
+    )
     from data_ingestion_lambda_spark.operators.cms_store import check_keying_marker
     from data_ingestion_lambda_spark.plans.profiling import cms_counters
 
@@ -252,6 +255,9 @@ def run_cms_update_available_now(
     check_keying_marker(spark, index_dir, "ingest_batch")
 
     def _body(batch: DataFrame, key: str) -> dict:
+        # a checkpoint replay of a batch id folded into the base would
+        # double-count (its partition no longer overwrites itself)
+        check_not_below_horizon(spark, index_dir, key, "cms stream land")
         (
             cms_counters(batch)
             .write.mode("overwrite")
@@ -356,6 +362,11 @@ def run_bloom_update_available_now(
     _check_sizing_marker(spark, index_dir, m, k)
 
     def _body(batch: DataFrame, key: str) -> dict:
+        from data_ingestion_lambda_spark.operators.base_fold import (
+            check_not_below_horizon,
+        )
+
+        check_not_below_horizon(spark, index_dir, key, "bloom stream land")
         (
             bloom_words(_fps(batch), m, k)
             .write.mode("overwrite")
@@ -393,6 +404,11 @@ def run_dsir_update_available_now(
     _check_target_marker(spark, index_dir, target_lang)
 
     def _body(batch: DataFrame, key: str) -> dict:
+        from data_ingestion_lambda_spark.operators.base_fold import (
+            check_not_below_horizon,
+        )
+
+        check_not_below_horizon(spark, index_dir, key, "dsir stream land")
         stats = dsir_stats(
             dsir_features(
                 batch.select(
@@ -435,6 +451,11 @@ def run_touch_update_available_now(
     check_keying_marker(spark, index_dir, "ingest_batch")
 
     def _body(batch: DataFrame, key: str) -> dict:
+        from data_ingestion_lambda_spark.operators.base_fold import (
+            check_not_below_horizon,
+        )
+
+        check_not_below_horizon(spark, index_dir, key, "touch stream land")
         (
             _user_state(batch)
             .write.mode("overwrite")

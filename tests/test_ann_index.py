@@ -235,3 +235,70 @@ def test_cli_hard_negatives(spark, tmp_path, capsys):
     assert rows(spark.read.parquet(str(out))) == rows(
         ann_hard_negatives_ivf(spark, SF)
     )
+
+
+# --- sized quantizer + retrain migration (r11) ------------------------------
+
+
+def test_sized_index_probe_equals_sized_lane(spark, tmp_path):
+    """A 32-cell index (the sizing knob as a real parameter) probes
+    row-equal to the registered ann_ivf_topk_c32 lane — the Bloom (m,k)
+    template applied to the quantizer."""
+    from data_ingestion_lambda_spark.plans.similarity import ann_ivf_topk_c32
+
+    idx = str(tmp_path / "idx32")
+    vecs = _vectors(spark)
+    report = train_index(spark, idx, vecs, n_cells=32)
+    assert report["n_cells"] == 32
+    append_batch(spark, idx, vecs, "2025-07-01")
+    assert _rows(probe_topk(spark, idx, _queries(vecs))) == _rows(
+        ann_ivf_topk_c32(spark, SF)
+    )
+
+
+def test_sizing_marker_refusals(spark, tmp_path):
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.ann_index import read_sizing
+
+    idx = str(tmp_path / "idx")
+    vecs = _vectors(spark)
+    train_index(spark, idx, vecs)  # default 16, marker recorded
+    assert read_sizing(spark, idx) == 16
+    # one directory, one sizing: retraining at another size refuses
+    with pytest.raises(ValueError, match="one directory, one quantizer"):
+        train_index(spark, idx, vecs, n_cells=32)
+    # probing more cells than the index has is a full scan — refused
+    append_batch(spark, idx, vecs, "2025-07-01")
+    with pytest.raises(ValueError, match="exceeds the index's recorded"):
+        probe_topk(spark, idx, _queries(vecs), n_probe=17)
+
+
+def test_retrain_migration_blue_green(spark, tmp_path):
+    """retrain_index grows the quantizer into a NEW dir: old index
+    untouched and still serving, new index re-assigned under the new
+    quantizer, report carries side-by-side recall@k for the cutover
+    decision."""
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.ann_index import (
+        read_sizing,
+        retrain_index,
+    )
+    from data_ingestion_lambda_spark.plans.similarity import ann_ivf_topk_c32
+
+    old, vecs = _build(spark, tmp_path)
+    before = _rows(probe_topk(spark, old, _queries(vecs)))
+    new = str(tmp_path / "idx32")
+    with pytest.raises(ValueError, match="blue/green"):
+        retrain_index(spark, old, old, 32, "2025-08-01")
+    report = retrain_index(spark, old, new, 32, "2025-08-01")
+    assert report["n_cells_old"] == 16 and report["n_cells_new"] == 32
+    assert 0.0 <= report["recall_new"] <= 1.0
+    assert 0.0 <= report["recall_old"] <= 1.0
+    # old index unchanged; new index serves the 32-cell lane's rows
+    assert _rows(probe_topk(spark, old, _queries(vecs))) == before
+    assert read_sizing(spark, new) == 32
+    assert _rows(probe_topk(spark, new, _queries(vecs))) == _rows(
+        ann_ivf_topk_c32(spark, SF)
+    )

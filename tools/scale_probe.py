@@ -176,6 +176,55 @@ QUERIES = [
     "eval_binary_auc",
     "eval_precision_recall_curve",
     "agg_pareto_abc",
+    # r11 definitive-sweep completion (VERDICT r10 #5): every bench
+    # headliner (v1+v2+v3) plus the r11 lanes now runs under the probe
+    # (dedup_edit_distance stays in its own --char-rotate mode; the
+    # customer-only governance trio keeps its r10 10x-customer isometry
+    # measurements -- customer is a PASSTHROUGH dim here).
+    "agg_salted_skew",
+    "ann_block_matrix_topk",
+    "ann_cosine_topk",
+    "ann_hard_negatives",
+    "ann_lsh_bucketed",
+    "corpus_split_assign",
+    "corpus_temperature_mix",
+    "dedup_bloom_screen_sized",
+    "dedup_exact_text",
+    "dedup_incremental_exact",
+    "eval_bradley_terry",
+    "eval_confusion_multiclass",
+    "eval_mcnemar",
+    "eval_rank_correlation",
+    "eval_regression_metrics",
+    "events_ab_cuped",
+    "events_asof_join",
+    "events_attribution_time_decay",
+    "events_retention_cohorts_approx",
+    "events_tumbling_window",
+    "feature_point_in_time",
+    "feature_user_session_stats",
+    "feature_user_vectors",
+    "join_broadcast_dims",
+    "join_right_outer",
+    "media_byte_features",
+    "media_decode_resize",
+    "media_frame_sample",
+    "profile_chi_square",
+    "profile_heavy_hitters_mg",
+    "profile_ks_statistic",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "scalar_to_json",
+    "search_mrr_ndcg_hybrid",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_repetition_signals",
+    "win_running_sum",
+    "ann_ivf_topk_c32",
+    "text_heaps_law",
 ]
 
 # Queries that read the embeddings table — skipped (default list) or

@@ -278,6 +278,179 @@ def probe_postings(spark, sf, reps, n_days=30):
     _measure("after_compaction")
 
 
+def _count_dirs(idx: str) -> int:
+    return sum(
+        1
+        for n in os.listdir(idx)
+        if (n.startswith("date=") or n.startswith("ingest_batch="))
+        and os.path.isdir(os.path.join(idx, n))
+    )
+
+
+def _day_events(spark, date: str, n_users=40, n_per_user=4):
+    rows = [
+        (
+            u,
+            u * 1000 + i,
+            f"{date} {8 + (i * 3) % 12:02d}:{(u * 7 + i * 11) % 60:02d}:00",
+            ["view", "click", "signup", "purchase"][(u + i) % 4],
+            float((u * 13 + i) % 100),
+        )
+        for u in range(n_users)
+        for i in range(n_per_user)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, event_id bigint, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def probe_fold(spark, sf, reps, n_days=30):
+    """r11: what the generalized base-fold buys per store — partition
+    dir count and read wall on an n_days ledger BEFORE vs AFTER its
+    compaction entrypoint (reads are equality-pinned in
+    tests/test_store_compaction.py; this probe prices the LIST axis)."""
+    from data_ingestion_lambda_spark.operators import (
+        bloom_store,
+        cms_store,
+        drift_monitor,
+        dsir_store,
+        hh_store,
+        markov_store,
+        session_store,
+        touch_store,
+        vocab,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    items = docs.select(
+        "doc_id", F.concat(F.lit("i"), (F.col("doc_id") % 64)).alias("item")
+    )
+
+    def _date(d):
+        return f"2025-{(d // 28) + 1:02d}-{(d % 28) + 1:02d}"
+
+    def _split_apply(idx, frame, apply_fn):
+        shutil.rmtree(idx, ignore_errors=True)
+        for d in range(n_days):
+            apply_fn(frame.filter(F.col("doc_id") % n_days == d), _date(d))
+
+    def _daily_apply(idx, apply_fn):
+        shutil.rmtree(idx, ignore_errors=True)
+        for d in range(n_days):
+            apply_fn(_day_events(spark, _date(d)), _date(d))
+
+    stores = {
+        "vocab": (
+            lambda idx: _split_apply(
+                idx,
+                docs,
+                lambda b, dt: vocab.update_vocab(spark, idx, b, dt),
+            ),
+            lambda idx: vocab.read_vocab(spark, idx).count(),
+            vocab.compact_vocab,
+        ),
+        "cms": (
+            lambda idx: _split_apply(
+                idx,
+                items,
+                lambda b, dt: cms_store.apply_cms_batch(
+                    spark, idx, b.select("item"), dt
+                ),
+            ),
+            lambda idx: cms_store.read_cms(spark, idx).count(),
+            cms_store.compact_cms_store,
+        ),
+        "bloom": (
+            lambda idx: _split_apply(
+                idx,
+                docs,
+                lambda b, dt: bloom_store.apply_bloom_batch(spark, idx, b, dt),
+            ),
+            lambda idx: bloom_store.screen_docs(
+                spark, idx, docs.limit(200)
+            ).count(),
+            bloom_store.compact_bloom_store,
+        ),
+        "dsir": (
+            lambda idx: _split_apply(
+                idx,
+                docs,
+                lambda b, dt: dsir_store.apply_dsir_batch(spark, idx, b, dt),
+            ),
+            lambda idx: dsir_store.score_docs(spark, idx, docs.limit(200)).count(),
+            dsir_store.compact_dsir_store,
+        ),
+        "hh": (
+            lambda idx: _split_apply(
+                idx,
+                items,
+                lambda b, dt: hh_store.apply_hh_batch(
+                    spark, idx, b.select("item"), dt
+                ),
+            ),
+            lambda idx: hh_store.read_heavy_hitters(spark, idx).count(),
+            hh_store.compact_hh_store,
+        ),
+        "touch": (
+            lambda idx: _daily_apply(
+                idx,
+                lambda ev, dt: touch_store.apply_touch_batch(spark, idx, ev, dt),
+            ),
+            lambda idx: touch_store.read_touch_state(spark, idx).count(),
+            touch_store.compact_touch_store,
+        ),
+        "session": (
+            lambda idx: _daily_apply(
+                idx,
+                lambda ev, dt: session_store.apply_session_batch(
+                    spark, idx, ev, dt
+                ),
+            ),
+            lambda idx: session_store.read_sessions(spark, idx).count(),
+            session_store.compact_session_store,
+        ),
+        "markov": (
+            lambda idx: _daily_apply(
+                idx,
+                lambda ev, dt: markov_store.apply_markov_batch(
+                    spark, idx, ev, dt
+                ),
+            ),
+            lambda idx: markov_store.read_transition_counts(spark, idx).count(),
+            markov_store.compact_markov_store,
+        ),
+        "drift": (
+            lambda idx: _daily_apply(
+                idx,
+                lambda ev, dt: drift_monitor.apply_histogram_batch(
+                    spark, idx, ev, dt
+                ),
+            ),
+            lambda idx: drift_monitor.read_drift(spark, idx).count(),
+            drift_monitor.compact_drift_monitor,
+        ),
+    }
+    for name, (build, read, compact) in stores.items():
+        idx = f"/tmp/econ_fold_{name}"
+        build(idx)
+        before = {
+            "dirs": _count_dirs(idx),
+            "read_sec": _median_wall(lambda: read(idx), reps),
+        }
+        compact(spark, idx, "2025-02-01")  # folds January's 28 batches
+        after = {
+            "dirs": _count_dirs(idx),
+            "read_sec": _median_wall(lambda: read(idx), reps),
+        }
+        print(
+            json.dumps(
+                {"store": name, "mode": "fold", "before": before, "after": after}
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -299,6 +472,8 @@ def main() -> None:
         probe_attrib_age(spark, args.sf, args.reps)
     if "postings" in modes:
         probe_postings(spark, args.sf, args.reps)
+    if "fold" in modes:
+        probe_fold(spark, args.sf, args.reps)
 
 
 if __name__ == "__main__":
