@@ -470,3 +470,56 @@ def test_stranded_staging_refuses(spark, tmp_path):
     (idx / ".compact-staging").mkdir()
     with pytest.raises(RuntimeError, match="stranded"):
         compact_cms_store(spark, str(idx), D3)
+
+
+# --- CLI wiring (one store per handler shape suffices) -----------------------
+
+
+def test_cli_compact_keep_from_roundtrip(spark, tmp_path, capsys):
+    """The --compact-keep-from flag folds and reports through main();
+    compact-only invocations (no --batch) are accepted."""
+    import json
+
+    from data_ingestion_lambda_spark import cli
+    from data_ingestion_lambda_spark.operators.hh_store import (
+        apply_hh_batch,
+        read_heavy_hitters,
+    )
+
+    idx = tmp_path / "hh"
+    items = spark.createDataFrame(
+        [(f"hot{j % 2}",) for j in range(30)], "item string"
+    )
+    for d in (D1, D2, D3):
+        apply_hh_batch(spark, str(idx), items, d)
+    want = _rows(read_heavy_hitters(spark, str(idx)))
+
+    rc = cli.main(
+        ["hh-store", "--index", str(idx), "--compact-keep-from", D3]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["compaction"]["folded"][""] == 2
+    assert report["compaction"]["horizon"] == D3
+    assert _rows(read_heavy_hitters(spark, str(idx))) == want
+    assert _part_dirs(idx) == ["date=0000-00-00", f"date={D3}"]
+
+
+def test_cli_vocab_compact_only(spark, tmp_path, capsys):
+    import json
+
+    from data_ingestion_lambda_spark import cli
+    from data_ingestion_lambda_spark.operators.vocab import (
+        read_vocab,
+        update_vocab,
+    )
+
+    idx = tmp_path / "vocab"
+    for i, d in enumerate((D1, D2)):
+        update_vocab(spark, str(idx), _docs(spark, i), d)
+    want = _rows(read_vocab(spark, str(idx)))
+    rc = cli.main(["vocab", "--vocab", str(idx), "--compact-keep-from", D2])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["compaction"]["folded"][""] == 1
+    assert _rows(read_vocab(spark, str(idx))) == want
