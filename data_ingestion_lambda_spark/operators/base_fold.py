@@ -85,7 +85,16 @@ def check_not_below_horizon(
     key STRICTLY BELOW the compaction horizon is SPENT — its original
     partition was folded into the base, so a re-delivery would
     double-count instead of overwriting itself (the postings store's
-    rule, operators/postings.py::update_postings)."""
+    rule, operators/postings.py::update_postings). The reserved base
+    key itself refuses unconditionally — landing a batch there would
+    clobber the folded base (most date-keyed applies already reject it
+    via ISO validation, but vocab and the raw streaming lands take
+    arbitrary keys)."""
+    if batch_key <= BASE_KEY:
+        raise ValueError(
+            f"{op_name}: batch key {batch_key!r} is reserved for (or sorts "
+            f"below) the compaction base partition {BASE_KEY!r}"
+        )
     fs, path_cls = _hadoop_fs(spark, index_dir)
     horizon = fold_horizon(fs, path_cls, index_dir)
     if horizon is not None and batch_key < horizon:

@@ -50,22 +50,32 @@ _RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 # perform the identical IEEE ops on identical integers.
 
 
-def bm25_contribution(n_docs: int, t_tokens: int) -> Column:
+def bm25_contribution_cols(nn: Column, tt: Column) -> Column:
     """The scaled-long per-term BM25 contribution over columns
-    (tf, df, dl) — shared by the registered one-shot query and the
-    maintained postings index (operators/postings.py), so their scores
-    are equal BY CONSTRUCTION, not by parallel maintenance."""
-    num = (F.lit(2 * n_docs + 1) - 2 * F.col("df")) * (
-        F.col("tf") * F.lit(44 * t_tokens)
-    )
+    (tf, df, dl) with the corpus stats (N docs, T tokens) ALSO as
+    columns — the fully in-plan form: the one-shot lanes cross-join a
+    broadcast 1-row (nn, tt) aggregate exactly like the oracle's
+    nn/tt CTEs, so building the plan launches NO job (review r10's
+    watch item: the previous form collected two driver scalars per
+    plan build). All arithmetic stays exact LONG (the casts pin the
+    promotion the literal form got implicitly)."""
+    nn, tt = nn.cast("long"), tt.cast("long")
+    num = (2 * nn + 1 - 2 * F.col("df")) * (F.col("tf") * (44 * tt))
     den = (2 * F.col("df") + 1) * (
-        F.col("tf") * F.lit(20 * t_tokens)
-        + F.lit(6 * t_tokens)
-        + F.col("dl") * F.lit(18 * n_docs)
+        F.col("tf") * (20 * tt) + 6 * tt + F.col("dl") * (18 * nn)
     )
     return F.floor(
         num.cast("double") / den.cast("double") * F.lit(float(_SCALE))
     ).cast("long")
+
+
+def bm25_contribution(n_docs: int, t_tokens: int) -> Column:
+    """The driver-scalar form over (tf, df, dl) — used where N and T
+    are ALREADY materialized tiny scalars (the maintained postings
+    index's per-batch stats rows, operators/postings.py::read_stats);
+    delegates to the column form so lane and index scores stay equal
+    BY CONSTRUCTION, not by parallel maintenance."""
+    return bm25_contribution_cols(F.lit(n_docs), F.lit(t_tokens))
 
 
 def _bm25_sql(docs_rel: str) -> str:
@@ -118,8 +128,11 @@ def _bm25_topk_over(d: DataFrame) -> DataFrame:
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = d.count()  # two bounded driver scalars, re-broadcast as literals
-    t_tokens = dl.agg(F.sum("dl")).collect()[0][0]
+    # corpus stats IN-PLAN (the oracle's nn/tt CTEs): one broadcast
+    # 1-row cross-join instead of two plan-build-time driver collects
+    stats = d.agg(F.count("*").cast("long").alias("nn")).crossJoin(
+        dl.agg(F.sum("dl").cast("long").alias("tt"))
+    )
 
     q = (
         tf.filter(F.col("doc_id") < N_QUERIES)
@@ -132,9 +145,10 @@ def _bm25_topk_over(d: DataFrame) -> DataFrame:
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(dfq, "tok")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
     )
     scored = cand.groupBy("query_id", "doc_id").agg(
-        F.sum(bm25_contribution(n_docs, t_tokens)).alias("score_n")
+        F.sum(bm25_contribution_cols(F.col("nn"), F.col("tt"))).alias("score_n")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_n"), F.asc("doc_id"))
     return (

@@ -523,3 +523,26 @@ def test_cli_vocab_compact_only(spark, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["compaction"]["folded"][""] == 1
     assert _rows(read_vocab(spark, str(idx))) == want
+
+
+def test_base_key_apply_refuses_even_unfolded(spark, tmp_path):
+    """Landing a batch under the reserved base key would clobber a
+    folded base — the shared chokepoint refuses it unconditionally
+    (vocab skips ISO validation; the raw streaming lands take
+    arbitrary keys)."""
+    from data_ingestion_lambda_spark.operators.session_store import (
+        land_session_batch,
+    )
+    from data_ingestion_lambda_spark.operators.vocab import update_vocab
+
+    with pytest.raises(ValueError, match="reserved"):
+        update_vocab(
+            spark, str(tmp_path / "v"), _docs(spark, 0), "0000-00-00"
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        land_session_batch(
+            spark,
+            str(tmp_path / "s"),
+            _day_events(spark, D1, {1: [1]}),
+            "0000-00-00",
+        )
