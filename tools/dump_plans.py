@@ -40,7 +40,7 @@ FLAGSHIPS = [
     ("events_funnel", "ONE user_id exchange, ObjectHashAggregate with partial collect — zero Window operators (r6 rewrite)"),
     ("events_interarrival_hist", "bucket rollup with partial_count before its exchange; cumulative window sees bucket rows only"),
     ("dedup_incremental_embedding", "one (band, grp) exchange into FlatMapGroupsInPandas — candidate pairs never exist as join rows"),
-    ("search_bm25_topk", "query term bag broadcasts into the postings join; exact-long score contributions partial-sum map-side; no cartesian (r7)"),
+    ("search_bm25_topk", "query term bag broadcasts into the postings join; exact-long score contributions partial-sum map-side; corpus stats cross-join as a broadcast 1-row aggregate, zero plan-build driver jobs (r7, stats in-plan r11)"),
     ("search_hybrid_rrf", "fusion is a Union of two top-k lists + grouped integer sum — zero joins added beyond the retrievers' own (r7)"),
     ("events_markov_transitions", "one user-keyed adjacency window; persisted matrix read by both consumers; broadcast normalize (late r7)"),
     ("events_distribution_drift", "persisted (type, day, bucket) histogram feeds self-join + totals; raw events scanned once (late r7)"),
@@ -71,6 +71,7 @@ FLAGSHIPS = [
     ("events_ab_cuped", "one user groupBy ledger; theta's co-moment agg and the variant rollup are re-aggregations of it, broadcast back (r10)"),
     ("eval_confusion_multiclass", "centroids from a posexplode rollup re-assembled and BROADCAST; classification is one codegen zip_with scan, no vector shuffle (r10)"),
     ("corpus_temperature_mix", "source-keyed token aggregate + 1-row broadcast total; weights/epochs are row-local decimal arithmetic (r10)"),
+    ("ann_ivf_topk_c32", "sized 32-cell quantizer: broadcast-centroid argmax assignment; probe fans each query to n_probe cells via equi-join — identical shape to the 16-cell lane, only the knob moved (r11)"),
 ]
 
 
