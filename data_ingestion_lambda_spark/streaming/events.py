@@ -523,32 +523,38 @@ def gap_quantiles_from_ledger(spark, target_dir: str) -> DataFrame:
     return gap_hist_quantiles(read_gap_histogram(spark, target_dir))
 
 
-def compact_gap_ledger(spark, target_dir: str) -> int:
-    """Fold all committed batch partitions into the single base partition
-    ``ingest_batch=-1`` (counts are associative, so compaction is a plain
-    re-aggregation); returns the number of partitions folded. Safe ONLY
-    for batch ids the streaming checkpoint has committed — the engine
-    never replays those, so their idempotence keys are spent; -1 is
-    reserved (never a real batch id), so future batches stay idempotent.
-    Read equality before/after is pinned by test. An OFFLINE maintenance
-    op (run it between triggers, like operators/compact.py): the full sum
-    lands in a dot-prefixed staging dir FIRST, so every moment has a
-    complete copy on disk; a crash between the part-drop and the final
-    rename leaves staging as that copy, and the next entry REFUSES loudly
-    with the recovery path instead of recompacting a partial table (the
-    scd2/replace_partitions stranded-dir discipline). FS-AGNOSTIC: all
-    directory ops go through the Hadoop FS API (operators/upsert.py's
-    _hadoop_fs), so the same code runs on file://, hdfs://, s3a://,
-    abfss:// targets; Hadoop's returns-false failure contract raises on
-    every path with the data-preserving directory named."""
+def _compact_batch_ledger(spark, target_dir: str, fold_df, op_name: str) -> int:
+    """Fold all committed batch partitions of an ``ingest_batch=<id>``
+    ledger into the single base partition ``ingest_batch=-1``;
+    ``fold_df()`` returns the full current fold IN THE LEDGER'S OWN ROW
+    SCHEMA (so post-compaction reads see the identical shape). Returns
+    the number of partitions folded. Safe ONLY for batch ids the
+    streaming checkpoint has committed — the engine never replays
+    those, so their idempotence keys are spent; -1 is reserved (never a
+    real batch id), so future batches stay idempotent. Why the ALL-FOLD
+    form instead of base_fold's keep_from horizon: these ledgers key by
+    RAW integer batch ids ("10" < "9" lexicographically), so there is
+    no orderable partial horizon — the offline all-fold between
+    triggers is the correct maintenance op, exactly like
+    operators/compact.py. Read equality before/after is pinned by test.
+    The full fold lands in a dot-prefixed staging dir FIRST, so every
+    moment has a complete copy on disk; a crash between the part-drop
+    and the final rename leaves staging as that copy, and the next
+    entry REFUSES loudly with the recovery path instead of recompacting
+    a partial table (the scd2/replace_partitions stranded-dir
+    discipline). FS-AGNOSTIC: all directory ops go through the Hadoop
+    FS API (operators/upsert.py's _hadoop_fs), so the same code runs on
+    file://, hdfs://, s3a://, abfss:// targets; Hadoop's returns-false
+    failure contract raises on every path with the data-preserving
+    directory named."""
     from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
 
     fs, path_cls = _hadoop_fs(spark, target_dir)
     staging = f"{target_dir}/.compact-staging"
     if fs.exists(path_cls(staging)):
         raise RuntimeError(
-            f"compact_gap_ledger: stranded {staging} from a crashed "
-            "compaction — it holds the full pre-crash histogram; remove "
+            f"{op_name}: stranded {staging} from a crashed "
+            "compaction — it holds the full pre-crash fold; remove "
             "any leftover ingest_batch=* dirs and rename it to "
             "ingest_batch=-1 before re-running"
         )
@@ -561,23 +567,36 @@ def compact_gap_ledger(spark, target_dir: str) -> int:
     ]
     if not parts:
         return 0
-    read_gap_histogram(spark, target_dir).write.mode("overwrite").parquet(staging)
+    fold_df().write.mode("overwrite").parquet(staging)
     for p in parts + ["ingest_batch=-1"]:
         full = path_cls(f"{target_dir}/{p}")
         if fs.exists(full) and not fs.delete(full, True):
             raise IOError(
-                f"compact_gap_ledger: delete of {full} returned false; "
-                f"full compacted histogram preserved at {staging} — "
+                f"{op_name}: delete of {full} returned false; "
+                f"full compacted fold preserved at {staging} — "
                 "finish by removing remaining ingest_batch=* dirs and "
                 "renaming it to ingest_batch=-1"
             )
     if not fs.rename(path_cls(staging), path_cls(f"{target_dir}/ingest_batch=-1")):
         raise IOError(
-            f"compact_gap_ledger: rename {staging} -> ingest_batch=-1 "
-            f"returned false; the full histogram is intact at {staging} — "
+            f"{op_name}: rename {staging} -> ingest_batch=-1 "
+            f"returned false; the full fold is intact at {staging} — "
             "rename it manually to complete the compaction"
         )
     return len(parts)
+
+
+def compact_gap_ledger(spark, target_dir: str) -> int:
+    """Fold all committed batch partitions into ``ingest_batch=-1``
+    (counts are associative, so compaction is a plain re-aggregation);
+    see _compact_batch_ledger for the crash discipline and the
+    committed-batches-only caveat."""
+    return _compact_batch_ledger(
+        spark,
+        target_dir,
+        lambda: read_gap_histogram(spark, target_dir),
+        "compact_gap_ledger",
+    )
 
 
 # --- transformWithState (the Spark 4 arbitrary-state API) --------------------
@@ -817,6 +836,20 @@ def read_value_histogram(spark, target_dir: str) -> DataFrame:
     )
 
 
+def compact_value_histogram_ledger(spark, target_dir: str) -> int:
+    """Fold the streamed drift ledger's batch partitions into
+    ``ingest_batch=-1`` — the fold is read_value_histogram's own
+    (event_type, day, bucket) sum, which IS the ledger row schema, so
+    drift reads are row-equal before/after (pinned). Same all-fold
+    discipline and caveats as compact_gap_ledger."""
+    return _compact_batch_ledger(
+        spark,
+        target_dir,
+        lambda: read_value_histogram(spark, target_dir),
+        "compact_value_histogram_ledger",
+    )
+
+
 def drift_from_value_ledger(spark, target_dir: str) -> DataFrame:
     """Day-over-day L1 drift read straight from the streamed ledger,
     through the SAME drift_from_histograms expression the registered
@@ -899,6 +932,44 @@ def features_from_moment_ledger(
 
     return derive_user_vector(
         read_moment_ledger(spark, target_dir, missing_columns=missing_columns)
+    )
+
+
+def compact_moment_ledger(spark, target_dir: str) -> int:
+    """Fold the streamed feature-store ledger's batch partitions into
+    ``ingest_batch=-1`` — the fold is merge_moments' per-user semigroup
+    merge, whose output IS the moment row schema, so ledger reads and
+    derived vectors are row-equal before/after (pinned). A
+    schema-evolved ledger REFUSES to fold (merge_moments'
+    missing_columns='refuse' — folding would bake silent
+    from-introduction semantics into the base; backfill first, exactly
+    like the daily store's compaction). Same all-fold discipline and
+    caveats as compact_gap_ledger."""
+    return _compact_batch_ledger(
+        spark,
+        target_dir,
+        lambda: read_moment_ledger(spark, target_dir).drop("ingest_batch"),
+        "compact_moment_ledger",
+    )
+
+
+def compact_hh_stream_ledger(spark, target_dir: str) -> int:
+    """Fold the streamed heavy-hitter ledger's batch partitions into
+    ``ingest_batch=-1`` — the fold is the per-item counter SUM
+    (``__n__`` total rows sum alongside), the hh store's own exact
+    pre-aggregation, so read_heavy_hitters over the ledger is row-equal
+    before/after (pinned) and the merged-sketch guarantee is untouched.
+    Same all-fold discipline and caveats as compact_gap_ledger."""
+    def _fold():
+        return (
+            spark.read.option("basePath", target_dir)
+            .parquet(f"{target_dir}/ingest_batch=*")
+            .groupBy("item")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
+    return _compact_batch_ledger(
+        spark, target_dir, _fold, "compact_hh_stream_ledger"
     )
 
 
