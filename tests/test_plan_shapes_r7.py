@@ -122,12 +122,19 @@ def test_collocations_topk_never_global_sorts(spark):
 def test_bm25_query_join_broadcasts_and_no_cartesian(spark):
     """search_bm25_topk: the query term bag joins the postings as a
     BroadcastHashJoin (the bag is 8 docs' vocabulary; shuffling the
-    postings against it would move the whole inverted index), no
-    nested-loop/cartesian join appears anywhere, and the score
-    aggregate partially combines map-side (exact long contributions —
-    the reason the lane can avoid doubles entirely)."""
+    postings against it would move the whole inverted index), and the
+    score aggregate partially combines map-side (exact long
+    contributions — the reason the lane can avoid doubles entirely).
+    The ONLY nested-loop joins allowed are the corpus-stats crosses
+    (r11: stats moved in-plan, the text_dsir_weights pattern): one
+    assembling the 1-row (nn)×(tt) stats frame, one attaching it
+    broadcast to the candidates — never an unhinted CartesianProduct,
+    and never more than those two 1-row builds."""
     plan = _plan(spark, "search_bm25_topk")
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, (
+        f"only the 1-row stats crosses may nested-loop:\n{plan}"
+    )
     assert "BroadcastHashJoin" in plan, f"query-bag join must broadcast:\n{plan}"
     assert re.search(r"partial_sum", plan), f"score sum must partial-agg:\n{plan}"
 
@@ -136,18 +143,21 @@ def test_hybrid_rrf_fuses_rank_rows_only(spark):
     """search_hybrid_rrf: the fusion stage itself adds NO join at all —
     it is a union of the two top-k lists plus a grouped sum, so the
     only non-equi/nested-loop joins in the whole plan are the ones the
-    dense brute-force retriever already contains (its deliberate
-    broadcast-bounded 8-query scorer), and the lexical side stays
-    cartesian-free."""
+    two retrievers already contain: the dense brute-force side's
+    deliberate broadcast-bounded 8-query scorer, plus the lexical
+    side's single broadcast 1-row corpus-stats cross (r11 — see the
+    bm25 pin above). The FUSION stage itself adds zero."""
     plan = _plan(spark, "search_hybrid_rrf")
     dense = _plan(spark, "ann_cosine_topk")
+    bm25 = _plan(spark, "search_bm25_topk")
 
     def nl_joins(p):
         return p.count("CartesianProduct") + p.count("BroadcastNestedLoopJoin")
 
-    assert nl_joins(plan) == nl_joins(dense), (
-        f"fusion added nested-loop joins beyond the dense retriever's own:\n{plan}"
+    assert nl_joins(plan) == nl_joins(dense) + nl_joins(bm25), (
+        f"fusion added nested-loop joins beyond the retrievers' own:\n{plan}"
     )
+    assert "CartesianProduct" not in plan
     assert "Union" in plan, f"fusion unions the two ranked lists:\n{plan}"
 
 
