@@ -174,39 +174,61 @@ def main() -> None:
     # engine, not the neighbors.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     times: dict[str, float] = {}
+    pass_times: dict[str, list[float]] = {}
+
+    def _run_query(name: str, tag: str) -> None:
+        spec = specs[name]
+        t0 = time.time()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        # NOTE: several queries persist() intermediates and the session
+        # is shared, so later passes of the same query run with warm
+        # cached signatures — min-of-N measures STEADY-STATE performance
+        # (deliberate: every prior round's recorded bench measured the
+        # same way, so totals stay comparable; tools/scale_probe.py
+        # clears the cache instead because it isolates cold runs).
+        print(f"  {tag} {name}: {dt}s", file=sys.stderr, flush=True)
+        pass_times.setdefault(name, []).append(dt)
+        if name not in times or dt < times[name]:
+            times[name] = dt
+
     for _pass in range(n_passes):
         if _pass > 0:
             calib_samples.append(_calib_once())
         for name in HEADLINE + HEADLINE_V2 + HEADLINE_V3:
-            spec = specs[name]
-            t0 = time.time()
-            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            # NOTE: several queries persist() intermediates and the session
-            # is shared, so later passes of the same query run with warm
-            # cached signatures — min-of-N measures STEADY-STATE performance
-            # (deliberate: every prior round's recorded bench measured the
-            # same way, so totals stay comparable; tools/scale_probe.py
-            # clears the cache instead because it isolates cold runs).
-            print(f"  pass{_pass} {name}: {dt}s", file=sys.stderr, flush=True)
-            if name not in times or dt < times[name]:
-                times[name] = dt
+            _run_query(name, f"pass{_pass}")
 
     calib_samples.append(_calib_once())  # closing sample
 
-    # VERDICT r10 #6: gate the calibration on its own spread. If the
-    # interleaved samples disagree by >15% (noisy neighbors mid-run),
-    # take up to 3 extra settle samples; if the FRESHEST window still
-    # won't settle, publish anyway but stamp the line noisy so a
-    # round-over-round comparison knows value_normalized is soft —
-    # refusing outright would leave the round without a BENCH record.
+    # VERDICT r10 #6 + r11 #1: gate the calibration on its own spread.
+    # If the interleaved samples disagree by >15% (noisy neighbors
+    # mid-run), run settle ROUNDS (up to 3): each adds two fresh calib
+    # samples and re-runs the queries whose pass-to-pass spread was
+    # worst — a min recorded only under contention can then recover on
+    # the now-quiet host (r11's +2.9% normalized-v1 drift was exactly
+    # such mins). Only if the FRESHEST 4-sample window still won't
+    # settle is the line published with the noisy annotation — refusing
+    # outright would leave the round without a BENCH record.
     def _spread(samples: list[float]) -> float:
         lo, hi = min(samples), max(samples)
         return (hi - lo) / lo if lo else float("inf")
 
-    for _ in range(3):
-        if _spread(calib_samples[-4:]) <= 0.15:
-            break
+    def _q_spread(name: str) -> float:
+        return _spread(pass_times[name])
+
+    calib_attempts = 0
+    while _spread(calib_samples[-4:]) > 0.15 and calib_attempts < 3:
+        calib_attempts += 1
+        calib_samples.append(_calib_once())
+        worst = sorted(times, key=_q_spread, reverse=True)[:8]
+        print(
+            f"  settle round {calib_attempts}: re-running worst-spread "
+            f"queries {worst}",
+            file=sys.stderr,
+            flush=True,
+        )
+        for name in worst:
+            _run_query(name, f"settle{calib_attempts}")
         calib_samples.append(_calib_once())
     calib_window = calib_samples[-4:]
     calib_noisy = _spread(calib_window) > 0.15
@@ -242,6 +264,7 @@ def main() -> None:
         "calib_estimator": "median",
         "calib_minmax": calib_spread,
         "calib_samples": calib_samples,
+        "calib_attempts": calib_attempts,
         "calib_noisy_host": calib_noisy,
         "load_avg_1m": load_avg,
         # Host-drift-corrected total: wall seconds per calibration
@@ -268,6 +291,7 @@ def main() -> None:
         "value_v2": total_v2,
         "calib_sec": calib,
         "calib_minmax": calib_spread,
+        "calib_attempts": calib_attempts,
         "calib_noisy_host": calib_noisy,
         "load_avg_1m": load_avg,
         "value_normalized": round(total / calib, 1) if calib else None,

@@ -83,6 +83,62 @@ def _add_stream_args(sub_parser, noun: str) -> None:
     )
 
 
+def _auto_compact_step(
+    spark,
+    args,
+    report: dict,
+    ledger_dir: str,
+    compact_fn,
+    *,
+    count_dir: str | None = None,
+    part_key: str | None = None,
+    base_key: str | None = None,
+) -> None:
+    """Shared ``--auto-compact-max-dirs`` step (the policy half of the
+    compaction story: every store HAS a fold; this decides WHEN). When
+    the store's live ledger partitions exceed the threshold, fold down
+    to half of it through the store's OWN compact entry point — horizon
+    marker, staging discipline and land-refusals all unchanged. For a
+    streamed invocation (--stream-source) the fold key is additionally
+    capped at the checkpoint's committed front, so a landed-but-
+    uncommitted batch is never folded; the manual --compact-keep-from
+    form leaves that precondition to the operator."""
+    if args.auto_compact_max_dirs is None:
+        return
+    from data_ingestion_lambda_spark.operators.base_fold import (
+        auto_keep_from,
+        streaming_committed_front_key,
+    )
+
+    policy: dict = {"max_dirs": args.auto_compact_max_dirs, "due": False}
+    report["auto_compact"] = policy
+    cap = None
+    if getattr(args, "stream_source", None) is not None and getattr(
+        args, "checkpoint", None
+    ):
+        cap = streaming_committed_front_key(spark, args.checkpoint)
+        if cap is None:  # nothing committed yet -> nothing safely foldable
+            policy["reason"] = "no committed streaming front"
+            return
+    kwargs: dict = {}
+    if part_key is not None:
+        kwargs["part_key"] = part_key
+    if base_key is not None:
+        kwargs["base_key"] = base_key
+    keep_from = auto_keep_from(
+        spark,
+        count_dir or ledger_dir,
+        max_dirs=args.auto_compact_max_dirs,
+        cap=cap,
+        **kwargs,
+    )
+    if keep_from is None:
+        return
+    result = compact_fn(keep_from)
+    policy.update({"due": True, "keep_from": keep_from})
+    report["compaction"] = result
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_ingestion_lambda_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -779,6 +835,22 @@ def build_parser() -> argparse.ArgumentParser:
         "(crash-guarded; spends the folded keys — reads are unchanged)",
     )
 
+    # Shared auto-compaction policy flag (VERDICT r11 #2) for every
+    # maintained store: a dir-count threshold that, once crossed, folds
+    # the ledger down to ~half the threshold via the store's own
+    # compact_* entry point (see _auto_compact_step).
+    for store in (voc, sidx, drf, fst, hhs, cms, blm, dsr, tch, mkv, ses, att):
+        store.add_argument(
+            "--auto-compact-max-dirs",
+            type=int,
+            default=None,
+            metavar="N",
+            help="dir-count-threshold auto-compaction: when live ledger "
+            "partitions exceed N, fold the oldest into the base so about "
+            "N/2 remain (same crash discipline and refusals as the manual "
+            "--compact-keep-from form)",
+        )
+
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
     qry.add_argument("--data", help="directory holding the parquet tables")
@@ -989,7 +1061,17 @@ def main(argv: list[str] | None = None) -> int:
                 max_files_per_trigger=args.max_files_per_trigger,
                 order=args.order,
             )
-            print(json.dumps({"statusCode": 200, "batches": reports}))
+            report = {"batches": reports}
+            if args.auto_compact_max_dirs is not None:
+                from data_ingestion_lambda_spark.operators.vocab import (
+                    compact_vocab,
+                )
+
+                _auto_compact_step(
+                    spark, args, report, args.vocab,
+                    lambda kf: compact_vocab(spark, args.vocab, kf),
+                )
+            print(json.dumps({"statusCode": 200, **report}))
             return 0
         if args.batch is None and args.compact_keep_from is None:
             raise SystemExit(
@@ -1032,6 +1114,13 @@ def main(argv: list[str] | None = None) -> int:
             report["compaction"] = compact_vocab(
                 spark, args.vocab, args.compact_keep_from
             )
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.vocab import compact_vocab
+
+            _auto_compact_step(
+                spark, args, report, args.vocab,
+                lambda kf: compact_vocab(spark, args.vocab, kf),
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
@@ -1065,6 +1154,15 @@ def main(argv: list[str] | None = None) -> int:
             rows = drift.orderBy("event_type", "day").collect()
             report["drift_rows"] = len(rows)
             report["max_l1_drift"] = max((r.l1_drift for r in rows), default=None)
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.drift_monitor import (
+                compact_drift_monitor,
+            )
+
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_drift_monitor(spark, args.index, kf),
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
@@ -1105,6 +1203,15 @@ def main(argv: list[str] | None = None) -> int:
             if rows:
                 report["n_total"] = rows[0].n_total
                 report["undercount_bound"] = rows[0].undercount_bound
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.hh_store import (
+                compact_hh_store,
+            )
+
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_hh_store(spark, args.index, kf),
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
@@ -1217,6 +1324,19 @@ def main(argv: list[str] | None = None) -> int:
             persisted = spark.read.parquet(args.out)
             report["purchases"] = persisted.count()
             report["attributed"] = persisted.filter(F.col("attributed")).count()
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.attribution_store import (
+                LEDGER_BASE_KEY,
+                compact_attribution_ledger,
+            )
+
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_attribution_ledger(spark, args.index, kf),
+                count_dir=f"{args.index}/stream_purchases",
+                part_key="ingest_batch",
+                base_key=LEDGER_BASE_KEY,
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
@@ -1283,6 +1403,15 @@ def main(argv: list[str] | None = None) -> int:
                 rows = est.orderBy(F.desc("est"), "item").collect()
                 report["estimated_items"] = len(rows)
                 report["top"] = [{"item": r.item, "est": r.est} for r in rows[:5]]
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.cms_store import (
+                compact_cms_store,
+            )
+
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_cms_store(spark, args.index, kf),
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
@@ -1363,6 +1492,15 @@ def main(argv: list[str] | None = None) -> int:
                 verdicts = spark.read.parquet(args.verdicts_out)
             report["screened"] = verdicts.count()
             report["hits"] = verdicts.filter(F.col("bloom_hit")).count()
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.bloom_store import (
+                compact_bloom_store,
+            )
+
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_bloom_store(spark, args.index, kf),
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
@@ -1433,6 +1571,15 @@ def main(argv: list[str] | None = None) -> int:
                 scores = spark.read.parquet(args.scores_out)
             report["scored"] = scores.count()
             report["target_like"] = scores.filter(F.col("logw_bits") > 0).count()
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.dsir_store import (
+                compact_dsir_store,
+            )
+
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_dsir_store(spark, args.index, kf),
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
@@ -1489,6 +1636,15 @@ def main(argv: list[str] | None = None) -> int:
                 .orderBy("channel")
                 .collect()
             ]
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.touch_store import (
+                compact_touch_store,
+            )
+
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_touch_store(spark, args.index, kf),
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
@@ -1524,6 +1680,15 @@ def main(argv: list[str] | None = None) -> int:
                 .orderBy("channel")
                 .collect()
             ]
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.markov_store import (
+                compact_markov_store,
+            )
+
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_markov_store(spark, args.index, kf),
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
@@ -1591,6 +1756,15 @@ def main(argv: list[str] | None = None) -> int:
             ).parquet(args.stats_out)
             report["stats_out"] = args.stats_out
             report["users"] = spark.read.parquet(args.stats_out).count()
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.session_store import (
+                compact_session_store,
+            )
+
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_session_store(spark, args.index, kf),
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
@@ -1730,6 +1904,15 @@ def main(argv: list[str] | None = None) -> int:
             vectors.write.mode("overwrite").parquet(args.vectors_out)
             report["vectors_out"] = args.vectors_out
             report["users"] = spark.read.parquet(args.vectors_out).count()
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.feature_store import (
+                compact_feature_ledger,
+            )
+
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_feature_ledger(spark, args.index, kf),
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 
@@ -1793,6 +1976,12 @@ def main(argv: list[str] | None = None) -> int:
                 topk.write.mode("overwrite").parquet(args.out)
                 report["out"] = args.out
             report["result_rows"] = topk.count()
+        if args.auto_compact_max_dirs is not None:
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_postings_index(spark, args.index, kf),
+                count_dir=f"{args.index}/doclen",
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 

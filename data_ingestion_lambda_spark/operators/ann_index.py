@@ -135,9 +135,36 @@ def train_index(
     if n_cells < 1:
         raise ValueError(f"train_index: n_cells must be >= 1, got {n_cells}")
     _check_sizing_marker(spark, index_dir, n_cells, create=True)
-    cent = _train_ivf_centroids(spark, _with_norm(vectors), n_cells=n_cells)
+    vn = _with_norm(vectors)
+    # The k-means seed set is vec_id-KEYED (_train_ivf_centroids seeds
+    # from vec_id < n_cells so the DuckDB oracle can reproduce it) —
+    # sparse or non-zero-based ids would silently seed fewer (possibly
+    # zero) centroids while the _sizing marker records the requested
+    # count, so the seed population is counted and refused up front.
+    n_seed = vn.filter(F.col("vec_id") < n_cells).count()
+    if n_seed < n_cells:
+        raise ValueError(
+            f"train_index: only {n_seed} vectors have vec_id < {n_cells} "
+            f"— the quantizer seeds from the id range [0, {n_cells}), so "
+            "sparse or non-zero-based vec_ids would train a degenerate "
+            "quantizer under a marker claiming the full count; re-key "
+            "the corpus to dense 0-based vec_ids or lower n_cells"
+        )
+    cent = _train_ivf_centroids(spark, vn, n_cells=n_cells)
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     n = spark.read.parquet(f"{index_dir}/centroids").count()
+    if n != n_cells:
+        # Empty-cell collapse: a Lloyd iteration drops any cell no vector
+        # argmaxes to, so the trained quantizer can come out smaller than
+        # requested. The marker would then overstate — refuse loudly (the
+        # probe-side marker==count check would catch it anyway, but here
+        # the operator can still pick a smaller n_cells and re-run).
+        raise ValueError(
+            f"train_index: trained quantizer holds {n} centroids, not the "
+            f"requested {n_cells} (empty-cell collapse during k-means); "
+            "the written index is unusable — retrain this directory at "
+            f"n_cells={n} or rebuild with a different corpus/seeding"
+        )
     return {"centroids": n, "n_cells": n_cells}
 
 
@@ -194,17 +221,32 @@ def _probe_scored(
     n_probe/n_cells of the index. Returns (query_id, neighbor_id, cell,
     cosine) — probe_topk ranks it as-is, probe_hard_negatives applies
     the positive ceiling first."""
-    n_cells = read_sizing(spark, index_dir)
+    cent = read_centroids(spark, index_dir)
+    # Guard against the ACTUAL quantizer, not just the marker: a marker
+    # can overstate if the centroids table was tampered with or a legacy
+    # train collapsed cells — assert the two agree at read time, then cap
+    # the probe at the real cell count. n_probe == n_cells is PERMITTED
+    # (a well-defined, if wasteful, full scan — useful as a recall
+    # ceiling gauge); only exceeding the quantizer refuses.
+    n_cells = cent.count()
+    marker = read_sizing(spark, index_dir)
+    if n_cells != marker:
+        raise ValueError(
+            f"probe: index at {index_dir} records _sizing=c{marker} but "
+            f"its centroids table holds {n_cells} rows — the quantizer "
+            "is degenerate (empty-cell collapse or a partial write); "
+            "retrain into a new directory (retrain_index) or rebuild"
+        )
     if n_probe > n_cells:
         raise ValueError(
-            f"probe: n_probe={n_probe} exceeds the index's recorded cell "
-            f"count {n_cells} (_sizing marker) — a probe of every cell is "
-            "a full scan; lower n_probe or retrain at a larger sizing"
+            f"probe: n_probe={n_probe} exceeds the index's {n_cells} "
+            "centroids — probes cap at every cell (n_probe == n_cells "
+            "is a permitted full scan); lower n_probe or retrain at a "
+            "larger sizing"
         )
     q = queries.select(
         F.col("query_id"), as_double(F.col("embedding")).alias("qv")
     ).select("query_id", "qv", F.sqrt(dot("qv", "qv")).alias("qnrm"))
-    cent = read_centroids(spark, index_dir)
 
     qcos = (dot("qv", "cv") / (F.col("qnrm") * F.col("cnrm"))).alias("qcos")
     wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell"))
@@ -304,9 +346,14 @@ def index_recall(
     k: int = TOP_K,
     n_probe: int = _N_PROBE,
 ) -> float:
-    """Mean recall@k of the index's probe against the EXACT top-k over
-    its own stored vectors, for a SAMPLE of queries — the maintained
-    twin of the ann_ivf_recall lane. Cost: one probe plus one
+    """Mean (macro-averaged) recall@k of the index's probe against the
+    EXACT top-k over its own stored vectors, for a SAMPLE of queries —
+    the maintained twin of the ann_ivf_recall lane. Per-query recall is
+    hits/|exact top-k for that query|, then averaged so every query
+    counts equally — a pooled micro-average (total hits / total exact
+    pairs) would overweight queries with more exact neighbors whenever
+    per-query counts differ (e.g. corpus smaller than k), and this
+    number is retrain_index's cutover gauge. Cost: one probe plus one
     brute-force pass restricted to the sample (|queries| × corpus dot
     products — a gauge you run on dozens of queries, not a serving
     path; the probe side stays partition-pruned)."""
@@ -331,13 +378,23 @@ def index_recall(
     approx = probe_topk(spark, index_dir, queries, k=k, n_probe=n_probe).select(
         "query_id", "neighbor_id"
     )
-    row = (
+    hits = (
         exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
         .agg(F.count("*").alias("hits"))
-        .crossJoin(exact.agg(F.count("*").alias("n")))
+    )
+    row = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .join(hits, "query_id", "left")
+        .agg(
+            F.avg(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("n")
+            ).alias("recall")
+        )
         .collect()[0]
     )
-    return float(row["hits"]) / float(row["n"]) if row["n"] else 1.0
+    return float(row["recall"]) if row["recall"] is not None else 1.0
 
 
 def retrain_index(

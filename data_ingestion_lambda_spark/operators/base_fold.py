@@ -130,6 +130,81 @@ def resolve_part_key(
     return default
 
 
+def streaming_committed_front_key(
+    spark: SparkSession, checkpoint_dir: str
+) -> str | None:
+    """The highest SAFE ``keep_from`` for a ``b<id>``-keyed store fed by
+    the stream checkpointed at ``checkpoint_dir``: one past the commits
+    log's front, formatted in the store's zero-padded key scheme. Batch
+    ids at or below the front are committed — the engine never replays
+    them — so folding keys strictly below ``b<front+1>`` can never spend
+    a key a replay still needs (ADVICE r11: a landed-but-uncommitted
+    batch folded early double-counts on replay, and the b-keyed stores'
+    ``check_not_below_horizon`` refusal would otherwise wedge the stream
+    permanently). None when the checkpoint has no commits yet."""
+    from data_ingestion_lambda_spark.streaming.events import _committed_front
+
+    front = _committed_front(spark, checkpoint_dir)
+    return None if front is None else f"b{front + 1:09d}"
+
+
+def auto_keep_from(
+    spark: SparkSession,
+    ledger_dir: str,
+    *,
+    max_dirs: int,
+    part_key: str | None = None,
+    base_key: str = BASE_KEY,
+    keep_recent: int | None = None,
+    cap: str | None = None,
+) -> str | None:
+    """Dir-count-threshold compaction policy (VERDICT r11 #2): every
+    store HAS a fold; this decides WHEN, so a long-running ingest loop
+    holds a bounded partition count without a human picking keep_from.
+
+    When the live ledger partitions under ``ledger_dir`` (base partition
+    excluded) exceed ``max_dirs``, returns the keep_from that folds all
+    but the newest ``keep_recent`` (default ``max(1, max_dirs // 2)`` —
+    folding down to HALF the threshold, not to the threshold itself, so
+    the fold fires once per ~max_dirs/2 applies instead of on every
+    apply after the first crossing). Returns None when no fold is due.
+
+    ``cap`` bounds the returned key (for b-keyed streamed stores pass
+    ``streaming_committed_front_key`` so an uncommitted land is never
+    folded); ``part_key`` defaults to the store's ``resolve_part_key``;
+    ``base_key`` matters only for stores with a non-default reserved
+    base (the attribution ledger's ``0000-base``).
+    The caller passes the result to its own ``compact_*`` entry point,
+    so every refusal (horizon, stranded staging) behaves exactly as a
+    manual fold — the policy only CHOOSES the key."""
+    if max_dirs < 1:
+        raise ValueError(f"auto_keep_from: max_dirs must be >= 1, got {max_dirs}")
+    if part_key is None:
+        part_key = resolve_part_key(spark, ledger_dir)
+    fs, path_cls = _hadoop_fs(spark, ledger_dir)
+    if not fs.exists(path_cls(ledger_dir)):
+        return None
+    keys = sorted(
+        n.split("=", 1)[1]
+        for st in fs.listStatus(path_cls(ledger_dir))
+        if st.isDirectory()
+        for n in [st.getPath().getName()]
+        if n.startswith(f"{part_key}=") and n.split("=", 1)[1] != base_key
+    )
+    if len(keys) <= max_dirs:
+        return None
+    keep_recent = keep_recent if keep_recent is not None else max(1, max_dirs // 2)
+    keep_from = keys[-keep_recent] if keep_recent <= len(keys) else keys[0]
+    if cap is not None:
+        keep_from = min(keep_from, cap)
+    # nothing at or below the base key is foldable (reserved), and a
+    # keep_from equal to the oldest live key folds nothing — skip the
+    # no-op fold instead of spending a horizon marker on it
+    if keep_from <= base_key or keep_from <= keys[0]:
+        return None
+    return keep_from
+
+
 def base_fold(
     spark: SparkSession,
     index_dir: str,

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.plans.decimals import dsum
-from data_ingestion_lambda_spark.plans.registry import register
+from data_ingestion_lambda_spark.plans.registry import pin, register
 from data_ingestion_lambda_spark.plans._util import t
 
 # Ordering-safe: plans/__init__.py imports llm_ops BEFORE events_queries,
@@ -1539,7 +1539,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.where(F.col("prev_type").isNotNull())
         .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
         .agg(F.count("*").alias("n_trans"))
-        .persist()
+        .transform(pin)
     )
     outdeg = trans.groupBy("from_type").agg(F.sum("n_trans").alias("n_out"))
     return trans.join(F.broadcast(outdeg), "from_type").select(
@@ -1714,8 +1714,8 @@ def drift_from_histograms(h: DataFrame) -> DataFrame:
     per-day histogram index (operators/drift_monitor.py), so the two
     compute IDENTICAL arithmetic by construction — the vocab/postings
     shared-expression discipline."""
-    h = h.persist()
-    tot = h.groupBy("event_type", "day").agg(F.sum("cnt").alias("total")).persist()
+    h = h.transform(pin)
+    tot = h.groupBy("event_type", "day").agg(F.sum("cnt").alias("total")).transform(pin)
     a = h.alias("a")
     b = h.alias("b")
     pairs = a.join(
@@ -2469,7 +2469,7 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
-        .persist()
+        .transform(pin)
     )
     days = ud.select("d").distinct().withColumnRenamed("d", "day")
     exploded = ud.select(
@@ -2733,7 +2733,7 @@ def events_user_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spectrum = per_user.groupBy("n").agg(
         F.count("*").cast("long").alias("n_users")
-    ).persist()
+    ).transform(pin)
     tot = spectrum.agg(
         F.sum("n_users").cast("long").alias("total_users"),
         F.sum(F.col("n") * F.col("n_users")).cast("long").alias("total_events"),
@@ -3465,7 +3465,7 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(3)
             .alias("state"),
         )
-        .persist()
+        .transform(pin)
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     end_state = F.when(F.col("conv") == 1, 4).otherwise(5)

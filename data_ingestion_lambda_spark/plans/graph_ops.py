@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.plans._util import t
 from data_ingestion_lambda_spark.plans.llm_ops import MINHASH_PAIRS_ORACLE, dedup_minhash_lsh
-from data_ingestion_lambda_spark.plans.registry import REGISTRY, register
+from data_ingestion_lambda_spark.plans.registry import REGISTRY, pin, register
 
 _MAX_ROUNDS = 40  # >> log^2(n) for any realistic corpus
 
@@ -364,10 +364,10 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))).persist()
+    ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))).transform(pin)
     deg = edges.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("degree")
-    ).persist()
+    ).transform(pin)
     nn = deg.agg(F.count("*").alias("n"))
     rank = (
         deg.crossJoin(F.broadcast(nn))
@@ -450,7 +450,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir)
     # Persisted: three self-join references + the degree pass; edges are
     # two longs per row (graph-sized, not corpus-sized).
-    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist()
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).transform(pin)
     x = e.alias("x")
     y = e.alias("y")
     z = e.alias("z")
@@ -515,7 +515,7 @@ def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
     count is its true BFS distance. No driver loop state: K static
     join/distinct rounds that Catalyst plans as one DAG.
     """
-    edges = _neighbors(edges).persist()
+    edges = _neighbors(edges).transform(pin)
     reached = seeds.select("doc_id", F.lit(0).cast("bigint").alias("hops"))
     frontier = seeds.select(F.col("doc_id").alias("id"))
     for k in range(1, max_hops + 1):

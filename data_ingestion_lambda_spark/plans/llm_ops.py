@@ -23,7 +23,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestion_lambda_spark.plans.registry import register
+from data_ingestion_lambda_spark.plans.registry import pin, register
 from data_ingestion_lambda_spark.plans._util import t
 
 P = 1_000_000_007  # polynomial-hash modulus
@@ -552,7 +552,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the df-attach join — without this the tokenize+hash scan (the single
     # most expensive stage) runs twice. At 100 TB this is the written-once
     # shingle-hash table every dedup lane shares.
-    sh = d.select("doc_id", shingle_hashes62(tokens("text")).alias("shingles")).persist()
+    sh = d.select("doc_id", shingle_hashes62(tokens("text")).alias("shingles")).transform(pin)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     # df attach + cap filter in one equi-join; dfreq comes out of the
@@ -577,7 +577,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p", (F.col("n") - F.expr("(4*n + 4) DIV 5") + 1).cast("int")
         )
         .withColumn("prefix", F.slice("ss", 1, F.col("p")))
-        .persist()
+        .transform(pin)
     )
     pre = docs.select("doc_id", "n", F.explode("prefix").alias("s"))
     a = pre.alias("a")
@@ -715,7 +715,7 @@ def _edit_distance_plan(d: DataFrame, grams: Column, q: int) -> DataFrame:
         )
         .select("doc_id", "n", F.explode("pref").alias("it"))
         .select("doc_id", "n", F.col("it.g").alias("g"), F.col("it.k").alias("k"))
-        .persist()
+        .transform(pin)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -948,7 +948,7 @@ def minhash_sig_table(d: DataFrame) -> DataFrame:
             ]
         )
         .select("doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
-        .persist()
+        .transform(pin)
     )
 
 
@@ -1225,7 +1225,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: the block join and both fingerprint lookups reference sims;
     # one long per doc, so the cache is negligible and the
     # tokenize+hash+vote pipeline runs once.
-    sims = bit_votes.select("doc_id", simhash.alias("simhash")).persist()
+    sims = bit_votes.select("doc_id", simhash.alias("simhash")).transform(pin)
     blocks = sims.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
@@ -1370,7 +1370,7 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     one block table. Same equi-join candidate shape; only the block width
     changed. The four parts stay four longs (no 120-bit value is ever
     materialized), so the shuffle payload is 32 bytes/doc either way."""
-    parts = _wide_parts(t(spark, sf_dir, "documents")).persist()
+    parts = _wide_parts(t(spark, sf_dir, "documents")).transform(pin)
     return _wide_pairs(parts)
 
 
@@ -1634,7 +1634,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     N broadcasts as a literal join. All shuffles key on token or doc —
     never all-pairs."""
     d = t(spark, sf_dir, "documents")
-    ex = d.select("doc_id", F.explode(tokens("text")).alias("tok")).persist()
+    ex = d.select("doc_id", F.explode(tokens("text")).alias("tok")).transform(pin)
     tf = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_ = ex.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = d.count()  # scalar: one number to the driver, re-broadcast as literal
@@ -1696,7 +1696,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = t(spark, sf_dir, "documents")
     ex = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    tf = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    tf = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).transform(pin)
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     n_tot = vocab.agg(F.sum("cnt")).collect()[0][0]  # scalar: one number
     rarity = vocab.select(
@@ -1778,7 +1778,7 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.expr("array()"))
     ex = d.select("doc_id", F.explode(bigrams).alias("bg"))
-    tf = ex.groupBy("doc_id", "bg").agg(F.count("*").alias("tf")).persist()
+    tf = ex.groupBy("doc_id", "bg").agg(F.count("*").alias("tf")).transform(pin)
     vocab = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
     n_tot = vocab.agg(F.sum("cnt")).collect()[0][0]  # scalar: one number
     rarity = vocab.select(
@@ -2254,7 +2254,7 @@ def dedup_simhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint rows (a broadcast nested-loop on a few hundred rows) —
     ground-truth evaluation on a slice, the same audit shape a 100 TB
     pipeline uses."""
-    parts = _wide_parts(t(spark, sf_dir, "documents")).persist()
+    parts = _wide_parts(t(spark, sf_dir, "documents")).transform(pin)
     sample = parts.filter(F.col("doc_id") < _WIDE_RECALL_SAMPLE)
     a = sample.alias("a")
     b = sample.alias("b")
@@ -2452,7 +2452,7 @@ def substring_spans(
     )
     # Persisted: both sides of the self-join read it; at 100 TB this is the
     # written-once positional-shingle table (the suffix array's stand-in).
-    exf = ex.join(F.broadcast(hot), "h", "left_anti").persist()
+    exf = ex.join(F.broadcast(hot), "h", "left_anti").transform(pin)
     a = exf.alias("a")
     b = exf.alias("b")
     pairs = a.join(
@@ -3041,7 +3041,7 @@ def text_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens("text")).alias("tok")
     )
-    tf = ex.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf")).persist()
+    tf = ex.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf")).transform(pin)
     df = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     n_docs = tf.select("doc_id").distinct().count()  # scalar: one number
     idf = df.select(
@@ -3564,7 +3564,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("n"))
         .select("word", "n", F.split("word", "").alias("syms"))
-        .persist()
+        .transform(pin)
     )
     merges = []
     for step in range(1, _BPE_ROUNDS + 1):
@@ -3602,7 +3602,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                     ),
                 ).otherwise(F.concat(acc, F.array(x))),
             ).alias("syms"),
-        ).persist()
+        ).transform(pin)
         folded.count()  # materialize before dropping the parent
         wf.unpersist()
         wf = folded

@@ -23,7 +23,7 @@ from data_ingestion_lambda_spark.operators.media import (
     sample_frames,
 )
 from data_ingestion_lambda_spark.plans._util import t
-from data_ingestion_lambda_spark.plans.registry import register
+from data_ingestion_lambda_spark.plans.registry import pin, register
 
 # DuckDB twin of attach_media_columns' kind/meta derivation.
 _SQL_KIND = "(['image', 'audio', 'video'])[doc_id % 3 + 1]"
@@ -359,7 +359,7 @@ def media_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = perceptual_hash(attach_media_columns(t(spark, sf_dir, "documents"))).select(
         "doc_id", "b0", "b1", "b2", "b3"
-    ).persist()
+    ).transform(pin)
     blocks = p.select(
         "doc_id",
         F.explode(

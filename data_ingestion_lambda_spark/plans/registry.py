@@ -25,6 +25,47 @@ from pyspark.sql import DataFrame, SparkSession
 Builder = Callable[[SparkSession, str], DataFrame]
 
 
+# ---------------------------------------------------------------------------
+# Cache pinning (VERDICT r11 #3). Several lanes persist() a shared
+# intermediate (BM25's term-frequency table, the dedup lanes' signature
+# frames) that is CORPUS-SIZED — correct for the one plan, but a
+# long-running session that builds many lanes (the oracle sweep, a
+# notebook) would accumulate un-released corpus-sized caches. Every such
+# persist goes through pin(), which records the pinned frame so a harness
+# can release the whole set between lanes with release_pinned(); bounded
+# (aggregate/domain-sized) persists may stay plain .persist() but must be
+# justified in tests/test_plan_shapes_r12.py's CACHE_ALLOWLIST — the gate
+# walks every registered lane's plan and refuses un-allowlisted
+# InMemoryRelations, the unpartitioned-window allowlist idiom applied to
+# cache pins.
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() + record for harness release. Default storage level is
+    Spark's (MEMORY_AND_DISK, deserialized) so lane steady-state timing
+    is unchanged; pass a pyspark StorageLevel to override (e.g.
+    DISK_ONLY for a cache that must never compete for executor memory)."""
+    df.persist(storage_level) if storage_level is not None else df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_pinned(blocking: bool = False) -> int:
+    """Unpersist every pin()-recorded frame (Spark's CacheManager drops
+    the canonical-plan entry, so identical future plans recompute).
+    Returns the number released. Safe to call with actions in flight —
+    an unpersisted cache falls back to recompute, never wrong results."""
+    n = len(_PINNED)
+    for df in _PINNED:
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _PINNED.clear()
+    return n
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str

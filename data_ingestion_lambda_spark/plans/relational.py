@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.plans.decimals import davg, dec, dsum, sql_davg, sql_dec, sql_dsum
-from data_ingestion_lambda_spark.plans.registry import register
+from data_ingestion_lambda_spark.plans.registry import pin, register
 from data_ingestion_lambda_spark.plans._util import t
 
 # ---------------------------------------------------------------------------
@@ -992,7 +992,7 @@ def agg_rfm_segmentation_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
-        .persist()
+        .transform(pin)
     )
     melt = cust.select(
         F.explode(
@@ -1272,7 +1272,7 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject over support-filtered pairs."""
     lines = (
         t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    ).persist()
+    ).transform(pin)
     item = lines.groupBy("l_partkey").agg(
         F.count("*").cast("long").alias("n_orders_item")
     )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from data_ingestion_lambda_spark.plans._util import t
 from data_ingestion_lambda_spark.plans.llm_ops import SQL_TOKENS, tokens
 from data_ingestion_lambda_spark.plans.registry import REGISTRY as _REG
+from data_ingestion_lambda_spark.plans.registry import pin
 from data_ingestion_lambda_spark.plans.registry import register
 from data_ingestion_lambda_spark.plans.similarity import ann_cosine_topk
 
@@ -124,7 +125,7 @@ def _bm25_topk_over(d: DataFrame) -> DataFrame:
         d.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
-        .persist()
+        .transform(pin)
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfq = tf.groupBy("tok").agg(F.count("*").alias("df"))

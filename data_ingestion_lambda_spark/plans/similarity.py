@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestion_lambda_spark.plans.registry import register
+from data_ingestion_lambda_spark.plans.registry import pin, register
 from data_ingestion_lambda_spark.plans._util import t
 
 DIM = 64
@@ -1092,7 +1092,7 @@ def _ivf_scored(
     # Persisted: the training iterations, the assignment pass and the
     # scoring pass all re-read (vec_id, ve, nrm); at production scale this
     # is the materialized vector table the quantizer is trained against.
-    v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm")).persist()
+    v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm")).transform(pin)
     cent = _train_ivf_centroids(spark, v, cache_key=sf_dir, n_cells=n_cells)
     ccos = (dot("ve", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
     # Argmax as max_by (same (ccos DESC, cell ASC) total order as the
@@ -1752,7 +1752,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("ve")
     )
-    v = base.persist()
+    v = base.transform(pin)
     enc = None
     cents: list[DataFrame] = []
     for m in range(_PQ_M):
@@ -2005,7 +2005,7 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = base.select(
         "vec_id", "label", "ve", F.sqrt(dot("ve", "ve")).alias("nrm")
-    ).persist()
+    ).transform(pin)
     cent = _train_ivf_centroids(
         spark, v.select("vec_id", "ve", "nrm"), cache_key=sf_dir
     )
@@ -2102,7 +2102,7 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("ve")
     )
-    v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm")).persist()
+    v = base.select("vec_id", "ve", F.sqrt(dot("ve", "ve")).alias("nrm")).transform(pin)
     cent = _train_ivf_centroids(spark, v, cache_key=sf_dir)
     ccos = (dot("ve", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
     assign = (

@@ -523,30 +523,64 @@ def gap_quantiles_from_ledger(spark, target_dir: str) -> DataFrame:
     return gap_hist_quantiles(read_gap_histogram(spark, target_dir))
 
 
-def _compact_batch_ledger(spark, target_dir: str, fold_df, op_name: str) -> int:
-    """Fold all committed batch partitions of an ``ingest_batch=<id>``
+def _committed_front(spark, checkpoint_dir: str) -> int | None:
+    """Highest batch id the streaming checkpoint has COMMITTED (the
+    ``commits/`` metadata log — a commit file lands only after the
+    batch's foreachBatch body returned, so ids at or below this front
+    are never replayed). None when the checkpoint has no commits yet."""
+    from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+    fs, path_cls = _hadoop_fs(spark, checkpoint_dir)
+    commits = path_cls(f"{checkpoint_dir}/commits")
+    if not fs.exists(commits):
+        return None
+    ids = [
+        int(st.getPath().getName())
+        for st in fs.listStatus(commits)
+        if st.isFile() and st.getPath().getName().isdigit()
+    ]
+    return max(ids) if ids else None
+
+
+def _compact_batch_ledger(
+    spark, target_dir: str, fold_df, op_name: str, checkpoint_dir: str | None = None
+) -> int:
+    """Fold committed batch partitions of an ``ingest_batch=<id>``
     ledger into the single base partition ``ingest_batch=-1``;
-    ``fold_df()`` returns the full current fold IN THE LEDGER'S OWN ROW
-    SCHEMA (so post-compaction reads see the identical shape). Returns
-    the number of partitions folded. Safe ONLY for batch ids the
-    streaming checkpoint has committed — the engine never replays
-    those, so their idempotence keys are spent; -1 is reserved (never a
-    real batch id), so future batches stay idempotent. Why the ALL-FOLD
-    form instead of base_fold's keep_from horizon: these ledgers key by
-    RAW integer batch ids ("10" < "9" lexicographically), so there is
-    no orderable partial horizon — the offline all-fold between
-    triggers is the correct maintenance op, exactly like
-    operators/compact.py. Read equality before/after is pinned by test.
-    The full fold lands in a dot-prefixed staging dir FIRST, so every
-    moment has a complete copy on disk; a crash between the part-drop
-    and the final rename leaves staging as that copy, and the next
-    entry REFUSES loudly with the recovery path instead of recompacting
-    a partial table (the scd2/replace_partitions stranded-dir
-    discipline). FS-AGNOSTIC: all directory ops go through the Hadoop
-    FS API (operators/upsert.py's _hadoop_fs), so the same code runs on
-    file://, hdfs://, s3a://, abfss:// targets; Hadoop's returns-false
-    failure contract raises on every path with the data-preserving
-    directory named."""
+    ``fold_df(paths)`` returns the fold of exactly those partition
+    paths IN THE LEDGER'S OWN ROW SCHEMA (so post-compaction reads see
+    the identical shape). Returns the number of partitions folded.
+
+    Folding is safe ONLY for batch ids the streaming checkpoint has
+    committed — the engine never replays those, so their idempotence
+    keys are spent; a batch that LANDED but whose offsets were not yet
+    committed (crash between the sink write and the commit) WILL be
+    replayed, and folding it first would double-count it as a fresh
+    partition (ADVICE r11). Two guards:
+
+    - ``checkpoint_dir`` given: fold exactly the ids at or below the
+      checkpoint's committed front (``commits/`` log) — the precise rule.
+    - no checkpoint: exclude the MAXIMUM landed batch id — only the
+      newest land can be in the landed-but-uncommitted crash window
+      (earlier commits gate later batch starts), so all-fold-minus-max
+      is the conservative equivalent.
+
+    -1 is reserved (never a real batch id), so future batches stay
+    idempotent. Why this form instead of base_fold's keep_from horizon:
+    these ledgers key by RAW integer batch ids ("10" < "9"
+    lexicographically), so there is no orderable partial horizon — the
+    offline fold between triggers is the correct maintenance op,
+    exactly like operators/compact.py. Read equality before/after is
+    pinned by test. The full fold lands in a dot-prefixed staging dir
+    FIRST, so every moment has a complete copy on disk; a crash between
+    the part-drop and the final rename leaves staging as that copy, and
+    the next entry REFUSES loudly with the recovery path instead of
+    recompacting a partial table (the scd2/replace_partitions
+    stranded-dir discipline). FS-AGNOSTIC: all directory ops go through
+    the Hadoop FS API (operators/upsert.py's _hadoop_fs), so the same
+    code runs on file://, hdfs://, s3a://, abfss:// targets; Hadoop's
+    returns-false failure contract raises on every path with the
+    data-preserving directory named."""
     from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
 
     fs, path_cls = _hadoop_fs(spark, target_dir)
@@ -558,16 +592,26 @@ def _compact_batch_ledger(spark, target_dir: str, fold_df, op_name: str) -> int:
             "any leftover ingest_batch=* dirs and rename it to "
             "ingest_batch=-1 before re-running"
         )
-    parts = [
-        st.getPath().getName()
+    ids = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
         for st in fs.listStatus(path_cls(target_dir))
         if st.isDirectory()
         and st.getPath().getName().startswith("ingest_batch=")
         and st.getPath().getName() != "ingest_batch=-1"
-    ]
-    if not parts:
+    )
+    if checkpoint_dir is not None:
+        front = _committed_front(spark, checkpoint_dir)
+        fold_ids = [] if front is None else [i for i in ids if i <= front]
+    else:
+        fold_ids = ids[:-1]  # newest land may be uncommitted — keep it
+    if not fold_ids:
         return 0
-    fold_df().write.mode("overwrite").parquet(staging)
+    parts = [f"ingest_batch={i}" for i in fold_ids]
+    has_base = fs.exists(path_cls(f"{target_dir}/ingest_batch=-1"))
+    fold_paths = [f"{target_dir}/{p}" for p in parts] + (
+        [f"{target_dir}/ingest_batch=-1"] if has_base else []
+    )
+    fold_df(fold_paths).write.mode("overwrite").parquet(staging)
     for p in parts + ["ingest_batch=-1"]:
         full = path_cls(f"{target_dir}/{p}")
         if fs.exists(full) and not fs.delete(full, True):
@@ -586,16 +630,26 @@ def _compact_batch_ledger(spark, target_dir: str, fold_df, op_name: str) -> int:
     return len(parts)
 
 
-def compact_gap_ledger(spark, target_dir: str) -> int:
-    """Fold all committed batch partitions into ``ingest_batch=-1``
-    (counts are associative, so compaction is a plain re-aggregation);
-    see _compact_batch_ledger for the crash discipline and the
-    committed-batches-only caveat."""
+def compact_gap_ledger(
+    spark, target_dir: str, checkpoint_dir: str | None = None
+) -> int:
+    """Fold committed batch partitions into ``ingest_batch=-1`` (counts
+    are associative, so compaction is a plain re-aggregation); see
+    _compact_batch_ledger for the crash discipline and the
+    committed-front rule (pass the stream's ``checkpoint_dir`` to fold
+    exactly the committed ids; without it the newest land is excluded
+    as possibly uncommitted)."""
+
+    def _fold(paths):
+        return (
+            spark.read.option("basePath", target_dir)
+            .parquet(*paths)
+            .groupBy("gap_s")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
     return _compact_batch_ledger(
-        spark,
-        target_dir,
-        lambda: read_gap_histogram(spark, target_dir),
-        "compact_gap_ledger",
+        spark, target_dir, _fold, "compact_gap_ledger", checkpoint_dir
     )
 
 
@@ -836,17 +890,25 @@ def read_value_histogram(spark, target_dir: str) -> DataFrame:
     )
 
 
-def compact_value_histogram_ledger(spark, target_dir: str) -> int:
+def compact_value_histogram_ledger(
+    spark, target_dir: str, checkpoint_dir: str | None = None
+) -> int:
     """Fold the streamed drift ledger's batch partitions into
     ``ingest_batch=-1`` — the fold is read_value_histogram's own
     (event_type, day, bucket) sum, which IS the ledger row schema, so
-    drift reads are row-equal before/after (pinned). Same all-fold
+    drift reads are row-equal before/after (pinned). Same committed-front
     discipline and caveats as compact_gap_ledger."""
+
+    def _fold(paths):
+        return (
+            spark.read.option("basePath", target_dir)
+            .parquet(*paths)
+            .groupBy("event_type", "day", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
     return _compact_batch_ledger(
-        spark,
-        target_dir,
-        lambda: read_value_histogram(spark, target_dir),
-        "compact_value_histogram_ledger",
+        spark, target_dir, _fold, "compact_value_histogram_ledger", checkpoint_dir
     )
 
 
@@ -935,7 +997,9 @@ def features_from_moment_ledger(
     )
 
 
-def compact_moment_ledger(spark, target_dir: str) -> int:
+def compact_moment_ledger(
+    spark, target_dir: str, checkpoint_dir: str | None = None
+) -> int:
     """Fold the streamed feature-store ledger's batch partitions into
     ``ingest_batch=-1`` — the fold is merge_moments' per-user semigroup
     merge, whose output IS the moment row schema, so ledger reads and
@@ -943,33 +1007,43 @@ def compact_moment_ledger(spark, target_dir: str) -> int:
     schema-evolved ledger REFUSES to fold (merge_moments'
     missing_columns='refuse' — folding would bake silent
     from-introduction semantics into the base; backfill first, exactly
-    like the daily store's compaction). Same all-fold discipline and
-    caveats as compact_gap_ledger."""
+    like the daily store's compaction). Same committed-front discipline
+    and caveats as compact_gap_ledger."""
+    from data_ingestion_lambda_spark.operators.feature_store import merge_moments
+
+    def _fold(paths):
+        return merge_moments(
+            spark.read.option("basePath", target_dir)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+            .drop("ingest_batch"),
+            missing_columns="refuse",
+        )
+
     return _compact_batch_ledger(
-        spark,
-        target_dir,
-        lambda: read_moment_ledger(spark, target_dir).drop("ingest_batch"),
-        "compact_moment_ledger",
+        spark, target_dir, _fold, "compact_moment_ledger", checkpoint_dir
     )
 
 
-def compact_hh_stream_ledger(spark, target_dir: str) -> int:
+def compact_hh_stream_ledger(
+    spark, target_dir: str, checkpoint_dir: str | None = None
+) -> int:
     """Fold the streamed heavy-hitter ledger's batch partitions into
     ``ingest_batch=-1`` — the fold is the per-item counter SUM
     (``__n__`` total rows sum alongside), the hh store's own exact
     pre-aggregation, so read_heavy_hitters over the ledger is row-equal
     before/after (pinned) and the merged-sketch guarantee is untouched.
-    Same all-fold discipline and caveats as compact_gap_ledger."""
-    def _fold():
+    Same committed-front discipline and caveats as compact_gap_ledger."""
+    def _fold(paths):
         return (
             spark.read.option("basePath", target_dir)
-            .parquet(f"{target_dir}/ingest_batch=*")
+            .parquet(*paths)
             .groupBy("item")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
 
     return _compact_batch_ledger(
-        spark, target_dir, _fold, "compact_hh_stream_ledger"
+        spark, target_dir, _fold, "compact_hh_stream_ledger", checkpoint_dir
     )
 
 

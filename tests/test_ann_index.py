@@ -268,10 +268,45 @@ def test_sizing_marker_refusals(spark, tmp_path):
     # one directory, one sizing: retraining at another size refuses
     with pytest.raises(ValueError, match="one directory, one quantizer"):
         train_index(spark, idx, vecs, n_cells=32)
-    # probing more cells than the index has is a full scan — refused
+    # probing more cells than the index HAS refuses; probing exactly
+    # every cell is a permitted (wasteful) full scan
     append_batch(spark, idx, vecs, "2025-07-01")
-    with pytest.raises(ValueError, match="exceeds the index's recorded"):
+    with pytest.raises(ValueError, match="exceeds the index's"):
         probe_topk(spark, idx, _queries(vecs), n_probe=17)
+    full = probe_topk(spark, idx, _queries(vecs), n_probe=16)
+    assert full.count() > 0
+
+
+def test_train_refuses_sparse_vec_ids(spark, tmp_path):
+    """The quantizer seeds from vec_id < n_cells (oracle-reproducible),
+    so a corpus with sparse or non-zero-based ids must refuse to train
+    instead of silently producing fewer centroids than the marker
+    records (ADVICE r11: retrain over an old index whose stored ids
+    don't cover [0, n_cells) would otherwise build a degenerate
+    quantizer)."""
+    import pytest
+
+    idx = str(tmp_path / "idx")
+    shifted = _vectors(spark).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    with pytest.raises(ValueError, match="vec_id < 16"):
+        train_index(spark, idx, shifted)
+
+
+def test_probe_refuses_marker_centroid_mismatch(spark, tmp_path):
+    """The probe guard reads the ACTUAL centroid count, not just the
+    _sizing marker: an index whose centroids table lost rows (partial
+    write / tamper) refuses instead of probing a wrong cell count."""
+    import pytest
+
+    idx, vecs = _build(spark, tmp_path)
+    kept = read_centroids(spark, idx).limit(8).collect()
+    spark.createDataFrame(
+        kept, read_centroids(spark, idx).schema
+    ).write.mode("overwrite").parquet(f"{idx}/centroids")
+    with pytest.raises(ValueError, match="centroids table holds 8"):
+        probe_topk(spark, idx, _queries(vecs))
 
 
 def test_retrain_migration_blue_green(spark, tmp_path):

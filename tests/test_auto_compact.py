@@ -1,0 +1,161 @@
+"""Auto-compaction policy (VERDICT r11 #2): every maintained store HAS
+a fold (compact_* / --compact-keep-from); ``auto_keep_from`` +
+``--auto-compact-max-dirs`` decide WHEN — a dir-count threshold with
+fold-to-half hysteresis, so a long-running ingest loop holds a bounded
+partition count with no human picking keep_from.
+
+Pinned here:
+- N applies below the threshold trigger NO fold; crossing it triggers
+  exactly ONE fold (hysteresis: the next applies stay below threshold);
+- read-equality across the fold, horizon/replay refusals unchanged;
+- the committed-front cap: a streamed store's auto-fold never chooses
+  a keep_from past the checkpoint's commits log;
+- the CLI flag drives the same policy end-to-end on a store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_lambda_spark.operators.base_fold import (
+    auto_keep_from,
+    check_not_below_horizon,
+    streaming_committed_front_key,
+)
+from data_ingestion_lambda_spark.operators.vocab import (
+    compact_vocab,
+    read_vocab,
+    update_vocab,
+)
+
+
+def _docs(spark, day: int):
+    return spark.createDataFrame(
+        [(day * 10 + i, f"alpha beta tok{day}") for i in range(2)],
+        "doc_id bigint, text string",
+    )
+
+
+def _dirs(vdir: str) -> list[str]:
+    return sorted(
+        n for n in os.listdir(vdir) if n.startswith("date=") and "." not in n[:1]
+    )
+
+
+def _model(spark, vdir):
+    return sorted(tuple(r) for r in read_vocab(spark, vdir).collect())
+
+
+def test_threshold_fires_exactly_one_fold_with_read_equality(spark, tmp_path):
+    vdir = str(tmp_path / "vocab")
+    folds = []
+    for day in range(1, 8):  # 7 applies, threshold 5
+        update_vocab(spark, vdir, _docs(spark, day), f"2025-07-0{day}")
+        kf = auto_keep_from(spark, vdir, max_dirs=5)
+        if kf is not None:
+            before = _model(spark, vdir)
+            folds.append((day, kf, compact_vocab(spark, vdir, kf)))
+            assert _model(spark, vdir) == before  # read-equality across fold
+    # 5 dirs after day 5 -> no fold; day 6 crosses (6 > 5) -> fold down to
+    # newest max_dirs//2 = 2; day 7 lands beside them (3 live) -> no fold
+    assert [f[0] for f in folds] == [6]
+    assert folds[0][1] == "2025-07-05"  # keep the newest 2 of 6
+    assert _dirs(vdir) == [
+        "date=0000-00-00",
+        "date=2025-07-05",
+        "date=2025-07-06",
+        "date=2025-07-07",
+    ]
+    # replay/horizon refusals unchanged: a folded key is spent
+    with pytest.raises(ValueError, match="below the compaction horizon"):
+        check_not_below_horizon(spark, vdir, "2025-07-03", "test")
+    with pytest.raises(ValueError, match="below the compaction horizon"):
+        update_vocab(spark, vdir, _docs(spark, 3), "2025-07-03")
+
+
+def test_no_fold_below_threshold_and_single_dir_never_folds(spark, tmp_path):
+    vdir = str(tmp_path / "vocab")
+    update_vocab(spark, vdir, _docs(spark, 1), "2025-07-01")
+    assert auto_keep_from(spark, vdir, max_dirs=5) is None
+    assert auto_keep_from(spark, vdir, max_dirs=1) is None  # keep_from==oldest: no-op fold skipped
+    assert auto_keep_from(spark, str(tmp_path / "absent"), max_dirs=1) is None
+
+
+def test_committed_front_caps_the_fold_key(spark, tmp_path):
+    """b-keyed ledger with 6 landed batches but only 2 committed: the
+    cap pulls keep_from back to b2 (fold ids 0-1 only), so a replayable
+    batch is never folded and the land-refusal can never wedge the
+    stream (ADVICE r11)."""
+    vdir = str(tmp_path / "vocab")
+    ckpt = tmp_path / "ckpt" / "commits"
+    ckpt.mkdir(parents=True)
+    for b in range(2):
+        (ckpt / str(b)).write_text("{}")
+    for b in range(6):
+        update_vocab(spark, vdir, _docs(spark, b), f"b{b:09d}")
+
+    cap = streaming_committed_front_key(spark, str(tmp_path / "ckpt"))
+    assert cap == "b000000002"
+    kf = auto_keep_from(spark, vdir, max_dirs=3, cap=cap)
+    assert kf == "b000000002"  # uncapped policy would pick b000000005
+    before = _model(spark, vdir)
+    compact_vocab(spark, vdir, kf)
+    assert _model(spark, vdir) == before
+    assert _dirs(vdir) == [
+        "date=0000-00-00",
+        "date=b000000002",
+        "date=b000000003",
+        "date=b000000004",
+        "date=b000000005",
+    ]
+    # no commits at all -> no safe front
+    assert streaming_committed_front_key(spark, str(tmp_path / "no_ckpt")) is None
+
+
+def test_cli_auto_compact_end_to_end(spark, tmp_path, capsys):
+    """--auto-compact-max-dirs on the vocab CLI: applies below the
+    threshold report due=False; the crossing apply folds once; model
+    reads are unchanged."""
+    from data_ingestion_lambda_spark.cli import main
+
+    vdir = str(tmp_path / "vocab")
+    reports = []
+    for day in range(1, 5):  # threshold 2: days 1-2 no fold, 3 folds, 4 no fold
+        bp = str(tmp_path / f"b{day}.parquet")
+        _docs(spark, day).write.parquet(bp)
+        assert (
+            main(
+                [
+                    "vocab",
+                    "--vocab",
+                    vdir,
+                    "--batch",
+                    bp,
+                    "--date",
+                    f"2025-07-0{day}",
+                    "--auto-compact-max-dirs",
+                    "2",
+                ]
+            )
+            == 0
+        )
+        reports.append(json.loads(capsys.readouterr().out.strip().splitlines()[-1]))
+    assert [r["auto_compact"]["due"] for r in reports] == [
+        False,
+        False,
+        True,
+        False,
+    ]
+    assert reports[2]["auto_compact"]["keep_from"] == "2025-07-03"
+    assert reports[2]["compaction"]["folded"][""] == 2
+    assert _dirs(vdir) == [
+        "date=0000-00-00",
+        "date=2025-07-03",
+        "date=2025-07-04",
+    ]
+    got = dict(_model(spark, vdir))
+    assert got["alpha"] == 8  # 4 days x 2 docs, nothing lost or doubled

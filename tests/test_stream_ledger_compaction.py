@@ -88,11 +88,11 @@ def test_value_histogram_ledger_compaction(spark, tmp_path):
     before = _rows(read_value_histogram(spark, target))
     before_drift = _rows(drift_from_value_ledger(spark, target))
 
-    assert compact_value_histogram_ledger(spark, target) == 2
+    assert compact_value_histogram_ledger(spark, target, ckpt) == 2
     assert _ledger_dirs(tmp_path, target) == ["ingest_batch=-1"]
     assert _rows(read_value_histogram(spark, target)) == before
     assert _rows(drift_from_value_ledger(spark, target)) == before_drift
-    assert compact_value_histogram_ledger(spark, target) == 0
+    assert compact_value_histogram_ledger(spark, target, ckpt) == 0
 
     # a post-compaction trigger lands alongside the base
     _write(spark, src, "b3", [(4, _ts(3, 10), 3, "view", 9.9, "{}")])
@@ -127,10 +127,10 @@ def test_moment_ledger_compaction(spark, tmp_path):
     )
     before = _rows(features_from_moment_ledger(spark, target))
 
-    assert compact_moment_ledger(spark, target) == 2
+    assert compact_moment_ledger(spark, target, ckpt) == 2
     assert _ledger_dirs(tmp_path, target) == ["ingest_batch=-1"]
     assert _rows(features_from_moment_ledger(spark, target)) == before
-    assert compact_moment_ledger(spark, target) == 0
+    assert compact_moment_ledger(spark, target, ckpt) == 0
 
     # user 1's moments keep merging across the base and a new delta
     _write(spark, src, "b3", [(5, _ts(3, 10), 1, "purchase", 10.0, "{}")])
@@ -169,15 +169,100 @@ def test_hh_stream_ledger_compaction(spark, tmp_path):
     assert len(_ledger_dirs(tmp_path, target)) == 2
     before = _rows(read_heavy_hitters(spark, target))
 
-    assert compact_hh_stream_ledger(spark, target) == 2
+    assert compact_hh_stream_ledger(spark, target, ckpt) == 2
     assert _ledger_dirs(tmp_path, target) == ["ingest_batch=-1"]
     assert _rows(read_heavy_hitters(spark, target)) == before
-    assert compact_hh_stream_ledger(spark, target) == 0
+    assert compact_hh_stream_ledger(spark, target, ckpt) == 0
 
     _write(spark, src, "b3", [("hot",)] * 2, items)
     run()
     after = {r[0]: r[1] for r in _rows(read_heavy_hitters(spark, target))}
     assert after["hot"] >= 17  # counter lower bound keeps accumulating
+
+
+def test_uncommitted_land_is_never_folded(spark, tmp_path):
+    """The double-count window (ADVICE r11): a batch that LANDED in the
+    ledger but whose checkpoint commit never happened WILL be replayed,
+    so compaction must not fold it into the base (the replay would then
+    re-land it as a fresh partition and count twice). With the
+    checkpoint given, only ids at or below the committed front fold;
+    without it, the newest land is excluded as possibly uncommitted."""
+    from data_ingestion_lambda_spark.streaming.events import (
+        compact_value_histogram_ledger,
+        read_value_histogram,
+        stream_value_histogram_to_table,
+    )
+
+    src, ckpt, target = (str(tmp_path / d) for d in ("src", "ckpt", "ledger"))
+    _write(spark, src, "b1", [(1, _ts(1, 10), 1, "view", 4.2, "{}")])
+    _write(spark, src, "b2", [(2, _ts(2, 10), 2, "click", 1.0, "{}")])
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_value_histogram_to_table(stream, target, ckpt).start()
+    q.awaitTermination(120)
+    assert len(_ledger_dirs(tmp_path, target)) == 2
+
+    # simulate the crash window: batch 9 landed, commit never written
+    spark.createDataFrame(
+        [("view", _ts(3, 0).date(), 0, 1)], "event_type string, day date, bucket int, cnt long"
+    ).write.parquet(f"{target}/ingest_batch=9")
+    before = _rows(read_value_histogram(spark, target))
+
+    # committed front is 1 → batch 9 stays un-folded and replayable
+    assert compact_value_histogram_ledger(spark, target, ckpt) == 2
+    assert _ledger_dirs(tmp_path, target) == [
+        "ingest_batch=-1",
+        "ingest_batch=9",
+    ]
+    assert _rows(read_value_histogram(spark, target)) == before
+
+    # no checkpoint: conservative all-fold-minus-max — 9 is the max, so
+    # after the fold above only the base and 9 remain → nothing to fold
+    assert compact_value_histogram_ledger(spark, target) == 0
+    assert _ledger_dirs(tmp_path, target) == [
+        "ingest_batch=-1",
+        "ingest_batch=9",
+    ]
+
+
+def test_all_fold_minus_max_without_checkpoint(spark, tmp_path):
+    """Without a checkpoint the newest landed batch id is excluded from
+    the fold set (it may sit in the landed-but-uncommitted window);
+    reads stay row-equal and the survivor folds on the NEXT pass once a
+    newer batch supersedes it."""
+    from data_ingestion_lambda_spark.streaming.events import (
+        compact_value_histogram_ledger,
+        read_value_histogram,
+    )
+
+    target = str(tmp_path / "ledger")
+    for b in range(3):
+        spark.createDataFrame(
+            [("view", _ts(b + 1, 0).date(), 0, 1)],
+            "event_type string, day date, bucket int, cnt long",
+        ).write.parquet(f"{target}/ingest_batch={b}")
+    before = _rows(read_value_histogram(spark, target))
+
+    assert compact_value_histogram_ledger(spark, target) == 2
+    assert _ledger_dirs(tmp_path, target) == [
+        "ingest_batch=-1",
+        "ingest_batch=2",
+    ]
+    assert _rows(read_value_histogram(spark, target)) == before
+    # batch 2 folds once batch 3 lands behind it
+    spark.createDataFrame(
+        [("view", _ts(4, 0).date(), 0, 1)],
+        "event_type string, day date, bucket int, cnt long",
+    ).write.parquet(f"{target}/ingest_batch=3")
+    assert compact_value_histogram_ledger(spark, target) == 1
+    assert _ledger_dirs(tmp_path, target) == [
+        "ingest_batch=-1",
+        "ingest_batch=3",
+    ]
 
 
 def test_stranded_staging_refuses_streamed(spark, tmp_path):

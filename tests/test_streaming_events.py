@@ -745,12 +745,12 @@ def test_gap_ledger_compaction_preserves_reads_and_idempotence(spark, tmp_path):
     )
     assert before == [(1800, 2)]
 
-    assert compact_gap_ledger(spark, target) >= 1
+    assert compact_gap_ledger(spark, target, ckpt) >= 1
     after = sorted(
         (r.gap_s, r.cnt) for r in read_gap_histogram(spark, target).collect()
     )
     assert after == before
-    assert compact_gap_ledger(spark, target) == 0  # idempotent no-op
+    assert compact_gap_ledger(spark, target, ckpt) == 0  # idempotent no-op
 
     # a new trigger after compaction adds only its delta
     _write_batch(spark, src, "b2", [(4, _ts(12, 0), 1, "view", 1.0, "{}")])
@@ -852,7 +852,7 @@ def test_ledger_quantiles_equal_registered_hist_operator(spark, tmp_path):
     assert got_raw == want
 
     # post-compaction: identical rows from the folded base partition
-    assert compact_gap_ledger(spark, target) >= 1
+    assert compact_gap_ledger(spark, target, ckpt) >= 1
     got_compacted = [
         tuple(r) for r in gap_quantiles_from_ledger(spark, target).collect()
     ]

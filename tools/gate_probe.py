@@ -806,6 +806,99 @@ def run_attribution_stream(spark, rep_dir: str) -> None:
     )
 
 
+def run_autocompact(spark, rep_dir: str, n_applies: int = 60, max_dirs: int = 10) -> None:
+    """The auto-compaction policy's long-run economics (VERDICT r12 #2):
+    the SAME n_applies daily vocab lands, once with the dir-count policy
+    (``auto_keep_from`` at max_dirs, fold-to-half hysteresis — exactly
+    what ``--auto-compact-max-dirs`` drives) and once unbounded. Claims
+    measured: (a) the policy holds the live dir count bounded by
+    max_dirs for the whole run while the unbounded twin grows linearly;
+    (b) end-state model reads are cheaper on the bounded store; (c) the
+    fold fires ~n_applies/(max_dirs/2) times, i.e. amortized O(1) folds
+    per apply, and total fold wall is reported so the maintenance cost
+    is priced, not hidden."""
+    import tempfile
+
+    from data_ingestion_lambda_spark.operators.base_fold import auto_keep_from
+    from data_ingestion_lambda_spark.operators.vocab import (
+        compact_vocab,
+        read_vocab,
+        update_vocab,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .limit(400)
+    )
+    root = tempfile.mkdtemp(prefix="gate_autocompact_")
+
+    def _date(d):
+        return f"2025-{(d // 28) + 1:02d}-{(d % 28) + 1:02d}"
+
+    def _dirs(idx):
+        return len(
+            [n for n in os.listdir(idx) if n.startswith("date=") and n[5:6] != "0"]
+        ) if os.path.exists(idx) else 0
+
+    results = {}
+    for label, policy in (("bounded", True), ("unbounded", False)):
+        idx = f"{root}/{label}"
+        folds, fold_wall, max_live = 0, 0.0, 0
+        t0 = time.time()
+        for d in range(n_applies):
+            batch = docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(d * 1_000_000)
+            )
+            update_vocab(spark, idx, batch, _date(d))
+            if policy:
+                kf = auto_keep_from(spark, idx, max_dirs=max_dirs)
+                if kf is not None:
+                    tf0 = time.time()
+                    compact_vocab(spark, idx, kf)
+                    fold_wall += time.time() - tf0
+                    folds += 1
+            max_live = max(max_live, _dirs(idx))
+        apply_wall = time.time() - t0
+        def _read_once():
+            tr = time.time()
+            read_vocab(spark, idx).count()
+            return time.time() - tr
+
+        read_wall = min(_read_once() for _ in range(3))
+        results[label] = {
+            "applies": n_applies,
+            "max_live_dirs": max_live,
+            "final_dirs": _dirs(idx),
+            "folds": folds,
+            "fold_wall_s": round(fold_wall, 2),
+            "apply_wall_s": round(apply_wall, 2),
+            "read_s": round(read_wall, 3),
+        }
+        print(
+            json.dumps({"mode": "autocompact", "store": f"vocab/{label}", **results[label]}),
+            flush=True,
+        )
+    b, u = results["bounded"], results["unbounded"]
+    print(
+        json.dumps(
+            {
+                "mode": "autocompact",
+                "summary": True,
+                "max_dirs_policy": max_dirs,
+                "bounded_max_live": b["max_live_dirs"],
+                "unbounded_final": u["final_dirs"],
+                "read_speedup": round(u["read_s"] / max(b["read_s"], 1e-9), 2),
+                "folds": b["folds"],
+                "fold_overhead_frac": round(
+                    b["fold_wall_s"] / max(b["apply_wall_s"], 1e-9), 3
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -841,6 +934,8 @@ def main() -> None:
             run_attribution(spark, rep_dir)
         elif mode == "attribution-stream":
             run_attribution_stream(spark, rep_dir)
+        elif mode == "autocompact":
+            run_autocompact(spark, rep_dir)
         elif mode == "session":
             extra = [
                 tuple(pair.split("=", 1))

@@ -92,6 +92,16 @@ def main() -> int:
 
     files = sorted(TESTS.glob("test_*.py"))
     timings = load_timings()
+    # Staleness guard (VERDICT r11 #6): a file absent from the committed
+    # cache is balanced by SIZE, which silently skews LPT — say so up
+    # front instead of letting one worker run minutes longer.
+    uncached = [f.name for f in files if f.name not in timings]
+    if uncached:
+        print(
+            f"WARN: {len(uncached)} test file(s) not in {TIMINGS.name} "
+            f"(balanced by file size this run): {', '.join(uncached)}",
+            flush=True,
+        )
     buckets = shard(files, args.jobs, timings)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
     per_cores = max(4, cpus // max(1, len(buckets)))
@@ -156,7 +166,29 @@ def main() -> int:
             print(out[-8000:])
         new_timings.update(parse_junit(junit))
 
-    TIMINGS.write_text(json.dumps(new_timings, indent=0, sort_keys=True) + "\n")
+    # Drift guard: a cached entry >2x off from what this run observed
+    # means the balance the NEXT run computes from the refreshed cache
+    # differs materially from the one this run used — worth a line.
+    drifted = sorted(
+        f"{name} cached={timings[name]:.0f}s observed={obs:.0f}s"
+        for name, obs in new_timings.items()
+        if name in timings
+        and obs > 1.0
+        and timings[name] > 1.0
+        and (obs / timings[name] > 2.0 or timings[name] / obs > 2.0)
+    )
+    if drifted:
+        print(
+            f"WARN: {len(drifted)} timing(s) drifted >2x vs cache "
+            "(rebalanced next run): " + "; ".join(drifted),
+            flush=True,
+        )
+    if failed_workers:
+        # keep the committed cache authoritative: a red run's timings
+        # include aborted/failed files and would skew the next balance
+        print(f"(timings cache NOT refreshed: worker(s) {failed_workers} failed)")
+    else:
+        TIMINGS.write_text(json.dumps(new_timings, indent=0, sort_keys=True) + "\n")
     wall = time.time() - t0
     summary = ", ".join(f"{v} {k}" for k, v in sorted(counts.items()))
     print(f"\nTOTAL: {summary} in {wall:.0f}s across {len(buckets)} workers")

@@ -305,11 +305,17 @@ def _day_events(spark, date: str, n_users=40, n_per_user=4):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def probe_fold(spark, sf, reps, n_days=30):
+def probe_fold(spark, sf, reps, n_days=30, stores_filter=None, keep_days=None):
     """r11: what the generalized base-fold buys per store — partition
     dir count and read wall on an n_days ledger BEFORE vs AFTER its
     compaction entrypoint (reads are equality-pinned in
-    tests/test_store_compaction.py; this probe prices the LIST axis)."""
+    tests/test_store_compaction.py; this probe prices the LIST axis).
+    r12: ``n_days``/``keep_days``/``stores_filter`` parametrize the
+    ledger AGE (VERDICT r11 #5 asks for drift+bloom at 300 dirs — at 30
+    dirs those two measured flat-to-marginally-worse, so the
+    listing-dominates claim needed the longer axis). ``keep_days``
+    dirs survive the fold (default: everything from Feb on, the r11
+    behavior)."""
     from data_ingestion_lambda_spark.operators import (
         bloom_store,
         cms_store,
@@ -431,21 +437,31 @@ def probe_fold(spark, sf, reps, n_days=30):
             drift_monitor.compact_drift_monitor,
         ),
     }
+    keep_from = _date(n_days - keep_days) if keep_days is not None else "2025-02-01"
     for name, (build, read, compact) in stores.items():
+        if stores_filter is not None and name not in stores_filter:
+            continue
         idx = f"/tmp/econ_fold_{name}"
         build(idx)
         before = {
             "dirs": _count_dirs(idx),
             "read_sec": _median_wall(lambda: read(idx), reps),
         }
-        compact(spark, idx, "2025-02-01")  # folds January's 28 batches
+        compact(spark, idx, keep_from)
         after = {
             "dirs": _count_dirs(idx),
             "read_sec": _median_wall(lambda: read(idx), reps),
         }
         print(
             json.dumps(
-                {"store": name, "mode": "fold", "before": before, "after": after}
+                {
+                    "store": name,
+                    "mode": "fold",
+                    "n_days": n_days,
+                    "keep_from": keep_from,
+                    "before": before,
+                    "after": after,
+                }
             ),
             flush=True,
         )
@@ -457,6 +473,15 @@ def main() -> None:
     ap.add_argument("--modes", default="bloom,dsir,markov")
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--fold-days", type=int, default=30, help="ledger age for --modes fold")
+    ap.add_argument(
+        "--fold-keep-days", type=int, default=None,
+        help="dirs surviving the fold (default: fold January only, the r11 form)",
+    )
+    ap.add_argument(
+        "--fold-stores", default=None,
+        help="comma-separated store subset for --modes fold (default all nine)",
+    )
     args = ap.parse_args()
     spark = get_spark("store_econ_probe")
     modes = set(args.modes.split(","))
@@ -473,7 +498,14 @@ def main() -> None:
     if "postings" in modes:
         probe_postings(spark, args.sf, args.reps)
     if "fold" in modes:
-        probe_fold(spark, args.sf, args.reps)
+        probe_fold(
+            spark,
+            args.sf,
+            args.reps,
+            n_days=args.fold_days,
+            stores_filter=set(args.fold_stores.split(",")) if args.fold_stores else None,
+            keep_days=args.fold_keep_days,
+        )
 
 
 if __name__ == "__main__":
