@@ -227,6 +227,15 @@ def base_fold(
     layout). Returns ``{"horizon", "folded": {sub: n}}``. Folding
     SPENDS the folded keys — the store's land/apply path must refuse
     keys below ``fold_horizon``.
+
+    PRECONDITION for ``b<id>``-keyed stores fed by a streaming front
+    (ADVICE r11): fold only keys the stream's checkpoint has COMMITTED
+    — a landed-but-uncommitted batch will be replayed, and its spent
+    key then hits the land-refusal on every restart with no recovery
+    path short of a new checkpoint. Run folds with the stream stopped,
+    and derive keep_from via ``streaming_committed_front_key`` (the
+    auto-compaction path does; the manual --compact-keep-from flags
+    leave it to the operator).
     """
     if not keep_from or "/" in keep_from or "=" in keep_from:
         raise ValueError(f"{op_name}: bad keep_from key {keep_from!r}")
