@@ -97,6 +97,52 @@ def _drain(
     return reports
 
 
+def _auto_compact_after_drain(
+    spark: SparkSession,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_dirs: int | None,
+    compact_fn,
+    *,
+    count_dir: str | None = None,
+    part_key: str | None = None,
+    base_key: str | None = None,
+) -> dict | None:
+    """The dir-count auto-compaction policy, run as the streaming
+    front's epilogue (VERDICT r11 #2): after a drained availableNow run
+    every processed batch is COMMITTED, and the fold key is still capped
+    at the checkpoint's committed front (``streaming_committed_front_key``)
+    so a key a future replay needs can never be spent — the land-side
+    ``check_not_below_horizon`` refusals therefore never wedge the
+    stream. Returns the policy report (appended to the runner's reports)
+    or None when the caller didn't opt in."""
+    if max_dirs is None:
+        return None
+    from data_ingestion_lambda_spark.operators.base_fold import (
+        auto_keep_from,
+        streaming_committed_front_key,
+    )
+
+    policy: dict = {"max_dirs": max_dirs, "due": False}
+    cap = streaming_committed_front_key(spark, checkpoint_dir)
+    if cap is None:  # nothing committed yet -> nothing safely foldable
+        policy["reason"] = "no committed streaming front"
+        return {"auto_compact": policy}
+    kwargs: dict = {}
+    if part_key is not None:
+        kwargs["part_key"] = part_key
+    if base_key is not None:
+        kwargs["base_key"] = base_key
+    keep_from = auto_keep_from(
+        spark, count_dir or index_dir, max_dirs=max_dirs, cap=cap, **kwargs
+    )
+    if keep_from is None:
+        return {"auto_compact": policy}
+    result = compact_fn(keep_from)
+    policy.update({"due": True, "keep_from": keep_from})
+    return {"auto_compact": policy, "compaction": result}
+
+
 def run_vocab_update_available_now(
     spark: SparkSession,
     source_dir: str,
@@ -104,6 +150,7 @@ def run_vocab_update_available_now(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     order: int = 1,
+    auto_compact_max_dirs: int | None = None,
 ) -> list[dict]:
     """Drain new document files into the maintained n-gram model: each
     micro-batch's (tok, cnt) rows land in their own partition; the model
@@ -112,9 +159,9 @@ def run_vocab_update_available_now(
     ``order`` selects the n-gram order exactly as in update_vocab (the
     _order marker is written/checked per batch, so a stream pointed at a
     mismatched directory fails its first trigger loudly)."""
-    from data_ingestion_lambda_spark.operators.vocab import update_vocab
+    from data_ingestion_lambda_spark.operators.vocab import compact_vocab, update_vocab
 
-    return _drain(
+    reports = _drain(
         spark,
         source_dir,
         checkpoint_dir,
@@ -122,6 +169,16 @@ def run_vocab_update_available_now(
         lambda batch, key: update_vocab(spark, vocab_dir, batch, key, order=order),
         max_files_per_trigger,
     )
+    ac = _auto_compact_after_drain(
+        spark,
+        vocab_dir,
+        checkpoint_dir,
+        auto_compact_max_dirs,
+        lambda kf: compact_vocab(spark, vocab_dir, kf),
+    )
+    if ac is not None:
+        reports.append(ac)
+    return reports
 
 
 def run_postings_update_available_now(
@@ -130,15 +187,19 @@ def run_postings_update_available_now(
     index_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    auto_compact_max_dirs: int | None = None,
 ) -> list[dict]:
     """Drain new document files into the maintained BM25 postings index:
     each micro-batch tokenizes ONCE and lands its postings/doclen/stats
     rows in its own partition (token-bucket sub-partitions ride along);
     ``search_topk`` reads sums/pruned scans, so the streamed index
     serves the same results as daily ``update_postings`` applies."""
-    from data_ingestion_lambda_spark.operators.postings import update_postings
+    from data_ingestion_lambda_spark.operators.postings import (
+        compact_postings_index,
+        update_postings,
+    )
 
-    return _drain(
+    reports = _drain(
         spark,
         source_dir,
         checkpoint_dir,
@@ -146,6 +207,17 @@ def run_postings_update_available_now(
         lambda batch, key: update_postings(spark, index_dir, batch, key),
         max_files_per_trigger,
     )
+    ac = _auto_compact_after_drain(
+        spark,
+        index_dir,
+        checkpoint_dir,
+        auto_compact_max_dirs,
+        lambda kf: compact_postings_index(spark, index_dir, kf),
+        count_dir=f"{index_dir}/doclen",
+    )
+    if ac is not None:
+        reports.append(ac)
+    return reports
 
 
 def run_ann_append_available_now(
@@ -190,6 +262,7 @@ def run_session_update_available_now(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     schema: str = EVENTS_SCHEMA,
+    auto_compact_max_dirs: int | None = None,
 ) -> list[dict]:
     """Drain new event files into the incremental session store: each
     micro-batch's partial sessions (chains under the gap rule, within
@@ -223,9 +296,23 @@ def run_session_update_available_now(
         land_session_batch(spark, index_dir, batch, key)
         return {"key": key}
 
-    return _drain(
+    from data_ingestion_lambda_spark.operators.session_store import (
+        compact_session_store,
+    )
+
+    reports = _drain(
         spark, source_dir, checkpoint_dir, schema, _body, max_files_per_trigger
     )
+    ac = _auto_compact_after_drain(
+        spark,
+        index_dir,
+        checkpoint_dir,
+        auto_compact_max_dirs,
+        lambda kf: compact_session_store(spark, index_dir, kf),
+    )
+    if ac is not None:
+        reports.append(ac)
+    return reports
 
 
 ITEMS_SCHEMA = "item string"
@@ -237,6 +324,7 @@ def run_cms_update_available_now(
     index_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    auto_compact_max_dirs: int | None = None,
 ) -> list[dict]:
     """Drain new item files into the maintained Count-Min store: each
     micro-batch's d x w grid lands in its own ``ingest_batch=<id>``
@@ -265,9 +353,21 @@ def run_cms_update_available_now(
         )
         return {"key": key}
 
-    return _drain(
+    from data_ingestion_lambda_spark.operators.cms_store import compact_cms_store
+
+    reports = _drain(
         spark, source_dir, checkpoint_dir, ITEMS_SCHEMA, _body, max_files_per_trigger
     )
+    ac = _auto_compact_after_drain(
+        spark,
+        index_dir,
+        checkpoint_dir,
+        auto_compact_max_dirs,
+        lambda kf: compact_cms_store(spark, index_dir, kf),
+    )
+    if ac is not None:
+        reports.append(ac)
+    return reports
 
 
 ATTR_EVENTS_SCHEMA = (
@@ -283,6 +383,7 @@ def run_attribution_update_available_now(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     schema: str = ATTR_EVENTS_SCHEMA,
+    auto_compact_max_dirs: int | None = None,
 ) -> list[dict]:
     """Drain new event files into the ANY-SPLIT attribution ledger —
     the last maintained store to gain a streaming front, and the one
@@ -316,9 +417,27 @@ def run_attribution_update_available_now(
             batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
         return land_attribution_batch(spark, index_dir, batch, key)
 
-    return _drain(
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        LEDGER_BASE_KEY,
+        compact_attribution_ledger,
+    )
+
+    reports = _drain(
         spark, source_dir, checkpoint_dir, schema, _body, max_files_per_trigger
     )
+    ac = _auto_compact_after_drain(
+        spark,
+        index_dir,
+        checkpoint_dir,
+        auto_compact_max_dirs,
+        lambda kf: compact_attribution_ledger(spark, index_dir, kf),
+        count_dir=f"{index_dir}/stream_purchases",
+        part_key="ingest_batch",
+        base_key=LEDGER_BASE_KEY,
+    )
+    if ac is not None:
+        reports.append(ac)
+    return reports
 
 
 DOCS_LANG_SCHEMA = "doc_id bigint, lang string, text string"
@@ -332,6 +451,7 @@ def run_bloom_update_available_now(
     max_files_per_trigger: int | None = None,
     m: int | None = None,
     k: int | None = None,
+    auto_compact_max_dirs: int | None = None,
 ) -> list[dict]:
     """Drain new member-document files into the maintained Bloom store:
     each micro-batch's filter words land in their own
@@ -374,9 +494,21 @@ def run_bloom_update_available_now(
         )
         return {"key": key}
 
-    return _drain(
+    from data_ingestion_lambda_spark.operators.bloom_store import compact_bloom_store
+
+    reports = _drain(
         spark, source_dir, checkpoint_dir, DOCS_SCHEMA, _body, max_files_per_trigger
     )
+    ac = _auto_compact_after_drain(
+        spark,
+        index_dir,
+        checkpoint_dir,
+        auto_compact_max_dirs,
+        lambda kf: compact_bloom_store(spark, index_dir, kf),
+    )
+    if ac is not None:
+        reports.append(ac)
+    return reports
 
 
 def run_dsir_update_available_now(
@@ -386,6 +518,7 @@ def run_dsir_update_available_now(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     target_lang: str = "en",
+    auto_compact_max_dirs: int | None = None,
 ) -> list[dict]:
     """Drain new document files into the maintained DSIR model store:
     each micro-batch's <=1024 (bucket, cnt_s, cnt_t) rows land in their
@@ -419,7 +552,9 @@ def run_dsir_update_available_now(
         stats.write.mode("overwrite").parquet(f"{index_dir}/ingest_batch={key}")
         return {"key": key}
 
-    return _drain(
+    from data_ingestion_lambda_spark.operators.dsir_store import compact_dsir_store
+
+    reports = _drain(
         spark,
         source_dir,
         checkpoint_dir,
@@ -427,6 +562,16 @@ def run_dsir_update_available_now(
         _body,
         max_files_per_trigger,
     )
+    ac = _auto_compact_after_drain(
+        spark,
+        index_dir,
+        checkpoint_dir,
+        auto_compact_max_dirs,
+        lambda kf: compact_dsir_store(spark, index_dir, kf),
+    )
+    if ac is not None:
+        reports.append(ac)
+    return reports
 
 
 TOUCH_EVENTS_SCHEMA = "event_id bigint, user_id bigint, event_type string"
@@ -438,6 +583,7 @@ def run_touch_update_available_now(
     index_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    auto_compact_max_dirs: int | None = None,
 ) -> list[dict]:
     """Drain new event files into the maintained touch-state store: each
     micro-batch's per-user (mask, conv) rows land in their own
@@ -463,7 +609,9 @@ def run_touch_update_available_now(
         )
         return {"key": key}
 
-    return _drain(
+    from data_ingestion_lambda_spark.operators.touch_store import compact_touch_store
+
+    reports = _drain(
         spark,
         source_dir,
         checkpoint_dir,
@@ -471,3 +619,13 @@ def run_touch_update_available_now(
         _body,
         max_files_per_trigger,
     )
+    ac = _auto_compact_after_drain(
+        spark,
+        index_dir,
+        checkpoint_dir,
+        auto_compact_max_dirs,
+        lambda kf: compact_touch_store(spark, index_dir, kf),
+    )
+    if ac is not None:
+        reports.append(ac)
+    return reports

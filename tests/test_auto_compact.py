@@ -116,6 +116,57 @@ def test_committed_front_caps_the_fold_key(spark, tmp_path):
     assert streaming_committed_front_key(spark, str(tmp_path / "no_ckpt")) is None
 
 
+def test_streaming_front_holds_bounded_dir_count(spark, tmp_path):
+    """The policy as the streaming front's epilogue: a vocab stream
+    drained trigger-by-trigger with auto_compact_max_dirs holds a
+    bounded live dir count across runs, the fold key stays at or below
+    the checkpoint's committed front, the streamed model equals the
+    one-shot model, and a replay-from-checkpoint run is a no-op."""
+    from data_ingestion_lambda_spark.operators.vocab import read_vocab
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        run_vocab_update_available_now,
+    )
+
+    src, ckpt, vdir = (str(tmp_path / d) for d in ("src", "ckpt", "vocab"))
+    for b in range(6):
+        _docs(spark, b).write.parquet(f"{src}/drop{b}.parquet")
+
+    reports = run_vocab_update_available_now(
+        spark, src, vdir, ckpt, max_files_per_trigger=1, auto_compact_max_dirs=3
+    )
+    policy = reports[-1]["auto_compact"]
+    assert policy["due"] is True
+    # committed front after the drain is b5; keep_from folds to the
+    # newest max_dirs//2 = 1 dir and never exceeds the front
+    assert policy["keep_from"] == "b000000005"
+    assert _dirs(vdir) == ["date=0000-00-00", "date=b000000005"]
+
+    # model equality: streamed+folded == one-shot over all six batches
+    want = {}
+    for b in range(6):
+        for r in _docs(spark, b).collect():
+            for tok in r.text.split():
+                want[tok] = want.get(tok, 0) + 1
+    got = dict(_model(spark, vdir))
+    assert got == want
+
+    # replay run: nothing new -> no lands, policy below threshold
+    again = run_vocab_update_available_now(
+        spark, src, vdir, ckpt, auto_compact_max_dirs=3
+    )
+    assert [r for r in again if "auto_compact" not in r] == []
+    assert again[-1]["auto_compact"]["due"] is False
+    assert _dirs(vdir) == ["date=0000-00-00", "date=b000000005"]
+
+    # a later drop lands beside the base under its own key
+    _docs(spark, 9).write.parquet(f"{src}/drop9.parquet")
+    more = run_vocab_update_available_now(
+        spark, src, vdir, ckpt, auto_compact_max_dirs=3
+    )
+    assert any("auto_compact" not in r for r in more)
+    assert len(_dirs(vdir)) == 3
+
+
 def test_cli_auto_compact_end_to_end(spark, tmp_path, capsys):
     """--auto-compact-max-dirs on the vocab CLI: applies below the
     threshold report due=False; the crossing apply folds once; model

@@ -227,10 +227,20 @@ def main() -> int:
         pool = ThreadPoolExecutor(max_workers=args.jobs)
         results = pool.map(_job, ordered)
     else:
-        results = (
-            check_one(name, spec, spark, con, args.sf, args.schema_only)
-            for name, spec in ordered
-        )
+        from data_ingestion_lambda_spark.plans.registry import release_pinned
+
+        def _serial():
+            for name, spec in ordered:
+                yield check_one(name, spec, spark, con, args.sf, args.schema_only)
+                # drop the lane's pinned caches before the next lane —
+                # the sweep is the longest-lived consumer of the pin
+                # registry (VERDICT r11 #3). Under --jobs the release
+                # happens once at the end instead: actions run
+                # concurrently and an early release would only force
+                # another thread's in-flight lane to recompute.
+                release_pinned()
+
+        results = _serial()
 
     n = {"pass": 0, "fail": 0, "rows": 0}
     # NAME order in both modes (pool.map yields in submission order, so
@@ -239,6 +249,11 @@ def main() -> int:
     for status, msg in results:
         print(msg, flush=True)
         n[status] += 1
+
+    if args.jobs > 1:
+        from data_ingestion_lambda_spark.plans.registry import release_pinned
+
+        release_pinned()
 
     print(f"\n{n['pass']} pass, {n['fail']} fail, {n['rows']} rows-only")
     return 1 if n["fail"] else 0
