@@ -630,6 +630,38 @@ def _compact_batch_ledger(
     return len(parts)
 
 
+def batch_ledger_fold_due(spark, target_dir: str, max_dirs: int) -> bool:
+    """The WHEN half of the ingest_batch ledgers' compaction story (the
+    dir-count policy of ``base_fold.auto_keep_from``, specialized to the
+    all-fold form where the only decision IS when): True when the live
+    ``ingest_batch=`` partitions (base excluded) exceed ``max_dirs``.
+    Callers run their ledger's compact_* with the stream's checkpoint:
+
+        if batch_ledger_fold_due(spark, target, 30):
+            compact_gap_ledger(spark, target, ckpt)
+
+    No fold-to-half hysteresis is needed here: the all-fold collapses
+    every committed partition, so after one fold at most one live
+    partition remains and the next ~max_dirs triggers run fold-free."""
+    if max_dirs < 1:
+        raise ValueError(
+            f"batch_ledger_fold_due: max_dirs must be >= 1, got {max_dirs}"
+        )
+    from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    if not fs.exists(path_cls(target_dir)):
+        return False
+    live = sum(
+        1
+        for st in fs.listStatus(path_cls(target_dir))
+        if st.isDirectory()
+        and st.getPath().getName().startswith("ingest_batch=")
+        and st.getPath().getName() != "ingest_batch=-1"
+    )
+    return live > max_dirs
+
+
 def compact_gap_ledger(
     spark, target_dir: str, checkpoint_dir: str | None = None
 ) -> int:

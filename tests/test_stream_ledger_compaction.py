@@ -265,6 +265,32 @@ def test_all_fold_minus_max_without_checkpoint(spark, tmp_path):
     ]
 
 
+def test_batch_ledger_fold_due_policy(spark, tmp_path):
+    """The dir-count WHEN-policy for the ingest_batch ledgers: due only
+    above the threshold, not due again right after a fold, and the
+    fold it gates preserves reads (the all-fold's own pins cover the
+    rest)."""
+    from data_ingestion_lambda_spark.streaming.events import (
+        batch_ledger_fold_due,
+        compact_value_histogram_ledger,
+        read_value_histogram,
+    )
+
+    target = str(tmp_path / "ledger")
+    assert batch_ledger_fold_due(spark, target, 2) is False  # absent dir
+    for b in range(3):
+        spark.createDataFrame(
+            [("view", _ts(b + 1, 0).date(), 0, 1)],
+            "event_type string, day date, bucket int, cnt long",
+        ).write.parquet(f"{target}/ingest_batch={b}")
+    assert batch_ledger_fold_due(spark, target, 3) is False
+    assert batch_ledger_fold_due(spark, target, 2) is True
+    before = _rows(read_value_histogram(spark, target))
+    compact_value_histogram_ledger(spark, target)  # all-fold minus max
+    assert _rows(read_value_histogram(spark, target)) == before
+    assert batch_ledger_fold_due(spark, target, 2) is False
+
+
 def test_stranded_staging_refuses_streamed(spark, tmp_path):
     from data_ingestion_lambda_spark.streaming.events import (
         compact_value_histogram_ledger,
