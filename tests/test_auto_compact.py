@@ -128,8 +128,10 @@ def test_streaming_front_holds_bounded_dir_count(spark, tmp_path):
     )
 
     src, ckpt, vdir = (str(tmp_path / d) for d in ("src", "ckpt", "vocab"))
+    # one part-file per drop: maxFilesPerTrigger=1 counts FILES, so a
+    # multi-part drop would shift the batch ids with worker parallelism
     for b in range(6):
-        _docs(spark, b).write.parquet(f"{src}/drop{b}.parquet")
+        _docs(spark, b).coalesce(1).write.parquet(f"{src}/drop{b}.parquet")
 
     reports = run_vocab_update_available_now(
         spark, src, vdir, ckpt, max_files_per_trigger=1, auto_compact_max_dirs=3
@@ -159,7 +161,7 @@ def test_streaming_front_holds_bounded_dir_count(spark, tmp_path):
     assert _dirs(vdir) == ["date=0000-00-00", "date=b000000005"]
 
     # a later drop lands beside the base under its own key
-    _docs(spark, 9).write.parquet(f"{src}/drop9.parquet")
+    _docs(spark, 9).coalesce(1).write.parquet(f"{src}/drop9.parquet")
     more = run_vocab_update_available_now(
         spark, src, vdir, ckpt, auto_compact_max_dirs=3
     )
