@@ -169,6 +169,51 @@ def test_streaming_front_holds_bounded_dir_count(spark, tmp_path):
     assert len(_dirs(vdir)) == 3
 
 
+def test_attribution_front_auto_compact_nondefault_layout(spark, tmp_path):
+    """The policy on the most complex store layout: two sub-tables
+    (stream_purchases/stream_clicks), ingest_batch part key and the
+    non-default '0000-base' reserved key — both sub-tables fold at the
+    crossing and the attribution read is unchanged."""
+    import datetime as dt
+
+    from data_ingestion_lambda_spark.operators.attribution_store import (
+        read_attribution_stream,
+    )
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        run_attribution_update_available_now,
+    )
+
+    src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "idx"))
+    for d in range(6):
+        day = dt.datetime(2025, 6, 1 + d)
+        spark.createDataFrame(
+            [
+                (d * 10 + 1, 1, day.replace(hour=9), "click", 0.0),
+                (d * 10 + 2, 1, day.replace(hour=10), "purchase", 5.0),
+            ],
+            "event_id bigint, user_id bigint, ts timestamp, "
+            "event_type string, value double",
+        ).coalesce(1).write.parquet(f"{src}/d{d}.parquet")
+
+    reports = run_attribution_update_available_now(
+        spark, src, idx, ckpt, max_files_per_trigger=1, auto_compact_max_dirs=3
+    )
+    policy = reports[-1]
+    assert policy["auto_compact"]["due"] is True
+    assert policy["auto_compact"]["keep_from"] == "b000000005"
+    assert policy["compaction"]["folded"] == {
+        "stream_purchases": 5,
+        "stream_clicks": 5,
+    }
+    assert sorted(os.listdir(f"{idx}/stream_purchases")) == [
+        "ingest_batch=0000-base",
+        "ingest_batch=b000000005",
+    ]
+    attr = read_attribution_stream(spark, idx)
+    assert attr.count() == 6
+    assert attr.filter("attributed").count() == 6
+
+
 def test_cli_auto_compact_end_to_end(spark, tmp_path, capsys):
     """--auto-compact-max-dirs on the vocab CLI: applies below the
     threshold report due=False; the crossing apply folds once; model
