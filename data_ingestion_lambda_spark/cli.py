@@ -95,48 +95,37 @@ def _auto_compact_step(
     base_key: str | None = None,
 ) -> None:
     """Shared ``--auto-compact-max-dirs`` step (the policy half of the
-    compaction story: every store HAS a fold; this decides WHEN). When
-    the store's live ledger partitions exceed the threshold, fold down
-    to half of it through the store's OWN compact entry point — horizon
-    marker, staging discipline and land-refusals all unchanged. For a
-    streamed invocation (--stream-source) the fold key is additionally
-    capped at the checkpoint's committed front, so a landed-but-
-    uncommitted batch is never folded; the manual --compact-keep-from
-    form leaves that precondition to the operator."""
-    if args.auto_compact_max_dirs is None:
-        return
+    compaction story: every store HAS a fold; this decides WHEN) —
+    a thin arg-unpacking shim over the ONE implementation,
+    ``operators/base_fold.py::auto_compact_epilogue`` (VERDICT r12 #4).
+    For a streamed invocation (--stream-source) the fold key is capped
+    at the checkpoint's committed front, so a landed-but-uncommitted
+    batch is never folded; the manual --compact-keep-from form leaves
+    that precondition to the operator. The fold result (if one fires)
+    nests under ``report["auto_compact"]["compaction"]`` so a manual
+    fold's ``report["compaction"]`` is never clobbered (ADVICE r12)."""
     from data_ingestion_lambda_spark.operators.base_fold import (
-        auto_keep_from,
-        streaming_committed_front_key,
+        auto_compact_epilogue,
     )
 
-    policy: dict = {"max_dirs": args.auto_compact_max_dirs, "due": False}
-    report["auto_compact"] = policy
-    cap = None
-    if getattr(args, "stream_source", None) is not None and getattr(
-        args, "checkpoint", None
-    ):
-        cap = streaming_committed_front_key(spark, args.checkpoint)
-        if cap is None:  # nothing committed yet -> nothing safely foldable
-            policy["reason"] = "no committed streaming front"
-            return
-    kwargs: dict = {}
-    if part_key is not None:
-        kwargs["part_key"] = part_key
-    if base_key is not None:
-        kwargs["base_key"] = base_key
-    keep_from = auto_keep_from(
-        spark,
-        count_dir or ledger_dir,
-        max_dirs=args.auto_compact_max_dirs,
-        cap=cap,
-        **kwargs,
+    checkpoint = (
+        args.checkpoint
+        if getattr(args, "stream_source", None) is not None
+        and getattr(args, "checkpoint", None)
+        else None
     )
-    if keep_from is None:
-        return
-    result = compact_fn(keep_from)
-    policy.update({"due": True, "keep_from": keep_from})
-    report["compaction"] = result
+    policy = auto_compact_epilogue(
+        spark,
+        ledger_dir,
+        max_dirs=args.auto_compact_max_dirs,
+        compact_fn=compact_fn,
+        checkpoint_dir=checkpoint,
+        count_dir=count_dir,
+        part_key=part_key,
+        base_key=base_key,
+    )
+    if policy is not None:
+        report["auto_compact"] = policy
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -134,13 +134,15 @@ def train_index(
     refuses — use ``retrain_index`` to grow the cell count)."""
     if n_cells < 1:
         raise ValueError(f"train_index: n_cells must be >= 1, got {n_cells}")
-    _check_sizing_marker(spark, index_dir, n_cells, create=True)
     vn = _with_norm(vectors)
     # The k-means seed set is vec_id-KEYED (_train_ivf_centroids seeds
     # from vec_id < n_cells so the DuckDB oracle can reproduce it) —
     # sparse or non-zero-based ids would silently seed fewer (possibly
     # zero) centroids while the _sizing marker records the requested
-    # count, so the seed population is counted and refused up front.
+    # count, so the seed population is counted and refused up front,
+    # BEFORE the marker lands (a refused train must leave the directory
+    # exactly as it found it — the _sizing one-directory-one-sizing
+    # refusal would otherwise block the retry the message recommends).
     n_seed = vn.filter(F.col("vec_id") < n_cells).count()
     if n_seed < n_cells:
         raise ValueError(
@@ -150,20 +152,31 @@ def train_index(
             "quantizer under a marker claiming the full count; re-key "
             "the corpus to dense 0-based vec_ids or lower n_cells"
         )
+    _check_sizing_marker(spark, index_dir, n_cells, create=True)
     cent = _train_ivf_centroids(spark, vn, n_cells=n_cells)
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     n = spark.read.parquet(f"{index_dir}/centroids").count()
     if n != n_cells:
         # Empty-cell collapse: a Lloyd iteration drops any cell no vector
         # argmaxes to, so the trained quantizer can come out smaller than
-        # requested. The marker would then overstate — refuse loudly (the
-        # probe-side marker==count check would catch it anyway, but here
-        # the operator can still pick a smaller n_cells and re-run).
+        # requested. The marker would then overstate; the written
+        # centroids are degenerate. Remove BOTH before refusing, so the
+        # directory is honestly untrained again and a corrected retrain
+        # is not blocked by the sizing refusal (a pre-existing quantizer
+        # was already overwritten above, so there is no good state left
+        # to preserve).
+        from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+        fs, path_cls = _hadoop_fs(spark, index_dir)
+        fs.delete(path_cls(f"{index_dir}/centroids"), True)
+        fs.delete(path_cls(f"{index_dir}/_sizing=c{n_cells}"), True)
         raise ValueError(
             f"train_index: trained quantizer holds {n} centroids, not the "
             f"requested {n_cells} (empty-cell collapse during k-means); "
-            "the written index is unusable — retrain this directory at "
-            f"n_cells={n} or rebuild with a different corpus/seeding"
+            "the degenerate centroids and the sizing marker have been "
+            f"removed — re-run at n_cells={n} (or rebuild with different "
+            "corpus/seeding); any existing cell assignments belong to the "
+            "overwritten quantizer and need re-appending after retrain"
         )
     return {"centroids": n, "n_cells": n_cells}
 

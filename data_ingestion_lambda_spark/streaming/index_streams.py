@@ -109,38 +109,31 @@ def _auto_compact_after_drain(
     base_key: str | None = None,
 ) -> dict | None:
     """The dir-count auto-compaction policy, run as the streaming
-    front's epilogue (VERDICT r11 #2): after a drained availableNow run
-    every processed batch is COMMITTED, and the fold key is still capped
-    at the checkpoint's committed front (``streaming_committed_front_key``)
-    so a key a future replay needs can never be spent — the land-side
-    ``check_not_below_horizon`` refusals therefore never wedge the
-    stream. Returns the policy report (appended to the runner's reports)
-    or None when the caller didn't opt in."""
-    if max_dirs is None:
-        return None
+    front's epilogue (VERDICT r11 #2) — a thin shim over the ONE shared
+    implementation, ``operators/base_fold.py::auto_compact_epilogue``
+    (VERDICT r12 #4). After a drained availableNow run every processed
+    batch is COMMITTED, and the fold key is still capped at the
+    checkpoint's committed front so a key a future replay needs can
+    never be spent — the land-side ``check_not_below_horizon`` refusals
+    therefore never wedge the stream. Returns the policy report wrapped
+    as ``{"auto_compact": {..., "compaction": <fold result>}}``
+    (appended to the runner's reports) or None when the caller didn't
+    opt in."""
     from data_ingestion_lambda_spark.operators.base_fold import (
-        auto_keep_from,
-        streaming_committed_front_key,
+        auto_compact_epilogue,
     )
 
-    policy: dict = {"max_dirs": max_dirs, "due": False}
-    cap = streaming_committed_front_key(spark, checkpoint_dir)
-    if cap is None:  # nothing committed yet -> nothing safely foldable
-        policy["reason"] = "no committed streaming front"
-        return {"auto_compact": policy}
-    kwargs: dict = {}
-    if part_key is not None:
-        kwargs["part_key"] = part_key
-    if base_key is not None:
-        kwargs["base_key"] = base_key
-    keep_from = auto_keep_from(
-        spark, count_dir or index_dir, max_dirs=max_dirs, cap=cap, **kwargs
+    policy = auto_compact_epilogue(
+        spark,
+        index_dir,
+        max_dirs=max_dirs,
+        compact_fn=compact_fn,
+        checkpoint_dir=checkpoint_dir,
+        count_dir=count_dir,
+        part_key=part_key,
+        base_key=base_key,
     )
-    if keep_from is None:
-        return {"auto_compact": policy}
-    result = compact_fn(keep_from)
-    policy.update({"due": True, "keep_from": keep_from})
-    return {"auto_compact": policy, "compaction": result}
+    return None if policy is None else {"auto_compact": policy}
 
 
 def run_vocab_update_available_now(

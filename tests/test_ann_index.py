@@ -286,12 +286,23 @@ def test_train_refuses_sparse_vec_ids(spark, tmp_path):
     quantizer)."""
     import pytest
 
+    import os
+
     idx = str(tmp_path / "idx")
     shifted = _vectors(spark).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1_000_000)
     )
     with pytest.raises(ValueError, match="vec_id < 16"):
         train_index(spark, idx, shifted)
+    # ADVICE r12: the refusal must run BEFORE any on-disk mutation — a
+    # poisoned _sizing marker would block the very retry the message
+    # recommends via the one-directory-one-sizing refusal.
+    assert not os.path.exists(idx) or not any(
+        n.startswith(("_sizing=", "centroids")) for n in os.listdir(idx)
+    )
+    # and the corrected retrain into the SAME directory succeeds
+    report = train_index(spark, idx, _vectors(spark))
+    assert report["centroids"] == 16
 
 
 def test_probe_refuses_marker_centroid_mismatch(spark, tmp_path):

@@ -201,7 +201,7 @@ def test_attribution_front_auto_compact_nondefault_layout(spark, tmp_path):
     policy = reports[-1]
     assert policy["auto_compact"]["due"] is True
     assert policy["auto_compact"]["keep_from"] == "b000000005"
-    assert policy["compaction"]["folded"] == {
+    assert policy["auto_compact"]["compaction"]["folded"] == {
         "stream_purchases": 5,
         "stream_clicks": 5,
     }
@@ -249,7 +249,11 @@ def test_cli_auto_compact_end_to_end(spark, tmp_path, capsys):
         False,
     ]
     assert reports[2]["auto_compact"]["keep_from"] == "2025-07-03"
-    assert reports[2]["compaction"]["folded"][""] == 2
+    # the auto fold's result nests INSIDE the policy dict, leaving the
+    # top-level "compaction" key to the manual --compact-keep-from fold
+    # (ADVICE r12: the two must never clobber each other)
+    assert reports[2]["auto_compact"]["compaction"]["folded"][""] == 2
+    assert "compaction" not in reports[2]
     assert _dirs(vdir) == [
         "date=0000-00-00",
         "date=2025-07-03",
@@ -257,3 +261,37 @@ def test_cli_auto_compact_end_to_end(spark, tmp_path, capsys):
     ]
     got = dict(_model(spark, vdir))
     assert got["alpha"] == 8  # 4 days x 2 docs, nothing lost or doubled
+
+
+def test_cli_manual_and_auto_compact_reports_both(spark, tmp_path, capsys):
+    """--compact-keep-from and --auto-compact-max-dirs in ONE invocation
+    (ADVICE r12): the manual fold's result stays at report["compaction"]
+    and the auto step's (if due) nests under report["auto_compact"] —
+    neither clobbers the other."""
+    from data_ingestion_lambda_spark.cli import main
+
+    vdir = str(tmp_path / "vocab")
+    for day in range(1, 6):
+        bp = str(tmp_path / f"b{day}.parquet")
+        _docs(spark, day).write.parquet(bp)
+        assert main(
+            ["vocab", "--vocab", vdir, "--batch", bp, "--date", f"2025-07-0{day}"]
+        ) == 0
+        capsys.readouterr()
+    # manual fold to 07-02 leaves base + 4 live dirs (> max_dirs=3), so
+    # the auto step in the SAME invocation is due and folds further
+    assert main(
+        [
+            "vocab", "--vocab", vdir,
+            "--compact-keep-from", "2025-07-02",
+            "--auto-compact-max-dirs", "3",
+        ]
+    ) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["compaction"]["horizon"] == "2025-07-02"  # the MANUAL fold
+    auto = report["auto_compact"]
+    assert auto["due"] is True
+    assert auto["compaction"]["horizon"] == auto["keep_from"] == "2025-07-05"
+    assert _dirs(vdir) == ["date=0000-00-00", "date=2025-07-05"]
+    got = dict(_model(spark, vdir))
+    assert got["alpha"] == 10  # 5 days x 2 docs survive both folds
