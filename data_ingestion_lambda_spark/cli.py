@@ -176,11 +176,28 @@ def build_parser() -> argparse.ArgumentParser:
         "rewriting only the partitions that contain them (tombstone audit, "
         "zero-residual verify)",
     )
-    ers.add_argument("--target", required=True, help="date-partitioned table")
+    ers.add_argument(
+        "--target", required=True, help="date-partitioned table or store root"
+    )
     ers.add_argument(
         "--keys", required=True, help="parquet with the subject-key column"
     )
-    ers.add_argument("--key-col", default="user_id")
+    ers.add_argument(
+        "--key-col",
+        default=None,
+        help="subject-key column (default: user_id, or the store's own "
+        "key when --store is given)",
+    )
+    ers.add_argument(
+        "--store",
+        default=None,
+        help="erase a MAINTAINED STORE instead of a data table: one of "
+        "feature-store, session-store, touch-store, markov-store, "
+        "attribution-store, attribution-ledger, dedup-gate, search-index, "
+        "ann-index, hh-store (anti-join rewrite of affected partitions); "
+        "the sketch stores (bloom/cms/vocab/dsir/drift) refuse with the "
+        "rebuild-or-rotate runbook (see OPERATIONS.md)",
+    )
     ers.add_argument(
         "--request-id",
         default=None,
@@ -2118,21 +2135,57 @@ def main(argv: list[str] | None = None) -> int:
             erase_keys,
             verify_erasure,
         )
+        from data_ingestion_lambda_spark.operators.store_erasure import (
+            STORE_SPECS,
+            erase_store,
+            verify_store_erasure,
+        )
 
-        keys = spark.read.parquet(args.keys).select(args.key_col)
+        if args.store is not None:
+            key_col = (
+                args.key_col
+                if args.key_col is not None
+                else STORE_SPECS[args.store].key_col
+                if args.store in STORE_SPECS
+                else "user_id"
+            )
+        else:
+            key_col = args.key_col if args.key_col is not None else "user_id"
+        keys = spark.read.parquet(args.keys).select(key_col)
         if args.verify_only:
-            residual = verify_erasure(spark, args.target, keys, key_col=args.key_col)
+            residual = (
+                verify_store_erasure(
+                    spark, args.store, args.target, keys, key_col=key_col
+                )
+                if args.store is not None
+                else verify_erasure(spark, args.target, keys, key_col=key_col)
+            )
             print(json.dumps({"statusCode": 200, "residual_rows": residual}))
             return 0 if residual == 0 else 1
         if not args.request_id:
             print(json.dumps({"statusCode": 400, "message": "erase needs --request-id"}))
             return 1
-        report = erase_keys(
-            spark, args.target, keys, args.request_id, key_col=args.key_col
-        )
-        report["residual_rows"] = verify_erasure(
-            spark, args.target, keys, key_col=args.key_col
-        )
+        if args.store is not None:
+            try:
+                report = erase_store(
+                    spark, args.store, args.target, keys, args.request_id,
+                    key_col=key_col,
+                )
+            except ValueError as e:
+                # unknown store, or an unlearnable sketch store: surface
+                # the rebuild-or-rotate remedy as the CLI response
+                print(json.dumps({"statusCode": 400, "message": str(e)}))
+                return 1
+            report["residual_rows"] = verify_store_erasure(
+                spark, args.store, args.target, keys, key_col=key_col
+            )
+        else:
+            report = erase_keys(
+                spark, args.target, keys, args.request_id, key_col=key_col
+            )
+            report["residual_rows"] = verify_erasure(
+                spark, args.target, keys, key_col=key_col
+            )
         print(json.dumps({"statusCode": 200, **report}))
         return 0 if report["residual_rows"] == 0 else 1
 
