@@ -133,6 +133,48 @@ HEADLINE_V3 = [
 ]
 
 
+# Round-12 recorded reference (BENCH_r12 / the repo's committed
+# BENCH_local.json): the comparison point for the one-line verdict below.
+# From r13 on, `value_normalized_long` is the HEADLINE normalized metric
+# (VERDICT r12 #2): the legacy 0.3 s calib job sits below this host's
+# scheduling-noise floor (50-100% idle spread), so `value_normalized`
+# is kept only for r4-r12 comparability. The long calib's own measured
+# noise floor is ~15% — deltas inside it read as host noise, not engine.
+# (r12's idle-host RAW record, for context: v1 30.399 / v2 35.857 /
+# v3 20.163 — commit 1cb69ac.)
+R12_BASELINE = {
+    "value": 31.75,
+    "value_v2": 38.182,
+    "value_v3": 22.971,
+    "value_normalized_long": 19.8,
+    "value_v2_normalized_long": 23.9,
+    "value_v3_normalized_long": 14.4,
+}
+LONG_CALIB_NOISE_FLOOR = 0.15
+
+
+def _bench_verdict(total: float, norm_long: float | None) -> str:
+    """One line a reader can act on without forensics: the raw v1 delta
+    vs r12, the LONG-normalized delta (the headline metric), and the
+    call — inside the long calib's ~15% noise floor reads as host
+    noise/flat, outside it as a real engine move."""
+    raw_d = (total - R12_BASELINE["value"]) / R12_BASELINE["value"]
+    if norm_long is None:
+        return f"raw v1 {total}s ({raw_d:+.1%} vs r12); no long calibration"
+    base = R12_BASELINE["value_normalized_long"]
+    long_d = (norm_long - base) / base
+    if abs(long_d) <= LONG_CALIB_NOISE_FLOOR:
+        call = "within the long-calib noise floor -> host noise, read as flat"
+    elif long_d < 0:
+        call = "beyond the noise floor -> real engine improvement"
+    else:
+        call = "beyond the noise floor -> real engine regression, investigate"
+    return (
+        f"raw v1 {total}s ({raw_d:+.1%} vs r12 {R12_BASELINE['value']}); "
+        f"long-norm {norm_long} ({long_d:+.1%} vs r12 {base}); {call}"
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -274,6 +316,9 @@ def main() -> None:
     total = round(sum(v1_times.values()), 3)
     total_v2 = round(sum(v2_times.values()), 3)
     total_v3 = round(sum(v3_times.values()), 3)
+    _norm_long = round(total / calib_long, 1) if calib_long else None
+    verdict = _bench_verdict(total, _norm_long)
+    print(f"  verdict: {verdict}", file=sys.stderr, flush=True)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -301,11 +346,14 @@ def main() -> None:
         "value_v2_normalized_long": round(total_v2 / calib_long, 1) if calib_long else None,
         "value_v3_normalized_long": round(total_v3 / calib_long, 1) if calib_long else None,
         "load_avg_1m": load_avg,
-        # Host-drift-corrected total: wall seconds per calibration
-        # second. Cross-round comparisons should use THIS number
-        # (see README) — raw totals drift ±30% with host load while
-        # calib_sec moves identically.
+        # LEGACY host-drift corrector (r4-r12 comparability only): the
+        # 0.3 s calib job sits below this box's scheduling-noise floor,
+        # so from r13 on the headline normalized number is
+        # value_normalized_long and the verdict string states the call.
         "value_normalized": round(total / calib, 1) if calib else None,
+        "normalized_headline": "value_normalized_long",
+        "baseline_r12": R12_BASELINE,
+        "verdict": verdict,
         "sf": sf,
     }
     # Full detail (both per-query maps) goes to a FILE — the driver keeps
@@ -335,6 +383,8 @@ def main() -> None:
         "metric_v3": "headline_queries_v3_total_wall",
         "value_v3": total_v3,
         "value_v3_normalized": round(total_v3 / calib, 1) if calib else None,
+        "normalized_headline": "value_normalized_long",
+        "verdict": verdict,
         "sf": sf,
         "detail": "BENCH_local.json",
     }
