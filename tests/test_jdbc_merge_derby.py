@@ -16,7 +16,12 @@ Dialect notes proven by these tests (not guessed):
   (``ident_quote='"'``) — unquoted ``s.client_name`` raises 42X04;
 - Derby's default StringType mapping is CLOB, and LOBs are not
   comparable, so string MERGE keys are forced to VARCHAR via
-  ``staging_column_types`` (the writer's createTableColumnTypes).
+  ``staging_column_types`` (the writer's createTableColumnTypes);
+- ANSI MERGE refuses a source with two rows matching one target row
+  (Derby raises SQLSTATE 21000), so a streamed micro-batch must reduce
+  to ONE winning row per key BEFORE staging — the composed runner
+  (run_ingest_to_jdbc_available_now) does this with the parquet sink's
+  own (file, block, seq) last-writer-wins order.
 """
 
 from __future__ import annotations
@@ -137,3 +142,107 @@ def test_upsert_via_jdbc_created_at_not_in_update_set():
     assert "created_at" not in CONSUMPTION_UPDATE_COLS
     assert "updated_at" in CONSUMPTION_UPDATE_COLS
     assert "created_at" in CONSUMPTION_INSERT_COLS
+
+
+# ---------------------------------------------------------------------------
+# Streamed ingest -> JDBC MERGE, end-to-end (VERDICT r12 #6): the
+# reference's actual deployment shape (scheduled invocation -> drain new
+# CSV drops -> normalize -> MERGE into an RDBMS,
+# src/lambda_handler.py:38-102 + db_operations.py:52-106) composed from
+# the streaming front and the set-based JDBC sink, against embedded Derby.
+# ---------------------------------------------------------------------------
+
+_HEADER = "date,client_id,client_name,service_name,total_consumed_tokens"
+
+_STREAM_STAGING_TYPES = (
+    "date DATE, client_id VARCHAR(32), client_name VARCHAR(64), "
+    "service_name VARCHAR(64), total_consumed_tokens BIGINT"
+)
+
+
+def _write_csv(dirpath, name, rows):
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    p = os.path.join(dirpath, name)
+    with open(p, "w") as f:
+        f.write("\n".join([_HEADER, *rows]) + "\n")
+    return p
+
+
+def _rows_no_ts(spark, url):
+    """Target rows minus the audit timestamps (updated_at is stamped at
+    ingest time, so replay comparisons exclude it)."""
+    rows = spark.read.jdbc(url, "consumptions").select(
+        "date", "client_id", "client_name", "service_name",
+        "total_consumed_tokens", "is_active",
+    ).collect()
+    return sorted(tuple(r) for r in rows)
+
+
+def test_streamed_ingest_to_jdbc_merge_end_to_end(spark, tmp_path):
+    from data_ingestion_lambda_spark.streaming.ingest import (
+        run_ingest_to_jdbc_available_now,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/sdb;create=true"
+    conn = _connect(spark, url)
+    st = conn.createStatement()
+    st.execute(_TARGET_DDL.format(name="consumptions"))
+    st.close()
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    # drop 1: duplicate key inside one file -> last writer wins pre-MERGE
+    # (ANSI MERGE refuses duplicate source matches, Derby SQLSTATE 21000)
+    _write_csv(src, "d1.csv", [
+        "2025-06-01,c1,acme,chat,100",
+        "2025-06-01,c1,acme corp,chat-v2,175",
+        "2025-06-01,c2,globex,embed,50",
+    ])
+    n = run_ingest_to_jdbc_available_now(
+        spark, src, ckpt, url, "consumptions",
+        staging_table="stream_staging",
+        ident_quote='"', staging_column_types=_STREAM_STAGING_TYPES,
+    )
+    assert n == 1
+    assert _rows_no_ts(spark, url) == [
+        (_D, "c1", "acme corp", "chat-v2", 175, True),
+        (_D, "c2", "globex", "embed", 50, True),
+    ]
+
+    # drop 2 (a later scheduled invocation): update c1, insert c3
+    _write_csv(src, "d2.csv", [
+        "2025-06-01,c1,acme corp,chat-v3,200",
+        "2025-06-01,c3,initech,chat,20",
+    ])
+    n = run_ingest_to_jdbc_available_now(
+        spark, src, ckpt, url, "consumptions",
+        staging_table="stream_staging",
+        ident_quote='"', staging_column_types=_STREAM_STAGING_TYPES,
+    )
+    assert n == 1
+    want = [
+        (_D, "c1", "acme corp", "chat-v3", 200, True),
+        (_D, "c2", "globex", "embed", 50, True),
+        (_D, "c3", "initech", "chat", 20, True),
+    ]
+    assert _rows_no_ts(spark, url) == want
+
+    # same checkpoint, no new files: the offset log makes it a no-op
+    n = run_ingest_to_jdbc_available_now(
+        spark, src, ckpt, url, "consumptions",
+        staging_table="stream_staging",
+        ident_quote='"', staging_column_types=_STREAM_STAGING_TYPES,
+    )
+    assert n == 0
+    assert _rows_no_ts(spark, url) == want
+
+    # full REPLAY (fresh checkpoint, the crash-recovery worst case):
+    # every batch re-stages and the MERGE converges — effectively-once
+    n = run_ingest_to_jdbc_available_now(
+        spark, src, str(tmp_path / "ckpt2"), url, "consumptions",
+        staging_table="stream_staging",
+        ident_quote='"', staging_column_types=_STREAM_STAGING_TYPES,
+    )
+    assert n >= 1
+    assert _rows_no_ts(spark, url) == want
