@@ -857,6 +857,41 @@ def build_parser() -> argparse.ArgumentParser:
             "--compact-keep-from form)",
         )
 
+    cbd = sub.add_parser(
+        "corpus-build",
+        help="end-to-end training-corpus build: N daily batches through the "
+        "maintained exact + near-dup gates, verdict/gram ledgers, then one "
+        "finalized per-doc disposition table (row-equal to the one-shot "
+        "corpus_build_disposition lane)",
+    )
+    cbd.add_argument("--data", required=True, help="directory holding documents.parquet")
+    cbd.add_argument(
+        "--work-dir",
+        required=True,
+        help="store root: gate indexes + per-day ledgers land under here "
+        "(date-partitioned; a replayed day overwrites only itself)",
+    )
+    cbd.add_argument(
+        "--days",
+        type=int,
+        default=1,
+        help="number of daily batches the corpus arrives in (1 = one-shot)",
+    )
+    cbd.add_argument(
+        "--day",
+        type=int,
+        default=None,
+        help="run ONLY this day's gate+ledger pass (the scheduled-invocation "
+        "form; finalize separately with --finalize-only)",
+    )
+    cbd.add_argument(
+        "--finalize-only",
+        action="store_true",
+        help="skip the daily passes and just assemble the disposition table "
+        "from current store state",
+    )
+    cbd.add_argument("--out", default=None, help="write the disposition parquet here")
+
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
     qry.add_argument("--data", help="directory holding the parquet tables")
@@ -913,6 +948,47 @@ def main(argv: list[str] | None = None) -> int:
         else:
             v = snapshot_table(args.target, note=args.note, spark=_spark)
             print(json.dumps({"statusCode": 200, "version": v}))
+        return 0
+
+    if args.cmd == "corpus-build":
+        from pyspark.sql import functions as F
+
+        from data_ingestion_lambda_spark.operators.corpus_build import (
+            finalize_disposition,
+            run_corpus_build,
+            run_day,
+        )
+        from data_ingestion_lambda_spark.plans.registry import release_pinned
+
+        spark = get_spark("data-ingestion-cli")
+        if args.day is not None:
+            day_rep = run_day(spark, args.data, args.work_dir, args.day, args.days)
+            print(json.dumps({"statusCode": 200, "day": day_rep}))
+            return 0
+        if args.finalize_only:
+            disp = finalize_disposition(spark, args.work_dir)
+            try:
+                if args.out:
+                    disp.write.mode("overwrite").parquet(args.out)
+                    disp = spark.read.parquet(args.out)
+                hist = {
+                    r["disposition"]: r["n"]
+                    for r in disp.groupBy("disposition")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            finally:
+                release_pinned()
+            print(json.dumps({"statusCode": 200,
+                              "disposition_counts": dict(sorted(hist.items())),
+                              "out": args.out}))
+            return 0
+        report = run_corpus_build(
+            spark, args.data, args.work_dir, args.days, out_dir=args.out
+        )
+        report["statusCode"] = 200
+        report["out"] = args.out
+        print(json.dumps(report))
         return 0
 
     if args.cmd == "query":

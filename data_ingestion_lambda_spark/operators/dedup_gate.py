@@ -116,15 +116,23 @@ def read_index(
     index_dir: str,
     exclude_date: str | None = None,
     mode: str = "minhash",
+    before_date: str | None = None,
 ) -> DataFrame:
     """(doc_id, sig) for every previously gated batch; empty frame with
     the right schema when no batch has been applied yet. ``exclude_date``
     drops one batch partition (partition-pruned, no data read) — how a
-    REPLAYED batch avoids matching its own earlier write."""
+    REPLAYED batch avoids matching its own earlier write. ``before_date``
+    restricts to partitions strictly BEFORE it (lexical order) — as-of
+    semantics for pipelines whose batch labels are monotone: replaying an
+    OLD day then probes the index state that day originally saw, not one
+    polluted by later days' signatures (the corpus-build runner's replay
+    idempotence depends on this)."""
     if list_partition_dates(spark, index_dir):
         idx = spark.read.parquet(index_dir)
         if exclude_date is not None:
             idx = idx.filter(F.col(PARTITION_COL) != exclude_date)
+        if before_date is not None:
+            idx = idx.filter(F.col(PARTITION_COL) < before_date)
         return idx.select("doc_id", "sig")
     return spark.createDataFrame([], schema=_MODE_SCHEMAS[mode])
 
@@ -240,6 +248,7 @@ def probe_batch(
     batch_docs: DataFrame,
     exclude_date: str | None = None,
     mode: str = "minhash",
+    before_date: str | None = None,
 ) -> DataFrame:
     """Near-dup flags for an incoming batch: (new_doc, dup_of, est_jaccard,
     match_kind) where ``match_kind`` is 'index' (duplicate of a previously
@@ -252,7 +261,9 @@ def probe_batch(
     reshuffles. The band join is the only corpus-sized exchange, keyed on
     (j, band_key) exactly like the one-shot LSH."""
     new_sig = _sig_table(batch_docs, mode)
-    old_sig = read_index(spark, index_dir, exclude_date=exclude_date, mode=mode)
+    old_sig = read_index(
+        spark, index_dir, exclude_date=exclude_date, mode=mode, before_date=before_date
+    )
     if mode == "exact":
         return _exact_pairs(new_sig, old_sig)
     if mode == "embedding":
@@ -294,6 +305,7 @@ def apply_batch(
     batch_date: str,
     matches_dir: str | None = None,
     mode: str = "minhash",
+    before_date: str | None = None,
 ) -> dict:
     """Gate one batch: probe, optionally persist the flag table, then
     append the batch's signatures to the index under ``date=batch_date``.
@@ -309,9 +321,17 @@ def apply_batch(
     # Own-partition exclusion makes the replay self-consistent: a re-run
     # probes exactly what the first run probed (everything EXCEPT the
     # partition this batch owns), so it recomputes identical matches
-    # instead of matching its own earlier write.
+    # instead of matching its own earlier write. Pipelines with MONOTONE
+    # batch labels should also pass before_date=batch_date: replaying an
+    # old day then probes its as-of index state, not one polluted by
+    # later days (see read_index).
     matches = probe_batch(
-        spark, index_dir, batch_docs, exclude_date=batch_date, mode=mode
+        spark,
+        index_dir,
+        batch_docs,
+        exclude_date=batch_date,
+        mode=mode,
+        before_date=before_date,
     ).persist()
     try:
         n_pairs = matches.count()

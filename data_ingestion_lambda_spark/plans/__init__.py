@@ -19,6 +19,12 @@ from data_ingestion_lambda_spark.plans import retrieval  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import features  # noqa: E402,F401
 from data_ingestion_lambda_spark.plans import entity  # noqa: E402,F401
 
+# Imported LAST: the capstone composes oracles from already-registered
+# lanes, and its registration must land past the frozen 50-lane driver
+# window (it does regardless — DRIVER_PRIORITY pins the window — but
+# late import also keeps registration order stable for diffing).
+from data_ingestion_lambda_spark.plans import corpus_build  # noqa: E402,F401
+
 # The correctness driver verifies only the FIRST 50 entries of
 # __spark_entry__.queries() (registration order). This explicit priority
 # list guarantees every operator *category* — joins, aggs, windows, setops,

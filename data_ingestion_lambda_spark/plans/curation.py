@@ -609,19 +609,24 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (source, split) — hash uniformity makes per-stratum ratios
     concentrate tightly (and systematic per-source skew would indicate
     id structure leaking into the hash, worth knowing)."""
+    return split_assign(t(spark, sf_dir, "documents"))
+
+
+def split_assign(d: DataFrame) -> DataFrame:
+    """corpus_split_assign's pure-function assignment over any (doc_id,
+    source) frame — factored so the corpus-build capstone and the
+    incremental runner apply the identical hash split (the assignment IS
+    the identity hash, so any caller computing it from any doc subset
+    agrees with the registered lane)."""
     from data_ingestion_lambda_spark.plans.llm_ops import polyhash
 
     h = (polyhash(F.col("doc_id").cast("string")) % 10).cast("long")
-    return (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "source", h.alias("bucket"))
-        .select(
-            "doc_id",
-            "source",
-            "bucket",
-            F.when(F.col("bucket") < 8, "train")
-            .when(F.col("bucket") == 8, "val")
-            .otherwise("test")
-            .alias("split"),
-        )
+    return d.select("doc_id", "source", h.alias("bucket")).select(
+        "doc_id",
+        "source",
+        "bucket",
+        F.when(F.col("bucket") < 8, "train")
+        .when(F.col("bucket") == 8, "val")
+        .otherwise("test")
+        .alias("split"),
     )

@@ -138,6 +138,17 @@ def connected_components(edges: DataFrame) -> DataFrame:
     return assign
 
 
+def cluster_flags(docs: DataFrame, assign: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, is_duplicate) for every doc in ``docs`` given a
+    connected_components assignment: docs in no pair are singleton clusters;
+    is_duplicate marks the non-canonical (non-minimum-id) members."""
+    return docs.join(assign, docs.doc_id == assign.id, "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "doc_id") != F.col("doc_id")).alias("is_duplicate"),
+    )
+
+
 @register(
     "dedup_cluster_assign",
     oracle=f"""
@@ -173,11 +184,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     assign = connected_components(edges)
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    out = docs.join(assign, docs.doc_id == assign.id, "left").select(
-        "doc_id",
-        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-        (F.coalesce("cluster_id", "doc_id") != F.col("doc_id")).alias("is_duplicate"),
-    )
+    out = cluster_flags(docs, assign)
     return out
 
 
@@ -284,7 +291,18 @@ def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qual = text_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
     clus = dedup_cluster_assign(spark, sf_dir).select("doc_id", "is_duplicate")
-    j = clus.join(rep, "doc_id").join(qual, "doc_id")
+    return keep_verdict(clus, rep, qual)
+
+
+def keep_verdict(clus: DataFrame, rep: DataFrame, qual: DataFrame) -> DataFrame:
+    """corpus_keep_decision's verdict join over pre-built parts — the ONE
+    place the keep/drop precedence (duplicate > quality > repetition)
+    lives, so the capstone pipeline and the incremental runner can compose
+    it from differently-sourced inputs (one-shot lanes vs maintained
+    stores) without restating the thresholds. Inputs: clus (doc_id,
+    is_duplicate), rep (doc_id, dup_2gram_frac, top_1gram_frac), qual
+    (doc_id, passes_quality)."""
+    j = clus.select("doc_id", "is_duplicate").join(rep, "doc_id").join(qual, "doc_id")
     is_rep = (F.col("dup_2gram_frac") > _MAX_DUP_2GRAM) | (
         F.col("top_1gram_frac") > _MAX_TOP_1GRAM
     )
@@ -588,6 +606,11 @@ def graph_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decontaminate_against_eval's output, never a re-statement of it.
 _DECON_ORACLE = REGISTRY["decontaminate_against_eval"].oracle
 
+# Contamination-closure depth: a contaminated doc's near-dups (hop 1) and
+# THEIR near-dups (hop 2) are pulled; shared by the registered radius lane
+# and the corpus-build capstone so the two sweeps can't disagree.
+CONTAM_HOPS = 2
+
 
 @register(
     "graph_contamination_radius",
@@ -604,7 +627,7 @@ _DECON_ORACLE = REGISTRY["decontaminate_against_eval"].oracle
         UNION ALL
         SELECT e.v, w.hops + 1
         FROM walk w JOIN edges e ON e.u = w.id
-        WHERE w.hops < 2
+        WHERE w.hops < {CONTAM_HOPS}
     )
     SELECT id AS doc_id, CAST(MIN(hops) AS BIGINT) AS hops
     FROM walk GROUP BY id
@@ -629,7 +652,7 @@ def graph_contamination_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = decon.where(F.col("contaminated")).select("doc_id")
     pairs = dedup_minhash_lsh(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    return bfs_hops(seeds, edges, 2)
+    return bfs_hops(seeds, edges, CONTAM_HOPS)
 
 
 _QUALITY_ORACLE = REGISTRY["text_quality_score"].oracle

@@ -246,7 +246,14 @@ _EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: stopword ratio, type-token ratio, alpha
     ratio, and a boolean gate — the standard pre-training filter shape."""
-    d = t(spark, sf_dir, "documents")
+    return quality_table(t(spark, sf_dir, "documents"))
+
+
+def quality_table(d: DataFrame) -> DataFrame:
+    """text_quality_score's row-local arithmetic over any (doc_id, text)
+    frame — the per-batch form the incremental corpus-build runner scores
+    each day's drop with (same expressions, so batch verdicts can never
+    drift from the registered lane's)."""
     w = tokens("text")
     n = F.size(w)
     ttr = F.size(F.array_distinct(w)).cast("double") / n
@@ -1941,7 +1948,13 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     two map-side-combining shuffles keyed by doc, no joins, no windows;
     text itself never shuffles (grams do).
     """
-    d = t(spark, sf_dir, "documents")
+    return repetition_table(t(spark, sf_dir, "documents"))
+
+
+def repetition_table(d: DataFrame) -> DataFrame:
+    """text_repetition_signals over any (doc_id, text) frame — the
+    per-batch form (same expressions as the registered lane; see
+    quality_table for the no-drift rationale)."""
 
     def _gram_structs() -> Column:
         def gram_lambda(w: Column, n: int):
@@ -2653,31 +2666,48 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side bloom-style probe; here the eval split is 10% of the corpus
     and shuffles normally. Nothing is ever all-pairs; text never leaves
     the scan."""
-    d = t(spark, sf_dir, "documents")
+    base = decon_doc_grams(t(spark, sf_dir, "documents"))
+    grams = base.select("doc_id", "bucket", F.explode("ghs").alias("h"))
+    return decon_verdict(base.select("doc_id", "bucket"), grams)
 
-    def _gram_hashes() -> Column:
-        def from_th(th: Column) -> Column:
-            n = F.size(th)
 
-            def gh(i: Column) -> Column:
-                h = F.element_at(th, i)
-                for j in range(1, _DECON_K):
-                    h = (h * 131 + F.element_at(th, i + j)) % P
-                return h
+def _decon_gram_hashes() -> Column:
+    def from_th(th: Column) -> Column:
+        n = F.size(th)
 
-            sh = F.transform(F.sequence(F.lit(1), n - (_DECON_K - 1)), gh)
-            return F.when(n >= _DECON_K, F.array_distinct(sh)).otherwise(
-                F.array().cast("array<bigint>")
-            )
+        def gh(i: Column) -> Column:
+            h = F.element_at(th, i)
+            for j in range(1, _DECON_K):
+                h = (h * 131 + F.element_at(th, i + j)) % P
+            return h
 
-        return bind(
-            tokens("text"), lambda w: bind(F.transform(w, lambda s: polyhash(s)), from_th)
+        sh = F.transform(F.sequence(F.lit(1), n - (_DECON_K - 1)), gh)
+        return F.when(n >= _DECON_K, F.array_distinct(sh)).otherwise(
+            F.array().cast("array<bigint>")
         )
 
-    base = d.select(
-        "doc_id", (_doc_hash() % 100).alias("bucket"), _gram_hashes().alias("ghs")
+    return bind(
+        tokens("text"), lambda w: bind(F.transform(w, lambda s: polyhash(s)), from_th)
     )
-    grams = base.select("doc_id", "bucket", F.explode("ghs").alias("h"))
+
+
+def decon_doc_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, bucket, ghs array<bigint>): each document's DISTINCT
+    {_DECON_K}-token window hashes plus its split bucket — the sketch the
+    decontamination screen probes. Batch-computable (row-local), so the
+    incremental corpus-build runner persists these rows once per day and
+    never re-tokenizes history; the registered lane derives the same rows
+    inline."""
+    return d.select(
+        "doc_id", (_doc_hash() % 100).alias("bucket"), _decon_gram_hashes().alias("ghs")
+    )
+
+
+def decon_verdict(doc_buckets: DataFrame, grams: DataFrame) -> DataFrame:
+    """decontaminate_against_eval's verdict tail over pre-built gram rows:
+    ``doc_buckets`` is (doc_id, bucket) for EVERY doc (zero-gram docs
+    included — they must still appear with n_shared = 0), ``grams`` is the
+    exploded (doc_id, bucket, h) distinct-per-doc gram table."""
     eval_grams = grams.filter(F.col("bucket") >= _SPLIT_VALID_PCT).select("h").distinct()
     shared = (
         grams.filter(F.col("bucket") < _SPLIT_TRAIN_PCT)
@@ -2685,7 +2715,7 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
-    train_docs = base.filter(F.col("bucket") < _SPLIT_TRAIN_PCT).select("doc_id")
+    train_docs = doc_buckets.filter(F.col("bucket") < _SPLIT_TRAIN_PCT).select("doc_id")
     return train_docs.join(shared, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared_eval_grams"),

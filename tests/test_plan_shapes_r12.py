@@ -71,6 +71,9 @@ CACHE_ALLOWLIST = {
     "dedup_graph_pagerank": "edge set + degree table re-read per iteration",
     "graph_blast_radius": "contact edge set re-read per BFS round",
     "graph_contamination_radius": "undirected edge set re-read per round",
+    "corpus_build_disposition": "LSH edges feed CC + BFS; decon seeds "
+    "re-read per BFS round; the narrow per-doc verdict join feeds both "
+    "the survivor ranking and the final label",
     "sample_cluster_balanced": "cluster assignment feeds caps + sampling",
     # --- bounded aggregates (domain-sized, not data-sized) ---
     "events_distribution_drift": "per-(type,day,bucket) histogram + day totals",
