@@ -425,6 +425,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="positive cosine ceiling for --hard-negatives (default 0.90, "
         "the shipped recall curve's near-dup tier)",
     )
+    ann.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold cells/ date partitions strictly before this key into the "
+        "base partition, re-partitioned by cell (crash-guarded; spends the "
+        "folded dates' replay keys — probe results are unchanged and cell "
+        "pruning survives)",
+    )
     _add_stream_args(ann, "vector")
 
     sidx = sub.add_parser(
@@ -845,7 +853,7 @@ def build_parser() -> argparse.ArgumentParser:
     # maintained store: a dir-count threshold that, once crossed, folds
     # the ledger down to ~half the threshold via the store's own
     # compact_* entry point (see _auto_compact_step).
-    for store in (voc, sidx, drf, fst, hhs, cms, blm, dsr, tch, mkv, ses, att):
+    for store in (voc, sidx, drf, fst, hhs, cms, blm, dsr, tch, mkv, ses, att, ann):
         store.add_argument(
             "--auto-compact-max-dirs",
             type=int,
@@ -2125,6 +2133,27 @@ def main(argv: list[str] | None = None) -> int:
         if args.batch is not None:
             batch = spark.read.parquet(args.batch).select("vec_id", "embedding")
             report.update(append_batch(spark, args.index, batch, args.date))
+        if args.compact_keep_from is not None:
+            from data_ingestion_lambda_spark.operators.ann_index import (
+                compact_index_cells,
+            )
+
+            try:
+                report["compaction"] = compact_index_cells(
+                    spark, args.index, args.compact_keep_from
+                )
+            except (ValueError, RuntimeError) as exc:
+                raise SystemExit(f"ann-index: {exc}") from exc
+        if args.auto_compact_max_dirs is not None:
+            from data_ingestion_lambda_spark.operators.ann_index import (
+                compact_index_cells,
+            )
+
+            _auto_compact_step(
+                spark, args, report, args.index,
+                lambda kf: compact_index_cells(spark, args.index, kf),
+                count_dir=f"{args.index}/cells",
+            )
         if args.ceiling is not None and not args.hard_negatives:
             raise SystemExit("ann-index: --ceiling only applies with --hard-negatives")
         if args.hard_negatives and args.query is None:

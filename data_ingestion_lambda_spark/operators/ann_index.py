@@ -45,6 +45,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    BASE_KEY,
+    base_fold,
+    check_not_below_horizon,
+)
 from data_ingestion_lambda_spark.operators.upsert import (
     PARTITION_COL,
     replace_partitions,
@@ -208,7 +213,10 @@ def append_batch(
 ) -> dict:
     """Assign one day's vectors against the frozen quantizer and land
     them under ``date=<batch_date>/cell=<c>/``. Re-running the same
-    (batch, date) overwrites only that date partition — idempotent."""
+    (batch, date) overwrites only that date partition — idempotent.
+    Dates strictly below the compaction horizon are SPENT (their rows
+    were folded into the base) and refuse, like every folded store."""
+    check_not_below_horizon(spark, index_dir, batch_date, "ann-index append")
     cent = read_centroids(spark, index_dir)
     rows = _assign(_with_norm(batch_vectors), cent).withColumn(
         PARTITION_COL, F.lit(batch_date)
@@ -342,6 +350,42 @@ def probe_hard_negatives(
         scored.filter(F.col("cosine") < F.lit(ceiling))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def compact_index_cells(spark: SparkSession, index_dir: str, keep_from: str) -> dict:
+    """Date-fold for the inverted file: every ``date=`` partition of
+    ``{index}/cells`` strictly below ``keep_from`` folds into the
+    reserved base partition, RE-PARTITIONED BY CELL — the probe's
+    ``cell=`` pruning survives the fold unchanged (the base is
+    ``date=0000-00-00/cell=<c>/``, one directory per cell, exactly the
+    layout a fresh append writes under its own date).
+
+    Why the store needs this at all: a long-lived index that is never
+    retrained accumulates one date dir × n_cells subdirs per batch, and
+    the probe's file-index build grows with that directory count even
+    though it reads only n_probe cells' ROWS (the r9/r10 listing-term
+    economics, measured for this store by store_econ_probe's ann_age
+    mode). Retrain cadence bounds it only if you retrain; the fold
+    bounds it unconditionally.
+
+    The fold is exact by construction — each vector lives in exactly one
+    (date, cell) partition under the replay contract, so the merge is
+    pure concatenation; probe results are bit-identical before and after
+    (pinned in tests/test_ann_index.py). Folding SPENDS the folded
+    dates' replay keys: append_batch refuses them (check_not_below_horizon),
+    with the standard crash discipline (horizon marker first, staged
+    base, stranded-staging refusal) inherited from base_fold."""
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="ann-index compact",
+        part_key=PARTITION_COL,
+        base_key=BASE_KEY,
+        subtables={
+            "cells": lambda src: (src.select("vec_id", "ve", "nrm", "cell"), ["cell"])
+        },
     )
 
 

@@ -219,6 +219,7 @@ def run_ann_append_available_now(
     index_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    auto_compact_max_dirs: int | None = None,
 ) -> list[dict]:
     """Drain new vector files into the maintained IVF index: each
     micro-batch is assigned against the FROZEN quantizer and lands under
@@ -238,7 +239,7 @@ def run_ann_append_available_now(
             "streamed append (a mid-stream retrain would assign batches "
             "against different models)"
         )
-    return _drain(
+    reports = _drain(
         spark,
         source_dir,
         checkpoint_dir,
@@ -246,6 +247,19 @@ def run_ann_append_available_now(
         lambda batch, key: append_batch(spark, index_dir, batch, key),
         max_files_per_trigger,
     )
+    from data_ingestion_lambda_spark.operators.ann_index import compact_index_cells
+
+    ac = _auto_compact_after_drain(
+        spark,
+        index_dir,
+        checkpoint_dir,
+        auto_compact_max_dirs,
+        lambda kf: compact_index_cells(spark, index_dir, kf),
+        count_dir=f"{index_dir}/cells",
+    )
+    if ac is not None:
+        reports.append(ac)
+    return reports
 
 
 def run_session_update_available_now(

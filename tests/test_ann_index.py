@@ -348,3 +348,43 @@ def test_retrain_migration_blue_green(spark, tmp_path):
     assert _rows(probe_topk(spark, new, _queries(vecs))) == _rows(
         ann_ivf_topk_c32(spark, SF)
     )
+
+
+def test_cells_date_fold_preserves_probe_and_refuses_spent_dates(spark, tmp_path):
+    """compact_index_cells folds old date partitions into the cell-
+    partitioned base: probe rows are bit-identical before and after, the
+    cell= pruning layout survives (base is date=0000-00-00/cell=<c>),
+    re-landing a folded date refuses (spent key), and a post-fold append
+    under a NEW date still row-equals the one-shot lane."""
+    import os
+
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.ann_index import compact_index_cells
+
+    idx, vecs = _build(spark, tmp_path)
+    before = _rows(probe_topk(spark, idx, _queries(vecs)))
+
+    # fold days 1..2 (strictly below day 3) into the base
+    result = compact_index_cells(spark, idx, f"2025-07-0{_N_DAYS}")
+    assert result["folded"]["cells"] == _N_DAYS - 1
+    base = f"{idx}/cells/date=0000-00-00"
+    assert os.path.isdir(base)
+    assert any(n.startswith("cell=") for n in os.listdir(base))
+    dates = [n for n in os.listdir(f"{idx}/cells") if n.startswith("date=")]
+    assert sorted(dates) == ["date=0000-00-00", f"date=2025-07-0{_N_DAYS}"]
+    assert _rows(probe_topk(spark, idx, _queries(vecs))) == before
+
+    # folded dates are SPENT: re-landing one would double-count
+    with pytest.raises(ValueError, match="horizon"):
+        append_batch(spark, idx, vecs.limit(1), "2025-07-01")
+
+    # the unfolded newest date still replays idempotently
+    last = vecs.filter(F.col("vec_id") % _N_DAYS == _N_DAYS - 1)
+    append_batch(spark, idx, last, f"2025-07-0{_N_DAYS}")
+    assert _rows(probe_topk(spark, idx, _queries(vecs))) == before
+
+    # re-running the same fold is a no-op (base-only fold set skips)
+    result2 = compact_index_cells(spark, idx, f"2025-07-0{_N_DAYS}")
+    assert result2["folded"]["cells"] == 0
+    assert _rows(probe_topk(spark, idx, _queries(vecs))) == before

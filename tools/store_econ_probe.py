@@ -26,7 +26,7 @@ rebuilt per run. Output: one JSON line per measurement (stdout).
 
 Usage:
   python tools/store_econ_probe.py [--sf /root/testdata/sf0.01]
-      [--modes bloom,dsir,markov,touch,attrib_age,postings]
+      [--modes bloom,dsir,markov,touch,attrib_age,postings,ann_age,fold]
       [--mult 10] [--reps 3]
 """
 
@@ -240,6 +240,128 @@ def probe_attrib_age(spark, sf, reps, ages=(3, 300)):
         )
     )
     ev.unpersist()
+
+
+def probe_ann_age(spark, sf, reps, ages=(3, 300)):
+    """IVF-index probe wall vs LEDGER AGE (VERDICT r12 quality item #3):
+    the same corpus appended as N date batches against one frozen
+    quantizer — the shape of a long-lived index that is never retrained
+    (one date dir x cell subdirs per batch). Measures probe_topk wall at
+    each age, then prices what the cells date-fold buys at the oldest
+    age (row equality is pinned in tests/test_ann_index.py; this probe
+    prices the directory-listing / file-index side)."""
+    from data_ingestion_lambda_spark.operators.ann_index import (
+        append_batch,
+        compact_index_cells,
+        probe_topk,
+        train_index,
+    )
+
+    vecs = load_table(spark, sf, "embeddings").select("vec_id", "embedding").persist()
+    vecs.count()
+    queries = (
+        vecs.orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .persist()
+    )
+    queries.count()
+    for nb in ages:
+        idx = f"/tmp/econ_ann_age_{nb}"
+        shutil.rmtree(idx, ignore_errors=True)
+        train_index(spark, idx, vecs)
+        t0 = time.time()
+        for b in range(nb):
+            batch = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(nb)) == b)
+            append_batch(spark, idx, batch, f"2024-{1 + b // 28:02d}-{1 + b % 28:02d}")
+        apply_total = round(time.time() - t0, 2)
+        # one unmeasured probe first: the 3-batch point runs right after
+        # session start and would otherwise carry codegen warm-up that the
+        # later points don't (the r12 autocompact comparability caveat)
+        probe_topk(spark, idx, queries).count()
+        wall = _median_wall(lambda: probe_topk(spark, idx, queries).count(), reps)
+        print(
+            json.dumps(
+                {
+                    "store": "ann_age",
+                    "batches": nb,
+                    "cells_dirs": _count_dirs(f"{idx}/cells"),
+                    "apply_total_sec": apply_total,
+                    "probe_topk_sec": wall,
+                }
+            )
+        )
+    idx = f"/tmp/econ_ann_age_{ages[-1]}"
+    fold = compact_index_cells(spark, idx, "2024-12-31")
+    wall = _median_wall(lambda: probe_topk(spark, idx, queries).count(), reps)
+    print(
+        json.dumps(
+            {
+                "store": "ann_age",
+                "batches": f"{ages[-1]}_folded",
+                "cells_dirs": _count_dirs(f"{idx}/cells"),
+                "folded": fold["folded"],
+                "probe_topk_sec": wall,
+            }
+        )
+    )
+    queries.unpersist()
+    vecs.unpersist()
+
+
+def probe_erase_age(spark, sf, reps, ages=(3, 300), n_keys=10):
+    """What a store erase COSTS vs ledger age (VERDICT r12 Next #1's
+    pricing row): the dedup-gate exact index built as N hash-split daily
+    batches, then one GDPR request for {n_keys} subjects priced end to
+    end — erase_store wall (pass 1's affected-partition scan is the
+    age-sensitive term; pass 2 rewrites only the <= n_keys affected
+    partitions), the idempotent replay wall (finds nothing, rewrites
+    nothing), and the zero-residual verify wall. ``reps`` is unused:
+    an erase mutates, so each wall is a single honest measurement."""
+    from data_ingestion_lambda_spark.operators.dedup_gate import apply_batch
+    from data_ingestion_lambda_spark.operators.store_erasure import (
+        erase_store,
+        verify_store_erasure,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").persist()
+    docs.count()
+    keys = docs.select("doc_id").orderBy("doc_id").limit(n_keys)
+    for nb in ages:
+        idx = f"/tmp/econ_erase_gate_{nb}"
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        for b in range(nb):
+            batch = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(nb)) == b)
+            apply_batch(spark, idx, batch, f"b{b:04d}", mode="exact")
+        apply_total = round(time.time() - t0, 2)
+        t1 = time.time()
+        rep = erase_store(spark, "dedup-gate", idx, keys, request_id=f"econ-{nb}")
+        erase_sec = round(time.time() - t1, 3)
+        t2 = time.time()
+        rep2 = erase_store(spark, "dedup-gate", idx, keys, request_id=f"econ-{nb}")
+        replay_sec = round(time.time() - t2, 3)
+        t3 = time.time()
+        residual = verify_store_erasure(spark, "dedup-gate", idx, keys)
+        verify_sec = round(time.time() - t3, 3)
+        print(
+            json.dumps(
+                {
+                    "store": "erase_age",
+                    "batches": nb,
+                    "apply_total_sec": apply_total,
+                    "erase_sec": erase_sec,
+                    "rows_erased": rep["rows_erased"],
+                    "partitions_rewritten": rep["partitions_rewritten"]
+                    + rep["partitions_deleted"],
+                    "replay_sec": replay_sec,
+                    "replay_rows_erased": rep2["rows_erased"],
+                    "verify_sec": verify_sec,
+                    "residual": residual,
+                }
+            )
+        )
+    docs.unpersist()
 
 
 def probe_postings(spark, sf, reps, n_days=30):
@@ -497,6 +619,10 @@ def main() -> None:
         probe_attrib_age(spark, args.sf, args.reps)
     if "postings" in modes:
         probe_postings(spark, args.sf, args.reps)
+    if "ann_age" in modes:
+        probe_ann_age(spark, args.sf, args.reps)
+    if "erase_age" in modes:
+        probe_erase_age(spark, args.sf, args.reps)
     if "fold" in modes:
         probe_fold(
             spark,
