@@ -322,6 +322,13 @@ def build_parser() -> argparse.ArgumentParser:
         "content digests, or embedding sign-LSH + cosine rescore; an "
         "index directory belongs to ONE mode",
     )
+    gate.add_argument(
+        "--compact-keep-from",
+        default=None,
+        help="fold index date partitions strictly before this key into the "
+        "base partition (crash-guarded; spends the folded dates' replay "
+        "keys — probe flags are unchanged)",
+    )
 
     voc = sub.add_parser(
         "vocab",
@@ -853,7 +860,7 @@ def build_parser() -> argparse.ArgumentParser:
     # maintained store: a dir-count threshold that, once crossed, folds
     # the ledger down to ~half the threshold via the store's own
     # compact_* entry point (see _auto_compact_step).
-    for store in (voc, sidx, drf, fst, hhs, cms, blm, dsr, tch, mkv, ses, att, ann):
+    for store in (voc, sidx, drf, fst, hhs, cms, blm, dsr, tch, mkv, ses, att, ann, gate):
         store.add_argument(
             "--auto-compact-max-dirs",
             type=int,
@@ -1074,6 +1081,25 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.index is None:
             raise SystemExit("dedup-gate: --index is required without --bucketed-table")
+
+        def _gate_compaction(report: dict) -> None:
+            from data_ingestion_lambda_spark.operators.dedup_gate import (
+                compact_gate_index,
+            )
+
+            if args.compact_keep_from is not None:
+                try:
+                    report["compaction"] = compact_gate_index(
+                        spark, args.index, args.compact_keep_from
+                    )
+                except (ValueError, RuntimeError) as exc:
+                    raise SystemExit(f"dedup-gate: {exc}") from exc
+            if args.auto_compact_max_dirs is not None:
+                _auto_compact_step(
+                    spark, args, report, args.index,
+                    lambda kf: compact_gate_index(spark, args.index, kf),
+                )
+
         if args.stream_source is not None:
             if args.checkpoint is None:
                 raise SystemExit("dedup-gate: --stream-source requires --checkpoint")
@@ -1090,7 +1116,17 @@ def main(argv: list[str] | None = None) -> int:
                 mode=args.mode,
                 max_files_per_trigger=args.max_files_per_trigger,
             )
-            print(json.dumps({"statusCode": 200, "batches": reports}))
+            report = {"batches": reports}
+            _gate_compaction(report)
+            print(json.dumps({"statusCode": 200, **report}))
+            return 0
+        if args.batch is None and (
+            args.compact_keep_from is not None
+            or args.auto_compact_max_dirs is not None
+        ):
+            report = {}
+            _gate_compaction(report)
+            print(json.dumps({"statusCode": 200, **report}))
             return 0
         if args.batch is None or args.date is None:
             raise SystemExit(
@@ -1121,6 +1157,7 @@ def main(argv: list[str] | None = None) -> int:
                 matches_dir=args.matches_out,
                 mode=args.mode,
             )
+            _gate_compaction(report)
         print(json.dumps({"statusCode": 200, **report}))
         return 0
 

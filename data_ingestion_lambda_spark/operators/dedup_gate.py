@@ -49,6 +49,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_lambda_spark.operators.base_fold import (
+    BASE_KEY,
+    base_fold,
+    check_not_below_horizon,
+)
 from data_ingestion_lambda_spark.operators.upsert import (
     PARTITION_COL,
     list_partition_dates,
@@ -325,6 +330,12 @@ def apply_batch(
     # batch labels should also pass before_date=batch_date: replaying an
     # old day then probes its as-of index state, not one polluted by
     # later days (see read_index).
+    #
+    # Dates strictly below the compaction horizon are SPENT: their rows
+    # were folded into the base and lost their partition identity, so a
+    # re-delivery could neither overwrite itself nor exclude its own
+    # earlier write from the probe — refuse, like every folded store.
+    check_not_below_horizon(spark, index_dir, batch_date, f"dedup-gate {mode} apply")
     matches = probe_batch(
         spark,
         index_dir,
@@ -355,6 +366,38 @@ def apply_batch(
         "dup_pairs": n_pairs,
         "flagged_docs": n_flagged,
     }
+
+
+def compact_gate_index(spark: SparkSession, index_dir: str, keep_from: str) -> dict:
+    """Date-fold for the signature index: every ``date=`` partition
+    strictly below ``keep_from`` folds into the reserved base partition
+    (``date=0000-00-00``). Probe results are unchanged — ``read_index``
+    reads all partitions regardless of their identity, and each doc's
+    (doc_id, sig) row lives in exactly one partition under the replay
+    contract, so the merge is pure concatenation (pinned in
+    tests/test_dedup_gate.py).
+
+    Folding SPENDS the folded dates' replay keys: a folded batch's rows
+    have lost their partition identity, so a replay could neither
+    overwrite itself nor exclude its own earlier write from the probe —
+    ``apply_batch`` refuses dates below the horizon. The as-of read
+    (``before_date``) survives the fold: apply refuses any batch date
+    below the horizon, so for every permitted date the base holds only
+    strictly-earlier rows (BASE_KEY sorts below all real dates).
+
+    Mode-agnostic: all three lanes share the (doc_id, sig) schema within
+    an index directory, and an index belongs to ONE mode. Standard
+    base_fold crash discipline (horizon marker first, staged swap,
+    stranded-staging refusal)."""
+    return base_fold(
+        spark,
+        index_dir,
+        keep_from,
+        op_name="dedup-gate compact",
+        part_key=PARTITION_COL,
+        base_key=BASE_KEY,
+        subtables={"": lambda src: (src.select("doc_id", "sig"), [])},
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -520,3 +520,58 @@ def test_retention_composes_with_the_gate(spark, tmp_path):
         )
     want = pairs(probe_batch(spark, str(idx2), last))
     assert got == want
+
+
+def test_gate_index_date_fold_preserves_probes_and_refuses_spent_dates(
+    spark, tmp_path
+):
+    """compact_gate_index folds old date partitions into date=0000-00-00:
+    a NEW batch's probe flags are identical before and after the fold
+    (read_index reads all partitions; the merge is pure concatenation),
+    the index row set is unchanged, landing a folded date refuses (its
+    rows lost their partition identity, so neither the overwrite nor the
+    own-partition exclusion could work), and re-folding is a no-op."""
+    import os
+
+    from data_ingestion_lambda_spark.operators.dedup_gate import compact_gate_index
+
+    docs = _docs(spark)
+    idx, matches = tmp_path / "idx", tmp_path / "matches"
+    _apply_days(spark, docs, idx, matches)
+
+    new_batch = docs.filter(_day_of(F.col("doc_id")) == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+
+    def probe_rows():
+        return sorted(
+            (r["new_doc"], r["dup_of"], r["est_jaccard"], r["match_kind"])
+            for r in probe_batch(spark, str(idx), new_batch).collect()
+        )
+
+    def index_rows():
+        return sorted(
+            (r["doc_id"], tuple(r["sig"]))
+            for r in read_index(spark, str(idx)).collect()
+        )
+
+    before_probe, before_index = probe_rows(), index_rows()
+    result = compact_gate_index(spark, str(idx), f"2025-07-0{_N_DAYS}")
+    assert result["folded"][""] == _N_DAYS - 1
+    dates = sorted(n for n in os.listdir(idx) if n.startswith("date="))
+    assert dates == ["date=0000-00-00", f"date=2025-07-0{_N_DAYS}"]
+    assert probe_rows() == before_probe
+    assert index_rows() == before_index
+
+    # folded dates are SPENT
+    with pytest.raises(ValueError, match="horizon"):
+        apply_batch(spark, str(idx), new_batch, "2025-07-01")
+    # the unfolded newest date still replays idempotently
+    last = docs.filter(_day_of(F.col("doc_id")) == _N_DAYS - 1)
+    apply_batch(
+        spark, str(idx), last, f"2025-07-0{_N_DAYS}", matches_dir=str(matches)
+    )
+    assert index_rows() == before_index
+    # re-running the same fold is a no-op
+    assert compact_gate_index(spark, str(idx), f"2025-07-0{_N_DAYS}")["folded"][""] == 0
+    assert probe_rows() == before_probe
