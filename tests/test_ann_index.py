@@ -388,3 +388,22 @@ def test_cells_date_fold_preserves_probe_and_refuses_spent_dates(spark, tmp_path
     result2 = compact_index_cells(spark, idx, f"2025-07-0{_N_DAYS}")
     assert result2["folded"]["cells"] == 0
     assert _rows(probe_topk(spark, idx, _queries(vecs))) == before
+
+
+def test_folded_index_probe_still_partition_prunes(spark, tmp_path):
+    """The fold's load-bearing property at the PLAN level: after
+    compact_index_cells re-partitions the base BY CELL, the probe's
+    cells scan still carries the PartitionFilters IN-list on cell — the
+    folded base is read cell-by-cell exactly like live date partitions,
+    never as one undifferentiated blob."""
+    from data_ingestion_lambda_spark.operators.ann_index import compact_index_cells
+
+    idx, vecs = _build(spark, tmp_path)
+    compact_index_cells(spark, idx, f"2025-07-0{_N_DAYS}")
+    plan = (
+        probe_topk(spark, idx, _queries(vecs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PartitionFilters: \[cell#\d+ INSET ", plan), plan
