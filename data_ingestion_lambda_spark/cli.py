@@ -906,6 +906,17 @@ def build_parser() -> argparse.ArgumentParser:
         "from current store state",
     )
     cbd.add_argument("--out", default=None, help="write the disposition parquet here")
+    cbd.add_argument(
+        "--auto-compact-max-dirs",
+        type=int,
+        default=None,
+        metavar="N",
+        help="dir-count auto-compaction for the two GATE indexes after each "
+        "day's applies (the unbounded-days knob): when live date partitions "
+        "exceed N, fold the oldest into the base so about N/2 remain. The "
+        "finalized disposition is unchanged; a replay of a FOLDED day "
+        "refuses (spent key) — boundedness traded for replayability",
+    )
 
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
@@ -977,7 +988,14 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("data-ingestion-cli")
         if args.day is not None:
-            day_rep = run_day(spark, args.data, args.work_dir, args.day, args.days)
+            day_rep = run_day(
+                spark,
+                args.data,
+                args.work_dir,
+                args.day,
+                args.days,
+                auto_compact_max_dirs=args.auto_compact_max_dirs,
+            )
             print(json.dumps({"statusCode": 200, "day": day_rep}))
             return 0
         if args.finalize_only:
@@ -999,7 +1017,12 @@ def main(argv: list[str] | None = None) -> int:
                               "out": args.out}))
             return 0
         report = run_corpus_build(
-            spark, args.data, args.work_dir, args.days, out_dir=args.out
+            spark,
+            args.data,
+            args.work_dir,
+            args.days,
+            out_dir=args.out,
+            auto_compact_max_dirs=args.auto_compact_max_dirs,
         )
         report["statusCode"] = 200
         report["out"] = args.out

@@ -143,11 +143,26 @@ def _read_store(spark: SparkSession, work_dir: str, name: str) -> DataFrame:
 
 
 def run_day(
-    spark: SparkSession, sf_dir: str, work_dir: str, day: int, n_days: int
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    day: int,
+    n_days: int,
+    auto_compact_max_dirs: int | None = None,
 ) -> dict:
     """Gate + score + ledger one day's batch. Idempotent: a replay
     overwrites exactly its own ``date=<day>`` partitions (the gates probe
-    with own-partition exclusion, so re-derived flags are identical)."""
+    with own-partition exclusion, so re-derived flags are identical).
+
+    ``auto_compact_max_dirs`` opts the two GATE indexes into the
+    dir-count fold policy after the day's applies (base_fold's
+    auto_compact_epilogue) — the knob an unbounded-days deployment turns.
+    Folding never changes the finalized disposition (the exact gate's
+    canonical-min and the probes read all index rows regardless of
+    partition identity — pinned in tests/test_corpus_build.py); what it
+    SPENDS is the folded days' replay keys, so a replay of a folded day
+    refuses loudly instead of being idempotent — boundedness traded for
+    replayability, the standard folded-store contract."""
     date = day_label(day)
     batch = batch_for_day(corpus_with_recrawl(spark, sf_dir), day, n_days)
 
@@ -215,13 +230,33 @@ def run_day(
     ).withColumn(PARTITION_COL, F.lit(date))
     replace_partitions(spark, _store(work_dir, DOCS), docs, [date])
 
-    return {
+    report = {
         "date": date,
         "batch_docs": rep_exact["batch_docs"],
         "exact_flagged": rep_exact["flagged_docs"],
         "near_dup_pairs": rep_mh["dup_pairs"],
         "near_dup_flagged": rep_mh["flagged_docs"],
     }
+    if auto_compact_max_dirs is not None:
+        from data_ingestion_lambda_spark.operators.base_fold import (
+            auto_compact_epilogue,
+        )
+        from data_ingestion_lambda_spark.operators.dedup_gate import (
+            compact_gate_index,
+        )
+
+        report["auto_compact"] = {
+            name: auto_compact_epilogue(
+                spark,
+                _store(work_dir, name),
+                max_dirs=auto_compact_max_dirs,
+                compact_fn=lambda kf, _d=_store(work_dir, name): compact_gate_index(
+                    spark, _d, kf
+                ),
+            )
+            for name in (EXACT_INDEX, MINHASH_INDEX)
+        }
+    return report
 
 
 def finalize_disposition(spark: SparkSession, work_dir: str) -> DataFrame:
@@ -276,11 +311,22 @@ def run_corpus_build(
     work_dir: str,
     n_days: int,
     out_dir: str | None = None,
+    auto_compact_max_dirs: int | None = None,
 ) -> dict:
     """Drive the whole workflow: N daily gate+ledger passes, then the
     finalize. Returns the report dict (per-day gate counts + disposition
     histogram); writes the final table to ``out_dir`` when given."""
-    days = [run_day(spark, sf_dir, work_dir, day, n_days) for day in range(n_days)]
+    days = [
+        run_day(
+            spark,
+            sf_dir,
+            work_dir,
+            day,
+            n_days,
+            auto_compact_max_dirs=auto_compact_max_dirs,
+        )
+        for day in range(n_days)
+    ]
     disp = finalize_disposition(spark, work_dir)
     try:
         if out_dir is not None:

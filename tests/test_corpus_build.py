@@ -124,3 +124,44 @@ def test_cli_one_shot_run(spark, built, tmp_path, capsys):
     for r in built["one_rows"]:
         want[r[2]] = want.get(r[2], 0) + 1
     assert report["disposition_counts"] == want
+
+
+def test_auto_compacted_gates_leave_disposition_unchanged(spark, built, tmp_path):
+    """The unbounded-days knob: with --auto-compact-max-dirs the gate
+    indexes stay dir-bounded while the finalized disposition still
+    row-equals the one-shot lane (folding never changes verdicts — the
+    exact gate's canonical-min and the probes read all index rows
+    regardless of partition identity). What folding SPENDS is the folded
+    days' replay keys: replaying one refuses loudly."""
+    import os
+
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.corpus_build import (
+        EXACT_INDEX,
+        MINHASH_INDEX,
+    )
+
+    work = str(tmp_path / "work")
+    report = run_corpus_build(
+        spark, SF_SMOKE, work, n_days=5, auto_compact_max_dirs=2
+    )
+    for name in (EXACT_INDEX, MINHASH_INDEX):
+        dates = [
+            n
+            for n in os.listdir(os.path.join(work, name))
+            if n.startswith("date=") and n != "date=0000-00-00"
+        ]
+        assert len(dates) <= 2, (name, sorted(dates))
+    folds = [
+        d["auto_compact"][EXACT_INDEX].get("due") for d in report["days"]
+    ]
+    assert any(folds)  # the policy actually fired
+    disp = finalize_disposition(spark, work)
+    try:
+        assert _rows(disp) == built["one_rows"]
+    finally:
+        release_pinned()
+    # day 0's key was folded — its replay refuses instead of double-counting
+    with pytest.raises(ValueError, match="horizon"):
+        run_day(spark, SF_SMOKE, work, 0, 5)
