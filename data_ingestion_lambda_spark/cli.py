@@ -986,6 +986,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         from data_ingestion_lambda_spark.plans.registry import release_pinned
 
+        if args.day is not None and not (0 <= args.day < args.days):
+            # A forgotten --days would otherwise fall back to 1 and gate
+            # the ENTIRE corpus under this day's partition (n_days == 1 is
+            # the one-batch model); a --day >= --days typo would silently
+            # ledger an empty batch. Both are operator errors — refuse.
+            raise SystemExit(
+                f"corpus-build: --day {args.day} is out of range for "
+                f"--days {args.days} — pass the SAME --days on every "
+                "scheduled invocation (it defines the arrival model)"
+            )
         spark = get_spark("data-ingestion-cli")
         if args.day is not None:
             day_rep = run_day(
@@ -2164,6 +2174,16 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("ann-index: --stream-source requires --checkpoint")
         if args.stream_source is not None and args.batch is not None:
             raise SystemExit("ann-index: --stream-source and --batch are exclusive")
+        # ALL argument validation before ANY mutation: a fold spends
+        # replay keys irreversibly, so a flag typo must not leave the
+        # store changed by a command that then reports failure.
+        if args.ceiling is not None and not args.hard_negatives:
+            raise SystemExit("ann-index: --ceiling only applies with --hard-negatives")
+        if args.hard_negatives and args.query is None:
+            raise SystemExit(
+                "ann-index: --hard-negatives mines against --query vectors; "
+                "pass --query (the flag does nothing for train/append)"
+            )
         spark = get_spark("data-ingestion-cli")
         report: dict = {}
         if args.train is not None:
@@ -2213,13 +2233,6 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args, report, args.index,
                 lambda kf: compact_index_cells(spark, args.index, kf),
                 count_dir=f"{args.index}/cells",
-            )
-        if args.ceiling is not None and not args.hard_negatives:
-            raise SystemExit("ann-index: --ceiling only applies with --hard-negatives")
-        if args.hard_negatives and args.query is None:
-            raise SystemExit(
-                "ann-index: --hard-negatives mines against --query vectors; "
-                "pass --query (the flag does nothing for train/append)"
             )
         if args.query is not None:
             raw = spark.read.parquet(args.query)
@@ -2307,12 +2320,29 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         if args.store is not None:
+            if args.store not in STORE_SPECS:
+                # unknown name or an unlearnable sketch store: surface the
+                # refusal/remedy BEFORE touching the keys parquet (the
+                # 'user_id' key-column fallback would otherwise die on a
+                # doc-keyed keys file with a raw AnalysisException)
+                from data_ingestion_lambda_spark.operators.store_erasure import (
+                    UNLEARNABLE,
+                    _rebuild_remedy,
+                )
+
+                msg = (
+                    _rebuild_remedy(args.store)
+                    if args.store in UNLEARNABLE
+                    else f"unknown store {args.store!r} "
+                    f"(erasable: {sorted(STORE_SPECS)}; "
+                    f"rebuild-or-rotate: {sorted(UNLEARNABLE)})"
+                )
+                print(json.dumps({"statusCode": 400, "message": msg}))
+                return 1
             key_col = (
                 args.key_col
                 if args.key_col is not None
                 else STORE_SPECS[args.store].key_col
-                if args.store in STORE_SPECS
-                else "user_id"
             )
         else:
             key_col = args.key_col if args.key_col is not None else "user_id"

@@ -139,6 +139,23 @@ def train_index(
     refuses — use ``retrain_index`` to grow the cell count)."""
     if n_cells < 1:
         raise ValueError(f"train_index: n_cells must be >= 1, got {n_cells}")
+    # Retraining IN PLACE over live cell assignments is refused outright:
+    # the new centroids would silently invalidate every stored (vec_id,
+    # cell) row while the sizing marker still matched, so probes would
+    # return wrong neighbors with no refusal left to catch it (this also
+    # keeps the collapse cleanup below safe — it only ever runs on a
+    # directory without assignments, so deleting marker+centroids cannot
+    # strand stale cells behind a fresh marker).
+    from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
+
+    fs, path_cls = _hadoop_fs(spark, index_dir)
+    if fs.exists(path_cls(f"{index_dir}/cells")):
+        raise ValueError(
+            f"train_index: {index_dir} already holds cell assignments — "
+            "retraining in place would orphan them under a new quantizer; "
+            "use retrain_index into a NEW directory (blue/green), or "
+            "remove the cells table first and re-append every batch"
+        )
     vn = _with_norm(vectors)
     # The k-means seed set is vec_id-KEYED (_train_ivf_centroids seeds
     # from vec_id < n_cells so the DuckDB oracle can reproduce it) —
@@ -169,10 +186,8 @@ def train_index(
         # directory is honestly untrained again and a corrected retrain
         # is not blocked by the sizing refusal (a pre-existing quantizer
         # was already overwritten above, so there is no good state left
-        # to preserve).
-        from data_ingestion_lambda_spark.operators.upsert import _hadoop_fs
-
-        fs, path_cls = _hadoop_fs(spark, index_dir)
+        # to preserve; the cells-exists refusal above guarantees no
+        # assignments can be stranded by this cleanup).
         fs.delete(path_cls(f"{index_dir}/centroids"), True)
         fs.delete(path_cls(f"{index_dir}/_sizing=c{n_cells}"), True)
         raise ValueError(

@@ -233,24 +233,30 @@ def _erase_sub(
     ):
         if not group:
             continue
+        # persisted: the erased-row count and the staged rewrite would
+        # otherwise each re-read and re-broadcast-join the whole group
+        # (review r13 — two scans per group on the erasure hot path)
         slice_ = _read_parts(spark, sub_dir, part_key, group).withColumn(
             part_key, F.col(part_key).cast("string")
-        )
-        out["rows_erased"] += (
-            slice_.join(F.broadcast(keyset), key_col, "semi").count()
-        )
-        kept = slice_.join(F.broadcast(keyset), key_col, "anti")
-        # replace_partitions stages everything first, then swaps; a
-        # group value for which `kept` stages nothing is DELETED
-        # (fully-erased partition), mirroring erasure.erase_keys
-        replace_partitions(
-            spark,
-            sub_dir,
-            kept,
-            group,
-            extra_partition_cols=inner_parts,
-            part_col=part_key,
-        )
+        ).persist()
+        try:
+            out["rows_erased"] += (
+                slice_.join(F.broadcast(keyset), key_col, "semi").count()
+            )
+            kept = slice_.join(F.broadcast(keyset), key_col, "anti")
+            # replace_partitions stages everything first, then swaps; a
+            # group value for which `kept` stages nothing is DELETED
+            # (fully-erased partition), mirroring erasure.erase_keys
+            replace_partitions(
+                spark,
+                sub_dir,
+                kept,
+                group,
+                extra_partition_cols=inner_parts,
+                part_col=part_key,
+            )
+        finally:
+            slice_.unpersist()
         survived = set(_list_part_values(fs, path_cls, sub_dir, part_key))
         out["partitions_rewritten"] += sum(1 for v in group if v in survived)
         out["partitions_deleted"] += sum(1 for v in group if v not in survived)
@@ -395,7 +401,18 @@ def verify_store_erasure(
 ) -> int:
     """Zero-residual verifier: surviving rows for the subject keys
     across EVERY keyed sub-table of the store — must be 0 after
-    ``erase_store``; runnable standalone as a compliance audit."""
+    ``erase_store``; runnable standalone as a compliance audit. Unknown
+    or unlearnable stores refuse with the same remedies as erase_store
+    (a sketch store cannot be row-audited — membership lives in shared
+    bits, not rows; rebuild-or-rotate is the compliance path)."""
+    if store in UNLEARNABLE:
+        raise ValueError(_rebuild_remedy(store))
+    if store not in STORE_SPECS:
+        raise ValueError(
+            f"verify_store_erasure: unknown store {store!r} "
+            f"(erasable: {sorted(STORE_SPECS)}; "
+            f"rebuild-or-rotate: {sorted(UNLEARNABLE)})"
+        )
     spec = STORE_SPECS[store]
     key_col = key_col or spec.key_col
     keyset = keys.select(F.col(key_col)).distinct()

@@ -142,6 +142,7 @@ def run_ingest_to_jdbc_available_now(
     ident_quote: str | None = None,
     staging_column_types: str | None = None,
     properties: dict[str, str] | None = None,
+    quarantine_dir: str | None = None,
 ) -> int:
     """The reference's ACTUAL deployment shape, end-to-end (VERDICT r12
     #6): scheduled invocation → drain new CSV drops → normalize → MERGE
@@ -190,7 +191,16 @@ def run_ingest_to_jdbc_available_now(
         if batch.isEmpty():
             return
         batch = batch.withColumn("_ingest_seq", F.monotonically_increasing_id())
-        good, _ = normalize_consumption(batch)
+        good, quarantined = normalize_consumption(batch)
+        # Quarantined rows must not vanish: persist them keyed by batch
+        # (the parquet lane's discipline) BEFORE the MERGE, so a crash
+        # after the checkpoint commit can never lose the evidence.
+        if quarantine_dir is not None:
+            (
+                quarantined.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(quarantine_dir)
+            )
         # one winning row per MERGE key, same order as the parquet sink
         order = F.struct("_source_file", "_block_start", "_ingest_seq")
         payload = [c for c in good.columns if not c.startswith("_")]
@@ -206,18 +216,19 @@ def run_ingest_to_jdbc_available_now(
             )
         )
         value_cols = [c for c in payload if c not in UPSERT_KEYS]
+        # The reference stamps NOW() as created_at on insert and keeps it
+        # on update (src/db_operations.py) — stage the batch's ingest
+        # timestamp as created_at and list it in the INSERT set only, so
+        # new rows are born with it and existing rows never have theirs
+        # touched.
+        winners = winners.withColumn("created_at", F.col("updated_at"))
         upsert_via_jdbc(
             winners,
             jdbc_url,
             target_table,
             staging_table=staging_table,
-            # normalize emits no created_at (the sink decides created-vs-
-            # updated); the RDBMS target's created_at stays NULL on insert
-            # or keeps its value on update — columns derive from the
-            # normalized batch so the MERGE never references one the
-            # staging table doesn't carry
             update_cols=[c for c in value_cols if c != "is_active"],
-            insert_cols=list(UPSERT_KEYS) + value_cols,
+            insert_cols=list(UPSERT_KEYS) + value_cols + ["created_at"],
             ident_quote=ident_quote,
             staging_column_types=staging_column_types,
             properties=properties,

@@ -407,3 +407,15 @@ def test_folded_index_probe_still_partition_prunes(spark, tmp_path):
         .toString()
     )
     assert re.search(r"PartitionFilters: \[cell#\d+ INSET ", plan), plan
+
+
+def test_train_refuses_in_place_retrain_over_live_cells(spark, tmp_path):
+    """Retraining a directory that already holds cell assignments must
+    refuse: new centroids would orphan every stored (vec_id, cell) row
+    while the sizing marker still matched, so probes would silently
+    return wrong neighbors (review r13)."""
+    import pytest
+
+    idx, vecs = _build(spark, tmp_path)
+    with pytest.raises(ValueError, match="already holds cell assignments"):
+        train_index(spark, idx, vecs)

@@ -165,3 +165,15 @@ def test_auto_compacted_gates_leave_disposition_unchanged(spark, built, tmp_path
     # day 0's key was folded — its replay refuses instead of double-counting
     with pytest.raises(ValueError, match="horizon"):
         run_day(spark, SF_SMOKE, work, 0, 5)
+
+
+def test_cli_day_out_of_range_refuses(tmp_path):
+    """A --day without the matching --days would gate the whole corpus
+    under one day's partition (days defaults to 1) — refuse up front."""
+    from data_ingestion_lambda_spark.cli import main
+
+    with pytest.raises(SystemExit, match="out of range"):
+        main([
+            "corpus-build", "--data", SF_SMOKE,
+            "--work-dir", str(tmp_path / "w"), "--day", "3",
+        ])

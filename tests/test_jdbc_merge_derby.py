@@ -192,6 +192,7 @@ def test_streamed_ingest_to_jdbc_merge_end_to_end(spark, tmp_path):
     st.close()
 
     src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    quarantine = str(tmp_path / "quarantine")
     # drop 1: duplicate key inside one file -> last writer wins pre-MERGE
     # (ANSI MERGE refuses duplicate source matches, Derby SQLSTATE 21000)
     _write_csv(src, "d1.csv", [
@@ -203,22 +204,34 @@ def test_streamed_ingest_to_jdbc_merge_end_to_end(spark, tmp_path):
         spark, src, ckpt, url, "consumptions",
         staging_table="stream_staging",
         ident_quote='"', staging_column_types=_STREAM_STAGING_TYPES,
+        quarantine_dir=quarantine,
     )
     assert n == 1
     assert _rows_no_ts(spark, url) == [
         (_D, "c1", "acme corp", "chat-v2", 175, True),
         (_D, "c2", "globex", "embed", 50, True),
     ]
+    # inserted rows are born with created_at (the reference's NOW())
+    created = {
+        r["client_id"]: r["created_at"]
+        for r in spark.read.jdbc(url, "consumptions")
+        .select("client_id", "created_at")
+        .collect()
+    }
+    assert created["c1"] is not None and created["c2"] is not None
 
-    # drop 2 (a later scheduled invocation): update c1, insert c3
+    # drop 2 (a later scheduled invocation): update c1, insert c3; one
+    # malformed row (unparseable date) must land in quarantine, not vanish
     _write_csv(src, "d2.csv", [
         "2025-06-01,c1,acme corp,chat-v3,200",
+        "not-a-date,c9,badco,chat,5",
         "2025-06-01,c3,initech,chat,20",
     ])
     n = run_ingest_to_jdbc_available_now(
         spark, src, ckpt, url, "consumptions",
         staging_table="stream_staging",
         ident_quote='"', staging_column_types=_STREAM_STAGING_TYPES,
+        quarantine_dir=quarantine,
     )
     assert n == 1
     want = [
@@ -227,6 +240,20 @@ def test_streamed_ingest_to_jdbc_merge_end_to_end(spark, tmp_path):
         (_D, "c3", "initech", "chat", 20, True),
     ]
     assert _rows_no_ts(spark, url) == want
+    q = spark.read.parquet(quarantine)
+    qrows = q.select("client_id", "_reason").collect()
+    assert [(r["client_id"], r["_reason"]) for r in qrows] == [
+        ("c9", "unparseable_date")
+    ]
+    # updates keep created_at; the new insert gets its own
+    created2 = {
+        r["client_id"]: r["created_at"]
+        for r in spark.read.jdbc(url, "consumptions")
+        .select("client_id", "created_at")
+        .collect()
+    }
+    assert created2["c1"] == created["c1"]  # MERGE update set excludes it
+    assert created2["c3"] is not None
 
     # same checkpoint, no new files: the offset log makes it a no-op
     n = run_ingest_to_jdbc_available_now(

@@ -502,3 +502,38 @@ def test_cli_erase_store_end_to_end(spark, tmp_path, capsys):
     )
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and "Rebuild-or-rotate" in out["message"]
+
+
+def test_verify_refuses_unknown_and_unlearnable_stores(spark, tmp_path):
+    """verify_store_erasure must refuse like erase_store (review r13):
+    a sketch store cannot be row-audited (membership lives in shared
+    bits), and a typo'd store name must not surface as a raw KeyError."""
+    from data_ingestion_lambda_spark.operators.store_erasure import (
+        verify_store_erasure,
+    )
+
+    keys = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError, match="(?i)rebuild-or-rotate"):
+        verify_store_erasure(spark, "bloom-store", str(tmp_path), keys)
+    with pytest.raises(ValueError, match="unknown store"):
+        verify_store_erasure(spark, "no-such-store", str(tmp_path), keys)
+
+
+def test_cli_erase_unknown_store_is_a_400(spark, tmp_path, capsys):
+    """The CLI surfaces the refusal as a 400 JSON response BEFORE touching
+    the keys parquet — the old user_id fallback died on a doc-keyed keys
+    file with a raw AnalysisException."""
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+
+    keys_pq = str(tmp_path / "keys.parquet")
+    spark.createDataFrame([(7,)], "doc_id long").write.parquet(keys_pq)
+    rc = main([
+        "erase", "--store", "bloom-store", "--target", str(tmp_path / "s"),
+        "--keys", keys_pq, "--verify-only",
+    ])
+    assert rc == 1
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["statusCode"] == 400
+    assert "rebuild-or-rotate" in report["message"] or "Rebuild" in report["message"]

@@ -26,7 +26,7 @@ rebuilt per run. Output: one JSON line per measurement (stdout).
 
 Usage:
   python tools/store_econ_probe.py [--sf /root/testdata/sf0.01]
-      [--modes bloom,dsir,markov,touch,attrib_age,postings,ann_age,fold]
+      [--modes bloom,dsir,markov,touch,attrib_age,postings,ann_age,erase_age,fold]
       [--mult 10] [--reps 3]
 """
 
