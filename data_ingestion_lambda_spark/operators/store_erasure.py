@@ -82,10 +82,14 @@ class SubSpec:
     """One keyed sub-table of a store: where it lives relative to the
     store root ("" = the root itself), and the Hive partition levels
     UNDER the ledger key that a rewrite must preserve (the postings
-    table's ``bucket``, the ANN index's ``cell``)."""
+    table's ``bucket``, the ANN index's ``cell``). ``key_cols`` overrides
+    the store's key column for MATCHING: a row is the subject's if ANY of
+    these columns holds a requested key (a pair table references the
+    subject from either side); empty means the store key_col itself."""
 
     sub: str = ""
     inner_parts: tuple[str, ...] = ()
+    key_cols: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -128,6 +132,25 @@ STORE_SPECS: dict[str, StoreSpec] = {
         key_col="vec_id", subs=(SubSpec("cells", inner_parts=("cell",)),)
     ),
     "hh-store": StoreSpec(key_col="item"),
+    # The corpus-build workflow's work dir (operators/corpus_build.py):
+    # both gate indexes, the three per-day ledgers, and the two flag
+    # tables — pair rows reference the subject from EITHER side, so they
+    # match on both columns. Erase-then-finalize equals a build that
+    # never ingested the subject (pinned in tests/test_corpus_build.py):
+    # clusters, contamination and the cap all recompute from the
+    # surviving rows at finalize time.
+    "corpus-build": StoreSpec(
+        key_col="doc_id",
+        subs=(
+            SubSpec("docs"),
+            SubSpec("verdicts"),
+            SubSpec("grams"),
+            SubSpec("exact_index"),
+            SubSpec("minhash_index"),
+            SubSpec("pairs", key_cols=("new_doc", "dup_of")),
+            SubSpec("exact_matches", key_cols=("new_doc", "dup_of")),
+        ),
+    ),
 }
 
 # The unlearnable sketch stores and why each cannot subtract a member.
@@ -185,6 +208,23 @@ def _read_parts(
     )
 
 
+def _match_join(
+    table: DataFrame, keyset: DataFrame, key_col: str,
+    match_cols: tuple[str, ...], how: str,
+) -> DataFrame:
+    """Semi/anti join of ``table`` against the (broadcast) keyset where a
+    row matches if ANY of ``match_cols`` holds a requested key — the
+    single-column case degenerates to the plain equi join; a pair table
+    matches from either side."""
+    k = F.broadcast(keyset.select(F.col(key_col).alias("__k")).distinct())
+    t = table.alias("__t")
+    cond = None
+    for c in match_cols:
+        e = F.col(f"__t.{c}") == F.col("__e.__k")
+        cond = e if cond is None else (cond | e)
+    return t.join(k.alias("__e"), cond, how)
+
+
 def _erase_sub(
     spark: SparkSession,
     sub_dir: str,
@@ -193,11 +233,13 @@ def _erase_sub(
     part_key: str,
     inner_parts: tuple[str, ...],
     base_keys: tuple[str, ...],
+    match_cols: tuple[str, ...] = (),
 ) -> dict:
     """Two-pass partition-pruned anti-join rewrite of one sub-table.
     Base partitions (fold outputs, possibly schema-widened by the fold)
     rewrite in their own pass so a base-only column never bleeds a NULL
     twin into the live partitions' files."""
+    match_cols = match_cols or (key_col,)
     fs, path_cls = _hadoop_fs(spark, sub_dir)
     out: dict = {
         "rows_erased": 0,
@@ -210,15 +252,17 @@ def _erase_sub(
         return out
     # pass 1: affected partitions from a key+partition-only scan
     table = _read_parts(spark, sub_dir, part_key, live)
-    if key_col not in table.columns:
+    missing_cols = [c for c in match_cols if c not in table.columns]
+    if missing_cols:
         raise ValueError(
-            f"erase: sub-table {sub_dir} has no column {key_col!r} "
+            f"erase: sub-table {sub_dir} has no column(s) {missing_cols} "
             f"(columns: {table.columns})"
         )
     affected = sorted(
         str(r[part_key])
-        for r in table.select(key_col, part_key)
-        .join(F.broadcast(keyset), key_col, "semi")
+        for r in _match_join(
+            table.select(*match_cols, part_key), keyset, key_col, match_cols, "semi"
+        )
         .select(part_key)
         .distinct()
         .collect()
@@ -240,10 +284,10 @@ def _erase_sub(
             part_key, F.col(part_key).cast("string")
         ).persist()
         try:
-            out["rows_erased"] += (
-                slice_.join(F.broadcast(keyset), key_col, "semi").count()
-            )
-            kept = slice_.join(F.broadcast(keyset), key_col, "anti")
+            out["rows_erased"] += _match_join(
+                slice_, keyset, key_col, match_cols, "semi"
+            ).count()
+            kept = _match_join(slice_, keyset, key_col, match_cols, "anti")
             # replace_partitions stages everything first, then swaps; a
             # group value for which `kept` stages nothing is DELETED
             # (fully-erased partition), mirroring erasure.erase_keys
@@ -348,7 +392,7 @@ def erase_store(
             doclen_part_key = part_key
         sub_report = _erase_sub(
             spark, sub_dir, keyset, key_col, part_key,
-            s.inner_parts, spec.base_keys,
+            s.inner_parts, spec.base_keys, match_cols=s.key_cols,
         )
         report["subs"][s.sub or "."] = sub_report
         for k in ("rows_erased", "partitions_rewritten", "partitions_deleted"):
@@ -424,11 +468,13 @@ def verify_store_erasure(
         live = _list_part_values(fs, path_cls, sub_dir, part_key)
         if not live:
             continue
-        residual += (
-            _read_parts(spark, sub_dir, part_key, live)
-            .join(F.broadcast(keyset), key_col, "semi")
-            .count()
-        )
+        residual += _match_join(
+            _read_parts(spark, sub_dir, part_key, live),
+            keyset,
+            key_col,
+            s.key_cols or (key_col,),
+            "semi",
+        ).count()
     return residual
 
 

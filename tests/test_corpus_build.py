@@ -177,3 +177,57 @@ def test_cli_day_out_of_range_refuses(tmp_path):
             "corpus-build", "--data", SF_SMOKE,
             "--work-dir", str(tmp_path / "w"), "--day", "3",
         ])
+
+
+def test_erase_then_finalize_equals_never_ingested(spark, tmp_path):
+    """Right-to-be-forgotten through the capstone: erase subjects from
+    the corpus-build work dir (gates, ledgers, pair/flag tables — the
+    pair rows match from EITHER side), verify zero residual, and the
+    re-finalized disposition row-equals a build that NEVER INGESTED the
+    subjects — clusters, contamination and the cap all recompute from
+    the surviving rows."""
+    from data_ingestion_lambda_spark.operators.store_erasure import (
+        erase_store,
+        verify_store_erasure,
+    )
+
+    work = str(tmp_path / "work")
+    run_corpus_build(spark, SF_SMOKE, work, n_days=2)
+
+    pair_ids = {
+        r["new_doc"] for r in spark.read.parquet(f"{work}/pairs").collect()
+    } | {r["dup_of"] for r in spark.read.parquet(f"{work}/pairs").collect()}
+    # one near-dup-flagged doc + one unflagged doc; neither is re-crawled
+    # (a re-crawled subject's +1M twin would need erasing too)
+    flagged = sorted(i for i in pair_ids if i % RECRAWL_MOD != 0 and i < 1_000_000)
+    assert flagged, "corpus must have near-dup pairs for this pin"
+    all_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{work}/docs").select("doc_id").collect()
+    }
+    plain = sorted(
+        i for i in all_ids - pair_ids if i % RECRAWL_MOD != 0 and i < 1_000_000
+    )
+    subjects = [flagged[0], plain[0]]
+    keys = spark.createDataFrame([(k,) for k in subjects], "doc_id long")
+
+    rep = erase_store(spark, "corpus-build", work, keys, "req-cb-1")
+    assert rep["rows_erased"] > 0
+    assert verify_store_erasure(spark, "corpus-build", work, keys) == 0
+    disp = finalize_disposition(spark, work)
+    try:
+        erased_rows = _rows(disp)
+    finally:
+        release_pinned()
+    assert not any(r[0] in subjects for r in erased_rows)
+
+    # the never-ingested twin: a fresh build over the filtered corpus
+    filt = str(tmp_path / "sf")
+    (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(~F.col("doc_id").isin(subjects))
+        .write.parquet(f"{filt}/documents.parquet")
+    )
+    out2 = str(tmp_path / "out2")
+    run_corpus_build(spark, filt, str(tmp_path / "work2"), n_days=2, out_dir=out2)
+    assert erased_rows == _rows(spark.read.parquet(out2))
