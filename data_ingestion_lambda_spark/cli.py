@@ -879,7 +879,12 @@ def build_parser() -> argparse.ArgumentParser:
         "finalized per-doc disposition table (row-equal to the one-shot "
         "corpus_build_disposition lane)",
     )
-    cbd.add_argument("--data", required=True, help="directory holding documents.parquet")
+    cbd.add_argument(
+        "--data",
+        default=None,
+        help="directory holding documents.parquet (required unless "
+        "--stream-source or --finalize-only)",
+    )
     cbd.add_argument(
         "--work-dir",
         required=True,
@@ -917,6 +922,7 @@ def build_parser() -> argparse.ArgumentParser:
         "finalized disposition is unchanged; a replay of a FOLDED day "
         "refuses (spent key) — boundedness traded for replayability",
     )
+    _add_stream_args(cbd, "document")
 
     qry = sub.add_parser("query", help="run a registered analytics query by name")
     qry.add_argument("name", nargs="?", help="query name (see --list)")
@@ -986,6 +992,24 @@ def main(argv: list[str] | None = None) -> int:
         )
         from data_ingestion_lambda_spark.plans.registry import release_pinned
 
+        if args.stream_source is not None:
+            if args.checkpoint is None:
+                raise SystemExit("corpus-build: --stream-source requires --checkpoint")
+            from data_ingestion_lambda_spark.operators.corpus_build import (
+                run_corpus_build_available_now,
+            )
+
+            spark = get_spark("data-ingestion-cli")
+            reports = run_corpus_build_available_now(
+                spark,
+                args.stream_source,
+                args.work_dir,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+                auto_compact_max_dirs=args.auto_compact_max_dirs,
+            )
+            print(json.dumps({"statusCode": 200, "batches": reports}))
+            return 0
         if args.day is not None and not (0 <= args.day < args.days):
             # A forgotten --days would otherwise fall back to 1 and gate
             # the ENTIRE corpus under this day's partition (n_days == 1 is
@@ -995,6 +1019,11 @@ def main(argv: list[str] | None = None) -> int:
                 f"corpus-build: --day {args.day} is out of range for "
                 f"--days {args.days} — pass the SAME --days on every "
                 "scheduled invocation (it defines the arrival model)"
+            )
+        if args.data is None and not args.finalize_only:
+            raise SystemExit(
+                "corpus-build: --data is required unless --stream-source "
+                "or --finalize-only"
             )
         spark = get_spark("data-ingestion-cli")
         if args.day is not None:

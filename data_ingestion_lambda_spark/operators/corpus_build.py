@@ -165,6 +165,37 @@ def run_day(
     replayability, the standard folded-store contract."""
     date = day_label(day)
     batch = batch_for_day(corpus_with_recrawl(spark, sf_dir), day, n_days)
+    report = gate_and_ledger_batch(spark, work_dir, batch, date)
+    if auto_compact_max_dirs is not None:
+        from data_ingestion_lambda_spark.operators.base_fold import (
+            auto_compact_epilogue,
+        )
+        from data_ingestion_lambda_spark.operators.dedup_gate import (
+            compact_gate_index,
+        )
+
+        report["auto_compact"] = {
+            name: auto_compact_epilogue(
+                spark,
+                _store(work_dir, name),
+                max_dirs=auto_compact_max_dirs,
+                compact_fn=lambda kf, _d=_store(work_dir, name): compact_gate_index(
+                    spark, _d, kf
+                ),
+            )
+            for name in (EXACT_INDEX, MINHASH_INDEX)
+        }
+    return report
+
+
+def gate_and_ledger_batch(
+    spark: SparkSession, work_dir: str, batch: DataFrame, date: str
+) -> dict:
+    """The per-batch pipeline core shared by the day runner and the
+    streamed front: exact gate → near-dup gate (both probing their AS-OF
+    index state, ``before_date`` — batch keys must be MONOTONE) →
+    verdict/gram/docs ledgers, everything landing under ``date=<date>``
+    partitions. ``batch`` carries (doc_id, source, text, n_chars)."""
 
     # 1. exact gate in front — flagged docs are indexed but do not proceed.
     rep_exact = apply_batch(
@@ -230,33 +261,64 @@ def run_day(
     ).withColumn(PARTITION_COL, F.lit(date))
     replace_partitions(spark, _store(work_dir, DOCS), docs, [date])
 
-    report = {
+    return {
         "date": date,
         "batch_docs": rep_exact["batch_docs"],
         "exact_flagged": rep_exact["flagged_docs"],
         "near_dup_pairs": rep_mh["dup_pairs"],
         "near_dup_flagged": rep_mh["flagged_docs"],
     }
-    if auto_compact_max_dirs is not None:
-        from data_ingestion_lambda_spark.operators.base_fold import (
-            auto_compact_epilogue,
-        )
-        from data_ingestion_lambda_spark.operators.dedup_gate import (
-            compact_gate_index,
-        )
 
-        report["auto_compact"] = {
-            name: auto_compact_epilogue(
-                spark,
-                _store(work_dir, name),
-                max_dirs=auto_compact_max_dirs,
-                compact_fn=lambda kf, _d=_store(work_dir, name): compact_gate_index(
-                    spark, _d, kf
-                ),
-            )
-            for name in (EXACT_INDEX, MINHASH_INDEX)
-        }
-    return report
+
+# Drops carry the documents table's shape; extra columns in the files are
+# ignored by the streaming reader's explicit schema.
+CORPUS_DOCS_SCHEMA = "doc_id bigint, source string, text string, n_chars bigint"
+
+
+def run_corpus_build_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    auto_compact_max_dirs: int | None = None,
+) -> list[dict]:
+    """Structured Streaming in FRONT of the corpus-build pipeline — the
+    reference's deployment shape (a scheduled invocation drains every
+    document drop the offset log has not seen) applied to the capstone:
+    each micro-batch runs the exact gate → near-dup gate → ledger core
+    under its own monotone ``b<id>`` key, so at-least-once foreachBatch
+    inherits the per-key idempotence, and ``finalize_disposition`` over
+    the accumulated stores row-equals the one-shot lane for any drop
+    split in which a re-crawl lands no earlier than its original (the
+    gate-in-front contract; pinned in tests/test_corpus_build.py).
+    Returns the per-batch gate reports; a no-op drain returns []."""
+    from data_ingestion_lambda_spark.streaming.index_streams import (
+        _auto_compact_after_drain,
+        _drain,
+    )
+
+    reports = _drain(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        CORPUS_DOCS_SCHEMA,
+        lambda batch, key: gate_and_ledger_batch(spark, work_dir, batch, key),
+        max_files_per_trigger,
+    )
+    from data_ingestion_lambda_spark.operators.dedup_gate import compact_gate_index
+
+    for name in (EXACT_INDEX, MINHASH_INDEX):
+        ac = _auto_compact_after_drain(
+            spark,
+            _store(work_dir, name),
+            checkpoint_dir,
+            auto_compact_max_dirs,
+            lambda kf, _d=_store(work_dir, name): compact_gate_index(spark, _d, kf),
+        )
+        if ac is not None:
+            reports.append({name: ac})
+    return reports
 
 
 def finalize_disposition(spark: SparkSession, work_dir: str) -> DataFrame:

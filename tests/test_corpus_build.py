@@ -231,3 +231,38 @@ def test_erase_then_finalize_equals_never_ingested(spark, tmp_path):
     out2 = str(tmp_path / "out2")
     run_corpus_build(spark, filt, str(tmp_path / "work2"), n_days=2, out_dir=out2)
     assert erased_rows == _rows(spark.read.parquet(out2))
+
+
+def test_streamed_drops_equal_one_shot(spark, built, tmp_path):
+    """Structured Streaming in front of the capstone: document drops
+    drained through the offset log, each micro-batch gated+ledgered
+    under its own b<id> key — finalize over the accumulated stores
+    row-equals the one-shot lane, and a re-drain is a checkpointed
+    no-op."""
+    from data_ingestion_lambda_spark.operators.corpus_build import (
+        batch_for_day,
+        run_corpus_build_available_now,
+    )
+    from data_ingestion_lambda_spark.plans.corpus_build import corpus_with_recrawl
+
+    corpus = corpus_with_recrawl(spark, SF_SMOKE)
+    drops = str(tmp_path / "drops")
+    # three drops in arrival order; the re-crawl sweep lands last (the
+    # gate-in-front contract needs originals no later than re-crawls)
+    for d in range(3):
+        batch_for_day(corpus, d, 3).coalesce(1).write.parquet(
+            f"{drops}/drop{d}.parquet"
+        )
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    reports = run_corpus_build_available_now(
+        spark, drops, work, ckpt, max_files_per_trigger=1
+    )
+    assert len(reports) == 3
+    assert sum(r["exact_flagged"] for r in reports) == _N_RECRAWL
+    disp = finalize_disposition(spark, work)
+    try:
+        assert _rows(disp) == built["one_rows"]
+    finally:
+        release_pinned()
+    # drained checkpoint: a re-run sees nothing new
+    assert run_corpus_build_available_now(spark, drops, work, ckpt) == []
