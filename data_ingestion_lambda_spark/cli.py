@@ -2188,10 +2188,13 @@ def main(argv: list[str] | None = None) -> int:
             and args.query is None
             and args.stream_source is None
             and args.retrain_to is None
+            and args.compact_keep_from is None
+            and args.auto_compact_max_dirs is None
         ):
             raise SystemExit(
                 "ann-index: need --train, --batch, --stream-source, "
-                "--retrain-to and/or --query"
+                "--retrain-to, --query, --compact-keep-from and/or "
+                "--auto-compact-max-dirs"
             )
         if args.batch is not None and args.date is None:
             raise SystemExit("ann-index: --batch requires --date")

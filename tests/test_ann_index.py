@@ -419,3 +419,23 @@ def test_train_refuses_in_place_retrain_over_live_cells(spark, tmp_path):
     idx, vecs = _build(spark, tmp_path)
     with pytest.raises(ValueError, match="already holds cell assignments"):
         train_index(spark, idx, vecs)
+
+
+def test_cli_standalone_compaction_invocation(spark, tmp_path, capsys):
+    """A maintenance-only invocation (no train/batch/query) must be
+    accepted: --compact-keep-from / --auto-compact-max-dirs are
+    operations in their own right (review r13 — the need-an-operation
+    guard rejected them)."""
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+
+    idx, vecs = _build(spark, tmp_path)
+    assert main(
+        ["ann-index", "--index", idx, "--compact-keep-from", f"2025-07-0{_N_DAYS}"]
+    ) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["compaction"]["folded"]["cells"] == _N_DAYS - 1
+    assert main(["ann-index", "--index", idx, "--auto-compact-max-dirs", "10"]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["auto_compact"]["due"] is False
