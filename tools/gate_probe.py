@@ -899,6 +899,71 @@ def run_autocompact(spark, rep_dir: str, n_applies: int = 60, max_dirs: int = 10
     )
 
 
+def run_corpusbuild(spark, n_days: int = 30) -> None:
+    """Composed per-drop economics for the incremental corpus-build
+    (operators/corpus_build.py): N daily drops — each the sf0.001
+    documents table under fresh ids with scale_probe's `r{i}_` token
+    rewrite, so drops are mutually dissimilar (within-drop dup/quality
+    structure preserved, no cross-drop near-dup blowup) — flow through
+    gate_and_ledger_batch into one work dir. The claim under test: a
+    drop's wall is batch-sized (gates probe persisted indexes, scoring
+    is row-local), so per-drop cost must stay ~flat while the indexed
+    corpus grows N×; the finalize (CC + BFS + assembly over accumulated
+    ledgers) is priced once at the end."""
+    import shutil
+
+    from data_ingestion_lambda_spark.operators.corpus_build import (
+        finalize_disposition,
+        gate_and_ledger_batch,
+    )
+    from data_ingestion_lambda_spark.plans.registry import release_pinned
+    from tools.scale_probe import ID_STRIDE
+
+    work = "/tmp/gate_probe_corpusbuild"
+    shutil.rmtree(work, ignore_errors=True)
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text", "n_chars"
+    ).persist()
+    base.count()
+    walls = []
+    for d in range(n_days):
+        drop = base.withColumn("doc_id", F.col("doc_id") + F.lit(d * ID_STRIDE))
+        if d > 0:
+            drop = drop.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"r{d}_$1")
+            ).withColumn("n_chars", F.length("text"))
+        t0 = time.time()
+        rep = gate_and_ledger_batch(spark, work, drop, f"d{d:03d}")
+        walls.append(round(time.time() - t0, 2))
+        print(
+            json.dumps({"mode": "corpusbuild", "day": d, "wall_s": walls[-1],
+                        "pairs": rep["near_dup_pairs"]}),
+            flush=True,
+        )
+    t0 = time.time()
+    n_rows = finalize_disposition(spark, work).count()
+    fin = round(time.time() - t0, 2)
+    release_pinned()
+    base.unpersist()
+    head = sum(walls[1:6]) / 5  # day 0 pays session warm-up; skip it
+    tail = sum(walls[-5:]) / 5
+    print(
+        json.dumps(
+            {
+                "mode": "corpusbuild",
+                "summary": True,
+                "days": n_days,
+                "drop_wall_days_1_5_s": round(head, 2),
+                "drop_wall_last_5_s": round(tail, 2),
+                "growth_ratio": round(tail / max(head, 1e-9), 2),
+                "finalize_s": fin,
+                "disposition_rows": n_rows,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -916,7 +981,12 @@ def main() -> None:
 
     spark = get_spark("gate_probe")
     rep_dir = "/tmp/gate_probe_10x"
-    if not os.path.exists(f"{rep_dir}/documents.parquet"):
+    modes = [m for m in args.modes.split(",") if m]
+    # corpusbuild builds its own drops from sf0.001 — don't pay the 10x
+    # replication for a run that never reads it
+    if set(modes) != {"corpusbuild"} and not os.path.exists(
+        f"{rep_dir}/documents.parquet"
+    ):
         build_replicated(spark, "/root/testdata/sf0.1", rep_dir, 10)
 
     for mode in [m for m in args.modes.split(",") if m]:
@@ -936,6 +1006,8 @@ def main() -> None:
             run_attribution_stream(spark, rep_dir)
         elif mode == "autocompact":
             run_autocompact(spark, rep_dir)
+        elif mode == "corpusbuild":
+            run_corpusbuild(spark)
         elif mode == "session":
             extra = [
                 tuple(pair.split("=", 1))
