@@ -191,12 +191,16 @@ def build_parser() -> argparse.ArgumentParser:
     ers.add_argument(
         "--store",
         default=None,
-        help="erase a MAINTAINED STORE instead of a data table: one of "
-        "feature-store, session-store, touch-store, markov-store, "
-        "attribution-store, attribution-ledger, dedup-gate, search-index, "
-        "ann-index, hh-store (anti-join rewrite of affected partitions); "
-        "the sketch stores (bloom/cms/vocab/dsir/drift) refuse with the "
-        "rebuild-or-rotate runbook (see OPERATIONS.md)",
+        help="erase a MAINTAINED STORE or table-adjacent artifact instead "
+        "of a data table: feature-store, session-store, touch-store, "
+        "markov-store, attribution-store, attribution-ledger, dedup-gate, "
+        "search-index, ann-index, hh-store, corpus-build (anti-join "
+        "rewrite of affected partitions); scd2 (whole-table staged swap), "
+        "snapshots (erase-through every .snapshots version, manifests "
+        "updated), cdc-feed (--target is the _changes dir), quarantine "
+        "(_batch_id-keyed rewrite). The sketch stores "
+        "(bloom/cms/vocab/dsir/drift) refuse with the rebuild-or-rotate "
+        "runbook (see OPERATIONS.md)",
     )
     ers.add_argument(
         "--request-id",
@@ -207,6 +211,31 @@ def build_parser() -> argparse.ArgumentParser:
         "--verify-only",
         action="store_true",
         help="report the residual row count without erasing",
+    )
+    ers.add_argument(
+        "--jdbc-url",
+        default=None,
+        help="erase on an RDBMS target instead of parquet: stage the keys, "
+        "one set-based DELETE, zero-residual COUNT verify (--target names "
+        "the TABLE here; default key column client_id)",
+    )
+    ers.add_argument(
+        "--jdbc-staging",
+        default="erase_keys_staging",
+        help="staging table for the subject keys (--jdbc-url only)",
+    )
+    ers.add_argument(
+        "--jdbc-quote",
+        default=None,
+        help="identifier quote for uppercase-folding dialects "
+        "(Derby/Oracle/DB2: pass '\"'; --jdbc-url only)",
+    )
+    ers.add_argument(
+        "--jdbc-staging-types",
+        default=None,
+        help="createTableColumnTypes for the staging write (Derby maps "
+        "string->CLOB which is not comparable: pass e.g. "
+        "'client_id VARCHAR(32)'; --jdbc-url only)",
     )
 
     snp = sub.add_parser(
@@ -907,8 +936,9 @@ def build_parser() -> argparse.ArgumentParser:
     cbd.add_argument(
         "--finalize-only",
         action="store_true",
-        help="skip the daily passes and just assemble the disposition table "
-        "from current store state",
+        help="assemble the disposition table from current store state "
+        "(combined with --day: run that day's pass FIRST, then finalize — "
+        "the one-command 'last day + assemble' invocation)",
     )
     cbd.add_argument("--out", default=None, help="write the disposition parquet here")
     cbd.add_argument(
@@ -916,11 +946,21 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         metavar="N",
-        help="dir-count auto-compaction for the two GATE indexes after each "
-        "day's applies (the unbounded-days knob): when live date partitions "
-        "exceed N, fold the oldest into the base so about N/2 remain. The "
-        "finalized disposition is unchanged; a replay of a FOLDED day "
-        "refuses (spent key) — boundedness traded for replayability",
+        help="dir-count auto-compaction for the two GATE indexes AND the "
+        "five work-dir ledgers after each day's applies (the "
+        "unbounded-days knob): when live date partitions exceed N, fold "
+        "the oldest into the base so about N/2 remain. The finalized "
+        "disposition is unchanged; a replay of a FOLDED day refuses "
+        "(spent key) — boundedness traded for replayability",
+    )
+    cbd.add_argument(
+        "--compact-ledgers-keep-from",
+        default=None,
+        metavar="KEY",
+        help="manual date-fold of the five work-dir ledgers "
+        "(pairs/exact_matches/verdicts/grams/docs): fold every date= "
+        "partition strictly below KEY into the base, then exit (no day "
+        "pass; finalize unchanged, folded days' replay keys spent)",
     )
     _add_stream_args(cbd, "document")
 
@@ -1010,6 +1050,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({"statusCode": 200, "batches": reports}))
             return 0
+        if args.compact_ledgers_keep_from is not None:
+            from data_ingestion_lambda_spark.operators.corpus_build import (
+                compact_corpus_ledgers,
+            )
+
+            spark = get_spark("data-ingestion-cli")
+            rep = compact_corpus_ledgers(
+                spark, args.work_dir, args.compact_ledgers_keep_from
+            )
+            print(json.dumps({"statusCode": 200, "compaction": rep}))
+            return 0
         if args.day is not None and not (0 <= args.day < args.days):
             # A forgotten --days would otherwise fall back to 1 and gate
             # the ENTIRE corpus under this day's partition (n_days == 1 is
@@ -1020,10 +1071,10 @@ def main(argv: list[str] | None = None) -> int:
                 f"--days {args.days} — pass the SAME --days on every "
                 "scheduled invocation (it defines the arrival model)"
             )
-        if args.data is None and not args.finalize_only:
+        if args.data is None and (args.day is not None or not args.finalize_only):
             raise SystemExit(
                 "corpus-build: --data is required unless --stream-source "
-                "or --finalize-only"
+                "or --finalize-only (a --day pass always needs it)"
             )
         spark = get_spark("data-ingestion-cli")
         if args.day is not None:
@@ -1035,8 +1086,13 @@ def main(argv: list[str] | None = None) -> int:
                 args.days,
                 auto_compact_max_dirs=args.auto_compact_max_dirs,
             )
-            print(json.dumps({"statusCode": 200, "day": day_rep}))
-            return 0
+            # --day + --finalize-only = "run the last day, then assemble"
+            # (ADVICE r13: the finalize used to be silently skipped here);
+            # without the flag the scheduled per-day invocation returns as
+            # before.
+            if not args.finalize_only:
+                print(json.dumps({"statusCode": 200, "day": day_rep}))
+                return 0
         if args.finalize_only:
             disp = finalize_disposition(spark, args.work_dir)
             try:
@@ -1051,9 +1107,12 @@ def main(argv: list[str] | None = None) -> int:
                 }
             finally:
                 release_pinned()
-            print(json.dumps({"statusCode": 200,
-                              "disposition_counts": dict(sorted(hist.items())),
-                              "out": args.out}))
+            out = {"statusCode": 200,
+                   "disposition_counts": dict(sorted(hist.items())),
+                   "out": args.out}
+            if args.day is not None:
+                out["day"] = day_rep
+            print(json.dumps(out))
             return 0
         report = run_corpus_build(
             spark,
@@ -2351,7 +2410,75 @@ def main(argv: list[str] | None = None) -> int:
             verify_store_erasure,
         )
 
-        if args.store is not None:
+        if args.jdbc_url is not None:
+            from data_ingestion_lambda_spark.operators.jdbc_upsert import (
+                erase_via_jdbc,
+            )
+
+            if args.store is not None:
+                print(json.dumps({
+                    "statusCode": 400,
+                    "message": "erase: --jdbc-url and --store are mutually "
+                    "exclusive (--target names the DB table for --jdbc-url)",
+                }))
+                return 1
+            if not args.verify_only and not args.request_id:
+                print(json.dumps({"statusCode": 400,
+                                  "message": "erase needs --request-id"}))
+                return 1
+            key_col = args.key_col if args.key_col is not None else "client_id"
+            keys = spark.read.parquet(args.keys).select(key_col)
+            report = erase_via_jdbc(
+                keys,
+                args.jdbc_url,
+                args.target,
+                key_col=key_col,
+                staging_table=args.jdbc_staging,
+                ident_quote=args.jdbc_quote,
+                staging_column_types=args.jdbc_staging_types,
+                verify_only=args.verify_only,
+            )
+            if args.request_id:
+                report["request_id"] = args.request_id
+            print(json.dumps({"statusCode": 200, **report}))
+            return 0 if report["residual_rows"] == 0 else 1
+
+        from data_ingestion_lambda_spark.operators.scd2 import (
+            erase_scd2,
+            verify_scd2_erasure,
+        )
+        from data_ingestion_lambda_spark.operators.snapshot import (
+            erase_snapshot_versions,
+            verify_snapshot_erasure,
+        )
+
+        # Table-adjacent artifacts (VERDICT r13 #1): erased through their
+        # own machinery, not the STORE_SPECS partition rewrite. Each entry:
+        # (default key col, erase fn, verify fn).
+        artifact = {
+            "scd2": ("user_id", erase_scd2, verify_scd2_erasure),
+            "snapshots": ("user_id", erase_snapshot_versions, verify_snapshot_erasure),
+            "cdc-feed": (
+                "client_id",
+                lambda sp, t, k, rid, key_col: erase_keys(
+                    sp, t, k, rid, key_col=key_col
+                ),
+                lambda sp, t, k, key_col: verify_erasure(
+                    sp, t, k, key_col=key_col
+                ),
+            ),
+            "quarantine": (
+                "client_id",
+                lambda sp, t, k, rid, key_col: erase_keys(
+                    sp, t, k, rid, key_col=key_col, part_col="_batch_id"
+                ),
+                lambda sp, t, k, key_col: verify_erasure(
+                    sp, t, k, key_col=key_col, part_col="_batch_id"
+                ),
+            ),
+        }
+
+        if args.store is not None and args.store not in artifact:
             if args.store not in STORE_SPECS:
                 # unknown name or an unlearnable sketch store: surface the
                 # refusal/remedy BEFORE touching the keys parquet (the
@@ -2366,7 +2493,7 @@ def main(argv: list[str] | None = None) -> int:
                     _rebuild_remedy(args.store)
                     if args.store in UNLEARNABLE
                     else f"unknown store {args.store!r} "
-                    f"(erasable: {sorted(STORE_SPECS)}; "
+                    f"(erasable: {sorted(STORE_SPECS) + sorted(artifact)}; "
                     f"rebuild-or-rotate: {sorted(UNLEARNABLE)})"
                 )
                 print(json.dumps({"statusCode": 400, "message": msg}))
@@ -2376,23 +2503,32 @@ def main(argv: list[str] | None = None) -> int:
                 if args.key_col is not None
                 else STORE_SPECS[args.store].key_col
             )
+        elif args.store is not None:
+            key_col = args.key_col if args.key_col is not None else artifact[args.store][0]
         else:
             key_col = args.key_col if args.key_col is not None else "user_id"
         keys = spark.read.parquet(args.keys).select(key_col)
         if args.verify_only:
-            residual = (
-                verify_store_erasure(
+            if args.store in artifact:
+                residual = artifact[args.store][2](
+                    spark, args.target, keys, key_col
+                )
+            elif args.store is not None:
+                residual = verify_store_erasure(
                     spark, args.store, args.target, keys, key_col=key_col
                 )
-                if args.store is not None
-                else verify_erasure(spark, args.target, keys, key_col=key_col)
-            )
+            else:
+                residual = verify_erasure(spark, args.target, keys, key_col=key_col)
             print(json.dumps({"statusCode": 200, "residual_rows": residual}))
             return 0 if residual == 0 else 1
         if not args.request_id:
             print(json.dumps({"statusCode": 400, "message": "erase needs --request-id"}))
             return 1
-        if args.store is not None:
+        if args.store in artifact:
+            _, erase_fn, verify_fn = artifact[args.store]
+            report = erase_fn(spark, args.target, keys, args.request_id, key_col)
+            report["residual_rows"] = verify_fn(spark, args.target, keys, key_col)
+        elif args.store is not None:
             try:
                 report = erase_store(
                     spark, args.store, args.target, keys, args.request_id,

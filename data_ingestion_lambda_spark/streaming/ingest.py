@@ -31,10 +31,32 @@ from pyspark.sql import functions as F
 
 from data_ingestion_lambda_spark.functions.normalize import normalize_consumption
 from data_ingestion_lambda_spark.operators.upsert import (
+    replace_partitions,
     upsert_into_parquet,
     upsert_into_parquet_with_cdc,
 )
 from data_ingestion_lambda_spark.schemas import CONSUMPTION_RAW_SCHEMA, CORRUPT_COL
+
+QUARANTINE_PART_COL = "_batch_id"
+
+
+def _write_quarantine(
+    spark: SparkSession, quarantine_dir: str, quarantined: DataFrame, batch_id: int
+) -> None:
+    """Persist the batch's bad rows under their own ``_batch_id=<id>``
+    partition via the staged swap, so an at-least-once REPLAY of an
+    uncommitted micro-batch overwrites its own evidence instead of
+    appending a duplicate copy (ADVICE r13 — the old ``mode('append')``
+    write duplicated quarantine rows on every replay). The underscore
+    partition name stays reader-visible: Spark's file index exempts
+    ``_name=value`` partition dirs from its hidden-path filter."""
+    replace_partitions(
+        spark,
+        quarantine_dir,
+        quarantined.withColumn(QUARANTINE_PART_COL, F.lit(batch_id)),
+        [batch_id],
+        part_col=QUARANTINE_PART_COL,
+    )
 
 
 @dataclass
@@ -109,11 +131,7 @@ def _process_batch(
         processed_dates.update(written)
 
     if paths.quarantine_dir is not None:
-        (
-            quarantined.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(paths.quarantine_dir)
-        )
+        _write_quarantine(spark, paths.quarantine_dir, quarantined, batch_id)
     if paths.log_dir is not None:
         # The audit twin (src/s3_processor.py:147-154) as an append-only
         # table, from the observed metrics. An empty batch short-circuits
@@ -196,11 +214,7 @@ def run_ingest_to_jdbc_available_now(
         # (the parquet lane's discipline) BEFORE the MERGE, so a crash
         # after the checkpoint commit can never lose the evidence.
         if quarantine_dir is not None:
-            (
-                quarantined.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(quarantine_dir)
-            )
+            _write_quarantine(spark, quarantine_dir, quarantined, batch_id)
         # one winning row per MERGE key, same order as the parquet sink
         order = F.struct("_source_file", "_block_start", "_ingest_seq")
         payload = [c for c in good.columns if not c.startswith("_")]

@@ -234,6 +234,32 @@ class TestStreamingIngest:
         log = spark.read.parquet(paths.log_dir)
         assert log.count() >= 2
 
+    def test_quarantine_replay_overwrites_not_appends(self, spark, tmp_path):
+        """An at-least-once REPLAY of a micro-batch must overwrite its own
+        quarantine partition, never append a duplicate copy of the
+        evidence (ADVICE r13: _batch_id was only a column, not an
+        overwrite key)."""
+        from data_ingestion_lambda_spark.streaming.ingest import _write_quarantine
+
+        qdir = str(tmp_path / "quarantine")
+        bad = spark.createDataFrame(
+            [("not-a-date", "CLI009"), ("also-bad", "CLI010")],
+            "date string, client_id string",
+        )
+        _write_quarantine(spark, qdir, bad, 7)
+        assert spark.read.parquet(qdir).count() == 2
+        _write_quarantine(spark, qdir, bad, 7)  # the replay
+        q = spark.read.parquet(qdir)
+        assert q.count() == 2
+        assert {r["_batch_id"] for r in q.select("_batch_id").collect()} == {7}
+        # a different batch's evidence lands alongside, untouched
+        _write_quarantine(
+            spark, qdir,
+            spark.createDataFrame([("x", "CLI011")], "date string, client_id string"),
+            8,
+        )
+        assert spark.read.parquet(qdir).count() == 3
+
     def test_empty_header_only_file(self, spark, tmp_path):
         paths = self._paths(tmp_path)
         write_csv(drop_dir(paths.source_dir, "2025_05_01"), "consumption_2025_05_01.csv", [])

@@ -273,3 +273,68 @@ def test_streamed_ingest_to_jdbc_merge_end_to_end(spark, tmp_path):
     )
     assert n >= 1
     assert _rows_no_ts(spark, url) == want
+
+
+# ---------------------------------------------------------------------------
+# Erase on the JDBC target (VERDICT r13 #4): the deletion request no
+# longer stops at parquet — staged keys, one set-based DELETE, residual
+# COUNT verify, all on embedded Derby.
+# ---------------------------------------------------------------------------
+
+
+def test_erase_via_jdbc_on_derby(spark, derby):
+    from data_ingestion_lambda_spark.operators.jdbc_upsert import erase_via_jdbc
+
+    _run_upsert(spark, derby)  # c1 updated, c2 untouched, c3 inserted
+    keys = spark.createDataFrame([("c1",), ("c3",)], "client_id string")
+
+    rep = erase_via_jdbc(
+        keys, derby, "consumptions",
+        key_col="client_id",
+        ident_quote='"',
+        staging_column_types="client_id VARCHAR(32)",
+    )
+    assert rep["rows_deleted"] == 2
+    assert rep["residual_rows"] == 0
+    # the other subject's row survives the keyed DELETE
+    assert [r[1] for r in _read_target(spark, derby)] == ["c2"]
+
+    # replay: same staged keys, zero deletions, still zero residual
+    rep2 = erase_via_jdbc(
+        keys, derby, "consumptions",
+        key_col="client_id",
+        ident_quote='"',
+        staging_column_types="client_id VARCHAR(32)",
+    )
+    assert rep2 == {"rows_deleted": 0, "residual_rows": 0}
+
+
+def test_cli_erase_jdbc_roundtrip(spark, derby, tmp_path, capsys):
+    import json
+
+    from data_ingestion_lambda_spark.cli import main
+
+    _run_upsert(spark, derby)
+    kf = str(tmp_path / "keys")
+    spark.createDataFrame([("c2",)], "client_id string").write.parquet(kf)
+
+    rc = main([
+        "erase", "--target", "consumptions", "--keys", kf,
+        "--jdbc-url", derby, "--request-id", "req-jdbc-1",
+        "--jdbc-quote", '"',
+        "--jdbc-staging-types", "client_id VARCHAR(32)",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["rows_deleted"] == 1 and out["residual_rows"] == 0
+    assert sorted(r[1] for r in _read_target(spark, derby)) == ["c1", "c3"]
+
+    # verify-only audit form: no further deletions, residual stays 0
+    rc = main([
+        "erase", "--target", "consumptions", "--keys", kf,
+        "--jdbc-url", derby, "--verify-only",
+        "--jdbc-quote", '"',
+        "--jdbc-staging-types", "client_id VARCHAR(32)",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["residual_rows"] == 0

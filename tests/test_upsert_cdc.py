@@ -52,8 +52,11 @@ def test_cdc_feed_and_apply_equivalence(spark, tmp_path):
 
     # materialize the pre state as PLAIN ROWS — persisting the DataFrame
     # would also hijack later reads of the same path via the plan cache
+    # keys normalized to ISO strings: the feed's row_date is pinned to
+    # string (stable across the first-batch/later-batch merge paths),
+    # while the table's partition column reads back as DATE
     pre_rows = {
-        (r.date, r.client_code): r.total_consumed_tokens
+        (str(r.date), r.client_code): r.total_consumed_tokens
         for r in spark.read.parquet(target).collect()
     }
 
@@ -86,9 +89,9 @@ def test_cdc_feed_and_apply_equivalence(spark, tmp_path):
     applied = dict(pre_rows)
     for r in spark.read.parquet(f"{feed_dir}/date=b2").collect():
         applied[(r.row_date, r.client_code)] = r.total_consumed_tokens
-    assert sorted((d, c, v) for (d, c), v in applied.items()) == _table(
-        spark, target
-    )
+    assert sorted((d, c, v) for (d, c), v in applied.items()) == [
+        (str(d), c, v) for d, c, v in _table(spark, target)
+    ]
 
 
 def test_cdc_replay_is_idempotent_and_matches_plain_upsert(spark, tmp_path):
