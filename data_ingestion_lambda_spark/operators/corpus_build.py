@@ -185,7 +185,60 @@ def run_day(
             )
             for name in (EXACT_INDEX, MINHASH_INDEX)
         }
+        # the five ledgers fold together under the work-dir-root horizon;
+        # the dir count is taken from the docs ledger (every day writes it)
+        report["auto_compact"]["ledgers"] = auto_compact_epilogue(
+            spark,
+            work_dir,
+            max_dirs=auto_compact_max_dirs,
+            compact_fn=lambda kf: compact_corpus_ledgers(spark, work_dir, kf),
+            count_dir=_store(work_dir, DOCS),
+            part_key=PARTITION_COL,
+        )
     return report
+
+
+# The five work-dir LEDGERS (vs the two gate INDEXES, which have their
+# own fold via compact_gate_index): disjoint rows per day, read by
+# finalize with the partition column dropped — so their fold is pure
+# concatenation into the reserved base and finalize semantics are
+# unchanged by construction.
+LEDGERS = (PAIRS, EXACT_MATCHES, VERDICTS, GRAMS, DOCS)
+
+
+def compact_corpus_ledgers(
+    spark: SparkSession, work_dir: str, keep_from: str
+) -> dict:
+    """Date-fold for the corpus-build work-dir ledgers (VERDICT r13 #2):
+    every ``date=`` partition of pairs/exact_matches/verdicts/grams/docs
+    strictly below ``keep_from`` folds into the reserved base partition,
+    under ONE ``_horizon=`` marker at the work-dir root (the five always
+    fold together — a day's rows span all five, and a partially-folded
+    day would make the replay refusal inconsistent across them).
+
+    Finalize is unchanged: ``_read_store*`` drops the partition column,
+    so concatenation is exact by construction (row-equality pinned in
+    tests/test_corpus_build.py). What folding SPENDS is the folded days'
+    replay keys — ``gate_and_ledger_batch`` refuses a batch date below
+    the horizon, because its ledger writes could no longer overwrite
+    only themselves. Standard base_fold crash discipline (horizon
+    marker first, staged swap per sub-table, stranded-staging
+    refusal)."""
+    from data_ingestion_lambda_spark.operators.base_fold import (
+        BASE_KEY,
+        base_fold,
+    )
+
+    concat = lambda src: (src.drop(PARTITION_COL), [])  # noqa: E731
+    return base_fold(
+        spark,
+        work_dir,
+        keep_from,
+        op_name="corpus-build ledger compact",
+        part_key=PARTITION_COL,
+        base_key=BASE_KEY,
+        subtables={name: concat for name in LEDGERS},
+    )
 
 
 def gate_and_ledger_batch(
@@ -196,6 +249,15 @@ def gate_and_ledger_batch(
     index state, ``before_date`` — batch keys must be MONOTONE) →
     verdict/gram/docs ledgers, everything landing under ``date=<date>``
     partitions. ``batch`` carries (doc_id, source, text, n_chars)."""
+    from data_ingestion_lambda_spark.operators.base_fold import (
+        check_not_below_horizon,
+    )
+
+    # A date whose ledger partitions were folded into the base cannot
+    # overwrite itself — refuse the spent key before any store is touched
+    # (the gate indexes carry their own identical refusal inside
+    # apply_batch; the two policies can be turned independently).
+    check_not_below_horizon(spark, work_dir, date, "corpus-build ledgers")
 
     # 1. exact gate in front — flagged docs are indexed but do not proceed.
     rep_exact = apply_batch(
@@ -318,6 +380,16 @@ def run_corpus_build_available_now(
         )
         if ac is not None:
             reports.append({name: ac})
+    ac = _auto_compact_after_drain(
+        spark,
+        work_dir,
+        checkpoint_dir,
+        auto_compact_max_dirs,
+        lambda kf: compact_corpus_ledgers(spark, work_dir, kf),
+        count_dir=_store(work_dir, DOCS),
+    )
+    if ac is not None:
+        reports.append({"ledgers": ac})
     return reports
 
 
@@ -326,6 +398,16 @@ def finalize_disposition(spark: SparkSession, work_dir: str) -> DataFrame:
     same assembly as the one-shot lane, parts sourced from the ledgers."""
     docs = _read_store_typed(spark, work_dir, DOCS, "doc_id long, source string, n_chars long, bucket bigint")
 
+    # Every ledger read above goes through the typed empty-store guard;
+    # the exact index is the one store finalize cannot fake an empty twin
+    # for (its rows drive canonicalization), so an un-ingested work dir
+    # refuses cleanly instead of dying in schema inference (ADVICE r13).
+    if not list_partition_dates(spark, _store(work_dir, EXACT_INDEX)):
+        raise ValueError(
+            f"finalize_disposition: no day has been ingested into work dir "
+            f"{work_dir} yet (the exact gate index is empty) — run the "
+            "daily passes (corpus-build --day / --stream-source) first"
+        )
     exact_idx = spark.read.parquet(_store(work_dir, EXACT_INDEX)).select("doc_id", "sig")
     canon = exact_idx.groupBy("sig").agg(F.min("doc_id").alias("_canon"))
     exact_flags = exact_idx.join(canon, "sig").select(

@@ -142,11 +142,16 @@ def test_auto_compacted_gates_leave_disposition_unchanged(spark, built, tmp_path
         MINHASH_INDEX,
     )
 
+    from data_ingestion_lambda_spark.operators.corpus_build import LEDGERS
+
     work = str(tmp_path / "work")
     report = run_corpus_build(
         spark, SF_SMOKE, work, n_days=5, auto_compact_max_dirs=2
     )
-    for name in (EXACT_INDEX, MINHASH_INDEX):
+    # gate indexes AND the five work-dir ledgers stay dir-bounded
+    # (VERDICT r13 #2: the ledgers used to grow one date= dir per day
+    # unbounded)
+    for name in (EXACT_INDEX, MINHASH_INDEX, *LEDGERS):
         dates = [
             n
             for n in os.listdir(os.path.join(work, name))
@@ -157,6 +162,7 @@ def test_auto_compacted_gates_leave_disposition_unchanged(spark, built, tmp_path
         d["auto_compact"][EXACT_INDEX].get("due") for d in report["days"]
     ]
     assert any(folds)  # the policy actually fired
+    assert any(d["auto_compact"]["ledgers"].get("due") for d in report["days"])
     disp = finalize_disposition(spark, work)
     try:
         assert _rows(disp) == built["one_rows"]
@@ -165,6 +171,96 @@ def test_auto_compacted_gates_leave_disposition_unchanged(spark, built, tmp_path
     # day 0's key was folded — its replay refuses instead of double-counting
     with pytest.raises(ValueError, match="horizon"):
         run_day(spark, SF_SMOKE, work, 0, 5)
+
+
+def test_ledger_fold_alone_preserves_finalize_and_erasure(spark, built, tmp_path):
+    """The ledger fold in isolation (manual compact_corpus_ledgers, no
+    gate fold): finalize row-equals the unfolded work dir by pure
+    concatenation, a folded day's replay refuses at the LEDGER horizon,
+    and store erasure still reaches rows folded into the base
+    partitions."""
+    import shutil
+
+    import pytest
+
+    from data_ingestion_lambda_spark.operators.corpus_build import (
+        compact_corpus_ledgers,
+    )
+    from data_ingestion_lambda_spark.operators.store_erasure import (
+        erase_store,
+        verify_store_erasure,
+    )
+
+    work = str(tmp_path / "work")
+    shutil.copytree(built["work"], work)
+    rep = compact_corpus_ledgers(spark, work, keep_from="d002")
+    assert rep["horizon"] == "d002"
+    # docs/verdicts/grams land every day; the flag tables (pairs /
+    # exact_matches) only on days that produced matches — d000/d001 may
+    # legitimately have none to fold
+    for name in ("docs", "verdicts", "grams"):
+        assert rep["folded"][name] >= 1, rep["folded"]
+
+    disp = finalize_disposition(spark, work)
+    try:
+        assert _rows(disp) == built["one_rows"]
+    finally:
+        release_pinned()
+
+    # a folded day refuses at the ledger horizon even though the GATE
+    # indexes were never folded (independent policies)
+    with pytest.raises(ValueError, match="corpus-build ledgers"):
+        run_day(spark, SF_SMOKE, work, 0, 3)
+
+    # erasure reaches base-partition rows: pick a doc that is in the fold
+    doc = spark.read.parquet(f"{work}/docs").limit(1).collect()[0]["doc_id"]
+    keys = spark.createDataFrame([(doc,)], "doc_id long")
+    erase_store(spark, "corpus-build", work, keys, request_id="req-fold-1")
+    assert verify_store_erasure(spark, "corpus-build", work, keys) == 0
+
+
+def test_cli_day_then_finalize_runs_both(spark, built, tmp_path, capsys):
+    """--day N --finalize-only is the one-command 'run the last day and
+    assemble' invocation (ADVICE r13: the finalize used to be silently
+    skipped): the day pass runs, THEN the disposition assembles."""
+    from data_ingestion_lambda_spark.cli import main
+
+    work = str(tmp_path / "work")
+    for day in ("0", "1"):
+        assert main([
+            "corpus-build", "--data", SF_SMOKE, "--work-dir", work,
+            "--days", "3", "--day", day,
+        ]) == 0
+    rc = main([
+        "corpus-build", "--data", SF_SMOKE, "--work-dir", work,
+        "--days", "3", "--day", "2", "--finalize-only",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["statusCode"] == 200
+    assert report["day"]["date"] == "d002"  # the day pass ran
+    want = {}
+    for r in built["one_rows"]:
+        want[r[2]] = want.get(r[2], 0) + 1
+    assert report["disposition_counts"] == want  # and the finalize ran
+
+
+def test_cli_day_finalize_requires_data(tmp_path):
+    from data_ingestion_lambda_spark.cli import main
+
+    with pytest.raises(SystemExit, match="--data is required"):
+        main([
+            "corpus-build", "--work-dir", str(tmp_path / "w"),
+            "--days", "3", "--day", "2", "--finalize-only",
+        ])
+
+
+def test_finalize_empty_work_dir_refuses(spark, tmp_path):
+    """--finalize-only on a work dir no day has ever ingested into must
+    refuse with the remedy, not die in parquet schema inference
+    (ADVICE r13)."""
+    with pytest.raises(ValueError, match="no day has been ingested"):
+        finalize_disposition(spark, str(tmp_path / "fresh"))
 
 
 def test_cli_day_out_of_range_refuses(tmp_path):

@@ -899,7 +899,7 @@ def run_autocompact(spark, rep_dir: str, n_applies: int = 60, max_dirs: int = 10
     )
 
 
-def run_corpusbuild(spark, n_days: int = 30) -> None:
+def run_corpusbuild(spark, n_days: int = 30, warmup_drops: int = 0) -> None:
     """Composed per-drop economics for the incremental corpus-build
     (operators/corpus_build.py): N daily drops — each the sf0.001
     documents table under fresh ids with scale_probe's `r{i}_` token
@@ -909,7 +909,13 @@ def run_corpusbuild(spark, n_days: int = 30) -> None:
     drop's wall is batch-sized (gates probe persisted indexes, scoring
     is row-local), so per-drop cost must stay ~flat while the indexed
     corpus grows N×; the finalize (CC + BFS + assembly over accumulated
-    ledgers) is priced once at the end."""
+    ledgers) is priced once at the end.
+
+    ``warmup_drops`` (VERDICT r13 #5): run that many UNMEASURED drops
+    into a throwaway work dir first, so JVM/codegen session warm-up is
+    paid before the measured sequence starts and the head/tail flatness
+    claim stands on clean adjacent pairs — the measured work dir's
+    content is untouched by the warm-up."""
     import shutil
 
     from data_ingestion_lambda_spark.operators.corpus_build import (
@@ -925,6 +931,12 @@ def run_corpusbuild(spark, n_days: int = 30) -> None:
         "doc_id", "source", "text", "n_chars"
     ).persist()
     base.count()
+    if warmup_drops:
+        wwork = work + "_warmup"
+        shutil.rmtree(wwork, ignore_errors=True)
+        for d in range(warmup_drops):
+            gate_and_ledger_batch(spark, wwork, base, f"d{d:03d}")
+        shutil.rmtree(wwork, ignore_errors=True)
     walls = []
     for d in range(n_days):
         drop = base.withColumn("doc_id", F.col("doc_id") + F.lit(d * ID_STRIDE))
@@ -945,7 +957,10 @@ def run_corpusbuild(spark, n_days: int = 30) -> None:
     fin = round(time.time() - t0, 2)
     release_pinned()
     base.unpersist()
-    head = sum(walls[1:6]) / 5  # day 0 pays session warm-up; skip it
+    if warmup_drops:
+        head = sum(walls[:5]) / 5  # warm-up already paid off-ledger
+    else:
+        head = sum(walls[1:6]) / 5  # day 0 pays session warm-up; skip it
     tail = sum(walls[-5:]) / 5
     print(
         json.dumps(
@@ -953,6 +968,7 @@ def run_corpusbuild(spark, n_days: int = 30) -> None:
                 "mode": "corpusbuild",
                 "summary": True,
                 "days": n_days,
+                "warmup_drops": warmup_drops,
                 "drop_wall_days_1_5_s": round(head, 2),
                 "drop_wall_last_5_s": round(tail, 2),
                 "growth_ratio": round(tail / max(head, 1e-9), 2),
@@ -976,6 +992,13 @@ def main() -> None:
         default="",
         help="extra session corpora as comma-separated LABEL=EVENTS_DIR "
         "pairs (e.g. 300x=/tmp/scale_300), measured after the 1x/10x pair",
+    )
+    ap.add_argument(
+        "--warmup-drops",
+        type=int,
+        default=0,
+        help="corpusbuild only: unmeasured drops into a throwaway work "
+        "dir first, so the measured head carries no session warm-up",
     )
     args = ap.parse_args()
 
@@ -1007,7 +1030,7 @@ def main() -> None:
         elif mode == "autocompact":
             run_autocompact(spark, rep_dir)
         elif mode == "corpusbuild":
-            run_corpusbuild(spark)
+            run_corpusbuild(spark, warmup_drops=args.warmup_drops)
         elif mode == "session":
             extra = [
                 tuple(pair.split("=", 1))

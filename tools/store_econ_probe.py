@@ -26,7 +26,7 @@ rebuilt per run. Output: one JSON line per measurement (stdout).
 
 Usage:
   python tools/store_econ_probe.py [--sf /root/testdata/sf0.01]
-      [--modes bloom,dsir,markov,touch,attrib_age,postings,ann_age,erase_age,fold]
+      [--modes bloom,dsir,markov,touch,attrib_age,postings,ann_age,erase_age,corpus_age,fold]
       [--mult 10] [--reps 3]
 """
 
@@ -589,6 +589,107 @@ def probe_fold(spark, sf, reps, n_days=30, stores_filter=None, keep_days=None):
         )
 
 
+def probe_corpus_age(spark, sf, reps, ages=(30, 300)):
+    """Corpus-build finalize wall vs WORK-DIR LEDGER AGE (VERDICT r13
+    #2): the same ledger/index ROWS landed as N hash-split ``date=``
+    partitions (the attrib_age isometry — content identical, only the
+    partition-count axis varies, so a wall delta is pure LIST/file-index
+    cost), finalize_disposition measured at each age, then at the oldest
+    age again AFTER the ledger fold (compact_corpus_ledgers) + both gate
+    folds (compact_gate_index). Seed content comes from ONE real
+    one-shot gate_and_ledger_batch pass, so every store holds exactly
+    what the pipeline writes."""
+    from data_ingestion_lambda_spark.operators.corpus_build import (
+        DOCS,
+        EXACT_INDEX,
+        LEDGERS,
+        MINHASH_INDEX,
+        compact_corpus_ledgers,
+        finalize_disposition,
+        gate_and_ledger_batch,
+    )
+    from data_ingestion_lambda_spark.operators.dedup_gate import (
+        compact_gate_index,
+    )
+    from data_ingestion_lambda_spark.operators.upsert import (
+        replace_partitions,
+    )
+    from data_ingestion_lambda_spark.plans.corpus_build import (
+        corpus_with_recrawl,
+    )
+    from data_ingestion_lambda_spark.plans.registry import release_pinned
+
+    seed = "/tmp/econ_corpus_seed"
+    shutil.rmtree(seed, ignore_errors=True)
+    gate_and_ledger_batch(spark, seed, corpus_with_recrawl(spark, sf), "d000")
+
+    split_key = {name: "doc_id" for name in (DOCS, EXACT_INDEX, MINHASH_INDEX)}
+    split_key.update({"verdicts": "doc_id", "grams": "doc_id",
+                      "pairs": "new_doc", "exact_matches": "new_doc"})
+
+    def _finalize_wall(work: str) -> float:
+        def _once():
+            finalize_disposition(spark, work).count()
+            release_pinned()
+
+        _once()  # unmeasured warm-up: codegen/file-index caches
+        return _median_wall(_once, reps)
+
+    for nb in ages:
+        work = f"/tmp/econ_corpus_age_{nb}"
+        shutil.rmtree(work, ignore_errors=True)
+        dates = [f"d{i:03d}" for i in range(nb)]
+        for name in (*LEDGERS, EXACT_INDEX, MINHASH_INDEX):
+            src = f"{seed}/{name}"
+            if not os.path.isdir(src):
+                continue
+            rows = spark.read.parquet(src).drop("date")
+            split = rows.withColumn(
+                "date",
+                F.concat(
+                    F.lit("d"),
+                    F.lpad(
+                        F.pmod(
+                            F.xxhash64(F.col(split_key[name]).cast("string")),
+                            F.lit(nb),
+                        ).cast("string"),
+                        3,
+                        "0",
+                    ),
+                ),
+            )
+            replace_partitions(spark, f"{work}/{name}", split, dates)
+        print(
+            json.dumps(
+                {
+                    "store": "corpus_age",
+                    "batches": nb,
+                    "ledger_dirs": sum(
+                        _count_dirs(f"{work}/{n}") for n in LEDGERS
+                    ),
+                    "finalize_sec": _finalize_wall(work),
+                }
+            ),
+            flush=True,
+        )
+    work = f"/tmp/econ_corpus_age_{ages[-1]}"
+    fold = compact_corpus_ledgers(spark, work, f"d{ages[-1]:03d}")
+    for name in (EXACT_INDEX, MINHASH_INDEX):
+        compact_gate_index(spark, f"{work}/{name}", f"d{ages[-1]:03d}")
+    print(
+        json.dumps(
+            {
+                "store": "corpus_age",
+                "batches": f"{ages[-1]}_folded",
+                "ledger_dirs": sum(_count_dirs(f"{work}/{n}") for n in LEDGERS),
+                "folded": fold["folded"],
+                "finalize_sec": _finalize_wall(work),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -623,6 +724,8 @@ def main() -> None:
         probe_ann_age(spark, args.sf, args.reps)
     if "erase_age" in modes:
         probe_erase_age(spark, args.sf, args.reps)
+    if "corpus_age" in modes:
+        probe_corpus_age(spark, args.sf, args.reps)
     if "fold" in modes:
         probe_fold(
             spark,
