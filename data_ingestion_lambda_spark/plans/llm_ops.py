@@ -1954,7 +1954,17 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_table(d: DataFrame) -> DataFrame:
     """text_repetition_signals over any (doc_id, text) frame — the
     per-batch form (same expressions as the registered lane; see
-    quality_table for the no-drift rationale)."""
+    quality_table for the no-drift rationale).
+
+    r14 note (measured, kept): a zero-shuffle in-row rewrite (grams
+    never leave their row; distinct via array_distinct, max
+    multiplicity via an array_sort + aggregate() run-length fold) was
+    tried per guide §2.4 and measured 73.7 s vs 2.6 s at sf0.1 —
+    Spark's higher-order lambda functions evaluate INTERPRETED per
+    element (no codegen), so the fold is ~30 µs/gram while this
+    explode + hash-aggregate path is fully codegen'd. The two
+    exchanges carry (doc_id, n, gram-string) rows — bounded, map-side
+    combined — and remain the right shape."""
 
     def _gram_structs() -> Column:
         def gram_lambda(w: Column, n: int):
@@ -3597,6 +3607,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .transform(pin)
     )
     merges = []
+    # r14 (guide §1.2 — fewer sequential barriers): each round used to run
+    # TWO blocking jobs (the argmax collect, then a count() materializing
+    # the fold before unpersisting the parent). The fold is now left lazy
+    # and the NEXT round's argmax job materializes it — the parent cache
+    # stays alive one extra round so the fold always executes against a
+    # cached input, then is released. Same computation, same merges, half
+    # the driver round-trips (13 jobs -> 8 for 6 rounds).
+    prev = None
     for step in range(1, _BPE_ROUNDS + 1):
         pair_cols = F.when(
             F.size("syms") > 1,
@@ -3614,6 +3632,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .limit(1)
             .collect()[0]
         )
+        if prev is not None:  # wf is materialized now; drop its parent
+            prev.unpersist()
+            prev = None
         l, r, cnt = best.pair_l, best.pair_r, int(best.cnt)
         mg = l + r
         merges.append((step, l, r, mg, cnt))
@@ -3633,9 +3654,10 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                 ).otherwise(F.concat(acc, F.array(x))),
             ).alias("syms"),
         ).transform(pin)
-        folded.count()  # materialize before dropping the parent
-        wf.unpersist()
-        wf = folded
+        prev, wf = wf, folded
+    wf.count()  # materialize the final fold, then drop its parent
+    if prev is not None:
+        prev.unpersist()
     return merges, wf
 
 

@@ -120,25 +120,42 @@ def _bm25_sql(docs_rel: str) -> str:
 
 def _bm25_topk_over(d: DataFrame) -> DataFrame:
     """The BM25 top-k plan over any (doc_id, text, ...) DataFrame — the
-    Spark twin of ``_bm25_sql``, shared by the lane and the gauges."""
+    Spark twin of ``_bm25_sql``, shared by the lane and the gauges.
+
+    r14 shuffle audit (guide §2.3/§2.4): dl, tt, nn and the query term
+    bags are all derivable from the documents SCAN row-locally —
+    ``SUM(tf) GROUP BY doc_id`` over the exploded tf table is exactly
+    ``size(tokens(text))`` per doc, and ``DISTINCT tok WHERE doc_id <
+    N`` is exactly ``explode(array_distinct(tokens))`` over the N query
+    docs (pushdown-pruned scan) — same integers by construction, so the
+    oracle is untouched while THREE tf-wide exchanges (dl's, tt's
+    re-aggregation of dl, q's distinct) drop out of the plan. tf keeps
+    its single exchange and feeds only the df aggregate and the
+    candidate join."""
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
         .transform(pin)
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # dl per doc == SUM(tf) per doc == total token count — computed in
+    # the scan stage, no exchange (and docs with zero tokens have no tf
+    # rows, so the join below drops them identically to the old form).
+    dl = d.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
     dfq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     # corpus stats IN-PLAN (the oracle's nn/tt CTEs): one broadcast
-    # 1-row cross-join instead of two plan-build-time driver collects
-    stats = d.agg(F.count("*").cast("long").alias("nn")).crossJoin(
-        dl.agg(F.sum("dl").cast("long").alias("tt"))
+    # 1-row scan-stage aggregate — nn = COUNT(*), tt = SUM(dl)
+    stats = d.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum(F.size(tokens("text")).cast("long")).cast("long").alias("tt"),
     )
 
     q = (
-        tf.filter(F.col("doc_id") < N_QUERIES)
-        .select(F.col("doc_id").alias("query_id"), "tok")
-        .distinct()
+        d.filter(F.col("doc_id") < N_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(tokens("text"))).alias("tok"),
+        )
     )
     cand = (
         F.broadcast(q)
@@ -304,6 +321,12 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("text"),
         )
+        # pinned (bounded: 3·|queries| = 24 rows) — the r14 bm25 rewrite
+        # derives dl/stats/q from the documents scan, so the augmented
+        # frame gains one consumer per branch; caching the plant keeps
+        # each branch at ONE parquet scan + a 24-row cache read instead
+        # of re-running the tokenize+slice plant pipeline per branch.
+        .transform(pin)
     )
     return d.unionByName(planted)
 

@@ -69,8 +69,12 @@ CACHE_ALLOWLIST = {
     "embedding_kmeans_clusters": "normed vectors re-read per Lloyd pass",
     "dedup_graph_triangles": "near-dup edge set feeds 3 join legs",
     "dedup_graph_pagerank": "edge set + degree table re-read per iteration",
-    "graph_blast_radius": "contact edge set re-read per BFS round",
-    "graph_contamination_radius": "undirected edge set re-read per round",
+    # (graph_blast_radius / graph_contamination_radius left this list in
+    # r14: their BFS rounds now eagerly localCheckpoint each frontier, so
+    # the pinned edge set is consumed during the build-time round jobs and
+    # the RETURNED plan is a union of RDD-scan leaves with no
+    # InMemoryRelation — the edges pin itself is still released by
+    # release_pinned, which the unreleased-cache assertion below checks.)
     "corpus_build_disposition": "LSH edges feed CC + BFS; decon seeds "
     "re-read per BFS round; the narrow per-doc verdict join feeds both "
     "the survivor ranking and the final label",
