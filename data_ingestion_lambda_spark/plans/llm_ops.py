@@ -269,6 +269,60 @@ def quality_table(d: DataFrame) -> DataFrame:
     )
 
 
+from pyspark.sql.types import LongType, StringType, StructField, StructType  # noqa: E402
+
+_FP_STRUCT = StructType(
+    [
+        StructField("rolling_hash", LongType()),
+        StructField("min_shingle_md5", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_FP_STRUCT)
+def _fingerprint_batch(texts):
+    """Arrow-vectorized twin of (polyhash(text), min(md5(shingle))) for
+    texts of >= 16 chars — guide §4.2: the JVM form runs both as
+    interpreted higher-order lambdas (~300 substring+md5 evals per doc;
+    measured: the shingle build alone was 1.5 s of the lane's 2.4 s at
+    sf0.1), while hashlib.md5 is C and the rolling fold is exact Python
+    integer arithmetic. Provably identical values: md5 hex of the same
+    UTF-8 bytes, min over the same shingle set (ASCII-hex order ==
+    UTF8 binary order), and the fold (acc*31 + codepoint) %% P over the
+    same codepoints (F.ascii == ord on every unicode char; Python ints
+    cannot overflow, the JVM long never does for P ~ 1e9). Docs shorter
+    than 16 chars return (None, None) here and take the original JVM
+    expressions via the length guard in text_fingerprint — bit-equal
+    behavior for EVERY input, not just this corpus."""
+    import hashlib
+
+    import pandas as pd
+
+    rolls, mins = [], []
+    for t_ in texts:
+        if t_ is None or len(t_) < 16:
+            rolls.append(None)
+            mins.append(None)
+            continue
+        acc = 0
+        for ch in t_:
+            acc = (acc * 31 + ord(ch)) % P
+        b = t_.encode("utf-8")
+        # ASCII-only fast path: byte offsets == char offsets, one encode
+        if len(b) == len(t_):
+            mn = min(
+                hashlib.md5(b[i : i + 16]).hexdigest() for i in range(len(b) - 15)
+            )
+        else:
+            mn = min(
+                hashlib.md5(t_[i : i + 16].encode("utf-8")).hexdigest()
+                for i in range(len(t_) - 15)
+            )
+        rolls.append(acc)
+        mins.append(mn)
+    return pd.DataFrame({"rolling_hash": rolls, "min_shingle_md5": mins})
+
+
 @register(
     "text_fingerprint",
     oracle=f"""
@@ -283,16 +337,25 @@ def quality_table(d: DataFrame) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-text digest, rolling polynomial hash,
-    and a winnowing-style min-hash over 16-char shingles."""
+    and a winnowing-style min-hash over 16-char shingles — the hot loops
+    vectorized through Arrow (see _fingerprint_batch; 2.36 -> ~0.6 s at
+    sf0.1), with the original JVM expressions kept as the short-doc
+    fallback so semantics are unchanged for any input."""
     d = t(spark, sf_dir, "documents")
     char_shingles = F.expr("transform(sequence(1, length(text) - 15), i -> substring(text, i, 16))")
+    long_enough = F.length("text") >= 16
+    fp = _fingerprint_batch(F.col("text"))
     return d.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("md5_full"),
-        polyhash(F.col("text")).alias("rolling_hash"),
-        F.array_min(F.transform(char_shingles, lambda s: F.md5(s.cast("binary")))).alias(
-            "min_shingle_md5"
-        ),
+        F.when(long_enough, fp["rolling_hash"])
+        .otherwise(polyhash(F.col("text")))
+        .alias("rolling_hash"),
+        F.when(long_enough, fp["min_shingle_md5"])
+        .otherwise(
+            F.array_min(F.transform(char_shingles, lambda s: F.md5(s.cast("binary"))))
+        )
+        .alias("min_shingle_md5"),
     )
 
 
@@ -3105,22 +3168,27 @@ def text_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 1024  # hashed n-gram feature buckets
 
 
-def dsir_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, is_t, bucket, tf) hashed-bigram features for a
-    (doc_id, is_t, text) DataFrame — the single definition the lane AND
-    the maintained store build from (no desync possible)."""
-    toks = tokens("text")
-    d = docs.select("doc_id", "is_t", toks.alias("toks"))
-    # size==1 guard: sequence(1, 0) is descending — see text_bigram_surprisal.
-    bigrams = F.when(
+def _dsir_bigrams() -> Column:
+    """The bigram array over a materialized ``toks`` column — the ONE
+    definition every dsir consumer (features, direct bucket stats)
+    shares. size==1 guard: sequence(1, 0) is descending — see
+    text_bigram_surprisal."""
+    return F.when(
         F.size("toks") > 1,
         F.expr(
             "transform(sequence(1, size(toks) - 1),"
             " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
         ),
     ).otherwise(F.expr("array()"))
+
+
+def dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_t, bucket, tf) hashed-bigram features for a
+    (doc_id, is_t, text) DataFrame — the single definition the lane AND
+    the maintained store build from (no desync possible)."""
+    d = docs.select("doc_id", "is_t", tokens("text").alias("toks"))
     return (
-        d.select("doc_id", "is_t", F.explode(bigrams).alias("bg"))
+        d.select("doc_id", "is_t", F.explode(_dsir_bigrams()).alias("bg"))
         .select("doc_id", "is_t", (polyhash(F.col("bg")) % _DSIR_B).alias("bucket"))
         .groupBy("doc_id", "is_t", "bucket")
         .agg(F.count("*").alias("tf"))
@@ -3169,7 +3237,7 @@ def dsir_score(tf: DataFrame, bits: DataFrame) -> DataFrame:
     """Per-doc log importance weight under a bits model (a {_DSIR_B}-row
     broadcast join) — exact BIGINT sums, one final IEEE division."""
     return (
-        tf.join(bits, "bucket")
+        tf.join(F.broadcast(bits), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_feats"),
@@ -3265,10 +3333,32 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("lang") == "en").alias("is_t"), "text"
     )
     tf = dsir_features(d)
-    stats = dsir_stats(tf)
-    tot = stats.agg(
-        F.sum("cnt_s").cast("long").alias("n_s"),
-        F.sum("cnt_t").cast("long").alias("n_t"),
+    # r14 (guide §2.3/§2.4): the model side used to be dsir_stats(tf) +
+    # stats.agg totals — with tf uncached (deliberate, ADVICE r9) that
+    # expanded to THREE full tokenize+explode+tf chains in one plan
+    # (scoring / stats / totals; exchange reuse never fired — measured
+    # 18 exchanges, 6 documents scans). The bucket stats now aggregate
+    # the exploded bigrams DIRECTLY (SUM of per-doc tf grouped by bucket
+    # == COUNT per bucket — same integers, map-side combined to ≤
+    # {_DSIR_B} rows per task), and the totals come off the scan as one
+    # 1-row aggregate (Σ cnt_s == Σ max(len(toks)-1, 0)). Two explode
+    # chains and zero tf-keyed exchanges remain: 18 -> 7 exchanges,
+    # 2.5 -> ~1.4 s at sf0.1. dsir_stats itself is untouched — the
+    # maintained store's per-batch fold still uses it.
+    toks = d.select("is_t", tokens("text").alias("toks"))
+    stats = (
+        toks.select("is_t", F.explode(_dsir_bigrams()).alias("bg"))
+        .select("is_t", (polyhash(F.col("bg")) % _DSIR_B).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("cnt_s"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("cnt_t"),
+        )
+    )
+    n_bigrams = F.greatest(F.size("toks") - 1, F.lit(0)).cast("long")
+    tot = toks.agg(
+        F.sum(n_bigrams).cast("long").alias("n_s"),
+        F.sum(F.when(F.col("is_t"), n_bigrams).otherwise(0)).cast("long").alias("n_t"),
     )
     bits = _dsir_bits_from_cols(stats.crossJoin(F.broadcast(tot)))
     return dsir_score(tf, bits)

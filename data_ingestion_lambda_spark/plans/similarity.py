@@ -1119,7 +1119,11 @@ def _ivf_scored(
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "cell")
     )
-    cand = probe.join(assign, "cell").filter(
+    # probe is |queries| x n_probe rows — bounded, always broadcastable;
+    # the hint keeps corpus-sized `assign` from ever shuffling on cell
+    # (r14: the estimate sat behind a window, so the planner sometimes
+    # exchanged both sides).
+    cand = F.broadcast(probe).join(assign, "cell").filter(
         F.col("vec_id") != F.col("query_id")
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cell")
     nv = v.select(
