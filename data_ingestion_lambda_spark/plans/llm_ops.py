@@ -269,7 +269,13 @@ def quality_table(d: DataFrame) -> DataFrame:
     )
 
 
-from pyspark.sql.types import LongType, StringType, StructField, StructType  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _FP_STRUCT = StructType(
     [
@@ -2740,7 +2746,12 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shuffles normally. Nothing is ever all-pairs; text never leaves
     the scan."""
     base = decon_doc_grams(t(spark, sf_dir, "documents"))
-    grams = base.select("doc_id", "bucket", F.explode("ghs").alias("h"))
+    # pinned (corpus-sized longs, reused 2x): the exploded gram table
+    # feeds BOTH verdict branches (the eval-side distinct and the
+    # train-side semi-join) — uncached, each branch re-ran the whole
+    # tokenize+hash pipeline (r14 measured the doubled hash pass as the
+    # lane's dominant term).
+    grams = base.select("doc_id", "bucket", F.explode("ghs").alias("h")).transform(pin)
     return decon_verdict(base.select("doc_id", "bucket"), grams)
 
 
@@ -2764,16 +2775,74 @@ def _decon_gram_hashes() -> Column:
     )
 
 
+@F.pandas_udf(ArrayType(LongType()))
+def _decon_ghs_batch(texts):
+    """Arrow-vectorized twin of ``_decon_gram_hashes`` for ASCII texts
+    (guide §4.2; the _fingerprint_batch pattern): the JVM form runs
+    three nested interpreted higher-order lambdas per doc (per-char
+    token fold, per-token map, per-window combine) and measured ~1.4 s
+    of the decontamination screen's 2.4 s at sf0.1. Provably identical
+    values on the guarded (pure-ASCII) rows: Python re.ASCII '\\s+' ==
+    Java's default ASCII \\s, re.split keeps the same leading/empty
+    elements as Java split(re, -1), str.strip(' ') == Spark trim
+    (spaces only), ord == F.ascii per ASCII char, the folds are the
+    same exact integer arithmetic mod P (Python ints cannot overflow;
+    the JVM long never does for P ~ 1e9), and dict-insertion order ==
+    array_distinct's first-occurrence order. Non-ASCII or NULL rows
+    return None here and take the original JVM expression via the
+    octet_length guard in decon_doc_grams — Java split('') works on
+    UTF-16 units while Python iterates codepoints, so those rows must
+    keep the JVM path for bit-equality."""
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    k = _DECON_K
+    out = []
+    for t_ in texts:
+        if t_ is None or not t_.isascii():
+            out.append(None)
+            continue
+        th = []
+        for tok in ws.split(t_.strip(" ")):
+            acc = 0
+            for ch in tok:
+                acc = (acc * 31 + ord(ch)) % P
+            th.append(acc)
+        n = len(th)
+        if n < k:
+            out.append([])
+            continue
+        seen = dict.fromkeys(
+            _combine_windows(th, n, k)
+        )
+        out.append(list(seen))
+    return pd.Series(out)
+
+
+def _combine_windows(th, n, k):
+    for i in range(n - k + 1):
+        h = th[i]
+        for j in range(1, k):
+            h = (h * 131 + th[i + j]) % P
+        yield h
+
+
 def decon_doc_grams(d: DataFrame) -> DataFrame:
     """(doc_id, bucket, ghs array<bigint>): each document's DISTINCT
     {_DECON_K}-token window hashes plus its split bucket — the sketch the
     decontamination screen probes. Batch-computable (row-local), so the
     incremental corpus-build runner persists these rows once per day and
     never re-tokenizes history; the registered lane derives the same rows
-    inline."""
-    return d.select(
-        "doc_id", (_doc_hash() % 100).alias("bucket"), _decon_gram_hashes().alias("ghs")
+    inline. The hash pipeline runs Arrow-vectorized for ASCII rows and
+    falls back to the original JVM expressions otherwise (see
+    _decon_ghs_batch — identical arrays either way)."""
+    ascii_ok = F.octet_length("text") == F.length("text")
+    ghs = F.when(ascii_ok, _decon_ghs_batch(F.col("text"))).otherwise(
+        _decon_gram_hashes()
     )
+    return d.select("doc_id", (_doc_hash() % 100).alias("bucket"), ghs.alias("ghs"))
 
 
 def decon_verdict(doc_buckets: DataFrame, grams: DataFrame) -> DataFrame:

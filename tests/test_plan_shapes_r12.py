@@ -78,6 +78,8 @@ CACHE_ALLOWLIST = {
     "corpus_build_disposition": "LSH edges feed CC + BFS; decon seeds "
     "re-read per BFS round; the narrow per-doc verdict join feeds both "
     "the survivor ranking and the final label",
+    "decontaminate_against_eval": "exploded gram-hash longs feed both "
+    "the eval-side distinct and the train-side semi-join (r14)",
     "sample_cluster_balanced": "cluster assignment feeds caps + sampling",
     # --- bounded aggregates (domain-sized, not data-sized) ---
     "events_distribution_drift": "per-(type,day,bucket) histogram + day totals",

@@ -218,14 +218,19 @@ def test_benford_reference_broadcasts(spark):
 
 
 def test_blast_radius_equijoins_only_bounded_state(spark):
-    """graph_blast_radius: every BFS round is an equi-join (no cartesian/
-    nested-loop anywhere) and iteration state is (id, hop) longs — the
-    document text column must never appear in the BFS section of the
-    plan (text enters only the upstream signature scan)."""
+    """graph_blast_radius (r14 form): the BFS rounds run as eagerly
+    localCheckpoint'ed equi-join jobs at build time, so the RETURNED
+    plan is a union of the materialized (doc_id, hops) levels feeding
+    ONE MIN(hops) rollup — still no cartesian/nested-loop, and the
+    iteration state stays (id, hop) longs (document text never appears
+    in the returned plan)."""
     plan = _plan(spark, "graph_blast_radius")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    # the LSH upstream ends at the band join; BFS rounds join on id=u
-    assert "LeftAnti" in plan, f"anti-join dedup of reached set missing:\n{plan}"
+    assert "Scan ExistingRDD" in plan, f"checkpointed BFS levels missing:\n{plan}"
+    assert "Union" in plan and "min(hops" in plan, (
+        f"level union + MIN(hops) rollup missing:\n{plan}"
+    )
+    assert "text" not in plan, f"text leaked into the BFS state:\n{plan}"
 
 
 def test_markov_one_user_window_matrix_broadcast(spark):
@@ -259,13 +264,20 @@ def test_changepoint_windows_day_rows_only(spark):
 
 
 def test_contamination_radius_equijoins_only(spark):
-    """graph_contamination_radius: decon seeds (gram-hash semi-join) +
-    BFS rounds — equi-joins and anti-joins only; no cartesian/nested-
-    loop anywhere in the composed plan."""
+    """graph_contamination_radius (r14 form): the decon seed screen and
+    the BFS rounds execute as build-time checkpoint jobs (the seed
+    subtree used to run twice un-materialized); the returned plan is
+    the level union + MIN(hops) rollup over (doc_id, hops) longs — no
+    cartesian/nested-loop, no text. The decon gram semi-join shape
+    itself stays pinned by test_plan_shapes_r5.py::
+    test_decontamination_joins_are_all_equi."""
     plan = _plan(spark, "graph_contamination_radius")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "LeftAnti" in plan, f"BFS reached-set anti-join missing:\n{plan}"
-    assert "LeftSemi" in plan, f"decon gram semi-join missing:\n{plan}"
+    assert "Scan ExistingRDD" in plan, f"checkpointed BFS levels missing:\n{plan}"
+    assert "Union" in plan and "min(hops" in plan, (
+        f"level union + MIN(hops) rollup missing:\n{plan}"
+    )
+    assert "text" not in plan, f"text leaked into the BFS state:\n{plan}"
 
 
 def test_fd_screen_no_window_partial_aggs(spark):
