@@ -271,6 +271,7 @@ def quality_table(d: DataFrame) -> DataFrame:
 
 from pyspark.sql.types import (  # noqa: E402
     ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -2020,20 +2021,82 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_table(t(spark, sf_dir, "documents"))
 
 
+_REP_STRUCT = StructType(
+    [
+        StructField(f"{kind}_{n}gram_frac", DoubleType())
+        for n in (1, 2, 3)
+        for kind in ("dup", "top")
+    ]
+)
+
+
+@F.pandas_udf(_REP_STRUCT)
+def _repetition_batch(texts):
+    """Arrow-vectorized twin of the repetition signals for ASCII texts
+    of >= 3 tokens (guide §4.2; the _fingerprint_batch pattern): per
+    document and n in {{1,2,3}}, total grams t, distinct d, max
+    multiplicity m over the same gram multiset the JVM pipeline
+    explodes — token split replicates tokens() exactly (re.ASCII \\s+
+    == Java default \\s including the leading-empty elements of
+    split(re, -1); strip(' ') == Spark trim), ' '.join == concat_ws,
+    Counter gives the same integers, and each output is the same ONE
+    IEEE division of exact ints. Rows outside the guard (non-ASCII, or
+    < 3 tokens where the JVM gram builder's descending-sequence edge
+    semantics live) take the original pipeline via the slice split in
+    repetition_table."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    cols: dict[str, list] = {f: [] for f in _REP_STRUCT.fieldNames()}
+    for t_ in texts:
+        toks = ws.split(t_.strip(" "))
+        for n in (1, 2, 3):
+            grams = (
+                toks
+                if n == 1
+                else [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            )
+            t_n = len(grams)
+            c = Counter(grams)
+            cols[f"dup_{n}gram_frac"].append((t_n - len(c)) / t_n)
+            cols[f"top_{n}gram_frac"].append(max(c.values()) / t_n)
+    return pd.DataFrame(cols)
+
+
 def repetition_table(d: DataFrame) -> DataFrame:
     """text_repetition_signals over any (doc_id, text) frame — the
     per-batch form (same expressions as the registered lane; see
     quality_table for the no-drift rationale).
 
-    r14 note (measured, kept): a zero-shuffle in-row rewrite (grams
-    never leave their row; distinct via array_distinct, max
-    multiplicity via an array_sort + aggregate() run-length fold) was
-    tried per guide §2.4 and measured 73.7 s vs 2.6 s at sf0.1 —
-    Spark's higher-order lambda functions evaluate INTERPRETED per
-    element (no codegen), so the fold is ~30 µs/gram while this
-    explode + hash-aggregate path is fully codegen'd. The two
-    exchanges carry (doc_id, n, gram-string) rows — bounded, map-side
-    combined — and remain the right shape."""
+    r14: ASCII docs with >= 3 tokens (the whole corpus in practice) run
+    through the Arrow-vectorized _repetition_batch — the JVM pipeline
+    built every gram string through interpreted higher-order lambdas
+    and shuffled them twice (2.6 s at sf0.1; the Python twin computes
+    the identical per-doc integers row-locally). Everything else takes
+    the ORIGINAL explode + hash-aggregate pipeline below, slice-split
+    so behavior is bit-equal for any input (null text is absent from
+    BOTH slices, exactly as the old explode dropped it).
+
+    Earlier r14 attempt (measured, rejected): a zero-shuffle in-row
+    form with array_distinct + an array_sort/aggregate() run-length
+    fold measured 73.7 s vs 2.6 s — higher-order lambdas evaluate
+    interpreted per element; that is the same finding that motivates
+    the pandas route here."""
+    w = tokens("text")
+    fast = (F.octet_length("text") == F.length("text")) & (F.size(w) >= 3)
+    fast_rows = d.filter(fast).select(
+        "doc_id", _repetition_batch(F.col("text")).alias("r")
+    ).select("doc_id", "r.*")
+    slow_rows = _repetition_table_jvm(d.filter(~fast))
+    return fast_rows.unionByName(slow_rows)
+
+
+def _repetition_table_jvm(d: DataFrame) -> DataFrame:
+    """The original explode + hash-aggregate pipeline — the exact-edge
+    fallback slice of repetition_table (and its semantics pin)."""
 
     def _gram_structs() -> Column:
         def gram_lambda(w: Column, n: int):
