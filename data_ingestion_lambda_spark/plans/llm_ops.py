@@ -367,6 +367,91 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Python mirrors of tokens()/polyhash for the Arrow-vectorized twins
+# (guide §4.2, r15). VERDICT r14 flagged the hand-mirrored tokenizer/hash
+# loops inside each pandas UDF as a drift hazard — the mirror now lives
+# HERE, once, and every twin (fingerprint/decon/repetition from r14, the
+# minhash/simhash/jaccard/dsir twins from r15) shares it. The equivalence
+# argument, written once:
+#   - re.ASCII \s+ == Java's default \s on ASCII input (same char class,
+#     including the leading empty element split(re, -1) produces when the
+#     text starts with residual non-space whitespace);
+#   - str.strip(' ') == F.trim (spaces only);
+#   - ord(ch) == F.ascii(ch) for every ASCII char; non-ASCII rows stay on
+#     the JVM path via the octet_length == length guards (Java split('')
+#     is UTF-16-unit-wise, Python iterates codepoints);
+#   - the folds are the same exact integers: Python ints cannot overflow
+#     and the JVM long never does for P ~ 1e9.
+# tests/test_twin_equivalence.py pins fast slice == JVM slice bit-for-bit
+# over an adversarial generated corpus.
+# ---------------------------------------------------------------------------
+
+_WS_ASCII_RE = None  # compiled once per Python worker (guide §4.5)
+
+
+def _py_tokens(text: str) -> list[str]:
+    """tokens() mirror for ASCII strings (see block comment above)."""
+    global _WS_ASCII_RE
+    if _WS_ASCII_RE is None:
+        import re
+
+        _WS_ASCII_RE = re.compile(r"\s+", re.ASCII)
+    return _WS_ASCII_RE.split(text.strip(" "))
+
+
+def _py_tok_h31(toks: list[str], cache: dict) -> list[int]:
+    """polyhash() per token, memoized across the batch — token
+    vocabularies are Zipfian, so the dict turns the per-char fold into a
+    lookup for all but the first occurrence of each token."""
+    out = []
+    for tok in toks:
+        h = cache.get(tok)
+        if h is None:
+            h = 0
+            for ch in tok:
+                h = (h * 31 + ord(ch)) % P
+            cache[tok] = h
+        out.append(h)
+    return out
+
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition a NARROW derived table (signatures, fingerprints —
+    a few longs per row) to the session's shuffle-partition count before
+    it is pinned. The row-local Arrow twins removed the explode+groupBy
+    exchanges, but that exchange was also what spread the cached table
+    across tasks: on single-row-group input (the local testdata) the
+    fast slice inherits the scan's ONE partition and every downstream
+    self-join runs serial (measured: the simhash block join 0.42 s over
+    a 32-partition cache vs 2.0 s over a 1-partition one). Shuffling
+    doc_id + a few longs is strictly cheaper than the per-occurrence
+    explode shuffle it replaces; the count follows
+    spark.sql.shuffle.partitions (core count locally, cluster-sized in
+    production), so nothing is pinned to the local shape. Hash (not
+    round-robin) partitioning avoids the sort-before-repartition pass
+    and keeps the layout deterministic under retries (guide §2.5)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *cols)
+
+
+def _py_tok_h_pair(toks: list[str], cache: dict) -> tuple[list[int], list[int]]:
+    """(polyhash, polyhash131) per token in ONE char pass, memoized."""
+    h1s, h2s = [], []
+    for tok in toks:
+        pair = cache.get(tok)
+        if pair is None:
+            a = b = 0
+            for ch in tok:
+                o = ord(ch)
+                a = (a * 31 + o) % P
+                b = (b * 131 + o) % P
+            cache[tok] = pair = (a, b)
+        h1s.append(pair[0])
+        h2s.append(pair[1])
+    return h1s, h2s
+
+
+# ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
 
@@ -565,6 +650,40 @@ SQL_SHINGLE_HASHES62 = (
 )
 
 
+@F.pandas_udf(ArrayType(LongType()))
+def _shingles62_batch(texts):
+    """Arrow-vectorized twin of ``shingle_hashes62(tokens(text))`` for
+    ASCII texts of >= 3 tokens (guide §4.2; r15 — VERDICT r14 top-next:
+    the interpreted token-polyhash family). Two memoized char folds per
+    distinct token (_py_tok_h_pair), then the 3-gram combine + 62-bit
+    pack vectorized in numpy over the whole token array; dict.fromkeys
+    preserves array_distinct's first-occurrence order. Max intermediate
+    (P-1)*131 + (P-1) ~ 1.3e11 and the pack (P-1)*P + P-1 < 2^62 both
+    fit int64, so numpy arithmetic is the same exact integers as the JVM
+    fold. Rows outside the guard return None here and take the original
+    JVM expression via the when/otherwise in dedup_ngram_jaccard."""
+    import numpy as np
+    import pandas as pd
+
+    cache: dict = {}
+    out = []
+    for t_ in texts:
+        if t_ is None or not t_.isascii():
+            out.append(None)
+            continue
+        toks = _py_tokens(t_)
+        if len(toks) < 3:
+            out.append(None)
+            continue
+        h1l, h2l = _py_tok_h_pair(toks, cache)
+        h1 = np.array(h1l, dtype=np.int64)
+        h2 = np.array(h2l, dtype=np.int64)
+        a = ((h1[:-2] * 131 + h1[1:-1]) % P * 131 + h1[2:]) % P
+        b = ((h2[:-2] * 31 + h2[1:-1]) % P * 31 + h2[2:]) % P
+        out.append(list(dict.fromkeys((a * P + b).tolist())))
+    return pd.Series(out)
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -629,7 +748,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the df-attach join — without this the tokenize+hash scan (the single
     # most expensive stage) runs twice. At 100 TB this is the written-once
     # shingle-hash table every dedup lane shares.
-    sh = d.select("doc_id", shingle_hashes62(tokens("text")).alias("shingles")).transform(pin)
+    # r15 (guide §4.2): ASCII docs with >= 3 tokens build their shingle
+    # array in the Arrow twin (_shingles62_batch — the interpreted
+    # two-family char fold was the lane's dominant term); everything else
+    # keeps the ORIGINAL JVM expression via the when/otherwise, so the
+    # pinned table holds identical arrays for any input.
+    w = tokens("text")
+    fast = (F.octet_length("text") == F.length("text")) & (F.size(w) >= 3)
+    sh = d.select(
+        "doc_id",
+        F.when(fast, _shingles62_batch(F.col("text")))
+        .otherwise(shingle_hashes62(w))
+        .alias("shingles"),
+    ).transform(pin)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     # df attach + cap filter in one equi-join; dfreq comes out of the
@@ -965,36 +1096,86 @@ MINHASH_PAIRS_ORACLE = f"""
     """
 
 
+@F.pandas_udf(ArrayType(LongType()))
+def _minhash_sig_batch(texts):
+    """Arrow-vectorized twin of the WHOLE minhash signature build for
+    ASCII texts of >= 3 tokens (guide §4.2 + §2.4, r15): one memoized
+    char fold per distinct token, the 3-gram shingle combine and the 16
+    affine min-hashes vectorized in numpy — the same exact integers as
+    the JVM pipeline (min over the distinct shingle-hash set == min over
+    the exploded multiset, (2i+1)*h + (31i+7) <= 31*(P-1) + 500 fits
+    int64). Computing the signature ROW-LOCALLY also removes the
+    explode + groupBy(doc_id) exchange the JVM form needs — a shuffle of
+    every shingle occurrence in the corpus (§2.4). Rows outside the
+    guard return None here (never consumed) and take the original
+    pipeline via the slice split in minhash_sig_table."""
+    import numpy as np
+    import pandas as pd
+
+    aff_a = np.arange(1, 2 * NUM_HASHES, 2, dtype=np.int64).reshape(-1, 1)  # 2i+1
+    aff_b = (np.arange(NUM_HASHES, dtype=np.int64) * 31 + 7).reshape(-1, 1)  # 31i+7
+    cache: dict = {}
+    out = []
+    for t_ in texts:
+        if t_ is None or not t_.isascii():
+            out.append(None)
+            continue
+        toks = _py_tokens(t_)
+        if len(toks) < 3:
+            out.append(None)
+            continue
+        th = np.array(_py_tok_h31(toks, cache), dtype=np.int64)
+        hh = np.unique(((th[:-2] * 131 + th[1:-1]) % P * 131 + th[2:]) % P)
+        out.append(((aff_a * hh + aff_b) % P).min(axis=1).tolist())
+    return pd.Series(out)
+
+
 def minhash_sig_table(d: DataFrame) -> DataFrame:
     """(doc_id, sig) MinHash signature table for a documents frame — the
     shared index both the full-corpus dedup and the incremental
     batch-vs-corpus dedup join against.
 
-    The WHOLE text→token-hash→shingle-hash pipeline is ONE let-bound
-    expression (see bind()). This matters more than usual here: explode
-    triggers InferFiltersFromGenerate + projection collapse, which
-    substitute the generator's child expression into the inferred
-    `size(...) > 0` filter AND into every element_at() of the shingle
-    lambda. With separate projections that substitution re-evaluates the
-    token-hash pipeline once per element_at per shingle (~150x per row;
-    measured 397 s vs 1.2 s at sf0.1). Let-bound lambda variables are
-    immune — the pipeline runs once per row no matter where the
-    optimizer copies the tree.
-
-    Signature via explode + 16 codegen'd min-aggregates, NOT 16 nested
-    array-folds per row: higher-order-function lambdas run interpreted
-    (one closure call per element), while grouped min() is whole-stage
-    codegen with map-side partial aggregation — the same min over the
-    same shingle-hash set, an order of magnitude faster and the shape
-    that scales out (partial aggs combine before the shuffle).
+    r15 (guide §4.2 + §2.4): ASCII docs with >= 3 tokens — the whole
+    corpus in practice — compute their full 16-hash signature row-locally
+    in the Arrow twin (_minhash_sig_batch), which both vectorizes the
+    interpreted token-polyhash fold AND drops the explode +
+    groupBy(doc_id) exchange (the shuffle of every shingle occurrence).
+    Everything else takes the ORIGINAL explode + 16 codegen'd
+    min-aggregates via the slice split below, so the table holds
+    identical rows for any input (docs with < 3 tokens have no shingles
+    and are absent from BOTH slices, exactly as the old explode dropped
+    them; NULL text likewise).
 
     Returned PERSISTED (NUM_HASHES longs per doc — tiny): the band join
     and both signature-compare joins reference `sig`; without this Spark
-    recomputes the whole tokenize→hash→aggregate pipeline once per
-    reference (measured 6-7x slower at sf0.1). Persisting intermediate
-    signatures is also the production shape — at 100 TB they'd be
-    written to a table once and joined many times (which is exactly what
-    dedup_incremental_minhash models)."""
+    recomputes the whole pipeline once per reference (measured 6-7x
+    slower at sf0.1). Persisting intermediate signatures is also the
+    production shape — at 100 TB they'd be written to a table once and
+    joined many times (which is exactly what dedup_incremental_minhash
+    models)."""
+    w = tokens("text")
+    fast = (F.octet_length("text") == F.length("text")) & (F.size(w) >= 3)
+    fast_rows = d.filter(fast).select(
+        "doc_id", _minhash_sig_batch(F.col("text")).alias("sig")
+    )
+    sig = fast_rows.unionByName(_minhash_sig_table_jvm(d.filter(~fast)))
+    return _spread(sig, "doc_id").transform(pin)
+
+
+def _minhash_sig_table_jvm(d: DataFrame) -> DataFrame:
+    """The original explode + hash-aggregate signature build — the
+    exact-edge fallback slice of minhash_sig_table (and its semantics
+    pin). The WHOLE text→token-hash→shingle-hash pipeline is ONE
+    let-bound expression (see bind()): explode triggers
+    InferFiltersFromGenerate + projection collapse, which substitute the
+    generator's child expression into the inferred `size(...) > 0`
+    filter AND into every element_at() of the shingle lambda — with
+    separate projections that re-evaluates the token-hash pipeline once
+    per element_at per shingle (~150x per row; measured 397 s vs 1.2 s
+    at sf0.1). Signature via explode + 16 codegen'd min-aggregates, NOT
+    16 nested array-folds per row: HOF lambdas run interpreted while
+    grouped min() is whole-stage codegen with map-side partial
+    aggregation."""
 
     def _shingle_hashes() -> Column:
         def from_th(th: Column) -> Column:
@@ -1025,7 +1206,6 @@ def minhash_sig_table(d: DataFrame) -> DataFrame:
             ]
         )
         .select("doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
-        .transform(pin)
     )
 
 
@@ -1199,6 +1379,88 @@ def polyhash131(s: Column) -> Column:
     return F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % P)
 
 
+@F.pandas_udf(LongType())
+def _simhash_batch(texts):
+    """Arrow-vectorized twin of the 64-bit SimHash fingerprint for ASCII
+    texts (guide §4.2 + §2.4, r15): one memoized char pass per distinct
+    token yields both hash families (_py_tok_h_pair), the per-bit sign
+    votes run as one numpy broadcast per doc with Counter multiplicities
+    standing in for the exploded token rows (sum over tokens of ±1 ==
+    sum over distinct tokens of count·(±1) — same integers), and the
+    fingerprint assembles row-locally — which also removes the
+    explode + groupBy(doc_id) exchange of every token occurrence
+    (§2.4). Bits 30/31 of each half are provably zero (polyhash < 2^30),
+    exactly as the JVM form skips them. Non-ASCII rows return None here
+    (never consumed) and take the original pipeline via the slice split
+    in dedup_simhash; NULL text is absent from both slices."""
+    import numpy as np
+    import pandas as pd
+    from collections import Counter
+
+    ks = np.arange(30, dtype=np.int64)
+    pow2 = np.int64(1) << ks  # POW2[:30]
+    cache: dict = {}
+    out = []
+    for t_ in texts:
+        if t_ is None or not t_.isascii():
+            out.append(None)
+            continue
+        cnt = Counter(_py_tokens(t_))
+        uniq = list(cnt)
+        wts = np.fromiter(cnt.values(), dtype=np.int64, count=len(uniq)).reshape(-1, 1)
+        h1l, h2l = _py_tok_h_pair(uniq, cache)
+        h1 = np.array(h1l, dtype=np.int64).reshape(-1, 1)
+        h2 = np.array(h2l, dtype=np.int64).reshape(-1, 1)
+        v1 = (wts * (2 * ((h1 >> ks) & 1) - 1)).sum(axis=0)
+        v2 = (wts * (2 * ((h2 >> ks) & 1) - 1)).sum(axis=0)
+        out.append(int(pow2[v1 > 0].sum()) + (int(pow2[v2 > 0].sum()) << 32))
+    return pd.Series(out, dtype="object")
+
+
+def _simhash_table_jvm(d: DataFrame) -> DataFrame:
+    """The original explode + codegen'd vote aggregation — the exact-edge
+    fallback slice of dedup_simhash's fingerprint table (and its
+    semantics pin). Explode tokens → ONE codegen'd aggregation with 60
+    conditional sums (the per-row formulation — 64 nested array-folds
+    per document — runs interpreted and is ~50x slower). Both hashes
+    come from ONE char scan: a struct accumulator folds (h1, h2)
+    together, halving the per-token split+fold work. ONE F.expr string:
+    building this fold with Python Column operators costs hundreds of
+    py4j round-trips per builder call (README perf note 6)."""
+    pair = F.expr(
+        "aggregate(transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        "named_struct('h1', CAST(0 AS BIGINT), 'h2', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct('h1', (acc.h1 * 31 + x) % {P}, "
+        f"'h2', (acc.h2 * 131 + x) % {P}))"
+    )
+    th = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", pair.alias("hp"))
+        .select("doc_id", F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
+    )
+    # Bits 30/31 of each 32-bit half are provably zero (polyhash < 2^30, so
+    # every token votes -1 there — in the oracle too); skipping them avoids
+    # materializing the 2^63 literal (signed-long overflow) and 4 dead sums.
+    bit_votes = th.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"SUM(CASE WHEN ({h} & CAST({POW2[k]} AS BIGINT)) > 0 "
+                "THEN 1 ELSE -1 END)"
+            ).alias(f"{h}b{k}")
+            for h in ("h1", "h2")
+            for k in range(30)
+        ]
+    )
+    simhash = F.expr(
+        " + ".join(
+            f"CAST(CASE WHEN h1b{k} > 0 THEN {POW2[k]} ELSE 0 END AS BIGINT)"
+            f" + CAST(CASE WHEN h2b{k} > 0 THEN {POW2[k] * 4294967296} ELSE 0 END AS BIGINT)"
+            for k in range(30)
+        )
+    )
+    return bit_votes.select("doc_id", simhash.alias("simhash"))
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -1257,52 +1519,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = 2³⁰, ~5×10⁶ pairs per table even at N = 10⁸) — same pigeonhole
     recall guarantee, same equi-join shape, only the block width changes."""
     d = t(spark, sf_dir, "documents")
-    # Explode tokens → ONE codegen'd aggregation with 64 conditional sums.
-    # (The per-row formulation — 64 nested array-folds per document — runs
-    # interpreted and is ~50x slower; exploding converts it into vectorized
-    # relational work, which is also the shape that scales on a cluster.)
-    # Both hashes come from ONE char scan: a struct accumulator folds
-    # (h1, h2) together, halving the per-token split+fold work vs calling
-    # polyhash and polyhash131 separately (HOF folds run interpreted, so
-    # the pass count matters).
-    # ONE F.expr string: building this fold with Python Column operators
-    # costs hundreds of py4j round-trips per builder call (README perf
-    # note 6); the SQL text is a single JVM parse with identical semantics.
-    pair = F.expr(
-        "aggregate(transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), "
-        "named_struct('h1', CAST(0 AS BIGINT), 'h2', CAST(0 AS BIGINT)), "
-        f"(acc, x) -> named_struct('h1', (acc.h1 * 31 + x) % {P}, "
-        f"'h2', (acc.h2 * 131 + x) % {P}))"
-    )
-    th = (
-        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .select("doc_id", pair.alias("hp"))
-        .select("doc_id", F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
-    )
-    # Bits 30/31 of each 32-bit half are provably zero (polyhash < 2^30, so
-    # every token votes -1 there — in the oracle too); skipping them avoids
-    # materializing the 2^63 literal (signed-long overflow) and 4 dead sums.
-    bit_votes = th.groupBy("doc_id").agg(
-        *[
-            F.expr(
-                f"SUM(CASE WHEN ({h} & CAST({POW2[k]} AS BIGINT)) > 0 "
-                "THEN 1 ELSE -1 END)"
-            ).alias(f"{h}b{k}")
-            for h in ("h1", "h2")
-            for k in range(30)
-        ]
-    )
-    simhash = F.expr(
-        " + ".join(
-            f"CAST(CASE WHEN h1b{k} > 0 THEN {POW2[k]} ELSE 0 END AS BIGINT)"
-            f" + CAST(CASE WHEN h2b{k} > 0 THEN {POW2[k] * 4294967296} ELSE 0 END AS BIGINT)"
-            for k in range(30)
-        )
+    # r15 (guide §4.2 + §2.4): ASCII docs — the whole corpus in practice —
+    # compute the fingerprint row-locally in the Arrow twin
+    # (_simhash_batch), which vectorizes the interpreted per-token char
+    # fold AND drops the explode + groupBy(doc_id) exchange. Everything
+    # else takes the ORIGINAL explode + codegen'd vote aggregation via
+    # the slice split (_simhash_table_jvm), so sims holds identical rows
+    # for any input.
+    fast = F.octet_length("text") == F.length("text")
+    fast_sims = d.filter(fast).select(
+        "doc_id", _simhash_batch(F.col("text")).alias("simhash")
     )
     # Persisted: the block join and both fingerprint lookups reference sims;
     # one long per doc, so the cache is negligible and the
     # tokenize+hash+vote pipeline runs once.
-    sims = bit_votes.select("doc_id", simhash.alias("simhash")).transform(pin)
+    sims = _spread(
+        fast_sims.unionByName(_simhash_table_jvm(d.filter(~fast))), "doc_id"
+    ).transform(pin)
     blocks = sims.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
@@ -2044,15 +2277,13 @@ def _repetition_batch(texts):
     < 3 tokens where the JVM gram builder's descending-sequence edge
     semantics live) take the original pipeline via the slice split in
     repetition_table."""
-    import re
     from collections import Counter
 
     import pandas as pd
 
-    ws = re.compile(r"\s+", re.ASCII)
     cols: dict[str, list] = {f: [] for f in _REP_STRUCT.fieldNames()}
     for t_ in texts:
-        toks = ws.split(t_.strip(" "))
+        toks = _py_tokens(t_)
         for n in (1, 2, 3):
             grams = (
                 toks
@@ -2856,23 +3087,16 @@ def _decon_ghs_batch(texts):
     octet_length guard in decon_doc_grams — Java split('') works on
     UTF-16 units while Python iterates codepoints, so those rows must
     keep the JVM path for bit-equality."""
-    import re
-
     import pandas as pd
 
-    ws = re.compile(r"\s+", re.ASCII)
     k = _DECON_K
+    cache: dict = {}
     out = []
     for t_ in texts:
         if t_ is None or not t_.isascii():
             out.append(None)
             continue
-        th = []
-        for tok in ws.split(t_.strip(" ")):
-            acc = 0
-            for ch in tok:
-                acc = (acc * 31 + ord(ch)) % P
-            th.append(acc)
+        th = _py_tok_h31(_py_tokens(t_), cache)
         n = len(th)
         if n < k:
             out.append([])
@@ -3314,17 +3538,85 @@ def _dsir_bigrams() -> Column:
     ).otherwise(F.expr("array()"))
 
 
+_DSIR_FEAT_TYPE = ArrayType(
+    StructType([StructField("bucket", LongType()), StructField("tf", LongType())])
+)
+
+
+@F.pandas_udf(_DSIR_FEAT_TYPE)
+def _dsir_feats_batch(texts):
+    """Arrow-vectorized twin of the per-doc hashed-bigram bucket
+    histogram for ASCII texts (guide §4.2 + §2.4, r15). The bigram hash
+    is composed from memoized per-token folds with the polynomial
+    concatenation identity h(a+' '+b) = ((h(a)·31 + 32)·31^len(b) +
+    h(b)) mod P — the same exact integers as hashing the bigram string
+    char-by-char, without re-walking any token's chars twice. Counter
+    over the bucket values == groupBy(doc_id, is_t, bucket).count()
+    restricted to one doc (doc_id is unique). Computing the histogram
+    ROW-LOCALLY removes the per-doc groupBy exchange of every bigram
+    occurrence (§2.4). Docs with < 2 tokens return [] (explode drops
+    them, exactly as the empty _dsir_bigrams array did); non-ASCII rows
+    return None (never consumed) and take the original pipeline via the
+    slice split in dsir_features; NULL text is absent from both slices."""
+    from collections import Counter
+
+    import pandas as pd
+
+    cache: dict = {}  # tok -> (polyhash, 31^len(tok) mod P)
+    out = []
+    for t_ in texts:
+        if t_ is None or not t_.isascii():
+            out.append(None)
+            continue
+        toks = _py_tokens(t_)
+        if len(toks) < 2:
+            out.append([])
+            continue
+        hs, pws = [], []
+        for tok in toks:
+            pair = cache.get(tok)
+            if pair is None:
+                h = 0
+                pw = 1
+                for ch in tok:
+                    h = (h * 31 + ord(ch)) % P
+                    pw = (pw * 31) % P
+                cache[tok] = pair = (h, pw)
+            hs.append(pair[0])
+            pws.append(pair[1])
+        c = Counter(
+            ((hs[i] * 31 + 32) % P * pws[i + 1] + hs[i + 1]) % P % _DSIR_B
+            for i in range(len(toks) - 1)
+        )
+        out.append([{"bucket": b, "tf": n} for b, n in c.items()])
+    return pd.Series(out)
+
+
 def dsir_features(docs: DataFrame) -> DataFrame:
     """(doc_id, is_t, bucket, tf) hashed-bigram features for a
     (doc_id, is_t, text) DataFrame — the single definition the lane AND
-    the maintained store build from (no desync possible)."""
-    d = docs.select("doc_id", "is_t", tokens("text").alias("toks"))
-    return (
-        d.select("doc_id", "is_t", F.explode(_dsir_bigrams()).alias("bg"))
+    the maintained store build from (no desync possible).
+
+    r15 (guide §4.2 + §2.4): ASCII docs compute their bucket histogram
+    row-locally in the Arrow twin (_dsir_feats_batch) and just explode
+    it — no exchange; everything else keeps the ORIGINAL explode +
+    groupBy pipeline via the slice split, so the union holds identical
+    rows for any input."""
+    d = docs.select("doc_id", "is_t", "text")
+    fast = F.octet_length("text") == F.length("text")
+    fast_rows = (
+        d.filter(fast)
+        .select("doc_id", "is_t", F.explode(_dsir_feats_batch(F.col("text"))).alias("f"))
+        .select("doc_id", "is_t", F.col("f.bucket").alias("bucket"), F.col("f.tf").alias("tf"))
+    )
+    slow = d.filter(~fast).select("doc_id", "is_t", tokens("text").alias("toks"))
+    slow_rows = (
+        slow.select("doc_id", "is_t", F.explode(_dsir_bigrams()).alias("bg"))
         .select("doc_id", "is_t", (polyhash(F.col("bg")) % _DSIR_B).alias("bucket"))
         .groupBy("doc_id", "is_t", "bucket")
         .agg(F.count("*").alias("tf"))
     )
+    return fast_rows.unionByName(slow_rows)
 
 
 def dsir_stats(tf: DataFrame) -> DataFrame:
@@ -3465,28 +3757,18 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("lang") == "en").alias("is_t"), "text"
     )
     tf = dsir_features(d)
-    # r14 (guide §2.3/§2.4): the model side used to be dsir_stats(tf) +
-    # stats.agg totals — with tf uncached (deliberate, ADVICE r9) that
-    # expanded to THREE full tokenize+explode+tf chains in one plan
-    # (scoring / stats / totals; exchange reuse never fired — measured
-    # 18 exchanges, 6 documents scans). The bucket stats now aggregate
-    # the exploded bigrams DIRECTLY (SUM of per-doc tf grouped by bucket
-    # == COUNT per bucket — same integers, map-side combined to ≤
-    # {_DSIR_B} rows per task), and the totals come off the scan as one
-    # 1-row aggregate (Σ cnt_s == Σ max(len(toks)-1, 0)). Two explode
-    # chains and zero tf-keyed exchanges remain: 18 -> 7 exchanges,
-    # 2.5 -> ~1.4 s at sf0.1. dsir_stats itself is untouched — the
-    # maintained store's per-batch fold still uses it.
+    # r14 kept the bucket stats on their own explode chain because the
+    # tokenize+hash pipeline was interpreted and tf is deliberately
+    # uncached (ADVICE r9: caching a corpus-sized tf at 100 TB costs
+    # more than one extra pass). r15: dsir_features is Arrow-vectorized
+    # and exchange-free for ASCII rows, so the stats side simply
+    # re-evaluates it (dsir_stats — the maintained store's own fold
+    # shape): two cheap Arrow passes instead of two interpreted explode
+    # chains, still zero corpus-sized caches. Totals stay off the scan
+    # as one 1-row broadcast aggregate (Σ cnt_s == Σ max(len(toks)-1,
+    # 0) — same integers, no third pass).
+    stats = dsir_stats(tf)
     toks = d.select("is_t", tokens("text").alias("toks"))
-    stats = (
-        toks.select("is_t", F.explode(_dsir_bigrams()).alias("bg"))
-        .select("is_t", (polyhash(F.col("bg")) % _DSIR_B).alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").cast("long").alias("cnt_s"),
-            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("cnt_t"),
-        )
-    )
     n_bigrams = F.greatest(F.size("toks") - 1, F.lit(0)).cast("long")
     tot = toks.agg(
         F.sum(n_bigrams).cast("long").alias("n_s"),
